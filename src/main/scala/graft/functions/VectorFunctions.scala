@@ -1,0 +1,70 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` / `array<double>` columns — the
+  * Spark-native form of the pgvector operators the reference queries
+  * with (`<->` L2, `<=>` cosine distance, `<#>` negative inner
+  * product; see reference SSEOpenAIController.java:316 `ORDER BY
+  * embedding <-> ?::vector LIMIT 5`).
+  *
+  * Determinism contract (SURVEY.md §3): every element is cast
+  * FLOAT→DOUBLE first and accumulated *sequentially in element
+  * order*, which is bit-identical to DuckDB's
+  * `list_dot_product/list_cosine_similarity/list_distance` over
+  * `CAST(x AS DOUBLE[])` — so oracle comparisons need no float
+  * tolerance.
+  *
+  * Implementation: Spark higher-order functions (`zip_with`,
+  * `aggregate`, `transform`) — declarative, no UDF serialization, and
+  * the fold is guaranteed left-to-right.
+  */
+object VectorFunctions {
+
+  /** Cast any numeric array to array<double> element-wise. */
+  def asDouble(v: Column): Column = v.cast("array<double>")
+
+  /** Sequential-fold dot product in double precision. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** Squared L2 norm of a vector. */
+  def norm2(a: Column): Column =
+    aggregate(
+      transform(asDouble(a), x => x * x),
+      lit(0.0),
+      (acc, x) => acc + x)
+
+  /** L2 (Euclidean) norm. */
+  def norm(a: Column): Column = sqrt(norm2(a))
+
+  /** pgvector `<->`: Euclidean distance. */
+  def l2Distance(a: Column, b: Column): Column =
+    sqrt(aggregate(
+      zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
+      lit(0.0),
+      (acc, x) => acc + x))
+
+  /** Cosine similarity: dot / (|a| * |b|). */
+  def cosineSimilarity(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** pgvector `<=>`: cosine distance = 1 - cosine similarity. */
+  def cosineDistance(a: Column, b: Column): Column =
+    lit(1.0) - cosineSimilarity(a, b)
+
+  /** pgvector `<#>`: negative inner product (so ORDER BY ascending
+    * gives max-inner-product search). */
+  def negativeInnerProduct(a: Column, b: Column): Column =
+    -dot(a, b)
+
+  /** L2-normalize a vector to unit length (double elements). */
+  def l2Normalize(a: Column): Column = {
+    val n = norm(a)
+    transform(asDouble(a), x => x / n)
+  }
+}

@@ -1,0 +1,67 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Exact (brute-force) vector search — the Spark-native form of the
+  * reference's `ORDER BY embedding <-> ?::vector LIMIT 5`
+  * (SSEOpenAIController.java:316).
+  *
+  * Scale design (SURVEY.md §4):
+  *  - single query: the 1-row query side is broadcast, the corpus is
+  *    scanned once, and `orderBy(dist).limit(k)` plans as
+  *    `TakeOrderedAndProject` — a bounded per-partition heap merged on
+  *    the driver. No corpus shuffle, no full sort, O(k) driver memory.
+  *  - batch: Q query vectors broadcast against one corpus scan; the
+  *    per-query top-k runs as a window `row_number` over a shuffle
+  *    keyed by query id, which moves |corpus|×Q candidate rows. For
+  *    large Q at 100 TB, prefer [[graft.operators.IvfIndex]] which
+  *    prunes the scanned fraction to nprobe/nlist first.
+  *  - range search: a pure filter — fully pipelined, no shuffle.
+  */
+object Knn {
+
+  /** Exact top-k nearest of `queryVec` (a 1-row frame holding column
+    * `qVecCol`) in `corpus`, with deterministic distance-then-id
+    * ordering. Output: (idCol, dist). */
+  def topK(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queryVec: DataFrame, qVecCol: String,
+      distance: (Column, Column) => Column, k: Int): DataFrame =
+    corpus
+      .crossJoin(broadcast(queryVec))
+      .select(col(idCol), distance(col(vecCol), col(qVecCol)).as("dist"))
+      .orderBy(col("dist"), col(idCol))
+      .limit(k)
+
+  /** Exact top-k for each of many query vectors; `queries` holds
+    * (qIdCol, qVecCol). Output: (qIdCol, idCol, dist) ordered by
+    * (qid, dist, id). Excludes self-matches when ids collide. */
+  def topKBatch(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      distance: (Column, Column) => Column, k: Int): DataFrame = {
+    val w = Window.partitionBy(col(qIdCol)).orderBy(col("dist"), col(idCol))
+    corpus
+      .crossJoin(broadcast(queries))
+      .filter(col(idCol) =!= col(qIdCol))
+      .select(col(qIdCol), col(idCol), distance(col(vecCol), col(qVecCol)).as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .drop("rn")
+      .orderBy(col(qIdCol), col("dist"), col(idCol))
+  }
+
+  /** pgvector-style range predicate: all corpus vectors with
+    * distance(v, q) < tau. Pure filter — no shuffle. */
+  def rangeSearch(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queryVec: DataFrame, qVecCol: String,
+      distance: (Column, Column) => Column, tau: Double): DataFrame =
+    corpus
+      .crossJoin(broadcast(queryVec))
+      .select(col(idCol), distance(col(vecCol), col(qVecCol)).as("dist"))
+      .filter(col("dist") < tau)
+      .orderBy(col("dist"), col(idCol))
+}

@@ -1,0 +1,94 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.VectorFunctions._
+import graft.operators.Knn
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Vector-search inventory (SURVEY.md §2) — the pgvector side of the
+  * reference (SSEOpenAIController.java:316 `ORDER BY embedding <->
+  * ?::vector LIMIT 5`, and the `<=>` / `<#>` operators pgvector
+  * defines on the same table).
+  *
+  * Oracle parity: DuckDB `list_distance` / `list_cosine_similarity` /
+  * `list_dot_product` over `CAST(x AS DOUBLE[])` are bit-identical to
+  * [[graft.functions.VectorFunctions]] (verified; SURVEY.md §3).
+  */
+object VectorQueries {
+
+  private val K = 10
+
+  private def queryVec(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding").as("qvec"))
+
+  private def corpus(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+
+  private def knnOracle(distSql: String, extra: String = ""): String = s"""
+    SELECT e.vec_id AS vec_id, $distSql AS dist
+    FROM embeddings e
+    CROSS JOIN (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0) q
+    WHERE e.vec_id <> 0 $extra
+    ORDER BY dist, vec_id
+    LIMIT $K"""
+
+  private val l2Sql  = "list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[]))"
+  private val cosSql = "1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[]))"
+  private val ipSql  = "-list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[]))"
+
+  private def knnL2(s: SparkSession, d: String): DataFrame =
+    Knn.topK(corpus(s, d), "vec_id", "embedding", queryVec(s, d), "qvec", l2Distance, K)
+
+  private def knnCos(s: SparkSession, d: String): DataFrame =
+    Knn.topK(corpus(s, d), "vec_id", "embedding", queryVec(s, d), "qvec", cosineDistance, K)
+
+  private def knnIp(s: SparkSession, d: String): DataFrame =
+    Knn.topK(corpus(s, d), "vec_id", "embedding", queryVec(s, d), "qvec", negativeInnerProduct, K)
+
+  // ----------------------------------------------------------- batch top-k
+  private def knnBatch(s: SparkSession, d: String): DataFrame = {
+    val q = Tables.embeddings(s, d).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    Knn.topKBatch(Tables.embeddings(s, d), "vec_id", "embedding",
+      q, "qid", "qvec", l2Distance, 5)
+  }
+
+  private val knnBatchSql = """
+    WITH q AS (SELECT vec_id AS qid, embedding AS qvec FROM embeddings WHERE vec_id < 5),
+    dists AS (
+      SELECT q.qid, e.vec_id,
+             list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])) AS dist
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> q.qid),
+    ranked AS (
+      SELECT qid, vec_id, dist,
+             row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn
+      FROM dists)
+    SELECT qid, vec_id, dist FROM ranked
+    WHERE rn <= 5
+    ORDER BY qid, dist, vec_id"""
+
+  // ---------------------------------------------------------- range search
+  private def rangeSearch(s: SparkSession, d: String): DataFrame =
+    Knn.rangeSearch(corpus(s, d), "vec_id", "embedding",
+      queryVec(s, d), "qvec", l2Distance, 1.30)
+
+  private val rangeSearchSql = """
+    SELECT e.vec_id AS vec_id,
+           list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])) AS dist
+    FROM embeddings e
+    CROSS JOIN (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0) q
+    WHERE e.vec_id <> 0
+      AND list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])) < 1.30
+    ORDER BY dist, vec_id"""
+
+  val defs: Map[String, QueryDef] = Map(
+    "vs_knn_l2"       -> QueryDef(knnL2 _, knnOracle(l2Sql)),
+    "vs_knn_cosine"   -> QueryDef(knnCos _, knnOracle(cosSql)),
+    "vs_knn_ip"       -> QueryDef(knnIp _, knnOracle(ipSql)),
+    "vs_knn_batch"    -> QueryDef(knnBatch _, knnBatchSql),
+    "vs_range_search" -> QueryDef(rangeSearch _, rangeSearchSql),
+  )
+}
