@@ -11,7 +11,8 @@ object SparkEntry {
 
   /** Full inventory: name → (query, oracle). */
   def all: Map[String, QueryDef] =
-    RelationalQueries.defs ++ VectorQueries.defs
+    RelationalQueries.defs ++ VectorQueries.defs ++
+      TextQueries.defs ++ DedupQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's headline operation: top-k vector search. */

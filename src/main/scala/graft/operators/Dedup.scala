@@ -1,0 +1,192 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for a 100 TB training-data corpus
+  * (SURVEY.md §2, §4). The cardinal rule at scale: never materialize
+  * O(n²) — every near-dup variant generates candidate pairs through a
+  * bounded bucket join (LSH bands, simhash chunks, shared shingles,
+  * blocking keys) and only verifies those.
+  */
+object Dedup {
+
+  // --------------------------------------------------------------- exact
+  /** Exact dedup: group by content hash, survivor = min(id).
+    * One shuffle on the 64-bit content hash; at 100 TB the hash (not
+    * the text) is the shuffle key so rows stay narrow. */
+  def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val keyed = docs.select(col(idCol).as("doc_id"), md5(trim(col(textCol))).as("content_key"))
+    val groups = keyed.groupBy(col("content_key")).agg(
+      min(col("doc_id")).as("survivor_id"),
+      count(lit(1)).as("group_size"))
+    keyed.join(groups, "content_key")
+      .select(col("doc_id"), col("survivor_id"), col("group_size"),
+        (col("doc_id") =!= col("survivor_id")).as("is_dup"))
+  }
+
+  // ------------------------------------------------------------- minhash
+  /** Deterministic affine permutation constants over [[MinhashP]]. */
+  def minhashA(i: Int): Long = (((i + 1).toLong * 1103515245L + 12345L) % MinhashP + MinhashP) % MinhashP
+  def minhashB(i: Int): Long = ((i.toLong * 2654435761L + 1013904223L) % MinhashP + MinhashP) % MinhashP
+
+  /** (doc_id, s) distinct shingle rows for a documents frame. */
+  def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
+    docs
+      .select(col(idCol).as("doc_id"), shingles(tokens(col(textCol)), n).as("shing"))
+      .select(col("doc_id"), explode(col("shing")).as("s"))
+      .distinct()
+
+  /** numHashes-wide minhash signature, one row per doc. Map-side
+    * partial min() means the shuffle carries one signature per doc per
+    * partition, not one row per shingle. */
+  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
+    val hmod = (hash64(col("s")) % MinhashP).as("hmod")
+    val aggs = (0 until numHashes).map { i =>
+      min((col("hmod") * minhashA(i) + minhashB(i)) % MinhashP).as(s"sig_$i")
+    }
+    sh.select(col("doc_id"), hmod)
+      .groupBy(col("doc_id"))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** LSH banding: (doc_id, band_id, band_key) rows; docs sharing a
+    * band key are candidate pairs. */
+  def lshBands(sigs: DataFrame, numHashes: Int, bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    val bandStructs = (0 until bands).map { b =>
+      val key = hash64(concat_ws(",",
+        (0 until rows).map(r => col(s"sig_${b * rows + r}")): _*))
+      struct(lit(b).as("band_id"), key.as("band_key"))
+    }
+    sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
+      .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
+  }
+
+  /** Distinct candidate (doc_a < doc_b) pairs from any bucket co-membership. */
+  def candidatePairs(bands: DataFrame): DataFrame = {
+    val a = bands.as("a")
+    val b = bands.as("b")
+    a.join(b,
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band_key") === col("b.band_key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Exact jaccard over shingle sets, evaluated only for `cand` pairs. */
+  def verifiedJaccard(cand: DataFrame, sh: DataFrame): DataFrame = {
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val shared = cand
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"),
+        col("doc_b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("shared").cast("double") /
+          (col("na.n") + col("nb.n") - col("shared"))).as("jaccard"))
+  }
+
+  /** MinHash+LSH near-dup pairs with exact-jaccard verification. */
+  def minhashLsh(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int, bands: Int, tau: Double): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol, shingleN)
+    val cand = candidatePairs(lshBands(minhashSignatures(sh, numHashes), numHashes, bands))
+    verifiedJaccard(cand, sh)
+      .filter(col("jaccard") >= tau)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** All-pairs jaccard via shared-shingle candidate join (no LSH):
+    * pairs with zero shared shingles never materialize. */
+  def ngramJaccard(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, tau: Double): DataFrame = {
+    val sh = shingleRows(docs, idCol, textCol, shingleN)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val shared = sh.as("a")
+      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("shared").cast("double") /
+          (col("na.n") + col("nb.n") - col("shared"))).as("jaccard"))
+      .filter(col("jaccard") >= tau)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // ------------------------------------------------------------- simhash
+  val SimhashBits = 60
+
+  /** 60-bit simhash over token occurrences (term-frequency weights). */
+  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tokh = docs
+      .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("w"))
+      .select(col("doc_id"), hash64(col("w")).as("h"))
+    val bitSums = (0 until SimhashBits).map { b =>
+      sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"s_$b")
+    }
+    val sig = (0 until SimhashBits)
+      .map(b => when(col(s"s_$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    tokh.groupBy(col("doc_id"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col("doc_id"), sig.as("sig"))
+  }
+
+  /** Near-dup pairs with hamming(sig) <= tau. Candidates come from
+    * (tau+1) equal-width chunks of the signature — by pigeonhole any
+    * pair within tau differing bits shares at least one chunk, so
+    * recall is exactly 100% with no O(n²) scan. */
+  def simhashPairs(docs: DataFrame, idCol: String, textCol: String, tau: Int): DataFrame = {
+    val chunks = tau + 1
+    val width = SimhashBits / chunks
+    val mask = (1L << width) - 1
+    val sigs = simhashSignatures(docs, idCol, textCol)
+    val chunkRows = sigs.select(col("doc_id"), col("sig"),
+        explode(array((0 until chunks).map { c =>
+          struct(lit(c).as("chunk_id"),
+            shiftright(col("sig"), c * width).bitwiseAND(mask).as("chunk_key"))
+        }: _*)).as("ck"))
+      .select(col("doc_id"), col("sig"), col("ck.chunk_id"), col("ck.chunk_key"))
+    val cand = chunkRows.as("a")
+      .join(chunkRows.as("b"),
+        col("a.chunk_id") === col("b.chunk_id") &&
+        col("a.chunk_key") === col("b.chunk_key") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.sig").as("sig_a"), col("b.sig").as("sig_b"))
+      .distinct()
+    cand
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("sig_a").bitwiseXOR(col("sig_b"))).cast("long").as("hamming"))
+      .filter(col("hamming") <= tau)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  // -------------------------------------------------- embedding near-dup
+  /** Blocked embedding near-dup: cosine >= tau among pairs sharing a
+    * blocking key (a label, an IVF cell id, a coarse LSH bucket) —
+    * the blocking key bounds the pair blow-up at scale. */
+  def embeddingNearDup(
+      emb: DataFrame, idCol: String, vecCol: String, blockCol: String,
+      cosSim: (Column, Column) => Column, tau: Double): DataFrame = {
+    val a = emb.select(col(blockCol).as("blk"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = emb.select(col(blockCol).as("blk"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), cosSim(col("v_a"), col("v_b")).as("cos_sim"))
+      .filter(col("cos_sim") >= tau)
+      .orderBy(col("id_a"), col("id_b"))
+  }
+}

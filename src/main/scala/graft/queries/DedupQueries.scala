@@ -1,0 +1,104 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions
+import graft.operators.Dedup
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dedup inventory (SURVEY.md §2) over the documents / embeddings
+  * tables. The Spark side uses the scalable candidate-generation
+  * paths (LSH bands, simhash chunks, shingle joins, label blocking);
+  * oracles verify the *result contract* with brute-force SQL.
+  * MinHash-LSH recall at these thresholds is validated locally (the
+  * planted near-dups sit at jaccard ≥ 0.97 with 16 bands × 4 rows →
+  * miss probability < 1e-14; simhash chunking is exact by pigeonhole).
+  */
+object DedupQueries {
+
+  private def shingleCte(n: Int): String = s"""
+    t AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
+    shing AS (SELECT doc_id, unnest(${shinglesSql("toks", n)}) AS s FROM t),
+    sh AS (SELECT DISTINCT doc_id, s FROM shing),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+               FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+               GROUP BY 1, 2)"""
+
+  private def jaccardSql(n: Int, tau: Double): String = s"""
+    WITH ${shingleCte(n)}
+    SELECT doc_a, doc_b,
+           CAST(shared AS DOUBLE) / (na.n + nb.n - shared) AS jaccard
+    FROM shared
+    JOIN sizes na ON doc_a = na.doc_id
+    JOIN sizes nb ON doc_b = nb.doc_id
+    WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= $tau
+    ORDER BY doc_a, doc_b"""
+
+  // -------------------------------------------------------------- exact
+  private def exact(s: SparkSession, d: String): DataFrame =
+    Dedup.exact(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"))
+
+  private val exactSql = """
+    WITH keyed AS (SELECT doc_id, md5(trim(text)) AS content_key FROM documents),
+    g AS (SELECT content_key, min(doc_id) AS survivor_id, count(*) AS group_size
+          FROM keyed GROUP BY content_key)
+    SELECT k.doc_id, g.survivor_id, g.group_size,
+           k.doc_id <> g.survivor_id AS is_dup
+    FROM keyed k JOIN g USING (content_key)
+    ORDER BY doc_id"""
+
+  // -------------------------------------------------------- minhash LSH
+  private def minhashLsh(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text",
+      shingleN = 3, numHashes = 64, bands = 16, tau = 0.8)
+
+  // ------------------------------------------------------ ngram jaccard
+  private def ngramJaccard(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text",
+      shingleN = 2, tau = 0.7)
+
+  // ------------------------------------------------------------ simhash
+  private def simhash(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", tau = 3)
+
+  private val simhashSql = s"""
+    WITH t AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
+    tokh AS (SELECT doc_id, ${hash64Sql("w")} AS h FROM tok),
+    bits AS (SELECT doc_id, b, sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS s
+             FROM tokh, unnest(range(0, ${Dedup.SimhashBits})) u(b)
+             GROUP BY doc_id, b),
+    sig AS (SELECT doc_id,
+                   CAST(sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END) AS BIGINT) AS sig
+            FROM bits GROUP BY doc_id)
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS BIGINT) AS hamming
+    FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 3
+    ORDER BY doc_a, doc_b"""
+
+  // -------------------------------------------------- embedding near-dup
+  private def embedding(s: SparkSession, d: String): DataFrame =
+    Dedup.embeddingNearDup(Tables.embeddings(s, d), "vec_id", "embedding",
+      "label", VectorFunctions.cosineSimilarity, tau = 0.35)
+      .withColumnRenamed("id_a", "id_a")
+
+  private val embeddingSql = """
+    SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+           list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cos_sim
+    FROM embeddings a
+    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35
+    ORDER BY id_a, id_b"""
+
+  val defs: Map[String, QueryDef] = Map(
+    "dedup_exact"         -> QueryDef(exact _, exactSql),
+    "dedup_minhash_lsh"   -> QueryDef(minhashLsh _, jaccardSql(3, 0.8)),
+    "dedup_ngram_jaccard" -> QueryDef(ngramJaccard _, jaccardSql(2, 0.7)),
+    "dedup_simhash"       -> QueryDef(simhash _, simhashSql),
+    "dedup_embedding"     -> QueryDef(embedding _, embeddingSql),
+  )
+}

@@ -1,0 +1,165 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis inventory (SURVEY.md §2): language ID, quality
+  * scoring, token counting, document fingerprinting — each a pure
+  * per-row projection (no shuffle, scales linearly; the only wide op
+  * is the final presentation ORDER BY).
+  */
+object TextQueries {
+
+  private val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+
+  // ------------------------------------------------------------ lang id
+  private def langId(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    val scored = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang").as("true_lang"), toks.as("toks"))
+    val withScores = langDicts.foldLeft(scored) { case (df, (l, words)) =>
+      df.withColumn(s"s_$l", langScore(col("toks"), words).cast("long"))
+    }
+    val m = greatest(langDicts.map { case (l, _) => col(s"s_$l") }: _*)
+    val pred = langDicts.foldRight(lit("und")) { case ((l, _), acc) =>
+      when(col(s"s_$l") === m, lit(l)).otherwise(acc)
+    }
+    // CASE chains bind first-match, so fold from the right to keep the
+    // en > de > es > fr > zh tie-break order.
+    withScores
+      .withColumn("pred_lang", pred)
+      .drop("toks")
+      .orderBy(col("doc_id"))
+  }
+
+  private val langIdSql: String = {
+    val scores = langDicts
+      .map { case (l, w) => s"CAST(${langScoreSql("toks", w)} AS BIGINT) AS s_$l" }
+      .mkString(",\n             ")
+    val m = langDicts.map { case (l, _) => s"s_$l" }.mkString("greatest(", ", ", ")")
+    val chain = langDicts
+      .map { case (l, _) => s"WHEN s_$l = $m THEN '$l'" }
+      .mkString(" ")
+    s"""
+    WITH t AS (SELECT doc_id, lang AS true_lang, ${tokensSql("text")} AS toks FROM documents),
+    scored AS (SELECT doc_id, true_lang,
+             $scores
+           FROM t)
+    SELECT doc_id, true_lang, s_en, s_de, s_es, s_fr, s_zh,
+           CASE $chain ELSE 'und' END AS pred_lang
+    FROM scored
+    ORDER BY doc_id"""
+  }
+
+  // ------------------------------------------------------------ quality
+  private def quality(s: SparkSession, d: String): DataFrame = {
+    val t = col("text")
+    val toks = col("toks")
+    val nChars = length(t).cast("long")
+    val nToks = size(toks).cast("long")
+    val stopRatio = langScore(toks, langDicts.head._2).cast("double") / nToks
+    val digitRatio = patternCount(t, "[0-9]").cast("double") / nChars
+    val alphaRatio = patternCount(t, "[a-z]").cast("double") / nChars
+    val avgTokLen =
+      aggregate(transform(toks, x => length(x).cast("long")), lit(0L), (a, x) => a + x)
+        .cast("double") / nToks
+    val score =
+      least(lit(1.0), nToks.cast("double") / lit(50.0)) *
+        (lit(1.0) - digitRatio) *
+        (lit(0.5) + least(stopRatio * lit(2.0), lit(0.5)))
+    Tables.documents(s, d)
+      .select(col("doc_id"), t, tokens(t).as("toks"))
+      .select(
+        col("doc_id"),
+        nChars.as("n_chars"),
+        nToks.as("n_tokens"),
+        avgTokLen.as("avg_token_len"),
+        stopRatio.as("stop_ratio"),
+        digitRatio.as("digit_ratio"),
+        alphaRatio.as("alpha_ratio"),
+        score.as("quality"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val qualitySql: String = s"""
+    WITH t AS (SELECT doc_id, text, ${tokensSql("text")} AS toks FROM documents),
+    m AS (SELECT doc_id,
+             CAST(length(text) AS BIGINT) AS n_chars,
+             CAST(len(toks) AS BIGINT) AS n_tokens,
+             CAST(list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT))) AS DOUBLE) AS tok_chars,
+             CAST(${langScoreSql("toks", langDicts.head._2)} AS DOUBLE) AS n_stop,
+             CAST(${patternCountSql("text", "[0-9]")} AS DOUBLE) AS n_digit,
+             CAST(${patternCountSql("text", "[a-z]")} AS DOUBLE) AS n_alpha
+           FROM t)
+    SELECT doc_id, n_chars, n_tokens,
+           tok_chars / n_tokens AS avg_token_len,
+           n_stop / n_tokens AS stop_ratio,
+           n_digit / n_chars AS digit_ratio,
+           n_alpha / n_chars AS alpha_ratio,
+           least(1.0, CAST(n_tokens AS DOUBLE) / 50.0)
+             * (1.0 - n_digit / n_chars)
+             * (0.5 + least(n_stop / n_tokens * 2.0, 0.5)) AS quality
+    FROM m
+    ORDER BY doc_id"""
+
+  // ------------------------------------------------------------- tokens
+  private def tokenCounts(s: SparkSession, d: String): DataFrame = {
+    val t = col("text")
+    Tables.documents(s, d)
+      .select(col("doc_id"), t, tokens(t).as("toks"))
+      .select(
+        col("doc_id"),
+        length(t).cast("long").as("n_chars"),
+        size(col("toks")).cast("long").as("n_ws_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct_tokens"),
+        patternCount(t, BpePattern).cast("long").as("n_bpe_tokens"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val tokenCountsSql: String = s"""
+    WITH t AS (SELECT doc_id, text, ${tokensSql("text")} AS toks FROM documents)
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(toks) AS BIGINT) AS n_ws_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+           CAST(${patternCountSql("text", BpePattern)} AS BIGINT) AS n_bpe_tokens
+    FROM t
+    ORDER BY doc_id"""
+
+  // --------------------------------------------------------- fingerprint
+  /** Whole-doc md5 fingerprint plus a shingle min-hash content
+    * fingerprint (robust to reordering-free small edits). */
+  private def fingerprint(s: SparkSession, d: String): DataFrame = {
+    val toks = tokens(col("text"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("text"), toks.as("toks"))
+      .select(
+        col("doc_id"),
+        md5(trim(col("text"))).as("fp_md5"),
+        coalesce(
+          array_min(transform(shingles(col("toks"), 5), sh => hash64(sh))),
+          hash64(trim(col("text")))).as("fp_shingle_min"),
+        size(shingles(col("toks"), 5)).cast("long").as("n_shingles"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val fingerprintSql: String = s"""
+    WITH t AS (SELECT doc_id, text, ${tokensSql("text")} AS toks FROM documents),
+    sh AS (SELECT doc_id, text, ${shinglesSql("toks", 5)} AS shing FROM t)
+    SELECT doc_id,
+           md5(trim(text)) AS fp_md5,
+           coalesce(list_min(list_transform(shing, s -> ${hash64Sql("s")})),
+                    ${hash64Sql("trim(text)")}) AS fp_shingle_min,
+           CAST(len(shing) AS BIGINT) AS n_shingles
+    FROM sh
+    ORDER BY doc_id"""
+
+  val defs: Map[String, QueryDef] = Map(
+    "text_lang_id"     -> QueryDef(langId _, langIdSql),
+    "text_quality"     -> QueryDef(quality _, qualitySql),
+    "text_tokens"      -> QueryDef(tokenCounts _, tokenCountsSql),
+    "text_fingerprint" -> QueryDef(fingerprint _, fingerprintSql),
+  )
+}
