@@ -12,7 +12,8 @@ object SparkEntry {
   /** Full inventory: name → (query, oracle). */
   def all: Map[String, QueryDef] =
     RelationalQueries.defs ++ VectorQueries.defs ++
-      TextQueries.defs ++ DedupQueries.defs
+      TextQueries.defs ++ DedupQueries.defs ++
+      PipelineQueries.defs ++ MultimodalQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's headline operation: top-k vector search. */

@@ -1,0 +1,142 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+
+/** Native Catalyst expressions for the vector hot path: a single fused
+  * loop over both arrays with whole-stage codegen — no per-element
+  * lambda dispatch, no intermediate zipped array allocation, unlike
+  * the `zip_with`+`aggregate` composition in [[VectorFunctions]].
+  *
+  * Semantics are identical to [[VectorFunctions]] (and therefore to
+  * the DuckDB oracle): each element cast FLOAT→DOUBLE, accumulated
+  * sequentially in element order.
+  *
+  * `mode` fuses the three pgvector metrics into one operator:
+  *  - dot: Σ aᵢbᵢ
+  *  - l2:  √Σ (aᵢ-bᵢ)²
+  *  - cos: 1 - Σaᵢbᵢ / (√Σaᵢ² · √Σbᵢ²)   (single pass, three accumulators)
+  */
+object VectorDistance {
+  sealed trait Mode { def id: Int }
+  case object Dot extends Mode { val id = 0 }
+  case object L2 extends Mode { val id = 1 }
+  case object CosineDist extends Mode { val id = 2 }
+
+  import GraftSqlBridge.{toColumn, toExpression}
+
+  def dot(a: Column, b: Column): Column =
+    toColumn(VectorDistanceExpr(toExpression(a), toExpression(b), Dot.id))
+  def l2(a: Column, b: Column): Column =
+    toColumn(VectorDistanceExpr(toExpression(a), toExpression(b), L2.id))
+  def cosineDistance(a: Column, b: Column): Column =
+    toColumn(VectorDistanceExpr(toExpression(a), toExpression(b), CosineDist.id))
+  def negativeInnerProduct(a: Column, b: Column): Column = -dot(a, b)
+}
+
+case class VectorDistanceExpr(left: Expression, right: Expression, mode: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = left.nullable || right.nullable
+
+  private def elemIsFloat(e: Expression): Boolean = e.dataType match {
+    case ArrayType(FloatType, _) => true
+    case ArrayType(DoubleType, _) => false
+    case t => throw new IllegalArgumentException(s"vector expr needs array<float|double>, got $t")
+  }
+
+  private lazy val leftFloat = elemIsFloat(left)
+  private lazy val rightFloat = elemIsFloat(right)
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0
+    var aa = 0.0
+    var bb = 0.0
+    var i = 0
+    if (mode == VectorDistance.Dot.id) {
+      while (i < n) {
+        val x = if (leftFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        val y = if (rightFloat) b.getFloat(i).toDouble else b.getDouble(i)
+        dot += x * y
+        i += 1
+      }
+      dot
+    } else if (mode == VectorDistance.L2.id) {
+      while (i < n) {
+        val x = if (leftFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        val y = if (rightFloat) b.getFloat(i).toDouble else b.getDouble(i)
+        val d = x - y
+        dot += d * d
+        i += 1
+      }
+      math.sqrt(dot)
+    } else {
+      while (i < n) {
+        val x = if (leftFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        val y = if (rightFloat) b.getFloat(i).toDouble else b.getDouble(i)
+        dot += x * y
+        aa += x * x
+        bb += y * y
+        i += 1
+      }
+      1.0 - dot / (math.sqrt(aa) * math.sqrt(bb))
+    }
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val getL = if (leftFloat) (v: String, i: String) => s"(double) $v.getFloat($i)"
+               else (v: String, i: String) => s"$v.getDouble($i)"
+    val getR = if (rightFloat) (v: String, i: String) => s"(double) $v.getFloat($i)"
+               else (v: String, i: String) => s"$v.getDouble($i)"
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val aa = ctx.freshName("aa")
+      val bb = ctx.freshName("bb")
+      val x = ctx.freshName("x")
+      val y = ctx.freshName("y")
+      val d = ctx.freshName("d")
+      val body = mode match {
+        case 0 =>
+          s"""
+           double $acc = 0.0;
+           for (int $i = 0; $i < $n; $i++) {
+             $acc += ${getL(a, i)} * ${getR(b, i)};
+           }
+           ${ev.value} = $acc;"""
+        case 1 =>
+          s"""
+           double $acc = 0.0;
+           for (int $i = 0; $i < $n; $i++) {
+             double $d = ${getL(a, i)} - ${getR(b, i)};
+             $acc += $d * $d;
+           }
+           ${ev.value} = java.lang.Math.sqrt($acc);"""
+        case _ =>
+          s"""
+           double $acc = 0.0; double $aa = 0.0; double $bb = 0.0;
+           for (int $i = 0; $i < $n; $i++) {
+             double $x = ${getL(a, i)};
+             double $y = ${getR(b, i)};
+             $acc += $x * $y; $aa += $x * $x; $bb += $y * $y;
+           }
+           ${ev.value} = 1.0 - $acc / (java.lang.Math.sqrt($aa) * java.lang.Math.sqrt($bb));"""
+      }
+      s"""
+       final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+       $body"""
+    })
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -1,0 +1,100 @@
+package graft.operators
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** IVF (inverted-file) approximate nearest neighbor — the 100 TB scale
+  * path for the reference's `ORDER BY embedding <-> q LIMIT k`
+  * (SURVEY.md §4).
+  *
+  * Build: Lloyd's k-means expressed purely as DataFrame ops —
+  * assignment is a broadcast join + per-vector argmin window, the
+  * centroid update is a posexplode + groupBy(cell, pos) average. No
+  * driver-side collect of the corpus; only the nlist centroid rows
+  * ever concentrate.
+  *
+  * Search: the query ranks the nlist centroids (broadcast, tiny),
+  * probes the nprobe nearest cells, and scans only those — at scale
+  * the corpus is written `partitionBy("centroid_id")`
+  * ([[writePartitioned]]) so the probe is a partition-pruned read of
+  * nprobe/nlist of the data, no shuffle, while exact top-k within the
+  * probed cells is a TakeOrderedAndProject.
+  *
+  * Determinism: init = the nlist vectors with smallest ids; argmin
+  * ties break on centroid id; means are decimal-free but only used
+  * for bucketing (approximation, never compared to an oracle).
+  */
+object IvfIndex {
+
+  /** (centroid_id, centroid) frame after `iters` Lloyd rounds. */
+  def trainCentroids(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int): DataFrame = {
+    val dims = size(col(vecCol))
+    var centroids = corpus
+      .orderBy(col(idCol)).limit(nlist)
+      .select(
+        (row_number().over(Window.orderBy(col(idCol))) - 1).as("centroid_id"),
+        asDouble(col(vecCol)).as("centroid"))
+    for (_ <- 0 until iters) {
+      val assigned = assign(corpus, idCol, vecCol, centroids)
+      centroids = corpus
+        .join(assigned, idCol)
+        .select(col("centroid_id"), posexplode(asDouble(col(vecCol))).as(Seq("pos", "v")))
+        .groupBy(col("centroid_id"), col("pos"))
+        .agg(avg(col("v")).as("m"))
+        .groupBy(col("centroid_id"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+        .select(col("centroid_id"),
+          transform(col("pm"), x => x.getField("m")).as("centroid"))
+    }
+    centroids
+  }
+
+  /** (idCol, centroid_id) nearest-centroid assignment. */
+  def assign(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("cdist"), col("centroid_id"))
+    corpus
+      .crossJoin(broadcast(centroids))
+      .select(col(idCol), col("centroid_id"),
+        l2Distance(col(vecCol), col("centroid")).as("cdist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("centroid_id"))
+  }
+
+  /** Corpus + centroid_id, ready to write partitioned by cell. */
+  def buildIndex(corpus: DataFrame, idCol: String, vecCol: String,
+      nlist: Int, iters: Int = 2): (DataFrame, DataFrame) = {
+    val centroids = trainCentroids(corpus, idCol, vecCol, nlist, iters)
+    (corpus.join(assign(corpus, idCol, vecCol, centroids), idCol), centroids)
+  }
+
+  /** Persist the index partitioned by cell so probes prune partitions. */
+  def writePartitioned(indexed: DataFrame, path: String): Unit =
+    indexed.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
+
+  /** Probe search: scan only the nprobe cells nearest to the query. */
+  def search(
+      indexed: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, queryVec: DataFrame, qVecCol: String,
+      distance: (Column, Column) => Column, k: Int, nprobe: Int): DataFrame = {
+    val probed = centroids
+      .crossJoin(broadcast(queryVec))
+      .select(col("centroid_id"), l2Distance(col("centroid"), col(qVecCol)).as("cdist"))
+      .orderBy(col("cdist"), col("centroid_id"))
+      .limit(nprobe)
+      .select(col("centroid_id"))
+    indexed
+      // broadcast semi-join on the probed cell ids: with a
+      // cell-partitioned store this is partition pruning at the source
+      .join(broadcast(probed), Seq("centroid_id"), "left_semi")
+      .crossJoin(broadcast(queryVec))
+      .select(col(idCol), distance(col(vecCol), col(qVecCol)).as("dist"))
+      .orderBy(col("dist"), col(idCol))
+      .limit(k)
+  }
+}

@@ -1,0 +1,122 @@
+package graft.pipeline
+
+import graft.functions.TextFunctions._
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The reference's ingest pipeline re-expressed Spark-first:
+  * blob → page text → normalize → chunk → embed → vector store row +
+  * status (reference `BlobUploadDetector/.../Function.java`):
+  *
+  *  - normalization: newline→space, collapse runs of whitespace
+  *    (Function.java:110-112)
+  *  - chunking: split text > maxLen at the last punctuation inside a
+  *    look-back window, else hard-split at maxLen-lookback
+  *    (Function.java:218-258 splitText/findSplitIndex)
+  *  - embedding: the OpenAI call is external I/O in the reference; here
+  *    a deterministic feature-hashing embedder (hashing-trick counts,
+  *    L2-normalized) stands in, keeping the plumbing (per-chunk dense
+  *    vector column) real
+  *  - status: the Cosmos state machine's terminal snapshot
+  *    (models/CosmosDBDocumentStatus.java), derived deterministically
+  *
+  * Everything is a per-row projection until the store write — no
+  * shuffle, codegen-friendly, linear at 100 TB.
+  */
+object Ingest {
+
+  // ------------------------------------------------------- normalization
+  def normalize(text: Column): Column =
+    regexp_replace(regexp_replace(text, "\n", " "), "\\s{2,}", " ")
+
+  def normalizeSql(col: String): String =
+    s"regexp_replace(replace($col, chr(10), ' '), '\\s{2,}', ' ', 'g')"
+
+  // ------------------------------------------------------------ chunking
+  /** Port of the reference splitText/findSplitIndex semantics
+    * (Function.java:218-258), parameterized: scan backward from
+    * charAt(maxLen) down to charAt(maxLen-lookback+1) for a split
+    * char; the chunk excludes the split char (it starts the next
+    * chunk); no split char → cut at maxLen-lookback. */
+  def splitText(text: String, maxLen: Int, lookback: Int, punct: Set[Char]): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var rem = text
+    while (rem.length > maxLen) {
+      val start = maxLen - lookback
+      var idx = maxLen
+      while (idx > start && !punct.contains(rem.charAt(idx))) idx -= 1
+      val split = if (idx == 0) maxLen else idx
+      out += rem.substring(0, split)
+      rem = rem.substring(split)
+    }
+    out += rem
+    out.toSeq
+  }
+
+  /** (chunk_idx, chunk) rows for each document. The iterative split is
+    * inherently sequential per row, so a scalar UDF is the right tool
+    * (still a narrow per-row map — no shuffle, no driver round-trip). */
+  def chunk(docs: DataFrame, idCol: String, textCol: String,
+      maxLen: Int, lookback: Int, punct: String): DataFrame = {
+    val pset = punct.toSet
+    val chunker = udf { text: String =>
+      if (text == null) Seq.empty[String] else splitText(text, maxLen, lookback, pset)
+    }
+    docs
+      .select(col(idCol), posexplode(chunker(normalize(col(textCol)))).as(Seq("chunk_idx", "chunk")))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"), col("chunk"),
+        length(col("chunk")).cast("long").as("chunk_len"))
+  }
+
+  // ----------------------------------------------------------- embedding
+  /** Deterministic feature-hashing embedder: dim i holds the count of
+    * tokens with hash64(token) % dims == i, L2-normalized. The
+    * hashing-trick twin of the reference's external embedding call. */
+  def embed(text: Column, dims: Int): Column = {
+    val toks = tokens(text)
+    val counts = transform(sequence(lit(0), lit(dims - 1)),
+      i => size(filter(toks, t => hash64(t) % dims === i)).cast("double"))
+    VectorFunctions.l2Normalize(counts)
+  }
+
+  // -------------------------------------------------------------- status
+  /** Terminal status snapshot of the reference's per-chunk state
+    * machine; failures are a deterministic pseudo-random slice keyed on
+    * content (stands in for the reference's runtime failures). */
+  val StatusCase: Column => Column = h =>
+    when(h % 23 === 0, "FAILED_DB_INSERTION")
+      .when(h % 23 === 1, "RETRY_OAI_INVOCATION")
+      .when(h % 23 === 2, "FINISH_OAI_INVOCATION")
+      .otherwise("COMPLETED")
+
+  def statusOf(text: Column): Column = StatusCase(hash64(text))
+
+  def statusOfSql(col: String): String = {
+    val h = hash64Sql(col)
+    s"""CASE $h % 23 WHEN 0 THEN 'FAILED_DB_INSERTION'
+        WHEN 1 THEN 'RETRY_OAI_INVOCATION'
+        WHEN 2 THEN 'FINISH_OAI_INVOCATION'
+        ELSE 'COMPLETED' END"""
+  }
+
+  // --------------------------------------------------------- vector store
+  /** Full pipeline to the reference's store schema
+    * (DOCUMENT_SEARCH_VECTOR: id, embedding, origntext, filename,
+    * pagenumber — README.md table DDL), ready for parquet/Knn. */
+  def toVectorStore(docs: DataFrame, idCol: String, textCol: String,
+      fileCol: String, dims: Int = 64,
+      maxLen: Int = 120, lookback: Int = 30): DataFrame = {
+    val chunks = chunk(
+      docs.select(col(idCol), col(textCol), col(fileCol)),
+      idCol, textCol, maxLen, lookback, ".:;?! ")
+      .join(docs.select(col(idCol), col(fileCol)), idCol)
+    chunks.select(
+      concat_ws("#", col(idCol), col("chunk_idx")).as("id"),
+      embed(col("chunk"), dims).as("embedding"),
+      col("chunk").as("origntext"),
+      col(fileCol).as("filename"),
+      col("chunk_idx").as("pagenumber"),
+      statusOf(col("chunk")).as("status"))
+  }
+}

@@ -56,9 +56,12 @@ object DedupQueries {
       shingleN = 3, numHashes = 64, bands = 16, tau = 0.8)
 
   // ------------------------------------------------------ ngram jaccard
+  // 4-gram shingles: on a small-vocabulary corpus short shingles
+  // collide massively (2-grams → ~1600 distinct keys → a quadratic
+  // shingle join); 4-grams keep join buckets near 1.
   private def ngramJaccard(s: SparkSession, d: String): DataFrame =
     Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text",
-      shingleN = 2, tau = 0.7)
+      shingleN = 4, tau = 0.65)
 
   // ------------------------------------------------------------ simhash
   private def simhash(s: SparkSession, d: String): DataFrame =
@@ -97,7 +100,7 @@ object DedupQueries {
   val defs: Map[String, QueryDef] = Map(
     "dedup_exact"         -> QueryDef(exact _, exactSql),
     "dedup_minhash_lsh"   -> QueryDef(minhashLsh _, jaccardSql(3, 0.8)),
-    "dedup_ngram_jaccard" -> QueryDef(ngramJaccard _, jaccardSql(2, 0.7)),
+    "dedup_ngram_jaccard" -> QueryDef(ngramJaccard _, jaccardSql(4, 0.65)),
     "dedup_simhash"       -> QueryDef(simhash _, simhashSql),
     "dedup_embedding"     -> QueryDef(embedding _, embeddingSql),
   )

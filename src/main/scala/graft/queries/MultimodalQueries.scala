@@ -1,0 +1,86 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal inventory (SURVEY.md §2): media as opaque binary columns
+  * with typed metadata. The decode itself is stubbed deterministically
+  * (no image/audio libs in this environment — see
+  * graft.pipeline.Multimodal for the batch-decode plumbing); the
+  * Spark-side schema, projection, and explode mechanics are real.
+  */
+object MultimodalQueries {
+
+  // --------------------------------------------------------- binary meta
+  private def binaryMeta(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"),
+        length(encode(col("text"), "utf-8")).cast("long").as("byte_len"),
+        hash64(col("text")).as("h"))
+      .select(
+        col("doc_id"),
+        col("byte_len"),
+        when(col("doc_id") % 3 === 0, "image/png")
+          .when(col("doc_id") % 3 === 1, "audio/wav")
+          .otherwise("video/mp4").as("mime"),
+        (lit(64L) + col("h") % 1920).as("width"),
+        (lit(64L) + expr("(h DIV 1920) % 1080")).as("height"))
+      .withColumn("n_frames",
+        when(col("mime") === "video/mp4", expr("byte_len DIV 16"))
+          .otherwise(lit(0L)))
+      .orderBy(col("doc_id"))
+
+  private val binaryMetaSql: String = {
+    val h = hash64Sql("text")
+    s"""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           CASE doc_id % 3 WHEN 0 THEN 'image/png'
+                           WHEN 1 THEN 'audio/wav'
+                           ELSE 'video/mp4' END AS mime,
+           64 + $h % 1920 AS width,
+           64 + ($h // 1920) % 1080 AS height,
+           CASE WHEN doc_id % 3 = 2
+                THEN CAST(octet_length(encode(text)) // 16 AS BIGINT)
+                ELSE 0 END AS n_frames
+    FROM documents
+    ORDER BY doc_id"""
+  }
+
+  // -------------------------------------------------------- frame sample
+  /** Deterministic frame sampling over "video" rows: first
+    * min(n_frames, 10) frame indexes, each with a stub-decoded
+    * feature. */
+  private def frameSample(s: SparkSession, d: String): DataFrame = {
+    val nFrames = (length(encode(col("text"), "utf-8")).cast("long") / 16L).cast("long")
+    Tables.documents(s, d)
+      .filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id"), col("text"), least(nFrames, lit(10L)).as("n"))
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0L), col("n") - 1)).as("frame_idx"))
+      .select(col("doc_id"), col("frame_idx"),
+        (hash64(concat(col("text"), lit("#"), col("frame_idx").cast("string"))) % 256)
+          .as("frame_feature"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  private val frameSampleSql: String = {
+    val h = hash64Sql("text || '#' || CAST(frame_idx AS VARCHAR)")
+    s"""
+    WITH v AS (SELECT doc_id, text,
+                      least(octet_length(encode(text)) // 16, 10) AS n
+               FROM documents WHERE doc_id % 3 = 2),
+    f AS (SELECT doc_id, text, unnest(range(0, n)) AS frame_idx FROM v)
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           $h % 256 AS frame_feature
+    FROM f
+    ORDER BY doc_id, frame_idx"""
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+    "mm_binary_meta"  -> QueryDef(binaryMeta _, binaryMetaSql),
+    "mm_frame_sample" -> QueryDef(frameSample _, frameSampleSql),
+  )
+}

@@ -1,0 +1,114 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.functions.TextFunctions._
+import graft.pipeline.Ingest
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Ingest-pipeline inventory (SURVEY.md §2): the reference's chunker,
+  * embedder, and status listings as oracle-checked queries.
+  */
+object PipelineQueries {
+
+  private val MaxLen = 120
+  private val Lookback = 30
+
+  // -------------------------------------------------------------- chunk
+  // Space is the only split char present in the synthetic corpus, so
+  // the oracle specializes the look-back scan to ' ' while the Spark
+  // side uses the reference's full punctuation set plus space.
+  private def chunkQ(s: SparkSession, d: String): DataFrame =
+    Ingest.chunk(Tables.documents(s, d), "doc_id", "text", MaxLen, Lookback, ".:;?! ")
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  private val chunkSql: String = {
+    val start = MaxLen - Lookback
+    // window = 0-based chars [start+1 .. maxLen] = substr(rem, start+2, lookback)
+    val win = s"substr(rem, ${start + 2}, $Lookback)"
+    s"""
+    WITH RECURSIVE parts AS (
+      SELECT doc_id, ${Ingest.normalizeSql("text")} AS rem,
+             0 AS idx, CAST(NULL AS VARCHAR) AS chunk
+      FROM documents
+      UNION ALL
+      SELECT doc_id, substr(rem, sp + 1), idx + 1, substr(rem, 1, sp)
+      FROM (
+        SELECT doc_id, rem, idx,
+          CASE WHEN length(rem) > $MaxLen THEN (
+            CASE WHEN strpos(reverse($win), ' ') > 0
+                 THEN $start + ($Lookback - strpos(reverse($win), ' ') + 1)
+                 ELSE $start END)
+          ELSE length(rem) END AS sp
+        FROM parts
+        WHERE length(rem) > 0))
+    SELECT doc_id, CAST(idx - 1 AS BIGINT) AS chunk_idx, chunk,
+           CAST(length(chunk) AS BIGINT) AS chunk_len
+    FROM parts
+    WHERE chunk IS NOT NULL
+    ORDER BY doc_id, chunk_idx"""
+  }
+
+  // -------------------------------------------------------------- embed
+  /** Feature-hashing embedding in relational form: (doc_id, dim,
+    * weight) with L2 normalization — explode + count + window, all
+    * map-side-combinable. */
+  private def embedQ(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .select(col("doc_id"), (hash64(col("w")) % 64).as("dim"))
+      .groupBy(col("doc_id"), col("dim"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("weight",
+        col("n").cast("double") / sqrt(sum(col("n") * col("n")).over(w).cast("double")))
+      .select(col("doc_id"), col("dim"), col("weight"))
+      .orderBy(col("doc_id"), col("dim"))
+  }
+
+  private val embedSql: String = s"""
+    WITH t AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
+    tok AS (SELECT doc_id, unnest(toks) AS w FROM t),
+    c AS (SELECT doc_id, ${hash64Sql("w")} % 64 AS dim, count(*) AS n
+          FROM tok GROUP BY 1, 2)
+    SELECT doc_id, dim,
+           CAST(n AS DOUBLE) / sqrt(CAST(sum(n * n) OVER (PARTITION BY doc_id) AS DOUBLE)) AS weight
+    FROM c
+    ORDER BY doc_id, dim"""
+
+  // ----------------------------------------------------- status listings
+  // Reference listing queries (CosmosDBUtil.java:44-47):
+  //   SELECT * FROM c WHERE c.status = 'COMPLETED' ORDER BY c.fileName ASC, c.pageNumber ASC
+  //   SELECT * FROM c WHERE c.status != 'COMPLETED' ...
+  // source plays fileName, doc_id plays pageNumber.
+  private def statusBase(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).select(
+      col("source").as("filename"),
+      col("doc_id"),
+      Ingest.statusOf(col("text")).as("status"),
+      col("n_chars"))
+
+  private def registered(s: SparkSession, d: String): DataFrame =
+    statusBase(s, d).filter(col("status") === "COMPLETED")
+      .orderBy(col("filename"), col("doc_id"))
+
+  private def failed(s: SparkSession, d: String): DataFrame =
+    statusBase(s, d).filter(col("status") =!= "COMPLETED")
+      .orderBy(col("filename"), col("doc_id"))
+
+  private def listSql(pred: String): String = s"""
+    WITH st AS (SELECT source AS filename, doc_id,
+                       ${Ingest.statusOfSql("text")} AS status, n_chars
+                FROM documents)
+    SELECT filename, doc_id, status, n_chars
+    FROM st WHERE status $pred 'COMPLETED'
+    ORDER BY filename, doc_id"""
+
+  val defs: Map[String, QueryDef] = Map(
+    "vs_chunk"           -> QueryDef(chunkQ _, chunkSql),
+    "vs_embed"           -> QueryDef(embedQ _, embedSql),
+    "vs_registered_list" -> QueryDef(registered _, listSql("=")),
+    "vs_failed_list"     -> QueryDef(failed _, listSql("<>")),
+  )
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.functions.VectorFunctions._
-import graft.operators.Knn
+import graft.operators.{IvfIndex, Knn}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -84,7 +84,19 @@ object VectorQueries {
       AND list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])) < 1.30
     ORDER BY dist, vec_id"""
 
+  // -------------------------------------------------------------- IVF ANN
+  /** Approximate: probes 4 of 16 k-means cells, so no SQL oracle —
+    * recall vs brute force is asserted in IvfIndexSpec instead
+    * (rows-only driver check). */
+  private def ivfKnn(s: SparkSession, d: String): DataFrame = {
+    val (indexed, centroids) =
+      IvfIndex.buildIndex(Tables.embeddings(s, d), "vec_id", "embedding", nlist = 16)
+    IvfIndex.search(indexed.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+      centroids, queryVec(s, d), "qvec", l2Distance, k = K, nprobe = 4)
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "vs_ivf_knn"      -> QueryDef(ivfKnn _, None),
     "vs_knn_l2"       -> QueryDef(knnL2 _, knnOracle(l2Sql)),
     "vs_knn_cosine"   -> QueryDef(knnCos _, knnOracle(cosSql)),
     "vs_knn_ip"       -> QueryDef(knnIp _, knnOracle(ipSql)),

@@ -1,0 +1,91 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming twin of the event analytics (SURVEY.md §2):
+  * the same tumbling-window aggregation and gap sessionization as the
+  * batch queries `events_window_agg` / `events_sessionize`, expressed
+  * over an unbounded stream with bounded state.
+  *
+  * Input contract: an events frame with `ts` as nanos-since-epoch long
+  * (Tables.events), `user_id`, `event_type`, `value`.
+  */
+object EventStream {
+
+  final case class Event(event_id: Long, ts: Long, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionState(sessionId: Long, lastTsSec: Long,
+      nEvents: Long, startSec: Long, sumValue: Double)
+
+  final case class SessionOut(user_id: Long, session_id: Long,
+      n_events: Long, session_start_s: Long, session_end_s: Long,
+      sum_value: Double)
+
+  /** Tumbling 1-hour windows with a 30-minute watermark: late events
+    * beyond the watermark are dropped, so state is bounded by
+    * (#windows in watermark horizon) × (#event types). */
+  def windowedCounts(events: DataFrame): DataFrame =
+    events
+      .withColumn("ts_ts", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("ts_ts", "30 minutes")
+      .groupBy(window(col("ts_ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(
+        unix_timestamp(col("window.start")).as("bucket_start"),
+        col("event_type"), col("n_events"), col("sum_value"))
+
+  /** Gap sessionization (30-min idle) with explicit per-user state via
+    * flatMapGroupsWithState. In production pass
+    * `GroupStateTimeout.ProcessingTimeTimeout` so idle users are
+    * evicted (state stays O(active users)); under a synchronous test
+    * harness use `NoTimeout` — processing-time timeouts keep the
+    * no-data micro-batch loop alive, which stalls
+    * `processAllAvailable`. */
+  def sessionize(events: Dataset[Event], gapSec: Long = 1800,
+      timeout: GroupStateTimeout = GroupStateTimeout.NoTimeout)(
+      implicit spark: SparkSession): Dataset[SessionOut] = {
+    import spark.implicits._
+    val withTimeout = timeout != GroupStateTimeout.NoTimeout
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, timeout)(
+        sessionFn(gapSec, withTimeout))
+  }
+
+  /** State transition: events inside the gap extend the open session;
+    * a gap emits the closed session and opens a new one. Events must
+    * arrive time-ordered per user (upstream watermark + sort, or the
+    * batch twin's window ordering). */
+  def sessionFn(gapSec: Long, withTimeout: Boolean)(
+      userId: Long, events: Iterator[Event],
+      state: GroupState[SessionState]): Iterator[SessionOut] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+    if (state.hasTimedOut) {
+      state.getOption.foreach { s =>
+        out += SessionOut(userId, s.sessionId, s.nEvents, s.startSec, s.lastTsSec, s.sumValue)
+      }
+      state.remove()
+    } else {
+      var cur = state.getOption
+      events.toSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+        val sec = e.ts / 1000000000L
+        cur match {
+          case Some(s) if sec - s.lastTsSec <= gapSec =>
+            cur = Some(s.copy(lastTsSec = sec, nEvents = s.nEvents + 1,
+              sumValue = s.sumValue + e.value))
+          case Some(s) =>
+            out += SessionOut(userId, s.sessionId, s.nEvents, s.startSec, s.lastTsSec, s.sumValue)
+            cur = Some(SessionState(s.sessionId + 1, sec, 1, sec, e.value))
+          case None =>
+            cur = Some(SessionState(1, sec, 1, sec, e.value))
+        }
+      }
+      cur.foreach(state.update)
+      if (withTimeout) state.setTimeoutDuration(gapSec * 1000)
+    }
+    out.iterator
+  }
+}

@@ -1,0 +1,58 @@
+package graft
+
+import graft.streaming.EventStream
+import graft.streaming.EventStream.{Event, SessionOut}
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class EventStreamSpec extends SparkSpec {
+
+  private def ns(sec: Long): Long = sec * 1000000000L
+
+  test("streaming windowed counts match the batch twin on a replay") {
+    implicit val s = spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.windowedCounts(input.toDF())
+      .writeStream.format("memory").queryName("wc_out")
+      .outputMode("append").start()
+    try {
+      input.addData(
+        Event(1, ns(100), 1, "click", 1.0),
+        Event(2, ns(200), 1, "click", 2.0),
+        Event(3, ns(3700), 2, "view", 5.0))
+      q.processAllAvailable()
+      // advance watermark far enough to close both windows
+      input.addData(Event(4, ns(100000), 3, "click", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("wc_out")
+        .select("bucket_start", "event_type", "n_events")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+      assert(got.contains((0L, "click", 2L)))
+      assert(got.contains((3600L, "view", 1L)))
+    } finally q.stop()
+  }
+
+  test("stateful sessionization splits on the idle gap") {
+    implicit val s = spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.sessionize(input.toDS(), gapSec = 1800)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      // one user: two events 10 min apart, then a 2-hour gap, then one more
+      input.addData(
+        Event(1, ns(0), 7, "click", 1.0),
+        Event(2, ns(600), 7, "click", 2.0),
+        Event(3, ns(600 + 7200), 7, "click", 3.0))
+      q.processAllAvailable()
+      val got = spark.table("sess_out").as[SessionOut].collect()
+      // first session closed by the gap; second still open in state
+      assert(got.length == 1)
+      assert(got.head == SessionOut(7, 1, 2, 0, 600, 3.0))
+    } finally q.stop()
+  }
+}

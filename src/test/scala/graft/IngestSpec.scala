@@ -1,0 +1,52 @@
+package graft
+
+import graft.pipeline.Ingest
+
+class IngestSpec extends SparkSpec {
+
+  private val P = Set('.', ':', ';', '?', '!', ' ')
+
+  test("short text is a single chunk") {
+    assert(Ingest.splitText("hello world", 120, 30, P) == Seq("hello world"))
+  }
+
+  test("split lands on the last punctuation in the look-back window") {
+    // maxLen 10, lookback 4: scan 0-based chars 7..10 for punct
+    val text = "abcdef gh ijklmn"
+    val got = Ingest.splitText(text, 10, 4, P)
+    // chars 7..10 = "h i" → last space at index 9 → chunk = first 9 chars
+    assert(got == Seq("abcdef gh", " ijklmn"))
+    assert(got.mkString == text)
+  }
+
+  test("no punctuation in window → hard cut at maxLen - lookback") {
+    val text = "a" * 25
+    val got = Ingest.splitText(text, 10, 4, P)
+    assert(got.head.length == 6)
+    assert(got.mkString == text)
+  }
+
+  test("chunks always reassemble to the input") {
+    val texts = Seq(
+      "x" * 500,
+      ("word " * 100).trim,
+      "a.b.c.d." * 40,
+      "?" * 11)
+    for (t <- texts) {
+      assert(Ingest.splitText(t, 50, 10, P).mkString == t)
+    }
+  }
+
+  test("vector store pipeline produces the reference schema") {
+    val docs = Tables.documents(spark, Sf).limit(20)
+    val store = Ingest.toVectorStore(docs, "doc_id", "text", "source")
+    assert(store.columns.toSet ==
+      Set("id", "embedding", "origntext", "filename", "pagenumber", "status"))
+    val n = store.count()
+    assert(n >= 20)
+    // embeddings are unit-normalized 64-dim
+    val r = store.select("embedding").head.getSeq[Double](0)
+    assert(r.length == 64)
+    assert(math.abs(math.sqrt(r.map(x => x * x).sum) - 1.0) < 1e-9)
+  }
+}

@@ -1,0 +1,41 @@
+package graft
+
+import graft.functions.VectorFunctions._
+import graft.operators.{IvfIndex, Knn}
+import org.apache.spark.sql.functions._
+
+class IvfIndexSpec extends SparkSpec {
+
+  private lazy val emb = Tables.embeddings(spark, Sf)
+  private lazy val corpus = emb.filter(col("vec_id") =!= 0)
+  private lazy val query = emb.filter(col("vec_id") === 0)
+    .select(col("embedding").as("qvec"))
+
+  test("nprobe = nlist degenerates to exact search") {
+    val (indexed, centroids) = IvfIndex.buildIndex(emb, "vec_id", "embedding", nlist = 8)
+    val exact = Knn.topK(corpus, "vec_id", "embedding", query, "qvec", l2Distance, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val ivf = IvfIndex.search(indexed.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+      centroids, query, "qvec", l2Distance, k = 10, nprobe = 8)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(ivf == exact)
+  }
+
+  test("partial probe keeps useful recall") {
+    val (indexed, centroids) = IvfIndex.buildIndex(emb, "vec_id", "embedding", nlist = 16)
+    val exact = Knn.topK(corpus, "vec_id", "embedding", query, "qvec", l2Distance, 10)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val ivf = IvfIndex.search(indexed.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+      centroids, query, "qvec", l2Distance, k = 10, nprobe = 4)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    val recall = (ivf & exact).size.toDouble / exact.size
+    assert(recall >= 0.3, s"recall $recall too low")
+    assert(ivf.size == 10)
+  }
+
+  test("every vector lands in exactly one cell") {
+    val (indexed, _) = IvfIndex.buildIndex(emb, "vec_id", "embedding", nlist = 8)
+    assert(indexed.count() == emb.count())
+    assert(indexed.select("vec_id").distinct().count() == emb.count())
+  }
+}
