@@ -25,6 +25,7 @@ object VectorDistance {
   case object Dot extends Mode { val id = 0 }
   case object L2 extends Mode { val id = 1 }
   case object CosineDist extends Mode { val id = 2 }
+  case object CosineSim extends Mode { val id = 3 }
 
   import GraftSqlBridge.{toColumn, toExpression}
 
@@ -34,6 +35,8 @@ object VectorDistance {
     toColumn(VectorDistanceExpr(toExpression(a), toExpression(b), L2.id))
   def cosineDistance(a: Column, b: Column): Column =
     toColumn(VectorDistanceExpr(toExpression(a), toExpression(b), CosineDist.id))
+  def cosineSimilarity(a: Column, b: Column): Column =
+    toColumn(VectorDistanceExpr(toExpression(a), toExpression(b), CosineSim.id))
   def negativeInnerProduct(a: Column, b: Column): Column = -dot(a, b)
 }
 
@@ -86,7 +89,8 @@ case class VectorDistanceExpr(left: Expression, right: Expression, mode: Int)
         bb += y * y
         i += 1
       }
-      1.0 - dot / (math.sqrt(aa) * math.sqrt(bb))
+      val sim = dot / (math.sqrt(aa) * math.sqrt(bb))
+      if (mode == VectorDistance.CosineDist.id) 1.0 - sim else sim
     }
   }
 
@@ -120,7 +124,9 @@ case class VectorDistanceExpr(left: Expression, right: Expression, mode: Int)
              $acc += $d * $d;
            }
            ${ev.value} = java.lang.Math.sqrt($acc);"""
-        case _ =>
+        case m =>
+          val simExpr = s"$acc / (java.lang.Math.sqrt($aa) * java.lang.Math.sqrt($bb))"
+          val out = if (m == 2) s"1.0 - $simExpr" else simExpr
           s"""
            double $acc = 0.0; double $aa = 0.0; double $bb = 0.0;
            for (int $i = 0; $i < $n; $i++) {
@@ -128,7 +134,7 @@ case class VectorDistanceExpr(left: Expression, right: Expression, mode: Int)
              double $y = ${getR(b, i)};
              $acc += $x * $y; $aa += $x * $x; $bb += $y * $y;
            }
-           ${ev.value} = 1.0 - $acc / (java.lang.Math.sqrt($aa) * java.lang.Math.sqrt($bb));"""
+           ${ev.value} = $out;"""
       }
       s"""
        final int $n = java.lang.Math.min($a.numElements(), $b.numElements());

@@ -25,8 +25,13 @@ object VectorFunctions {
   /** Cast any numeric array to array<double> element-wise. */
   def asDouble(v: Column): Column = v.cast("array<double>")
 
-  /** Sequential-fold dot product in double precision. */
-  def dot(a: Column, b: Column): Column =
+  /** Sequential-fold dot product in double precision.
+    * Delegates to the fused codegen expression ([[VectorDistance]]);
+    * [[dotHof]] keeps the declarative higher-order-function form as
+    * the executable spec both are tested against. */
+  def dot(a: Column, b: Column): Column = VectorDistance.dot(a, b)
+
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
       lit(0.0),
@@ -42,25 +47,35 @@ object VectorFunctions {
   /** L2 (Euclidean) norm. */
   def norm(a: Column): Column = sqrt(norm2(a))
 
-  /** pgvector `<->`: Euclidean distance. */
-  def l2Distance(a: Column, b: Column): Column =
+  /** pgvector `<->`: Euclidean distance (fused codegen). */
+  def l2Distance(a: Column, b: Column): Column = VectorDistance.l2(a, b)
+
+  def l2DistanceHof(a: Column, b: Column): Column =
     sqrt(aggregate(
       zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
       lit(0.0),
       (acc, x) => acc + x))
 
-  /** Cosine similarity: dot / (|a| * |b|). */
+  /** Cosine similarity: dot / (|a| * |b|) (fused codegen). */
   def cosineSimilarity(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+    VectorDistance.cosineSimilarity(a, b)
 
-  /** pgvector `<=>`: cosine distance = 1 - cosine similarity. */
+  /** pgvector `<=>`: cosine distance = 1 - cosine similarity (fused
+    * single-pass codegen: one loop, three accumulators). */
   def cosineDistance(a: Column, b: Column): Column =
-    lit(1.0) - cosineSimilarity(a, b)
+    VectorDistance.cosineDistance(a, b)
+
+  def cosineDistanceHof(a: Column, b: Column): Column =
+    lit(1.0) - dotHof(a, b) / (norm(a) * norm(b))
 
   /** pgvector `<#>`: negative inner product (so ORDER BY ascending
     * gives max-inner-product search). */
   def negativeInnerProduct(a: Column, b: Column): Column =
     -dot(a, b)
+
+  /** cosine similarity in declarative HOF form (spec twin). */
+  def cosineSimilarityHof(a: Column, b: Column): Column =
+    dotHof(a, b) / (norm(a) * norm(b))
 
   /** L2-normalize a vector to unit length (double elements). */
   def l2Normalize(a: Column): Column = {

@@ -31,11 +31,15 @@ object Dedup {
   def minhashA(i: Int): Long = (((i + 1).toLong * 1103515245L + 12345L) % MinhashP + MinhashP) % MinhashP
   def minhashB(i: Int): Long = ((i.toLong * 2654435761L + 1013904223L) % MinhashP + MinhashP) % MinhashP
 
-  /** (doc_id, s) distinct shingle rows for a documents frame. */
+  /** (doc_id, s) distinct shingle rows for a documents frame.
+    * Tokens are materialized into their own projection first: inside
+    * an interpreted higher-order function, every `element_at(toks, i)`
+    * re-evaluates its child, so an inline `split()` would rerun the
+    * regex once per shingle element (measured 150× slowdown). */
   def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs
-      .select(col(idCol).as("doc_id"), shingles(tokens(col(textCol)), n).as("shing"))
-      .select(col("doc_id"), explode(col("shing")).as("s"))
+      .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
+      .select(col("doc_id"), explode(shingles(col("toks"), n)).as("s"))
       .distinct()
 
   /** numHashes-wide minhash signature, one row per doc. Map-side
@@ -97,7 +101,10 @@ object Dedup {
   def minhashLsh(
       docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, numHashes: Int, bands: Int, tau: Double): DataFrame = {
-    val sh = shingleRows(docs, idCol, textCol, shingleN)
+    // the shingle relation feeds signatures AND both sides of the
+    // verification join — materialize it once instead of recomputing
+    // the tokenize→shingle→distinct subtree three times
+    val sh = shingleRows(docs, idCol, textCol, shingleN).localCheckpoint()
     val cand = candidatePairs(lshBands(minhashSignatures(sh, numHashes), numHashes, bands))
     verifiedJaccard(cand, sh)
       .filter(col("jaccard") >= tau)

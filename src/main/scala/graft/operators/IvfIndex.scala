@@ -69,7 +69,9 @@ object IvfIndex {
   /** Corpus + centroid_id, ready to write partitioned by cell. */
   def buildIndex(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int, iters: Int = 2): (DataFrame, DataFrame) = {
-    val centroids = trainCentroids(corpus, idCol, vecCol, nlist, iters)
+    // materialize the nlist centroid rows once — otherwise every
+    // downstream action replays the whole Lloyd's lineage
+    val centroids = trainCentroids(corpus, idCol, vecCol, nlist, iters).localCheckpoint()
     (corpus.join(assign(corpus, idCol, vecCol, centroids), idCol), centroids)
   }
 

@@ -70,15 +70,21 @@ object Ingest {
   }
 
   // ----------------------------------------------------------- embedding
-  /** Deterministic feature-hashing embedder: dim i holds the count of
-    * tokens with hash64(token) % dims == i, L2-normalized. The
-    * hashing-trick twin of the reference's external embedding call. */
-  def embed(text: Column, dims: Int): Column = {
-    val toks = tokens(text)
-    val counts = transform(sequence(lit(0), lit(dims - 1)),
-      i => size(filter(toks, t => hash64(t) % dims === i)).cast("double"))
-    VectorFunctions.l2Normalize(counts)
-  }
+  /** Deterministic feature-hashing embedder (hashing-trick twin of the
+    * reference's external embedding call): dim i holds the count of
+    * tokens whose hash64 % dims == i, L2-normalized.
+    *
+    * Two-stage API: interpreted HOFs re-evaluate child expressions on
+    * every element access, so both the token array and the hash array
+    * must be materialized columns before fan-out (measured 150×
+    * difference on the shingle path). */
+  def tokenDimHashes(toks: Column, dims: Int): Column =
+    transform(toks, t => hash64(t) % dims)
+
+  def embedFromHashes(hashes: Column, dims: Int): Column =
+    VectorFunctions.l2Normalize(
+      transform(sequence(lit(0), lit(dims - 1)),
+        i => size(filter(hashes, h => h === i)).cast("double")))
 
   // -------------------------------------------------------------- status
   /** Terminal status snapshot of the reference's per-chunk state
@@ -111,12 +117,15 @@ object Ingest {
       docs.select(col(idCol), col(textCol), col(fileCol)),
       idCol, textCol, maxLen, lookback, ".:;?! ")
       .join(docs.select(col(idCol), col(fileCol)), idCol)
-    chunks.select(
-      concat_ws("#", col(idCol), col("chunk_idx")).as("id"),
-      embed(col("chunk"), dims).as("embedding"),
-      col("chunk").as("origntext"),
-      col(fileCol).as("filename"),
-      col("chunk_idx").as("pagenumber"),
-      statusOf(col("chunk")).as("status"))
+    chunks
+      .withColumn("toks", tokens(col("chunk")))
+      .withColumn("dim_hashes", tokenDimHashes(col("toks"), dims))
+      .select(
+        concat_ws("#", col(idCol), col("chunk_idx")).as("id"),
+        embedFromHashes(col("dim_hashes"), dims).as("embedding"),
+        col("chunk").as("origntext"),
+        col(fileCol).as("filename"),
+        col("chunk_idx").as("pagenumber"),
+        statusOf(col("chunk")).as("status"))
   }
 }

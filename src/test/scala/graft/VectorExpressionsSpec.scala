@@ -1,0 +1,52 @@
+package graft
+
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.functions._
+
+/** The fused codegen expression must be bit-identical to the
+  * declarative HOF spec (and therefore to the DuckDB oracle) on real
+  * float embeddings. */
+class VectorExpressionsSpec extends SparkSpec {
+
+  private lazy val pairs = {
+    val e = Tables.embeddings(spark, Sf)
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    e.filter(col("vec_id") =!= 0).crossJoin(q).limit(200)
+  }
+
+  test("codegen l2 == HOF l2, bitwise, on float embeddings") {
+    val diff = pairs.select(
+      VectorFunctions.l2Distance(col("embedding"), col("qvec")).as("a"),
+      VectorFunctions.l2DistanceHof(col("embedding"), col("qvec")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0)
+  }
+
+  test("codegen cosine distance == HOF, bitwise") {
+    val diff = pairs.select(
+      VectorFunctions.cosineDistance(col("embedding"), col("qvec")).as("a"),
+      VectorFunctions.cosineDistanceHof(col("embedding"), col("qvec")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0)
+  }
+
+  test("codegen dot == HOF dot, bitwise") {
+    val diff = pairs.select(
+      VectorFunctions.dot(col("embedding"), col("qvec")).as("a"),
+      VectorFunctions.dotHof(col("embedding"), col("qvec")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff == 0)
+  }
+
+  test("interpreted eval matches codegen path") {
+    // force interpreted: evaluate via collect on a tiny frame where
+    // codegen may fall back; compare both metric modes by hand
+    import spark.implicits._
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(0.5f, 0.25f, 2.0f))).toDF("a", "b")
+    val r = df.select(
+      VectorFunctions.dot(col("a"), col("b")),
+      VectorFunctions.l2Distance(col("a"), col("b"))).head
+    val exp = 1.0f.toDouble * 0.5f.toDouble + 2.0f.toDouble * 0.25f.toDouble + 3.0f.toDouble * 2.0f.toDouble
+    assert(r.getDouble(0) == exp)
+  }
+}
