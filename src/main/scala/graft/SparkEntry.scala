@@ -13,7 +13,8 @@ object SparkEntry {
   def all: Map[String, QueryDef] =
     RelationalQueries.defs ++ VectorQueries.defs ++
       TextQueries.defs ++ DedupQueries.defs ++
-      PipelineQueries.defs ++ MultimodalQueries.defs
+      PipelineQueries.defs ++ MultimodalQueries.defs ++
+      AnalyticsQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's headline operation: top-k vector search. */

@@ -16,10 +16,10 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm_cell(v):
-    if isinstance(v, float):
-        return v
     if hasattr(v, "item"):
         v = v.item()
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"  # NaN != NaN would fail identical rows
     return v
 
 
