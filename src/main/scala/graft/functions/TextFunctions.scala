@@ -34,6 +34,15 @@ object TextFunctions {
   def hash64Sql(col: String): String =
     s"CAST(('0x' || substr(md5($col), 1, 15)) AS BIGINT)"
 
+  /** JVM-side twin of [[hash64]] for plan-time constants (same md5,
+    * same first-60-bits contract). */
+  def hash64Scala(s: String): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    java.lang.Long.parseLong(hex.substring(0, 15), 16)
+  }
+
   // ------------------------------------------------------------ shingles
   /** Space-joined word n-grams (positional, may repeat). */
   def shingles(toks: Column, n: Int): Column =

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.functions.VectorFunctions._
-import graft.operators.{IvfIndex, Knn}
+import graft.operators.{IvfIndex, Knn, LshAnn}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -95,8 +95,15 @@ object VectorQueries {
       centroids, queryVec(s, d), "qvec", l2Distance, k = K, nprobe = 4)
   }
 
+  /** Approximate (bucket recall < 1) → rows-only; recall asserted in
+    * LshAnnSpec. */
+  private def lshKnn(s: SparkSession, d: String): DataFrame =
+    LshAnn.search(corpus(s, d), "vec_id", "embedding",
+      queryVec(s, d), "qvec", dims = 64, k = K, tables = 8, bits = 4)
+
   val defs: Map[String, QueryDef] = Map(
     "vs_ivf_knn"      -> QueryDef(ivfKnn _, None),
+    "vs_lsh_knn"      -> QueryDef(lshKnn _, None),
     "vs_knn_l2"       -> QueryDef(knnL2 _, knnOracle(l2Sql)),
     "vs_knn_cosine"   -> QueryDef(knnCos _, knnOracle(cosSql)),
     "vs_knn_ip"       -> QueryDef(knnIp _, knnOracle(ipSql)),
