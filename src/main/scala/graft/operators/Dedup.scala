@@ -42,18 +42,14 @@ object Dedup {
       .select(col("doc_id"), explode(shingles(col("toks"), n)).as("s"))
       .distinct()
 
-  /** numHashes-wide minhash signature, one row per doc. Map-side
-    * partial min() means the shuffle carries one signature per doc per
-    * partition, not one row per shingle. */
-  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
-    val hmod = (hash64(col("s")) % MinhashP).as("hmod")
-    val aggs = (0 until numHashes).map { i =>
-      min((col("hmod") * minhashA(i) + minhashB(i)) % MinhashP).as(s"sig_$i")
-    }
-    sh.select(col("doc_id"), hmod)
+  /** Minhash signature array, one row per doc — a single
+    * [[graft.functions.SketchAggregates.minhash]] aggregate (map-side
+    * partial: one k-long buffer per doc per partition crosses the
+    * shuffle; one agg column instead of k codegen'd mins). */
+  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame =
+    sh.select(col("doc_id"), hash64(col("s")).as("h"))
       .groupBy(col("doc_id"))
-      .agg(aggs.head, aggs.tail: _*)
-  }
+      .agg(graft.functions.SketchAggregates.minhash(col("h"), numHashes).as("sig"))
 
   /** LSH banding: (doc_id, band_id, band_key) rows; docs sharing a
     * band key are candidate pairs. */
@@ -61,7 +57,7 @@ object Dedup {
     val rows = numHashes / bands
     val bandStructs = (0 until bands).map { b =>
       val key = hash64(concat_ws(",",
-        (0 until rows).map(r => col(s"sig_${b * rows + r}")): _*))
+        (0 until rows).map(r => element_at(col("sig"), b * rows + r + 1).cast("string")): _*))
       struct(lit(b).as("band_id"), key.as("band_key"))
     }
     sigs.select(col("doc_id"), explode(array(bandStructs: _*)).as("band"))
@@ -135,21 +131,15 @@ object Dedup {
   // ------------------------------------------------------------- simhash
   val SimhashBits = 60
 
-  /** 60-bit simhash over token occurrences (term-frequency weights). */
-  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tokh = docs
+  /** 60-bit simhash over token occurrences (term-frequency weights) —
+    * a single [[graft.functions.SketchAggregates.simhash]] aggregate
+    * (one 60-long buffer per doc instead of 60 codegen'd sums). */
+  def simhashSignatures(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
       .select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("w"))
       .select(col("doc_id"), hash64(col("w")).as("h"))
-    val bitSums = (0 until SimhashBits).map { b =>
-      sum(when(shiftright(col("h"), b).bitwiseAND(1L) === 1L, 1L).otherwise(-1L)).as(s"s_$b")
-    }
-    val sig = (0 until SimhashBits)
-      .map(b => when(col(s"s_$b") > 0, lit(1L << b)).otherwise(lit(0L)))
-      .reduce(_ + _)
-    tokh.groupBy(col("doc_id"))
-      .agg(bitSums.head, bitSums.tail: _*)
-      .select(col("doc_id"), sig.as("sig"))
-  }
+      .groupBy(col("doc_id"))
+      .agg(graft.functions.SketchAggregates.simhash(col("h"), SimhashBits).as("sig"))
 
   /** Near-dup pairs with hamming(sig) <= tau. Candidates come from
     * (tau+1) equal-width chunks of the signature — by pigeonhole any

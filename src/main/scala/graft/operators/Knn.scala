@@ -37,8 +37,29 @@ object Knn {
 
   /** Exact top-k for each of many query vectors; `queries` holds
     * (qIdCol, qVecCol). Output: (qIdCol, idCol, dist) ordered by
-    * (qid, dist, id). Excludes self-matches when ids collide. */
+    * (qid, dist, id). Excludes self-matches when ids collide.
+    *
+    * Uses the bounded [[graft.functions.TopKAggregate]]: the partial
+    * (map-side) aggregate keeps ≤ k pairs per query per partition, so
+    * the shuffle is partitions × queries × k rows — independent of
+    * corpus size, unlike the window row_number plan
+    * ([[topKBatchWindow]]) which shuffles every candidate row. */
   def topKBatch(
+      corpus: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, qIdCol: String, qVecCol: String,
+      distance: (Column, Column) => Column, k: Int): DataFrame =
+    corpus
+      .crossJoin(broadcast(queries))
+      .filter(col(idCol) =!= col(qIdCol))
+      .groupBy(col(qIdCol))
+      .agg(graft.functions.TopKAggregate.topK(
+        distance(col(vecCol), col(qVecCol)), col(idCol).cast("long"), k).as("topk"))
+      .select(col(qIdCol), explode(col("topk")).as("p"))
+      .select(col(qIdCol), col("p.id").as(idCol), col("p.dist").as("dist"))
+      .orderBy(col(qIdCol), col("dist"), col(idCol))
+
+  /** Window-based batch top-k (reference plan for the aggregate). */
+  def topKBatchWindow(
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,
       distance: (Column, Column) => Column, k: Int): DataFrame = {

@@ -54,9 +54,11 @@ object Ingest {
     out.toSeq
   }
 
-  /** (chunk_idx, chunk) rows for each document. The iterative split is
-    * inherently sequential per row, so a scalar UDF is the right tool
-    * (still a narrow per-row map — no shuffle, no driver round-trip). */
+  /** Chunk rows: every input column is carried through (streaming-
+    * safe, no self-join), the text column is replaced by per-chunk
+    * (chunk_idx, chunk, chunk_len). The iterative split is inherently
+    * sequential per row, so a scalar UDF is the right tool (still a
+    * narrow per-row map — no shuffle, no driver round-trip). */
   def chunk(docs: DataFrame, idCol: String, textCol: String,
       maxLen: Int, lookback: Int, punct: String): DataFrame = {
     val pset = punct.toSet
@@ -64,9 +66,10 @@ object Ingest {
       if (text == null) Seq.empty[String] else splitText(text, maxLen, lookback, pset)
     }
     docs
-      .select(col(idCol), posexplode(chunker(normalize(col(textCol)))).as(Seq("chunk_idx", "chunk")))
-      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"), col("chunk"),
-        length(col("chunk")).cast("long").as("chunk_len"))
+      .select(col("*"), posexplode(chunker(normalize(col(textCol)))).as(Seq("chunk_idx", "chunk")))
+      .drop(textCol)
+      .withColumn("chunk_idx", col("chunk_idx").cast("long"))
+      .withColumn("chunk_len", length(col("chunk")).cast("long"))
   }
 
   // ----------------------------------------------------------- embedding
@@ -116,7 +119,6 @@ object Ingest {
     val chunks = chunk(
       docs.select(col(idCol), col(textCol), col(fileCol)),
       idCol, textCol, maxLen, lookback, ".:;?! ")
-      .join(docs.select(col(idCol), col(fileCol)), idCol)
     chunks
       .withColumn("toks", tokens(col("chunk")))
       .withColumn("dim_hashes", tokenDimHashes(col("toks"), dims))

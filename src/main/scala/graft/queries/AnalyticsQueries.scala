@@ -79,12 +79,14 @@ object AnalyticsQueries {
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("event_type")).orderBy(col("value"), col("event_id"))))
       .withColumn("n", count(lit(1)).over(Window.partitionBy(col("event_type"))))
-    val qs = Seq(0.5, 0.95).map { p =>
-      ranked
-        .filter(col("rn") === ceil(lit(p) * col("n")).cast("long"))
-        .select(col("event_type"), lit(p).as("p"), col("value"))
-    }
-    qs.reduce(_.unionAll(_)).orderBy(col("event_type"), col("p"))
+    // single pass: each row emits whichever p-levels it is the rank
+    // pick for (a row can be both p50 and p95 in tiny groups)
+    ranked
+      .select(col("event_type"), col("value"),
+        explode(filter(array(lit(0.5), lit(0.95)),
+          p => col("rn") === ceil(p * col("n")).cast("long"))).as("p"))
+      .select(col("event_type"), col("p"), col("value"))
+      .orderBy(col("event_type"), col("p"))
   }
 
   private val quantilesSql = """

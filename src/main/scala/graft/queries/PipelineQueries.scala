@@ -21,6 +21,7 @@ object PipelineQueries {
   // side uses the reference's full punctuation set plus space.
   private def chunkQ(s: SparkSession, d: String): DataFrame =
     Ingest.chunk(Tables.documents(s, d), "doc_id", "text", MaxLen, Lookback, ".:;?! ")
+      .select(col("doc_id"), col("chunk_idx"), col("chunk"), col("chunk_len"))
       .orderBy(col("doc_id"), col("chunk_idx"))
 
   private val chunkSql: String = {

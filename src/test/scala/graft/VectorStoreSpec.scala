@@ -1,0 +1,44 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.functions.VectorFunctions
+import graft.operators.Knn
+import graft.sources.VectorStore
+import org.apache.spark.sql.functions._
+
+class VectorStoreSpec extends SparkSpec {
+
+  test("round-trip: ingest -> store -> knn search over origntext") {
+    val dir = Files.createTempDirectory("vstore").toString
+    val docs = Tables.documents(spark, Sf).limit(50)
+    val store = graft.pipeline.Ingest.toVectorStore(docs, "doc_id", "text", "source")
+    VectorStore.write(store, s"$dir/store")
+    val back = VectorStore.read(spark, s"$dir/store")
+    assert(back.count() == store.count())
+    assert(back.columns.toSet ==
+      Set("id", "embedding", "origntext", "filename", "pagenumber", "status"))
+    // search the store with one of its own vectors → top hit is itself
+    val q = back.filter(col("id") === "0#0").select(col("embedding").as("qvec"))
+    val top = Knn.topK(back, "id", "embedding", q, "qvec",
+      VectorFunctions.cosineDistance, 1).head
+    assert(top.getString(0) == "0#0")
+    assert(math.abs(top.getDouble(1)) < 1e-12)
+  }
+
+  test("streaming ingest lands chunks in the store exactly once") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = Files.createTempDirectory("vstream").toString
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, String, String)]
+    val q = VectorStore.streamIngest(
+      input.toDF().toDF("doc_id", "text", "source"),
+      s"$dir/store", s"$dir/ckpt")
+    input.addData((1L, "alpha beta gamma " * 20, "f1"), (2L, "short doc", "f2"))
+    q.processAllAvailable()
+    q.stop()
+    val got = VectorStore.read(spark, s"$dir/store")
+    assert(got.count() >= 3) // doc 1 splits into multiple chunks
+    assert(got.filter(col("filename") === "f2").count() == 1)
+  }
+}
