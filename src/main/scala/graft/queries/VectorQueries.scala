@@ -101,9 +101,52 @@ object VectorQueries {
     LshAnn.search(corpus(s, d), "vec_id", "embedding",
       queryVec(s, d), "qvec", dims = 64, k = K, tables = 8, bits = 4)
 
+  // ---------------------------------------------------------------- norms
+  private def norms(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("vec_id"),
+        sqrt(graft.functions.VectorDistance.dot(col("embedding"), col("embedding")))
+          .as("nrm"))
+      .orderBy(col("vec_id"))
+
+  private val normsSql = """
+    SELECT vec_id,
+           sqrt(list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[]))) AS nrm
+    FROM embeddings
+    ORDER BY vec_id"""
+
+  // ------------------------------------------------------------ centroids
+  /** Per-label centroid (grouped vector mean) in relational form
+    * (label, pos, centroid). Components are fixed-point quantized at
+    * 2^-24 before summing so the mean is order-independent and
+    * bit-identical across engines (double sums are not). */
+  private def centroids(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d)
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("label"), col("pos").cast("long").as("pos"),
+        floor(col("v").cast("double") * 16777216.0).cast("long").as("q"))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).as("n"))
+      .select(col("label"), col("pos"),
+        (col("sq").cast("double") / (col("n") * lit(16777216.0))).as("centroid"))
+      .orderBy(col("label"), col("pos"))
+
+  private val centroidsSql = """
+    WITH x AS (
+      SELECT label, i - 1 AS pos,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 16777216.0) AS BIGINT) AS q
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i))
+    SELECT label, CAST(pos AS BIGINT) AS pos,
+           CAST(sum(q) AS DOUBLE) / (count(*) * 16777216.0) AS centroid
+    FROM x
+    GROUP BY label, pos
+    ORDER BY label, pos"""
+
   val defs: Map[String, QueryDef] = Map(
     "vs_ivf_knn"      -> QueryDef(ivfKnn _, None),
     "vs_lsh_knn"      -> QueryDef(lshKnn _, None),
+    "vs_norms"        -> QueryDef(norms _, normsSql),
+    "emb_centroids"   -> QueryDef(centroids _, centroidsSql),
     "vs_knn_l2"       -> QueryDef(knnL2 _, knnOracle(l2Sql)),
     "vs_knn_cosine"   -> QueryDef(knnCos _, knnOracle(cosSql)),
     "vs_knn_ip"       -> QueryDef(knnIp _, knnOracle(ipSql)),
