@@ -14,7 +14,7 @@ object SparkEntry {
     RelationalQueries.defs ++ VectorQueries.defs ++
       TextQueries.defs ++ DedupQueries.defs ++
       PipelineQueries.defs ++ MultimodalQueries.defs ++
-      AnalyticsQueries.defs
+      AnalyticsQueries.defs ++ RelationalExtQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's headline operation: top-k vector search. */

@@ -1,0 +1,120 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Relational completeness (SURVEY.md §2 extension): subquery
+  * semantics (semi/anti), pivot, rollup, distinct aggregation — the
+  * remaining Postgres query shapes a reference user would expect.
+  */
+object RelationalExtQueries {
+
+  // ------------------------------------------------------- semi / anti
+  /** Customers with at least one urgent order but no 1995 order —
+    * EXISTS + NOT EXISTS as left_semi / left_anti joins. */
+  private def semiAnti(s: SparkSession, d: String): DataFrame = {
+    val c = Tables.customer(s, d)
+    val o = Tables.orders(s, d)
+    val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
+    val y95 = o.filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+      .select("o_custkey")
+    c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_semi")
+      .join(y95, c("c_custkey") === y95("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val semiAntiSql = """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_orderpriority = '1-URGENT')
+      AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                      AND o.o_orderdate < TIMESTAMP '1996-01-01')
+    ORDER BY c_custkey"""
+
+  // -------------------------------------------------------------- pivot
+  /** Events pivoted: one row per day, one count column per type. */
+  private def pivotQ(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(expr("(ts DIV 1000000000) DIV 86400").as("day"), col("event_type"))
+      .groupBy(col("day"))
+      .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+      .agg(count(lit(1)))
+      .na.fill(0L)
+      .orderBy(col("day"))
+
+  private val pivotSql = """
+    SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS day,
+           count(*) FILTER (event_type = 'click') AS click,
+           count(*) FILTER (event_type = 'view') AS view,
+           count(*) FILTER (event_type = 'purchase') AS purchase,
+           count(*) FILTER (event_type = 'signup') AS signup,
+           count(*) FILTER (event_type = 'error') AS error
+    FROM events
+    GROUP BY 1
+    ORDER BY day"""
+
+  // ------------------------------------------------------------- rollup
+  /** Revenue rollup over (returnflag, linestatus) with subtotal and
+    * grand-total rows; null grouping keys coalesced to 'ALL' so the
+    * compare has no null-vs-NaN ambiguity. */
+  private def rollupQ(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("rflag"), col("lstatus"))
+
+  private val rollupSql = """
+    SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+           coalesce(l_linestatus, 'ALL') AS lstatus,
+           count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    ORDER BY rflag, lstatus"""
+
+  // ---------------------------------------------------------- distincts
+  /** Exact distinct users + events per type (the exact twin of the
+    * HLL sketch below). */
+  private def distinctQ(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(
+        countDistinct(col("user_id")).as("n_users"),
+        count(lit(1)).as("n_events"))
+      .orderBy(col("event_type"))
+
+  private val distinctSql = """
+    SELECT event_type,
+           count(DISTINCT user_id) AS n_users,
+           count(*) AS n_events
+    FROM events
+    GROUP BY event_type
+    ORDER BY event_type"""
+
+  /** HLL approximate distinct (Spark's HyperLogLog++): sketch-based
+    * cardinality at 100 TB where exact distinct would shuffle every
+    * key. Approximate → rows-only check (estimates are
+    * implementation-specific), exact twin above is the oracle anchor. */
+  private def approxDistinctQ(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+      .orderBy(col("event_type"))
+
+  val defs: Map[String, QueryDef] = Map(
+    "q_semi_anti"            -> QueryDef(semiAnti _, semiAntiSql),
+    "events_pivot"           -> QueryDef(pivotQ _, pivotSql),
+    "q_rollup"               -> QueryDef(rollupQ _, rollupSql),
+    "events_distinct"        -> QueryDef(distinctQ _, distinctSql),
+    "events_approx_distinct" -> QueryDef(approxDistinctQ _, None),
+  )
+}
