@@ -68,10 +68,15 @@ object IvfIndex {
 
   /** Corpus + centroid_id, ready to write partitioned by cell. */
   def buildIndex(corpus: DataFrame, idCol: String, vecCol: String,
-      nlist: Int, iters: Int = 2): (DataFrame, DataFrame) = {
-    // materialize the nlist centroid rows once — otherwise every
-    // downstream action replays the whole Lloyd's lineage
-    val centroids = trainCentroids(corpus, idCol, vecCol, nlist, iters).localCheckpoint()
+      nlist: Int, iters: Int = 2, trainFraction: Double = 0.25): (DataFrame, DataFrame) = {
+    // standard IVF recipe: train centroids on a sample (quantizer
+    // quality needs ~100s of points per cell, not the corpus), then
+    // assign everything; materialize the nlist centroid rows once —
+    // otherwise every downstream action replays the Lloyd's lineage
+    val train =
+      if (trainFraction >= 1.0) corpus
+      else corpus.sample(withReplacement = false, trainFraction, seed = 42)
+    val centroids = trainCentroids(train, idCol, vecCol, nlist, iters).localCheckpoint()
     (corpus.join(assign(corpus, idCol, vecCol, centroids), idCol), centroids)
   }
 

@@ -1,0 +1,41 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew handling for hot keys (SURVEY.md §4): two-phase salted
+  * aggregation and salted broadcast-join helpers.
+  *
+  * A single hot key (one viral document, one null-ish user id) makes
+  * one reducer take the whole shuffle at 100 TB. Salting splits each
+  * key into `salts` sub-keys for the first (map-heavy) phase, then
+  * reduces the per-salt partials — the second shuffle carries only
+  * keys × salts rows. AQE's skew-join handles the join case at
+  * runtime; salting is for aggregations and deterministic plans.
+  */
+object Salt {
+
+  /** Deterministic row salt in [0, salts). Derived from a stable row
+    * expression (not rand()) so retried tasks produce identical
+    * results — a lost-executor retry with rand() double-counts. */
+  def saltOf(stable: Column, salts: Int): Column =
+    pmod(hash(stable), lit(salts))
+
+  /** groupBy(keys).agg(sum/count) with two-phase salting. `aggs` maps
+    * output column name → (sumExpr → partial, partial → final). */
+  def saltedSumCount(
+      df: DataFrame, keys: Seq[String], stable: Column, salts: Int,
+      sums: Map[String, Column]): DataFrame = {
+    val phase1 = df
+      .withColumn("__salt", saltOf(stable, salts))
+      .groupBy((keys :+ "__salt").map(col): _*)
+      .agg(
+        count(lit(1)).as("__n"),
+        sums.toSeq.sortBy(_._1).map { case (n, c) => sum(c).as(s"__s_$n") }: _*)
+    phase1
+      .groupBy(keys.map(col): _*)
+      .agg(
+        sum(col("__n")).as("n_rows"),
+        sums.keys.toSeq.sorted.map(n => sum(col(s"__s_$n")).as(n)): _*)
+  }
+}

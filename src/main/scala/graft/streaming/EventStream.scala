@@ -24,6 +24,18 @@ object EventStream {
       n_events: Long, session_start_s: Long, session_end_s: Long,
       sum_value: Double)
 
+  /** Streaming exact dedup: drop re-deliveries of the same content
+    * hash within the watermark horizon — the streaming twin of
+    * Dedup.exact; state is bounded by the horizon. `tsCol` must be a
+    * TimestampType event-time column. */
+  def dedupStream(docs: DataFrame, tsCol: String, contentCol: String,
+      horizon: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("__content_key", md5(trim(col(contentCol))))
+      .withWatermark(tsCol, horizon)
+      .dropDuplicates("__content_key")
+      .drop("__content_key")
+
   /** Tumbling 1-hour windows with a 30-minute watermark: late events
     * beyond the watermark are dropped, so state is bounded by
     * (#windows in watermark horizon) × (#event types). */
