@@ -101,9 +101,72 @@ object AnalyticsQueries {
     WHERE rn = CAST(ceil(p * n) AS BIGINT)
     ORDER BY event_type, p"""
 
+  // ---------------------------------------------------------------- JSON
+  /** Semi-structured props: extract $.k, aggregate per type. JSON path
+    * evaluation happens in the scan projection (codegen'd
+    * get_json_object) — no UDF, no reparse per reference. */
+  private def jsonAgg(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(col("k")).as("n"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"),
+        sum(col("k")).as("sum_k"))
+      .withColumn("avg_k", col("sum_k").cast("double") / col("n"))
+      .orderBy(col("event_type"))
+
+  private val jsonAggSql = """
+    WITH e AS (SELECT event_type,
+                      CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+               FROM events)
+    SELECT event_type, count(k) AS n, min(k) AS min_k, max(k) AS max_k,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           CAST(CAST(sum(k) AS BIGINT) AS DOUBLE) / count(k) AS avg_k
+    FROM e
+    GROUP BY event_type
+    ORDER BY event_type"""
+
+  // -------------------------------------------------------- window suite
+  /** Window-function breadth on one totally-ordered frame: row_number,
+    * rank (with real ties on value), lead gap, ntile quartiles. */
+  private def userStats(s: SparkSession, d: String): DataFrame = {
+    val byTime = Window.partitionBy(col("user_id")).orderBy(col("ts_s"), col("event_id"))
+    val byValue = Window.partitionBy(col("user_id"))
+      .orderBy(col("value").desc, col("event_id"))
+    Tables.events(s, d)
+      .filter(col("user_id") < 50)
+      .select(col("user_id"), col("event_id"),
+        expr("ts DIV 1000000000").as("ts_s"), col("value"))
+      .select(
+        col("user_id"), col("event_id"),
+        row_number().over(byTime).as("rn"),
+        rank().over(byValue).as("value_rank"),
+        coalesce(lead(col("ts_s"), 1).over(byTime) - col("ts_s"), lit(-1L)).as("next_gap_s"),
+        ntile(4).over(byTime).as("quartile"))
+      .orderBy(col("user_id"), col("event_id"))
+  }
+
+  private val userStatsSql = """
+    WITH e AS (SELECT user_id, event_id,
+                      CAST(floor(epoch(ts)) AS BIGINT) AS ts_s, value
+               FROM events WHERE user_id < 50)
+    SELECT user_id, event_id,
+           row_number() OVER bytime AS rn,
+           rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS value_rank,
+           coalesce(lead(ts_s, 1) OVER bytime - ts_s, -1) AS next_gap_s,
+           ntile(4) OVER bytime AS quartile
+    FROM e
+    WINDOW bytime AS (PARTITION BY user_id ORDER BY ts_s, event_id)
+    ORDER BY user_id, event_id"""
+
   val defs: Map[String, QueryDef] = Map(
     "events_asof_enrich" -> QueryDef(asofEnrich _, asofEnrichSql),
     "events_sliding_agg" -> QueryDef(slidingAgg _, slidingAggSql),
     "events_quantiles"   -> QueryDef(quantiles _, quantilesSql),
+    "events_json"        -> QueryDef(jsonAgg _, jsonAggSql),
+    "events_user_stats"  -> QueryDef(userStats _, userStatsSql),
   )
 }
