@@ -171,6 +171,43 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Incremental near-dup: check a NEW batch against an existing
+    * corpus without recomputing the corpus — the daily-increment shape
+    * at 100 TB. `corpusBands`/`corpusShingles` are the persisted index
+    * relations ([[lshBands]] / [[shingleRows]] outputs); only the new
+    * batch is signed, and the band join prunes the corpus side to
+    * matching buckets. Returns (new_id, corpus_id, jaccard) pairs
+    * with jaccard >= tau. */
+  def incrementalMinhash(
+      newDocs: DataFrame, idCol: String, textCol: String,
+      corpusBands: DataFrame, corpusShingles: DataFrame,
+      shingleN: Int, numHashes: Int, bands: Int, tau: Double): DataFrame = {
+    val newSh = shingleRows(newDocs, idCol, textCol, shingleN).localCheckpoint()
+    val newBands = lshBands(minhashSignatures(newSh, numHashes), numHashes, bands)
+    val cand = newBands.as("a")
+      .join(corpusBands.as("b"),
+        col("a.band_id") === col("b.band_id") &&
+        col("a.band_key") === col("b.band_key"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    val sizesA = newSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val sizesB = corpusShingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val shared = cand
+      .join(newSh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(corpusShingles.as("sb"),
+        col("doc_b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizesA.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(sizesB.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("shared").cast("double") /
+          (col("na.n") + col("nb.n") - col("shared"))).as("jaccard"))
+      .filter(col("jaccard") >= tau)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   // -------------------------------------------------- embedding near-dup
   /** Blocked embedding near-dup: cosine >= tau among pairs sharing a
     * blocking key (a label, an IVF cell id, a coarse LSH bucket) —

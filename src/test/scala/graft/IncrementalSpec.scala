@@ -1,0 +1,55 @@
+package graft
+
+import graft.functions.VectorFunctions
+import graft.operators.{Dedup, Knn}
+import graft.streaming.KnnServing
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class IncrementalSpec extends SparkSpec {
+
+  test("incremental minhash finds cross-batch near-dups without corpus recompute") {
+    import spark.implicits._
+    val corpus = Seq(
+      (100L, (1 to 60).map(i => s"tok$i").mkString(" ")),
+      (101L, (200 to 260).map(i => s"w$i").mkString(" "))).toDF("doc_id", "text")
+    val newBatch = Seq(
+      (1L, (1 to 59).map(i => s"tok$i").mkString(" ") + " changed"),
+      (2L, "completely unrelated words here")).toDF("doc_id", "text")
+    val corpusSh = Dedup.shingleRows(corpus, "doc_id", "text", 3)
+    val corpusBands = Dedup.lshBands(Dedup.minhashSignatures(corpusSh, 32), 32, 8)
+    val got = Dedup.incrementalMinhash(newBatch, "doc_id", "text",
+      corpusBands, corpusSh, shingleN = 3, numHashes = 32, bands = 8, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 100L)))
+  }
+
+  test("streaming knn serving answers each micro-batch against the store") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val store = Tables.embeddings(spark, Sf).filter(col("vec_id") =!= 0)
+    val queries = Tables.embeddings(spark, Sf).filter(col("vec_id") < 3)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val input = MemoryStream[(Long, Seq[Float])]
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val q = KnnServing.serve(
+      input.toDF().toDF("qid", "qvec"),
+      store, "qid", "qvec", "vec_id", "embedding", k = 3) { (batch, _) =>
+      results ++= batch.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    }
+    try {
+      input.addData(queries.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    // 3 queries x top-3 answers, matching the direct batch computation
+    assert(results.size == 9)
+    val direct = Knn.topKBatch(store, "vec_id", "embedding",
+      Tables.embeddings(spark, Sf).filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+      "qid", "qvec", VectorFunctions.cosineDistance, 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(results.sortBy(x => (x._1, x._3, x._2)).toSeq ==
+      direct.sortBy(x => (x._1, x._3, x._2)).toSeq)
+  }
+}
