@@ -1,0 +1,97 @@
+package graft.operators
+
+import graft.functions.VectorDistance
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Product quantization (PQ) — compressed vector codes for
+  * memory-resident ANN at 100 TB (a 64-dim float vector becomes m
+  * sub-codebook ids; with m=8, ksub=16 that is 256 bits → 4 bytes:
+  * 64× compression).
+  *
+  * Train: the vector space is split into m contiguous subspaces; each
+  * subspace gets a ksub-centroid codebook via the same DataFrame
+  * Lloyd's as [[IvfIndex]], trained on a deterministic sample. The
+  * finished codebooks are metadata (m × ksub × dsub doubles ≈ KBs)
+  * and are collected once to the driver to become plan-time literals —
+  * the corpus itself never concentrates.
+  *
+  * Encode: per subspace, argmin over ksub literal centroids — pure
+  * codegen expressions, no shuffle, no UDF.
+  *
+  * Search (ADC — asymmetric distance computation): the query builds an
+  * m × ksub distance table (driver-side, tiny); corpus distance is a
+  * table lookup-sum over the code array — one fused pass per row.
+  */
+object PqIndex {
+
+  final case class Codebooks(m: Int, ksub: Int, dsub: Int,
+      centroids: Array[Array[Array[Double]]]) // [subspace][code][dsub]
+
+  /** Slice subspace s (0-based) out of a vector column. */
+  private def sub(vec: Column, s: Int, dsub: Int): Column =
+    slice(vec, s * dsub + 1, dsub)
+
+  /** Train per-subspace codebooks with DataFrame k-means. */
+  def train(corpus: DataFrame, vecCol: String, dims: Int,
+      m: Int = 8, ksub: Int = 16, iters: Int = 2,
+      trainFraction: Double = 0.5): Codebooks = {
+    require(dims % m == 0, s"dims $dims not divisible by m $m")
+    val dsub = dims / m
+    val sample =
+      if (trainFraction >= 1.0) corpus
+      else corpus.sample(withReplacement = false, trainFraction, seed = 42)
+    val books = (0 until m).map { s =>
+      val subFrame = sample.select(
+        monotonically_increasing_id().as("sid"),
+        sub(col(vecCol), s, dsub).as("sv"))
+      IvfIndex.trainCentroids(subFrame, "sid", "sv", ksub, iters)
+        .orderBy(col("centroid_id"))
+        .collect()
+        .map(_.getSeq[Double](1).toArray)
+    }.toArray
+    Codebooks(m, ksub, dsub, books)
+  }
+
+  /** Nearest-code expression for one subspace: argmin over literal
+    * centroids with first-match (lowest code) tie-break. */
+  private def codeExpr(vec: Column, cb: Codebooks, s: Int): Column = {
+    val dists = array((0 until cb.ksub).map { c =>
+      VectorDistance.l2(sub(vec, s, cb.dsub), typedLit(cb.centroids(s)(c)))
+    }: _*)
+    (array_position(dists, array_min(dists)) - 1).cast("int")
+  }
+
+  /** Corpus → (original columns + `codes` array<int> of length m). */
+  def encode(corpus: DataFrame, vecCol: String, cb: Codebooks): DataFrame =
+    corpus.withColumn("codes",
+      array((0 until cb.m).map(s => codeExpr(col(vecCol), cb, s)): _*))
+
+  /** ADC distance table for one query vector: [subspace][code] →
+    * squared L2 between the query subvector and that centroid. */
+  def distanceTable(query: Array[Double], cb: Codebooks): Array[Array[Double]] =
+    Array.tabulate(cb.m) { s =>
+      val q = query.slice(s * cb.dsub, (s + 1) * cb.dsub)
+      Array.tabulate(cb.ksub) { c =>
+        val cent = cb.centroids(s)(c)
+        var acc = 0.0
+        var i = 0
+        while (i < cb.dsub) { val d = q(i) - cent(i); acc += d * d; i += 1 }
+        acc
+      }
+    }
+
+  /** Approximate top-k over encoded corpus via table lookup-sum. */
+  def search(encoded: DataFrame, idCol: String,
+      query: Array[Double], cb: Codebooks, k: Int): DataFrame = {
+    val tbl = typedLit(distanceTable(query, cb).map(_.toSeq).toSeq)
+    val approxDist = sqrt(aggregate(
+      zip_with(col("codes"), sequence(lit(1), lit(cb.m)),
+        (code, s) => element_at(element_at(tbl, s), code + 1)),
+      lit(0.0), (acc, x) => acc + x))
+    encoded
+      .select(col(idCol), approxDist.as("approx_dist"))
+      .orderBy(col("approx_dist"), col(idCol))
+      .limit(k)
+  }
+}

@@ -2,7 +2,7 @@ package graft.queries
 
 import graft.{QueryDef, Tables}
 import graft.functions.VectorFunctions._
-import graft.operators.{IvfIndex, Knn, LshAnn}
+import graft.operators.{IvfIndex, Knn, LshAnn, PqIndex}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -142,9 +142,21 @@ object VectorQueries {
     GROUP BY label, pos
     ORDER BY label, pos"""
 
+  /** PQ/ADC compressed search (lossy → rows-only; recall asserted in
+    * PqIndexSpec). */
+  private def pqKnn(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val cb = PqIndex.train(emb, "embedding", dims = 64, m = 8, ksub = 16)
+    val encoded = PqIndex.encode(emb.filter(col("vec_id") =!= 0), "embedding", cb)
+    val query = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head.getSeq[Double](0).toArray
+    PqIndex.search(encoded, "vec_id", query, cb, K)
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "vs_ivf_knn"      -> QueryDef(ivfKnn _, None),
     "vs_lsh_knn"      -> QueryDef(lshKnn _, None),
+    "vs_pq_knn"       -> QueryDef(pqKnn _, None),
     "vs_norms"        -> QueryDef(norms _, normsSql),
     "emb_centroids"   -> QueryDef(centroids _, centroidsSql),
     "vs_knn_l2"       -> QueryDef(knnL2 _, knnOracle(l2Sql)),
