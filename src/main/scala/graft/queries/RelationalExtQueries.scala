@@ -110,7 +110,38 @@ object RelationalExtQueries {
       .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
       .orderBy(col("event_type"))
 
+  // ------------------------------------------- correlated aggregate (Q17)
+  /** TPC-H Q17 shape: revenue from small-quantity orders, where
+    * "small" is relative to the part's own average — the correlated
+    * scalar subquery expressed as a window (one pass, no rejoin). */
+  private def q17(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("l_partkey"))
+    val li = Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_quantity"),
+        col("l_extendedprice").cast("decimal(18,2)").as("price_d"),
+        col("l_quantity").cast("decimal(18,2)").as("qty_d"))
+      .withColumn("avg_qty",
+        (sum(col("qty_d")).over(w).cast("double") / count(lit(1)).over(w)))
+    li.filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+      .agg(
+        (sum(col("price_d")).cast("double") / 7.0).as("avg_yearly"),
+        count(lit(1)).as("n_small"))
+  }
+
+  private val q17Sql = """
+    WITH li AS (
+      SELECT l_partkey, l_quantity,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS price_d,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) OVER (PARTITION BY l_partkey) AS DOUBLE)
+               / count(*) OVER (PARTITION BY l_partkey) AS avg_qty
+      FROM lineitem)
+    SELECT CAST(sum(price_d) AS DOUBLE) / 7.0 AS avg_yearly,
+           count(*) AS n_small
+    FROM li
+    WHERE l_quantity < 0.5 * avg_qty"""
+
   val defs: Map[String, QueryDef] = Map(
+    "q17_small_qty"          -> QueryDef(q17 _, q17Sql),
     "q_semi_anti"            -> QueryDef(semiAnti _, semiAntiSql),
     "events_pivot"           -> QueryDef(pivotQ _, pivotSql),
     "q_rollup"               -> QueryDef(rollupQ _, rollupSql),
