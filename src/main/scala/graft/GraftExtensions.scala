@@ -25,7 +25,10 @@ object GraftExtensions {
     Seq("vec_dot" -> 0, "vec_l2" -> 1, "vec_cos_dist" -> 2, "vec_cos_sim" -> 3)
       .foreach { case (name, mode) =>
         reg.createOrReplaceTempFunction(name,
-          exprs => VectorDistanceExpr(exprs.head, exprs(1), mode), "scala_udf")
+          exprs => {
+            require(exprs.length == 2, s"$name expects (vector, vector), got ${exprs.length} args")
+            VectorDistanceExpr(exprs.head, exprs(1), mode)
+          }, "scala_udf")
       }
   }
 }

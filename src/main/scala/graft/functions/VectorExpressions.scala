@@ -58,7 +58,14 @@ case class VectorDistanceExpr(left: Expression, right: Expression, mode: Int)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
+    if (a.numElements() != b.numElements()) {
+      // pgvector and DuckDB both raise on mismatched dimensions; a
+      // silent min-length loop would bias distances small and let a
+      // corrupt short vector win top-k
+      throw new IllegalArgumentException(
+        s"vector dimension mismatch: ${a.numElements()} vs ${b.numElements()}")
+    }
+    val n = a.numElements()
     var dot = 0.0
     var aa = 0.0
     var bb = 0.0
@@ -137,7 +144,11 @@ case class VectorDistanceExpr(left: Expression, right: Expression, mode: Int)
            ${ev.value} = $out;"""
       }
       s"""
-       final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+       if ($a.numElements() != $b.numElements()) {
+         throw new IllegalArgumentException(
+           "vector dimension mismatch: " + $a.numElements() + " vs " + $b.numElements());
+       }
+       final int $n = $a.numElements();
        $body"""
     })
   }

@@ -23,6 +23,13 @@ object AsOfJoin {
       left: DataFrame, right: DataFrame,
       keys: Seq[String], tsCol: String,
       payload: Seq[String]): DataFrame = {
+    // unionByName would silently align a same-named left column into
+    // the carried payload → corrupted enrichment, so collisions are a
+    // hard error
+    val reserved = payload ++ Seq("__side", "__r_ts") ++ payload.map(p => s"${p}_asof")
+    val collisions = left.columns.toSet & reserved.toSet
+    require(collisions.isEmpty,
+      s"left frame columns collide with as-of payload/internal names: $collisions")
     val l = left.withColumn("__side", lit(1))
     val r = right
       .select((keys :+ tsCol).map(col) ++ payload.map(col): _*)

@@ -47,16 +47,22 @@ object Knn {
   def topKBatch(
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,
-      distance: (Column, Column) => Column, k: Int): DataFrame =
-    corpus
-      .crossJoin(broadcast(queries))
-      .filter(col(idCol) =!= col(qIdCol))
+      distance: (Column, Column) => Column, k: Int,
+      excludeSelfMatches: Boolean = true): DataFrame = {
+    val joined = corpus.crossJoin(broadcast(queries))
+    // excludeSelfMatches is for corpus-vs-itself queries where qid and
+    // id share an id space; serving flows with unrelated id spaces
+    // MUST pass false or colliding request ids silently lose a hit
+    val candidates =
+      if (excludeSelfMatches) joined.filter(col(idCol) =!= col(qIdCol)) else joined
+    candidates
       .groupBy(col(qIdCol))
       .agg(graft.functions.TopKAggregate.topK(
         distance(col(vecCol), col(qVecCol)), col(idCol).cast("long"), k).as("topk"))
       .select(col(qIdCol), explode(col("topk")).as("p"))
       .select(col(qIdCol), col("p.id").as(idCol), col("p.dist").as("dist"))
       .orderBy(col(qIdCol), col("dist"), col(idCol))
+  }
 
   /** Window-based batch top-k (reference plan for the aggregate). */
   def topKBatchWindow(

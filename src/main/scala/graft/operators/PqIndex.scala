@@ -45,10 +45,16 @@ object PqIndex {
       val subFrame = sample.select(
         monotonically_increasing_id().as("sid"),
         sub(col(vecCol), s, dsub).as("sv"))
-      IvfIndex.trainCentroids(subFrame, "sid", "sv", ksub, iters)
+      val trained = IvfIndex.trainCentroids(subFrame, "sid", "sv", ksub, iters)
         .orderBy(col("centroid_id"))
         .collect()
         .map(_.getSeq[Double](1).toArray)
+      // Lloyd's can leave a cell empty (duplicate seed subvectors);
+      // pad to ksub with copies of the last centroid — a duplicate is
+      // never the unique argmin, so encode stays well-defined
+      if (trained.length < ksub)
+        trained ++ Array.fill(ksub - trained.length)(trained.last.clone())
+      else trained
     }.toArray
     Codebooks(m, ksub, dsub, books)
   }

@@ -40,6 +40,7 @@ object Ingest {
     * char; the chunk excludes the split char (it starts the next
     * chunk); no split char → cut at maxLen-lookback. */
   def splitText(text: String, maxLen: Int, lookback: Int, punct: Set[Char]): Seq[String] = {
+    if (text.isEmpty) return Seq.empty // no chunk rows for empty docs (oracle parity)
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var rem = text
     while (rem.length > maxLen) {

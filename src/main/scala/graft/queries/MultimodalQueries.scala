@@ -59,7 +59,10 @@ object MultimodalQueries {
       .filter(col("doc_id") % 3 === 2)
       .select(col("doc_id"), col("text"), least(nFrames, lit(10L)).as("n"))
       .select(col("doc_id"), col("text"),
-        explode(sequence(lit(0L), col("n") - 1)).as("frame_idx"))
+        // sequence(0, -1) would yield [0, -1] (negative step default);
+        // guard n = 0 → no frames, matching the oracle's range(0, 0)
+        explode(when(col("n") > 0, sequence(lit(0L), col("n") - 1))
+          .otherwise(array().cast("array<bigint>"))).as("frame_idx"))
       .select(col("doc_id"), col("frame_idx"),
         (hash64(concat(col("text"), lit("#"), col("frame_idx").cast("string"))) % 256)
           .as("frame_feature"))

@@ -26,14 +26,16 @@ object EventStream {
 
   /** Streaming exact dedup: drop re-deliveries of the same content
     * hash within the watermark horizon — the streaming twin of
-    * Dedup.exact; state is bounded by the horizon. `tsCol` must be a
-    * TimestampType event-time column. */
+    * Dedup.exact. Uses dropDuplicatesWithinWatermark so the state
+    * store actually evicts keys past the horizon (a plain
+    * dropDuplicates on the key alone keeps every hash forever).
+    * `tsCol` must be a TimestampType event-time column. */
   def dedupStream(docs: DataFrame, tsCol: String, contentCol: String,
       horizon: String = "1 hour"): DataFrame =
     docs
       .withColumn("__content_key", md5(trim(col(contentCol))))
       .withWatermark(tsCol, horizon)
-      .dropDuplicates("__content_key")
+      .dropDuplicatesWithinWatermark("__content_key")
       .drop("__content_key")
 
   /** Tumbling 1-hour windows with a 30-minute watermark: late events
@@ -70,26 +72,40 @@ object EventStream {
   /** State transition: events inside the gap extend the open session;
     * a gap emits the closed session and opens a new one. Events must
     * arrive time-ordered per user (upstream watermark + sort, or the
-    * batch twin's window ordering). */
+    * batch twin's window ordering).
+    *
+    * Timeout eviction emits the open session but keeps a zero-event
+    * tombstone (the session counter) for one more timeout period, so
+    * a returning user continues numbering instead of reusing
+    * session_id 1; (user_id, session_start_s) is the globally stable
+    * session key either way. */
   def sessionFn(gapSec: Long, withTimeout: Boolean)(
       userId: Long, events: Iterator[Event],
       state: GroupState[SessionState]): Iterator[SessionOut] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
     if (state.hasTimedOut) {
-      state.getOption.foreach { s =>
-        out += SessionOut(userId, s.sessionId, s.nEvents, s.startSec, s.lastTsSec, s.sumValue)
+      state.getOption match {
+        case Some(s) if s.nEvents > 0 =>
+          out += SessionOut(userId, s.sessionId, s.nEvents, s.startSec, s.lastTsSec, s.sumValue)
+          state.update(s.copy(nEvents = 0, sumValue = 0.0))
+          state.setTimeoutDuration(gapSec * 1000)
+        case _ =>
+          state.remove()
       }
-      state.remove()
     } else {
       var cur = state.getOption
       events.toSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
         val sec = e.ts / 1000000000L
         cur match {
-          case Some(s) if sec - s.lastTsSec <= gapSec =>
+          case Some(s) if s.nEvents > 0 && sec - s.lastTsSec <= gapSec =>
             cur = Some(s.copy(lastTsSec = sec, nEvents = s.nEvents + 1,
               sumValue = s.sumValue + e.value))
           case Some(s) =>
-            out += SessionOut(userId, s.sessionId, s.nEvents, s.startSec, s.lastTsSec, s.sumValue)
+            // gap, or a post-timeout tombstone (already emitted):
+            // only emit a real open session, always advance the counter
+            if (s.nEvents > 0) {
+              out += SessionOut(userId, s.sessionId, s.nEvents, s.startSec, s.lastTsSec, s.sumValue)
+            }
             cur = Some(SessionState(s.sessionId + 1, sec, 1, sec, e.value))
           case None =>
             cur = Some(SessionState(1, sec, 1, sec, e.value))

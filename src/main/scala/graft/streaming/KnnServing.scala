@@ -33,7 +33,9 @@ object KnnServing {
           val answered = Knn.topKBatch(
             store, idCol, vecCol,
             batch, qIdCol, qVecCol,
-            VectorFunctions.cosineDistance, k)
+            VectorFunctions.cosineDistance, k,
+            // request ids and store ids are unrelated id spaces
+            excludeSelfMatches = false)
           writeBatch(answered, batchId)
         }
       }

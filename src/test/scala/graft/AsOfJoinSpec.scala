@@ -21,6 +21,16 @@ class AsOfJoinSpec extends SparkSpec {
       (2L, 15L, None, None)))
   }
 
+  test("payload name colliding with a left column is a hard error") {
+    import spark.implicits._
+    val left = Seq((1L, 10L, 9.0)).toDF("u", "ts", "v")
+    val right = Seq((1L, 5L, 100.0)).toDF("u", "ts", "v")
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoin.backward(left, right, Seq("u"), "ts", Seq("v"))
+    }
+    assert(e.getMessage.contains("collide"))
+  }
+
   test("equal timestamps match inclusively") {
     import spark.implicits._
     val left = Seq((1L, 10L)).toDF("u", "ts")

@@ -47,7 +47,8 @@ class IncrementalSpec extends SparkSpec {
     val direct = Knn.topKBatch(store, "vec_id", "embedding",
       Tables.embeddings(spark, Sf).filter(col("vec_id") < 3)
         .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
-      "qid", "qvec", VectorFunctions.cosineDistance, 3)
+      "qid", "qvec", VectorFunctions.cosineDistance, 3,
+      excludeSelfMatches = false) // serving semantics: ids are unrelated spaces
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(results.sortBy(x => (x._1, x._3, x._2)).toSeq ==
       direct.sortBy(x => (x._1, x._3, x._2)).toSeq)

@@ -33,6 +33,6 @@ class TopKAggregateSpec extends SparkSpec {
         org.apache.spark.sql.Column, Int) => org.apache.spark.sql.DataFrame) =
       f(emb, "vec_id", "embedding", q, "qid", "qvec", VectorFunctions.l2Distance, 5)
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
-    assert(run(Knn.topKBatch) == run(Knn.topKBatchWindow))
+    assert(run(Knn.topKBatch(_, _, _, _, _, _, _, _)) == run(Knn.topKBatchWindow))
   }
 }

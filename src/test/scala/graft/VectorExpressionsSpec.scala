@@ -38,6 +38,16 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("dimension mismatch raises (pgvector/DuckDB parity), never truncates") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(VectorFunctions.l2Distance(col("a"), col("b"))).collect()
+    }
+    assert(e.getMessage.contains("dimension mismatch") ||
+      Option(e.getCause).exists(_.getMessage.contains("dimension mismatch")))
+  }
+
   test("interpreted eval matches codegen path") {
     // force interpreted: evaluate via collect on a tiny frame where
     // codegen may fall back; compare both metric modes by hand
