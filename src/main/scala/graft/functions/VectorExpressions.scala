@@ -96,7 +96,10 @@ case class VectorDistanceExpr(left: Expression, right: Expression, mode: Int)
         bb += y * y
         i += 1
       }
-      val sim = dot / (math.sqrt(aa) * math.sqrt(bb))
+      // clamp to [-1, 1]: rounding can push v·v/|v||v| to 1+2ulp;
+      // DuckDB and pgvector both clamp, so the oracle does too
+      val sim0 = dot / (math.sqrt(aa) * math.sqrt(bb))
+      val sim = math.max(-1.0, math.min(1.0, sim0))
       if (mode == VectorDistance.CosineDist.id) 1.0 - sim else sim
     }
   }
@@ -132,8 +135,8 @@ case class VectorDistanceExpr(left: Expression, right: Expression, mode: Int)
            }
            ${ev.value} = java.lang.Math.sqrt($acc);"""
         case m =>
-          val simExpr = s"$acc / (java.lang.Math.sqrt($aa) * java.lang.Math.sqrt($bb))"
-          val out = if (m == 2) s"1.0 - $simExpr" else simExpr
+          val sim = ctx.freshName("sim")
+          val out = if (m == 2) s"1.0 - $sim" else sim
           s"""
            double $acc = 0.0; double $aa = 0.0; double $bb = 0.0;
            for (int $i = 0; $i < $n; $i++) {
@@ -141,6 +144,8 @@ case class VectorDistanceExpr(left: Expression, right: Expression, mode: Int)
              double $y = ${getR(b, i)};
              $acc += $x * $y; $aa += $x * $x; $bb += $y * $y;
            }
+           double $sim = $acc / (java.lang.Math.sqrt($aa) * java.lang.Math.sqrt($bb));
+           $sim = java.lang.Math.max(-1.0, java.lang.Math.min(1.0, $sim));
            ${ev.value} = $out;"""
       }
       s"""

@@ -66,16 +66,17 @@ object VectorFunctions {
     VectorDistance.cosineDistance(a, b)
 
   def cosineDistanceHof(a: Column, b: Column): Column =
-    lit(1.0) - dotHof(a, b) / (norm(a) * norm(b))
+    lit(1.0) - cosineSimilarityHof(a, b)
 
   /** pgvector `<#>`: negative inner product (so ORDER BY ascending
     * gives max-inner-product search). */
   def negativeInnerProduct(a: Column, b: Column): Column =
     -dot(a, b)
 
-  /** cosine similarity in declarative HOF form (spec twin). */
+  /** cosine similarity in declarative HOF form (spec twin; clamped to
+    * [-1, 1] like DuckDB/pgvector). */
   def cosineSimilarityHof(a: Column, b: Column): Column =
-    dotHof(a, b) / (norm(a) * norm(b))
+    greatest(lit(-1.0), least(lit(1.0), dotHof(a, b) / (norm(a) * norm(b))))
 
   /** L2-normalize a vector to unit length (double elements). */
   def l2Normalize(a: Column): Column = {

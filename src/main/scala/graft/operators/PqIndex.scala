@@ -32,7 +32,9 @@ object PqIndex {
   private def sub(vec: Column, s: Int, dsub: Int): Column =
     slice(vec, s * dsub + 1, dsub)
 
-  /** Train per-subspace codebooks with DataFrame k-means. */
+  /** Train all m subspace codebooks in ONE grouped Lloyd's pass
+    * (subspace is just another grouping key), instead of m sequential
+    * k-means job chains — same math, 1/m the job count. */
   def train(corpus: DataFrame, vecCol: String, dims: Int,
       m: Int = 8, ksub: Int = 16, iters: Int = 2,
       trainFraction: Double = 0.5): Codebooks = {
@@ -41,22 +43,54 @@ object PqIndex {
     val sample =
       if (trainFraction >= 1.0) corpus
       else corpus.sample(withReplacement = false, trainFraction, seed = 42)
-    val books = (0 until m).map { s =>
-      val subFrame = sample.select(
-        monotonically_increasing_id().as("sid"),
-        sub(col(vecCol), s, dsub).as("sv"))
-      val trained = IvfIndex.trainCentroids(subFrame, "sid", "sv", ksub, iters)
-        .orderBy(col("centroid_id"))
-        .collect()
-        .map(_.getSeq[Double](1).toArray)
-      // Lloyd's can leave a cell empty (duplicate seed subvectors);
-      // pad to ksub with copies of the last centroid — a duplicate is
-      // never the unique argmin, so encode stays well-defined
-      if (trained.length < ksub)
-        trained ++ Array.fill(ksub - trained.length)(trained.last.clone())
-      else trained
-    }.toArray
-    Codebooks(m, ksub, dsub, books)
+    // (sid, sp, sv): every vector contributes one row per subspace
+    val subRows = sample
+      .select(monotonically_increasing_id().as("sid"),
+        col(vecCol).cast("array<double>").as("v"))
+      .select(col("sid"), explode(array((0 until m).map { s =>
+        struct(lit(s).as("sp"), sub(col("v"), s, dsub).as("sv"))
+      }: _*)).as("x"))
+      .select(col("sid"), col("x.sp").as("sp"), col("x.sv").as("sv"))
+      .localCheckpoint()
+
+    val initW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("sp")).orderBy(col("sid"))
+    var centroids = subRows
+      .withColumn("rn", row_number().over(initW))
+      .filter(col("rn") <= ksub)
+      .select(col("sp"), (col("rn") - 1).as("cid"), col("sv").as("centroid"))
+
+    val asgW = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("sp"), col("sid")).orderBy(col("cdist"), col("cid"))
+    for (_ <- 0 until iters) {
+      val assigned = subRows
+        .join(broadcast(centroids), Seq("sp"))
+        .select(col("sp"), col("sid"), col("sv"), col("cid"),
+          VectorDistance.l2(col("sv"), col("centroid")).as("cdist"))
+        .withColumn("rn", row_number().over(asgW))
+        .filter(col("rn") === 1)
+      centroids = assigned
+        .select(col("sp"), col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy(col("sp"), col("cid"), col("pos"))
+        .agg(avg(col("x")).as("mv"))
+        .groupBy(col("sp"), col("cid"))
+        .agg(array_sort(collect_list(struct(col("pos"), col("mv")))).as("pm"))
+        .select(col("sp"), col("cid"),
+          transform(col("pm"), p => p.getField("mv")).as("centroid"))
+    }
+
+    val rows = centroids.orderBy(col("sp"), col("cid")).collect()
+    val books = Array.fill(m)(scala.collection.mutable.ArrayBuffer.empty[Array[Double]])
+    rows.foreach { r =>
+      books(r.getInt(0)) += r.getSeq[Double](2).toArray
+    }
+    // Lloyd's can leave a cell empty (duplicate seed subvectors);
+    // pad to ksub with copies of the last centroid — a duplicate is
+    // never the unique argmin, so encode stays well-defined
+    val padded = books.map { b =>
+      (b ++ Seq.fill(ksub - b.length)(b.last.clone())).toArray
+    }
+    Codebooks(m, ksub, dsub, padded)
   }
 
   /** Nearest-code expression for one subspace: argmin over literal

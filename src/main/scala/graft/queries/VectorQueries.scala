@@ -142,6 +142,68 @@ object VectorQueries {
     GROUP BY label, pos
     ORDER BY label, pos"""
 
+  // -------------------------------------------------------- filtered knn
+  /** pgvector filtered search: `WHERE label = 3 ORDER BY embedding <->
+    * q LIMIT k` — the metadata predicate is pushed into the parquet
+    * scan, so the distance computation only touches the surviving
+    * fraction. */
+  private def knnFiltered(s: SparkSession, d: String): DataFrame =
+    Knn.topK(
+      Tables.embeddings(s, d).filter(col("vec_id") =!= 0 && col("label") === 3),
+      "vec_id", "embedding", queryVec(s, d), "qvec", l2Distance, K)
+
+  private val knnFilteredSql = s"""
+    SELECT e.vec_id AS vec_id,
+           list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])) AS dist
+    FROM embeddings e
+    CROSS JOIN (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0) q
+    WHERE e.vec_id <> 0 AND e.label = 3
+    ORDER BY dist, vec_id
+    LIMIT $K"""
+
+  // -------------------------------------------------------------- hybrid
+  /** Hybrid retrieval: blend lexical term overlap (on documents.text)
+    * with vector cosine similarity (embeddings joined on id) —
+    * score = 0.4·term_frac + 0.6·cos_sim. The lexical side is a pure
+    * per-row projection; the vector side reuses the broadcast query. */
+  private def hybrid(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("fast", "join", "vector")
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    val termFrac = terms.map(t =>
+      when(array_contains(toks, t), lit(1.0)).otherwise(lit(0.0)))
+      .reduce(_ + _) / terms.length.toDouble
+    val lexical = Tables.documents(s, d)
+      .select(col("doc_id"), termFrac.as("term_frac"))
+    val vectors = Tables.embeddings(s, d)
+      .crossJoin(broadcast(queryVec(s, d)))
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.cosineSimilarity(col("embedding"), col("qvec"))
+          .as("cos_sim"))
+    lexical.join(vectors, col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("term_frac"), col("cos_sim"),
+        (col("term_frac") * 0.4 + col("cos_sim") * 0.6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(K)
+  }
+
+  private val hybridSql = s"""
+    WITH lex AS (
+      SELECT doc_id,
+             ((CASE WHEN list_contains(${graft.functions.TextFunctions.tokensSql("text")}, 'fast') THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN list_contains(${graft.functions.TextFunctions.tokensSql("text")}, 'join') THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN list_contains(${graft.functions.TextFunctions.tokensSql("text")}, 'vector') THEN 1.0 ELSE 0.0 END)) / 3.0 AS term_frac
+      FROM documents),
+    vec AS (
+      SELECT e.vec_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])) AS cos_sim
+      FROM embeddings e
+      CROSS JOIN (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0) q)
+    SELECT doc_id, term_frac, cos_sim,
+           term_frac * 0.4 + cos_sim * 0.6 AS score
+    FROM lex JOIN vec ON doc_id = vec_id
+    ORDER BY score DESC, doc_id
+    LIMIT $K"""
+
   /** PQ/ADC compressed search (lossy → rows-only; recall asserted in
     * PqIndexSpec). */
   private def pqKnn(s: SparkSession, d: String): DataFrame = {
@@ -157,6 +219,8 @@ object VectorQueries {
     "vs_ivf_knn"      -> QueryDef(ivfKnn _, None),
     "vs_lsh_knn"      -> QueryDef(lshKnn _, None),
     "vs_pq_knn"       -> QueryDef(pqKnn _, None),
+    "vs_knn_filtered" -> QueryDef(knnFiltered _, knnFilteredSql),
+    "vs_hybrid"       -> QueryDef(hybrid _, hybridSql),
     "vs_norms"        -> QueryDef(norms _, normsSql),
     "emb_centroids"   -> QueryDef(centroids _, centroidsSql),
     "vs_knn_l2"       -> QueryDef(knnL2 _, knnOracle(l2Sql)),
