@@ -106,7 +106,23 @@ object PipelineQueries {
     FROM st WHERE status $pred 'COMPLETED'
     ORDER BY filename, doc_id"""
 
+  // ------------------------------------------------------------ profiling
+  private val ProfileCols = Seq("doc_id", "lang", "source", "n_chars")
+
+  private def profileQ(s: SparkSession, d: String): DataFrame =
+    graft.operators.Profiler.describeExact(Tables.documents(s, d), ProfileCols)
+
+  private val profileSql: String = ProfileCols.sorted.map { c => s"""
+    SELECT '$c' AS "column", count(*) AS n_rows,
+           count(*) - count($c) AS n_null,
+           count(DISTINCT $c) AS n_distinct,
+           CAST(min($c) AS VARCHAR) AS min_s,
+           CAST(max($c) AS VARCHAR) AS max_s
+    FROM documents"""
+  }.mkString("", "\n    UNION ALL", "\n    ORDER BY \"column\"")
+
   val defs: Map[String, QueryDef] = Map(
+    "profile_documents"  -> QueryDef(profileQ _, profileSql),
     "vs_chunk"           -> QueryDef(chunkQ _, chunkSql),
     "vs_embed"           -> QueryDef(embedQ _, embedSql),
     "vs_registered_list" -> QueryDef(registered _, listSql("=")),

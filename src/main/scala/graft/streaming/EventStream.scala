@@ -38,6 +38,30 @@ object EventStream {
       .dropDuplicatesWithinWatermark("__content_key")
       .drop("__content_key")
 
+  /** Stream-stream interval join: each purchase matched to clicks by
+    * the same user within the preceding hour. Both sides carry
+    * watermarks and the join condition bounds the time range, so
+    * Spark can evict buffered state from both sides — the unbounded-
+    * state trap of stream-stream joins is closed by construction. */
+  def clickToPurchase(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .withColumn("c_ts", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("c_ts", "1 hour")
+      .select(col("user_id").as("c_user"), col("c_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases
+      .withColumn("p_ts", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("p_ts", "1 hour")
+      .select(col("user_id").as("p_user"), col("p_ts"),
+        col("event_id").as("purchase_id"), col("value"))
+    p.join(c,
+      col("p_user") === col("c_user") &&
+        col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("c_ts") <= col("p_ts"))
+      .select(col("p_user").as("user_id"), col("purchase_id"),
+        col("click_id"), col("value"))
+  }
+
   /** Tumbling 1-hour windows with a 30-minute watermark: late events
     * beyond the watermark are dropped, so state is bounded by
     * (#windows in watermark horizon) × (#event types). */

@@ -34,6 +34,28 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches clicks within the hour") {
+    implicit val s = spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = EventStream.clickToPurchase(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("cp_out")
+      .outputMode("append").start()
+    try {
+      clicks.addData(
+        Event(1, ns(9000), 7, "click", 0.0),  // 1000s before → inside the hour
+        Event(2, ns(4000), 7, "click", 0.0))  // 6000s before → outside the hour
+      purchases.addData(Event(10, ns(10000), 7, "purchase", 99.0))
+      q.processAllAvailable()
+      val got = spark.table("cp_out")
+        .select("purchase_id", "click_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((10L, 1L)))
+    } finally q.stop()
+  }
+
   test("stateful sessionization splits on the idle gap") {
     implicit val s = spark
     import spark.implicits._
