@@ -140,7 +140,80 @@ object RelationalExtQueries {
     FROM li
     WHERE l_quantity < 0.5 * avg_qty"""
 
+  // ----------------------------------------------------- set operations
+  /** INTERSECT / EXCEPT via Spark's set operators: building-segment
+    * customers vs urgent-order customers. */
+  private def setOps(s: SparkSession, d: String): DataFrame = {
+    val building = Tables.customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING").select("c_custkey")
+    val urgent = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select(col("o_custkey").as("c_custkey"))
+    val both = building.intersect(urgent).withColumn("side", lit("both"))
+    val onlyBuilding = building.except(urgent).withColumn("side", lit("building_only"))
+    both.unionAll(onlyBuilding).orderBy(col("side"), col("c_custkey"))
+  }
+
+  private val setOpsSql = """
+    WITH building AS (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+    urgent AS (SELECT o_custkey AS c_custkey FROM orders WHERE o_orderpriority = '1-URGENT')
+    SELECT c_custkey, 'both' AS side FROM (SELECT * FROM building INTERSECT SELECT * FROM urgent)
+    UNION ALL
+    SELECT c_custkey, 'building_only' AS side FROM (SELECT * FROM building EXCEPT SELECT * FROM urgent)
+    ORDER BY side, c_custkey"""
+
+  // ------------------------------------------------------- having + like
+  /** LIKE-pattern scan + HAVING filter on the aggregate. */
+  private def havingLike(s: SparkSession, d: String): DataFrame =
+    Tables.part(s, d)
+      .filter(col("p_name").like("%ring%") || col("p_type").like("%SMALL%"))
+      .groupBy(col("p_brand"))
+      .agg(count(lit(1)).as("n_parts"),
+        sum(col("p_retailprice").cast("decimal(18,2)")).cast("double").as("sum_price"))
+      .filter(col("n_parts") >= 2)
+      .orderBy(col("p_brand"))
+
+  private val havingLikeSql = """
+    SELECT p_brand, count(*) AS n_parts,
+           CAST(sum(CAST(p_retailprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+    FROM part
+    WHERE p_name LIKE '%ring%' OR p_type LIKE '%SMALL%'
+    GROUP BY p_brand
+    HAVING count(*) >= 2
+    ORDER BY p_brand"""
+
+  // ---------------------------------------------------------- outer join
+  /** Left outer join keeping empty groups: orders per customer
+    * including customers with no orders (null-safe zero counts). */
+  private def outerJoin(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .groupBy(col("o_custkey")).agg(
+        count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("sp"))
+    Tables.customer(s, d)
+      .join(o, col("c_custkey") === col("o_custkey"), "left_outer")
+      .select(col("c_custkey"),
+        coalesce(col("cnt"), lit(0L)).as("n_urgent"),
+        coalesce(col("sp").cast("double"), lit(0.0)).as("sum_urgent_price"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val outerJoinSql = """
+    WITH o AS (SELECT o_custkey, count(*) AS cnt,
+                      sum(CAST(o_totalprice AS DECIMAL(18,2))) AS sp
+               FROM orders WHERE o_orderpriority = '1-URGENT'
+               GROUP BY o_custkey)
+    SELECT c_custkey,
+           coalesce(cnt, 0) AS n_urgent,
+           coalesce(CAST(sp AS DOUBLE), 0.0) AS sum_urgent_price
+    FROM customer LEFT OUTER JOIN o ON c_custkey = o_custkey
+    ORDER BY c_custkey"""
+
   val defs: Map[String, QueryDef] = Map(
+    "q_set_ops"              -> QueryDef(setOps _, setOpsSql),
+    "q_having_like"          -> QueryDef(havingLike _, havingLikeSql),
+    "q_outer_join"           -> QueryDef(outerJoin _, outerJoinSql),
     "q17_small_qty"          -> QueryDef(q17 _, q17Sql),
     "q_semi_anti"            -> QueryDef(semiAnti _, semiAntiSql),
     "events_pivot"           -> QueryDef(pivotQ _, pivotSql),
