@@ -31,11 +31,19 @@ object VectorFunctions {
     * the executable spec both are tested against. */
   def dot(a: Column, b: Column): Column = VectorDistance.dot(a, b)
 
+  /** Guard shared by the HOF twins: mismatched dimensions raise like
+    * the codegen expression does (zip_with would silently null-pad). */
+  private def sameDims(a: Column, b: Column, result: Column): Column =
+    when(size(a) === size(b), result)
+      .otherwise(raise_error(format_string(
+        "vector dimension mismatch: %d vs %d", size(a), size(b))).cast("double"))
+
   def dotHof(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
-      lit(0.0),
-      (acc, x) => acc + x)
+    sameDims(a, b,
+      aggregate(
+        zip_with(asDouble(a), asDouble(b), (x, y) => x * y),
+        lit(0.0),
+        (acc, x) => acc + x))
 
   /** Squared L2 norm of a vector. */
   def norm2(a: Column): Column =
@@ -51,10 +59,11 @@ object VectorFunctions {
   def l2Distance(a: Column, b: Column): Column = VectorDistance.l2(a, b)
 
   def l2DistanceHof(a: Column, b: Column): Column =
-    sqrt(aggregate(
-      zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
-      lit(0.0),
-      (acc, x) => acc + x))
+    sameDims(a, b,
+      sqrt(aggregate(
+        zip_with(asDouble(a), asDouble(b), (x, y) => (x - y) * (x - y)),
+        lit(0.0),
+        (acc, x) => acc + x)))
 
   /** Cosine similarity: dot / (|a| * |b|) (fused codegen). */
   def cosineSimilarity(a: Column, b: Column): Column =

@@ -26,7 +26,8 @@ object AsOfJoin {
     // unionByName would silently align a same-named left column into
     // the carried payload → corrupted enrichment, so collisions are a
     // hard error
-    val reserved = payload ++ Seq("__side", "__r_ts") ++ payload.map(p => s"${p}_asof")
+    val reserved = payload ++ Seq("__side", "__r_ts", s"${tsCol}_asof", "__r_ts_asof") ++
+      payload.map(p => s"${p}_asof")
     val collisions = left.columns.toSet & reserved.toSet
     require(collisions.isEmpty,
       s"left frame columns collide with as-of payload/internal names: $collisions")

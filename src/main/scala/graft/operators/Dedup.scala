@@ -13,11 +13,16 @@ import org.apache.spark.sql.functions._
 object Dedup {
 
   // --------------------------------------------------------------- exact
+  /** Canonical content key — shared by batch exact dedup and the
+    * streaming twin (EventStream.dedupStream) so they can never drift
+    * on what counts as a duplicate. */
+  def contentKey(text: Column): Column = md5(trim(text))
+
   /** Exact dedup: group by content hash, survivor = min(id).
     * One shuffle on the 64-bit content hash; at 100 TB the hash (not
     * the text) is the shuffle key so rows stay narrow. */
   def exact(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val keyed = docs.select(col(idCol).as("doc_id"), md5(trim(col(textCol))).as("content_key"))
+    val keyed = docs.select(col(idCol).as("doc_id"), contentKey(col(textCol)).as("content_key"))
     val groups = keyed.groupBy(col("content_key")).agg(
       min(col("doc_id")).as("survivor_id"),
       count(lit(1)).as("group_size"))
@@ -76,22 +81,28 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact jaccard over shingle sets, evaluated only for `cand` pairs. */
-  def verifiedJaccard(cand: DataFrame, sh: DataFrame): DataFrame = {
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+  /** Exact jaccard over shingle sets, evaluated only for `cand` pairs.
+    * `shA`/`shB` may be the same relation (self-dedup) or different
+    * ones (incremental new-batch vs corpus). */
+  def verifiedJaccard(cand: DataFrame, shA: DataFrame, shB: DataFrame): DataFrame = {
+    val sizesA = shA.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+    val sizesB = shB.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
     val shared = cand
-      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sh.as("sb"),
+      .join(shA.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(shB.as("sb"),
         col("doc_b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("shared"))
     shared
-      .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
-      .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
+      .join(sizesA.as("na"), col("doc_a") === col("na.doc_id"))
+      .join(sizesB.as("nb"), col("doc_b") === col("nb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         (col("shared").cast("double") /
           (col("na.n") + col("nb.n") - col("shared"))).as("jaccard"))
   }
+
+  def verifiedJaccard(cand: DataFrame, sh: DataFrame): DataFrame =
+    verifiedJaccard(cand, sh, sh)
 
   /** MinHash+LSH near-dup pairs with exact-jaccard verification. */
   def minhashLsh(
@@ -190,20 +201,7 @@ object Dedup {
         col("a.band_key") === col("b.band_key"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
-    val sizesA = newSh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val sizesB = corpusShingles.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val shared = cand
-      .join(newSh.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(corpusShingles.as("sb"),
-        col("doc_b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("shared"))
-    shared
-      .join(sizesA.as("na"), col("doc_a") === col("na.doc_id"))
-      .join(sizesB.as("nb"), col("doc_b") === col("nb.doc_id"))
-      .select(col("doc_a"), col("doc_b"),
-        (col("shared").cast("double") /
-          (col("na.n") + col("nb.n") - col("shared"))).as("jaccard"))
+    verifiedJaccard(cand, newSh, corpusShingles)
       .filter(col("jaccard") >= tau)
       .orderBy(col("doc_a"), col("doc_b"))
   }

@@ -68,11 +68,13 @@ object Knn {
   def topKBatchWindow(
       corpus: DataFrame, idCol: String, vecCol: String,
       queries: DataFrame, qIdCol: String, qVecCol: String,
-      distance: (Column, Column) => Column, k: Int): DataFrame = {
+      distance: (Column, Column) => Column, k: Int,
+      excludeSelfMatches: Boolean = true): DataFrame = {
     val w = Window.partitionBy(col(qIdCol)).orderBy(col("dist"), col(idCol))
-    corpus
-      .crossJoin(broadcast(queries))
-      .filter(col(idCol) =!= col(qIdCol))
+    val joined = corpus.crossJoin(broadcast(queries))
+    val candidates =
+      if (excludeSelfMatches) joined.filter(col(idCol) =!= col(qIdCol)) else joined
+    candidates
       .select(col(qIdCol), col(idCol), distance(col(vecCol), col(qVecCol)).as("dist"))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= k)

@@ -80,6 +80,8 @@ object PqIndex {
     }
 
     val rows = centroids.orderBy(col("sp"), col("cid")).collect()
+    require(rows.nonEmpty,
+      s"PQ training produced no centroids — corpus empty or trainFraction=$trainFraction sampled zero rows")
     val books = Array.fill(m)(scala.collection.mutable.ArrayBuffer.empty[Array[Double]])
     rows.foreach { r =>
       books(r.getInt(0)) += r.getSeq[Double](2).toArray

@@ -134,8 +134,9 @@ object AnalyticsQueries {
     * rank (with real ties on value), lead gap, ntile quartiles. */
   private def userStats(s: SparkSession, d: String): DataFrame = {
     val byTime = Window.partitionBy(col("user_id")).orderBy(col("ts_s"), col("event_id"))
-    val byValue = Window.partitionBy(col("user_id"))
-      .orderBy(col("value").desc, col("event_id"))
+    // rank over value alone so real ties produce equal ranks (an
+    // event_id tie-break would degenerate rank into row_number)
+    val byValue = Window.partitionBy(col("user_id")).orderBy(col("value").desc)
     Tables.events(s, d)
       .filter(col("user_id") < 50)
       .select(col("user_id"), col("event_id"),
@@ -155,7 +156,7 @@ object AnalyticsQueries {
                FROM events WHERE user_id < 50)
     SELECT user_id, event_id,
            row_number() OVER bytime AS rn,
-           rank() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS value_rank,
+           rank() OVER (PARTITION BY user_id ORDER BY value DESC) AS value_rank,
            coalesce(lead(ts_s, 1) OVER bytime - ts_s, -1) AS next_gap_s,
            ntile(4) OVER bytime AS quartile
     FROM e

@@ -33,7 +33,7 @@ object EventStream {
   def dedupStream(docs: DataFrame, tsCol: String, contentCol: String,
       horizon: String = "1 hour"): DataFrame =
     docs
-      .withColumn("__content_key", md5(trim(col(contentCol))))
+      .withColumn("__content_key", graft.operators.Dedup.contentKey(col(contentCol)))
       .withWatermark(tsCol, horizon)
       .dropDuplicatesWithinWatermark("__content_key")
       .drop("__content_key")

@@ -24,15 +24,18 @@ class TopKAggregateSpec extends SparkSpec {
       (2L, 0.5, 20L)))
   }
 
-  test("aggregate batch knn equals window batch knn on real embeddings") {
+  test("aggregate batch knn equals window batch knn, both exclusion modes") {
     val emb = Tables.embeddings(spark, Sf)
     val q = emb.filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-    def run(f: (org.apache.spark.sql.DataFrame, String, String, org.apache.spark.sql.DataFrame,
-        String, String, (org.apache.spark.sql.Column, org.apache.spark.sql.Column) =>
-        org.apache.spark.sql.Column, Int) => org.apache.spark.sql.DataFrame) =
-      f(emb, "vec_id", "embedding", q, "qid", "qvec", VectorFunctions.l2Distance, 5)
-        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
-    assert(run(Knn.topKBatch(_, _, _, _, _, _, _, _)) == run(Knn.topKBatchWindow))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    for (excl <- Seq(true, false)) {
+      val agg = rows(Knn.topKBatch(emb, "vec_id", "embedding", q, "qid", "qvec",
+        VectorFunctions.l2Distance, 5, excl))
+      val win = rows(Knn.topKBatchWindow(emb, "vec_id", "embedding", q, "qid", "qvec",
+        VectorFunctions.l2Distance, 5, excl))
+      assert(agg == win, s"mismatch for excludeSelfMatches=$excl")
+    }
   }
 }
