@@ -84,6 +84,26 @@ object IvfIndex {
   def writePartitioned(indexed: DataFrame, path: String): Unit =
     indexed.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
 
+  /** Incremental index maintenance: assign a stream of new vectors to
+    * the existing (frozen) centroids and append them into the
+    * cell-partitioned store — the index stays fresh without retraining
+    * (retrain is an offline decision when cell balance drifts).
+    * Exactly-once via the streaming checkpoint. */
+  def streamAssign(
+      newVectors: org.apache.spark.sql.DataFrame, idCol: String, vecCol: String,
+      centroids: org.apache.spark.sql.DataFrame, path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    newVectors.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          batch.join(assign(batch, idCol, vecCol, centroids), idCol)
+            .write.mode("append").partitionBy("centroid_id").parquet(path)
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
+
   /** Probe search: scan only the nprobe cells nearest to the query. */
   def search(
       indexed: DataFrame, idCol: String, vecCol: String,

@@ -33,6 +33,27 @@ class IvfIndexSpec extends SparkSpec {
     assert(ivf.size == 10)
   }
 
+  test("streaming assignment appends new vectors into existing cells") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ivfstream").toString
+    val (_, centroids) = IvfIndex.buildIndex(emb, "vec_id", "embedding", nlist = 4)
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+    val q = IvfIndex.streamAssign(
+      input.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", centroids, s"$dir/store", s"$dir/ckpt")
+    try {
+      val fresh = emb.limit(20)
+        .collect().map(r => (r.getLong(0) + 100000L, r.getSeq[Float](1)))
+      input.addData(fresh.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val stored = spark.read.parquet(s"$dir/store")
+    assert(stored.count() == 20)
+    assert(stored.select("centroid_id").distinct().count() >= 1)
+    assert(stored.columns.contains("centroid_id"))
+  }
+
   test("every vector lands in exactly one cell") {
     val (indexed, _) = IvfIndex.buildIndex(emb, "vec_id", "embedding", nlist = 8)
     assert(indexed.count() == emb.count())
