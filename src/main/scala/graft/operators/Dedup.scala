@@ -44,8 +44,9 @@ object Dedup {
   def shingleRows(docs: DataFrame, idCol: String, textCol: String, n: Int): DataFrame =
     docs
       .select(col(idCol).as("doc_id"), tokens(col(textCol)).as("toks"))
-      .select(col("doc_id"), explode(shingles(col("toks"), n)).as("s"))
-      .distinct()
+      // set semantics via per-row array_distinct: duplicates can only
+      // occur within one document, so no cross-row distinct() shuffle
+      .select(col("doc_id"), explode(array_distinct(shingles(col("toks"), n))).as("s"))
 
   /** Minhash signature array, one row per doc — a single
     * [[graft.functions.SketchAggregates.minhash]] aggregate (map-side
