@@ -204,6 +204,45 @@ object VectorQueries {
     ORDER BY score DESC, doc_id
     LIMIT $K"""
 
+  // ------------------------------------------------------ search+present
+  /** The reference's full search flow (SSEOpenAIController: embed →
+    * top-5 → per-hit summarize → present): here the LLM summarization
+    * step is extractive — a deterministic snippet (first 12 tokens) +
+    * query-term hit count — keeping the join/present plumbing real. */
+  private def searchPresent(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("join", "vector", "scan")
+    val topHits = Knn.topK(corpus(s, d), "vec_id", "embedding",
+      queryVec(s, d), "qvec", cosineDistance, 5)
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    val docs = Tables.documents(s, d).select(
+      col("doc_id"), col("source"), toks.as("toks"))
+    val termHits = terms.map(t =>
+      when(array_contains(col("toks"), t), lit(1L)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    topHits.join(docs, col("vec_id") === col("doc_id"))
+      .select(
+        col("vec_id"), col("dist"), col("source").as("filename"),
+        concat_ws(" ", slice(col("toks"), 1, 12)).as("snippet"),
+        termHits.as("term_hits"))
+      .orderBy(col("dist"), col("vec_id"))
+  }
+
+  private val searchPresentSql = s"""
+    WITH hits AS (
+      SELECT e.vec_id, 1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])) AS dist
+      FROM embeddings e
+      CROSS JOIN (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0) q
+      WHERE e.vec_id <> 0
+      ORDER BY dist, vec_id LIMIT 5),
+    d AS (SELECT doc_id, source, ${graft.functions.TextFunctions.tokensSql("text")} AS toks FROM documents)
+    SELECT vec_id, dist, source AS filename,
+           array_to_string(toks[1:12], ' ') AS snippet,
+           CAST((CASE WHEN list_contains(toks, 'join') THEN 1 ELSE 0 END)
+              + (CASE WHEN list_contains(toks, 'vector') THEN 1 ELSE 0 END)
+              + (CASE WHEN list_contains(toks, 'scan') THEN 1 ELSE 0 END) AS BIGINT) AS term_hits
+    FROM hits JOIN d ON vec_id = doc_id
+    ORDER BY dist, vec_id"""
+
   /** PQ/ADC compressed search (lossy → rows-only; recall asserted in
     * PqIndexSpec). */
   private def pqKnn(s: SparkSession, d: String): DataFrame = {
@@ -221,6 +260,7 @@ object VectorQueries {
     "vs_pq_knn"       -> QueryDef(pqKnn _, None),
     "vs_knn_filtered" -> QueryDef(knnFiltered _, knnFilteredSql),
     "vs_hybrid"       -> QueryDef(hybrid _, hybridSql),
+    "vs_search_present" -> QueryDef(searchPresent _, searchPresentSql),
     "vs_norms"        -> QueryDef(norms _, normsSql),
     "emb_centroids"   -> QueryDef(centroids _, centroidsSql),
     "vs_knn_l2"       -> QueryDef(knnL2 _, knnOracle(l2Sql)),
