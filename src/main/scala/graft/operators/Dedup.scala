@@ -207,6 +207,41 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** Connected components over near-dup pairs by iterative min-label
+    * propagation: each node adopts the minimum label among itself and
+    * its neighbors until fixpoint — O(diameter) rounds, each one
+    * shuffle on node id (near-dup clusters are tiny, so 2-3 rounds in
+    * practice; maxIters bounds pathological chains). Labels converge
+    * to the component's minimum doc id, so cluster ids are
+    * deterministic. Output: (doc_id, cluster_id) for every node that
+    * appears in a pair. */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .unionAll(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("a").as("node")).distinct()
+      .select(col("node"), col("node").as("label"))
+      .localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIters) {
+      val neighborMin = edges
+        .join(labels, edges("b") === labels("node"))
+        .groupBy(col("a")).agg(min(col("label")).as("nmin"))
+      val next = labels
+        .join(neighborMin, labels("node") === neighborMin("a"), "left_outer")
+        .select(col("node"),
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+        .localCheckpoint()
+      converged = next.join(labels.withColumnRenamed("label", "old"), "node")
+        .filter(col("label") =!= col("old")).isEmpty
+      labels = next
+      i += 1
+    }
+    labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   // -------------------------------------------------- embedding near-dup
   /** Blocked embedding near-dup: cosine >= tau among pairs sharing a
     * blocking key (a label, an IVF cell id, a coarse LSH bucket) —

@@ -100,7 +100,35 @@ object DedupQueries {
     WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35
     ORDER BY id_a, id_b"""
 
+  // ------------------------------------------------------------ clusters
+  /** Near-dup clusters: LSH pairs → connected components → one
+    * deterministic cluster id (component-min doc id) per member. */
+  private def clusters(s: SparkSession, d: String): DataFrame =
+    Dedup.connectedComponents(
+      Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text",
+        shingleN = 3, numHashes = 32, bands = 8, tau = 0.8))
+      .orderBy(col("doc_id"))
+
+  private val clustersSql = s"""
+    WITH RECURSIVE ${shingleCte(3).trim},
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM shared
+      JOIN sizes na ON doc_a = na.doc_id
+      JOIN sizes nb ON doc_b = nb.doc_id
+      WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= 0.8),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach AS (
+      SELECT node AS a, node AS b FROM nodes
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+    SELECT a AS doc_id, min(b) AS cluster_id
+    FROM reach GROUP BY a ORDER BY doc_id"""
+
   val defs: Map[String, QueryDef] = Map(
+    "dedup_clusters"      -> QueryDef(clusters _, clustersSql),
     "dedup_exact"         -> QueryDef(exact _, exactSql),
     "dedup_minhash_lsh"   -> QueryDef(minhashLsh _, jaccardSql(3, 0.8)),
     "dedup_ngram_jaccard" -> QueryDef(ngramJaccard _, jaccardSql(4, 0.65)),

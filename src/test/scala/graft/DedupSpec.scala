@@ -42,6 +42,15 @@ class DedupSpec extends SparkSpec {
     assert(!got.contains((1L, 3L)))
   }
 
+  test("connected components merges chains and keeps separate clusters apart") {
+    import spark.implicits._
+    // chain 1-2-3-4 (diameter 3) plus isolated pair 10-11
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
   test("ngram jaccard is exact on hand-computed sets") {
     // doc1: shingles {a b, b c, c d}; doc2: {a b, b c, c e}
     // shared 2, union 4 → jaccard 0.5
