@@ -239,6 +239,10 @@ object Dedup {
       labels = next
       i += 1
     }
+    // a silent partial result would diverge from any exact-closure
+    // oracle — fail loudly instead (raise maxIters for long chains)
+    require(converged,
+      s"connected components did not converge in $maxIters rounds — component diameter exceeds maxIters")
     labels.select(col("node").as("doc_id"), col("label").as("cluster_id"))
   }
 

@@ -14,18 +14,20 @@ object AnalyticsQueries {
 
   // ------------------------------------------------------------- as-of
   /** For each error event, the most recent prior click by the same
-    * user (backward as-of on raw nanos — ties are measure-zero). */
+    * user. The as-of key is MICROSECOND-truncated: DuckDB coerces the
+    * parquet TIMESTAMP(NANOS) column to µs TIMESTAMP, so comparing at
+    * raw nanos would flip matches for events inside the same µs. */
   private def asofEnrich(s: SparkSession, d: String): DataFrame = {
-    val ev = Tables.events(s, d)
+    val ev = Tables.events(s, d).withColumn("ts_us", expr("ts DIV 1000"))
     val err = ev.filter(col("event_type") === "error")
-      .select(col("event_id"), col("user_id"), col("ts"))
+      .select(col("event_id"), col("user_id"), col("ts_us"))
     val clk = ev.filter(col("event_type") === "click")
-      .select(col("user_id"), col("ts"), col("value"))
-    AsOfJoin.backward(err, clk, Seq("user_id"), "ts", Seq("value"))
+      .select(col("user_id"), col("ts_us"), col("value"))
+    AsOfJoin.backward(err, clk, Seq("user_id"), "ts_us", Seq("value"))
       .select(
         col("event_id"), col("user_id"),
-        expr("ts DIV 1000000000").as("err_ts_s"),
-        coalesce(expr("ts_asof DIV 1000000000"), lit(-1L)).as("click_ts_s"),
+        expr("ts_us DIV 1000000").as("err_ts_s"),
+        coalesce(expr("ts_us_asof DIV 1000000"), lit(-1L)).as("click_ts_s"),
         coalesce(col("value_asof"), lit(-1.0)).as("click_value"))
       .orderBy(col("event_id"))
   }

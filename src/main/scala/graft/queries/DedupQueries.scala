@@ -12,8 +12,11 @@ import org.apache.spark.sql.functions._
   * paths (LSH bands, simhash chunks, shingle joins, label blocking);
   * oracles verify the *result contract* with brute-force SQL.
   * MinHash-LSH recall at these thresholds is validated locally (the
-  * planted near-dups sit at jaccard ≥ 0.97 with 16 bands × 4 rows →
-  * miss probability < 1e-14; simhash chunking is exact by pigeonhole).
+  * planted near-dups sit at jaccard ≥ 0.97; with 8 bands × 4 rows the
+  * per-pair miss probability is ≈ 3e-8 — note a hypothetical pair at
+  * exactly the τ=0.8 threshold would miss with ≈ 1.5%, so the oracle
+  * comparison leans on the generator's wide jaccard gap; simhash
+  * chunking is exact by pigeonhole).
   */
 object DedupQueries {
 
@@ -90,7 +93,6 @@ object DedupQueries {
   private def embedding(s: SparkSession, d: String): DataFrame =
     Dedup.embeddingNearDup(Tables.embeddings(s, d), "vec_id", "embedding",
       "label", VectorFunctions.cosineSimilarity, tau = 0.35)
-      .withColumnRenamed("id_a", "id_a")
 
   private val embeddingSql = """
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,

@@ -16,11 +16,13 @@ object PipelineQueries {
   private val Lookback = 30
 
   // -------------------------------------------------------------- chunk
-  // Space is the only split char present in the synthetic corpus, so
-  // the oracle specializes the look-back scan to ' ' while the Spark
-  // side uses the reference's full punctuation set plus space.
+  // The oracled query splits on space ONLY, matching chunkSql exactly
+  // (a full-punctuation Spark side vs a space-only oracle would
+  // silently diverge if the corpus ever gained punctuation). The full
+  // reference set ".:;?! " is exercised by IngestSpec and the
+  // ScalaCheck chunker properties instead.
   private def chunkQ(s: SparkSession, d: String): DataFrame =
-    Ingest.chunk(Tables.documents(s, d), "doc_id", "text", MaxLen, Lookback, ".:;?! ")
+    Ingest.chunk(Tables.documents(s, d), "doc_id", "text", MaxLen, Lookback, " ")
       .select(col("doc_id"), col("chunk_idx"), col("chunk"), col("chunk_len"))
       .orderBy(col("doc_id"), col("chunk_idx"))
 

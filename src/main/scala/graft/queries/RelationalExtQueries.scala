@@ -11,16 +11,16 @@ import org.apache.spark.sql.functions._
 object RelationalExtQueries {
 
   // ------------------------------------------------------- semi / anti
-  /** Customers with at least one urgent order but no 1995 order —
+  /** Customers with at least one urgent order but none before 1996 —
     * EXISTS + NOT EXISTS as left_semi / left_anti joins. */
   private def semiAnti(s: SparkSession, d: String): DataFrame = {
     val c = Tables.customer(s, d)
     val o = Tables.orders(s, d)
     val urgent = o.filter(col("o_orderpriority") === "1-URGENT").select("o_custkey")
-    val y95 = o.filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
+    val preY96 = o.filter(col("o_orderdate") < lit("1996-01-01").cast("timestamp"))
       .select("o_custkey")
     c.join(urgent, c("c_custkey") === urgent("o_custkey"), "left_semi")
-      .join(y95, c("c_custkey") === y95("o_custkey"), "left_anti")
+      .join(preY96, c("c_custkey") === preY96("o_custkey"), "left_anti")
       .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
       .orderBy(col("c_custkey"))
   }
