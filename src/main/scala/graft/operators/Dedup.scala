@@ -216,8 +216,11 @@ object Dedup {
     * deterministic. Output: (doc_id, cluster_id) for every node that
     * appears in a pair. */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
-      .unionAll(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+    // materialize the (possibly expensive) pair plan once — the
+    // symmetric union would otherwise evaluate it twice
+    val p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val edges = p.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .unionAll(p.select(col("doc_b").as("a"), col("doc_a").as("b")))
       .distinct()
       .localCheckpoint()
     var labels = edges.select(col("a").as("node")).distinct()
@@ -229,14 +232,16 @@ object Dedup {
       val neighborMin = edges
         .join(labels, edges("b") === labels("node"))
         .groupBy(col("a")).agg(min(col("label")).as("nmin"))
+      // carry the changed flag inside the same pass so convergence is
+      // a cheap scan of the checkpointed result, not an extra join job
       val next = labels
         .join(neighborMin, labels("node") === neighborMin("a"), "left_outer")
         .select(col("node"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("label"))
+          least(col("label"), coalesce(col("nmin"), col("label"))).as("new_label"),
+          (coalesce(col("nmin"), col("label")) < col("label")).as("changed"))
         .localCheckpoint()
-      converged = next.join(labels.withColumnRenamed("label", "old"), "node")
-        .filter(col("label") =!= col("old")).isEmpty
-      labels = next
+      converged = next.filter(col("changed")).isEmpty
+      labels = next.select(col("node"), col("new_label").as("label"))
       i += 1
     }
     // a silent partial result would diverge from any exact-closure
