@@ -165,11 +165,44 @@ object AnalyticsQueries {
     WINDOW bytime AS (PARTITION BY user_id ORDER BY ts_s, event_id)
     ORDER BY user_id, event_id"""
 
+  // ----------------------------------------------------------- retention
+  /** Cohort retention: users grouped by first-activity day, with the
+    * count still active exactly 7 days later — two aggregations and a
+    * broadcast-friendly self-join on user_id. */
+  private def retention(s: SparkSession, d: String): DataFrame = {
+    val days = Tables.events(s, d)
+      .select(col("user_id"), expr("(ts DIV 1000000000) DIV 86400").as("day"))
+      .distinct()
+    val cohort = days.groupBy(col("user_id")).agg(min(col("day")).as("cohort_day"))
+    cohort
+      .join(days, Seq("user_id"))
+      .groupBy(col("cohort_day"))
+      .agg(
+        countDistinct(col("user_id")).as("cohort_size"),
+        countDistinct(when(col("day") === col("cohort_day") + 7, col("user_id")))
+          .as("retained_d7"))
+      .orderBy(col("cohort_day"))
+  }
+
+  private val retentionSql = """
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             (CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS day
+      FROM events),
+    cohort AS (SELECT user_id, min(day) AS cohort_day FROM days GROUP BY user_id)
+    SELECT cohort_day,
+           count(DISTINCT c.user_id) AS cohort_size,
+           count(DISTINCT CASE WHEN d.day = c.cohort_day + 7 THEN c.user_id END) AS retained_d7
+    FROM cohort c JOIN days d ON c.user_id = d.user_id
+    GROUP BY cohort_day
+    ORDER BY cohort_day"""
+
   val defs: Map[String, QueryDef] = Map(
     "events_asof_enrich" -> QueryDef(asofEnrich _, asofEnrichSql),
     "events_sliding_agg" -> QueryDef(slidingAgg _, slidingAggSql),
     "events_quantiles"   -> QueryDef(quantiles _, quantilesSql),
     "events_json"        -> QueryDef(jsonAgg _, jsonAggSql),
+    "events_retention"   -> QueryDef(retention _, retentionSql),
     "events_user_stats"  -> QueryDef(userStats _, userStatsSql),
   )
 }

@@ -156,7 +156,30 @@ object TextQueries {
     FROM sh
     ORDER BY doc_id"""
 
+  // ----------------------------------------------------- n-gram frequency
+  /** Corpus-level bigram frequency table (top 20) — the corpus-stats
+    * pass of a data pipeline; map-side combinable count, top-k via
+    * TakeOrderedAndProject. */
+  private def ngramFreq(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(tokens(col("text")).as("toks"))
+      .select(explode(shingles(col("toks"), 2)).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(20)
+
+  private val ngramFreqSql = s"""
+    WITH t AS (SELECT ${tokensSql("text")} AS toks FROM documents),
+    b AS (SELECT unnest(${shinglesSql("toks", 2)}) AS bigram FROM t)
+    SELECT bigram, count(*) AS n
+    FROM b
+    GROUP BY bigram
+    ORDER BY n DESC, bigram
+    LIMIT 20"""
+
   val defs: Map[String, QueryDef] = Map(
+    "text_ngram_freq"  -> QueryDef(ngramFreq _, ngramFreqSql),
     "text_lang_id"     -> QueryDef(langId _, langIdSql),
     "text_quality"     -> QueryDef(quality _, qualitySql),
     "text_tokens"      -> QueryDef(tokenCounts _, tokenCountsSql),

@@ -22,7 +22,7 @@ class InventorySyncSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the documented round-1 outcome") {
-    assert(SparkEntry.queries.size == 50)
-    assert(SparkEntry.oracleSql.size == 46)
+    assert(SparkEntry.queries.size == 52)
+    assert(SparkEntry.oracleSql.size == 48)
   }
 }
