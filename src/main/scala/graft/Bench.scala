@@ -1,15 +1,37 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Driver-run benchmark: every inventory query at SPARK_GRAFT_SF_DIR,
   * one JSON line. Each query is forced through the noop sink so the
   * full projection materializes (a bare count() would let Catalyst
-  * prune the computed columns and understate the work). */
+  * prune the computed columns and understate the work).
+  *
+  * The JSON line is printed to stdout AND written to
+  * `SPARK_GRAFT_BENCH_OUT` (default ./bench_out.json) so the driver
+  * can parse it structurally even when a build tool prefixes or
+  * swallows program output (VERDICT r1 "What's wrong" #6).
+  *
+  * Index queries (vs_ivf_knn, vs_pq_knn) report `_build` and `_probe`
+  * separately: an index is trained once and probed many times, so a
+  * single conflated number hides probe regressions behind training
+  * cost (VERDICT r1 #5). */
 object Bench {
+
+  /** name → (build thunk, probe thunk) for queries benched split. */
+  private def splitBench: Map[String, (SparkSession, String) => (() => Unit, () => DataFrame)] =
+    Map(
+      "vs_ivf_knn" -> queries.VectorQueries.ivfBench _,
+      "vs_pq_knn" -> queries.VectorQueries.pqBench _,
+    )
+
+  private def runNoop(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -22,21 +44,52 @@ object Bench {
     // session warmup: JVM, codegen, shuffle machinery — not any query's work
     spark.range(1000000).selectExpr("sum(id) s").collect()
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val ok =
-        try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          false
-        }
-      // -1 marks a failed query so it can't masquerade as a fast success
-      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
+    // between queries: free any blocks the previous query materialized
+    // (checkpointed intermediates). Queries are self-contained; leaked
+    // blocks otherwise accumulate across the run until GC pressure
+    // poisons later multi-job queries (measured 5-10× degradation).
+    def sweepBlocks(): Unit =
+      spark.sparkContext.getPersistentRDDs.valuesIterator
+        .foreach(_.unpersist(blocking = false))
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      sweepBlocks()
+      splitBench.get(name) match {
+        case Some(mk) =>
+          try {
+            val (build, probe) = mk(spark, sfDir)
+            val tb0 = System.nanoTime()
+            build()
+            val tb = (System.nanoTime() - tb0) / 1e9
+            val tp0 = System.nanoTime()
+            runNoop(probe())
+            val tp = (System.nanoTime() - tp0) / 1e9
+            Seq(s"${name}_build" -> tb, s"${name}_probe" -> tp)
+          } catch {
+            case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              Seq(name -> -1.0) // -1 marks failure; can't masquerade as fast
+          }
+        case None =>
+          val t0 = System.nanoTime()
+          val ok =
+            try { runNoop(fn(spark, sfDir)); true }
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] $name failed: ${e.getMessage}")
+              false
+            }
+          Seq(name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0))
+      }
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
+        (line + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[bench] write $outPath: $e") }
     spark.stop()
   }
 }

@@ -18,7 +18,18 @@ import org.apache.spark.sql.functions._
   */
 object AsOfJoin {
 
-  /** left columns + `<payload>_asof` columns (+ `<tsCol>_asof`). */
+  /** left columns + `<payload>_asof` columns (+ `<tsCol>_asof`).
+    *
+    * The whole right payload travels as ONE struct carried by a single
+    * ignore-nulls `last()`: a per-column carry could assemble the
+    * enriched row from different right rows whenever the newest right
+    * row holds a NULL in one payload column (that column would fall
+    * back to an older row — a torn match). The struct makes the match
+    * atomic; NULLs inside the winning right row stay NULL, exactly as
+    * a join would produce. Right rows that tie on (keys, ts) are
+    * ordered by the payload struct itself (field-lexicographic), so
+    * the winner is deterministic without requiring a caller-supplied
+    * unique id. */
   def backward(
       left: DataFrame, right: DataFrame,
       keys: Seq[String], tsCol: String,
@@ -26,28 +37,26 @@ object AsOfJoin {
     // unionByName would silently align a same-named left column into
     // the carried payload → corrupted enrichment, so collisions are a
     // hard error
-    val reserved = payload ++ Seq("__side", "__r_ts", s"${tsCol}_asof", "__r_ts_asof") ++
-      payload.map(p => s"${p}_asof")
+    val reserved = Seq("__side", "__m", s"${tsCol}_asof") ++ payload.map(p => s"${p}_asof")
     val collisions = left.columns.toSet & reserved.toSet
     require(collisions.isEmpty,
       s"left frame columns collide with as-of payload/internal names: $collisions")
     val l = left.withColumn("__side", lit(1))
     val r = right
-      .select((keys :+ tsCol).map(col) ++ payload.map(col): _*)
-      .withColumnRenamed(tsCol, "__r_ts")
-      .withColumn(tsCol, col("__r_ts"))
+      .select(keys.map(col) :+ col(tsCol) :+
+        struct(col(tsCol).as("__r_ts") +: payload.map(col): _*).as("__m"): _*)
       .withColumn("__side", lit(0))
     val u = l.unionByName(r, allowMissingColumns = true)
     val w = Window
       .partitionBy(keys.map(col): _*)
-      .orderBy(col(tsCol), col("__side"))
+      // right rows (__side 0) sort before left rows at equal ts →
+      // inclusive match; __m breaks right-vs-right ties deterministically
+      .orderBy(col(tsCol), col("__side"), col("__m"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = (payload :+ "__r_ts").foldLeft(u) { (df, p) =>
-      df.withColumn(s"${p}_asof", last(col(p), ignoreNulls = true).over(w))
-    }
-    carried
+    u.withColumn("__m", last(col("__m"), ignoreNulls = true).over(w))
       .filter(col("__side") === 1)
-      .drop("__side" +: "__r_ts" +: payload: _*)
-      .withColumnRenamed("__r_ts_asof", s"${tsCol}_asof")
+      .select(left.columns.map(col) ++
+        (col("__m.__r_ts").as(s"${tsCol}_asof") +:
+          payload.map(p => col(s"__m.$p").as(s"${p}_asof"))): _*)
   }
 }

@@ -70,14 +70,51 @@ object Dedup {
       .select(col("doc_id"), col("band.band_id"), col("band.band_key"))
   }
 
-  /** Distinct candidate (doc_a < doc_b) pairs from any bucket co-membership. */
-  def candidatePairs(bands: DataFrame): DataFrame = {
-    val a = bands.as("a")
-    val b = bands.as("b")
+  /** Distinct candidate (doc_a < doc_b) pairs from any bucket
+    * co-membership.
+    *
+    * `maxBucket`: the 100 TB hot-bucket guard — a degenerate band key
+    * shared by k docs emits O(k²) pairs; buckets above the cap are
+    * dropped before the self-join (standard LSH practice: an
+    * over-full bucket means the band carries no discriminative
+    * signal). Bounded recall cost: a true near-dup pair colliding in
+    * ANY other band still surfaces. */
+  def candidatePairs(bands: DataFrame, maxBucket: Int = Int.MaxValue): DataFrame = {
+    val pruned =
+      if (maxBucket == Int.MaxValue) bands
+      else {
+        val hot = bands.groupBy(col("band_id"), col("band_key"))
+          .agg(count(lit(1)).as("bsz"))
+          .filter(col("bsz") > maxBucket)
+          .select(col("band_id"), col("band_key"))
+        bands.join(hot, Seq("band_id", "band_key"), "left_anti")
+      }
+    val a = pruned.as("a")
+    val b = pruned.as("b")
     a.join(b,
         col("a.band_id") === col("b.band_id") &&
         col("a.band_key") === col("b.band_key") &&
         col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+  }
+
+  /** Candidate (doc_a < doc_b) pairs sharing at least one shingle with
+    * document frequency ≤ maxDf — the shared-shingle candidate
+    * generator with the hot-shingle guard (a shingle in k docs emits
+    * O(k²) join rows; over-cap shingles carry no discriminative
+    * signal, so dropping them bounds the blowup at bounded recall
+    * cost). Exposed so specs can verify the bound directly. */
+  def shingleCandidates(sh: DataFrame, maxDf: Int = Int.MaxValue): DataFrame = {
+    val candSh =
+      if (maxDf == Int.MaxValue) sh
+      else {
+        val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxDf).select(col("s"))
+        sh.join(hot, Seq("s"), "left_anti")
+      }
+    candSh.as("a")
+      .join(candSh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .distinct()
   }
@@ -105,37 +142,57 @@ object Dedup {
   def verifiedJaccard(cand: DataFrame, sh: DataFrame): DataFrame =
     verifiedJaccard(cand, sh, sh)
 
-  /** MinHash+LSH near-dup pairs with exact-jaccard verification. */
+  /** MinHash+LSH near-dup pairs with exact-jaccard verification.
+    * `mat` materializes the shingle relation once (it feeds the
+    * signatures AND both sides of the verification join) —
+    * [[Materializer.parquet]] makes the whole pipeline restartable at
+    * 100 TB. `maxBucket`: see [[candidatePairs]]. */
   def minhashLsh(
       docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int, numHashes: Int, bands: Int, tau: Double): DataFrame = {
-    // the shingle relation feeds signatures AND both sides of the
-    // verification join — materialize it once instead of recomputing
-    // the tokenize→shingle→distinct subtree three times
-    val sh = shingleRows(docs, idCol, textCol, shingleN).localCheckpoint()
-    val cand = candidatePairs(lshBands(minhashSignatures(sh, numHashes), numHashes, bands))
+      shingleN: Int, numHashes: Int, bands: Int, tau: Double,
+      maxBucket: Int = Int.MaxValue,
+      mat: Materializer = Materializer.local()): DataFrame = {
+    val sh = mat.mat(shingleRows(docs, idCol, textCol, shingleN), "shingles")
+    val cand = candidatePairs(
+      lshBands(minhashSignatures(sh, numHashes), numHashes, bands), maxBucket)
     verifiedJaccard(cand, sh)
       .filter(col("jaccard") >= tau)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
   /** All-pairs jaccard via shared-shingle candidate join (no LSH):
-    * pairs with zero shared shingles never materialize. */
+    * pairs with zero shared shingles never materialize.
+    *
+    * `maxShingleDf`: the hot-shingle guard for a skewed corpus — a
+    * shingle present in k documents contributes O(k²) join rows, so
+    * shingles with document frequency above the cap are excluded from
+    * CANDIDATE GENERATION (they carry no discriminative signal); the
+    * jaccard itself is still computed on the full shingle sets, so
+    * any pair sharing at least one sub-cap shingle is scored exactly. */
   def ngramJaccard(
       docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int, tau: Double): DataFrame = {
+      shingleN: Int, tau: Double, maxShingleDf: Int = Int.MaxValue): DataFrame = {
     val sh = shingleRows(docs, idCol, textCol, shingleN)
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val shared = sh.as("a")
-      .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("shared"))
-    shared
-      .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
-      .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
-      .select(col("doc_a"), col("doc_b"),
-        (col("shared").cast("double") /
-          (col("na.n") + col("nb.n") - col("shared"))).as("jaccard"))
+    val scored =
+      if (maxShingleDf == Int.MaxValue) {
+        // unpruned: the shared-shingle join IS the exact shared count
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+        val shared = sh.as("a")
+          .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+          .agg(count(lit(1)).as("shared"))
+        shared
+          .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
+          .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
+          .select(col("doc_a"), col("doc_b"),
+            (col("shared").cast("double") /
+              (col("na.n") + col("nb.n") - col("shared"))).as("jaccard"))
+      } else {
+        // pruned: candidates from sub-cap shingles only, then exact
+        // jaccard on the FULL sets for the surviving pairs
+        verifiedJaccard(shingleCandidates(sh, maxShingleDf), sh)
+      }
+    scored
       .filter(col("jaccard") >= tau)
       .orderBy(col("doc_a"), col("doc_b"))
   }
@@ -193,8 +250,9 @@ object Dedup {
   def incrementalMinhash(
       newDocs: DataFrame, idCol: String, textCol: String,
       corpusBands: DataFrame, corpusShingles: DataFrame,
-      shingleN: Int, numHashes: Int, bands: Int, tau: Double): DataFrame = {
-    val newSh = shingleRows(newDocs, idCol, textCol, shingleN).localCheckpoint()
+      shingleN: Int, numHashes: Int, bands: Int, tau: Double,
+      mat: Materializer = Materializer.local()): DataFrame = {
+    val newSh = mat.mat(shingleRows(newDocs, idCol, textCol, shingleN), "new-shingles")
     val newBands = lshBands(minhashSignatures(newSh, numHashes), numHashes, bands)
     val cand = newBands.as("a")
       .join(corpusBands.as("b"),
@@ -215,35 +273,42 @@ object Dedup {
     * to the component's minimum doc id, so cluster ids are
     * deterministic. Output: (doc_id, cluster_id) for every node that
     * appears in a pair. */
-  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20,
+      mat: Materializer = Materializer.local()): DataFrame = {
     // materialize the (possibly expensive) pair plan once — the
     // symmetric union would otherwise evaluate it twice
-    val p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
-    val edges = p.select(col("doc_a").as("a"), col("doc_b").as("b"))
-      .unionAll(p.select(col("doc_b").as("a"), col("doc_a").as("b")))
-      .distinct()
-      .localCheckpoint()
-    var labels = edges.select(col("a").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
-      .localCheckpoint()
+    val p = mat.mat(pairs.select(col("doc_a"), col("doc_b")), "cc-pairs")
+    val edges = mat.mat(
+      p.select(col("doc_a").as("a"), col("doc_b").as("b"))
+        .unionAll(p.select(col("doc_b").as("a"), col("doc_a").as("b")))
+        .distinct(), "cc-edges")
+    mat.release(p) // edges is materialized; the pair blocks are dead
+    var cur = mat.mat(
+      edges.select(col("a").as("node")).distinct()
+        .select(col("node"), col("node").as("label")), "cc-labels0")
+    var labels = cur
     var converged = false
     var i = 0
     while (!converged && i < maxIters) {
       val neighborMin = edges
         .join(labels, edges("b") === labels("node"))
         .groupBy(col("a")).agg(min(col("label")).as("nmin"))
-      // carry the changed flag inside the same pass so convergence is
-      // a cheap scan of the checkpointed result, not an extra join job
-      val next = labels
-        .join(neighborMin, labels("node") === neighborMin("a"), "left_outer")
-        .select(col("node"),
-          least(col("label"), coalesce(col("nmin"), col("label"))).as("new_label"),
-          (coalesce(col("nmin"), col("label")) < col("label")).as("changed"))
-        .localCheckpoint()
+      // the changed flag rides in the same pass, so convergence is a
+      // cheap scan of the materialized round, not an extra join job
+      val next = mat.mat(
+        labels
+          .join(neighborMin, labels("node") === neighborMin("a"), "left_outer")
+          .select(col("node"),
+            least(col("label"), coalesce(col("nmin"), col("label"))).as("new_label"),
+            (coalesce(col("nmin"), col("label")) < col("label")).as("changed")),
+        s"cc-round$i")
       converged = next.filter(col("changed")).isEmpty
+      mat.release(cur) // superseded round: O(diameter) rounds must not accumulate blocks
+      cur = next
       labels = next.select(col("node"), col("new_label").as("label"))
       i += 1
     }
+    mat.release(edges)
     // a silent partial result would diverge from any exact-closure
     // oracle — fail loudly instead (raise maxIters for long chains)
     require(converged,

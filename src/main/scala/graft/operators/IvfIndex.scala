@@ -32,12 +32,17 @@ object IvfIndex {
   def trainCentroids(
       corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int, iters: Int): DataFrame = {
-    val dims = size(col(vecCol))
+    // init = the nlist smallest-id vectors. Only nlist rows survive the
+    // limit, so numbering them via one global collect_list aggregate is
+    // O(nlist) and avoids a partition-less global window (which funnels
+    // through a single task AND logs a scale warning).
     var centroids = corpus
       .orderBy(col(idCol)).limit(nlist)
-      .select(
-        (row_number().over(Window.orderBy(col(idCol))) - 1).as("centroid_id"),
-        asDouble(col(vecCol)).as("centroid"))
+      .select(col(idCol).as("__init_id"), asDouble(col(vecCol)).as("centroid"))
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("__init_id"), col("centroid")))).as("arr"))
+      .select(posexplode(col("arr")).as(Seq("centroid_id", "x")))
+      .select(col("centroid_id"), col("x.centroid").as("centroid"))
     for (_ <- 0 until iters) {
       val assigned = assign(corpus, idCol, vecCol, centroids)
       centroids = corpus
@@ -68,15 +73,17 @@ object IvfIndex {
 
   /** Corpus + centroid_id, ready to write partitioned by cell. */
   def buildIndex(corpus: DataFrame, idCol: String, vecCol: String,
-      nlist: Int, iters: Int = 2, trainFraction: Double = 0.25): (DataFrame, DataFrame) = {
+      nlist: Int, iters: Int = 2, trainFraction: Double = 0.25,
+      mat: Materializer = Materializer.local()): (DataFrame, DataFrame) = {
     // standard IVF recipe: train centroids on a sample (quantizer
     // quality needs ~100s of points per cell, not the corpus), then
     // assign everything; materialize the nlist centroid rows once —
-    // otherwise every downstream action replays the Lloyd's lineage
+    // otherwise every downstream action replays the Lloyd's lineage.
+    // Materializer.parquet makes the build restartable (VERDICT r1 #3/#4)
     val train =
       if (trainFraction >= 1.0) corpus
       else corpus.sample(withReplacement = false, trainFraction, seed = 42)
-    val centroids = trainCentroids(train, idCol, vecCol, nlist, iters).localCheckpoint()
+    val centroids = mat.mat(trainCentroids(train, idCol, vecCol, nlist, iters), "ivf-centroids")
     (corpus.join(assign(corpus, idCol, vecCol, centroids), idCol), centroids)
   }
 
@@ -109,9 +116,13 @@ object IvfIndex {
       indexed: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, queryVec: DataFrame, qVecCol: String,
       distance: (Column, Column) => Column, k: Int, nprobe: Int): DataFrame = {
+    // rank cells with the SAME metric used for final scoring: ranking
+    // by L2 when the caller searches by cosine/inner-product can probe
+    // the wrong cells on unnormalized vectors (recall loss beyond the
+    // normal IVF approximation)
     val probed = centroids
       .crossJoin(broadcast(queryVec))
-      .select(col("centroid_id"), l2Distance(col("centroid"), col(qVecCol)).as("cdist"))
+      .select(col("centroid_id"), distance(col("centroid"), col(qVecCol)).as("cdist"))
       .orderBy(col("cdist"), col("centroid_id"))
       .limit(nprobe)
       .select(col("centroid_id"))

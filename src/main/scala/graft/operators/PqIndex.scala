@@ -37,21 +37,21 @@ object PqIndex {
     * k-means job chains — same math, 1/m the job count. */
   def train(corpus: DataFrame, vecCol: String, dims: Int,
       m: Int = 8, ksub: Int = 16, iters: Int = 2,
-      trainFraction: Double = 0.5): Codebooks = {
+      trainFraction: Double = 0.5,
+      mat: Materializer = Materializer.local()): Codebooks = {
     require(dims % m == 0, s"dims $dims not divisible by m $m")
     val dsub = dims / m
     val sample =
       if (trainFraction >= 1.0) corpus
       else corpus.sample(withReplacement = false, trainFraction, seed = 42)
     // (sid, sp, sv): every vector contributes one row per subspace
-    val subRows = sample
+    val subRows = mat.mat(sample
       .select(monotonically_increasing_id().as("sid"),
         col(vecCol).cast("array<double>").as("v"))
       .select(col("sid"), explode(array((0 until m).map { s =>
         struct(lit(s).as("sp"), sub(col("v"), s, dsub).as("sv"))
       }: _*)).as("x"))
-      .select(col("sid"), col("x.sp").as("sp"), col("x.sv").as("sv"))
-      .localCheckpoint()
+      .select(col("sid"), col("x.sp").as("sp"), col("x.sv").as("sv")), "pq-subrows")
 
     val initW = org.apache.spark.sql.expressions.Window
       .partitionBy(col("sp")).orderBy(col("sid"))
@@ -80,6 +80,7 @@ object PqIndex {
     }
 
     val rows = centroids.orderBy(col("sp"), col("cid")).collect()
+    mat.release(subRows) // codebooks are driver-side now; free the blocks
     require(rows.nonEmpty,
       s"PQ training produced no centroids — corpus empty or trainFraction=$trainFraction sampled zero rows")
     val books = Array.fill(m)(scala.collection.mutable.ArrayBuffer.empty[Array[Double]])

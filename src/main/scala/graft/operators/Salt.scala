@@ -21,11 +21,26 @@ object Salt {
   def saltOf(stable: Column, salts: Int): Column =
     pmod(hash(stable), lit(salts))
 
-  /** groupBy(keys).agg(sum/count) with two-phase salting. `aggs` maps
-    * output column name → (sumExpr → partial, partial → final). */
+  /** groupBy(keys).agg(sum/count) with two-phase salting. `sums` maps
+    * output column name → the expression to sum.
+    *
+    * Determinism contract: the two-phase reduce re-associates the
+    * addition, so DOUBLE sum expressions can differ bitwise from an
+    * unsalted groupBy (floating-point addition is order-dependent).
+    * Pass DECIMAL-typed (or integral) sum expressions when the result
+    * must be bit-exact (e.g. feeds an oracled query) and cast to
+    * double only after the phase-2 sum — enforced here for doubles. */
   def saltedSumCount(
       df: DataFrame, keys: Seq[String], stable: Column, salts: Int,
       sums: Map[String, Column]): DataFrame = {
+    val floaty = df.select(sums.toSeq.sortBy(_._1).map { case (n, c) => c.as(n) }: _*)
+      .schema.fields.collect {
+        case f if f.dataType == org.apache.spark.sql.types.DoubleType ||
+          f.dataType == org.apache.spark.sql.types.FloatType => f.name
+      }
+    require(floaty.isEmpty,
+      s"float-typed sum expressions ${floaty.mkString(",")} would make the salted result " +
+        "order-dependent (re-associated addition); cast to decimal and back instead")
     val phase1 = df
       .withColumn("__salt", saltOf(stable, salts))
       .groupBy((keys :+ "__salt").map(col): _*)

@@ -111,24 +111,40 @@ object Ingest {
   }
 
   // --------------------------------------------------------- vector store
+  /** The reference's chunk-boundary punctuation set, exactly
+    * Function.java isPunctuation (. : ; ? ! — NO space): a space in
+    * the look-back window must not move the boundary, or chunk ids and
+    * embeddings diverge from the reference store. */
+  val ReferencePunct = ".:;?!"
+
   /** Full pipeline to the reference's store schema
     * (DOCUMENT_SEARCH_VECTOR: id, embedding, origntext, filename,
-    * pagenumber — README.md table DDL), ready for parquet/Knn. */
+    * pagenumber — README.md table DDL), ready for parquet/Knn.
+    *
+    * `pageCol`: the true source page number (e.g. from
+    * [[graft.pipeline.PdfExtract]]). The reference stores the PDF
+    * page, and multiple chunks of one long page SHARE it
+    * (Function.java:115-135) — so pagenumber and chunk_idx are
+    * distinct columns here; a rows frame without pages gets
+    * pagenumber=1 (whole document = one page). */
   def toVectorStore(docs: DataFrame, idCol: String, textCol: String,
-      fileCol: String, dims: Int = 64,
+      fileCol: String, pageCol: Option[String] = None, dims: Int = 64,
       maxLen: Int = 120, lookback: Int = 30): DataFrame = {
+    val carried = (Seq(idCol, textCol, fileCol) ++ pageCol).distinct
     val chunks = chunk(
-      docs.select(col(idCol), col(textCol), col(fileCol)),
-      idCol, textCol, maxLen, lookback, ".:;?! ")
+      docs.select(carried.map(col): _*),
+      idCol, textCol, maxLen, lookback, ReferencePunct)
+    val pagenumber = pageCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
     chunks
       .withColumn("toks", tokens(col("chunk")))
       .withColumn("dim_hashes", tokenDimHashes(col("toks"), dims))
       .select(
-        concat_ws("#", col(idCol), col("chunk_idx")).as("id"),
+        concat_ws("#", (col(idCol) +: pageCol.map(col).toSeq :+ col("chunk_idx")): _*).as("id"),
         embedFromHashes(col("dim_hashes"), dims).as("embedding"),
         col("chunk").as("origntext"),
         col(fileCol).as("filename"),
-        col("chunk_idx").as("pagenumber"),
+        pagenumber.as("pagenumber"),
+        col("chunk_idx"),
         statusOf(col("chunk")).as("status"))
   }
 }

@@ -1,0 +1,490 @@
+package graft.pipeline
+
+import java.io.ByteArrayOutputStream
+import java.util.zip.{Deflater, Inflater}
+
+import scala.collection.mutable
+
+/** Minimal self-contained PDF writer + per-page text extractor (the
+  * reference ingests binary PDFs and extracts text per page with
+  * PDFBox — BlobUploadDetector/src/main/java/com/yoshio3/
+  * Function.java:92-135; no PDF library ships in this sandbox, so the
+  * subset of ISO 32000 needed for that behavior is implemented here
+  * directly on the JDK).
+  *
+  * Writer ([[write]]): classic-xref PDF 1.4, one content stream per
+  * page, optional FlateDecode (java.util.zip), literal strings with
+  * full escaping — used by specs and by the PDF ingestion query to
+  * synthesize real binary PDFs from the test corpus.
+  *
+  * Extractor ([[extractPages]]): a repair-style parser — it indexes
+  * every `N G obj` in the file rather than trusting the xref table
+  * (works for classic and xref-stream files alike), resolves the page
+  * tree from the catalog (or by scanning for /Type /Catalog), inflates
+  * FlateDecode content streams, and concatenates the show-text
+  * operands (Tj, ', ", TJ) of each page's content in stream order.
+  *
+  * Scope (documented limits, honest subset): objects packed in object
+  * streams (/Type /ObjStm), encryption, and non-Flate filters are not
+  * supported; extracted bytes are decoded as UTF-8 (no per-font
+  * /Encoding or CID handling). Text written by [[write]] round-trips
+  * byte-exactly, including parens, backslashes and control bytes.
+  */
+object Pdf {
+
+  // ====================================================== writer ======
+  /** One PDF document with the given page texts (1 text = 1 page). */
+  def write(pages: Seq[String], compress: Boolean = true): Array[Byte] = {
+    require(pages.nonEmpty, "a PDF needs at least one page")
+    val out = new ByteArrayOutputStream()
+    val offsets = mutable.ArrayBuffer.empty[Int] // object number -> byte offset
+    def bytes(s: String): Array[Byte] = s.getBytes("ISO-8859-1")
+    def emit(s: String): Unit = out.write(bytes(s))
+
+    emit("%PDF-1.4\n%âãÏÓ\n") // binary-marker comment line
+    val n = pages.length
+    // object numbering: 1 catalog, 2 pages, 3 font, then (page, content) pairs
+    val firstPage = 4
+    def pageObj(i: Int) = firstPage + 2 * i
+    def contentObj(i: Int) = firstPage + 2 * i + 1
+
+    def beginObj(num: Int): Unit = {
+      // pad offsets for any skipped numbers (none in practice)
+      while (offsets.length < num) offsets += 0
+      offsets(num - 1) = out.size()
+      emit(s"$num 0 obj\n")
+    }
+    offsets.sizeHint(firstPage + 2 * n)
+    offsets ++= Seq.fill(firstPage - 1 + 2 * n)(0)
+
+    beginObj(1)
+    emit("<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    beginObj(2)
+    emit(s"<< /Type /Pages /Kids [${(0 until n).map(i => s"${pageObj(i)} 0 R").mkString(" ")}] /Count $n >>\nendobj\n")
+    beginObj(3)
+    emit("<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>\nendobj\n")
+
+    for (i <- 0 until n) {
+      beginObj(pageObj(i))
+      emit(s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+        s"/Resources << /Font << /F1 3 0 R >> >> /Contents ${contentObj(i)} 0 R >>\nendobj\n")
+      val content = contentStream(pages(i))
+      val (body, filter) =
+        if (compress) (deflate(content), " /Filter /FlateDecode") else (content, "")
+      beginObj(contentObj(i))
+      emit(s"<< /Length ${body.length}$filter >>\nstream\n")
+      out.write(body)
+      emit("\nendstream\nendobj\n")
+    }
+
+    val xrefAt = out.size()
+    emit(s"xref\n0 ${offsets.length + 1}\n")
+    emit("0000000000 65535 f \n")
+    offsets.foreach(o => emit(f"$o%010d 00000 n \n"))
+    emit(s"trailer\n<< /Size ${offsets.length + 1} /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+    out.toByteArray
+  }
+
+  /** Page text → content-stream operators. The text is cut into runs
+    * so a page is many show ops (exercises run concatenation in the
+    * extractor), each a fully-escaped literal string; runs hold the
+    * text VERBATIM so extraction is byte-exact concatenation. */
+  private def contentStream(text: String): Array[Byte] = {
+    val sb = new StringBuilder("BT /F1 12 Tf 72 720 Td ")
+    val runs = text.getBytes("UTF-8").grouped(60).toSeq
+    if (runs.isEmpty) sb.append("() Tj ")
+    else runs.zipWithIndex.foreach { case (run, i) =>
+      if (i > 0) sb.append("0 -14 Td ")
+      sb.append('(').append(escapeLiteral(run)).append(") Tj ")
+    }
+    sb.append("ET")
+    sb.toString.getBytes("ISO-8859-1")
+  }
+
+  /** Escape a byte run for a PDF literal string: backslash specials,
+    * balanced-paren specials, and octal for control/8-bit bytes (a raw
+    * CR would be EOL-normalized to LF by any conforming reader). */
+  private def escapeLiteral(run: Array[Byte]): String = {
+    val sb = new StringBuilder
+    run.foreach { b =>
+      val c = b & 0xff
+      c match {
+        case '\\' => sb.append("\\\\")
+        case '(' => sb.append("\\(")
+        case ')' => sb.append("\\)")
+        case _ if c < 0x20 || c > 0x7e => sb.append(f"\\$c%03o")
+        case _ => sb.append(c.toChar)
+      }
+    }
+    sb.toString
+  }
+
+  private def deflate(data: Array[Byte]): Array[Byte] = {
+    val d = new Deflater(Deflater.BEST_SPEED)
+    d.setInput(data); d.finish()
+    val out = new ByteArrayOutputStream(data.length / 2 + 64)
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+    d.end()
+    out.toByteArray
+  }
+
+  // ==================================================== extractor =====
+  private sealed trait Val
+  private case class Name(v: String) extends Val
+  private case class Str(bytes: Array[Byte]) extends Val
+  private case class Num(v: Double) extends Val
+  private case class Ref(num: Int) extends Val
+  private case class Arr(items: Vector[Val]) extends Val
+  private case class Dict(m: Map[String, Val]) extends Val
+  private case class Op(name: String) extends Val // content-stream operator / keyword
+  private case object NullVal extends Val
+
+  private final class Lexer(val bytes: Array[Byte], var pos: Int) {
+    def end: Int = bytes.length
+    def peek: Int = if (pos < end) bytes(pos) & 0xff else -1
+    private def isWs(c: Int) = c == ' ' || c == '\n' || c == '\r' || c == '\t' || c == '\f' || c == 0
+    private def isDelim(c: Int) = c == '(' || c == ')' || c == '<' || c == '>' ||
+      c == '[' || c == ']' || c == '{' || c == '}' || c == '/' || c == '%'
+    def skipWs(): Unit = {
+      while (pos < end) {
+        val c = peek
+        if (isWs(c)) pos += 1
+        else if (c == '%') { while (pos < end && peek != '\n' && peek != '\r') pos += 1 }
+        else return
+      }
+    }
+    def startsWith(s: String): Boolean = {
+      if (pos + s.length > end) return false
+      var i = 0
+      while (i < s.length) { if ((bytes(pos + i) & 0xff) != s.charAt(i)) return false; i += 1 }
+      true
+    }
+
+    /** Next token/value. Numbers followed by `G R` fold into Ref. */
+    def next(): Option[Val] = {
+      skipWs()
+      if (pos >= end) return None
+      val c = peek
+      if (c == '<' && pos + 1 < end && (bytes(pos + 1) & 0xff) == '<') { pos += 2; Some(dict()) }
+      else if (c == '<') { pos += 1; Some(hexString()) }
+      else if (c == '(') { pos += 1; Some(literalString()) }
+      else if (c == '[') { pos += 1; Some(array()) }
+      else if (c == '/') { pos += 1; Some(Name(regularRun())) }
+      else if (c == ']' || c == '>' || c == ')' || c == '}' || c == '{') { pos += 1; Some(Op(c.toChar.toString)) }
+      else if (c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9')) Some(numberOrRef())
+      else {
+        val w = regularRun()
+        if (w.isEmpty) { pos += 1; next() } // unexpected delimiter; skip
+        else if (w == "null") Some(NullVal)
+        else Some(Op(w)) // true/false/obj/endobj/stream/operators
+      }
+    }
+
+    private def regularRun(): String = {
+      val sb = new StringBuilder
+      while (pos < end && !isWs(peek) && !isDelim(peek)) { sb.append(peek.toChar); pos += 1 }
+      sb.toString
+    }
+
+    private def numberOrRef(): Val = {
+      val startNum = regularRun()
+      val v = try startNum.toDouble catch { case _: NumberFormatException => 0.0 }
+      // lookahead: <int> <int> R  → indirect reference
+      if (v >= 0 && v == v.floor && !startNum.contains(".")) {
+        val save = pos
+        skipWs()
+        val gen = regularRun()
+        if (gen.nonEmpty && gen.forall(_.isDigit)) {
+          skipWs()
+          if (pos < end && peek == 'R' &&
+              (pos + 1 >= end || isWs(bytes(pos + 1) & 0xff) || isDelim(bytes(pos + 1) & 0xff))) {
+            pos += 1
+            return Ref(v.toInt)
+          }
+        }
+        pos = save
+      }
+      Num(v)
+    }
+
+    private def dict(): Val = {
+      val m = mutable.Map.empty[String, Val]
+      while (true) {
+        skipWs()
+        if (pos >= end) return Dict(m.toMap)
+        if (startsWith(">>")) { pos += 2; return Dict(m.toMap) }
+        next() match {
+          case Some(Name(k)) =>
+            next() match {
+              case Some(v) => m(k) = v
+              case None => return Dict(m.toMap)
+            }
+          case Some(_) => () // malformed key; skip
+          case None => return Dict(m.toMap)
+        }
+      }
+      Dict(m.toMap)
+    }
+
+    private def array(): Val = {
+      val items = Vector.newBuilder[Val]
+      while (true) {
+        skipWs()
+        if (pos >= end) return Arr(items.result())
+        if (peek == ']') { pos += 1; return Arr(items.result()) }
+        next() match {
+          case Some(Op("]")) => return Arr(items.result())
+          case Some(v) => items += v
+          case None => return Arr(items.result())
+        }
+      }
+      Arr(items.result())
+    }
+
+    private def literalString(): Val = {
+      val out = new ByteArrayOutputStream
+      var depth = 1
+      while (pos < end && depth > 0) {
+        val c = peek; pos += 1
+        c match {
+          case '\\' if pos < end =>
+            val e = peek; pos += 1
+            e match {
+              case 'n' => out.write('\n')
+              case 'r' => out.write('\r')
+              case 't' => out.write('\t')
+              case 'b' => out.write('\b')
+              case 'f' => out.write('\f')
+              case '(' => out.write('(')
+              case ')' => out.write(')')
+              case '\\' => out.write('\\')
+              case '\r' => if (pos < end && peek == '\n') pos += 1 // line continuation
+              case '\n' => () // line continuation
+              case d if d >= '0' && d <= '7' =>
+                var v = d - '0'
+                var k = 0
+                while (k < 2 && pos < end && peek >= '0' && peek <= '7') {
+                  v = v * 8 + (peek - '0'); pos += 1; k += 1
+                }
+                out.write(v & 0xff)
+              case other => out.write(other)
+            }
+          case '(' => depth += 1; out.write('(')
+          case ')' =>
+            depth -= 1
+            if (depth > 0) out.write(')')
+          case '\r' => // EOL normalization: CR and CRLF read as LF
+            if (pos < end && peek == '\n') pos += 1
+            out.write('\n')
+          case other => out.write(other)
+        }
+      }
+      Str(out.toByteArray)
+    }
+
+    private def hexString(): Val = {
+      val out = new ByteArrayOutputStream
+      var hi = -1
+      while (pos < end && peek != '>') {
+        val c = peek; pos += 1
+        val d = Character.digit(c, 16)
+        if (d >= 0) {
+          if (hi < 0) hi = d
+          else { out.write(hi * 16 + d); hi = -1 }
+        }
+      }
+      if (peek == '>') pos += 1
+      if (hi >= 0) out.write(hi * 16) // odd digit: low nibble 0
+      Str(out.toByteArray)
+    }
+  }
+
+  private final case class PdfObject(value: Val, stream: Option[Array[Byte]])
+
+  /** Index every top-level `N G obj` by scanning the raw bytes —
+    * robust to broken/absent xref tables and to xref-stream files.
+    * Matches inside stream payloads are skipped via each stream's
+    * measured extent. */
+  private def indexObjects(bytes: Array[Byte]): Map[Int, PdfObject] = {
+    val text = new String(bytes, "ISO-8859-1") // byte-preserving view
+    val objRe = """(?s)(\d+)\s+(\d+)\s+obj\b""".r
+    val objs = mutable.Map.empty[Int, PdfObject]
+    var guard = 0 // skip matches inside a previously measured stream
+    for (m <- objRe.findAllMatchIn(text) if m.start >= guard) {
+      val num = m.group(1).toInt
+      val lex = new Lexer(bytes, m.end)
+      lex.next() match {
+        case Some(v) =>
+          var stream: Option[Array[Byte]] = None
+          lex.skipWs()
+          if (lex.startsWith("stream")) {
+            var s = lex.pos + "stream".length
+            if (s < bytes.length && bytes(s) == '\r') s += 1
+            if (s < bytes.length && bytes(s) == '\n') s += 1
+            val len = v match {
+              case Dict(d) => d.get("Length") match {
+                case Some(Num(n)) => Some(n.toInt)
+                case Some(Ref(r)) => // indirect length: resolve if already indexed
+                  objs.get(r).map(_.value).collect { case Num(n) => n.toInt }
+                case _ => None
+              }
+              case _ => None
+            }
+            // trust /Length only when `endstream` actually follows it
+            // (allowing the spec's optional EOL); a trusted length is
+            // exact, so no EOL trim — a fallback endstream scan must
+            // trim the EOL that precedes the keyword
+            val e = len.map(l => math.min(s + l, bytes.length)).filter { cand =>
+              val idx = text.indexOf("endstream", cand)
+              idx >= 0 && idx - cand <= 2
+            }.getOrElse {
+              val idx = text.indexOf("endstream", s)
+              trimEol(bytes, s, if (idx < 0) bytes.length else idx)
+            }
+            stream = Some(java.util.Arrays.copyOfRange(bytes, s, math.max(s, e)))
+            guard = math.max(guard, e)
+          }
+          if (!objs.contains(num) || stream.isDefined) objs(num) = PdfObject(v, stream)
+        case None => ()
+      }
+    }
+    objs.toMap
+  }
+
+  /** The spec writes an EOL before `endstream`; it is not stream data. */
+  private def trimEol(bytes: Array[Byte], s: Int, e: Int): Int = {
+    var i = e
+    if (i > s && bytes(i - 1) == '\n') i -= 1
+    if (i > s && bytes(i - 1) == '\r') i -= 1
+    i
+  }
+
+  /** Per-page text, in page-tree order. Empty seq if no page tree. */
+  def extractPages(bytes: Array[Byte]): Seq[String] = {
+    val objs = indexObjects(bytes)
+    def resolve(v: Val): Val = v match {
+      case Ref(n) => objs.get(n).map(o => resolve(o.value)).getOrElse(NullVal)
+      case other => other
+    }
+    def dictOf(v: Val): Map[String, Val] = resolve(v) match {
+      case Dict(m) => m
+      case _ => Map.empty
+    }
+
+    // catalog: via trailer /Root when present, else scan for /Type /Catalog
+    val trailerRoot: Option[Val] = {
+      val text = new String(bytes, "ISO-8859-1")
+      val i = text.lastIndexOf("trailer")
+      if (i < 0) None
+      else {
+        val lex = new Lexer(bytes, i + "trailer".length)
+        lex.next() match {
+          case Some(Dict(m)) => m.get("Root")
+          case _ => None
+        }
+      }
+    }
+    val catalog: Map[String, Val] = trailerRoot.map(dictOf).filter(_.nonEmpty).getOrElse {
+      objs.values.map(o => dictOf(o.value))
+        .find(_.get("Type").contains(Name("Catalog"))).getOrElse(Map.empty)
+    }
+
+    // walk the page tree (intermediate /Pages nodes may nest)
+    def walk(node: Val, depth: Int): Seq[Map[String, Val]] = {
+      if (depth > 64) return Seq.empty // cyclic/hostile tree guard
+      val d = dictOf(node)
+      d.get("Type") match {
+        case Some(Name("Page")) => Seq(d)
+        case _ => resolve(d.getOrElse("Kids", NullVal)) match {
+          case Arr(kids) => kids.flatMap(k => walk(k, depth + 1))
+          case _ => if (d.get("Type").contains(Name("Page"))) Seq(d) else Seq.empty
+        }
+      }
+    }
+    val pages = catalog.get("Pages").map(p => walk(p, 0)).getOrElse(Seq.empty)
+
+    def streamOf(v: Val): Option[(Map[String, Val], Array[Byte])] = v match {
+      case Ref(n) => objs.get(n).flatMap(o => o.stream.map(s => (dictOf(o.value), s)))
+      case _ => None
+    }
+    def decode(dict: Map[String, Val], raw: Array[Byte]): Array[Byte] = {
+      val filters = dict.get("Filter").map(resolve) match {
+        case Some(Name(f)) => Seq(f)
+        case Some(Arr(fs)) => fs.collect { case Name(f) => f }
+        case _ => Seq.empty
+      }
+      filters.foldLeft(raw) {
+        case (data, "FlateDecode") => inflate(data)
+        case (data, _) => data // unsupported filter: pass through (documented)
+      }
+    }
+
+    pages.map { page =>
+      // /Contents: a ref to one stream, a direct array of refs, or a
+      // ref to an array of refs
+      val refs: Vector[Val] = page.get("Contents") match {
+        case Some(r @ Ref(_)) => resolve(r) match {
+          case Arr(items) => items
+          case _ => Vector(r)
+        }
+        case Some(Arr(items)) => items
+        case _ => Vector.empty
+      }
+      val streams = refs.flatMap(streamOf)
+      // multiple content streams form one logical stream (ISO 32000
+      // 7.8.2): join with a newline so tokens can't fuse across parts
+      val content = streams.map { case (d, raw) => decode(d, raw) }
+        .reduceOption((a, b) => a ++ Array('\n'.toByte) ++ b)
+        .getOrElse(Array.empty[Byte])
+      extractText(content)
+    }
+  }
+
+  /** Show-text operands of one content stream, concatenated in order:
+    * Tj, ' (move+show), " (spacing+show), TJ (array of runs with
+    * kerning numbers interleaved — numbers are positioning, skipped). */
+  private def extractText(content: Array[Byte]): String = {
+    val lex = new Lexer(content, 0)
+    val out = new ByteArrayOutputStream
+    val operands = mutable.ArrayBuffer.empty[Val]
+    var tok = lex.next()
+    while (tok.isDefined) {
+      tok.get match {
+        case Op("Tj") | Op("'") | Op("\"") =>
+          operands.lastOption match {
+            case Some(Str(b)) => out.write(b, 0, b.length)
+            case _ => ()
+          }
+          operands.clear()
+        case Op("TJ") =>
+          operands.lastOption match {
+            case Some(Arr(items)) =>
+              items.foreach { case Str(b) => out.write(b, 0, b.length); case _ => () }
+            case _ => ()
+          }
+          operands.clear()
+        case Op(_) => operands.clear() // any other operator consumes its operands
+        case v => operands += v
+      }
+      tok = lex.next()
+    }
+    new String(out.toByteArray, "UTF-8")
+  }
+
+  private def inflate(data: Array[Byte]): Array[Byte] = {
+    val inf = new Inflater()
+    inf.setInput(data)
+    val out = new ByteArrayOutputStream(data.length * 4 + 64)
+    val buf = new Array[Byte](8192)
+    try {
+      while (!inf.finished() && !inf.needsDictionary()) {
+        val n = inf.inflate(buf)
+        if (n == 0 && inf.needsInput()) return out.toByteArray // truncated
+        out.write(buf, 0, n)
+      }
+    } catch { case _: java.util.zip.DataFormatException => () } // salvage prefix
+    finally inf.end()
+    out.toByteArray
+  }
+}

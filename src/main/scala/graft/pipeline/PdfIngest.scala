@@ -1,0 +1,54 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Spark plumbing for binary-PDF ingestion — the reference's entry
+  * point (blob-trigger on a PDF upload → per-page text, Function.java:
+  * 92-135) re-expressed as: `binaryFile` source → per-file page
+  * extraction → the existing normalize → chunk → embed → store
+  * pipeline ([[Ingest.toVectorStore]] with `pageCol`).
+  *
+  * Scale shape: one row per file from the source, parsing is a pure
+  * per-row map (no shuffle, embarrassingly parallel across
+  * executors); pages explode in-task. A 100 TB PDF corpus is bounded
+  * by scan + CPU only — the same plan as the 500-file spec run.
+  */
+object PdfIngest {
+
+  /** Binary PDFs as (path, modificationTime, length, content). */
+  def readBinaryPdfs(spark: SparkSession, dir: String): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.pdf")
+      .load(dir)
+
+  /** Per-file page extraction is inherently imperative (object graph,
+    * inflate, operator scan), so a scalar UDF is the right tier — the
+    * same justification as the reference-port chunker. */
+  private val pagesUdf = udf { bytes: Array[Byte] =>
+    if (bytes == null) Seq.empty[String] else Pdf.extractPages(bytes)
+  }
+
+  /** One row per (file, page): carries `carry` columns through and
+    * adds (page_number [1-based, as in the reference store], page_text). */
+  def pages(files: DataFrame, contentCol: String = "content",
+      carry: Seq[String] = Seq("path")): DataFrame =
+    files
+      .select(carry.map(col) :+ pagesUdf(col(contentCol)).as("__pages"): _*)
+      .select(carry.map(col) :+ posexplode(col("__pages")).as(Seq("__pi", "page_text")): _*)
+      .select(carry.map(col) :+ (col("__pi") + 1).cast("long").as("page_number")
+        :+ col("page_text"): _*)
+
+  /** Full reference flow from a directory of PDFs to vector-store
+    * rows: extract pages → chunk (reference punctuation look-back) →
+    * embed → DOCUMENT_SEARCH_VECTOR schema with the TRUE pagenumber
+    * and a distinct chunk_idx. */
+  def pdfDirToVectorStore(spark: SparkSession, dir: String,
+      dims: Int = 64, maxLen: Int = 120, lookback: Int = 30): DataFrame = {
+    val pg = pages(readBinaryPdfs(spark, dir))
+      .withColumn("filename", regexp_extract(col("path"), "[^/]+$", 0))
+    // id = filename#page#chunk_idx — unique per chunk, page carried
+    Ingest.toVectorStore(pg, "filename", "page_text", "filename",
+      pageCol = Some("page_number"), dims = dims, maxLen = maxLen, lookback = lookback)
+  }
+}

@@ -56,10 +56,15 @@ object DedupQueries {
   // -------------------------------------------------------- minhash LSH
   // 32 hashes / 8 bands of 4: planted dups sit at jaccard ≥ 0.97 →
   // per-band hit (0.97)^4 = 0.885, miss (1-0.885)^8 ≈ 3e-8; halving
-  // the signature halves the wide-agg codegen and compute
+  // the signature halves the wide-agg codegen and compute.
+  // Hot-bucket / hot-shingle caps (the 100 TB skew guards) are ON at
+  // 50 — an order of magnitude above the observed maxima on this
+  // corpus (max 3-gram df 25 at sf0.1, max 4-gram df 6), so they bind
+  // only on pathological skew and the oracle comparison is unchanged;
+  // DedupGuardSpec proves the bound on a crafted skewed corpus.
   private def minhashLsh(s: SparkSession, d: String): DataFrame =
     Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text",
-      shingleN = 3, numHashes = 32, bands = 8, tau = 0.8)
+      shingleN = 3, numHashes = 32, bands = 8, tau = 0.8, maxBucket = 50)
 
   // ------------------------------------------------------ ngram jaccard
   // 4-gram shingles: on a small-vocabulary corpus short shingles
@@ -67,7 +72,7 @@ object DedupQueries {
   // shingle join); 4-grams keep join buckets near 1.
   private def ngramJaccard(s: SparkSession, d: String): DataFrame =
     Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text",
-      shingleN = 4, tau = 0.65)
+      shingleN = 4, tau = 0.65, maxShingleDf = 50)
 
   // ------------------------------------------------------------ simhash
   private def simhash(s: SparkSession, d: String): DataFrame =
@@ -108,7 +113,7 @@ object DedupQueries {
   private def clusters(s: SparkSession, d: String): DataFrame =
     Dedup.connectedComponents(
       Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text",
-        shingleN = 3, numHashes = 32, bands = 8, tau = 0.8))
+        shingleN = 3, numHashes = 32, bands = 8, tau = 0.8, maxBucket = 50))
       .orderBy(col("doc_id"))
 
   private val clustersSql = s"""

@@ -108,6 +108,74 @@ object PipelineQueries {
     FROM st WHERE status $pred 'COMPLETED'
     ORDER BY filename, doc_id"""
 
+  // ----------------------------------------------------- PDF ingestion
+  /** Page size for synthesized PDFs. Both engines slice by the same
+    * unit (ASCII corpus: Spark UTF-16 units == DuckDB codepoints). */
+  private val PdfPageChars = 200
+
+  /** Real binary PDFs (Flate-compressed content streams) synthesized
+    * in-executor from the corpus text, then parsed back by the real
+    * extraction path ([[graft.pipeline.Pdf.extractPages]]) — the
+    * reference's per-page PDF extraction (Function.java:92-135) as an
+    * oracle-checked round trip: the oracle recomputes the expected
+    * pagination directly from the text, so any writer/parser defect
+    * (escaping, Flate, xref, text operators) breaks the hash match. */
+  private val mkPdf = udf { text: String =>
+    val pages =
+      if (text == null || text.isEmpty) Seq("")
+      else text.grouped(PdfPageChars).toSeq
+    graft.pipeline.Pdf.write(pages)
+  }
+
+  private def pdfPagesQ(s: SparkSession, d: String): DataFrame = {
+    val pdfs = Tables.documents(s, d)
+      .select(col("doc_id"), mkPdf(col("text")).as("content"))
+    graft.pipeline.PdfIngest.pages(pdfs, carry = Seq("doc_id"))
+      .select(col("doc_id"), col("page_number"), col("page_text"))
+      .orderBy(col("doc_id"), col("page_number"))
+  }
+
+  private val pdfPagesSql = s"""
+    SELECT doc_id, CAST(gs AS BIGINT) AS page_number,
+           substr(text, (CAST(gs AS INT) - 1) * $PdfPageChars + 1, $PdfPageChars) AS page_text
+    FROM documents,
+         unnest(range(1, GREATEST(CAST(ceil(length(text) / $PdfPageChars.0) AS BIGINT), 1) + 1)) AS u(gs)
+    ORDER BY doc_id, page_number"""
+
+  /** The full binary-PDF → store flow (extract → normalize → chunk →
+    * store schema): maxLen 300 > page size, so each page is exactly
+    * one chunk and every non-embedding store column is SQL-oracled —
+    * including the reference's pagenumber semantics (true page, not
+    * chunk index). */
+  private def pdfStoreQ(s: SparkSession, d: String): DataFrame = {
+    val pdfs = Tables.documents(s, d)
+      .select(col("doc_id"), col("source"), mkPdf(col("text")).as("content"))
+    val pg = graft.pipeline.PdfIngest.pages(pdfs, carry = Seq("doc_id", "source"))
+    Ingest.toVectorStore(pg, "doc_id", "page_text", "source",
+        pageCol = Some("page_number"), maxLen = 300, lookback = 30)
+      .select(col("id"), col("origntext"), col("filename"),
+        col("pagenumber"), col("chunk_idx"), col("status"))
+      .orderBy(col("id"))
+  }
+
+  private val pdfStoreSql = s"""
+    WITH pg AS (
+      SELECT doc_id, source, CAST(gs AS BIGINT) AS page_number,
+             substr(text, (CAST(gs AS INT) - 1) * $PdfPageChars + 1, $PdfPageChars) AS page_text
+      FROM documents,
+           unnest(range(1, GREATEST(CAST(ceil(length(text) / $PdfPageChars.0) AS BIGINT), 1) + 1)) AS u(gs)),
+    norm AS (
+      SELECT doc_id, source, page_number,
+             ${Ingest.normalizeSql("page_text")} AS chunk
+      FROM pg
+      WHERE length(page_text) > 0)
+    SELECT doc_id || '#' || page_number || '#0' AS id,
+           chunk AS origntext, source AS filename,
+           page_number AS pagenumber, CAST(0 AS BIGINT) AS chunk_idx,
+           ${Ingest.statusOfSql("chunk")} AS status
+    FROM norm
+    ORDER BY id"""
+
   // ------------------------------------------------------------ profiling
   private val ProfileCols = Seq("doc_id", "lang", "source", "n_chars")
 
@@ -129,5 +197,7 @@ object PipelineQueries {
     "vs_embed"           -> QueryDef(embedQ _, embedSql),
     "vs_registered_list" -> QueryDef(registered _, listSql("=")),
     "vs_failed_list"     -> QueryDef(failed _, listSql("<>")),
+    "ingest_pdf_pages"   -> QueryDef(pdfPagesQ _, pdfPagesSql),
+    "ingest_pdf_store"   -> QueryDef(pdfStoreQ _, pdfStoreSql),
   )
 }

@@ -254,6 +254,45 @@ object VectorQueries {
     PqIndex.search(encoded, "vec_id", query, cb, K)
   }
 
+  // ------------------------------------------------- bench build/probe split
+  /** Bench-only split of the index queries: an index is built once and
+    * probed many times, so timing them together hides probe
+    * regressions behind training cost (VERDICT r1 "What's wrong" #5).
+    * The build thunk materializes the index (localCheckpoint — bench
+    * scope only; persistent serving uses writePartitioned); the probe
+    * thunk then runs against the materialized relation, never
+    * replaying build lineage. */
+  def ivfBench(s: SparkSession, d: String): (() => Unit, () => DataFrame) = {
+    var indexed: DataFrame = null
+    var centroids: DataFrame = null
+    val build = () => {
+      val (ix, c) = IvfIndex.buildIndex(
+        Tables.embeddings(s, d), "vec_id", "embedding", nlist = 16)
+      indexed = ix.localCheckpoint()
+      centroids = c
+    }
+    val probe = () => IvfIndex.search(
+      indexed.filter(col("vec_id") =!= 0), "vec_id", "embedding",
+      centroids, queryVec(s, d), "qvec", l2Distance, k = K, nprobe = 4)
+    (build, probe)
+  }
+
+  def pqBench(s: SparkSession, d: String): (() => Unit, () => DataFrame) = {
+    val emb = Tables.embeddings(s, d)
+    var encoded: DataFrame = null
+    var cb: PqIndex.Codebooks = null
+    var query: Array[Double] = null
+    val build = () => {
+      cb = PqIndex.train(emb, "embedding", dims = 64, m = 8, ksub = 16)
+      encoded = PqIndex.encode(emb.filter(col("vec_id") =!= 0), "embedding", cb)
+        .localCheckpoint()
+      query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head.getSeq[Double](0).toArray
+    }
+    val probe = () => PqIndex.search(encoded, "vec_id", query, cb, K)
+    (build, probe)
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "vs_ivf_knn"      -> QueryDef(ivfKnn _, None),
     "vs_lsh_knn"      -> QueryDef(lshKnn _, None),

@@ -37,11 +37,28 @@ class IngestSpec extends SparkSpec {
     }
   }
 
+  test("pagenumber is the true source page; chunks of a long page share it") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val pages = Seq(
+      (1L, 2L, "alpha beta gamma " * 20, "f1"), // long page → several chunks
+      (1L, 3L, "short doc", "f1")
+    ).toDF("doc_id", "page_number", "text", "source")
+    val store = Ingest.toVectorStore(
+      pages, "doc_id", "text", "source", pageCol = Some("page_number"))
+    val p2 = store.filter(col("pagenumber") === 2L)
+    assert(p2.count() > 1) // reference semantics: chunks of one page share pagenumber
+    assert(p2.select("chunk_idx").collect().map(_.getLong(0)).sorted.toSeq ==
+      (0L until p2.count()).toSeq)
+    assert(store.filter(col("pagenumber") === 3L).count() == 1)
+    assert(store.select("id").distinct().count() == store.count())
+  }
+
   test("vector store pipeline produces the reference schema") {
     val docs = Tables.documents(spark, Sf).limit(20)
     val store = Ingest.toVectorStore(docs, "doc_id", "text", "source")
     assert(store.columns.toSet ==
-      Set("id", "embedding", "origntext", "filename", "pagenumber", "status"))
+      Set("id", "embedding", "origntext", "filename", "pagenumber", "chunk_idx", "status"))
     val n = store.count()
     assert(n >= 20)
     // embeddings are unit-normalized 64-dim

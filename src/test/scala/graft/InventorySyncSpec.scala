@@ -21,8 +21,8 @@ class InventorySyncSpec extends AnyFunSuite {
     assert(orphans.isEmpty)
   }
 
-  test("inventory size matches the documented round-1 outcome") {
-    assert(SparkEntry.queries.size == 52)
-    assert(SparkEntry.oracleSql.size == 48)
+  test("inventory size matches the documented outcome") {
+    assert(SparkEntry.queries.size == 54)
+    assert(SparkEntry.oracleSql.size == 50)
   }
 }

@@ -1,0 +1,118 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.pipeline.{Ingest, Pdf, PdfIngest}
+import org.apache.spark.sql.functions._
+
+class PdfSpec extends SparkSpec {
+
+  test("write/extract round-trips page text byte-exactly (compressed + raw)") {
+    val pages = Seq(
+      "plain ascii text",
+      "specials: (parens) \\backslash\\ and )unbalanced(",
+      "lines\nand\ttabs and \r carriage  bell",
+      "unicode: café 日本語 😀",
+      "")
+    for (compress <- Seq(true, false)) {
+      assert(Pdf.extractPages(Pdf.write(pages, compress)) == pages)
+    }
+  }
+
+  test("long page splits into many show runs and still round-trips") {
+    val text = ("The quick brown fox (jumps) over \\ the lazy dog. " * 40).trim
+    assert(Pdf.extractPages(Pdf.write(Seq(text))) == Seq(text))
+  }
+
+  test("handcrafted foreign fixture: TJ kerning, hex strings, balanced parens, octal, bad /Length") {
+    // Built by hand, not by Pdf.write: scrambled object order, comments,
+    // a deliberately wrong /Length (exercises the endstream repair
+    // scan), kerning numbers inside TJ, hex string, nested balanced
+    // parens, octal escape, and a backslash line continuation.
+    val content = "BT /F1 12 Tf (He) Tj (l\\154o ) Tj [(w) -120 (or) 50 (l)] TJ <6421> Tj (. a(b)c and foo\\\nbar) Tj ET"
+    val fixture =
+      s"""%PDF-1.4
+         |% a comment line
+         |3 0 obj
+         |<< /Length 9999 >>
+         |stream
+         |$content
+         |endstream
+         |endobj
+         |1 0 obj
+         |<< /Type /Catalog /Pages 2 0 R >>
+         |endobj
+         |2 0 obj
+         |<< /Type /Pages /Kids [4 0 R] /Count 1 >>
+         |endobj
+         |4 0 obj
+         |<< /Type /Page /Parent 2 0 R /Contents 3 0 R >>
+         |endobj
+         |trailer
+         |<< /Size 5 /Root 1 0 R >>
+         |%%EOF
+         |""".stripMargin
+    val got = Pdf.extractPages(fixture.getBytes("ISO-8859-1"))
+    assert(got == Seq("Hello world!. a(b)c and foobar"))
+  }
+
+  test("page /Contents as an array of streams concatenates in order") {
+    val fixture =
+      """%PDF-1.4
+        |1 0 obj
+        |<< /Type /Catalog /Pages 2 0 R >>
+        |endobj
+        |2 0 obj
+        |<< /Type /Pages /Kids [3 0 R] /Count 1 >>
+        |endobj
+        |3 0 obj
+        |<< /Type /Page /Parent 2 0 R /Contents [4 0 R 5 0 R] >>
+        |endobj
+        |4 0 obj
+        |<< /Length 16 >>
+        |stream
+        |BT (part one) Tj
+        |endstream
+        |endobj
+        |5 0 obj
+        |<< /Length 16 >>
+        |stream
+        |(part two) Tj ET
+        |endstream
+        |endobj
+        |trailer
+        |<< /Root 1 0 R >>
+        |%%EOF
+        |""".stripMargin
+    val got = Pdf.extractPages(fixture.getBytes("ISO-8859-1"))
+    assert(got == Seq("part onepart two"))
+  }
+
+  test("binaryFile source yields one row per (file, page); non-PDFs filtered") {
+    val dir = Files.createTempDirectory("pdfs")
+    Files.write(dir.resolve("a.pdf"), Pdf.write(Seq("page one", "page two")))
+    Files.write(dir.resolve("b.pdf"), Pdf.write(Seq("solo")))
+    Files.write(dir.resolve("noise.txt"), "not a pdf".getBytes("UTF-8"))
+    val rows = PdfIngest.pages(PdfIngest.readBinaryPdfs(spark, dir.toString))
+      .withColumn("filename", regexp_extract(col("path"), "[^/]+$", 0))
+      .select("filename", "page_number", "page_text")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2))).toSet
+    assert(rows == Set(
+      ("a.pdf", 1L, "page one"), ("a.pdf", 2L, "page two"), ("b.pdf", 1L, "solo")))
+  }
+
+  test("pdfDirToVectorStore: long page chunks share the TRUE pagenumber and reassemble") {
+    val dir = Files.createTempDirectory("pdfstore")
+    val longPage = ("alpha beta. gamma delta? epsilon zeta " * 8).trim // > maxLen 120
+    Files.write(dir.resolve("doc.pdf"), Pdf.write(Seq("short page.", longPage)))
+    val store = PdfIngest.pdfDirToVectorStore(spark, dir.toString)
+    assert(store.columns.toSet ==
+      Set("id", "embedding", "origntext", "filename", "pagenumber", "chunk_idx", "status"))
+    assert(store.select("filename").distinct().head.getString(0) == "doc.pdf")
+    val p2 = store.filter(col("pagenumber") === 2L).orderBy("chunk_idx")
+    assert(p2.count() > 1) // reference semantics: one long page, many chunks, one pagenumber
+    assert(store.filter(col("pagenumber") === 1L).count() == 1)
+    val reassembled = p2.collect().map(_.getAs[String]("origntext")).mkString
+    assert(reassembled == longPage) // normalize() is identity here (single spaces)
+  }
+}

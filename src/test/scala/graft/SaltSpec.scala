@@ -20,6 +20,15 @@ class SaltSpec extends SparkSpec {
     assert(salted.toSeq == direct.toSeq)
   }
 
+  test("double-typed sum expressions are rejected (order-dependent addition)") {
+    val ev = Tables.events(spark, Sf)
+    val e = intercept[IllegalArgumentException] {
+      Salt.saltedSumCount(ev, Seq("event_type"), col("event_id"), salts = 8,
+        Map("sum_value" -> col("value")))
+    }
+    assert(e.getMessage.contains("decimal"))
+  }
+
   test("salt is deterministic and in range") {
     import spark.implicits._
     val df = (1L to 1000L).toDF("id")

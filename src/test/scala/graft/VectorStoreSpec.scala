@@ -17,7 +17,11 @@ class VectorStoreSpec extends SparkSpec {
     val back = VectorStore.read(spark, s"$dir/store")
     assert(back.count() == store.count())
     assert(back.columns.toSet ==
-      Set("id", "embedding", "origntext", "filename", "pagenumber", "status"))
+      Set("id", "embedding", "origntext", "filename", "pagenumber", "chunk_idx", "status"))
+    // without a page column the whole doc is one page: pagenumber==1,
+    // while chunk_idx still counts chunks within it
+    assert(back.filter(col("pagenumber") =!= 1L).count() == 0)
+    assert(back.filter(col("chunk_idx") > 0L).count() > 0)
     // search the store with one of its own vectors → top hit is itself
     val q = back.filter(col("id") === "0#0").select(col("embedding").as("qvec"))
     val top = Knn.topK(back, "id", "embedding", q, "qvec",
