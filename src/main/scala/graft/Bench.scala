@@ -22,6 +22,7 @@ object Bench {
   private def splitBench: Map[String, (SparkSession, String) => (() => Unit, () => DataFrame)] =
     Map(
       "vs_ivf_knn" -> queries.VectorQueries.ivfBench _,
+      "vs_ivf_auto" -> queries.VectorQueries.ivfAutoBench _,
       "vs_pq_knn" -> queries.VectorQueries.pqBench _,
     )
 

@@ -1,0 +1,189 @@
+package graft.plans
+
+import graft.functions.{VectorDistance, VectorDistanceExpr}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, In, Literal, NamedExpression, UnaryMinus}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType}
+
+import scala.collection.concurrent.TrieMap
+
+/** Plan-time index selection for vector search: a user writes the
+  * reference's literal query shape —
+  * `ORDER BY dist(embedding, <literal query vector>) LIMIT k`
+  * (pgvector `ORDER BY embedding <-> '[...]'::vector LIMIT k`,
+  * SSEOpenAIController.java:316) — over a cell-partitioned store, and
+  * the optimizer itself narrows the scan to the nprobe nearest cells.
+  * The caller never invokes [[graft.operators.IvfIndex.search]]; the
+  * index is picked the way an RDBMS picks one.
+  *
+  * Mechanics: [[IvfCatalog.register]] associates a store's root path
+  * with its (tiny, driver-resident) centroid table. [[IvfProbeRule]]
+  * matches GlobalLimit▸LocalLimit▸Sort whose leading sort key resolves
+  * (through Project aliases) to a [[VectorDistanceExpr]] between a
+  * column and a LITERAL query vector, over a parquet relation whose
+  * path is registered and whose output carries the `centroid_id`
+  * partition column. It ranks cells driver-side with the SAME metric
+  * as the sort key and injects `centroid_id IN (<nprobe cells>)`
+  * directly above the scan — with a `partitionBy("centroid_id")`
+  * layout that is static partition pruning: the probe reads
+  * nprobe/nlist of the data, the Sort+Limit on top stays exact within
+  * the probed cells (TakeOrderedAndProject).
+  *
+  * Scale shape at 100 TB: the rewrite cost is O(nlist) driver work on
+  * KB-scale centroid metadata; the win is a scan of nprobe/nlist of
+  * the corpus with no shuffle. Approximate by construction (cell
+  * recall), like every IVF probe.
+  */
+object IvfCatalog {
+
+  final case class Entry(cells: Array[Int], centroids: Array[Array[Double]], nprobe: Int)
+
+  private val entries = TrieMap.empty[String, Entry]
+
+  private def canonical(path: String): String =
+    new org.apache.hadoop.fs.Path(path).toUri.getPath
+
+  /** Register a cell-partitioned store (written by
+    * [[graft.operators.IvfIndex.writePartitioned]]) with its centroid
+    * frame [(centroid_id, centroid)]. Centroids are nlist rows — KB
+    * scale — and become driver metadata, like any index's statistics. */
+  def register(storePath: String, centroids: DataFrame, nprobe: Int): Unit = {
+    val rows = centroids.select("centroid_id", "centroid").collect()
+    entries(canonical(storePath)) = Entry(
+      rows.map(_.getInt(0)),
+      rows.map(_.getSeq[Double](1).toArray),
+      nprobe)
+  }
+
+  def lookup(rootPaths: Seq[org.apache.hadoop.fs.Path]): Option[Entry] =
+    rootPaths.headOption.flatMap(p => entries.get(p.toUri.getPath))
+
+  def clear(): Unit = entries.clear()
+}
+
+object IvfProbeRule extends Rule[LogicalPlan] {
+
+  /** Idempotent runtime installation (extraOptimizations runs as the
+    * last optimizer batch, after pruning/pushdown already shaped the
+    * plan). */
+  def install(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.exists(_ eq this)) {
+      spark.experimental.extraOptimizations = cur :+ this
+    }
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+    case gl: GlobalLimit => gl.child match {
+      case ll: LocalLimit => ll.child match {
+        case srt: Sort if srt.global =>
+          rewrite(srt)
+            .map(s => gl.withNewChildren(Seq(ll.withNewChildren(Seq(s)))))
+            .getOrElse(gl)
+        case _ => gl
+      }
+      case _ => gl
+    }
+  }
+
+  private def rewrite(srt: Sort): Option[Sort] = {
+    for {
+      head <- srt.order.headOption
+      (vde, negated) <- asDistance(resolveThroughProjects(head.child, srt.child))
+      query <- literalVector(vde)
+      _ <- vectorColumn(vde) // a real column on the other side, not two literals
+      rewritten <- injectProbe(srt.child, vde, query, negated)
+    } yield srt.copy(child = rewritten)
+  }
+
+  /** Follow an attribute through Project aliases down the child chain. */
+  private def resolveThroughProjects(e: Expression, plan: LogicalPlan): Expression = e match {
+    case attr: AttributeReference =>
+      plan match {
+        case Project(projectList, child) =>
+          projectList.collectFirst {
+            case a: Alias if a.exprId == attr.exprId => resolveThroughProjects(a.child, child)
+          }.getOrElse(attr)
+        case Filter(_, child) => resolveThroughProjects(attr, child)
+        case _ => attr
+      }
+    case other => other
+  }
+
+  private def asDistance(e: Expression): Option[(VectorDistanceExpr, Boolean)] = e match {
+    case v: VectorDistanceExpr => Some((v, false))
+    case u: UnaryMinus => u.child match {
+      case v: VectorDistanceExpr => Some((v, true)) // -dot: max-inner-product search
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private def literalVector(v: VectorDistanceExpr): Option[Array[Double]] =
+    Seq(v.left, v.right).collectFirst {
+      case Literal(data: ArrayData, ArrayType(DoubleType, _)) => data.toDoubleArray()
+      case Literal(data: ArrayData, ArrayType(FloatType, _)) => data.toFloatArray().map(_.toDouble)
+    }
+
+  private def vectorColumn(v: VectorDistanceExpr): Option[Expression] =
+    Seq(v.left, v.right).find(e => !e.isInstanceOf[Literal])
+
+  /** Rank registered cells with the sort's own metric; inject the IN
+    * filter right above the store scan. */
+  private def injectProbe(
+      plan: LogicalPlan, vde: VectorDistanceExpr,
+      query: Array[Double], negated: Boolean): Option[LogicalPlan] = {
+    var done = false
+    val out = plan transform {
+      case lr: LogicalRelation if !done && !hasProbeAbove(plan, lr) =>
+        (lr.relation, lr.output.find(_.name == "centroid_id")) match {
+          case (fs: HadoopFsRelation, Some(cellAttr)) =>
+            IvfCatalog.lookup(fs.location.rootPaths) match {
+              case Some(entry) =>
+                done = true
+                val ranked = entry.cells.zip(entry.centroids)
+                  .map { case (id, c) => (id, cellScore(vde.mode, negated, query, c)) }
+                  .sortBy { case (id, s) => (s, id) }
+                  .take(entry.nprobe)
+                  .map(_._1)
+                Filter(In(cellAttr, ranked.toSeq.map(Literal(_, IntegerType))), lr)
+              case None => lr
+            }
+          case _ => lr
+        }
+    }
+    if (done) Some(out) else None
+  }
+
+  /** Already rewritten? (extraOptimizations is a fixed-point batch.) */
+  private def hasProbeAbove(plan: LogicalPlan, lr: LogicalRelation): Boolean =
+    plan.collect {
+      case Filter(In(attr: AttributeReference, _), child)
+        if attr.name == "centroid_id" && child.collectLeaves().exists(_ eq lr) => true
+    }.nonEmpty
+
+  /** Driver-side twin of VectorDistanceExpr semantics for cell ranking
+    * (ascending = closer), so the probe uses the caller's metric. */
+  private def cellScore(mode: Int, negated: Boolean, a: Array[Double], b: Array[Double]): Double = {
+    val n = math.min(a.length, b.length)
+    var dot = 0.0; var aa = 0.0; var bb = 0.0; var l2 = 0.0
+    var i = 0
+    while (i < n) {
+      dot += a(i) * b(i); aa += a(i) * a(i); bb += b(i) * b(i)
+      val d = a(i) - b(i); l2 += d * d
+      i += 1
+    }
+    val raw = mode match {
+      case 0 => dot // Dot: negated=true means ORDER BY -dot ASC
+      case 1 => math.sqrt(l2)
+      case m =>
+        val sim = math.max(-1.0, math.min(1.0, dot / (math.sqrt(aa) * math.sqrt(bb))))
+        if (m == VectorDistance.CosineDist.id) 1.0 - sim else sim
+    }
+    if (negated) -raw else raw
+  }
+}

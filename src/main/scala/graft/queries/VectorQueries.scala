@@ -3,6 +3,7 @@ package graft.queries
 import graft.{QueryDef, Tables}
 import graft.functions.VectorFunctions._
 import graft.operators.{IvfIndex, Knn, LshAnn, PqIndex}
+import graft.plans.{IvfCatalog, IvfProbeRule}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -254,6 +255,56 @@ object VectorQueries {
     PqIndex.search(encoded, "vec_id", query, cb, K)
   }
 
+  // ------------------------------------------- optimizer-picked IVF probe
+  /** Build-once per sfDir: a cell-partitioned store + persisted
+    * centroids under java.io.tmpdir, registered in [[IvfCatalog]] with
+    * [[IvfProbeRule]] installed. Deterministic: same corpus → same
+    * k-means → same layout, so re-use across JVMs is safe. */
+  private def ensureAutoStore(s: SparkSession, d: String): String = {
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_ivf_auto_${Integer.toHexString(d.hashCode)}")
+    val storeP = new java.io.File(base, "store").toString
+    val centP = new java.io.File(base, "centroids").toString
+    VectorQueries.synchronized {
+      if (!new java.io.File(storeP).exists()) {
+        val (indexed, centroids) = IvfIndex.buildIndex(
+          Tables.embeddings(s, d), "vec_id", "embedding", nlist = 16)
+        IvfIndex.writePartitioned(indexed, storeP)
+        centroids.write.mode("overwrite").parquet(centP)
+      }
+    }
+    IvfCatalog.register(storeP, s.read.parquet(centP), nprobe = 4)
+    IvfProbeRule.install(s)
+    storeP
+  }
+
+  /** The reference's literal-query search shape (`ORDER BY
+    * embedding <-> '[...]'::vector LIMIT k`) with NO index call in the
+    * query: [[IvfProbeRule]] recognizes the plan over the registered
+    * store and injects the nprobe partition-pruned probe — index
+    * selection in the optimizer, where an RDBMS does it. Rows-only:
+    * approximate (cell recall), like vs_ivf_knn. */
+  private def ivfAuto(s: SparkSession, d: String): DataFrame = {
+    val storeP = ensureAutoStore(s, d)
+    autoProbe(s, d, storeP)
+  }
+
+  private def autoProbe(s: SparkSession, d: String, storeP: String): DataFrame = {
+    val q = queryVec(s, d).select(col("qvec").cast("array<double>"))
+      .head.getSeq[Double](0).toArray
+    s.read.parquet(storeP)
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        graft.functions.VectorDistance.l2(col("embedding"), typedLit(q)).as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(K)
+  }
+
+  def ivfAutoBench(s: SparkSession, d: String): (() => Unit, () => DataFrame) = {
+    var storeP: String = null
+    (() => { storeP = ensureAutoStore(s, d) }, () => autoProbe(s, d, storeP))
+  }
+
   // ------------------------------------------------- bench build/probe split
   /** Bench-only split of the index queries: an index is built once and
     * probed many times, so timing them together hides probe
@@ -294,6 +345,7 @@ object VectorQueries {
   }
 
   val defs: Map[String, QueryDef] = Map(
+    "vs_ivf_auto"     -> QueryDef(ivfAuto _, None),
     "vs_ivf_knn"      -> QueryDef(ivfKnn _, None),
     "vs_lsh_knn"      -> QueryDef(lshKnn _, None),
     "vs_pq_knn"       -> QueryDef(pqKnn _, None),

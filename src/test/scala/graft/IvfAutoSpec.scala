@@ -1,0 +1,60 @@
+package graft
+
+import graft.functions.VectorDistance
+import org.apache.spark.sql.functions._
+
+/** IvfProbeRule: the optimizer must rewrite the reference's
+  * literal-query knn shape over a registered cell-partitioned store
+  * into a partition-pruned probe, leave ineligible plans alone, and
+  * keep useful recall. */
+class IvfAutoSpec extends SparkSpec {
+
+  private lazy val auto = SparkEntry.queries("vs_ivf_auto")(spark, Sf)
+
+  test("literal-query knn over the registered store is rewritten to a pruned probe") {
+    val optimized = auto.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("centroid_id"), s"no probe filter in:\n$optimized")
+    val physical = auto.queryExecution.executedPlan.toString
+    assert(physical.contains("PartitionFilters") && physical.contains("centroid_id"),
+      s"probe filter did not reach the scan as partition pruning:\n$physical")
+    assert(auto.collect().length == 10)
+  }
+
+  test("probe results keep useful recall vs exact search on the same store") {
+    val approx = auto.collect().map(_.getLong(0)).toSet
+    // exact twin: full sort, NO limit node — the rule only fires on
+    // the Limit▸Sort shape, so this is guaranteed un-rewritten
+    val store = spark.read.parquet(
+      auto.queryExecution.optimizedPlan.collectLeaves().head
+        .asInstanceOf[org.apache.spark.sql.execution.datasources.LogicalRelation]
+        .relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+        .location.rootPaths.head.toString)
+    val q = Tables.embeddings(spark, Sf).filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head.getSeq[Double](0).toArray
+    val exact = store.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), VectorDistance.l2(col("embedding"), typedLit(q)).as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .collect().take(10).map(_.getLong(0)).toSet
+    // same floor as IvfIndexSpec: this corpus is weakly clustered, so
+    // nprobe 4/16 recall sits near 0.4; the structural guarantee is
+    // that probed cells are ranked by the query's own metric
+    assert((approx & exact).size >= 3, s"recall too low: $approx vs $exact")
+  }
+
+  test("plans without a registered store or literal query are untouched") {
+    // same shape over the raw embeddings table (no centroid_id, not
+    // registered): the rule must not fire
+    val q = Tables.embeddings(spark, Sf).filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head.getSeq[Double](0).toArray
+    val plain = Tables.embeddings(spark, Sf)
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), VectorDistance.l2(col("embedding"), typedLit(q)).as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(10)
+    assert(!plain.queryExecution.optimizedPlan.toString.contains("centroid_id IN"))
+    assert(plain.collect().length == 10)
+    // query vector from a crossJoin (not a literal): also untouched
+    val joined = SparkEntry.queries("vs_knn_l2")(spark, Sf)
+    assert(!joined.queryExecution.optimizedPlan.toString.contains("centroid_id"))
+  }
+}
