@@ -110,6 +110,50 @@ object Ingest {
         ELSE 'COMPLETED' END"""
   }
 
+  // ------------------------------------------------- status state machine
+  /** The reference's per-chunk ingest status is a STATE MACHINE, not a
+    * flag: PAGE_SEPARATE_FINISHED → (RETRY_OAI_INVOCATION)* →
+    * FINISH_OAI_INVOCATION → FINISH_DB_INSERTION → COMPLETED, with
+    * failure exits (Function.java:185-214,
+    * models/CosmosDBDocumentStatus.java). [[statusEvents]] models the
+    * full transition LOG as a table — the event-sourcing shape a 100 TB
+    * pipeline needs for monitoring/retry accounting — derived
+    * deterministically so the terminal row always equals [[statusOf]]
+    * (the snapshot the listing queries use).
+    *
+    * Per row: retries r = h % 3; the walk is positional in `seq`:
+    *  - terminal COMPLETED:             SEP, r×RETRY, OAI, DB, COMPLETED
+    *  - terminal FINISH_OAI_INVOCATION: SEP, r×RETRY, OAI        (stalled pre-insert)
+    *  - terminal RETRY_OAI_INVOCATION:  SEP, (r+1)×RETRY         (mid-retry)
+    *  - terminal FAILED_DB_INSERTION:   SEP, OAI, FAILED         (insert failed)
+    */
+  val StatusEventCaseSql: String = """
+    CASE WHEN seq = 0 THEN 'PAGE_SEPARATE_FINISHED'
+         WHEN t = 'FAILED_DB_INSERTION' THEN
+           (CASE WHEN seq = 1 THEN 'FINISH_OAI_INVOCATION' ELSE 'FAILED_DB_INSERTION' END)
+         WHEN t = 'RETRY_OAI_INVOCATION' THEN 'RETRY_OAI_INVOCATION'
+         WHEN seq <= r THEN 'RETRY_OAI_INVOCATION'
+         WHEN seq = r + 1 THEN 'FINISH_OAI_INVOCATION'
+         WHEN seq = r + 2 THEN 'FINISH_DB_INSERTION'
+         ELSE 'COMPLETED' END"""
+
+  val StatusLenCaseSql: String = """
+    CASE t WHEN 'COMPLETED' THEN r + 4
+           WHEN 'FINISH_OAI_INVOCATION' THEN r + 2
+           WHEN 'RETRY_OAI_INVOCATION' THEN r + 2
+           ELSE 3 END"""
+
+  /** (idCol, seq, status) transition log rows for `docs`. Per-row
+    * sequence explode — shuffle-free, codegen, linear at scale. */
+  def statusEvents(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs
+      .select(col(idCol), hash64(col(textCol)).as("h"), statusOf(col(textCol)).as("t"))
+      .withColumn("r", col("h") % 3) // hash64 is nonnegative by construction
+      .withColumn("len", expr(StatusLenCaseSql))
+      .select(col(idCol), col("t"), col("r"),
+        explode(sequence(lit(0L), col("len") - 1L)).as("seq"))
+      .select(col(idCol), col("seq"), expr(StatusEventCaseSql).as("status"))
+
   // --------------------------------------------------------- vector store
   /** The reference's chunk-boundary punctuation set, exactly
     * Function.java isPunctuation (. : ; ? ! — NO space): a space in

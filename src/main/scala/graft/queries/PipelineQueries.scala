@@ -176,6 +176,54 @@ object PipelineQueries {
     FROM norm
     ORDER BY id"""
 
+  // ------------------------------------------------ status state machine
+  /** Full per-document status transition log (reference state machine,
+    * Function.java:185-214) — the event-sourcing view behind the
+    * registered/failed listings. */
+  private def statusEventsQ(s: SparkSession, d: String): DataFrame =
+    Ingest.statusEvents(Tables.documents(s, d), "doc_id", "text")
+      .orderBy(col("doc_id"), col("seq"))
+
+  private val statusEventsSql = s"""
+    WITH st AS (SELECT doc_id, ${hash64Sql("text")} AS h,
+                       ${Ingest.statusOfSql("text")} AS t
+                FROM documents),
+    p AS (SELECT doc_id, t, h % 3 AS r,
+                 ${Ingest.StatusLenCaseSql} AS len
+          FROM st)
+    SELECT doc_id, CAST(seq AS BIGINT) AS seq,
+           ${Ingest.StatusEventCaseSql} AS status
+    FROM p, unnest(range(0, len)) AS u(seq)
+    ORDER BY doc_id, seq"""
+
+  /** Current status + retry accounting from the event log; by
+    * construction the terminal row equals the [[Ingest.statusOf]]
+    * snapshot that vs_registered_list / vs_failed_list use. */
+  private def statusCurrentQ(s: SparkSession, d: String): DataFrame =
+    Ingest.statusEvents(Tables.documents(s, d), "doc_id", "text")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(when(col("status") === "RETRY_OAI_INVOCATION", 1L).otherwise(0L)).as("n_retries"),
+        max_by(col("status"), col("seq")).as("current_status"))
+      .orderBy(col("doc_id"))
+
+  private val statusCurrentSql = s"""
+    WITH st AS (SELECT doc_id, ${hash64Sql("text")} AS h,
+                       ${Ingest.statusOfSql("text")} AS t
+                FROM documents),
+    p AS (SELECT doc_id, t, h % 3 AS r,
+                 ${Ingest.StatusLenCaseSql} AS len
+          FROM st),
+    ev AS (SELECT doc_id, CAST(seq AS BIGINT) AS seq,
+                  ${Ingest.StatusEventCaseSql} AS status
+           FROM p, unnest(range(0, len)) AS u(seq))
+    SELECT doc_id, count(*) AS n_events,
+           CAST(sum(CASE WHEN status = 'RETRY_OAI_INVOCATION' THEN 1 ELSE 0 END) AS BIGINT) AS n_retries,
+           arg_max(status, seq) AS current_status
+    FROM ev GROUP BY doc_id
+    ORDER BY doc_id"""
+
   // ------------------------------------------------------------ profiling
   private val ProfileCols = Seq("doc_id", "lang", "source", "n_chars")
 
@@ -199,5 +247,7 @@ object PipelineQueries {
     "vs_failed_list"     -> QueryDef(failed _, listSql("<>")),
     "ingest_pdf_pages"   -> QueryDef(pdfPagesQ _, pdfPagesSql),
     "ingest_pdf_store"   -> QueryDef(pdfStoreQ _, pdfStoreSql),
+    "status_events"      -> QueryDef(statusEventsQ _, statusEventsSql),
+    "status_current"     -> QueryDef(statusCurrentQ _, statusCurrentSql),
   )
 }

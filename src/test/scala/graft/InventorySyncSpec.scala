@@ -22,7 +22,7 @@ class InventorySyncSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the documented outcome") {
-    assert(SparkEntry.queries.size == 55)
-    assert(SparkEntry.oracleSql.size == 50)
+    assert(SparkEntry.queries.size == 57)
+    assert(SparkEntry.oracleSql.size == 52)
   }
 }

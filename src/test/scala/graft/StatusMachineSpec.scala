@@ -1,0 +1,52 @@
+package graft
+
+import graft.pipeline.Ingest
+import org.apache.spark.sql.functions._
+
+/** The status event log must be a legal walk of the reference's state
+  * machine (models/CosmosDBDocumentStatus.java) and agree with the
+  * terminal snapshot the listing queries use. */
+class StatusMachineSpec extends SparkSpec {
+
+  private val Legal: Map[String, Set[String]] = Map(
+    "PAGE_SEPARATE_FINISHED" -> Set("RETRY_OAI_INVOCATION", "FINISH_OAI_INVOCATION"),
+    "RETRY_OAI_INVOCATION" -> Set("RETRY_OAI_INVOCATION", "FINISH_OAI_INVOCATION"),
+    "FINISH_OAI_INVOCATION" -> Set("FINISH_DB_INSERTION", "FAILED_DB_INSERTION"),
+    "FINISH_DB_INSERTION" -> Set("COMPLETED"))
+
+  private lazy val events = Ingest
+    .statusEvents(Tables.documents(spark, Sf), "doc_id", "text")
+    .collect()
+    .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    .groupBy(_._1)
+    .map { case (id, rows) => id -> rows.sortBy(_._2).map(_._3).toSeq }
+
+  test("every walk starts at PAGE_SEPARATE_FINISHED and follows legal transitions") {
+    events.foreach { case (id, walk) =>
+      assert(walk.head == "PAGE_SEPARATE_FINISHED", s"doc $id starts at ${walk.head}")
+      walk.sliding(2).foreach {
+        case Seq(a, b) =>
+          assert(Legal.getOrElse(a, Set.empty).contains(b), s"doc $id: illegal $a -> $b")
+        case _ => ()
+      }
+    }
+  }
+
+  test("terminal event equals the statusOf snapshot used by the listings") {
+    val snapshot = Tables.documents(spark, Sf)
+      .select(col("doc_id"), Ingest.statusOf(col("text")).as("t"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    events.foreach { case (id, walk) =>
+      assert(walk.last == snapshot(id), s"doc $id: log ends ${walk.last}, snapshot ${snapshot(id)}")
+    }
+    // all four terminal states are actually exercised by the corpus
+    assert(events.values.map(_.last).toSet.size == 4)
+  }
+
+  test("retry accounting: completed walks carry their retries in the log") {
+    val withRetries = events.values.filter(w =>
+      w.last == "COMPLETED" && w.contains("RETRY_OAI_INVOCATION"))
+    assert(withRetries.nonEmpty) // h % 3 > 0 for some completed docs
+    withRetries.foreach(w => assert(w.count(_ == "RETRY_OAI_INVOCATION") <= 2))
+  }
+}
