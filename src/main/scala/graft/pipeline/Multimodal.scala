@@ -7,13 +7,37 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing (SURVEY.md §2): media as opaque `binary`
   * columns with typed metadata, batch decode via mapPartitions.
   *
-  * The actual byte→pixels/samples decode is STUBBED (no media libs in
-  * this environment — [[DecodeStub]] is a deterministic fake); the
-  * Spark-side mechanics are real: typed schema, per-partition batch
-  * iteration (the shape a native decoder or model inference wants),
-  * and narrow one-pass execution.
+  * The image/audio/video byte→pixels/samples decode is STUBBED (no
+  * media libs in this environment — [[DecodeStub]] is a deterministic
+  * fake). The PDF modality is decoded FOR REAL: [[decodePdfs]] runs
+  * [[Pdf.extractPages]] (the engine's own ISO 32000 parser) inside the
+  * same mapPartitions batch shape, so one modality exercises the whole
+  * binary-column path end-to-end with genuine bytes. The Spark-side
+  * mechanics are identical across modalities: typed schema,
+  * per-partition batch iteration, narrow one-pass execution.
   */
 object Multimodal {
+
+  final case class PdfDoc(doc_id: Long, mime: String, bytes: Array[Byte])
+
+  final case class PdfFeatures(doc_id: Long, mime: String,
+      n_pages: Long, n_chars: Long, head: String)
+
+  /** REAL decoder for the PDF modality: parse the binary, extract
+    * per-page text, derive features. Same batch shape as
+    * [[decodeFeatures]] — one decoder instance per partition. */
+  def decodePdfs(media: Dataset[PdfDoc])(
+      implicit spark: SparkSession): Dataset[PdfFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val pages = Pdf.extractPages(m.bytes)
+        PdfFeatures(m.doc_id, m.mime, pages.length.toLong,
+          pages.map(_.length.toLong).sum,
+          pages.headOption.getOrElse("").take(24))
+      }
+    }
+  }
 
   final case class MediaRecord(doc_id: Long, mime: String, bytes: Array[Byte])
 

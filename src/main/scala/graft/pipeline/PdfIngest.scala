@@ -22,6 +22,18 @@ object PdfIngest {
       .option("pathGlobFilter", "*.pdf")
       .load(dir)
 
+  /** Deterministic PDF synthesis from text (pageChars-char pages) —
+    * real Flate-compressed PDF bytes for tests and for queries that
+    * need a binary corpus; production reads actual files via
+    * [[readBinaryPdfs]]. */
+  def syntheticPdf(pageChars: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { text: String =>
+      val pages =
+        if (text == null || text.isEmpty) Seq("")
+        else text.grouped(pageChars).toSeq
+      Pdf.write(pages)
+    }
+
   /** Per-file page extraction is inherently imperative (object graph,
     * inflate, operator scan), so a scalar UDF is the right tier — the
     * same justification as the reference-port chunker. */

@@ -82,8 +82,39 @@ object MultimodalQueries {
     ORDER BY doc_id, frame_idx"""
   }
 
+  // ------------------------------------------------------ real PDF decode
+  /** The one modality decoded for REAL: synthesize genuine
+    * Flate-compressed PDFs from the corpus, run them through the
+    * multimodal binary-column batch decoder
+    * ([[graft.pipeline.Multimodal.decodePdfs]] →
+    * [[graft.pipeline.Pdf.extractPages]]), and oracle the extracted
+    * features against SQL recomputed directly from the text — any
+    * parser defect breaks the hash match. */
+  private val PdfPageChars = 200
+
+  private def pdfDecode(s: SparkSession, d: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val mk = graft.pipeline.PdfIngest.syntheticPdf(PdfPageChars)
+    val media = Tables.documents(s, d)
+      .select(col("doc_id"), lit("application/pdf").as("mime"),
+        mk(col("text")).as("bytes"))
+      .as[graft.pipeline.Multimodal.PdfDoc]
+    graft.pipeline.Multimodal.decodePdfs(media).toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  private val pdfDecodeSql = s"""
+    SELECT doc_id, 'application/pdf' AS mime,
+           GREATEST(CAST(ceil(length(text) / $PdfPageChars.0) AS BIGINT), 1) AS n_pages,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           substr(text, 1, 24) AS head
+    FROM documents
+    ORDER BY doc_id"""
+
   val defs: Map[String, QueryDef] = Map(
     "mm_binary_meta"  -> QueryDef(binaryMeta _, binaryMetaSql),
     "mm_frame_sample" -> QueryDef(frameSample _, frameSampleSql),
+    "mm_pdf_decode"   -> QueryDef(pdfDecode _, pdfDecodeSql),
   )
 }

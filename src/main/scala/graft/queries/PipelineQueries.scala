@@ -120,12 +120,7 @@ object PipelineQueries {
     * oracle-checked round trip: the oracle recomputes the expected
     * pagination directly from the text, so any writer/parser defect
     * (escaping, Flate, xref, text operators) breaks the hash match. */
-  private val mkPdf = udf { text: String =>
-    val pages =
-      if (text == null || text.isEmpty) Seq("")
-      else text.grouped(PdfPageChars).toSeq
-    graft.pipeline.Pdf.write(pages)
-  }
+  private val mkPdf = graft.pipeline.PdfIngest.syntheticPdf(PdfPageChars)
 
   private def pdfPagesQ(s: SparkSession, d: String): DataFrame = {
     val pdfs = Tables.documents(s, d)

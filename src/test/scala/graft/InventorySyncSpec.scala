@@ -22,7 +22,7 @@ class InventorySyncSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the documented outcome") {
-    assert(SparkEntry.queries.size == 57)
-    assert(SparkEntry.oracleSql.size == 52)
+    assert(SparkEntry.queries.size == 58)
+    assert(SparkEntry.oracleSql.size == 53)
   }
 }

@@ -101,6 +101,21 @@ class PdfSpec extends SparkSpec {
       ("a.pdf", 1L, "page one"), ("a.pdf", 2L, "page two"), ("b.pdf", 1L, "solo")))
   }
 
+  test("multimodal PDF decoder extracts real features through the batch shape") {
+    implicit val sp = spark
+    import spark.implicits._
+    val media = Seq(
+      graft.pipeline.Multimodal.PdfDoc(1L, "application/pdf",
+        Pdf.write(Seq("first page text here", "second (page)"))),
+      graft.pipeline.Multimodal.PdfDoc(2L, "application/pdf",
+        Pdf.write(Seq("solo")))).toDS()
+    val got = graft.pipeline.Multimodal.decodePdfs(media)
+      .collect().sortBy(_.doc_id)
+    assert(got(0).n_pages == 2 && got(0).n_chars == 20 + 13 &&
+      got(0).head == "first page text here")
+    assert(got(1).n_pages == 1 && got(1).n_chars == 4 && got(1).head == "solo")
+  }
+
   test("pdfDirToVectorStore: long page chunks share the TRUE pagenumber and reassemble") {
     val dir = Files.createTempDirectory("pdfstore")
     val longPage = ("alpha beta. gamma delta? epsilon zeta " * 8).trim // > maxLen 120
