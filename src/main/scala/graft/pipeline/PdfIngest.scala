@@ -51,6 +51,38 @@ object PdfIngest {
       .select(carry.map(col) :+ (col("__pi") + 1).cast("long").as("page_number")
         :+ col("page_text"): _*)
 
+  /** The reference's blob-trigger, literally: a STREAM of PDF uploads
+    * (Structured Streaming binaryFile file source watching `dir`) →
+    * per-page extraction → chunk → embed → store rows appended
+    * exactly-once via the checkpoint. Every transform is stateless
+    * per-row, so there is no streaming state to bound. */
+  def streamPdfDir(spark: SparkSession, dir: String, storePath: String,
+      checkpoint: String, dims: Int = 64, maxLen: Int = 120, lookback: Int = 30)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    // streaming file sources require an explicit schema; binaryFile's
+    // is fixed by the format
+    val binarySchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content", org.apache.spark.sql.types.BinaryType)))
+    val files = spark.readStream.format("binaryFile")
+      .schema(binarySchema)
+      .option("pathGlobFilter", "*.pdf")
+      .load(dir)
+    val pg = pages(files)
+      .withColumn("filename", regexp_extract(col("path"), "[^/]+$", 0))
+    Ingest.toVectorStore(pg, "filename", "page_text", "filename",
+        pageCol = Some("page_number"), dims = dims, maxLen = maxLen, lookback = lookback)
+      .writeStream
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", checkpoint)
+      .format("parquet")
+      .option("path", storePath)
+      .start()
+  }
+
   /** Full reference flow from a directory of PDFs to vector-store
     * rows: extract pages → chunk (reference punctuation look-back) →
     * embed → DOCUMENT_SEARCH_VECTOR schema with the TRUE pagenumber

@@ -197,7 +197,53 @@ object AnalyticsQueries {
     GROUP BY cohort_day
     ORDER BY cohort_day"""
 
+  // -------------------------------------------------------------- funnel
+  /** Ordered multi-step funnel: users who viewed, then clicked AFTER
+    * their first view, then purchased AFTER that first qualifying
+    * click. Each stage is a groupBy(user) + min — shuffles keyed on
+    * user_id only, stage frames shrink monotonically (AQE broadcasts
+    * the narrow side of each qualifying join at scale).
+    * Timestamps are µs-truncated on the Spark side because DuckDB
+    * coerces the parquet TIMESTAMP(NANOS) to µs (same contract as
+    * events_asof_enrich). */
+  private def funnel(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("event_type"), expr("ts DIV 1000").as("tus"))
+    val v = ev.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("tus").as("t1"))
+    val c = ev.filter(col("event_type") === "click").join(v, "user_id")
+      .filter(col("tus") > col("t1"))
+      .groupBy("user_id").agg(min("tus").as("t2"))
+    val p = ev.filter(col("event_type") === "purchase").join(c, "user_id")
+      .filter(col("tus") > col("t2"))
+      .groupBy("user_id").agg(min("tus").as("t3"))
+    def stage(df: DataFrame, step: Long, name: String): DataFrame =
+      df.agg(count(lit(1)).as("n_users"))
+        .select(lit(step).as("step"), lit(name).as("stage"), col("n_users"))
+    stage(v, 1L, "view")
+      .unionAll(stage(c, 2L, "click"))
+      .unionAll(stage(p, 3L, "purchase"))
+      .orderBy(col("step"))
+  }
+
+  private val funnelSql = """
+    WITH v AS (SELECT user_id, min(ts) AS t1 FROM events
+               WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(e.ts) AS t2
+          FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t1
+          WHERE e.event_type = 'click' GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(e.ts) AS t3
+          FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t2
+          WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+    SELECT CAST(1 AS BIGINT) AS step, 'view' AS stage, count(*) AS n_users FROM v
+    UNION ALL
+    SELECT 2, 'click', count(*) FROM c
+    UNION ALL
+    SELECT 3, 'purchase', count(*) FROM p
+    ORDER BY step"""
+
   val defs: Map[String, QueryDef] = Map(
+    "events_funnel"      -> QueryDef(funnel _, funnelSql),
     "events_asof_enrich" -> QueryDef(asofEnrich _, asofEnrichSql),
     "events_sliding_agg" -> QueryDef(slidingAgg _, slidingAggSql),
     "events_quantiles"   -> QueryDef(quantiles _, quantilesSql),

@@ -35,6 +35,7 @@ object ExplainAudit {
           // summary: scans with pushed filters + exchanges + joins
           plan.linesIterator
             .filter(l => l.contains("Scan parquet") || l.contains("PushedFilters") ||
+              l.contains("PartitionFilters") ||
               l.contains("Exchange") || l.contains("Join") || l.contains("ReadSchema"))
             .take(24)
             .foreach(l => println("  " + l.trim.take(160)))

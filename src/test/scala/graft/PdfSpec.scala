@@ -101,6 +101,24 @@ class PdfSpec extends SparkSpec {
       ("a.pdf", 1L, "page one"), ("a.pdf", 2L, "page two"), ("b.pdf", 1L, "solo")))
   }
 
+  test("streaming PDF uploads land store rows exactly once (blob-trigger twin)") {
+    val dir = Files.createTempDirectory("pdfstream")
+    val out = Files.createTempDirectory("pdfstreamout")
+    Files.write(dir.resolve("a.pdf"), Pdf.write(Seq("first upload page one.", "page two.")))
+    val q1 = PdfIngest.streamPdfDir(spark, dir.toString, s"$out/store", s"$out/ckpt")
+    q1.processAllAvailable(); q1.stop()
+    // a new upload + a RESTARTED query on the same checkpoint: the
+    // first file must not re-ingest (exactly-once across restarts)
+    Files.write(dir.resolve("b.pdf"), Pdf.write(Seq("second upload.")))
+    val q2 = PdfIngest.streamPdfDir(spark, dir.toString, s"$out/store", s"$out/ckpt")
+    q2.processAllAvailable(); q2.stop()
+    val store = spark.read.parquet(s"$out/store")
+    assert(store.count() == 3) // 2 pages + 1 page, exactly once
+    assert(store.select("filename").distinct().count() == 2)
+    assert(store.filter(col("filename") === "a.pdf" && col("pagenumber") === 2L)
+      .select("origntext").head.getString(0) == "page two.")
+  }
+
   test("multimodal PDF decoder extracts real features through the batch shape") {
     implicit val sp = spark
     import spark.implicits._
