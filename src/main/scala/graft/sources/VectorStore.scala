@@ -35,6 +35,57 @@ object VectorStore {
       .format("parquet")
       .saveAsTable(table)
 
+  // -------------------------------------------------- store maintenance
+  /** Rewrite the store keeping rows where `keep` holds (None = all),
+    * re-sized to ~`targetFileBytes` parquet files, then atomically
+    * swap directories. This is the maintenance pass a continuously
+    * ingested store needs at scale:
+    *  - [[compact]]: streaming appends produce a file per micro-batch
+    *    task; thousands of tiny files poison scan planning and
+    *    footer-read costs. Periodic compaction restores right-sized
+    *    files.
+    *  - [[delete]]: the reference's document-removal admin operation
+    *    (a pgvector `DELETE FROM DOCUMENT_SEARCH_VECTOR WHERE
+    *    filename = ?`) — parquet is immutable, so deletion is a
+    *    filtered rewrite.
+    *
+    * Swap = write to `<path>.rewrite`, rename old → `<path>.old`,
+    * new → path, drop old. Directory rename is atomic on POSIX/HDFS
+    * filesystems; an object store would put an ACID table layer (or a
+    * manifest) in front instead — documented deviation, the dataflow
+    * is identical. Readers started before the swap keep their file
+    * listing, like any snapshotless table. Returns rows kept. */
+  def rewrite(spark: SparkSession, path: String,
+      keep: Option[org.apache.spark.sql.Column],
+      targetFileBytes: Long = 128L << 20): Long = {
+    val hPath = new org.apache.hadoop.fs.Path(path)
+    val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(hPath).getLength
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+    val kept = keep.foldLeft(spark.read.parquet(path))((df, c) => df.filter(c))
+    val tmp = new org.apache.hadoop.fs.Path(path + ".rewrite")
+    val old = new org.apache.hadoop.fs.Path(path + ".old")
+    kept.repartition(nFiles).write.mode("overwrite").parquet(tmp.toString)
+    val n = spark.read.parquet(tmp.toString).count()
+    fs.delete(old, true)
+    require(fs.rename(hPath, old), s"swap failed: could not move $path aside")
+    require(fs.rename(tmp, hPath), s"swap failed: could not promote $tmp")
+    fs.delete(old, true)
+    n
+  }
+
+  /** Coalesce small files (streaming-ingest debris) without changing
+    * content. */
+  def compact(spark: SparkSession, path: String,
+      targetFileBytes: Long = 128L << 20): Long =
+    rewrite(spark, path, None, targetFileBytes)
+
+  /** Remove rows matching `pred` (filtered rewrite). */
+  def delete(spark: SparkSession, path: String,
+      pred: org.apache.spark.sql.Column,
+      targetFileBytes: Long = 128L << 20): Long =
+    rewrite(spark, path, Some(!pred), targetFileBytes)
+
   /** documents stream → chunk → embed → parquet append. */
   def streamIngest(docsStream: DataFrame, path: String, checkpoint: String,
       idCol: String = "doc_id", textCol: String = "text",

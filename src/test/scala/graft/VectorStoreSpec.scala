@@ -30,6 +30,34 @@ class VectorStoreSpec extends SparkSpec {
     assert(math.abs(top.getDouble(1)) < 1e-12)
   }
 
+  test("compaction coalesces streaming debris; delete removes by predicate") {
+    val dir = Files.createTempDirectory("vmaint").toString
+    val docs = Tables.documents(spark, Sf).limit(40)
+    val store = graft.pipeline.Ingest.toVectorStore(docs, "doc_id", "text", "source")
+    // simulate micro-batch debris: many tiny appends
+    store.repartition(8).write.mode("overwrite").parquet(s"$dir/store")
+    store.limit(0).write.mode("append").parquet(s"$dir/store") // empty-batch files
+    def dataFiles() = new java.io.File(s"$dir/store").listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    val before = spark.read.parquet(s"$dir/store").count()
+    assert(dataFiles() >= 8)
+
+    val kept = VectorStore.compact(spark, s"$dir/store")
+    assert(kept == before)
+    assert(dataFiles() == 1) // tiny store → single right-sized file
+    assert(spark.read.parquet(s"$dir/store").count() == before)
+
+    val doomed = spark.read.parquet(s"$dir/store")
+      .filter(col("pagenumber") === 1L && col("chunk_idx") === 0L).count()
+    assert(doomed > 0)
+    val left = VectorStore.delete(spark, s"$dir/store",
+      col("pagenumber") === 1L && col("chunk_idx") === 0L)
+    assert(left == before - doomed)
+    val after = spark.read.parquet(s"$dir/store")
+    assert(after.count() == before - doomed)
+    assert(after.filter(col("chunk_idx") === 0L).count() == 0)
+  }
+
   test("streaming ingest lands chunks in the store exactly once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
