@@ -111,6 +111,47 @@ object IvfIndex {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** Batch ANN: many query vectors at once against the cell-assigned
+    * corpus — the scale path where even one corpus scan per query is
+    * too much.
+    *
+    * Shape: each query ranks the broadcast centroids and keeps its
+    * nprobe cells (a window over queries × nlist rows — query-side
+    * work only); the candidate set is then the CELL-BUCKET JOIN of
+    * (query, cell) pairs with the corpus on `centroid_id`, never a
+    * full cross. Candidate volume is queries × nprobe × (N/nlist)
+    * versus the brute-force queries × N — an nlist/nprobe reduction —
+    * and with a store written `partitionBy("centroid_id")` the corpus
+    * side is already co-located on the join key. Per-query exact
+    * top-k within the candidates runs through the bounded
+    * [[graft.functions.TopKAggregate]] (map-side ≤ k rows per query
+    * per partition cross the shuffle).
+    *
+    * Output: (qIdCol, idCol, dist) ordered by (qid, dist, id);
+    * approximate with the usual IVF cell recall. */
+  def searchBatch(
+      indexed: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, queries: DataFrame, qIdCol: String, qVecCol: String,
+      distance: (Column, Column) => Column, k: Int, nprobe: Int): DataFrame = {
+    val w = Window.partitionBy(col(qIdCol)).orderBy(col("cdist"), col("centroid_id"))
+    val probes = queries
+      .crossJoin(broadcast(centroids))
+      .select(col(qIdCol), col(qVecCol), col("centroid_id"),
+        distance(col(qVecCol), col("centroid")).as("cdist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= nprobe)
+      .select(col(qIdCol), col(qVecCol), col("centroid_id"))
+    indexed
+      .join(broadcast(probes), Seq("centroid_id"))
+      .filter(col(idCol) =!= col(qIdCol)) // corpus-vs-itself id space
+      .groupBy(col(qIdCol))
+      .agg(graft.functions.TopKAggregate.topK(
+        distance(col(vecCol), col(qVecCol)), col(idCol).cast("long"), k).as("topk"))
+      .select(col(qIdCol), explode(col("topk")).as("p"))
+      .select(col(qIdCol), col("p.id").as(idCol), col("p.dist").as("dist"))
+      .orderBy(col(qIdCol), col("dist"), col(idCol))
+  }
+
   /** Probe search: scan only the nprobe cells nearest to the query. */
   def search(
       indexed: DataFrame, idCol: String, vecCol: String,

@@ -260,7 +260,7 @@ object VectorQueries {
     * centroids under java.io.tmpdir, registered in [[IvfCatalog]] with
     * [[IvfProbeRule]] installed. Deterministic: same corpus → same
     * k-means → same layout, so re-use across JVMs is safe. */
-  private def ensureAutoStore(s: SparkSession, d: String): String = {
+  private def ensureAutoStore(s: SparkSession, d: String): (String, String) = {
     val base = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_ivf_auto_${Integer.toHexString(d.hashCode)}")
     val storeP = new java.io.File(base, "store").toString
@@ -275,7 +275,7 @@ object VectorQueries {
     }
     IvfCatalog.register(storeP, s.read.parquet(centP), nprobe = 4)
     IvfProbeRule.install(s)
-    storeP
+    (storeP, centP)
   }
 
   /** The reference's literal-query search shape (`ORDER BY
@@ -285,8 +285,22 @@ object VectorQueries {
     * selection in the optimizer, where an RDBMS does it. Rows-only:
     * approximate (cell recall), like vs_ivf_knn. */
   private def ivfAuto(s: SparkSession, d: String): DataFrame = {
-    val storeP = ensureAutoStore(s, d)
+    val (storeP, _) = ensureAutoStore(s, d)
     autoProbe(s, d, storeP)
+  }
+
+  /** IVF-accelerated BATCH ANN over the persisted cell-partitioned
+    * store: each query probes its nprobe cells, candidates come from
+    * the cell-bucket join (never a full cross), per-query exact top-k
+    * via the bounded aggregate. Rows-only: approximate (cell recall
+    * asserted in IvfAutoSpec vs the exact batch). */
+  private def ivfBatch(s: SparkSession, d: String): DataFrame = {
+    val (storeP, centP) = ensureAutoStore(s, d)
+    val q = Tables.embeddings(s, d).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    IvfIndex.searchBatch(
+      s.read.parquet(storeP), "vec_id", "embedding",
+      s.read.parquet(centP), q, "qid", "qvec", l2Distance, k = 5, nprobe = 4)
   }
 
   private def autoProbe(s: SparkSession, d: String, storeP: String): DataFrame = {
@@ -302,7 +316,7 @@ object VectorQueries {
 
   def ivfAutoBench(s: SparkSession, d: String): (() => Unit, () => DataFrame) = {
     var storeP: String = null
-    (() => { storeP = ensureAutoStore(s, d) }, () => autoProbe(s, d, storeP))
+    (() => { storeP = ensureAutoStore(s, d)._1 }, () => autoProbe(s, d, storeP))
   }
 
   // ------------------------------------------------- bench build/probe split
@@ -346,6 +360,7 @@ object VectorQueries {
 
   val defs: Map[String, QueryDef] = Map(
     "vs_ivf_auto"     -> QueryDef(ivfAuto _, None),
+    "vs_ivf_batch"    -> QueryDef(ivfBatch _, None),
     "vs_ivf_knn"      -> QueryDef(ivfKnn _, None),
     "vs_lsh_knn"      -> QueryDef(lshKnn _, None),
     "vs_pq_knn"       -> QueryDef(pqKnn _, None),

@@ -41,6 +41,26 @@ class IvfAutoSpec extends SparkSpec {
     assert((approx & exact).size >= 3, s"recall too low: $approx vs $exact")
   }
 
+  test("batch IVF search keeps useful per-query recall vs the exact batch") {
+    import org.apache.spark.sql.functions.typedLit
+    val batch = SparkEntry.queries("vs_ivf_batch")(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    assert(batch.keySet == Set(0L, 1L, 2L, 3L, 4L))
+    // exact twin over the same store via the brute-force batch operator
+    val store = spark.read.parquet(
+      auto.queryExecution.optimizedPlan.collectLeaves().head
+        .asInstanceOf[org.apache.spark.sql.execution.datasources.LogicalRelation]
+        .relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+        .location.rootPaths.head.toString)
+    val q = Tables.embeddings(spark, Sf).filter(col("vec_id") < 5)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val exact = graft.operators.Knn.topKBatch(store, "vec_id", "embedding",
+        q, "qid", "qvec", graft.functions.VectorFunctions.l2Distance, 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet)
+    val recalls = batch.map { case (qid, ids) => (ids & exact(qid)).size.toDouble / 5 }
+    assert(recalls.sum / recalls.size >= 0.3, s"avg batch recall too low: $recalls")
+  }
+
   test("plans without a registered store or literal query are untouched") {
     // same shape over the raw embeddings table (no centroid_id, not
     // registered): the rule must not fire
