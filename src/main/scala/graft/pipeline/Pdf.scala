@@ -319,7 +319,7 @@ object Pdf {
           var stream: Option[Array[Byte]] = None
           lex.skipWs()
           if (lex.startsWith("stream")) {
-            var s = lex.pos + "stream".length
+            var s = math.min(lex.pos + "stream".length, bytes.length)
             if (s < bytes.length && bytes(s) == '\r') s += 1
             if (s < bytes.length && bytes(s) == '\n') s += 1
             val len = v match {
@@ -335,14 +335,14 @@ object Pdf {
             // (allowing the spec's optional EOL); a trusted length is
             // exact, so no EOL trim — a fallback endstream scan must
             // trim the EOL that precedes the keyword
-            val e = len.map(l => math.min(s + l, bytes.length)).filter { cand =>
+            val e = len.map(l => math.min(math.max(s + l, s), bytes.length)).filter { cand =>
               val idx = text.indexOf("endstream", cand)
               idx >= 0 && idx - cand <= 2
             }.getOrElse {
               val idx = text.indexOf("endstream", s)
               trimEol(bytes, s, if (idx < 0) bytes.length else idx)
             }
-            stream = Some(java.util.Arrays.copyOfRange(bytes, s, math.max(s, e)))
+            stream = Some(java.util.Arrays.copyOfRange(bytes, s, math.min(math.max(s, e), bytes.length)))
             guard = math.max(guard, e)
           }
           if (!objs.contains(num) || stream.isDefined) objs(num) = PdfObject(v, stream)

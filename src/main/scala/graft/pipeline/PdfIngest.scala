@@ -36,9 +36,17 @@ object PdfIngest {
 
   /** Per-file page extraction is inherently imperative (object graph,
     * inflate, operator scan), so a scalar UDF is the right tier — the
-    * same justification as the reference-port chunker. */
+    * same justification as the reference-port chunker.
+    *
+    * Totality: the parser is repair-style and defensive, and any
+    * residual parse failure yields ZERO pages for that file rather
+    * than an exception — at 100 TB one corrupt upload must not kill
+    * the ingest job (the reference's per-blob trigger has the same
+    * isolation for free; a corpus-wide Spark job has to choose it). */
   private val pagesUdf = udf { bytes: Array[Byte] =>
-    if (bytes == null) Seq.empty[String] else Pdf.extractPages(bytes)
+    if (bytes == null) Seq.empty[String]
+    else try Pdf.extractPages(bytes)
+    catch { case scala.util.control.NonFatal(_) => Seq.empty[String] }
   }
 
   /** One row per (file, page): carries `carry` columns through and

@@ -26,4 +26,33 @@ object PdfPropertySpec extends Properties("pdf") {
   property("roundTripRaw") = forAll(pagesGen) { pages =>
     Pdf.extractPages(Pdf.write(pages, compress = false)) == pages
   }
+
+  // corrupt input must never throw: random bytes parse to zero pages,
+  // and truncating a valid PDF anywhere yields a (possibly empty)
+  // result, not an exception — one bad file must not kill a 100 TB job
+  private val garbageGen: Gen[Array[Byte]] =
+    Gen.listOf(Gen.choose(Byte.MinValue, Byte.MaxValue)).map(_.toArray)
+
+  property("garbageNeverThrows") = forAll(garbageGen) { bytes =>
+    Pdf.extractPages(bytes).forall(_ != null)
+  }
+
+  private val truncatedGen: Gen[(List[String], Int)] = for {
+    pages <- pagesGen
+    cut <- Gen.choose(0, 100)
+  } yield (pages, cut)
+
+  property("truncatedPdfNeverThrows") = forAll(truncatedGen) { case (pages, pct) =>
+    val full = Pdf.write(pages)
+    val cut = java.util.Arrays.copyOf(full, full.length * pct / 100)
+    Pdf.extractPages(cut).forall(_ != null)
+  }
+
+  property("embeddedKeywordsRoundTrip") = forAll(Gen.choose(0, 5)) { n =>
+    // hostile content: structural keywords INSIDE page text, written
+    // UNCOMPRESSED so they appear verbatim in the raw bytes — the
+    // object scanner's stream-extent guard must skip them
+    val page = ("endstream 1 0 obj stream trailer startxref %%EOF " * (n + 1)).trim
+    Pdf.extractPages(Pdf.write(Seq(page), compress = false)) == Seq(page)
+  }
 }
