@@ -171,26 +171,48 @@ object Dedup {
     * any pair sharing at least one sub-cap shingle is scored exactly. */
   def ngramJaccard(
       docs: DataFrame, idCol: String, textCol: String,
-      shingleN: Int, tau: Double, maxShingleDf: Int = Int.MaxValue): DataFrame = {
-    val sh = shingleRows(docs, idCol, textCol, shingleN)
+      shingleN: Int, tau: Double, maxShingleDf: Int = Int.MaxValue,
+      mat: Materializer = Materializer.local()): DataFrame = {
+    // the pruned path consumes the shingle relation from four subtrees
+    // (df counts, both candidate sides, full-set verification) —
+    // materialize once instead of recomputing the tokenize→shingle
+    // tree per consumer; the unpruned single-pass plan uses it twice
+    // and Spark's scan reuse handles that fine, so no checkpoint there
+    // fused single pass: the shared-shingle join IS the exact shared
+    // count — only valid when every shingle participates
+    def fused(sh: DataFrame): DataFrame = {
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
+      val shared = sh.as("a")
+        .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("shared"))
+      shared
+        .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
+        .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
+        .select(col("doc_a"), col("doc_b"),
+          (col("shared").cast("double") /
+            (col("na.n") + col("nb.n") - col("shared"))).as("jaccard"))
+    }
     val scored =
-      if (maxShingleDf == Int.MaxValue) {
-        // unpruned: the shared-shingle join IS the exact shared count
-        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-        val shared = sh.as("a")
-          .join(sh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
-          .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-          .agg(count(lit(1)).as("shared"))
-        shared
-          .join(sizes.as("na"), col("doc_a") === col("na.doc_id"))
-          .join(sizes.as("nb"), col("doc_b") === col("nb.doc_id"))
-          .select(col("doc_a"), col("doc_b"),
-            (col("shared").cast("double") /
-              (col("na.n") + col("nb.n") - col("shared"))).as("jaccard"))
-      } else {
-        // pruned: candidates from sub-cap shingles only, then exact
-        // jaccard on the FULL sets for the surviving pairs
-        verifiedJaccard(shingleCandidates(sh, maxShingleDf), sh)
+      if (maxShingleDf == Int.MaxValue) fused(shingleRows(docs, idCol, textCol, shingleN))
+      else {
+        // skew probe first (one cheap aggregate over the materialized
+        // shingles): when no shingle exceeds the cap, pruning is a
+        // no-op and the fused single pass is both exact and ~2× the
+        // guarded plan's speed; only a genuinely skewed corpus pays
+        // for candidate generation + full-set verification
+        val sh = mat.mat(shingleRows(docs, idCol, textCol, shingleN), "ngram-shingles")
+        val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > maxShingleDf).select(col("s"))
+        if (hot.isEmpty) fused(sh)
+        else {
+          val candSh = sh.join(hot, Seq("s"), "left_anti")
+          val cand = candSh.as("a")
+            .join(candSh.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+            .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+            .distinct()
+          verifiedJaccard(cand, sh)
+        }
       }
     scored
       .filter(col("jaccard") >= tau)
@@ -293,16 +315,17 @@ object Dedup {
       val neighborMin = edges
         .join(labels, edges("b") === labels("node"))
         .groupBy(col("a")).agg(min(col("label")).as("nmin"))
-      // the changed flag rides in the same pass, so convergence is a
-      // cheap scan of the materialized round, not an extra join job
-      val next = mat.mat(
+      // the changed flag rides in the same pass AND the convergence
+      // count is the materializing action — one job per round, not
+      // materialize + scan
+      val (next, changed) = mat.matWithCount(
         labels
           .join(neighborMin, labels("node") === neighborMin("a"), "left_outer")
           .select(col("node"),
             least(col("label"), coalesce(col("nmin"), col("label"))).as("new_label"),
             (coalesce(col("nmin"), col("label")) < col("label")).as("changed")),
-        s"cc-round$i")
-      converged = next.filter(col("changed")).isEmpty
+        s"cc-round$i", col("changed"))
+      converged = changed == 0
       mat.release(cur) // superseded round: O(diameter) rounds must not accumulate blocks
       cur = next
       labels = next.select(col("node"), col("new_label").as("label"))

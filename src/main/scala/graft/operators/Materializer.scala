@@ -30,6 +30,18 @@ trait Materializer {
     * consumed repeatedly without recomputation. */
   def mat(df: DataFrame, tag: String): DataFrame
 
+  /** Materialize AND count rows matching `pred`, in as few jobs as
+    * the strategy allows — iterative algorithms use the count as
+    * their convergence signal, and a separate counting job per round
+    * doubles the sequential job chain. Local: ONE job (the counting
+    * action materializes a lazy checkpoint); parquet: the write plus
+    * a cheap re-read count. */
+  def matWithCount(df: DataFrame, tag: String,
+      pred: org.apache.spark.sql.Column): (DataFrame, Long) = {
+    val out = mat(df, tag)
+    (out, out.filter(pred).count())
+  }
+
   /** Free the storage behind a frame returned by [[mat]] once no
     * consumer needs it. No-op for persistent layouts. */
   def release(df: DataFrame): Unit
@@ -61,6 +73,18 @@ object Materializer {
       val out = df.localCheckpoint()
       owned.put(out, (sc.getPersistentRDDs.keySet -- before).toSet)
       out
+    }
+
+    override def matWithCount(df: DataFrame, tag: String,
+        pred: org.apache.spark.sql.Column): (DataFrame, Long) = {
+      val sc = df.sparkSession.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      // lazy checkpoint: the count IS the materializing action — one
+      // job materializes the round and yields the convergence signal
+      val out = df.localCheckpoint(eager = false)
+      val n = out.filter(pred).count()
+      owned.put(out, (sc.getPersistentRDDs.keySet -- before).toSet)
+      (out, n)
     }
 
     def release(df: DataFrame): Unit = {
