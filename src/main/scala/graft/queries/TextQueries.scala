@@ -178,7 +178,56 @@ object TextQueries {
     ORDER BY n DESC, bigram
     LIMIT 20"""
 
+  // ------------------------------------------------------- repetition
+  /** Within-document repetition signals (the Gopher-style quality
+    * rules an LLM-data pipeline filters on): duplicate-token fraction
+    * and the share of the most frequent token / bigram. Pure per-row
+    * higher-order functions over the materialized token array — no
+    * shuffle, no cross-row work; the per-row cost is
+    * O(distinct × tokens), bounded by document length.
+    *
+    * Determinism: every ratio is ONE IEEE division of two exact
+    * integers, bit-identical across engines and partitionings. */
+  private def repetition(s: SparkSession, d: String): DataFrame = {
+    val maxCount = (xs: Column) => array_max(transform(array_distinct(xs),
+      t => size(filter(xs, x => x === t))))
+    Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("toks"))
+      .withColumn("bi", shingles(col("toks"), 2))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        size(array_distinct(col("toks"))).cast("long").as("n_distinct"),
+        (lit(1.0) - size(array_distinct(col("toks"))).cast("double") /
+          size(col("toks")).cast("double")).as("dup_ratio"),
+        (maxCount(col("toks")).cast("double") /
+          size(col("toks")).cast("double")).as("top_token_share"),
+        when(size(col("bi")) > 0,
+          maxCount(col("bi")).cast("double") / size(col("bi")).cast("double"))
+          .otherwise(lit(0.0)).as("top_bigram_share"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val repetitionSql = s"""
+    WITH t AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
+    b AS (SELECT doc_id, toks, ${shinglesSql("toks", 2)} AS bi FROM t)
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct,
+           1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / CAST(len(toks) AS DOUBLE) AS dup_ratio,
+           CAST(list_max(list_transform(list_distinct(toks),
+                  t -> len(list_filter(toks, x -> x = t)))) AS DOUBLE)
+             / CAST(len(toks) AS DOUBLE) AS top_token_share,
+           CASE WHEN len(bi) > 0 THEN
+             CAST(list_max(list_transform(list_distinct(bi),
+                    t -> len(list_filter(bi, x -> x = t)))) AS DOUBLE)
+               / CAST(len(bi) AS DOUBLE)
+           ELSE 0.0 END AS top_bigram_share
+    FROM b
+    ORDER BY doc_id"""
+
   val defs: Map[String, QueryDef] = Map(
+    "text_repetition"  -> QueryDef(repetition _, repetitionSql),
     "text_ngram_freq"  -> QueryDef(ngramFreq _, ngramFreqSql),
     "text_lang_id"     -> QueryDef(langId _, langIdSql),
     "text_quality"     -> QueryDef(quality _, qualitySql),
