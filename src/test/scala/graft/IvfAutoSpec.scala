@@ -61,6 +61,26 @@ class IvfAutoSpec extends SparkSpec {
     assert(recalls.sum / recalls.size >= 0.3, s"avg batch recall too low: $recalls")
   }
 
+  test("cosine and negated-dot literal queries are rewritten with their own metric") {
+    import graft.functions.VectorDistance
+    val storeP = auto.queryExecution.optimizedPlan.collectLeaves().head
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.LogicalRelation]
+      .relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+      .location.rootPaths.head.toString
+    val q = Tables.embeddings(spark, Sf).filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head.getSeq[Double](0).toArray
+    def shape(dist: org.apache.spark.sql.Column) =
+      spark.read.parquet(storeP).filter(col("vec_id") =!= 0)
+        .select(col("vec_id"), dist.as("dist"))
+        .orderBy(col("dist"), col("vec_id")).limit(10)
+    val cos = shape(VectorDistance.cosineDistance(col("embedding"), typedLit(q)))
+    assert(cos.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    assert(cos.collect().length == 10)
+    val ip = shape(-VectorDistance.dot(col("embedding"), typedLit(q)))
+    assert(ip.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    assert(ip.collect().length == 10)
+  }
+
   test("plans without a registered store or literal query are untouched") {
     // same shape over the raw embeddings table (no centroid_id, not
     // registered): the rule must not fire
