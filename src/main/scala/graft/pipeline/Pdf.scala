@@ -24,11 +24,15 @@ import scala.collection.mutable
   * FlateDecode content streams, and concatenates the show-text
   * operands (Tj, ', ", TJ) of each page's content in stream order.
   *
-  * Scope (documented limits, honest subset): objects packed in object
-  * streams (/Type /ObjStm), encryption, and non-Flate filters are not
-  * supported; extracted bytes are decoded as UTF-8 (no per-font
-  * /Encoding or CID handling). Text written by [[write]] round-trips
-  * byte-exactly, including parens, backslashes and control bytes.
+  * Objects packed in object streams (/Type /ObjStm, PDF 1.5+ — how
+  * modern writers store the page tree) are expanded after the scan,
+  * so both classic and compressed-xref files resolve.
+  *
+  * Scope (documented limits, honest subset): encryption and
+  * non-Flate filters are not supported; extracted bytes are decoded
+  * as UTF-8 (no per-font /Encoding or CID handling). Text written by
+  * [[write]] round-trips byte-exactly, including parens, backslashes
+  * and control bytes.
   */
 object Pdf {
 
@@ -360,9 +364,48 @@ object Pdf {
     i
   }
 
+  /** Expand objects packed inside object streams (/Type /ObjStm,
+    * PDF 1.5+): the stream holds `/N` (objnum, offset) integer pairs
+    * followed by the serialized objects at `/First` + offset. Modern
+    * writers pack most non-stream objects this way, so without this
+    * pass the page tree of a typical contemporary PDF is invisible to
+    * the object scan. Packed objects never override a same-numbered
+    * top-level object (incremental updates win). */
+  private def expandObjectStreams(objs: Map[Int, PdfObject]): Map[Int, PdfObject] = {
+    val packed = mutable.Map.empty[Int, PdfObject]
+    objs.values.foreach { o =>
+      (o.value, o.stream) match {
+        case (Dict(d), Some(raw))
+            if d.get("Type").contains(Name("ObjStm")) =>
+          val data = d.get("Filter") match {
+            case Some(Name("FlateDecode")) => inflate(raw)
+            case None => raw
+            case _ => Array.empty[Byte] // unsupported filter
+          }
+          val n = d.get("N").collect { case Num(v) => v.toInt }.getOrElse(0)
+          val first = d.get("First").collect { case Num(v) => v.toInt }.getOrElse(0)
+          if (n > 0 && first > 0 && first <= data.length) {
+            val header = new Lexer(data, 0)
+            val pairs = (0 until 2 * n).flatMap(_ => header.next()).collect {
+              case Num(v) => v.toLong
+            }
+            pairs.grouped(2).foreach {
+              case Seq(num, off) if first + off >= 0 && first + off < data.length =>
+                val lex = new Lexer(data, (first + off).toInt)
+                lex.next().foreach(v => packed(num.toInt) = PdfObject(v, None))
+              case _ => ()
+            }
+          }
+        case _ => ()
+      }
+    }
+    // top-level objects win over packed ones with the same number
+    packed.toMap ++ objs
+  }
+
   /** Per-page text, in page-tree order. Empty seq if no page tree. */
   def extractPages(bytes: Array[Byte]): Seq[String] = {
-    val objs = indexObjects(bytes)
+    val objs = expandObjectStreams(indexObjects(bytes))
     def resolve(v: Val): Val = v match {
       case Ref(n) => objs.get(n).map(o => resolve(o.value)).getOrElse(NullVal)
       case other => other

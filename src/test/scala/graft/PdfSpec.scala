@@ -88,6 +88,37 @@ class PdfSpec extends SparkSpec {
     assert(got == Seq("part onepart two"))
   }
 
+  test("objects packed in an ObjStm (PDF 1.5 style) resolve: page tree inside the stream") {
+    // modern-writer shape: catalog/pages/page live INSIDE an object
+    // stream; only the ObjStm container and the content stream are
+    // top-level, and there is no classic trailer
+    val o2 = "<< /Type /Catalog /Pages 3 0 R >>"
+    val o3 = "<< /Type /Pages /Kids [4 0 R] /Count 1 >>"
+    val o4 = "<< /Type /Page /Parent 3 0 R /Contents 5 0 R >>"
+    val header = s"2 0 3 ${o2.length + 1} 4 ${o2.length + 1 + o3.length + 1} "
+    val streamData = header + o2 + " " + o3 + " " + o4
+    val content = "BT (packed!) Tj ET"
+    val fixture =
+      s"""%PDF-1.5
+         |1 0 obj
+         |<< /Type /ObjStm /N 3 /First ${header.length} /Length ${streamData.length} >>
+         |stream
+         |$streamData
+         |endstream
+         |endobj
+         |5 0 obj
+         |<< /Length ${content.length} >>
+         |stream
+         |$content
+         |endstream
+         |endobj
+         |startxref
+         |0
+         |%%EOF
+         |""".stripMargin
+    assert(Pdf.extractPages(fixture.getBytes("ISO-8859-1")) == Seq("packed!"))
+  }
+
   test("binaryFile source yields one row per (file, page); non-PDFs filtered") {
     val dir = Files.createTempDirectory("pdfs")
     Files.write(dir.resolve("a.pdf"), Pdf.write(Seq("page one", "page two")))
