@@ -90,7 +90,11 @@ object IvfProbeRule extends Rule[LogicalPlan] {
     }
   }
 
-  private def rewrite(srt: Sort): Option[Sort] = {
+  private def rewrite(srt: Sort): Option[Sort] =
+    literalRewrite(srt).orElse(joinRewrite(srt))
+
+  /** The pgvector shape: the query vector is a LITERAL in the sort key. */
+  private def literalRewrite(srt: Sort): Option[Sort] = {
     for {
       head <- srt.order.headOption
       (vde, negated) <- asDistance(resolveThroughProjects(head.child, srt.child))
@@ -98,6 +102,71 @@ object IvfProbeRule extends Rule[LogicalPlan] {
       _ <- vectorColumn(vde) // a real column on the other side, not two literals
       rewritten <- injectProbe(srt.child, vde, query, negated)
     } yield srt.copy(child = rewritten)
+  }
+
+  /** The DataFrame-API shape ([[graft.operators.Knn.topK]]): the query
+    * vector arrives through a broadcast join with a 1-row relation, so
+    * the sort key references TWO attributes. If the corpus side is a
+    * registered store, the tiny query side is EVALUATED at rewrite
+    * time (limit-2 guarded: more than one row → no rewrite) and the
+    * probe proceeds exactly as in the literal case. Cost of the
+    * evaluation is one job over the 1-row subplan — the same work the
+    * query would do anyway to broadcast it. */
+  private def joinRewrite(srt: Sort): Option[Sort] = {
+    import org.apache.spark.sql.catalyst.plans.logical.Join
+    // already-rewritten guard up front: the extraOptimizations batch
+    // is fixed-point, and re-running must not re-evaluate the subplan
+    val alreadyProbed = srt.child.collectFirst {
+      case Filter(In(a: AttributeReference, _), _) if a.name == "centroid_id" => ()
+    }.isDefined
+    for {
+      head <- srt.order.headOption
+      if !alreadyProbed
+      (vde, negated) <- asDistance(resolveThroughProjects(head.child, srt.child))
+      if literalVector(vde).isEmpty
+      attrs = Seq(vde.left, vde.right).collect { case a: AttributeReference => a }
+      if attrs.size == 2
+      join <- srt.child.collectFirst { case j: Join => j }
+      // corpus side = the side holding a REGISTERED store scan; the
+      // membership check runs BEFORE any evaluation so unregistered
+      // plans never trigger a job
+      sides = Seq(join.left, join.right)
+      corpus <- sides.find(s => s.collectLeaves().exists {
+        case lr: LogicalRelation => lr.relation match {
+          case fs: HadoopFsRelation =>
+            lr.output.exists(_.name == "centroid_id") &&
+              IvfCatalog.lookup(fs.location.rootPaths).isDefined
+          case _ => false
+        }
+        case _ => false
+      })
+      querySide <- sides.find(_ ne corpus)
+      qAttr <- attrs.find(a => querySide.outputSet.contains(a))
+      if attrs.exists(a => corpus.outputSet.contains(a))
+      query <- evalSingleRowVector(querySide, qAttr)
+      rewritten <- injectProbe(srt.child, vde, query, negated)
+    } yield srt.copy(child = rewritten)
+  }
+
+  /** Evaluate the query-side subplan, expecting exactly one row; a
+    * limit-2 wrapper bounds the work, and 0 or ≥2 rows abort the
+    * rewrite (batch queries keep their original plan). */
+  private def evalSingleRowVector(
+      plan: LogicalPlan,
+      attr: AttributeReference): Option[Array[Double]] = {
+    try {
+      val limited = org.apache.spark.sql.catalyst.plans.logical.Limit(
+        Literal(2, IntegerType),
+        org.apache.spark.sql.catalyst.plans.logical.Project(Seq(attr), plan))
+      val rows = org.apache.spark.sql.GraftSqlBridge.runPlan(
+        SparkSession.active, limited)
+      if (rows.length != 1 || rows(0).isNullAt(0)) None
+      else attr.dataType match {
+        case ArrayType(DoubleType, _) => Some(rows(0).getSeq[Double](0).toArray)
+        case ArrayType(FloatType, _) => Some(rows(0).getSeq[Float](0).map(_.toDouble).toArray)
+        case _ => None
+      }
+    } catch { case scala.util.control.NonFatal(_) => None }
   }
 
   /** Follow an attribute through Project aliases down the child chain. */

@@ -11,4 +11,11 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftSqlBridge {
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Run a logical plan to rows (Dataset.ofRows is private[sql]) —
+    * used by the IVF probe rule to evaluate a provably-tiny query-side
+    * subplan at rewrite time. */
+  def runPlan(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Array[Row] =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan).collect()
 }

@@ -11,11 +11,16 @@ class IvfAutoSpec extends SparkSpec {
 
   private lazy val auto = SparkEntry.queries("vs_ivf_auto")(spark, Sf)
 
+  /** The probe is real only if the scan's PartitionFilters carries the
+    * injected IN list (a partitioned scan always PRINTS the field). */
+  private def probed(plan: String): Boolean =
+    "PartitionFilters: \\[[^\\]]*centroid_id[^\\]]*IN".r.findFirstIn(plan).isDefined
+
   test("literal-query knn over the registered store is rewritten to a pruned probe") {
     val optimized = auto.queryExecution.optimizedPlan.toString
     assert(optimized.contains("centroid_id"), s"no probe filter in:\n$optimized")
     val physical = auto.queryExecution.executedPlan.toString
-    assert(physical.contains("PartitionFilters") && physical.contains("centroid_id"),
+    assert(probed(physical),
       s"probe filter did not reach the scan as partition pruning:\n$physical")
     assert(auto.collect().length == 10)
   }
@@ -74,11 +79,46 @@ class IvfAutoSpec extends SparkSpec {
         .select(col("vec_id"), dist.as("dist"))
         .orderBy(col("dist"), col("vec_id")).limit(10)
     val cos = shape(VectorDistance.cosineDistance(col("embedding"), typedLit(q)))
-    assert(cos.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    assert(probed(cos.queryExecution.executedPlan.toString))
     assert(cos.collect().length == 10)
     val ip = shape(-VectorDistance.dot(col("embedding"), typedLit(q)))
-    assert(ip.queryExecution.executedPlan.toString.contains("PartitionFilters"))
+    assert(probed(ip.queryExecution.executedPlan.toString))
     assert(ip.collect().length == 10)
+  }
+
+  test("Knn.topK over the registered store (broadcast 1-row query) is rewritten too") {
+    val storeP = auto.queryExecution.optimizedPlan.collectLeaves().head
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.LogicalRelation]
+      .relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+      .location.rootPaths.head.toString
+    val qdf = Tables.embeddings(spark, Sf).filter(col("vec_id") === 0)
+      .select(col("embedding").as("qvec"))
+    // plain DataFrame-API knn — no literal, no index call in sight
+    val knn = graft.operators.Knn.topK(
+      spark.read.parquet(storeP).filter(col("vec_id") =!= 0),
+      "vec_id", "embedding", qdf, "qvec",
+      graft.functions.VectorFunctions.l2Distance, 10)
+    val phys = knn.queryExecution.executedPlan.toString
+    assert(probed(phys), s"join-shape knn was not rewritten:\n$phys")
+    // and it returns the same rows as the literal-query probe
+    val a = knn.collect().map(_.getLong(0)).toSeq
+    val b = auto.collect().map(_.getLong(0)).toSeq
+    assert(a == b)
+  }
+
+  test("multi-row query side keeps the original (un-probed) plan") {
+    val storeP = auto.queryExecution.optimizedPlan.collectLeaves().head
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.LogicalRelation]
+      .relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+      .location.rootPaths.head.toString
+    val q2 = Tables.embeddings(spark, Sf).filter(col("vec_id") < 2)
+      .select(col("embedding").as("qvec"))
+    val knn = graft.operators.Knn.topK(
+      spark.read.parquet(storeP).filter(col("vec_id") =!= 1),
+      "vec_id", "embedding", q2, "qvec",
+      graft.functions.VectorFunctions.l2Distance, 10)
+    assert(!probed(knn.queryExecution.executedPlan.toString))
+    assert(knn.collect().length == 10)
   }
 
   test("plans without a registered store or literal query are untouched") {
