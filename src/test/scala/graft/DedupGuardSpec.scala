@@ -63,14 +63,17 @@ class DedupGuardSpec extends SparkSpec {
   }
 
   test("Materializer.local frees the blocks it owns") {
+    // compare ID DELTAS, not absolute sizes: the ContextCleaner may
+    // concurrently unpersist stale RDDs from earlier suites
     val sc = spark.sparkContext
     val mat = Materializer.local()
-    val before = sc.getPersistentRDDs.size
+    val before = sc.getPersistentRDDs.keySet.toSet
     val df = mat.mat(Tables.documents(spark, Sf).limit(10), "t")
     assert(df.count() == 10)
-    assert(sc.getPersistentRDDs.size > before)
+    val added = sc.getPersistentRDDs.keySet.toSet -- before
+    assert(added.nonEmpty)
     mat.release(df)
-    assert(sc.getPersistentRDDs.size == before)
+    assert((sc.getPersistentRDDs.keySet.toSet & added).isEmpty)
   }
 
   test("Materializer.parquet persists a restart-survivable table with identical rows") {
