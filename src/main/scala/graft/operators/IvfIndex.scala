@@ -128,11 +128,20 @@ object IvfIndex {
     * per partition cross the shuffle).
     *
     * Output: (qIdCol, idCol, dist) ordered by (qid, dist, id);
-    * approximate with the usual IVF cell recall. */
+    * approximate with the usual IVF cell recall.
+    *
+    * `excludeSelf` drops candidates whose corpus id equals the query
+    * id — ONLY meaningful when queries and corpus share an id space
+    * (corpus-vs-itself dedup/nearest-neighbor graphs). Leave it false
+    * for external queries: an external qid that coincidentally equals
+    * a corpus id would otherwise silently lose a legitimate neighbor.
+    * The comparison is null-unsafe (a NULL id on either side never
+    * matches, so NULL-id rows are kept). */
   def searchBatch(
       indexed: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, queries: DataFrame, qIdCol: String, qVecCol: String,
-      distance: (Column, Column) => Column, k: Int, nprobe: Int): DataFrame = {
+      distance: (Column, Column) => Column, k: Int, nprobe: Int,
+      excludeSelf: Boolean = false): DataFrame = {
     val w = Window.partitionBy(col(qIdCol)).orderBy(col("cdist"), col("centroid_id"))
     val probes = queries
       .crossJoin(broadcast(centroids))
@@ -141,9 +150,8 @@ object IvfIndex {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= nprobe)
       .select(col(qIdCol), col(qVecCol), col("centroid_id"))
-    indexed
-      .join(broadcast(probes), Seq("centroid_id"))
-      .filter(col(idCol) =!= col(qIdCol)) // corpus-vs-itself id space
+    val candidates = indexed.join(broadcast(probes), Seq("centroid_id"))
+    (if (excludeSelf) candidates.filter(col(idCol) =!= col(qIdCol)) else candidates)
       .groupBy(col(qIdCol))
       .agg(graft.functions.TopKAggregate.topK(
         distance(col(vecCol), col(qVecCol)), col(idCol).cast("long"), k).as("topk"))

@@ -40,7 +40,8 @@ import scala.collection.concurrent.TrieMap
   */
 object IvfCatalog {
 
-  final case class Entry(cells: Array[Int], centroids: Array[Array[Double]], nprobe: Int)
+  final case class Entry(cells: Array[Int], centroids: Array[Array[Double]],
+      nprobe: Int, vecCol: String)
 
   private val entries = TrieMap.empty[String, Entry]
 
@@ -50,13 +51,19 @@ object IvfCatalog {
   /** Register a cell-partitioned store (written by
     * [[graft.operators.IvfIndex.writePartitioned]]) with its centroid
     * frame [(centroid_id, centroid)]. Centroids are nlist rows — KB
-    * scale — and become driver metadata, like any index's statistics. */
-  def register(storePath: String, centroids: DataFrame, nprobe: Int): Unit = {
+    * scale — and become driver metadata, like any index's statistics.
+    * `vecCol` names the INDEXED embedding column: the rule only
+    * rewrites sorts whose distance key is over that column of this
+    * store — a sort on some other vector column (or a joined table's
+    * column) must keep its exact plan. */
+  def register(storePath: String, centroids: DataFrame, nprobe: Int,
+      vecCol: String = "embedding"): Unit = {
     val rows = centroids.select("centroid_id", "centroid").collect()
     entries(canonical(storePath)) = Entry(
       rows.map(_.getInt(0)),
       rows.map(_.getSeq[Double](1).toArray),
-      nprobe)
+      nprobe,
+      vecCol)
   }
 
   def lookup(rootPaths: Seq[org.apache.hadoop.fs.Path]): Option[Entry] =
@@ -65,17 +72,31 @@ object IvfCatalog {
   def clear(): Unit = entries.clear()
 }
 
-object IvfProbeRule extends Rule[LogicalPlan] {
+object IvfProbeRule {
 
-  /** Idempotent runtime installation (extraOptimizations runs as the
-    * last optimizer batch, after pruning/pushdown already shaped the
-    * plan). */
+  /** Session conf key gating the join-shape rewrite's query-side
+    * evaluation (a bounded limit-2 job launched at OPTIMIZATION time —
+    * so even `explain()` on a matching plan runs it). Default on;
+    * set to "false" for sessions where plan inspection must never
+    * touch the cluster. The literal-query rewrite is pure plan
+    * surgery and is never gated. */
+  val JoinEvalKey = "spark.graft.ivf.joinEval"
+
+  /** Idempotent per-session installation (extraOptimizations runs as
+    * the last optimizer batch, after pruning/pushdown already shaped
+    * the plan). The rule instance captures ITS session, so query-side
+    * evaluation in the join-shape rewrite runs on the session that
+    * owns the plan — not `SparkSession.active`, which may differ in
+    * multi-session or streaming-microbatch contexts. */
   def install(spark: SparkSession): Unit = {
     val cur = spark.experimental.extraOptimizations
-    if (!cur.exists(_ eq this)) {
-      spark.experimental.extraOptimizations = cur :+ this
+    if (!cur.exists(_.isInstanceOf[IvfProbeRule])) {
+      spark.experimental.extraOptimizations = cur :+ new IvfProbeRule(spark)
     }
   }
+}
+
+final class IvfProbeRule(session: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
     case gl: GlobalLimit => gl.child match {
@@ -99,8 +120,9 @@ object IvfProbeRule extends Rule[LogicalPlan] {
       head <- srt.order.headOption
       (vde, negated) <- asDistance(resolveThroughProjects(head.child, srt.child))
       query <- literalVector(vde)
-      _ <- vectorColumn(vde) // a real column on the other side, not two literals
-      rewritten <- injectProbe(srt.child, vde, query, negated)
+      colSide <- vectorColumn(vde) // a real column on the other side, not two literals
+      vecAttr <- resolveToAttribute(colSide, srt.child)
+      rewritten <- injectProbe(srt.child, vde, vecAttr, query, negated)
     } yield srt.copy(child = rewritten)
   }
 
@@ -142,9 +164,10 @@ object IvfProbeRule extends Rule[LogicalPlan] {
       })
       querySide <- sides.find(_ ne corpus)
       qAttr <- attrs.find(a => querySide.outputSet.contains(a))
-      if attrs.exists(a => corpus.outputSet.contains(a))
+      corpusAttr <- attrs.find(a => corpus.outputSet.contains(a))
+      if session.conf.get(IvfProbeRule.JoinEvalKey, "true").toBoolean
       query <- evalSingleRowVector(querySide, qAttr)
-      rewritten <- injectProbe(srt.child, vde, query, negated)
+      rewritten <- injectProbe(srt.child, vde, corpusAttr, query, negated)
     } yield srt.copy(child = rewritten)
   }
 
@@ -158,8 +181,7 @@ object IvfProbeRule extends Rule[LogicalPlan] {
       val limited = org.apache.spark.sql.catalyst.plans.logical.Limit(
         Literal(2, IntegerType),
         org.apache.spark.sql.catalyst.plans.logical.Project(Seq(attr), plan))
-      val rows = org.apache.spark.sql.GraftSqlBridge.runPlan(
-        SparkSession.active, limited)
+      val rows = org.apache.spark.sql.GraftSqlBridge.runPlan(session, limited)
       if (rows.length != 1 || rows(0).isNullAt(0)) None
       else attr.dataType match {
         case ArrayType(DoubleType, _) => Some(rows(0).getSeq[Double](0).toArray)
@@ -201,10 +223,25 @@ object IvfProbeRule extends Rule[LogicalPlan] {
   private def vectorColumn(v: VectorDistanceExpr): Option[Expression] =
     Seq(v.left, v.right).find(e => !e.isInstanceOf[Literal])
 
+  /** Resolve an expression through Project aliases to a bare column
+    * attribute; non-column distance operands abort the rewrite. */
+  private def resolveToAttribute(
+      e: Expression, plan: LogicalPlan): Option[AttributeReference] =
+    resolveThroughProjects(e, plan) match {
+      case a: AttributeReference => Some(a)
+      case _ => None
+    }
+
   /** Rank registered cells with the sort's own metric; inject the IN
-    * filter right above the store scan. */
+    * filter right above the store scan. `vecAttr` is the column side
+    * of the sort's distance expression: the probe only fires when that
+    * attribute IS the registered store's indexed embedding column of
+    * THIS relation (name + exprId) — a distance over some other vector
+    * column, or over a joined table that merely sits near a registered
+    * scan, must keep its exact plan (pruning it would silently drop
+    * valid top-k rows). */
   private def injectProbe(
-      plan: LogicalPlan, vde: VectorDistanceExpr,
+      plan: LogicalPlan, vde: VectorDistanceExpr, vecAttr: AttributeReference,
       query: Array[Double], negated: Boolean): Option[LogicalPlan] = {
     var done = false
     val out = plan transform {
@@ -212,7 +249,8 @@ object IvfProbeRule extends Rule[LogicalPlan] {
         (lr.relation, lr.output.find(_.name == "centroid_id")) match {
           case (fs: HadoopFsRelation, Some(cellAttr)) =>
             IvfCatalog.lookup(fs.location.rootPaths) match {
-              case Some(entry) =>
+              case Some(entry) if vecAttr.name == entry.vecCol &&
+                  lr.output.exists(_.exprId == vecAttr.exprId) =>
                 done = true
                 val ranked = entry.cells.zip(entry.centroids)
                   .map { case (id, c) => (id, cellScore(vde.mode, negated, query, c)) }
@@ -220,7 +258,7 @@ object IvfProbeRule extends Rule[LogicalPlan] {
                   .take(entry.nprobe)
                   .map(_._1)
                 Filter(In(cellAttr, ranked.toSeq.map(Literal(_, IntegerType))), lr)
-              case None => lr
+              case _ => lr // unregistered, or the sort key is not this store's indexed column
             }
           case _ => lr
         }

@@ -273,7 +273,7 @@ object VectorQueries {
         centroids.write.mode("overwrite").parquet(centP)
       }
     }
-    IvfCatalog.register(storeP, s.read.parquet(centP), nprobe = 4)
+    IvfCatalog.register(storeP, s.read.parquet(centP), nprobe = 4, vecCol = "embedding")
     IvfProbeRule.install(s)
     (storeP, centP)
   }
@@ -298,9 +298,12 @@ object VectorQueries {
     val (storeP, centP) = ensureAutoStore(s, d)
     val q = Tables.embeddings(s, d).filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    // queries ARE corpus rows here (vec_id < 5), so self-exclusion is
+    // the exact-batch twin's semantics (knnBatch: e.vec_id <> q.qid)
     IvfIndex.searchBatch(
       s.read.parquet(storeP), "vec_id", "embedding",
-      s.read.parquet(centP), q, "qid", "qvec", l2Distance, k = 5, nprobe = 4)
+      s.read.parquet(centP), q, "qid", "qvec", l2Distance, k = 5, nprobe = 4,
+      excludeSelf = true)
   }
 
   private def autoProbe(s: SparkSession, d: String, storeP: String): DataFrame = {

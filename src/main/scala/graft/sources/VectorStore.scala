@@ -54,25 +54,44 @@ object VectorStore {
     * filesystems; an object store would put an ACID table layer (or a
     * manifest) in front instead — documented deviation, the dataflow
     * is identical. Readers started before the swap keep their file
-    * listing, like any snapshotless table. Returns rows kept. */
+    * listing, like any snapshotless table.
+    *
+    * Crash safety: a failure between the two renames leaves the data
+    * at `<path>.old` and nothing at `path`; the next call (or
+    * [[recover]]) detects that state and rolls the old directory back
+    * before proceeding. `.old` is only ever deleted while `path`
+    * holds a complete copy (up front, when making room for the swap,
+    * and at the end, after the new directory is verified in place).
+    * Returns rows kept. */
   def rewrite(spark: SparkSession, path: String,
       keep: Option[org.apache.spark.sql.Column],
       targetFileBytes: Long = 128L << 20): Long = {
     val hPath = new org.apache.hadoop.fs.Path(path)
     val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(path + ".rewrite")
+    val old = new org.apache.hadoop.fs.Path(path + ".old")
+    recover(fs, hPath, old)
+    fs.delete(tmp, true) // stale partial rewrite from a dead run
     val bytes = fs.getContentSummary(hPath).getLength
     val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
     val kept = keep.foldLeft(spark.read.parquet(path))((df, c) => df.filter(c))
-    val tmp = new org.apache.hadoop.fs.Path(path + ".rewrite")
-    val old = new org.apache.hadoop.fs.Path(path + ".old")
     kept.repartition(nFiles).write.mode("overwrite").parquet(tmp.toString)
     val n = spark.read.parquet(tmp.toString).count()
-    fs.delete(old, true)
+    fs.delete(old, true) // safe: `path` still holds a complete copy
     require(fs.rename(hPath, old), s"swap failed: could not move $path aside")
     require(fs.rename(tmp, hPath), s"swap failed: could not promote $tmp")
     fs.delete(old, true)
     n
   }
+
+  /** Roll back a half-swapped store (data at `.old`, nothing at
+    * `path`) left by a crash between [[rewrite]]'s two renames. */
+  private def recover(fs: org.apache.hadoop.fs.FileSystem,
+      hPath: org.apache.hadoop.fs.Path, old: org.apache.hadoop.fs.Path): Unit =
+    if (!fs.exists(hPath) && fs.exists(old)) {
+      require(fs.rename(old, hPath),
+        s"recovery failed: could not roll back $old to $hPath")
+    }
 
   /** Coalesce small files (streaming-ingest debris) without changing
     * content. */
@@ -80,11 +99,15 @@ object VectorStore {
       targetFileBytes: Long = 128L << 20): Long =
     rewrite(spark, path, None, targetFileBytes)
 
-  /** Remove rows matching `pred` (filtered rewrite). */
+  /** Remove rows matching `pred` (filtered rewrite). SQL DELETE
+    * semantics: only rows where `pred` evaluates to TRUE are removed —
+    * a NULL predicate (e.g. `col === x` on a NULL column) keeps the
+    * row, so the keep-filter is `not(pred <=> true)`, not `!pred`
+    * (which would silently drop NULL-predicate rows). */
   def delete(spark: SparkSession, path: String,
       pred: org.apache.spark.sql.Column,
       targetFileBytes: Long = 128L << 20): Long =
-    rewrite(spark, path, Some(!pred), targetFileBytes)
+    rewrite(spark, path, Some(not(pred <=> lit(true))), targetFileBytes)
 
   /** documents stream → chunk → embed → parquet append. */
   def streamIngest(docsStream: DataFrame, path: String, checkpoint: String,

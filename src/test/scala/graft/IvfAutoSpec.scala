@@ -121,6 +121,46 @@ class IvfAutoSpec extends SparkSpec {
     assert(knn.collect().length == 10)
   }
 
+  test("a sort over a DIFFERENT vector column of the registered store is untouched") {
+    val storeP = auto.queryExecution.optimizedPlan.collectLeaves().head
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.LogicalRelation]
+      .relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+      .location.rootPaths.head.toString
+    val q = Tables.embeddings(spark, Sf).filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head.getSeq[Double](0).toArray
+    // a derived vector column on the SAME registered scan: pruning to
+    // cells ranked for `embedding` would be wrong for `neg`
+    val derived = spark.read.parquet(storeP)
+      .withColumn("neg", transform(col("embedding"), x => -x))
+      .select(col("vec_id"), VectorDistance.l2(col("neg"), typedLit(q)).as("dist"))
+      .orderBy(col("dist"), col("vec_id")).limit(10)
+    assert(!probed(derived.queryExecution.executedPlan.toString),
+      "probe fired on a non-indexed vector column")
+    assert(derived.collect().length == 10)
+  }
+
+  test("a sort over a JOINED table's same-named embedding column is untouched") {
+    val storeP = auto.queryExecution.optimizedPlan.collectLeaves().head
+      .asInstanceOf[org.apache.spark.sql.execution.datasources.LogicalRelation]
+      .relation.asInstanceOf[org.apache.spark.sql.execution.datasources.HadoopFsRelation]
+      .location.rootPaths.head.toString
+    val q = Tables.embeddings(spark, Sf).filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head.getSeq[Double](0).toArray
+    // raw (unregistered) embeddings joined to the registered store: the
+    // sort key is the RAW table's `embedding`, so pruning the store
+    // scan must not happen (it would drop valid top-k rows)
+    val raw = Tables.embeddings(spark, Sf)
+      .select(col("vec_id").as("rid"), col("embedding"))
+    val joined = spark.read.parquet(storeP)
+      .select(col("vec_id"), col("centroid_id"))
+      .join(raw, col("vec_id") === col("rid"))
+      .select(col("vec_id"), VectorDistance.l2(col("embedding"), typedLit(q)).as("dist"))
+      .orderBy(col("dist"), col("vec_id")).limit(10)
+    assert(!probed(joined.queryExecution.executedPlan.toString),
+      "probe fired on a joined table's vector column")
+    assert(joined.collect().length == 10)
+  }
+
   test("plans without a registered store or literal query are untouched") {
     // same shape over the raw embeddings table (no centroid_id, not
     // registered): the rule must not fire

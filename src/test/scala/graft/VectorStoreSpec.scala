@@ -58,6 +58,36 @@ class VectorStoreSpec extends SparkSpec {
     assert(after.filter(col("chunk_idx") === 0L).count() == 0)
   }
 
+  test("delete keeps NULL-predicate rows (SQL DELETE semantics)") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("vnull").toString
+    // one row with a NULL filename: `filename === "f1"` is NULL there,
+    // and DELETE must only remove pred=TRUE rows
+    Seq(("a", "f1"), ("b", "f2"), ("c", null))
+      .toDF("id", "filename").write.parquet(s"$dir/store")
+    val left = VectorStore.delete(spark, s"$dir/store", col("filename") === "f1")
+    assert(left == 2)
+    val ids = spark.read.parquet(s"$dir/store").select("id")
+      .collect().map(_.getString(0)).toSet
+    assert(ids == Set("b", "c"), s"NULL-predicate row was dropped: $ids")
+  }
+
+  test("rewrite rolls back a half-swapped store left by a crash") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("vcrash").toString
+    Seq(("a", 1L), ("b", 2L)).toDF("id", "v").write.parquet(s"$dir/store")
+    // simulate a crash between rewrite()'s two renames: data at .old,
+    // nothing at the store path
+    val fs = new org.apache.hadoop.fs.Path(s"$dir/store")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/store"),
+      new org.apache.hadoop.fs.Path(s"$dir/store.old")))
+    val kept = VectorStore.compact(spark, s"$dir/store")
+    assert(kept == 2)
+    assert(spark.read.parquet(s"$dir/store").count() == 2)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/store.old")))
+  }
+
   test("streaming ingest lands chunks in the store exactly once") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
