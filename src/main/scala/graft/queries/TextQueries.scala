@@ -182,15 +182,16 @@ object TextQueries {
   /** Within-document repetition signals (the Gopher-style quality
     * rules an LLM-data pipeline filters on): duplicate-token fraction
     * and the share of the most frequent token / bigram. Pure per-row
-    * higher-order functions over the materialized token array — no
-    * shuffle, no cross-row work; the per-row cost is
-    * O(distinct × tokens), bounded by document length.
+    * work over the materialized token array — no shuffle, no cross-row
+    * work; the top-count runs through the single-pass
+    * [[graft.functions.ArrayMaxCount]] expression, O(tokens) per row
+    * (the HOF composition it replaced was O(distinct × tokens) — a
+    * 100k-token document would be a 10⁹-operation row).
     *
     * Determinism: every ratio is ONE IEEE division of two exact
     * integers, bit-identical across engines and partitionings. */
   private def repetition(s: SparkSession, d: String): DataFrame = {
-    val maxCount = (xs: Column) => array_max(transform(array_distinct(xs),
-      t => size(filter(xs, x => x === t))))
+    val maxCount = (xs: Column) => graft.functions.ArrayMaxCount.maxCount(xs)
     Tables.documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .withColumn("bi", shingles(col("toks"), 2))
