@@ -124,17 +124,38 @@ object PqIndex {
       }
     }
 
-  /** Approximate top-k over encoded corpus via table lookup-sum. */
+  /** Approximate top-k over encoded corpus via table lookup-sum.
+    *
+    * `rerank > 0` adds the standard ADC accuracy stage: take the top
+    * `rerank` candidates by compressed distance, then score just those
+    * with the EXACT vector (still present on the encoded rows) and
+    * return the exact top-k of the shortlist. The corpus-wide pass
+    * still only reads the m-byte codes; the full vectors are touched
+    * for `rerank` rows — recall approaches exact search while the scan
+    * cost stays compressed (output column is then `dist`, an exact
+    * distance, instead of `approx_dist`). */
   def search(encoded: DataFrame, idCol: String,
-      query: Array[Double], cb: Codebooks, k: Int): DataFrame = {
+      query: Array[Double], cb: Codebooks, k: Int,
+      rerank: Int = 0, vecCol: String = "embedding"): DataFrame = {
     val tbl = typedLit(distanceTable(query, cb).map(_.toSeq).toSeq)
     val approxDist = sqrt(aggregate(
       zip_with(col("codes"), sequence(lit(1), lit(cb.m)),
         (code, s) => element_at(element_at(tbl, s), code + 1)),
       lit(0.0), (acc, x) => acc + x))
-    encoded
-      .select(col(idCol), approxDist.as("approx_dist"))
-      .orderBy(col("approx_dist"), col(idCol))
-      .limit(k)
+    if (rerank <= 0) {
+      encoded
+        .select(col(idCol), approxDist.as("approx_dist"))
+        .orderBy(col("approx_dist"), col(idCol))
+        .limit(k)
+    } else {
+      encoded
+        .select(col(idCol), col(vecCol), approxDist.as("approx_dist"))
+        .orderBy(col("approx_dist"), col(idCol))
+        .limit(math.max(k, rerank))
+        .select(col(idCol),
+          VectorDistance.l2(col(vecCol), typedLit(query.toSeq)).as("dist"))
+        .orderBy(col("dist"), col(idCol))
+        .limit(k)
+    }
   }
 }

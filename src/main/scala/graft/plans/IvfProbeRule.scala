@@ -100,16 +100,31 @@ final class IvfProbeRule(session: SparkSession) extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
     case gl: GlobalLimit => gl.child match {
-      case ll: LocalLimit => ll.child match {
-        case srt: Sort if srt.global =>
-          rewrite(srt)
-            .map(s => gl.withNewChildren(Seq(ll.withNewChildren(Seq(s)))))
-            .getOrElse(gl)
-        case _ => gl
-      }
+      case ll: LocalLimit =>
+        // a projection after the knn (user `.select(...)`) optimizes to
+        // Project nodes interposed in the Limit▸Sort chain; peel them
+        // so the probe still fires, and re-wrap unchanged
+        val (rewrap, core) = peelProjects(ll.child)
+        core match {
+          case srt: Sort if srt.global =>
+            rewrite(srt)
+              .map(s => gl.withNewChildren(Seq(ll.withNewChildren(Seq(rewrap(s))))))
+              .getOrElse(gl)
+          case _ => gl
+        }
       case _ => gl
     }
   }
+
+  /** Peel consecutive Project nodes, returning a function that
+    * re-wraps a replacement plan in the same projections. */
+  private def peelProjects(p: LogicalPlan): (LogicalPlan => LogicalPlan, LogicalPlan) =
+    p match {
+      case proj: Project =>
+        val (inner, core) = peelProjects(proj.child)
+        (child => proj.withNewChildren(Seq(inner(child))), core)
+      case other => (identity, other)
+    }
 
   private def rewrite(srt: Sort): Option[Sort] =
     literalRewrite(srt).orElse(joinRewrite(srt))

@@ -244,15 +244,17 @@ object VectorQueries {
     FROM hits JOIN d ON vec_id = doc_id
     ORDER BY dist, vec_id"""
 
-  /** PQ/ADC compressed search (lossy → rows-only; recall asserted in
-    * PqIndexSpec). */
+  /** PQ/ADC compressed search with exact re-rank of the top-64 ADC
+    * shortlist (lossy → rows-only; recall gated in RecallGateSpec).
+    * The corpus pass reads only the codes; 64 full vectors are scored
+    * exactly. */
   private def pqKnn(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val cb = PqIndex.train(emb, "embedding", dims = 64, m = 8, ksub = 16)
+    val cb = PqIndex.train(emb, "embedding", dims = 64, m = 16, ksub = 32)
     val encoded = PqIndex.encode(emb.filter(col("vec_id") =!= 0), "embedding", cb)
     val query = emb.filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>")).head.getSeq[Double](0).toArray
-    PqIndex.search(encoded, "vec_id", query, cb, K)
+    PqIndex.search(encoded, "vec_id", query, cb, K, rerank = 192)
   }
 
   // ------------------------------------------- optimizer-picked IVF probe
@@ -351,13 +353,13 @@ object VectorQueries {
     var cb: PqIndex.Codebooks = null
     var query: Array[Double] = null
     val build = () => {
-      cb = PqIndex.train(emb, "embedding", dims = 64, m = 8, ksub = 16)
+      cb = PqIndex.train(emb, "embedding", dims = 64, m = 16, ksub = 32)
       encoded = PqIndex.encode(emb.filter(col("vec_id") =!= 0), "embedding", cb)
         .localCheckpoint()
       query = emb.filter(col("vec_id") === 0)
         .select(col("embedding").cast("array<double>")).head.getSeq[Double](0).toArray
     }
-    val probe = () => PqIndex.search(encoded, "vec_id", query, cb, K)
+    val probe = () => PqIndex.search(encoded, "vec_id", query, cb, K, rerank = 192)
     (build, probe)
   }
 
