@@ -342,12 +342,31 @@ object Dedup {
   // -------------------------------------------------- embedding near-dup
   /** Blocked embedding near-dup: cosine >= tau among pairs sharing a
     * blocking key (a label, an IVF cell id, a coarse LSH bucket) —
-    * the blocking key bounds the pair blow-up at scale. */
+    * the blocking key bounds the pair blow-up at scale.
+    *
+    * `maxBlock`: the hot-block guard, same left_anti pattern as
+    * [[candidatePairs]]'s `maxBucket` — the within-block join is O(k²)
+    * on block size, so one degenerate key (a catch-all label, an IVF
+    * cell that swallowed a dense region) is a straggler task at
+    * 100 TB. Blocks above the cap are dropped before the self-join;
+    * an oversized block means the blocking key carries no
+    * discriminative signal there, and the right fix upstream is a
+    * finer key (e.g. sub-bucket by LSH), not an unbounded join. */
   def embeddingNearDup(
       emb: DataFrame, idCol: String, vecCol: String, blockCol: String,
-      cosSim: (Column, Column) => Column, tau: Double): DataFrame = {
-    val a = emb.select(col(blockCol).as("blk"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
-    val b = emb.select(col(blockCol).as("blk"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
+      cosSim: (Column, Column) => Column, tau: Double,
+      maxBlock: Int = Int.MaxValue): DataFrame = {
+    val rows = emb.select(col(blockCol).as("blk"), col(idCol), col(vecCol))
+    val pruned =
+      if (maxBlock == Int.MaxValue) rows
+      else {
+        val hot = rows.groupBy(col("blk")).agg(count(lit(1)).as("bsz"))
+          .filter(col("bsz") > maxBlock)
+          .select(col("blk"))
+        rows.join(hot, Seq("blk"), "left_anti")
+      }
+    val a = pruned.select(col("blk"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val b = pruned.select(col("blk"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
     a.join(b, Seq("blk"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), cosSim(col("v_a"), col("v_b")).as("cos_sim"))

@@ -62,6 +62,32 @@ class DedupGuardSpec extends SparkSpec {
     assert(f.map(t => (t._1, t._2)) == Seq((1L, 2L)))
   }
 
+  test("hot-block cap bounds embedding near-dup pairs; non-binding cap is identity") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions
+    // one degenerate block (all 40 vectors share blk=0): the
+    // within-block join is O(k²) without the guard
+    val vecs = (0 until 40).map(i => (i.toLong, 0, Seq(1.0f, 0.0f + i * 1e-4f)))
+      .toDF("vec_id", "label", "embedding")
+    val unbounded = Dedup.embeddingNearDup(vecs, "vec_id", "embedding",
+      "label", VectorFunctions.cosineSimilarity, tau = 0.99)
+    assert(unbounded.count() == 40L * 39 / 2) // near-parallel vectors: all pairs
+    val capped = Dedup.embeddingNearDup(vecs, "vec_id", "embedding",
+      "label", VectorFunctions.cosineSimilarity, tau = 0.99, maxBlock = 10)
+    assert(capped.count() == 0) // over-cap block dropped before the join
+    // oracle safety on the real corpus: a cap above every block size
+    // (labels at sf0.001 hold ~64 vectors) must not change results
+    val emb = Tables.embeddings(spark, Sf)
+    val base = Dedup.embeddingNearDup(emb, "vec_id", "embedding",
+      "label", VectorFunctions.cosineSimilarity, tau = 0.35)
+      .collect().map(_.toSeq).toSeq
+    val safe = Dedup.embeddingNearDup(emb, "vec_id", "embedding",
+      "label", VectorFunctions.cosineSimilarity, tau = 0.35, maxBlock = 10000)
+      .collect().map(_.toSeq).toSeq
+    assert(base == safe)
+    assert(base.nonEmpty)
+  }
+
   test("Materializer.local frees the blocks it owns") {
     // compare ID DELTAS, not absolute sizes: the ContextCleaner may
     // concurrently unpersist stale RDDs from earlier suites
