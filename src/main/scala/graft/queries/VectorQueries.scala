@@ -244,6 +244,83 @@ object VectorQueries {
     FROM hits JOIN d ON vec_id = doc_id
     ORDER BY dist, vec_id"""
 
+  // ----------------------------------------------- search+summarize
+  /** The reference's per-hit summarize stage
+    * (SSEOpenAIController.java:143-230: every top-k hit is summarized
+    * by ChatGPT before presentation), as a DETERMINISTIC extractive
+    * summarizer: each hit's document is split into sentences, each
+    * sentence scored by query-term overlap (ties → earlier sentence),
+    * and the top-2 sentences per hit returned as the summary. Pure
+    * integer scoring → exact oracle parity; the LLM call is the one
+    * intentionally substituted piece (zero egress).
+    *
+    * The sentence splitter here is a fixed 12-token window: the
+    * synthetic corpus carries no punctuation (every document is one
+    * "sentence" under any punctuation split, which would make the
+    * top-2 selection vacuous). For prose corpora the splitter is the
+    * only line to swap (split on '. ' in both engines — DuckDB RE2
+    * has no lookbehind, so the shared contract is a literal
+    * separator); scoring and selection are unchanged.
+    *
+    * Scale shape: top-k is the oracle-proven exact knn; the summarize
+    * stage touches only k documents (broadcast-joined), sentence work
+    * is per-row codegen with one tiny per-hit window. */
+  private def searchSummarize(s: SparkSession, d: String): DataFrame = {
+    val terms = Seq("join", "vector", "scan")
+    val W = 12
+    val topHits = Knn.topK(corpus(s, d), "vec_id", "embedding",
+      queryVec(s, d), "qvec", cosineDistance, 5)
+    val docs = Tables.documents(s, d).select(col("doc_id"),
+      graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+    val windows = transform(
+      sequence(lit(0), floor((size(col("toks")) - 1) / W).cast("int")),
+      i => array_join(slice(col("toks"), i * W + 1, lit(W)), " "))
+    val sents = topHits.join(docs, col("vec_id") === col("doc_id"))
+      .select(col("vec_id"), col("dist"),
+        posexplode(windows).as(Seq("pos0", "sentence")))
+      .select(col("vec_id"), col("dist"),
+        (col("pos0") + 1).cast("long").as("pos"), col("sentence"))
+    val stoks = graft.functions.TextFunctions.tokens(col("sentence"))
+    val overlap = terms.map(t =>
+      when(array_contains(stoks, t), lit(1L)).otherwise(lit(0L))).reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("vec_id")).orderBy(col("overlap").desc, col("pos"))
+    sents.withColumn("overlap", overlap)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .select(col("vec_id"), col("dist"), col("pos"), col("sentence"), col("overlap"))
+      .orderBy(col("vec_id"), col("pos"))
+  }
+
+  private val searchSummarizeSql = s"""
+    WITH hits AS (
+      SELECT e.vec_id, 1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])) AS dist
+      FROM embeddings e
+      CROSS JOIN (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0) q
+      WHERE e.vec_id <> 0
+      ORDER BY dist, vec_id LIMIT 5),
+    tk AS (
+      SELECT doc_id, ${graft.functions.TextFunctions.tokensSql("text")} AS toks
+      FROM documents),
+    s AS (
+      SELECT h.vec_id, h.dist, CAST(i + 1 AS BIGINT) AS pos,
+             array_to_string(t.toks[(i * 12 + 1):(i * 12 + 12)], ' ') AS sentence
+      FROM hits h
+      JOIN tk t ON h.vec_id = t.doc_id,
+      unnest(range(0, CAST(floor((len(t.toks) - 1) / 12.0) AS BIGINT) + 1)) AS u(i)),
+    sc AS (
+      SELECT vec_id, dist, pos, sentence,
+             CAST((CASE WHEN list_contains(${graft.functions.TextFunctions.tokensSql("sentence")}, 'join') THEN 1 ELSE 0 END)
+                + (CASE WHEN list_contains(${graft.functions.TextFunctions.tokensSql("sentence")}, 'vector') THEN 1 ELSE 0 END)
+                + (CASE WHEN list_contains(${graft.functions.TextFunctions.tokensSql("sentence")}, 'scan') THEN 1 ELSE 0 END) AS BIGINT) AS overlap
+      FROM s),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY overlap DESC, pos) AS rn
+      FROM sc)
+    SELECT vec_id, dist, pos, sentence, overlap
+    FROM r WHERE rn <= 2
+    ORDER BY vec_id, pos"""
+
   /** PQ/ADC compressed search with exact re-rank of the top-64 ADC
     * shortlist (lossy → rows-only; recall gated in RecallGateSpec).
     * The corpus pass reads only the codes; 64 full vectors are scored
@@ -372,6 +449,7 @@ object VectorQueries {
     "vs_knn_filtered" -> QueryDef(knnFiltered _, knnFilteredSql),
     "vs_hybrid"       -> QueryDef(hybrid _, hybridSql),
     "vs_search_present" -> QueryDef(searchPresent _, searchPresentSql),
+    "vs_search_summarize" -> QueryDef(searchSummarize _, searchSummarizeSql),
     "vs_norms"        -> QueryDef(norms _, normsSql),
     "emb_centroids"   -> QueryDef(centroids _, centroidsSql),
     "vs_knn_l2"       -> QueryDef(knnL2 _, knnOracle(l2Sql)),
