@@ -28,11 +28,24 @@ import scala.collection.mutable
   * modern writers store the page tree) are expanded after the scan,
   * so both classic and compressed-xref files resolve.
   *
+  * Font-aware text decoding (ISO 32000 §9.6.6/§9.10; what PDFBox's
+  * PDFTextStripper does for Function.java:95-135): the extractor
+  * tracks the current font across `Tf` operators and decodes each
+  * show-op string through that font's mapping —
+  *  - /ToUnicode CMap (bfchar/bfrange, 1- or 2-byte codes — covers
+  *    CID/Type0 fonts written by modern generators),
+  *  - simple /Encoding names (WinAnsiEncoding, MacRomanEncoding via
+  *    the JDK charsets) and /Encoding dicts with /Differences
+  *    (glyph names resolved through a core Adobe-glyph-list subset
+  *    plus uniXXXX/uXXXX forms),
+  *  - no font info → bytes decoded as UTF-8, which keeps documents
+  *    written by [[write]] (no /Encoding, text stored verbatim)
+  *    round-tripping byte-exactly.
+  *
   * Scope (documented limits, honest subset): encryption and
-  * non-Flate filters are not supported; extracted bytes are decoded
-  * as UTF-8 (no per-font /Encoding or CID handling). Text written by
-  * [[write]] round-trips byte-exactly, including parens, backslashes
-  * and control bytes.
+  * non-Flate filters are not supported; StandardEncoding's non-ASCII
+  * high range and font-program-internal (built-in) encodings are
+  * approximated by Latin-1.
   */
 object Pdf {
 
@@ -403,6 +416,164 @@ object Pdf {
     packed.toMap ++ objs
   }
 
+  // ============================================= font decoding ======
+  /** Show-op string bytes → text for one font resource. Instances are
+    * compared by reference in the extractor to avoid re-flushing when
+    * the same font is re-selected. */
+  private type FontDecoder = Array[Byte] => String
+
+  /** Default: the writer's own convention (text bytes stored verbatim,
+    * decoded as UTF-8 once per contiguous same-font run — runs may
+    * split multi-byte sequences, so decoding happens on the
+    * accumulated buffer, never per show-op). */
+  private val Utf8Decoder: FontDecoder = b => new String(b, "UTF-8")
+
+  private def singleByteDecoder(table: Array[String]): FontDecoder = { bytes =>
+    val sb = new StringBuilder(bytes.length)
+    bytes.foreach(b => sb.append(table(b & 0xff)))
+    sb.toString
+  }
+
+  /** 256-entry code→text table from a JDK single-byte charset. */
+  private def charsetTable(cs: String): Array[String] =
+    Array.tabulate(256)(i => new String(Array(i.toByte), cs))
+
+  private def baseTable(enc: String): Array[String] = enc match {
+    case "WinAnsiEncoding" => charsetTable("windows-1252")
+    case "MacRomanEncoding" => charsetTable("x-MacRoman")
+    // StandardEncoding high range ≈ Latin-1 (documented approximation)
+    case _ => charsetTable("ISO-8859-1")
+  }
+
+  /** Core Adobe-glyph-list subset for /Differences names: ASCII
+    * punctuation + Latin letters are their own names' characters via
+    * the uni/u forms or the table below; unknown names extract as
+    * U+FFFD so dropped glyphs stay visible. */
+  private def glyphToUnicode(name: String): String = {
+    if (name.length == 1) name // a..z A..Z and any single-char name
+    else if (name.matches("uni[0-9A-Fa-f]{4}"))
+      new String(Character.toChars(Integer.parseInt(name.substring(3), 16)))
+    else if (name.matches("u[0-9A-Fa-f]{4,6}"))
+      new String(Character.toChars(Integer.parseInt(name.substring(1), 16)))
+    else GlyphNames.getOrElse(name, "�")
+  }
+
+  private val GlyphNames: Map[String, String] = Map(
+    "space" -> " ", "exclam" -> "!", "quotedbl" -> "\"", "numbersign" -> "#",
+    "dollar" -> "$", "percent" -> "%", "ampersand" -> "&", "quotesingle" -> "'",
+    "parenleft" -> "(", "parenright" -> ")", "asterisk" -> "*", "plus" -> "+",
+    "comma" -> ",", "hyphen" -> "-", "period" -> ".", "slash" -> "/",
+    "zero" -> "0", "one" -> "1", "two" -> "2", "three" -> "3", "four" -> "4",
+    "five" -> "5", "six" -> "6", "seven" -> "7", "eight" -> "8", "nine" -> "9",
+    "colon" -> ":", "semicolon" -> ";", "less" -> "<", "equal" -> "=",
+    "greater" -> ">", "question" -> "?", "at" -> "@", "bracketleft" -> "[",
+    "backslash" -> "\\", "bracketright" -> "]", "asciicircum" -> "^",
+    "underscore" -> "_", "grave" -> "`", "braceleft" -> "{", "bar" -> "|",
+    "braceright" -> "}", "asciitilde" -> "~",
+    "quoteleft" -> "‘", "quoteright" -> "’",
+    "quotedblleft" -> "“", "quotedblright" -> "”",
+    "endash" -> "–", "emdash" -> "—", "bullet" -> "•",
+    "ellipsis" -> "…", "Euro" -> "€", "trademark" -> "™",
+    "copyright" -> "©", "registered" -> "®", "degree" -> "°",
+    "eacute" -> "é", "egrave" -> "è", "ecircumflex" -> "ê",
+    "agrave" -> "à", "aacute" -> "á", "acircumflex" -> "â",
+    "ccedilla" -> "ç", "ntilde" -> "ñ", "ugrave" -> "ù",
+    "uacute" -> "ú", "ucircumflex" -> "û", "igrave" -> "ì",
+    "iacute" -> "í", "ocircumflex" -> "ô", "ograve" -> "ò",
+    "oacute" -> "ó", "adieresis" -> "ä", "odieresis" -> "ö",
+    "udieresis" -> "ü", "edieresis" -> "ë", "idieresis" -> "ï",
+    "Adieresis" -> "Ä", "Odieresis" -> "Ö", "Udieresis" -> "Ü",
+    "germandbls" -> "ß", "ae" -> "æ", "AE" -> "Æ",
+    "oslash" -> "ø", "Oslash" -> "Ø", "aring" -> "å",
+    "Aring" -> "Å", "fi" -> "ﬁ", "fl" -> "ﬂ",
+    "dagger" -> "†", "daggerdbl" -> "‡", "section" -> "§",
+    "paragraph" -> "¶", "sterling" -> "£", "yen" -> "¥",
+    "cent" -> "¢", "florin" -> "ƒ", "Eacute" -> "É",
+    "Egrave" -> "È", "Agrave" -> "À", "Ccedilla" -> "Ç")
+
+  /** Fixed-width code walk over the accumulated bytes; unmapped codes
+    * extract as U+FFFD (PDFBox renders nothing; the replacement char
+    * keeps the loss visible and the output length deterministic). */
+  private def cmapDecoder(codeLen: Int, map: Map[Int, String]): FontDecoder = { bytes =>
+    val sb = new StringBuilder
+    var i = 0
+    while (i + codeLen <= bytes.length) {
+      var code = 0
+      var k = 0
+      while (k < codeLen) { code = (code << 8) | (bytes(i + k) & 0xff); k += 1 }
+      sb.append(map.getOrElse(code, "�"))
+      i += codeLen
+    }
+    sb.toString
+  }
+
+  /** Parse a /ToUnicode CMap stream: codespacerange fixes the code
+    * width; bfchar/bfrange fill code → UTF-16BE target mappings
+    * (ISO 32000 §9.10.3). Returns (code byte width, mapping). */
+  private def parseToUnicode(data: Array[Byte], defaultLen: Int): (Int, Map[Int, String]) = {
+    val lex = new Lexer(data, 0)
+    val map = mutable.Map.empty[Int, String]
+    var codeLen = 0
+    var mode = ""
+    val operands = mutable.ArrayBuffer.empty[Val]
+    def codeOf(s: Array[Byte]): Int = s.foldLeft(0)((a, b) => (a << 8) | (b & 0xff))
+    def uniOf(s: Array[Byte]): String = new String(s, "UTF-16BE")
+    var tok = lex.next()
+    while (tok.isDefined) {
+      tok.get match {
+        case Op("begincodespacerange") => mode = "codespace"; operands.clear()
+        case Op("beginbfchar") => mode = "bfchar"; operands.clear()
+        case Op("beginbfrange") => mode = "bfrange"; operands.clear()
+        case Op("endcodespacerange") | Op("endbfchar") | Op("endbfrange") =>
+          mode = ""; operands.clear()
+        case Str(lo) if mode == "codespace" =>
+          if (codeLen == 0 && lo.nonEmpty) codeLen = lo.length
+        case v if mode == "bfchar" =>
+          operands += v
+          if (operands.length == 2) {
+            (operands(0), operands(1)) match {
+              case (Str(c), Str(u)) =>
+                if (codeLen == 0 && c.nonEmpty) codeLen = c.length
+                map(codeOf(c)) = uniOf(u)
+              case _ => ()
+            }
+            operands.clear()
+          }
+        case v if mode == "bfrange" =>
+          operands += v
+          if (operands.length == 3) {
+            (operands(0), operands(1), operands(2)) match {
+              case (Str(lo), Str(hi), Str(u)) =>
+                if (codeLen == 0 && lo.nonEmpty) codeLen = lo.length
+                val l = codeOf(lo); val h = codeOf(hi)
+                val base = uniOf(u)
+                if (base.nonEmpty && h >= l && h - l <= 0xffff) {
+                  var c = l
+                  while (c <= h) {
+                    val chars = base.toCharArray
+                    chars(chars.length - 1) = (chars(chars.length - 1) + (c - l)).toChar
+                    map(c) = new String(chars)
+                    c += 1
+                  }
+                }
+              case (Str(lo), _, Arr(us)) =>
+                if (codeLen == 0 && lo.nonEmpty) codeLen = lo.length
+                val l = codeOf(lo)
+                us.zipWithIndex.foreach {
+                  case (Str(u), off) => map(l + off) = uniOf(u)
+                  case _ => ()
+                }
+              case _ => ()
+            }
+            operands.clear()
+          }
+        case _ => operands.clear()
+      }
+      tok = lex.next()
+    }
+    (if (codeLen > 0) codeLen else defaultLen, map.toMap)
+  }
+
   /** Per-page text, in page-tree order. Empty seq if no page tree. */
   def extractPages(bytes: Array[Byte]): Seq[String] = {
     val objs = expandObjectStreams(indexObjects(bytes))
@@ -433,20 +604,6 @@ object Pdf {
         .find(_.get("Type").contains(Name("Catalog"))).getOrElse(Map.empty)
     }
 
-    // walk the page tree (intermediate /Pages nodes may nest)
-    def walk(node: Val, depth: Int): Seq[Map[String, Val]] = {
-      if (depth > 64) return Seq.empty // cyclic/hostile tree guard
-      val d = dictOf(node)
-      d.get("Type") match {
-        case Some(Name("Page")) => Seq(d)
-        case _ => resolve(d.getOrElse("Kids", NullVal)) match {
-          case Arr(kids) => kids.flatMap(k => walk(k, depth + 1))
-          case _ => if (d.get("Type").contains(Name("Page"))) Seq(d) else Seq.empty
-        }
-      }
-    }
-    val pages = catalog.get("Pages").map(p => walk(p, 0)).getOrElse(Seq.empty)
-
     def streamOf(v: Val): Option[(Map[String, Val], Array[Byte])] = v match {
       case Ref(n) => objs.get(n).flatMap(o => o.stream.map(s => (dictOf(o.value), s)))
       case _ => None
@@ -463,7 +620,61 @@ object Pdf {
       }
     }
 
-    pages.map { page =>
+    // walk the page tree (intermediate /Pages nodes may nest);
+    // /Resources is an inheritable page attribute (ISO 32000 7.7.3.4),
+    // so the nearest ancestor's dict rides along with each page
+    def walk(node: Val, depth: Int, inhRes: Option[Val]): Seq[(Map[String, Val], Option[Val])] = {
+      if (depth > 64) return Seq.empty // cyclic/hostile tree guard
+      val d = dictOf(node)
+      val res = d.get("Resources").orElse(inhRes)
+      d.get("Type") match {
+        case Some(Name("Page")) => Seq((d, res))
+        case _ => resolve(d.getOrElse("Kids", NullVal)) match {
+          case Arr(kids) => kids.flatMap(k => walk(k, depth + 1, res))
+          case _ => if (d.get("Type").contains(Name("Page"))) Seq((d, res)) else Seq.empty
+        }
+      }
+    }
+    val pages = catalog.get("Pages").map(p => walk(p, 0, None)).getOrElse(Seq.empty)
+
+    /** Resource font name → decoder, from the page's (possibly
+      * inherited) /Resources /Font dict. */
+    def fontDecoders(res: Option[Val]): Map[String, FontDecoder] = {
+      val fonts = res.map(dictOf).flatMap(_.get("Font")).map(dictOf).getOrElse(Map.empty)
+      fonts.map { case (fname, fval) =>
+        val fd = dictOf(fval)
+        val isType0 = fd.get("Subtype").contains(Name("Type0"))
+        val dec: FontDecoder =
+          fd.get("ToUnicode").flatMap(streamOf) match {
+            case Some((sd, raw)) =>
+              val (codeLen, m) = parseToUnicode(decode(sd, raw), if (isType0) 2 else 1)
+              cmapDecoder(codeLen, m)
+            case None => fd.get("Encoding").map(resolve) match {
+              case Some(Name(enc)) if enc != "Identity-H" && enc != "Identity-V" =>
+                singleByteDecoder(baseTable(enc))
+              case Some(Dict(encD)) =>
+                val table = baseTable(encD.get("BaseEncoding")
+                  .collect { case Name(n) => n }.getOrElse("StandardEncoding")).clone()
+                resolve(encD.getOrElse("Differences", NullVal)) match {
+                  case Arr(items) =>
+                    var code = 0
+                    items.foreach {
+                      case Num(n) => code = n.toInt
+                      case Name(g) =>
+                        if (code >= 0 && code < 256) { table(code) = glyphToUnicode(g); code += 1 }
+                      case _ => ()
+                    }
+                  case _ => ()
+                }
+                singleByteDecoder(table)
+              case _ => Utf8Decoder // no /Encoding (the writer's fonts) or Identity CID without ToUnicode
+            }
+          }
+        fname -> dec
+      }
+    }
+
+    pages.map { case (page, res) =>
       // /Contents: a ref to one stream, a direct array of refs, or a
       // ref to an array of refs
       val refs: Vector[Val] = page.get("Contents") match {
@@ -480,30 +691,48 @@ object Pdf {
       val content = streams.map { case (d, raw) => decode(d, raw) }
         .reduceOption((a, b) => a ++ Array('\n'.toByte) ++ b)
         .getOrElse(Array.empty[Byte])
-      extractText(content)
+      extractText(content, fontDecoders(res))
     }
   }
 
   /** Show-text operands of one content stream, concatenated in order:
     * Tj, ' (move+show), " (spacing+show), TJ (array of runs with
-    * kerning numbers interleaved — numbers are positioning, skipped). */
-  private def extractText(content: Array[Byte]): String = {
+    * kerning numbers interleaved — numbers are positioning, skipped).
+    *
+    * Bytes accumulate per contiguous same-font run and are decoded
+    * through the font selected by the last `Tf` when the font changes
+    * (or at end of stream) — never per show-op, because a multi-byte
+    * UTF-8/CID sequence may legally split across runs. */
+  private def extractText(content: Array[Byte],
+      fonts: Map[String, FontDecoder] = Map.empty): String = {
     val lex = new Lexer(content, 0)
-    val out = new ByteArrayOutputStream
+    val out = new StringBuilder
+    val pending = new ByteArrayOutputStream
+    var dec: FontDecoder = Utf8Decoder
+    def flush(): Unit =
+      if (pending.size > 0) { out.append(dec(pending.toByteArray)); pending.reset() }
     val operands = mutable.ArrayBuffer.empty[Val]
     var tok = lex.next()
     while (tok.isDefined) {
       tok.get match {
+        case Op("Tf") =>
+          // operands: /FontName size — unknown names keep the current
+          // decoder (a missing resource is not a decoding switch)
+          operands.collect { case Name(n) => n }.lastOption
+            .flatMap(fonts.get).foreach { d =>
+              if (d ne dec) { flush(); dec = d }
+            }
+          operands.clear()
         case Op("Tj") | Op("'") | Op("\"") =>
           operands.lastOption match {
-            case Some(Str(b)) => out.write(b, 0, b.length)
+            case Some(Str(b)) => pending.write(b, 0, b.length)
             case _ => ()
           }
           operands.clear()
         case Op("TJ") =>
           operands.lastOption match {
             case Some(Arr(items)) =>
-              items.foreach { case Str(b) => out.write(b, 0, b.length); case _ => () }
+              items.foreach { case Str(b) => pending.write(b, 0, b.length); case _ => () }
             case _ => ()
           }
           operands.clear()
@@ -512,7 +741,8 @@ object Pdf {
       }
       tok = lex.next()
     }
-    new String(out.toByteArray, "UTF-8")
+    flush()
+    out.toString
   }
 
   private def inflate(data: Array[Byte]): Array[Byte] = {

@@ -179,4 +179,115 @@ class PdfSpec extends SparkSpec {
     val reassembled = p2.collect().map(_.getAs[String]("origntext")).mkString
     assert(reassembled == longPage) // normalize() is identity here (single spaces)
   }
+
+  // ------------------------------------------- font-aware decoding
+  /** Minimal single-page fixture with the given font objects, font
+    * resource dict, and content stream (all uncompressed; the repair
+    * parser needs no xref). */
+  private def fontFixture(fontObjs: String, fontRes: String, content: String): Array[Byte] =
+    s"""%PDF-1.4
+       |1 0 obj
+       |<< /Type /Catalog /Pages 2 0 R >>
+       |endobj
+       |2 0 obj
+       |<< /Type /Pages /Kids [3 0 R] /Count 1 >>
+       |endobj
+       |3 0 obj
+       |<< /Type /Page /Parent 2 0 R /Resources << /Font << $fontRes >> >> /Contents 6 0 R >>
+       |endobj
+       |$fontObjs
+       |6 0 obj
+       |<< /Length ${content.length} >>
+       |stream
+       |$content
+       |endstream
+       |endobj
+       |trailer
+       |<< /Root 1 0 R >>
+       |%%EOF
+       |""".stripMargin.getBytes("ISO-8859-1")
+
+  test("WinAnsiEncoding font decodes cp1252 bytes (what PDFBox does for third-party PDFs)") {
+    // \223 \224 = cp1252 curly quotes, \351 = é — garbage under the
+    // old raw-UTF-8 decoding, correct text through /Encoding
+    val pdf = fontFixture(
+      "4 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>\nendobj",
+      "/FW 4 0 R",
+      "BT /FW 12 Tf (\\223A\\224 caf\\351) Tj ET")
+    assert(Pdf.extractPages(pdf) == Seq("“A” café"))
+  }
+
+  test("/Encoding dict with /Differences overrides codes; uniXXXX names resolve") {
+    val pdf = fontFixture(
+      "4 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+        "/Encoding << /BaseEncoding /WinAnsiEncoding /Differences [65 /eacute /uni0042 90 /Euro] >> >>\nendobj",
+      "/FD 4 0 R",
+      "BT /FD 12 Tf (AB x Z) Tj ET")
+    // 65→é (named), 66→B (uni0042), 90→€; untouched codes stay WinAnsi
+    assert(Pdf.extractPages(pdf) == Seq("éB x €"))
+  }
+
+  test("Type0 font with ToUnicode CMap decodes 2-byte codes (bfchar + bfrange)") {
+    val cmap =
+      """/CIDInit /ProcSet findresource begin
+        |12 dict begin
+        |begincmap
+        |1 begincodespacerange <0000> <FFFF> endcodespacerange
+        |2 beginbfchar
+        |<0001> <0048>
+        |<0002> <0065006C006C006F>
+        |endbfchar
+        |1 beginbfrange
+        |<0010> <0012> <0041>
+        |endbfrange
+        |endcmap
+        |end end""".stripMargin
+    val fontObjs =
+      s"""4 0 obj
+         |<< /Type /Font /Subtype /Type0 /BaseFont /Fake /Encoding /Identity-H /ToUnicode 5 0 R >>
+         |endobj
+         |5 0 obj
+         |<< /Length ${cmap.length} >>
+         |stream
+         |$cmap
+         |endstream
+         |endobj""".stripMargin
+    val pdf = fontFixture(fontObjs, "/FT 4 0 R",
+      "BT /FT 12 Tf <00010002> Tj [<0010> -20 <00110012>] TJ ET")
+    // <0001>→H, <0002>→ello (multi-unit bfchar), bfrange 0010..0012→A B C
+    assert(Pdf.extractPages(pdf) == Seq("HelloABC"))
+  }
+
+  test("font switches mid-page flush decoding runs; /Resources inherits from /Pages") {
+    // Resources on the PARENT Pages node (inheritable attribute);
+    // content switches WinAnsi → raw (unknown encoding-less font)
+    val pdf =
+      s"""%PDF-1.4
+         |1 0 obj
+         |<< /Type /Catalog /Pages 2 0 R >>
+         |endobj
+         |2 0 obj
+         |<< /Type /Pages /Kids [3 0 R] /Count 1 /Resources << /Font << /FW 4 0 R /FP 5 0 R >> >> >>
+         |endobj
+         |3 0 obj
+         |<< /Type /Page /Parent 2 0 R /Contents 6 0 R >>
+         |endobj
+         |4 0 obj
+         |<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica /Encoding /WinAnsiEncoding >>
+         |endobj
+         |5 0 obj
+         |<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica >>
+         |endobj
+         |6 0 obj
+         |<< /Length 58 >>
+         |stream
+         |BT /FW 12 Tf (caf\\351 ) Tj /FP 12 Tf (plain one) Tj ET
+         |endstream
+         |endobj
+         |trailer
+         |<< /Root 1 0 R >>
+         |%%EOF
+         |""".stripMargin.getBytes("ISO-8859-1")
+    assert(Pdf.extractPages(pdf) == Seq("café plain one"))
+  }
 }
