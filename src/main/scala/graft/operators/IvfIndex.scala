@@ -91,6 +91,18 @@ object IvfIndex {
   def writePartitioned(indexed: DataFrame, path: String): Unit =
     indexed.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
 
+  /** Per-cell bounding radius — index statistics for SOUND range-query
+    * cell pruning: dist(q, member) ≥ dist(q, centroid) − radius by the
+    * triangle inequality, so a cell with dist(q,c) − radius > τ
+    * provably holds no point within τ of the query and can be skipped
+    * without changing results (unlike nprobe knn probing, which is
+    * approximate by construction). One aggregation at build time;
+    * KB-scale output. */
+  def cellRadii(indexed: DataFrame, vecCol: String, centroids: DataFrame): DataFrame =
+    indexed.join(broadcast(centroids), "centroid_id")
+      .groupBy(col("centroid_id"))
+      .agg(max(l2Distance(col(vecCol), col("centroid"))).as("radius"))
+
   /** Incremental index maintenance: assign a stream of new vectors to
     * the existing (frozen) centroids and append them into the
     * cell-partitioned store — the index stays fresh without retraining

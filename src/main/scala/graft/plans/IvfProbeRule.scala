@@ -40,8 +40,12 @@ import scala.collection.concurrent.TrieMap
   */
 object IvfCatalog {
 
+  /** `radii(i)` is cell i's bounding radius
+    * ([[graft.operators.IvfIndex.cellRadii]]); empty when the store
+    * was registered without radius statistics — knn probing works
+    * either way, range-query cell pruning needs them (soundness). */
   final case class Entry(cells: Array[Int], centroids: Array[Array[Double]],
-      nprobe: Int, vecCol: String)
+      nprobe: Int, vecCol: String, radii: Array[Double])
 
   private val entries = TrieMap.empty[String, Entry]
 
@@ -50,20 +54,25 @@ object IvfCatalog {
 
   /** Register a cell-partitioned store (written by
     * [[graft.operators.IvfIndex.writePartitioned]]) with its centroid
-    * frame [(centroid_id, centroid)]. Centroids are nlist rows — KB
-    * scale — and become driver metadata, like any index's statistics.
+    * frame [(centroid_id, centroid)] and, when present, a `radius`
+    * column. Centroids are nlist rows — KB scale — and become driver
+    * metadata, like any index's statistics.
     * `vecCol` names the INDEXED embedding column: the rule only
     * rewrites sorts whose distance key is over that column of this
     * store — a sort on some other vector column (or a joined table's
     * column) must keep its exact plan. */
   def register(storePath: String, centroids: DataFrame, nprobe: Int,
       vecCol: String = "embedding"): Unit = {
-    val rows = centroids.select("centroid_id", "centroid").collect()
+    val hasRadius = centroids.columns.contains("radius")
+    val cols = if (hasRadius) Seq("centroid_id", "centroid", "radius")
+               else Seq("centroid_id", "centroid")
+    val rows = centroids.select(cols.head, cols.tail: _*).collect()
     entries(canonical(storePath)) = Entry(
       rows.map(_.getInt(0)),
       rows.map(_.getSeq[Double](1).toArray),
       nprobe,
-      vecCol)
+      vecCol,
+      if (hasRadius) rows.map(_.getDouble(2)) else Array.empty)
   }
 
   def lookup(rootPaths: Seq[org.apache.hadoop.fs.Path]): Option[Entry] =
@@ -114,6 +123,69 @@ final class IvfProbeRule(session: SparkSession) extends Rule[LogicalPlan] {
         }
       case _ => gl
     }
+    // the pgvector range shape: WHERE dist(embedding, <literal>) < τ
+    // over a registered store — triangle-inequality cell pruning
+    // (EXACT, unlike nprobe knn: a pruned cell provably holds no
+    // qualifying point, so results are unchanged)
+    case f: Filter => rangeRewrite(f).getOrElse(f)
+  }
+
+  /** Find a `VectorDistanceExpr(col, literal) < τ` (L2) conjunct. */
+  private def thresholdOf(e: Expression): Option[(VectorDistanceExpr, Double)] = {
+    import org.apache.spark.sql.catalyst.expressions.{And, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
+    e match {
+      case LessThan(v: VectorDistanceExpr, Literal(t: Double, DoubleType)) => Some((v, t))
+      case LessThanOrEqual(v: VectorDistanceExpr, Literal(t: Double, DoubleType)) => Some((v, t))
+      case GreaterThan(Literal(t: Double, DoubleType), v: VectorDistanceExpr) => Some((v, t))
+      case GreaterThanOrEqual(Literal(t: Double, DoubleType), v: VectorDistanceExpr) => Some((v, t))
+      case And(l, r) => thresholdOf(l).orElse(thresholdOf(r))
+      case _ => None
+    }
+  }
+
+  /** Range-filter rewrite: keep only cells whose bounding ball can
+    * intersect the query ball (dist(q,c) − radius ≤ τ, with an FP
+    * epsilon so double rounding can never drop a boundary point).
+    * L2 only — the triangle inequality is a metric property; the
+    * fused cosine/dot modes are not metrics over raw vectors. */
+  private def rangeRewrite(f: Filter): Option[Filter] =
+    for {
+      (vde, tau) <- thresholdOf(f.condition)
+      if vde.mode == VectorDistance.L2.id
+      query <- literalVector(vde)
+      colSide <- vectorColumn(vde)
+      vecAttr <- resolveToAttribute(colSide, f.child)
+      rewritten <- injectRangeProbe(f.child, vecAttr, query, tau)
+    } yield f.copy(child = rewritten)
+
+  private def injectRangeProbe(plan: LogicalPlan, vecAttr: AttributeReference,
+      query: Array[Double], tau: Double): Option[LogicalPlan] = {
+    var done = false
+    val out = plan transform {
+      case lr: LogicalRelation if !done && !hasProbeAbove(plan, lr) =>
+        (lr.relation, lr.output.find(_.name == "centroid_id")) match {
+          case (fs: HadoopFsRelation, Some(cellAttr)) =>
+            IvfCatalog.lookup(fs.location.rootPaths) match {
+              case Some(entry) if entry.radii.length == entry.cells.length &&
+                  entry.cells.nonEmpty &&
+                  vecAttr.name == entry.vecCol &&
+                  lr.output.exists(_.exprId == vecAttr.exprId) =>
+                done = true
+                val keep = entry.cells.indices.filter { i =>
+                  val dq = cellScore(VectorDistance.L2.id, negated = false,
+                    query, entry.centroids(i))
+                  dq - entry.radii(i) <= tau + 1e-9
+                }.map(entry.cells)
+                if (keep.isEmpty)
+                  Filter(Literal(false, org.apache.spark.sql.types.BooleanType), lr)
+                else
+                  Filter(In(cellAttr, keep.map(Literal(_, IntegerType))), lr)
+              case _ => lr // unregistered, no radii, or not the indexed column
+            }
+          case _ => lr
+        }
+    }
+    if (done) Some(out) else None
   }
 
   /** Peel consecutive Project nodes, returning a function that

@@ -336,12 +336,15 @@ object VectorQueries {
 
   // ------------------------------------------- optimizer-picked IVF probe
   /** Build-once per sfDir: a cell-partitioned store + persisted
-    * centroids under java.io.tmpdir, registered in [[IvfCatalog]] with
-    * [[IvfProbeRule]] installed. Deterministic: same corpus → same
-    * k-means → same layout, so re-use across JVMs is safe. */
+    * centroids (with per-cell bounding radii — the statistics the
+    * range rewrite needs for sound pruning) under java.io.tmpdir,
+    * registered in [[IvfCatalog]] with [[IvfProbeRule]] installed.
+    * Deterministic: same corpus → same k-means → same layout, so
+    * re-use across JVMs is safe. (Dir name carries a layout version:
+    * v2 added the radius column.) */
   private def ensureAutoStore(s: SparkSession, d: String): (String, String) = {
     val base = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_ivf_auto_${Integer.toHexString(d.hashCode)}")
+      s"graft_ivf_auto_v2_${Integer.toHexString(d.hashCode)}")
     val storeP = new java.io.File(base, "store").toString
     val centP = new java.io.File(base, "centroids").toString
     VectorQueries.synchronized {
@@ -349,12 +352,36 @@ object VectorQueries {
         val (indexed, centroids) = IvfIndex.buildIndex(
           Tables.embeddings(s, d), "vec_id", "embedding", nlist = 16)
         IvfIndex.writePartitioned(indexed, storeP)
-        centroids.write.mode("overwrite").parquet(centP)
+        centroids
+          .join(IvfIndex.cellRadii(indexed, "embedding", centroids),
+            Seq("centroid_id"), "left")
+          .na.fill(0.0, Seq("radius")) // an empty cell intersects nothing
+          .write.mode("overwrite").parquet(centP)
       }
     }
     IvfCatalog.register(storeP, s.read.parquet(centP), nprobe = 4, vecCol = "embedding")
     IvfProbeRule.install(s)
     (storeP, centP)
+  }
+
+  /** The pgvector range shape (`WHERE embedding <-> '[...]' < τ`) over
+    * the registered store with NO index call in the query: the
+    * optimizer's triangle-inequality rewrite keeps only cells whose
+    * bounding ball can intersect the query ball. Unlike the knn probe
+    * this pruning is EXACT (a skipped cell provably holds no
+    * qualifying row), so the entry carries the same DuckDB oracle as
+    * vs_range_search. On this isotropic corpus radii are wide and few
+    * cells prune; IvfAutoSpec's clustered fixture shows real pruning. */
+  private def rangeAuto(s: SparkSession, d: String): DataFrame = {
+    val (storeP, _) = ensureAutoStore(s, d)
+    val q = queryVec(s, d).select(col("qvec").cast("array<double>"))
+      .head.getSeq[Double](0).toArray
+    s.read.parquet(storeP)
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        graft.functions.VectorDistance.l2(col("embedding"), typedLit(q)).as("dist"))
+      .filter(col("dist") < 1.30)
+      .orderBy(col("dist"), col("vec_id"))
   }
 
   /** The reference's literal-query search shape (`ORDER BY
@@ -457,5 +484,6 @@ object VectorQueries {
     "vs_knn_ip"       -> QueryDef(knnIp _, knnOracle(ipSql)),
     "vs_knn_batch"    -> QueryDef(knnBatch _, knnBatchSql),
     "vs_range_search" -> QueryDef(rangeSearch _, rangeSearchSql),
+    "vs_range_auto"   -> QueryDef(rangeAuto _, rangeSearchSql),
   )
 }

@@ -161,6 +161,62 @@ class IvfAutoSpec extends SparkSpec {
     assert(joined.collect().length == 10)
   }
 
+  test("range filter over the registered store is cell-pruned and stays EXACT") {
+    // vs_range_auto on the real store: the IN list is injected (on
+    // this isotropic corpus radii are wide, so it may hold all cells)
+    // and results must equal the unpruned exact range scan
+    val auto = SparkEntry.queries("vs_range_auto")(spark, Sf)
+    assert(probed(auto.queryExecution.executedPlan.toString),
+      s"range probe not pruned:\n${auto.queryExecution.executedPlan}")
+    val got = auto.collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val q = Tables.embeddings(spark, Sf).filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head.getSeq[Double](0).toArray
+    val exact = Tables.embeddings(spark, Sf).filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), VectorDistance.l2(col("embedding"), typedLit(q)).as("dist"))
+      .filter(col("dist") < 1.30)
+      .orderBy(col("dist"), col("vec_id"))
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(got == exact, "triangle-inequality pruning changed range results")
+  }
+
+  test("clustered store: range pruning actually skips far cells, results exact") {
+    import spark.implicits._
+    // 4 tight clusters far apart: cell radii ~0.1, centroid gaps ~10 —
+    // a τ=1 query near cluster 0 must scan ONE cell and lose nothing
+    val rnd = new scala.util.Random(7)
+    val rows = for (c <- 0 until 4; i <- 0 until 50) yield {
+      val base = Array.fill(8)(0.0); base(c % 4) = c * 10.0
+      val v = base.map(x => (x + rnd.nextGaussian() * 0.05).toFloat)
+      (c * 100L + i, v.toSeq)
+    }
+    val dir = java.nio.file.Files.createTempDirectory("rangeauto").toString
+    val emb = rows.toDF("vec_id", "embedding")
+    val (indexed, centroids) = graft.operators.IvfIndex.buildIndex(
+      emb, "vec_id", "embedding", nlist = 4, trainFraction = 1.0)
+    graft.operators.IvfIndex.writePartitioned(indexed, s"$dir/store")
+    centroids
+      .join(graft.operators.IvfIndex.cellRadii(indexed, "embedding", centroids),
+        Seq("centroid_id"), "left")
+      .na.fill(0.0, Seq("radius"))
+      .write.parquet(s"$dir/centroids")
+    graft.plans.IvfCatalog.register(s"$dir/store",
+      spark.read.parquet(s"$dir/centroids"), nprobe = 1)
+    graft.plans.IvfProbeRule.install(spark)
+    val q = rows.head._2.map(_.toDouble).toArray
+    def shape(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("vec_id"), VectorDistance.l2(col("embedding"), typedLit(q)).as("dist"))
+      .filter(col("dist") < 1.0)
+      .orderBy(col("dist"), col("vec_id"))
+    val pruned = shape(spark.read.parquet(s"$dir/store"))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(probed(plan), s"clustered range query not pruned:\n$plan")
+    val inList = "PartitionFilters: \\[[^\\]]*IN \\(([^)]*)\\)".r
+      .findFirstMatchIn(plan).map(_.group(1).split(",").length).getOrElse(99)
+    assert(inList < 4, s"no cells were pruned (IN list has $inList of 4 cells)")
+    val exact = shape(emb).collect().map(_.getLong(0)).toSeq
+    assert(pruned.collect().map(_.getLong(0)).toSeq == exact)
+  }
+
   test("plans without a registered store or literal query are untouched") {
     // same shape over the raw embeddings table (no centroid_id, not
     // registered): the rule must not fire
