@@ -161,6 +161,16 @@ object Ingest {
     * embeddings diverge from the reference store. */
   val ReferencePunct = ".:;?!"
 
+  /** CJK-aware boundary set: the reference set plus the ideographic
+    * and fullwidth sentence/clause enders (。．！？ ；：，、 and the
+    * halfwidth ideographic stop ｡). Chinese/Japanese prose carries no
+    * ASCII periods, so under [[ReferencePunct]] every chunk of a CJK
+    * document is a mid-sentence hard cut; with this set the look-back
+    * window lands on real sentence boundaries. Characters are BMP
+    * code units, so the Char-wise scan in [[splitText]] needs no
+    * change. */
+  val CjkPunct: String = ReferencePunct + "。．！？；：，、｡"
+
   /** Full pipeline to the reference's store schema
     * (DOCUMENT_SEARCH_VECTOR: id, embedding, origntext, filename,
     * pagenumber — README.md table DDL), ready for parquet/Knn.
@@ -173,11 +183,12 @@ object Ingest {
     * pagenumber=1 (whole document = one page). */
   def toVectorStore(docs: DataFrame, idCol: String, textCol: String,
       fileCol: String, pageCol: Option[String] = None, dims: Int = 64,
-      maxLen: Int = 120, lookback: Int = 30): DataFrame = {
+      maxLen: Int = 120, lookback: Int = 30,
+      punct: String = ReferencePunct): DataFrame = {
     val carried = (Seq(idCol, textCol, fileCol) ++ pageCol).distinct
     val chunks = chunk(
       docs.select(carried.map(col): _*),
-      idCol, textCol, maxLen, lookback, ReferencePunct)
+      idCol, textCol, maxLen, lookback, punct)
     val pagenumber = pageCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
     chunks
       .withColumn("toks", tokens(col("chunk")))
