@@ -30,6 +30,11 @@ object GraftExtensions {
             VectorDistanceExpr(exprs.head, exprs(1), mode)
           }, "scala_udf")
       }
+    reg.createOrReplaceTempFunction("array_max_count",
+      exprs => {
+        require(exprs.length == 1, s"array_max_count expects (array<string>), got ${exprs.length} args")
+        graft.functions.ArrayMaxCountExpr(exprs.head)
+      }, "scala_udf")
   }
 }
 
@@ -57,5 +62,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     e.injectFunction((FunctionIdentifier("vec_cos_sim"),
       info("vec_cos_sim", "vec_cos_sim(a, b) - cosine similarity"),
       binary(3) _))
+    e.injectFunction((FunctionIdentifier("array_max_count"),
+      info("array_max_count",
+        "array_max_count(xs) - max multiplicity of any element, one pass"),
+      args => {
+        require(args.length == 1, "expected (array<string>)")
+        graft.functions.ArrayMaxCountExpr(args.head)
+      }))
   }
 }

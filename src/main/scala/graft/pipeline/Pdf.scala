@@ -391,9 +391,11 @@ object Pdf {
         case (Dict(d), Some(raw))
             if d.get("Type").contains(Name("ObjStm")) =>
           val data = d.get("Filter") match {
-            case Some(Name("FlateDecode")) => inflate(raw)
+            case Some(Name(f)) => decodeOne(f, raw)
+            case Some(Arr(fs)) =>
+              fs.collect { case Name(f) => f }.foldLeft(raw)((a, f) => decodeOne(f, a))
             case None => raw
-            case _ => Array.empty[Byte] // unsupported filter
+            case _ => Array.empty[Byte] // unresolvable filter spec
           }
           val n = d.get("N").collect { case Num(v) => v.toInt }.getOrElse(0)
           val first = d.get("First").collect { case Num(v) => v.toInt }.getOrElse(0)
@@ -614,10 +616,7 @@ object Pdf {
         case Some(Arr(fs)) => fs.collect { case Name(f) => f }
         case _ => Seq.empty
       }
-      filters.foldLeft(raw) {
-        case (data, "FlateDecode") => inflate(data)
-        case (data, _) => data // unsupported filter: pass through (documented)
-      }
+      filters.foldLeft(raw)((data, f) => decodeOne(f, data))
     }
 
     // walk the page tree (intermediate /Pages nodes may nest);
@@ -743,6 +742,100 @@ object Pdf {
     }
     flush()
     out.toString
+  }
+
+  // ------------------------------------------------ stream filters
+  /** Apply one named stream filter (ISO 32000 §7.4). Flate (zlib) plus
+    * the three pure-transform filters a text pipeline meets in the
+    * wild: ASCIIHex, ASCII85, RunLength (abbreviated inline-image
+    * names accepted too). DCT/JPX/CCITT are image codecs — image XObjects
+    * don't reach the text extractor; unknown filters pass through
+    * (documented). */
+  private def decodeOne(filter: String, data: Array[Byte]): Array[Byte] = filter match {
+    case "FlateDecode" | "Fl" => inflate(data)
+    case "ASCIIHexDecode" | "AHx" => asciiHexDecode(data)
+    case "ASCII85Decode" | "A85" => ascii85Decode(data)
+    case "RunLengthDecode" | "RL" => runLengthDecode(data)
+    case _ => data
+  }
+
+  /** Hex pairs, whitespace ignored, `>` is EOD, odd trailing digit
+    * completes with low nibble 0 (§7.4.2). */
+  private def asciiHexDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(data.length / 2 + 1)
+    var hi = -1
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val c = data(i) & 0xff
+      if (c == '>') done = true
+      else {
+        val d = Character.digit(c, 16)
+        if (d >= 0) {
+          if (hi < 0) hi = d
+          else { out.write(hi * 16 + d); hi = -1 }
+        }
+      }
+      i += 1
+    }
+    if (hi >= 0) out.write(hi * 16)
+    out.toByteArray
+  }
+
+  /** Base-85: 5 chars `!`..`u` → 4 bytes; `z` → four zero bytes; a
+    * final partial group of n chars yields n−1 bytes (pad with `u`);
+    * `~>` is EOD; whitespace ignored (§7.4.3). */
+  private def ascii85Decode(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(data.length * 4 / 5 + 4)
+    val group = new Array[Int](5)
+    var n = 0
+    var i = 0
+    var done = false
+    def flush(chars: Int): Unit = {
+      var k = n
+      while (k < 5) { group(k) = 'u' - '!'; k += 1 } // pad partial group
+      var v = 0L
+      group.foreach(g => v = v * 85 + g)
+      val emit = chars - 1
+      var shift = 24
+      var j = 0
+      while (j < emit) { out.write(((v >> shift) & 0xff).toInt); shift -= 8; j += 1 }
+    }
+    while (i < data.length && !done) {
+      val c = data(i) & 0xff
+      if (c == '~') done = true
+      else if (c == 'z' && n == 0) { out.write(0); out.write(0); out.write(0); out.write(0) }
+      else if (c >= '!' && c <= 'u') {
+        group(n) = c - '!'; n += 1
+        if (n == 5) { flush(5); n = 0 }
+      } // whitespace and stray bytes: skipped
+      i += 1
+    }
+    if (n > 1) flush(n)
+    out.toByteArray
+  }
+
+  /** Length byte L: 0-127 copies the next L+1 bytes, 129-255 repeats
+    * the next byte 257−L times, 128 is EOD (§7.4.5). */
+  private def runLengthDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(data.length * 2)
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val l = data(i) & 0xff
+      i += 1
+      if (l == 128) done = true
+      else if (l < 128) {
+        val take = math.min(l + 1, data.length - i)
+        out.write(data, i, take)
+        i += take
+      } else if (i < data.length) {
+        val b = data(i); i += 1
+        var k = 0
+        while (k < 257 - l) { out.write(b); k += 1 }
+      }
+    }
+    out.toByteArray
   }
 
   private def inflate(data: Array[Byte]): Array[Byte] = {

@@ -40,4 +40,12 @@ class GraftExtensionsSpec extends AnyFunSuite {
              vec_cos_dist(array(1.0D, 2.0D), array(2.0D, 3.0D)) AS d""").head
     assert(math.abs(r.getDouble(0) + r.getDouble(1) - 1.0) < 1e-12)
   }
+
+  test("array_max_count runs as pure SQL") {
+    val r = spark.sql(
+      "SELECT array_max_count(array('a','b','a','a')) AS m, " +
+      "array_max_count(cast(array() AS array<string>)) AS e").head
+    assert(r.getInt(0) == 3)
+    assert(r.isNullAt(1))
+  }
 }

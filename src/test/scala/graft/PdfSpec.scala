@@ -180,6 +180,74 @@ class PdfSpec extends SparkSpec {
     assert(reassembled == longPage) // normalize() is identity here (single spaces)
   }
 
+  // --------------------------------------------- stream filters
+  private def hexEncode(b: Array[Byte]): String =
+    b.map(x => f"${x & 0xff}%02X").mkString + ">"
+
+  private def a85Encode(b: Array[Byte]): String = {
+    val sb = new StringBuilder
+    b.grouped(4).foreach { g =>
+      val padded = g.padTo(4, 0.toByte)
+      var v = 0L
+      padded.foreach(x => v = (v << 8) | (x & 0xff))
+      val cs = new Array[Char](5)
+      for (i <- 4 to 0 by -1) { cs(i) = ('!' + (v % 85).toInt).toChar; v /= 85 }
+      sb.appendAll(cs, 0, g.length + 1)
+    }
+    sb.append("~>").toString
+  }
+
+  private def rlEncode(b: Array[Byte]): Array[Byte] = {
+    // all-literal runs of ≤128 bytes + EOD — valid, if not minimal
+    val out = new java.io.ByteArrayOutputStream
+    b.grouped(128).foreach { g => out.write(g.length - 1); out.write(g) }
+    out.write(128)
+    out.toByteArray
+  }
+
+  test("ASCIIHex / ASCII85 / RunLength stream filters decode; chains apply in order") {
+    val content = "BT /F1 12 Tf (filtered text survives) Tj ET"
+    def onePage(streamObj: String): Array[Byte] =
+      s"""%PDF-1.4
+         |1 0 obj
+         |<< /Type /Catalog /Pages 2 0 R >>
+         |endobj
+         |2 0 obj
+         |<< /Type /Pages /Kids [3 0 R] /Count 1 >>
+         |endobj
+         |3 0 obj
+         |<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>
+         |endobj
+         |$streamObj
+         |trailer
+         |<< /Root 1 0 R >>
+         |%%EOF
+         |""".stripMargin.getBytes("ISO-8859-1")
+    def streamObj(filter: String, body: Array[Byte]): String =
+      s"4 0 obj\n<< /Length ${body.length} /Filter $filter >>\nstream\n" +
+        new String(body, "ISO-8859-1") + "\nendstream\nendobj"
+    val raw = content.getBytes("ISO-8859-1")
+    val expected = Seq("filtered text survives")
+    assert(Pdf.extractPages(onePage(streamObj("/ASCIIHexDecode",
+      hexEncode(raw).getBytes("ISO-8859-1")))) == expected)
+    assert(Pdf.extractPages(onePage(streamObj("/ASCII85Decode",
+      a85Encode(raw).getBytes("ISO-8859-1")))) == expected)
+    assert(Pdf.extractPages(onePage(streamObj("/RunLengthDecode",
+      rlEncode(raw)))) == expected)
+    // chain: data is ASCII85( Flate(content) ) → filters array applies
+    // ASCII85 first, then Flate (§7.4: listed in decode order)
+    val deflated = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](1024)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      out.toByteArray
+    }
+    assert(Pdf.extractPages(onePage(streamObj("[/ASCII85Decode /FlateDecode]",
+      a85Encode(deflated).getBytes("ISO-8859-1")))) == expected)
+  }
+
   // ------------------------------------------- font-aware decoding
   /** Minimal single-page fixture with the given font objects, font
     * resource dict, and content stream (all uncompressed; the repair
