@@ -74,13 +74,16 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
     /** Cold run; below the threshold, a warm re-run is the reported
-      * number (cold recorded alongside). */
+      * number (cold recorded alongside). No block sweep between the
+      * two runs: split-bench probes read a localCheckpoint'ed index
+      * whose lineage is truncated — unpersisting it would make the
+      * warm run unrecomputable (the sweep isolates QUERIES from each
+      * other, not a query from its own warm pass). */
     def coldThenWarm(name: String, thunk: () => Unit): Double = {
       val cold = timed(thunk)
       if (cold >= WarmThreshold) cold
       else {
         coldTimes(name) = cold
-        sweepBlocks()
         timed(thunk)
       }
     }

@@ -23,21 +23,24 @@ object ArrayMaxCount {
     GraftSqlBridge.toColumn(ArrayMaxCountExpr(GraftSqlBridge.toExpression(xs)))
 
   /** Shared by interpreted eval and generated code. Keys are the
-    * array's UTF8String elements (byte-wise hash/equals); NULL
-    * elements count as their own key, like `filter(xs, x === t)`
-    * never matching them is NOT — but tokenizers never emit NULL
-    * elements, and counting them is the safer total function. */
+    * array's UTF8String elements (byte-wise hash/equals). NULL
+    * elements are SKIPPED, exactly like the HOF composition this
+    * replaces (`filter(xs, x === t)` never matches a null, so nulls
+    * contribute count 0 there) — an all-null non-empty array yields
+    * 0, matching `array_max` over an all-zero counts array. */
   def ofStrings(a: ArrayData): Int = {
     val n = a.numElements()
     val counts = new java.util.HashMap[AnyRef, Array[Int]](Math.max(8, n * 2))
     var best = 0
     var i = 0
     while (i < n) {
-      val k: AnyRef = if (a.isNullAt(i)) null else a.getUTF8String(i)
-      var c = counts.get(k)
-      if (c == null) { c = new Array[Int](1); counts.put(k, c) }
-      c(0) += 1
-      if (c(0) > best) best = c(0)
+      if (!a.isNullAt(i)) {
+        val k: AnyRef = a.getUTF8String(i)
+        var c = counts.get(k)
+        if (c == null) { c = new Array[Int](1); counts.put(k, c) }
+        c(0) += 1
+        if (c(0) > best) best = c(0)
+      }
       i += 1
     }
     best

@@ -107,7 +107,19 @@ object IvfIndex {
     * the existing (frozen) centroids and append them into the
     * cell-partitioned store — the index stays fresh without retraining
     * (retrain is an offline decision when cell balance drifts).
-    * Exactly-once via the streaming checkpoint. */
+    * Exactly-once via the streaming checkpoint.
+    *
+    * Every appended batch invalidates the [[graft.plans.IvfCatalog]]
+    * registration for `path`: the catalog's per-cell radii were
+    * computed over the corpus at register time, and an appended vector
+    * may land OUTSIDE its cell's recorded bounding ball (centroids are
+    * frozen; assignment distance is unbounded) — stale radii would
+    * make the range rewrite's "sound" pruning silently drop that
+    * vector. Invalidation falls back to exact scans until the store is
+    * re-registered with fresh statistics ([[cellRadii]]); knn probing
+    * through the explicit search API is unaffected. (compact() keeps
+    * content identical and delete() only shrinks cells, so existing
+    * radii stay valid upper bounds there — only appends invalidate.) */
   def streamAssign(
       newVectors: org.apache.spark.sql.DataFrame, idCol: String, vecCol: String,
       centroids: org.apache.spark.sql.DataFrame, path: String, checkpoint: String)
@@ -118,6 +130,7 @@ object IvfIndex {
         if (!batch.isEmpty) {
           batch.join(assign(batch, idCol, vecCol, centroids), idCol)
             .write.mode("append").partitionBy("centroid_id").parquet(path)
+          graft.plans.IvfCatalog.invalidate(path)
         }
       }
       .option("checkpointLocation", checkpoint)

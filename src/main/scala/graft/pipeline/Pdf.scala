@@ -42,10 +42,12 @@ import scala.collection.mutable
   *    written by [[write]] (no /Encoding, text stored verbatim)
   *    round-tripping byte-exactly.
   *
-  * Scope (documented limits, honest subset): encryption and
-  * non-Flate filters are not supported; StandardEncoding's non-ASCII
-  * high range and font-program-internal (built-in) encodings are
-  * approximated by Latin-1.
+  * Stream filters: Flate, ASCIIHex, ASCII85, RunLength (and chains).
+  *
+  * Scope (documented limits, honest subset): encryption, LZW and the
+  * image codecs (DCT/JPX/CCITT) are not supported; StandardEncoding's
+  * non-ASCII high range and font-program-internal (built-in)
+  * encodings are approximated by Latin-1.
   */
 object Pdf {
 
@@ -390,10 +392,17 @@ object Pdf {
       (o.value, o.stream) match {
         case (Dict(d), Some(raw))
             if d.get("Type").contains(Name("ObjStm")) =>
+          // an ObjStm behind a filter we can't decode must contribute
+          // NOTHING: lexing still-compressed bytes would insert garbage
+          // objects under arbitrary numbers (unlike a content stream,
+          // where pass-through garbage merely extracts no text)
           val data = d.get("Filter") match {
-            case Some(Name(f)) => decodeOne(f, raw)
+            case Some(Name(f)) =>
+              if (SupportedFilters(f)) decodeOne(f, raw) else Array.empty[Byte]
             case Some(Arr(fs)) =>
-              fs.collect { case Name(f) => f }.foldLeft(raw)((a, f) => decodeOne(f, a))
+              val names = fs.collect { case Name(f) => f }
+              if (names.forall(SupportedFilters)) names.foldLeft(raw)((a, f) => decodeOne(f, a))
+              else Array.empty[Byte]
             case None => raw
             case _ => Array.empty[Byte] // unresolvable filter spec
           }
@@ -637,8 +646,12 @@ object Pdf {
     val pages = catalog.get("Pages").map(p => walk(p, 0, None)).getOrElse(Seq.empty)
 
     /** Resource font name → decoder, from the page's (possibly
-      * inherited) /Resources /Font dict. */
-    def fontDecoders(res: Option[Val]): Map[String, FontDecoder] = {
+      * inherited) /Resources /Font dict. Cached per resources value:
+      * pages typically share one inherited dict, and rebuilding
+      * charset tables / re-parsing ToUnicode streams per page is
+      * wasted work linear in page count. */
+    val decoderCache = mutable.Map.empty[Option[Val], Map[String, FontDecoder]]
+    def fontDecoders(res: Option[Val]): Map[String, FontDecoder] = decoderCache.getOrElseUpdate(res, {
       val fonts = res.map(dictOf).flatMap(_.get("Font")).map(dictOf).getOrElse(Map.empty)
       fonts.map { case (fname, fval) =>
         val fd = dictOf(fval)
@@ -653,7 +666,7 @@ object Pdf {
                 singleByteDecoder(baseTable(enc))
               case Some(Dict(encD)) =>
                 val table = baseTable(encD.get("BaseEncoding")
-                  .collect { case Name(n) => n }.getOrElse("StandardEncoding")).clone()
+                  .collect { case Name(n) => n }.getOrElse("StandardEncoding"))
                 resolve(encD.getOrElse("Differences", NullVal)) match {
                   case Arr(items) =>
                     var code = 0
@@ -671,7 +684,7 @@ object Pdf {
           }
         fname -> dec
       }
-    }
+    })
 
     pages.map { case (page, res) =>
       // /Contents: a ref to one stream, a direct array of refs, or a
@@ -751,6 +764,10 @@ object Pdf {
     * names accepted too). DCT/JPX/CCITT are image codecs — image XObjects
     * don't reach the text extractor; unknown filters pass through
     * (documented). */
+  private val SupportedFilters = Set(
+    "FlateDecode", "Fl", "ASCIIHexDecode", "AHx",
+    "ASCII85Decode", "A85", "RunLengthDecode", "RL")
+
   private def decodeOne(filter: String, data: Array[Byte]): Array[Byte] = filter match {
     case "FlateDecode" | "Fl" => inflate(data)
     case "ASCIIHexDecode" | "AHx" => asciiHexDecode(data)

@@ -78,6 +78,12 @@ object IvfCatalog {
   def lookup(rootPaths: Seq[org.apache.hadoop.fs.Path]): Option[Entry] =
     rootPaths.headOption.flatMap(p => entries.get(p.toUri.getPath))
 
+  /** Drop one store's registration — called when its statistics go
+    * stale (e.g. [[graft.operators.IvfIndex.streamAssign]] appended
+    * vectors the recorded radii don't bound). Queries fall back to
+    * exact plans until re-registration. */
+  def invalidate(storePath: String): Unit = entries.remove(canonical(storePath))
+
   def clear(): Unit = entries.clear()
 }
 
@@ -353,11 +359,18 @@ final class IvfProbeRule(session: SparkSession) extends Rule[LogicalPlan] {
     if (done) Some(out) else None
   }
 
-  /** Already rewritten? (extraOptimizations is a fixed-point batch.) */
+  /** Already rewritten? (extraOptimizations is a fixed-point batch.)
+    * Recognizes both probe markers: the IN cell filter and the
+    * empty-probe `Filter(false)` the range rewrite injects when no
+    * cell can qualify — missing the latter would re-wrap the scan in
+    * a new Filter(false) every optimizer iteration until the batch's
+    * max-iteration limit. */
   private def hasProbeAbove(plan: LogicalPlan, lr: LogicalRelation): Boolean =
     plan.collect {
       case Filter(In(attr: AttributeReference, _), child)
         if attr.name == "centroid_id" && child.collectLeaves().exists(_ eq lr) => true
+      case Filter(Literal(false, org.apache.spark.sql.types.BooleanType), child)
+        if child.collectLeaves().exists(_ eq lr) => true
     }.nonEmpty
 
   /** Driver-side twin of VectorDistanceExpr semantics for cell ranking

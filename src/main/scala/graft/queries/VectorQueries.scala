@@ -321,10 +321,11 @@ object VectorQueries {
     FROM r WHERE rn <= 2
     ORDER BY vec_id, pos"""
 
-  /** PQ/ADC compressed search with exact re-rank of the top-64 ADC
-    * shortlist (lossy → rows-only; recall gated in RecallGateSpec).
-    * The corpus pass reads only the codes; 64 full vectors are scored
-    * exactly. */
+  /** PQ/ADC compressed search with exact re-rank of the top-192 ADC
+    * shortlist (lossy → rows-only; recall@10 = 1.00 gated at 0.9 in
+    * RecallGateSpec). The corpus pass reads only the codes; 192 full
+    * vectors are scored exactly — a constant, corpus-size-independent
+    * re-rank cost. */
   private def pqKnn(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
     val cb = PqIndex.train(emb, "embedding", dims = 64, m = 16, ksub = 32)

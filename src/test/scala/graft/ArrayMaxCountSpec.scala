@@ -32,7 +32,9 @@ class ArrayMaxCountSpec extends SparkSpec {
       (1L, Seq("a", "b", "a", "c", "a")), // a×3
       (2L, Seq("x")),                     // singleton
       (3L, Seq.empty[String]),            // empty → NULL (array_max semantics)
-      (4L, Seq("t", "t", "u", "u"))       // tie → still 2
+      (4L, Seq("t", "t", "u", "u")),      // tie → still 2
+      (5L, Seq(null, null, "a")),         // nulls skipped (HOF parity) → 1
+      (6L, Seq[String](null, null))       // all-null non-empty → 0, not NULL
     ).toDF("id", "xs")
     val got = rows.select(col("id"), ArrayMaxCount.maxCount(col("xs")).as("mc"))
       .orderBy(col("id")).collect()
@@ -40,6 +42,12 @@ class ArrayMaxCountSpec extends SparkSpec {
     assert(got(1).getInt(1) == 1)
     assert(got(2).isNullAt(1))
     assert(got(3).getInt(1) == 2)
+    assert(got(4).getInt(1) == 1)
+    assert(got(5).getInt(1) == 0)
+    // and the HOF composition agrees on the null-bearing rows
+    val hof = rows.select(col("id"), hofMaxCount(col("xs")).as("mc"))
+      .orderBy(col("id")).collect()
+    assert(hof(4).getInt(1) == 1 && hof(5).getInt(1) == 0)
   }
 
   test("interpreted path agrees with codegen") {
