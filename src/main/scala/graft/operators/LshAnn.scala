@@ -49,14 +49,37 @@ object LshAnn {
   }
 
   /** ANN top-k: bucket-join candidates in any table, exact cosine
-    * re-rank of the (small) candidate set. */
+    * re-rank of the (small) candidate set.
+    *
+    * `multiprobe`: probe buckets within Hamming distance `multiprobe`
+    * of the query's signature in each table (0 = classic single
+    * bucket). A near neighbor that lands one hyperplane on the wrong
+    * side sits in an adjacent bucket; probing those recovers it at
+    * the cost of (1 + bits·multiprobe…) bucket reads per table —
+    * query-side fan-out only, the corpus layout is untouched. The
+    * standard recall/probe-count lever when adding tables (more
+    * stored copies) is the more expensive axis. */
   def search(corpus: DataFrame, idCol: String, vecCol: String,
       queryVec: DataFrame, qVecCol: String, dims: Int,
-      k: Int, tables: Int = 8, bits: Int = 4): DataFrame = {
+      k: Int, tables: Int = 8, bits: Int = 4, multiprobe: Int = 0): DataFrame = {
     val corpusBuckets = bucketRows(corpus, idCol, vecCol, tables, bits, dims)
-    val queryBuckets = bucketRows(
+    val baseQuery = bucketRows(
       queryVec.select(lit(0L).as("qid"), col(qVecCol)), "qid", qVecCol, tables, bits, dims)
       .select(col("table_id"), col("sig"), col(qVecCol))
+    // signature perturbations up to Hamming distance `multiprobe`
+    val masks: Seq[Long] = {
+      def flips(d: Int): Seq[Long] =
+        if (d == 0) Seq(0L)
+        else flips(d - 1).flatMap(m =>
+          (0 until bits).map(b => m | (1L << b))).distinct.filter(java.lang.Long.bitCount(_) == d)
+      (0 to math.min(multiprobe, bits)).flatMap(flips)
+    }
+    val queryBuckets =
+      if (masks.size == 1) baseQuery
+      else baseQuery
+        .select(col("table_id"),
+          explode(array(masks.map(m => col("sig").bitwiseXOR(lit(m))): _*)).as("sig"),
+          col(qVecCol))
     val candidates = corpusBuckets
       .join(broadcast(queryBuckets), Seq("table_id", "sig"))
       .select(col(idCol), col(vecCol), col(qVecCol))

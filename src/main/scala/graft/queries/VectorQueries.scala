@@ -96,11 +96,14 @@ object VectorQueries {
       centroids, queryVec(s, d), "qvec", l2Distance, k = K, nprobe = 4)
   }
 
-  /** Approximate (bucket recall < 1) → rows-only; recall asserted in
-    * LshAnnSpec. */
+  /** Approximate (bucket recall < 1) → rows-only; recall gated in
+    * RecallGateSpec. Hamming-1 multiprobe: each table reads 5 buckets
+    * (1 + 4 bit-flips) instead of 1 — query-side fan-out only, no
+    * extra stored copies. */
   private def lshKnn(s: SparkSession, d: String): DataFrame =
     LshAnn.search(corpus(s, d), "vec_id", "embedding",
-      queryVec(s, d), "qvec", dims = 64, k = K, tables = 8, bits = 4)
+      queryVec(s, d), "qvec", dims = 64, k = K, tables = 8, bits = 4,
+      multiprobe = 1)
 
   // ---------------------------------------------------------------- norms
   private def norms(s: SparkSession, d: String): DataFrame =

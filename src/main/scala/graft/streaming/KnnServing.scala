@@ -40,4 +40,29 @@ object KnnServing {
         }
       }
       .start()
+
+  /** IVF-probed serving: the 100 TB path. Each micro-batch runs
+    * [[graft.operators.IvfIndex.searchBatch]] against a
+    * cell-partitioned store — every query probes its nprobe nearest
+    * cells via the cell-bucket join, so per-batch cost is
+    * queries × nprobe × (N/nlist) candidate rows instead of a full
+    * corpus scan per batch. Same approximation contract as every IVF
+    * probe (cell recall; exact within probed cells). L2 metric (the
+    * metric the cells were built with). */
+  def serveIvf(
+      queries: DataFrame, store: DataFrame, centroids: DataFrame,
+      qIdCol: String, qVecCol: String, idCol: String, vecCol: String,
+      k: Int, nprobe: Int)(writeBatch: (DataFrame, Long) => Unit): StreamingQuery =
+    queries.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val answered = graft.operators.IvfIndex.searchBatch(
+            store, idCol, vecCol, centroids,
+            batch, qIdCol, qVecCol,
+            VectorFunctions.l2Distance, k, nprobe)
+          writeBatch(answered, batchId)
+        }
+      }
+      .start()
 }

@@ -53,4 +53,35 @@ class IncrementalSpec extends SparkSpec {
     assert(results.sortBy(x => (x._1, x._3, x._2)).toSeq ==
       direct.sortBy(x => (x._1, x._3, x._2)).toSeq)
   }
+
+  test("IVF-probed streaming serving matches the batch IVF search per micro-batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val (indexed, centroids) = graft.operators.IvfIndex.buildIndex(
+      Tables.embeddings(spark, Sf), "vec_id", "embedding", nlist = 8)
+    val store = indexed.localCheckpoint()
+    val queries = Tables.embeddings(spark, Sf).filter(col("vec_id") < 3)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val input = MemoryStream[(Long, Seq[Float])]
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val q = KnnServing.serveIvf(
+      input.toDF().toDF("qid", "qvec"),
+      store, centroids, "qid", "qvec", "vec_id", "embedding",
+      k = 3, nprobe = 2) { (batch, _) =>
+      results ++= batch.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    }
+    try {
+      input.addData(queries.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(results.size == 9)
+    val direct = graft.operators.IvfIndex.searchBatch(
+      store, "vec_id", "embedding", centroids,
+      Tables.embeddings(spark, Sf).filter(col("vec_id") < 3)
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+      "qid", "qvec", VectorFunctions.l2Distance, k = 3, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(results.sortBy(x => (x._1, x._3, x._2)).toSeq ==
+      direct.sortBy(x => (x._1, x._3, x._2)).toSeq)
+  }
 }
