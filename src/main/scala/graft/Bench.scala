@@ -38,6 +38,7 @@ object Bench {
       "vs_ivf_knn" -> queries.VectorQueries.ivfBench _,
       "vs_ivf_auto" -> queries.VectorQueries.ivfAutoBench _,
       "vs_pq_knn" -> queries.VectorQueries.pqBench _,
+      "ingest_pdf_pages" -> queries.PipelineQueries.pdfBench _,
     )
 
   private def runNoop(df: DataFrame): Unit =

@@ -148,6 +148,11 @@ object PipelineQueries {
       .orderBy(col("doc_id"), col("page_number"))
   }
 
+  /** Bench split: fixture synthesis is corpus preparation (the
+    * reference's blobs already exist), parsing is the pipeline. */
+  def pdfBench(s: SparkSession, d: String): (() => Unit, () => DataFrame) =
+    (() => { ensurePdfBlobs(s, d); () }, () => pdfPagesQ(s, d))
+
   private val pdfPagesSql = s"""
     SELECT doc_id, CAST(gs AS BIGINT) AS page_number,
            substr(text, (CAST(gs AS INT) - 1) * $PdfPageChars + 1, $PdfPageChars) AS page_text
