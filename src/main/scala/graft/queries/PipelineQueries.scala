@@ -129,16 +129,35 @@ object PipelineQueries {
     * queries read the cached binaries and the timed path is exactly
     * the reference's: stored blob → parse → extract. */
   private def ensurePdfBlobs(s: SparkSession, d: String): String = {
+    // cache key carries a generator version + the page-size constant:
+    // changing either must invalidate fixtures, or Spark would parse
+    // stale bytes while the oracle recomputes from current text
+    // (breaking the round-trip property the docstring promises).
+    // Validity = Spark's _SUCCESS marker, not bare dir existence — a
+    // killed run leaves a partial dir that must be rebuilt, not read.
     val dir = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_pdfblobs_${Integer.toHexString(d.hashCode)}").toString
+      s"graft_pdfblobs_v1_${PdfPageChars}_${Integer.toHexString(d.hashCode)}").toString
     PipelineQueries.synchronized {
-      if (!new java.io.File(dir).exists()) {
+      if (!new java.io.File(dir, "_SUCCESS").exists()) {
         Tables.documents(s, d)
           .select(col("doc_id"), col("source"), mkPdf(col("text")).as("content"))
           .write.mode("overwrite").parquet(dir)
       }
     }
     dir
+  }
+
+  /** Bench build thunk: force a fresh synthesis so `_build` measures
+    * the same work on every machine (a pre-existing cache would time
+    * a no-op exists() check and make totals machine-state dependent). */
+  def rebuildPdfBlobs(s: SparkSession, d: String): String = {
+    val dir = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_pdfblobs_v1_${PdfPageChars}_${Integer.toHexString(d.hashCode)}")
+    def rm(f: java.io.File): Unit = {
+      Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+    }
+    PipelineQueries.synchronized { rm(dir) }
+    ensurePdfBlobs(s, d)
   }
 
   private def pdfPagesQ(s: SparkSession, d: String): DataFrame = {
@@ -151,7 +170,7 @@ object PipelineQueries {
   /** Bench split: fixture synthesis is corpus preparation (the
     * reference's blobs already exist), parsing is the pipeline. */
   def pdfBench(s: SparkSession, d: String): (() => Unit, () => DataFrame) =
-    (() => { ensurePdfBlobs(s, d); () }, () => pdfPagesQ(s, d))
+    (() => { rebuildPdfBlobs(s, d); () }, () => pdfPagesQ(s, d))
 
   private val pdfPagesSql = s"""
     SELECT doc_id, CAST(gs AS BIGINT) AS page_number,

@@ -352,7 +352,10 @@ object VectorQueries {
     val storeP = new java.io.File(base, "store").toString
     val centP = new java.io.File(base, "centroids").toString
     VectorQueries.synchronized {
-      if (!new java.io.File(storeP).exists()) {
+      // validity = the _SUCCESS marker of the LAST artifact written
+      // (centroids): present → both store and centroids completed; a
+      // killed build leaves no marker and is rebuilt, never read
+      if (!new java.io.File(centP, "_SUCCESS").exists()) {
         val (indexed, centroids) = IvfIndex.buildIndex(
           Tables.embeddings(s, d), "vec_id", "embedding", nlist = 16)
         IvfIndex.writePartitioned(indexed, storeP)
@@ -429,7 +432,19 @@ object VectorQueries {
 
   def ivfAutoBench(s: SparkSession, d: String): (() => Unit, () => DataFrame) = {
     var storeP: String = null
-    (() => { storeP = ensureAutoStore(s, d)._1 }, () => autoProbe(s, d, storeP))
+    val build = () => {
+      // force a fresh build so `_build` measures the same work on
+      // every machine — a cache hit would time a no-op (r2 reported
+      // 0.19 s for what is really a ~3 s build)
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_ivf_auto_v2_${Integer.toHexString(d.hashCode)}")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      VectorQueries.synchronized { rm(base) }
+      storeP = ensureAutoStore(s, d)._1
+    }
+    (build, () => autoProbe(s, d, storeP))
   }
 
   // ------------------------------------------------- bench build/probe split

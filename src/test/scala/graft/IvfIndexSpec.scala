@@ -54,6 +54,32 @@ class IvfIndexSpec extends SparkSpec {
     assert(stored.columns.contains("centroid_id"))
   }
 
+  test("streamAssign invalidates the store's IvfCatalog registration (stale radii)") {
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("ivfinval").toString
+    val (indexed, centroids) = IvfIndex.buildIndex(emb, "vec_id", "embedding", nlist = 4)
+    IvfIndex.writePartitioned(indexed, s"$dir/store")
+    val withRadii = centroids
+      .join(IvfIndex.cellRadii(indexed, "embedding", centroids), Seq("centroid_id"), "left")
+      .na.fill(0.0, Seq("radius"))
+    graft.plans.IvfCatalog.register(s"$dir/store", withRadii, nprobe = 2)
+    val hp = new org.apache.hadoop.fs.Path(s"$dir/store")
+    assert(graft.plans.IvfCatalog.lookup(Seq(hp)).exists(_.radii.length == 4))
+    // append one vector through the maintenance stream: the recorded
+    // radii can no longer bound the cell contents → entry must drop
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+    val q = IvfIndex.streamAssign(
+      input.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", centroids, s"$dir/store", s"$dir/ckpt")
+    try {
+      input.addData(emb.limit(1).collect().map(r => (r.getLong(0) + 500000L, r.getSeq[Float](1))).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(graft.plans.IvfCatalog.lookup(Seq(hp)).isEmpty,
+      "appends left a stale radii registration — range pruning would be unsound")
+  }
+
   test("every vector lands in exactly one cell") {
     val (indexed, _) = IvfIndex.buildIndex(emb, "vec_id", "embedding", nlist = 8)
     assert(indexed.count() == emb.count())
