@@ -269,28 +269,15 @@ object VectorQueries {
     * stage touches only k documents (broadcast-joined), sentence work
     * is per-row codegen with one tiny per-hit window. */
   private def searchSummarize(s: SparkSession, d: String): DataFrame = {
-    val terms = Seq("join", "vector", "scan")
-    val W = 12
+    import graft.operators.Summarize
     val topHits = Knn.topK(corpus(s, d), "vec_id", "embedding",
       queryVec(s, d), "qvec", cosineDistance, 5)
     val docs = Tables.documents(s, d).select(col("doc_id"),
-      graft.functions.TextFunctions.tokens(col("text")).as("toks"))
-    val windows = transform(
-      sequence(lit(0), floor((size(col("toks")) - 1) / W).cast("int")),
-      i => array_join(slice(col("toks"), i * W + 1, lit(W)), " "))
-    val sents = topHits.join(docs, col("vec_id") === col("doc_id"))
-      .select(col("vec_id"), col("dist"),
-        posexplode(windows).as(Seq("pos0", "sentence")))
-      .select(col("vec_id"), col("dist"),
-        (col("pos0") + 1).cast("long").as("pos"), col("sentence"))
-    val stoks = graft.functions.TextFunctions.tokens(col("sentence"))
-    val overlap = terms.map(t =>
-      when(array_contains(stoks, t), lit(1L)).otherwise(lit(0L))).reduce(_ + _)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("vec_id")).orderBy(col("overlap").desc, col("pos"))
-    sents.withColumn("overlap", overlap)
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= 2)
+      Summarize.tokenWindows(
+        graft.functions.TextFunctions.tokens(col("text")), 12).as("sents"))
+    Summarize.extract(
+      topHits.join(docs, col("vec_id") === col("doc_id")).drop("doc_id"),
+      "vec_id", "sents", terms = Seq("join", "vector", "scan"), m = 2)
       .select(col("vec_id"), col("dist"), col("pos"), col("sentence"), col("overlap"))
       .orderBy(col("vec_id"), col("pos"))
   }
