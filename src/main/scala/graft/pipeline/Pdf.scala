@@ -45,9 +45,9 @@ import scala.collection.mutable
   * Stream filters: Flate, ASCIIHex, ASCII85, RunLength (and chains).
   *
   * Scope (documented limits, honest subset): encryption, LZW and the
-  * image codecs (DCT/JPX/CCITT) are not supported; StandardEncoding's
-  * non-ASCII high range and font-program-internal (built-in)
-  * encodings are approximated by Latin-1.
+  * image codecs (DCT/JPX/CCITT) are not supported; unknown encoding
+  * names and font-program-internal (built-in) encodings fall back to
+  * Latin-1 (StandardEncoding itself uses the real Annex D table).
   */
 object Pdf {
 
@@ -452,8 +452,33 @@ object Pdf {
   private def baseTable(enc: String): Array[String] = enc match {
     case "WinAnsiEncoding" => charsetTable("windows-1252")
     case "MacRomanEncoding" => charsetTable("x-MacRoman")
-    // StandardEncoding high range ≈ Latin-1 (documented approximation)
-    case _ => charsetTable("ISO-8859-1")
+    case "StandardEncoding" => StandardTable
+    case _ => charsetTable("ISO-8859-1") // unknown names: Latin-1 (documented)
+  }
+
+  /** Adobe StandardEncoding (ISO 32000 Annex D.2): ASCII except
+    * 0x27 = quoteright and 0x60 = quoteleft, with its own high-range
+    * layout (accents, ligatures, daggers — NOT Latin-1). Codes absent
+    * from the table extract as empty (notdef shows nothing). */
+  private lazy val StandardTable: Array[String] = {
+    val t = Array.fill(256)("")
+    for (c <- 0x20 to 0x7e) t(c) = c.toChar.toString
+    t(0x27) = "’"; t(0x60) = "‘"
+    val high = Map(
+      0xa1 -> "¡", 0xa2 -> "¢", 0xa3 -> "£", 0xa4 -> "⁄", 0xa5 -> "¥",
+      0xa6 -> "ƒ", 0xa7 -> "§", 0xa8 -> "¤", 0xa9 -> "'", 0xaa -> "“",
+      0xab -> "«", 0xac -> "‹", 0xad -> "›", 0xae -> "ﬁ", 0xaf -> "ﬂ",
+      0xb1 -> "–", 0xb2 -> "†", 0xb3 -> "‡", 0xb4 -> "·", 0xb6 -> "¶",
+      0xb7 -> "•", 0xb8 -> "‚", 0xb9 -> "„", 0xba -> "”", 0xbb -> "»",
+      0xbc -> "…", 0xbd -> "‰", 0xbf -> "¿",
+      0xc1 -> "`", 0xc2 -> "´", 0xc3 -> "ˆ", 0xc4 -> "˜", 0xc5 -> "¯",
+      0xc6 -> "˘", 0xc7 -> "˙", 0xc8 -> "¨", 0xca -> "˚", 0xcb -> "¸",
+      0xcd -> "˝", 0xce -> "˛", 0xcf -> "ˇ",
+      0xd0 -> "—", 0xe1 -> "Æ", 0xe3 -> "ª", 0xe8 -> "Ł", 0xe9 -> "Ø",
+      0xea -> "Œ", 0xeb -> "º", 0xf1 -> "æ", 0xf5 -> "ı", 0xf8 -> "ł",
+      0xf9 -> "ø", 0xfa -> "œ", 0xfb -> "ß")
+    high.foreach { case (c, s) => t(c) = s }
+    t
   }
 
   /** Core Adobe-glyph-list subset for /Differences names: ASCII

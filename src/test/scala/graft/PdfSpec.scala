@@ -326,6 +326,15 @@ class PdfSpec extends SparkSpec {
     assert(Pdf.extractPages(pdf) == Seq("HelloABC"))
   }
 
+  test("StandardEncoding uses the Annex D table (quotes, ligatures), not Latin-1") {
+    val pdf = fontFixture(
+      "4 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Times-Roman /Encoding /StandardEncoding >>\nendobj",
+      "/FS 4 0 R",
+      // 0x27 quoteright, 0x60 quoteleft, \256 fi ligature, \261 endash
+      "BT /FS 12 Tf (it's `q' \\256n \\261 x) Tj ET")
+    assert(Pdf.extractPages(pdf) == Seq("it’s ‘q’ ﬁn – x"))
+  }
+
   test("font switches mid-page flush decoding runs; /Resources inherits from /Pages") {
     // Resources on the PARENT Pages node (inheritable attribute);
     // content switches WinAnsi → raw (unknown encoding-less font)
