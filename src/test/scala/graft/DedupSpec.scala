@@ -60,4 +60,16 @@ class DedupSpec extends SparkSpec {
     assert(got.length == 1)
     assert(got.head.getDouble(2) == 0.5)
   }
+
+  test("connected components converge on a 64-node chain within 20 rounds (pointer jumping)") {
+    import spark.implicits._
+    // diameter 63: plain min-label propagation needs ~63 rounds and
+    // would hit the maxIters=20 require(); the adaptive shortcut
+    // rounds must converge logarithmically, all labels → 0
+    val chain = (0L until 63L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.connectedComponents(chain, maxIters = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 64)
+    assert(got.forall(_._2 == 0L), s"non-min labels: ${got.filter(_._2 != 0L).take(5).toSeq}")
+  }
 }
