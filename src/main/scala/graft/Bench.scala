@@ -85,7 +85,10 @@ object Bench {
       if (cold >= WarmThreshold) cold
       else {
         coldTimes(name) = cold
-        timed(thunk)
+        // a warm-run failure reports -1 upstream; drop the cold entry
+        // so the file JSON doesn't show the query both failed and timed
+        try timed(thunk)
+        catch { case e: Throwable => coldTimes.remove(name); throw e }
       }
     }
 
@@ -111,16 +114,24 @@ object Bench {
           }
       }
     }
-    def jsonMap(m: Seq[(String, Double)]): String =
-      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    val qs = jsonMap(results)
-    val cold = jsonMap(coldTimes.toSeq)
+    def jsonMap(m: Seq[(String, Double)], round: Boolean): String =
+      m.map { case (k, v) =>
+        val num = if (round) f"$v%.3f" else v.toString
+        "\"" + k + "\":" + num
+      }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"cold":$cold,"sf":"$sfDir"}"""
+    // stdout line must stay SHORT: the driver captures a bounded tail
+    // of program output and parses the JSON line out of it. Round 3's
+    // line (full-precision doubles + the cold map) overflowed that
+    // window and the round lost its parsed bench numbers. Rounded
+    // millisecond precision, no cold map — full precision + cold go
+    // to the bench_out.json file instead.
+    val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${jsonMap(results, round = true)},"sf":"$sfDir"}"""
     println(line)
+    val fileLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results, round = false)},"cold":${jsonMap(coldTimes.toSeq, round = false)},"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
-        (line + "\n").getBytes("UTF-8"))
+        (fileLine + "\n").getBytes("UTF-8"))
     } catch { case e: Throwable => System.err.println(s"[bench] write $outPath: $e") }
     spark.stop()
   }
