@@ -32,10 +32,16 @@ object Summarize {
 
   /** Fixed `w`-token pseudo-sentences of a token-array column, as
     * posexplode-ready array<string>. */
-  def tokenWindows(toks: Column, w: Int): Column =
-    transform(
-      sequence(lit(0), floor((size(toks) - 1) / w).cast("int")),
-      i => array_join(slice(toks, i * w + 1, lit(w)), " "))
+  def tokenWindows(toks: Column, w: Int): Column = {
+    // clamp: on an empty array sequence(0, -1) would yield [0, -1]
+    // (Spark sequences run descending when start > stop) — two phantom
+    // windows where the DuckDB twin's range(0, 0) yields none
+    val last = greatest(floor((size(toks) - 1) / w), lit(0)).cast("int")
+    when(size(toks) === 0, array().cast("array<string>")).otherwise(
+      transform(
+        sequence(lit(0), last),
+        i => array_join(slice(toks, i * w + 1, lit(w)), " ")))
+  }
 
   /** Literal-separator sentences of a text column. */
   def punctSentences(text: Column, separator: String = ". "): Column =

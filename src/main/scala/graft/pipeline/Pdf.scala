@@ -486,11 +486,18 @@ object Pdf {
     * the uni/u forms or the table below; unknown names extract as
     * U+FFFD so dropped glyphs stay visible. */
   private def glyphToUnicode(name: String): String = {
+    // uNNNNNN can name up to 0xFFFFFF but Unicode ends at 0x10FFFF;
+    // toChars throws above that, and a throw here would discard the
+    // whole document (PdfIngest.pages catches NonFatal per doc) — so
+    // an invalid name degrades to one replacement char instead.
+    def cp(hex: String): String =
+      try {
+        val c = Integer.parseInt(hex, 16)
+        if (Character.isValidCodePoint(c)) new String(Character.toChars(c)) else "�"
+      } catch { case _: NumberFormatException => "�" }
     if (name.length == 1) name // a..z A..Z and any single-char name
-    else if (name.matches("uni[0-9A-Fa-f]{4}"))
-      new String(Character.toChars(Integer.parseInt(name.substring(3), 16)))
-    else if (name.matches("u[0-9A-Fa-f]{4,6}"))
-      new String(Character.toChars(Integer.parseInt(name.substring(1), 16)))
+    else if (name.matches("uni[0-9A-Fa-f]{4}")) cp(name.substring(3))
+    else if (name.matches("u[0-9A-Fa-f]{4,6}")) cp(name.substring(1))
     else GlyphNames.getOrElse(name, "�")
   }
 
@@ -584,11 +591,18 @@ object Pdf {
                 val l = codeOf(lo); val h = codeOf(hi)
                 val base = uniOf(u)
                 if (base.nonEmpty && h >= l && h - l <= 0xffff) {
+                  // only the last UTF-16 unit increments (ISO 32000
+                  // 9.10.3); a range whose last unit would pass 0xFFFF
+                  // wraps to garbage/unpaired surrogates — map the
+                  // overflowing tail to U+FFFD (PDFBox does the same).
+                  val lastMax = 0xffff - base.charAt(base.length - 1)
                   var c = l
                   while (c <= h) {
-                    val chars = base.toCharArray
-                    chars(chars.length - 1) = (chars(chars.length - 1) + (c - l)).toChar
-                    map(c) = new String(chars)
+                    if (c - l <= lastMax) {
+                      val chars = base.toCharArray
+                      chars(chars.length - 1) = (chars(chars.length - 1) + (c - l)).toChar
+                      map(c) = new String(chars)
+                    } else map(c) = "�"
                     c += 1
                   }
                 }

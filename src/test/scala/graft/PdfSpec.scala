@@ -326,6 +326,42 @@ class PdfSpec extends SparkSpec {
     assert(Pdf.extractPages(pdf) == Seq("HelloABC"))
   }
 
+  test("malformed /uXXXXXX glyph name above U+10FFFF degrades to one �, not a lost page") {
+    // Character.toChars throws above 0x10FFFF; uncaught it would void
+    // the whole document (pages() catches per-doc) — the guard keeps
+    // every other glyph
+    val pdf = fontFixture(
+      "4 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Helvetica " +
+        "/Encoding << /BaseEncoding /WinAnsiEncoding /Differences [65 /u110000] >> >>\nendobj",
+      "/FB 4 0 R",
+      "BT /FB 12 Tf (A ok) Tj ET")
+    assert(Pdf.extractPages(pdf) == Seq("� ok"))
+  }
+
+  test("bfrange whose last UTF-16 unit would pass 0xFFFF maps the tail to �") {
+    val cmap =
+      """begincmap
+        |1 begincodespacerange <0000> <FFFF> endcodespacerange
+        |1 beginbfrange
+        |<0010> <0012> <FFFE>
+        |endbfrange
+        |endcmap""".stripMargin
+    val fontObjs =
+      s"""4 0 obj
+         |<< /Type /Font /Subtype /Type0 /BaseFont /Fake /Encoding /Identity-H /ToUnicode 5 0 R >>
+         |endobj
+         |5 0 obj
+         |<< /Length ${cmap.length} >>
+         |stream
+         |$cmap
+         |endstream
+         |endobj""".stripMargin
+    val pdf = fontFixture(fontObjs, "/FO 4 0 R",
+      "BT /FO 12 Tf <001000110012> Tj ET")
+    // 0x10→U+FFFE, 0x11→U+FFFF, 0x12 would wrap past 0xFFFF → �
+    assert(Pdf.extractPages(pdf) == Seq("￾￿�"))
+  }
+
   test("StandardEncoding uses the Annex D table (quotes, ligatures), not Latin-1") {
     val pdf = fontFixture(
       "4 0 obj\n<< /Type /Font /Subtype /Type1 /BaseFont /Times-Roman /Encoding /StandardEncoding >>\nendobj",

@@ -39,6 +39,15 @@ class SummarizeSpec extends SparkSpec {
     assert(windows.mkString(" ") == (1 to 30).map(i => s"t$i").mkString(" "))
   }
 
+  test("tokenWindows of an empty token array is empty (no phantom windows)") {
+    import spark.implicits._
+    // sequence(0, -1) would yield [0, -1] (descending) → two phantom
+    // empty windows where DuckDB's range(0, 0) yields none
+    val df = Seq(Tuple1(Seq.empty[String])).toDF("toks")
+      .select(Summarize.tokenWindows(col("toks"), 12).as("w"))
+    assert(df.head.getSeq[String](0).isEmpty)
+  }
+
   test("punctSentences splits on the literal separator only (no regex surprises)") {
     import spark.implicits._
     val df = Seq((1L, "a.b. c? d. e")).toDF("id", "text")
