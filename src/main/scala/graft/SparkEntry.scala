@@ -14,7 +14,8 @@ object SparkEntry {
     RelationalQueries.defs ++ VectorQueries.defs ++
       TextQueries.defs ++ DedupQueries.defs ++
       PipelineQueries.defs ++ MultimodalQueries.defs ++
-      AnalyticsQueries.defs ++ RelationalExtQueries.defs
+      AnalyticsQueries.defs ++ RelationalExtQueries.defs ++
+      CurationQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's headline operation: top-k vector search. */

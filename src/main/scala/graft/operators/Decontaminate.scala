@@ -1,0 +1,67 @@
+package graft.operators
+
+import graft.functions.TextFunctions._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Benchmark decontamination — flag training documents that share any
+  * word n-gram with an evaluation/benchmark set (the GPT-3 appendix-C
+  * style 13-gram rule, parameterized; the right n depends on corpus
+  * token entropy).
+  *
+  * Scale shape: the benchmark side is small by nature (eval sets are
+  * thousands of documents, the corpus is billions), so its distinct
+  * shingle-hash set is BROADCAST and the corpus side never shuffles
+  * for the join — scan → per-row shingle explode → broadcast
+  * semi-join → partial-agg count per doc. The only wide op is the
+  * final per-doc aggregation, keyed on the (already exploded) doc id
+  * with map-side combine. No all-pairs anything; a hot shingle can't
+  * blow up the join because the bench set is deduplicated and the
+  * corpus side is `array_distinct`-ed per document before exploding.
+  *
+  * Determinism: shingles are hashed with the cross-engine
+  * [[graft.functions.TextFunctions.hash64]]; a 60-bit collision would
+  * flag identically in both engines. `contam_ratio` is one IEEE
+  * division of two exact integers.
+  */
+object Decontaminate {
+
+  /** Corpus docs (idCol) that share ≥1 distinct word `n`-gram with
+    * `bench`(textCol): (id, n_shingles, n_overlap, contam_ratio). */
+  def overlaps(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int): DataFrame = {
+    def distinctShingles(df: DataFrame) =
+      df.select(col(idCol), array_distinct(shingles(tokens(col(textCol)), n)).as("sh"))
+    val benchSet = distinctShingles(bench)
+      .select(explode(col("sh")).as("s"))
+      .select(hash64(col("s")).as("h"))
+      .distinct()
+    distinctShingles(corpus)
+      .select(col(idCol), size(col("sh")).cast("long").as("n_shingles"),
+        explode(col("sh")).as("s"))
+      .select(col(idCol), col("n_shingles"), hash64(col("s")).as("h"))
+      .join(broadcast(benchSet), "h")
+      .groupBy(col(idCol))
+      .agg(max(col("n_shingles")).as("n_shingles"),
+        count(lit(1)).as("n_overlap"))
+      .withColumn("contam_ratio",
+        col("n_overlap").cast("double") / col("n_shingles").cast("double"))
+  }
+
+  /** DuckDB twin over a `documents`-shaped view: bench = rows where
+    * `benchPred`, corpus = the rest. */
+  def overlapsSql(idCol: String, textCol: String, n: Int, benchPred: String): String = s"""
+    WITH tok AS (SELECT $idCol, ${tokensSql(textCol)} AS tk FROM documents),
+    t AS (SELECT $idCol, list_distinct(${shinglesSql("tk", n)}) AS sh FROM tok),
+    bench AS (SELECT DISTINCT ${hash64Sql("s")} AS h
+              FROM (SELECT unnest(sh) AS s FROM t WHERE $benchPred)),
+    corpus AS (SELECT $idCol, CAST(len(sh) AS BIGINT) AS n_shingles,
+                      ${hash64Sql("s")} AS h
+               FROM (SELECT $idCol, sh, unnest(sh) AS s FROM t WHERE NOT ($benchPred)))
+    SELECT c.$idCol,
+           max(c.n_shingles) AS n_shingles,
+           CAST(count(*) AS BIGINT) AS n_overlap,
+           CAST(count(*) AS DOUBLE) / CAST(max(c.n_shingles) AS DOUBLE) AS contam_ratio
+    FROM corpus c JOIN bench b USING (h)
+    GROUP BY c.$idCol"""
+}
