@@ -42,7 +42,8 @@ import scala.collection.mutable
   *    written by [[write]] (no /Encoding, text stored verbatim)
   *    round-tripping byte-exactly.
   *
-  * Stream filters: Flate, ASCIIHex, ASCII85, RunLength (and chains).
+  * Stream filters: Flate, ASCIIHex, ASCII85, RunLength, LZW (and
+  * chains).
   *
   * Scope (documented limits, honest subset): encryption, LZW and the
   * image codecs (DCT/JPX/CCITT) are not supported; unknown encoding
@@ -805,14 +806,64 @@ object Pdf {
     * (documented). */
   private val SupportedFilters = Set(
     "FlateDecode", "Fl", "ASCIIHexDecode", "AHx",
-    "ASCII85Decode", "A85", "RunLengthDecode", "RL")
+    "ASCII85Decode", "A85", "RunLengthDecode", "RL",
+    "LZWDecode", "LZW")
 
   private def decodeOne(filter: String, data: Array[Byte]): Array[Byte] = filter match {
     case "FlateDecode" | "Fl" => inflate(data)
     case "ASCIIHexDecode" | "AHx" => asciiHexDecode(data)
     case "ASCII85Decode" | "A85" => ascii85Decode(data)
     case "RunLengthDecode" | "RL" => runLengthDecode(data)
+    case "LZWDecode" | "LZW" => lzwDecode(data)
     case _ => data
+  }
+
+  /** LZW (§7.4.4): MSB-first variable-width codes 9→12 bits, 256 =
+    * clear table, 257 = EOD, EarlyChange=1 (the spec default — the
+    * width bumps one code early; a /DecodeParms EarlyChange 0 stream
+    * is not expected from text-producing writers). Predictors, as for
+    * Flate, are image-data machinery and not applied. Corrupt input
+    * yields the bytes decoded so far (repair-parser philosophy). */
+  private def lzwDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new ByteArrayOutputStream(data.length * 3)
+    val table = new scala.collection.mutable.ArrayBuffer[Array[Byte]](4096)
+    def resetTable(): Unit = {
+      table.clear()
+      var b = 0
+      while (b < 256) { table += Array(b.toByte); b += 1 }
+      table += null; table += null // 256 clear, 257 EOD
+    }
+    resetTable()
+    var width = 9
+    var buf = 0L
+    var bits = 0
+    var prev: Array[Byte] = null
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      buf = (buf << 8) | (data(i) & 0xff); bits += 8; i += 1
+      while (bits >= width && !done) {
+        val code = ((buf >> (bits - width)) & ((1L << width) - 1)).toInt
+        bits -= width
+        if (code == 256) { resetTable(); width = 9; prev = null }
+        else if (code == 257) done = true
+        else {
+          val entry: Array[Byte] =
+            if (code < 256) table(code)
+            else if (code < table.length && table(code) != null) table(code)
+            else if (prev != null && code == table.length) prev :+ prev(0) // KwKwK
+            else { done = true; null } // corrupt stream
+          if (entry != null) {
+            out.write(entry, 0, entry.length)
+            if (prev != null && table.length < 4096) table += (prev :+ entry(0))
+            prev = entry
+            // EarlyChange=1: widen when the next code wouldn't fit
+            if (table.length >= (1 << width) - 1 && width < 12) width += 1
+          }
+        }
+      }
+    }
+    out.toByteArray
   }
 
   /** Hex pairs, whitespace ignored, `>` is EOD, odd trailing digit

@@ -205,6 +205,38 @@ class PdfSpec extends SparkSpec {
     out.toByteArray
   }
 
+  /** Spec-side LZW encoder (§7.4.4, EarlyChange=1). The encoder's
+    * table is one entry AHEAD of the decoder's at each emission, so it
+    * widens at size ≥ 2^w where the decoder widens at ≥ 2^w − 1. */
+  private def lzwEncode(b: Array[Byte]): Array[Byte] = {
+    val dict = scala.collection.mutable.HashMap.empty[Seq[Byte], Int]
+    (0 until 256).foreach(i => dict(Seq(i.toByte)) = i)
+    var next = 258
+    var width = 9
+    val out = new java.io.ByteArrayOutputStream
+    var buf = 0L; var bits = 0
+    def put(code: Int): Unit = {
+      buf = (buf << width) | code; bits += width
+      while (bits >= 8) { out.write(((buf >> (bits - 8)) & 0xff).toInt); bits -= 8 }
+    }
+    put(256)
+    var w = Seq.empty[Byte]
+    b.foreach { c =>
+      val wc = w :+ c
+      if (dict.contains(wc)) w = wc
+      else {
+        put(dict(w))
+        if (next < 4096) { dict(wc) = next; next += 1 }
+        if (next >= (1 << width) && width < 12) width += 1
+        w = Seq(c)
+      }
+    }
+    if (w.nonEmpty) put(dict(w))
+    put(257)
+    if (bits > 0) out.write(((buf << (8 - bits)) & 0xff).toInt)
+    out.toByteArray
+  }
+
   test("ASCIIHex / ASCII85 / RunLength stream filters decode; chains apply in order") {
     val content = "BT /F1 12 Tf (filtered text survives) Tj ET"
     def onePage(streamObj: String): Array[Byte] =
@@ -246,6 +278,24 @@ class PdfSpec extends SparkSpec {
     }
     assert(Pdf.extractPages(onePage(streamObj("[/ASCII85Decode /FlateDecode]",
       a85Encode(deflated).getBytes("ISO-8859-1")))) == expected)
+
+    // LZW: (a) the spec-side encoder is pinned to a hand-derived
+    // vector — "ABABABA" is codes [256,65,66,258,260,257] at 9 bits
+    // MSB-packed — and the engine decoder is pinned to the encoder
+    // through the page roundtrips below, so the decoder is
+    // transitively pinned to the spec, not just to its own twin
+    assert(lzwEncode("ABABABA".getBytes("ISO-8859-1")).toSeq ==
+      Seq(0x80, 0x10, 0x48, 0x50, 0x28, 0x24, 0x04).map(_.toByte))
+    val abContent = "BT /F1 12 Tf (ABABABA) Tj ET".getBytes("ISO-8859-1")
+    assert(Pdf.extractPages(onePage(streamObj("/LZWDecode",
+      lzwEncode(abContent)))) == Seq("ABABABA"))
+    // (b) long repetitive content forces the 9→10-bit width growth
+    //     (>253 table entries) where encoder/decoder early-change
+    //     off-by-ones would corrupt everything past code 510
+    val longText = (1 to 400).map(i => s"w$i").mkString(" ")
+    val longContent = s"BT /F1 12 Tf ($longText) Tj ET".getBytes("ISO-8859-1")
+    assert(Pdf.extractPages(onePage(streamObj("/LZWDecode",
+      lzwEncode(longContent)))) == Seq(longText))
   }
 
   // ------------------------------------------- font-aware decoding
