@@ -401,4 +401,61 @@ object Dedup {
       .filter(col("cos_sim") >= tau)
       .orderBy(col("id_a"), col("id_b"))
   }
+
+  // -------------------------------------------- exact-substring spans
+  /** Cross-document exact-substring duplication, windowed: the
+    * Spark-native substitute for suffix-array span dedup (Lee et al.,
+    * "Deduplicating Training Data Makes Language Models Better") —
+    * a `w`-token window that appears verbatim in ≥2 documents marks a
+    * duplicated span in every document carrying it.
+    *
+    * Per doc: distinct `w`-grams, how many are shared with another
+    * document, and the shared fraction (what a pipeline thresholds on
+    * to drop or trim boilerplate-heavy docs).
+    *
+    * Scale shape: two bounded shuffles — (1) gram-hash → distinct-doc
+    * count with map-side combine (a universal gram is one hot
+    * aggregation key, absorbed by the combiner, never a pair blowup);
+    * (2) per-doc count aggregation after a hash-join of (doc, gram)
+    * against the one-row-per-gram count side. No all-pairs join
+    * anywhere, unlike true suffix arrays which need a global sort —
+    * windowing trades span-boundary precision for shuffle-boundedness.
+    */
+  def sharedSpans(docs: DataFrame, idCol: String, textCol: String,
+      w: Int): DataFrame = {
+    import graft.functions.TextFunctions._
+    val grams = docs
+      .select(col(idCol), array_distinct(shingles(tokens(col(textCol)), w)).as("sh"))
+      .select(col(idCol), size(col("sh")).cast("long").as("n_windows"),
+        explode(col("sh")).as("s"))
+      .select(col(idCol), col("n_windows"), hash64(col("s")).as("h"))
+    val counts = grams.groupBy(col("h"))
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("h"))
+    grams.join(counts, Seq("h"))
+      .groupBy(col(idCol))
+      .agg(max(col("n_windows")).as("n_windows"),
+        count(lit(1)).as("n_shared"))
+      .withColumn("shared_ratio",
+        col("n_shared").cast("double") / col("n_windows").cast("double"))
+  }
+
+  /** DuckDB twin of [[sharedSpans]] over a `documents`-shaped view. */
+  def sharedSpansSql(idCol: String, textCol: String, w: Int): String = {
+    import graft.functions.TextFunctions._
+    s"""
+    WITH tok AS (SELECT $idCol, ${tokensSql(textCol)} AS tk FROM documents),
+    t AS (SELECT $idCol, list_distinct(${shinglesSql("tk", w)}) AS sh FROM tok),
+    g AS (SELECT $idCol, CAST(len(sh) AS BIGINT) AS n_windows,
+                 ${hash64Sql("s")} AS h
+          FROM (SELECT $idCol, sh, unnest(sh) AS s FROM t)),
+    c AS (SELECT h FROM g GROUP BY h HAVING count(DISTINCT $idCol) > 1)
+    SELECT g.$idCol,
+           max(g.n_windows) AS n_windows,
+           CAST(count(*) AS BIGINT) AS n_shared,
+           CAST(count(*) AS DOUBLE) / CAST(max(g.n_windows) AS DOUBLE) AS shared_ratio
+    FROM g JOIN c USING (h)
+    GROUP BY g.$idCol"""
+  }
 }

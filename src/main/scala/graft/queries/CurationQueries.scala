@@ -120,8 +120,37 @@ object CurationQueries {
     FROM c
     ORDER BY source, doc_id"""
 
+  // --------------------------------------------------------- mix_sample
+  /** Deterministic training-mixture sampling: sources keep
+    * 2000/3500/5000/6500 bp by source-number mod 4, selected by the
+    * cross-engine hash — the mixture is a pure function of
+    * (seed, doc_id, rates), stable under retries and repartitioning. */
+  private val mixRates: Seq[(String, Int)] =
+    (0 until 20).map(i => (s"src$i", 2000 + (i % 4) * 1500))
+
+  private def mixSample(s: SparkSession, d: String): DataFrame =
+    graft.operators.Mix.sample(
+      Tables.documents(s, d).select("doc_id", "source"),
+      idCol = "doc_id", sourceCol = "source",
+      rates = mixRates, seed = "mix-v1")
+      .orderBy(col("doc_id"))
+
+  private val mixSampleSql: String = {
+    val (rate, bucket) = graft.operators.Mix.sampleSql(
+      "doc_id", "source", mixRates, "mix-v1")
+    s"""
+    WITH t AS (
+      SELECT doc_id, source, $rate AS rate_bp, $bucket AS bucket
+      FROM documents)
+    SELECT doc_id, source, rate_bp,
+           10000.0 / CAST(rate_bp AS DOUBLE) AS weight
+    FROM t WHERE bucket < rate_bp
+    ORDER BY doc_id"""
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "pii_scan"       -> QueryDef(piiScan _, piiScanSql),
+    "mix_sample"     -> QueryDef(mixSample _, mixSampleSql),
     "decontam_ngram" -> QueryDef(decontam _, decontamSql),
     "pack_tokens"    -> QueryDef(packTokens _, packTokensSql),
   )

@@ -134,7 +134,19 @@ object DedupQueries {
     SELECT a AS doc_id, min(b) AS cluster_id
     FROM reach GROUP BY a ORDER BY doc_id"""
 
+  // ------------------------------------------------------ shared spans
+  /** Windowed exact-substring duplication (Lee et al. span dedup,
+    * Spark-native): docs whose 15-token windows appear verbatim in
+    * other docs, with the shared fraction. */
+  private def spans(s: SparkSession, d: String): DataFrame =
+    Dedup.sharedSpans(Tables.documents(s, d), "doc_id", "text", w = 15)
+      .orderBy(col("doc_id"))
+
+  private val spansSql: String =
+    Dedup.sharedSpansSql("doc_id", "text", w = 15) + "\n    ORDER BY doc_id"
+
   val defs: Map[String, QueryDef] = Map(
+    "dedup_spans"         -> QueryDef(spans _, spansSql),
     "dedup_clusters"      -> QueryDef(clusters _, clustersSql),
     "dedup_exact"         -> QueryDef(exact _, exactSql),
     "dedup_minhash_lsh"   -> QueryDef(minhashLsh _, jaccardSql(3, 0.8)),

@@ -50,6 +50,51 @@ class CurationSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"expected broadcast join:\n$plan")
   }
 
+  test("Mix.sample keeps exactly the rows the hash predicate selects; unknown sources drop") {
+    import spark.implicits._
+    val docs = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "zzz")).toDF("doc_id", "source")
+    val rates = Seq("a" -> 10000, "b" -> 0) // a: keep always, b/unknown: never
+    val got = graft.operators.Mix.sample(docs, "doc_id", "source", rates, "s1")
+      .orderBy("doc_id").collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(1L, 2L))
+    assert(got.forall(_.getDouble(3) == 1.0)) // weight = 10000/10000
+    // selection is the documented pure function of (seed, id)
+    val kept = graft.functions.TextFunctions.hash64Scala("s1:3") % 10000 < 0
+    assert(!kept)
+  }
+
+  test("Mix.sample is reproducible and partitioning-independent") {
+    import spark.implicits._
+    val docs = (1L to 200L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
+    val rates = Seq("src0" -> 3000, "src1" -> 7000, "src2" -> 500)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      graft.operators.Mix.sample(df, "doc_id", "source", rates, "seed-x")
+        .orderBy("doc_id").collect().map(_.getLong(0)).toSeq
+    val a = ids(docs)
+    assert(a == ids(docs.repartition(7)))
+    // and matches the JVM twin of the hash rule exactly
+    val rateMap = rates.toMap
+    val expect = (1L to 200L).filter { i =>
+      val bp = rateMap(s"src${i % 3}")
+      graft.functions.TextFunctions.hash64Scala(s"seed-x:$i") % 10000 < bp
+    }
+    assert(a == expect)
+  }
+
+  test("Dedup.sharedSpans flags only cross-document verbatim windows") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "p q r s t u"),        // shares window "q r s" span with doc 2
+      (2L, "z q r s t y"),
+      (3L, "a a a b b b"),        // within-doc only — no cross-doc window
+    ).toDF("doc_id", "text")
+    val got = graft.operators.Dedup.sharedSpans(docs, "doc_id", "text", w = 3)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // docs 1+2 share "q r s" and "r s t" (2 of each's 4 windows); doc 3 absent
+    assert(got.toSeq == Seq((1L, 4L, 2L), (2L, 4L, 2L)))
+  }
+
   test("Pack.pack places docs on the concatenated stream; boundary-crossing doc spans bins") {
     import spark.implicits._
     val docs = Seq(
