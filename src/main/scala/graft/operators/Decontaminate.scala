@@ -30,8 +30,12 @@ object Decontaminate {
     * `bench`(textCol): (id, n_shingles, n_overlap, contam_ratio). */
   def overlaps(corpus: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, n: Int): DataFrame = {
+    // tokens materialized in their own projection: inlined into the
+    // shingle HOF, the split would re-run once per element access
+    // (the 150× interpreted-HOF trap — see Dedup.shingleRows)
     def distinctShingles(df: DataFrame) =
-      df.select(col(idCol), array_distinct(shingles(tokens(col(textCol)), n)).as("sh"))
+      df.select(col(idCol), tokens(col(textCol)).as("tk"))
+        .select(col(idCol), array_distinct(shingles(col("tk"), n)).as("sh"))
     val benchSet = distinctShingles(bench)
       .select(explode(col("sh")).as("s"))
       .select(hash64(col("s")).as("h"))

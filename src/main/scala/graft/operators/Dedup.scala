@@ -425,7 +425,8 @@ object Dedup {
       w: Int): DataFrame = {
     import graft.functions.TextFunctions._
     val grams = docs
-      .select(col(idCol), array_distinct(shingles(tokens(col(textCol)), w)).as("sh"))
+      .select(col(idCol), tokens(col(textCol)).as("tk")) // own projection: HOF trap
+      .select(col(idCol), array_distinct(shingles(col("tk"), w)).as("sh"))
       .select(col(idCol), size(col("sh")).cast("long").as("n_windows"),
         explode(col("sh")).as("s"))
       .select(col(idCol), col("n_windows"), hash64(col("s")).as("h"))
