@@ -39,6 +39,7 @@ object Bench {
       "vs_ivf_auto" -> queries.VectorQueries.ivfAutoBench _,
       "vs_pq_knn" -> queries.VectorQueries.pqBench _,
       "ingest_pdf_pages" -> queries.PipelineQueries.pdfBench _,
+      "ingest_pdf_encrypted" -> queries.PipelineQueries.pdfEncBench _,
     )
 
   private def runNoop(df: DataFrame): Unit =

@@ -34,6 +34,20 @@ object PdfIngest {
       Pdf.write(pages)
     }
 
+  /** [[syntheticPdf]], but encrypted with the standard security
+    * handler — half the corpus RC4-128 (R3), half AES-128 (R4/AESV2),
+    * chosen deterministically per document so one fixture set
+    * exercises both cipher paths at scale. Same page slicing, so the
+    * pagination oracle is unchanged: decryption is provably
+    * transparent to extraction. */
+  def syntheticEncryptedPdf(pageChars: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (id: String, text: String) =>
+      val pages =
+        if (text == null || text.isEmpty) Seq("")
+        else text.grouped(pageChars).toSeq
+      Pdf.writeEncrypted(pages, aes = id != null && (id.hashCode & 1) == 1)
+    }
+
   /** Per-file page extraction is inherently imperative (object graph,
     * inflate, operator scan), so a scalar UDF is the right tier — the
     * same justification as the reference-port chunker.

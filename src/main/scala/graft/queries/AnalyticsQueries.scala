@@ -242,8 +242,60 @@ object AnalyticsQueries {
     SELECT 3, 'purchase', count(*) FROM p
     ORDER BY step"""
 
+  // -------------------------------------------- histogram quantiles
+  /** The SCALE path for quantiles: [[quantiles]] is exact but pays a
+    * full per-group sort (the window rank) — at 100 TB that is the
+    * dominant shuffle. This variant is the classic fixed-bin histogram
+    * sketch: integer bins (floor(value) — exact in both engines, no
+    * float-boundary risk), one map-side-combined groupBy producing a
+    * bin table bounded by the value RANGE (not the row count), then
+    * window arithmetic on that tiny table. Mergeable by construction
+    * (bin counts add), error bounded by the bin width — the reported
+    * [q_lo, q_hi) bracket makes the approximation explicit. Oracled
+    * bit-exact because the sketch itself is deterministic. */
+  private def quantilesHist(s: SparkSession, d: String): DataFrame = {
+    val bins = Tables.events(s, d)
+      .select(col("event_type"), floor(col("value")).cast("long").as("bin"))
+      .groupBy(col("event_type"), col("bin"))
+      .agg(count(lit(1)).as("c"))
+    val w = bins
+      .withColumn("cum", sum(col("c")).over(
+        Window.partitionBy(col("event_type")).orderBy(col("bin"))))
+      .withColumn("n", sum(col("c")).over(Window.partitionBy(col("event_type"))))
+    Seq(0.5, 0.95).map { p =>
+      w.filter(col("cum") >= ceil(lit(p) * col("n")))
+        .groupBy(col("event_type")).agg(min(col("bin")).as("qbin"))
+        .withColumn("p", lit(p))
+    }.reduce(_ unionByName _)
+      .select(col("event_type"), col("p"),
+        col("qbin").cast("double").as("q_lo"),
+        (col("qbin") + 1).cast("double").as("q_hi"))
+      .orderBy(col("event_type"), col("p"))
+  }
+
+  private val quantilesHistSql = """
+    WITH b AS (
+      SELECT event_type, CAST(floor(value) AS BIGINT) AS bin, count(*) AS c
+      FROM events GROUP BY 1, 2),
+    w AS (
+      SELECT event_type, bin,
+             sum(c) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             sum(c) OVER (PARTITION BY event_type) AS n
+      FROM b),
+    q AS (
+      SELECT event_type, p, min(bin) AS qbin
+      FROM w CROSS JOIN (SELECT unnest([0.5, 0.95]) AS p)
+      -- CAST forces the identical IEEE double multiply Spark does
+      WHERE cum >= ceil(CAST(p AS DOUBLE) * CAST(n AS DOUBLE))
+      GROUP BY event_type, p)
+    SELECT event_type, p,
+           CAST(qbin AS DOUBLE) AS q_lo, CAST(qbin + 1 AS DOUBLE) AS q_hi
+    FROM q
+    ORDER BY event_type, p"""
+
   val defs: Map[String, QueryDef] = Map(
     "events_funnel"      -> QueryDef(funnel _, funnelSql),
+    "events_quantiles_hist" -> QueryDef(quantilesHist _, quantilesHistSql),
     "events_asof_enrich" -> QueryDef(asofEnrich _, asofEnrichSql),
     "events_sliding_agg" -> QueryDef(slidingAgg _, slidingAggSql),
     "events_quantiles"   -> QueryDef(quantiles _, quantilesSql),

@@ -148,8 +148,87 @@ object CurationQueries {
     ORDER BY doc_id"""
   }
 
+  // ------------------------------------------------------ curate_funnel
+  /** The composed curation pass every training-data pipeline runs —
+    * language gate → length bounds → stopword floor → repetition cap →
+    * exact dedup — reported as the per-stage survivor FUNNEL the
+    * pipeline owner actually reads. One scan computes every per-row
+    * flag (integer-only threshold arithmetic: no float divergence
+    * risk), one hash window ranks dedup survivors among stage-4
+    * survivors, one aggregate produces all six counts — two shuffles
+    * total at any scale, with only (hash, flags) rows crossing them.
+    * Thresholds are integer ratios (stopwords ≥ 1/40 of tokens, top
+    * token ≤ 1/8 of tokens), sized to this corpus's measured
+    * distributions so every stage drops something at sf0.001-0.1. */
+  private def funnel(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val maxCount = (xs: org.apache.spark.sql.Column) =>
+      graft.functions.ArrayMaxCount.maxCount(xs)
+    val flagged = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), col("text"), tokens(col("text")).as("toks"))
+      .select(
+        col("doc_id"),
+        coalesce(col("lang") === "en", lit(false)).as("f1"),
+        size(col("toks")).cast("long").as("n_toks"),
+        langScore(col("toks"), langDicts.head._2).cast("long").as("n_stop"),
+        maxCount(col("toks")).cast("long").as("max_tok"),
+        graft.operators.Dedup.contentKey(col("text")).as("h"))
+      .withColumn("f2", col("f1") && col("n_toks").between(20, 2000))
+      .withColumn("f3", col("f2") && col("n_stop") * 40 >= col("n_toks"))
+      .withColumn("f4", col("f3") && col("max_tok") * 8 <= col("n_toks"))
+    // dedup survivor = min-doc_id among same-hash stage-4 survivors:
+    // ordering survivors first makes rank 1 ⇔ that survivor
+    val ranked = flagged.withColumn("rk",
+      row_number().over(Window.partitionBy(col("h"))
+        .orderBy(col("f4").desc, col("doc_id"))))
+      .withColumn("f5", col("f4") && col("rk") === 1)
+    def cnt(c: org.apache.spark.sql.Column) = sum(when(c, 1L).otherwise(0L))
+    ranked
+      .agg(count(lit(1)).as("s0"), cnt(col("f1")).as("s1"), cnt(col("f2")).as("s2"),
+        cnt(col("f3")).as("s3"), cnt(col("f4")).as("s4"), cnt(col("f5")).as("s5"))
+      .selectExpr("""stack(6,
+        0, 'all', s0, 1, 'lang_en', s1, 2, 'length', s2,
+        3, 'stopword', s3, 4, 'repetition', s4, 5, 'exact_dedup', s5)
+        AS (stage, stage_name, n_docs)""")
+      .select(col("stage").cast("long").as("stage"), col("stage_name"), col("n_docs"))
+      .orderBy(col("stage"))
+  }
+
+  private val funnelSql: String = {
+    val stops = langDicts.head._2.map(w => s"'$w'").mkString(", ")
+    s"""
+    WITH t AS (SELECT doc_id, lang, text, ${tokensSql("text")} AS toks FROM documents),
+    m AS (SELECT doc_id,
+            coalesce(lang = 'en', false) AS f1,
+            CAST(len(toks) AS BIGINT) AS n_toks,
+            CAST(len(list_filter(toks, x -> x IN ($stops))) AS BIGINT) AS n_stop,
+            CAST(list_max(list_transform(list_distinct(toks),
+                   u -> len(list_filter(toks, x -> x = u)))) AS BIGINT) AS max_tok,
+            md5(trim(text)) AS h
+          FROM t),
+    f2 AS (SELECT *, (f1 AND n_toks BETWEEN 20 AND 2000) AS f2 FROM m),
+    f3 AS (SELECT *, (f2 AND n_stop * 40 >= n_toks) AS f3 FROM f2),
+    f4 AS (SELECT *, (f3 AND max_tok * 8 <= n_toks) AS f4 FROM f3),
+    r AS (SELECT *, row_number() OVER (PARTITION BY h ORDER BY f4 DESC, doc_id) AS rk FROM f4),
+    agg AS (SELECT count(*) AS s0,
+              CAST(sum(CASE WHEN f1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+              CAST(sum(CASE WHEN f2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+              CAST(sum(CASE WHEN f3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+              CAST(sum(CASE WHEN f4 THEN 1 ELSE 0 END) AS BIGINT) AS s4,
+              CAST(sum(CASE WHEN f4 AND rk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS s5
+            FROM r)
+    SELECT CAST(0 AS BIGINT) AS stage, 'all' AS stage_name, s0 AS n_docs FROM agg
+    UNION ALL SELECT 1, 'lang_en', s1 FROM agg
+    UNION ALL SELECT 2, 'length', s2 FROM agg
+    UNION ALL SELECT 3, 'stopword', s3 FROM agg
+    UNION ALL SELECT 4, 'repetition', s4 FROM agg
+    UNION ALL SELECT 5, 'exact_dedup', s5 FROM agg
+    ORDER BY stage"""
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "pii_scan"       -> QueryDef(piiScan _, piiScanSql),
+    "curate_funnel"  -> QueryDef(funnel _, funnelSql),
     "mix_sample"     -> QueryDef(mixSample _, mixSampleSql),
     "decontam_ngram" -> QueryDef(decontam _, decontamSql),
     "pack_tokens"    -> QueryDef(packTokens _, packTokensSql),

@@ -121,6 +121,7 @@ object PipelineQueries {
     * pagination directly from the text, so any writer/parser defect
     * (escaping, Flate, xref, text operators) breaks the hash match. */
   private val mkPdf = graft.pipeline.PdfIngest.syntheticPdf(PdfPageChars)
+  private val mkEncPdf = graft.pipeline.PdfIngest.syntheticEncryptedPdf(PdfPageChars)
 
   /** Synthesized PDFs persisted once per sfDir (deterministic writer →
     * same bytes every run). The reference ingests PDFs that already
@@ -128,37 +129,49 @@ object PipelineQueries {
     * document) is corpus-preparation, not pipeline work — both ingest
     * queries read the cached binaries and the timed path is exactly
     * the reference's: stored blob → parse → extract. */
-  private def ensurePdfBlobs(s: SparkSession, d: String): String = {
-    // cache key carries a generator version + the page-size constant:
-    // changing either must invalidate fixtures, or Spark would parse
-    // stale bytes while the oracle recomputes from current text
-    // (breaking the round-trip property the docstring promises).
-    // Validity = Spark's _SUCCESS marker, not bare dir existence — a
-    // killed run leaves a partial dir that must be rebuilt, not read.
-    val dir = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_pdfblobs_v1_${PdfPageChars}_${Integer.toHexString(d.hashCode)}").toString
+  // cache key carries a generator version tag + the page-size
+  // constant: changing either must invalidate fixtures, or Spark
+  // would parse stale bytes while the oracle recomputes from current
+  // text (breaking the round-trip property the docstring promises).
+  private def blobDir(d: String, tag: String): java.io.File =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_pdfblobs_${tag}_${PdfPageChars}_${Integer.toHexString(d.hashCode)}")
+
+  // Validity = Spark's _SUCCESS marker, not bare dir existence — a
+  // killed run leaves a partial dir that must be rebuilt, not read.
+  private def ensureBlobs(s: SparkSession, d: String, tag: String,
+      content: org.apache.spark.sql.Column): String = {
+    val dir = blobDir(d, tag).toString
     PipelineQueries.synchronized {
       if (!new java.io.File(dir, "_SUCCESS").exists()) {
         Tables.documents(s, d)
-          .select(col("doc_id"), col("source"), mkPdf(col("text")).as("content"))
+          .select(col("doc_id"), col("source"), content.as("content"))
           .write.mode("overwrite").parquet(dir)
       }
     }
     dir
   }
 
+  private def ensurePdfBlobs(s: SparkSession, d: String): String =
+    ensureBlobs(s, d, "v1", mkPdf(col("text")))
+
+  private def ensureEncPdfBlobs(s: SparkSession, d: String): String =
+    ensureBlobs(s, d, "enc_v1", mkEncPdf(col("doc_id"), col("text")))
+
   /** Bench build thunk: force a fresh synthesis so `_build` measures
     * the same work on every machine (a pre-existing cache would time
     * a no-op exists() check and make totals machine-state dependent). */
-  def rebuildPdfBlobs(s: SparkSession, d: String): String = {
-    val dir = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_pdfblobs_v1_${PdfPageChars}_${Integer.toHexString(d.hashCode)}")
+  private def rebuildBlobs(s: SparkSession, d: String, tag: String,
+      ensure: (SparkSession, String) => String): String = {
     def rm(f: java.io.File): Unit = {
       Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
     }
-    PipelineQueries.synchronized { rm(dir) }
-    ensurePdfBlobs(s, d)
+    PipelineQueries.synchronized { rm(blobDir(d, tag)) }
+    ensure(s, d)
   }
+
+  def rebuildPdfBlobs(s: SparkSession, d: String): String =
+    rebuildBlobs(s, d, "v1", ensurePdfBlobs)
 
   private def pdfPagesQ(s: SparkSession, d: String): DataFrame = {
     val pdfs = s.read.parquet(ensurePdfBlobs(s, d))
@@ -171,6 +184,101 @@ object PipelineQueries {
     * reference's blobs already exist), parsing is the pipeline. */
   def pdfBench(s: SparkSession, d: String): (() => Unit, () => DataFrame) =
     (() => { rebuildPdfBlobs(s, d); () }, () => pdfPagesQ(s, d))
+
+  /** ENCRYPTED binary PDFs (half RC4-128, half AES-128/AESV2, standard
+    * security handler) through the same parse path — key derivation +
+    * per-object decryption happen inside extractPages, and the oracle
+    * is the SAME pagination SQL as ingest_pdf_pages: proof that
+    * decryption is lossless, not merely non-crashing. */
+  private def pdfEncQ(s: SparkSession, d: String): DataFrame = {
+    val pdfs = s.read.parquet(ensureEncPdfBlobs(s, d))
+    graft.pipeline.PdfIngest.pages(pdfs, carry = Seq("doc_id"))
+      .select(col("doc_id"), col("page_number"), col("page_text"))
+      .orderBy(col("doc_id"), col("page_number"))
+  }
+
+  def pdfEncBench(s: SparkSession, d: String): (() => Unit, () => DataFrame) =
+    (() => { rebuildBlobs(s, d, "enc_v1", ensureEncPdfBlobs); () }, () => pdfEncQ(s, d))
+
+  // --------------------------------------- cross-page chunk stitching
+  /** The reference chunks each page separately (Function.java:115-135
+    * iterates pages), so a sentence straddling a page break is cut at
+    * the break no matter what the look-back window finds. This variant
+    * STITCHES the document back together before chunking — parse the
+    * binary PDF, re-concatenate pages in page-tree order, chunk the
+    * document as one text, then attribute each chunk to the page its
+    * first character came from by joining chunk start offsets against
+    * the real per-page offset table (general mechanism: works for
+    * ragged page lengths; the oracle exploits the fixture's fixed
+    * page size to recompute attribution independently). Shuffles: one
+    * groupBy(doc) to stitch + one broadcast-side join per doc for
+    * attribution — both keyed on doc_id, no global sort until the
+    * final presentation ORDER BY. */
+  private def chunkStitchQ(s: SparkSession, d: String): DataFrame = {
+    val pg = graft.pipeline.PdfIngest.pages(
+      s.read.parquet(ensurePdfBlobs(s, d)), carry = Seq("doc_id"))
+    val stitched = pg
+      .groupBy(col("doc_id"))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("page_number"), col("page_text")))),
+        x => x("page_text")), "").as("stitched"))
+    val chunks = Ingest.chunk(stitched, "doc_id", "stitched", MaxLen, Lookback, " ")
+      .withColumn("start_off",
+        sum(col("chunk_len")).over(
+          Window.partitionBy(col("doc_id")).orderBy(col("chunk_idx"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - col("chunk_len"))
+    val pageOffs = pg
+      .select(col("doc_id"), col("page_number"),
+        length(col("page_text")).cast("long").as("plen"))
+      .withColumn("pstart",
+        sum(col("plen")).over(
+          Window.partitionBy(col("doc_id")).orderBy(col("page_number"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          - col("plen"))
+    chunks.join(pageOffs,
+        chunks("doc_id") === pageOffs("doc_id") &&
+          col("start_off") >= col("pstart") &&
+          col("start_off") < col("pstart") + col("plen"))
+      .select(chunks("doc_id"), col("chunk_idx"), col("page_number").as("start_page"),
+        col("chunk"), col("chunk_len"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+  }
+
+  private val chunkStitchSql: String = {
+    val start = MaxLen - Lookback
+    val win = s"substr(rem, ${start + 2}, $Lookback)"
+    s"""
+    WITH RECURSIVE parts AS (
+      SELECT doc_id, ${Ingest.normalizeSql("text")} AS rem,
+             0 AS idx, CAST(NULL AS VARCHAR) AS chunk
+      FROM documents
+      UNION ALL
+      SELECT doc_id, substr(rem, sp + 1), idx + 1, substr(rem, 1, sp)
+      FROM (
+        SELECT doc_id, rem, idx,
+          CASE WHEN length(rem) > $MaxLen THEN (
+            CASE WHEN strpos(reverse($win), ' ') > 0
+                 THEN $start + ($Lookback - strpos(reverse($win), ' ') + 1)
+                 ELSE $start END)
+          ELSE length(rem) END AS sp
+        FROM parts
+        WHERE length(rem) > 0)),
+    c AS (
+      SELECT doc_id, CAST(idx - 1 AS BIGINT) AS chunk_idx, chunk,
+             CAST(length(chunk) AS BIGINT) AS chunk_len
+      FROM parts WHERE chunk IS NOT NULL),
+    o AS (
+      SELECT doc_id, chunk_idx, chunk, chunk_len,
+             CAST(sum(chunk_len) OVER (PARTITION BY doc_id ORDER BY chunk_idx
+               ROWS UNBOUNDED PRECEDING) - chunk_len AS BIGINT) AS start_off
+      FROM c)
+    SELECT doc_id, chunk_idx,
+           CAST(start_off // $PdfPageChars + 1 AS BIGINT) AS start_page,
+           chunk, chunk_len
+    FROM o
+    ORDER BY doc_id, chunk_idx"""
+  }
 
   private val pdfPagesSql = s"""
     SELECT doc_id, CAST(gs AS BIGINT) AS page_number,
@@ -282,6 +390,8 @@ object PipelineQueries {
     "vs_registered_list" -> QueryDef(registered _, listSql("=")),
     "vs_failed_list"     -> QueryDef(failed _, listSql("<>")),
     "ingest_pdf_pages"   -> QueryDef(pdfPagesQ _, pdfPagesSql),
+    "ingest_pdf_encrypted" -> QueryDef(pdfEncQ _, pdfPagesSql),
+    "vs_chunk_stitch"    -> QueryDef(chunkStitchQ _, chunkStitchSql),
     "ingest_pdf_store"   -> QueryDef(pdfStoreQ _, pdfStoreSql),
     "status_events"      -> QueryDef(statusEventsQ _, statusEventsSql),
     "status_current"     -> QueryDef(statusCurrentQ _, statusCurrentSql),
