@@ -30,24 +30,29 @@ object Decontaminate {
     * `bench`(textCol): (id, n_shingles, n_overlap, contam_ratio). */
   def overlaps(corpus: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, n: Int): DataFrame = {
-    // tokens materialized in their own projection: inlined into the
-    // shingle HOF, the split would re-run once per element access
-    // (the 150× interpreted-HOF trap — see Dedup.shingleRows)
-    def distinctShingles(df: DataFrame) =
+    // Shape rules, measured at sf0.1 (see Dedup.sharedSpans):
+    //  - tokens live in their own projection, and the explode sits
+    //    DIRECTLY over the shingle HOF — an intermediate `sh` alias
+    //    between them lets filter pushdown (InferFiltersFromGenerate)
+    //    substitute through both aliases and inline split() into every
+    //    element_at of the lambda: one regex run per element access,
+    //    measured 40× on this operator.
+    //  - n_shingles is count(*) of the exploded rows, NOT size(sh)
+    //    beside the explode — that double reference re-evaluates the
+    //    HOF once per OUTPUT row.
+    def gramRows(df: DataFrame) =
       df.select(col(idCol), tokens(col(textCol)).as("tk"))
-        .select(col(idCol), array_distinct(shingles(col("tk"), n)).as("sh"))
-    val benchSet = distinctShingles(bench)
-      .select(explode(col("sh")).as("s"))
-      .select(hash64(col("s")).as("h"))
-      .distinct()
-    distinctShingles(corpus)
-      .select(col(idCol), size(col("sh")).cast("long").as("n_shingles"),
-        explode(col("sh")).as("s"))
-      .select(col(idCol), col("n_shingles"), hash64(col("s")).as("h"))
-      .join(broadcast(benchSet), "h")
+        .select(col(idCol), explode(array_distinct(shingles(col("tk"), n))).as("s"))
+        .select(col(idCol), hash64(col("s")).as("h"))
+    val benchSet = gramRows(bench).select(col("h")).distinct()
+    // the left join keeps every shingle row so count(*) still equals
+    // size(sh); the post-agg filter restores the inner-join row set
+    gramRows(corpus)
+      .join(broadcast(benchSet.withColumn("hit", lit(1L))), Seq("h"), "left")
       .groupBy(col(idCol))
-      .agg(max(col("n_shingles")).as("n_shingles"),
-        count(lit(1)).as("n_overlap"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_overlap"))
+      .filter(col("n_overlap") > 0)
       .withColumn("contam_ratio",
         col("n_overlap").cast("double") / col("n_shingles").cast("double"))
   }

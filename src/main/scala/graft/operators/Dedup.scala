@@ -424,20 +424,26 @@ object Dedup {
   def sharedSpans(docs: DataFrame, idCol: String, textCol: String,
       w: Int): DataFrame = {
     import graft.functions.TextFunctions._
+    // n_windows is NOT size(sh) alongside the explode: referencing the
+    // shingle array from both a scalar and a generator in one select
+    // makes the optimizer inline the (interpreted-HOF) shingle
+    // expression into the post-Generate projection, re-evaluating it
+    // once per OUTPUT row — measured 60× on this query at sf0.1.
+    // Deriving n_windows as count(*) of the exploded distinct windows
+    // removes the double reference structurally.
     val grams = docs
       .select(col(idCol), tokens(col(textCol)).as("tk")) // own projection: HOF trap
-      .select(col(idCol), array_distinct(shingles(col("tk"), w)).as("sh"))
-      .select(col(idCol), size(col("sh")).cast("long").as("n_windows"),
-        explode(col("sh")).as("s"))
-      .select(col(idCol), col("n_windows"), hash64(col("s")).as("h"))
+      .select(col(idCol), explode(array_distinct(shingles(col("tk"), w))).as("s"))
+      .select(col(idCol), hash64(col("s")).as("h"))
     val counts = grams.groupBy(col("h"))
       .agg(countDistinct(col(idCol)).as("nd"))
       .filter(col("nd") > 1)
-      .select(col("h"))
-    grams.join(counts, Seq("h"))
+      .select(col("h"), lit(1L).as("shared"))
+    grams.join(counts, Seq("h"), "left")
       .groupBy(col(idCol))
-      .agg(max(col("n_windows")).as("n_windows"),
-        count(lit(1)).as("n_shared"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("shared"), lit(0L))).as("n_shared"))
+      .filter(col("n_shared") > 0) // row set of the former inner join
       .withColumn("shared_ratio",
         col("n_shared").cast("double") / col("n_windows").cast("double"))
   }

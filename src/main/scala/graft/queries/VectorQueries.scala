@@ -272,11 +272,16 @@ object VectorQueries {
     import graft.operators.Summarize
     val topHits = Knn.topK(corpus(s, d), "vec_id", "embedding",
       queryVec(s, d), "qvec", cosineDistance, 5)
-    val docs = Tables.documents(s, d).select(col("doc_id"),
-      Summarize.tokenWindows(
+    // join FIRST, window-split after: the sentence HOF then touches
+    // only the k hit documents instead of the whole corpus (and no
+    // array alias crosses the join for filter pushdown to inline)
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("text"))
+    val hitDocs = topHits.join(docs, col("vec_id") === col("doc_id"))
+      .drop("doc_id")
+      .select(col("*"), Summarize.tokenWindows(
         graft.functions.TextFunctions.tokens(col("text")), 12).as("sents"))
-    Summarize.extract(
-      topHits.join(docs, col("vec_id") === col("doc_id")).drop("doc_id"),
+      .drop("text")
+    Summarize.extract(hitDocs,
       "vec_id", "sents", terms = Seq("join", "vector", "scan"), m = 2)
       .select(col("vec_id"), col("dist"), col("pos"), col("sentence"), col("overlap"))
       .orderBy(col("vec_id"), col("pos"))
