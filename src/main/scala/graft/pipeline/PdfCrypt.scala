@@ -34,8 +34,17 @@ private[graft] object PdfCrypt {
     out
   }
 
+  // Instance lookups (provider search) cost more than the crypto on
+  // the small objects a PDF holds; executors call these per object,
+  // so both are reused per thread (reset()/init() make reuse sound).
+  private val Md5 = ThreadLocal.withInitial[MessageDigest](() =>
+    MessageDigest.getInstance("MD5"))
+  private val AesCbc = ThreadLocal.withInitial[Cipher](() =>
+    Cipher.getInstance("AES/CBC/NoPadding"))
+
   def md5(parts: Array[Byte]*): Array[Byte] = {
-    val d = MessageDigest.getInstance("MD5")
+    val d = Md5.get()
+    d.reset()
     parts.foreach(d.update)
     d.digest()
   }
@@ -43,19 +52,25 @@ private[graft] object PdfCrypt {
   /** RC4 stream cipher — 20 lines beats depending on a JCE provider
     * alias ("RC4" vs "ARCFOUR") being present. */
   def rc4(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
-    val s = Array.tabulate(256)(identity)
+    val s = new Array[Int](256)
+    var i = 0
+    while (i < 256) { s(i) = i; i += 1 }
     var j = 0
-    for (i <- 0 until 256) {
+    i = 0
+    while (i < 256) {
       j = (j + s(i) + (key(i % key.length) & 0xff)) & 0xff
       val t = s(i); s(i) = s(j); s(j) = t
+      i += 1
     }
     val out = new Array[Byte](data.length)
-    var i = 0; j = 0
-    for (k <- data.indices) {
+    var k = 0
+    i = 0; j = 0
+    while (k < data.length) {
       i = (i + 1) & 0xff
       j = (j + s(i)) & 0xff
       val t = s(i); s(i) = s(j); s(j) = t
       out(k) = (data(k) ^ s((s(i) + s(j)) & 0xff)).toByte
+      k += 1
     }
     out
   }
@@ -121,7 +136,7 @@ private[graft] object PdfCrypt {
     * sink the document. */
   def aesDecrypt(key: Array[Byte], data: Array[Byte]): Array[Byte] = {
     if (data.length < 32 || (data.length - 16) % 16 != 0) return Array.emptyByteArray
-    val c = Cipher.getInstance("AES/CBC/NoPadding")
+    val c = AesCbc.get()
     c.init(Cipher.DECRYPT_MODE, new SecretKeySpec(key, "AES"),
       new IvParameterSpec(data, 0, 16))
     val plain = c.doFinal(data, 16, data.length - 16)
@@ -137,7 +152,7 @@ private[graft] object PdfCrypt {
     val pad = 16 - (data.length % 16)
     val padded = java.util.Arrays.copyOf(data, data.length + pad)
     java.util.Arrays.fill(padded, data.length, padded.length, pad.toByte)
-    val c = Cipher.getInstance("AES/CBC/NoPadding")
+    val c = AesCbc.get()
     c.init(Cipher.ENCRYPT_MODE, new SecretKeySpec(key, "AES"), new IvParameterSpec(iv))
     iv ++ c.doFinal(padded)
   }

@@ -25,8 +25,45 @@ object ProfileSpans {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(100000).selectExpr("sum(id)").collect()
 
+    // PDF crypto micro-bench (driver-side, no Spark)
+    locally {
+      import graft.pipeline.Pdf
+      val pages = Seq("word " * 60, "word " * 60)
+      val plain = Pdf.write(pages)
+      val rc4d = Pdf.writeEncrypted(pages)
+      val aesd = Pdf.writeEncrypted(pages, aes = true)
+      def loop(doc: Array[Byte]): Unit = { var i = 0; while (i < 2000) { Pdf.extractPages(doc); i += 1 } }
+      loop(plain); loop(rc4d) // warm JIT
+      time("pdf parse x2000 plain")(loop(plain))
+      time("pdf parse x2000 rc4")(loop(rc4d))
+      time("pdf parse x2000 aes")(loop(aesd))
+    }
+
     val docs = Tables.documents(spark, sfDir)
     time("docs.count")(docs.count())
+
+    time("funnel cold")(
+      graft.SparkEntry.queries("curate_funnel")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save())
+    time("funnel warm")(
+      graft.SparkEntry.queries("curate_funnel")(spark, sfDir)
+        .write.format("noop").mode("overwrite").save())
+    // stage probe: flags only, no window/agg
+    locally {
+      val maxCount = (xs: org.apache.spark.sql.Column) =>
+        graft.functions.ArrayMaxCount.maxCount(xs)
+      val flagged = docs
+        .select(col("doc_id"), col("lang"), col("text"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"),
+          coalesce(col("lang") === "en", lit(false)).as("f1"),
+          size(col("toks")).cast("long").as("n_toks"),
+          size(org.apache.spark.sql.functions.filter(col("toks"),
+            t => t.isin(graft.functions.TextFunctions.langDicts.head._2: _*)))
+            .cast("long").as("n_stop"),
+          maxCount(col("toks")).cast("long").as("max_tok"),
+          graft.operators.Dedup.contentKey(col("text")).as("h"))
+      time("funnel flags only")(flagged.write.format("noop").mode("overwrite").save())
+    }
 
     time("H fixed decontam")(
       graft.operators.Decontaminate.overlaps(
