@@ -262,11 +262,13 @@ object AnalyticsQueries {
       .withColumn("cum", sum(col("c")).over(
         Window.partitionBy(col("event_type")).orderBy(col("bin"))))
       .withColumn("n", sum(col("c")).over(Window.partitionBy(col("event_type"))))
-    Seq(0.5, 0.95).map { p =>
-      w.filter(col("cum") >= ceil(lit(p) * col("n")))
-        .groupBy(col("event_type")).agg(min(col("bin")).as("qbin"))
-        .withColumn("p", lit(p))
-    }.reduce(_ unionByName _)
+    // one pass over the bin table: explode the p-levels instead of
+    // unioning one filtered branch per level (which would recompute
+    // the scan + bin aggregation per level)
+    w.select(col("event_type"), col("bin"), col("cum"), col("n"),
+        explode(array(lit(0.5), lit(0.95))).as("p"))
+      .filter(col("cum") >= ceil(col("p") * col("n")))
+      .groupBy(col("event_type"), col("p")).agg(min(col("bin")).as("qbin"))
       .select(col("event_type"), col("p"),
         col("qbin").cast("double").as("q_lo"),
         (col("qbin") + 1).cast("double").as("q_hi"))

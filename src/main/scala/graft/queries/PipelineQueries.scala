@@ -217,30 +217,32 @@ object PipelineQueries {
   private def chunkStitchQ(s: SparkSession, d: String): DataFrame = {
     val pg = graft.pipeline.PdfIngest.pages(
       s.read.parquet(ensurePdfBlobs(s, d)), carry = Seq("doc_id"))
-    val stitched = pg
+    // ONE parse pass: the same per-doc aggregate carries both the
+    // stitched text and the page START offsets (prefix sums of page
+    // lengths). chunk() threads every input column through, so the
+    // tiny pstarts array rides along each chunk row and attribution is
+    // a per-row array scan — no second fixture scan, no join.
+    val byDoc = pg
       .groupBy(col("doc_id"))
-      .agg(array_join(transform(
-        array_sort(collect_list(struct(col("page_number"), col("page_text")))),
-        x => x("page_text")), "").as("stitched"))
-    val chunks = Ingest.chunk(stitched, "doc_id", "stitched", MaxLen, Lookback, " ")
+      .agg(array_sort(collect_list(struct(col("page_number"), col("page_text"))))
+        .as("ps"))
+      .select(col("doc_id"),
+        array_join(transform(col("ps"), x => x("page_text")), "").as("stitched"),
+        expr("aggregate(transform(ps, x -> CAST(length(x.page_text) AS BIGINT))," +
+          " array(0L), (acc, l) -> concat(acc, array(element_at(acc, -1) + l)))")
+          .as("poffs0"))
+      // drop the trailing total: pstarts(i) = start offset of page i+1
+      .select(col("doc_id"), col("stitched"),
+        slice(col("poffs0"), lit(1), size(col("poffs0")) - 1).as("pstarts"))
+    Ingest.chunk(byDoc, "doc_id", "stitched", MaxLen, Lookback, " ")
       .withColumn("start_off",
         sum(col("chunk_len")).over(
           Window.partitionBy(col("doc_id")).orderBy(col("chunk_idx"))
             .rowsBetween(Window.unboundedPreceding, Window.currentRow))
           - col("chunk_len"))
-    val pageOffs = pg
-      .select(col("doc_id"), col("page_number"),
-        length(col("page_text")).cast("long").as("plen"))
-      .withColumn("pstart",
-        sum(col("plen")).over(
-          Window.partitionBy(col("doc_id")).orderBy(col("page_number"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          - col("plen"))
-    chunks.join(pageOffs,
-        chunks("doc_id") === pageOffs("doc_id") &&
-          col("start_off") >= col("pstart") &&
-          col("start_off") < col("pstart") + col("plen"))
-      .select(chunks("doc_id"), col("chunk_idx"), col("page_number").as("start_page"),
+      .withColumn("start_page",
+        size(filter(col("pstarts"), p => p <= col("start_off"))).cast("long"))
+      .select(col("doc_id"), col("chunk_idx"), col("start_page"),
         col("chunk"), col("chunk_len"))
       .orderBy(col("doc_id"), col("chunk_idx"))
   }
