@@ -227,7 +227,80 @@ object TextQueries {
     FROM b
     ORDER BY doc_id"""
 
+  // ------------------------------------------------------------- bm25
+  /** BM25 ranking of the corpus against a fixed term query — the
+    * lexical half of a search engine as one aggregation pipeline:
+    * explode tokens → one map-side-combined groupBy builds per-doc
+    * (dl, tf per term); a one-row global aggregate (N, Σdl, df per
+    * term) broadcasts back; scoring is per-row arithmetic; top-10 is
+    * TakeOrderedAndProject. No global sort of the corpus, no join
+    * wider than the broadcast single row — the 100 TB shape.
+    *
+    * Deviation from textbook BM25, documented: the idf factor is the
+    * rational Robertson form (N - df + 0.5)/(df + 0.5) WITHOUT the
+    * log — ln() is not bit-portable across engines (libm vs JVM), and
+    * the oracle contract here is bit-exact. Monotone in df, so
+    * rankings agree with log-idf whenever a single term dominates;
+    * k1 = 1.2, b = 0.75 are the standard constants. */
+  private val Bm25Terms = Seq("join", "vector", "scan")
+
+  private def bm25(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+    val stats = tok.groupBy(col("doc_id")).agg(
+      count(lit(1)).as("dl"),
+      Bm25Terms.zipWithIndex.map { case (t, i) =>
+        sum(when(col("w") === t, 1L).otherwise(0L)).as(s"tf$i")
+      }: _*)
+    val globalCols = Seq(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl")) ++
+      Bm25Terms.indices.map(i =>
+        sum(when(col(s"tf$i") > 0, 1L).otherwise(0L)).as(s"df$i"))
+    val global = stats.agg(globalCols.head, globalCols.tail: _*)
+    val dld = col("dl").cast("double")
+    val avgdl = col("sum_dl").cast("double") / col("n").cast("double")
+    val score = Bm25Terms.indices.map { i =>
+      val tf = col(s"tf$i").cast("double")
+      val df = col(s"df$i").cast("double")
+      val idf = (col("n").cast("double") - df + lit(0.5)) / (df + lit(0.5))
+      val denom = tf + lit(1.2) * (lit(0.25) + lit(0.75) * (dld / avgdl))
+      when(col(s"tf$i") > 0, tf * lit(2.2) / denom * idf).otherwise(lit(0.0))
+    }.reduce(_ + _)
+    stats.crossJoin(broadcast(global))
+      .select(col("doc_id"), col("dl"), score.as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(10)
+  }
+
+  private val bm25Sql: String = {
+    val tfCols = Bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(sum(CASE WHEN w = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS tf$i" }
+      .mkString(",\n             ")
+    val dfCols = Bm25Terms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+      .mkString(",\n             ")
+    val termScores = Bm25Terms.indices.map { i =>
+      s"""CASE WHEN tf$i > 0 THEN
+           CAST(tf$i AS DOUBLE) * 2.2
+             / (CAST(tf$i AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl AS DOUBLE) / (CAST(sum_dl AS DOUBLE) / CAST(n AS DOUBLE)))))
+             * ((CAST(n AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5))
+         ELSE 0.0 END"""
+    }.mkString("(", "\n      + ", ")")
+    s"""
+    WITH tok AS (SELECT doc_id, unnest(${tokensSql("text")}) AS w FROM documents),
+    st AS (SELECT doc_id, count(*) AS dl,
+             $tfCols
+           FROM tok GROUP BY doc_id),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sum_dl,
+             $dfCols
+          FROM st)
+    SELECT doc_id, dl, $termScores AS score
+    FROM st CROSS JOIN g
+    ORDER BY score DESC, doc_id
+    LIMIT 10"""
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "text_bm25"        -> QueryDef(bm25 _, bm25Sql),
     "text_repetition"  -> QueryDef(repetition _, repetitionSql),
     "text_ngram_freq"  -> QueryDef(ngramFreq _, ngramFreqSql),
     "text_lang_id"     -> QueryDef(langId _, langIdSql),
