@@ -40,6 +40,7 @@ object Bench {
       "vs_pq_knn" -> queries.VectorQueries.pqBench _,
       "ingest_pdf_pages" -> queries.PipelineQueries.pdfBench _,
       "ingest_pdf_encrypted" -> queries.PipelineQueries.pdfEncBench _,
+      "ingest_pdf_modern" -> queries.PipelineQueries.pdfModBench _,
     )
 
   private def runNoop(df: DataFrame): Unit =

@@ -48,6 +48,19 @@ object PdfIngest {
       Pdf.writeEncrypted(pages, aes = id != null && (id.hashCode & 1) == 1)
     }
 
+  /** [[syntheticPdf]] in the CONTEMPORARY file shape (xref stream +
+    * object streams, [[Pdf.writeModern]]); half the corpus is
+    * additionally AES-encrypted (deterministic per-id choice), so one
+    * fixture set covers the modern layout with and without the
+    * security handler. Same page slicing → same pagination oracle. */
+  def syntheticModernPdf(pageChars: Int): org.apache.spark.sql.expressions.UserDefinedFunction =
+    udf { (id: String, text: String) =>
+      val pages =
+        if (text == null || text.isEmpty) Seq("")
+        else text.grouped(pageChars).toSeq
+      Pdf.writeModern(pages, encrypt = id != null && (id.hashCode & 1) == 1)
+    }
+
   /** Per-file page extraction is inherently imperative (object graph,
     * inflate, operator scan), so a scalar UDF is the right tier — the
     * same justification as the reference-port chunker.

@@ -122,6 +122,7 @@ object PipelineQueries {
     * (escaping, Flate, xref, text operators) breaks the hash match. */
   private val mkPdf = graft.pipeline.PdfIngest.syntheticPdf(PdfPageChars)
   private val mkEncPdf = graft.pipeline.PdfIngest.syntheticEncryptedPdf(PdfPageChars)
+  private val mkModPdf = graft.pipeline.PdfIngest.syntheticModernPdf(PdfPageChars)
 
   /** Synthesized PDFs persisted once per sfDir (deterministic writer →
     * same bytes every run). The reference ingests PDFs that already
@@ -199,6 +200,24 @@ object PipelineQueries {
 
   def pdfEncBench(s: SparkSession, d: String): (() => Unit, () => DataFrame) =
     (() => { rebuildBlobs(s, d, "enc_v1", ensureEncPdfBlobs); () }, () => pdfEncQ(s, d))
+
+  private def ensureModPdfBlobs(s: SparkSession, d: String): String =
+    ensureBlobs(s, d, "mod_v1", mkModPdf(col("doc_id"), col("text")))
+
+  /** The CONTEMPORARY file shape through the same parse path: xref
+    * streams + object streams ([[graft.pipeline.Pdf.writeModern]]),
+    * half the corpus AES-encrypted on top. Same pagination oracle as
+    * ingest_pdf_pages — the ObjStm expansion, binary-xref layout and
+    * in-xref-dict /Encrypt resolution are all proven lossless. */
+  private def pdfModQ(s: SparkSession, d: String): DataFrame = {
+    val pdfs = s.read.parquet(ensureModPdfBlobs(s, d))
+    graft.pipeline.PdfIngest.pages(pdfs, carry = Seq("doc_id"))
+      .select(col("doc_id"), col("page_number"), col("page_text"))
+      .orderBy(col("doc_id"), col("page_number"))
+  }
+
+  def pdfModBench(s: SparkSession, d: String): (() => Unit, () => DataFrame) =
+    (() => { rebuildBlobs(s, d, "mod_v1", ensureModPdfBlobs); () }, () => pdfModQ(s, d))
 
   // --------------------------------------- cross-page chunk stitching
   /** The reference chunks each page separately (Function.java:115-135
@@ -393,6 +412,7 @@ object PipelineQueries {
     "vs_failed_list"     -> QueryDef(failed _, listSql("<>")),
     "ingest_pdf_pages"   -> QueryDef(pdfPagesQ _, pdfPagesSql),
     "ingest_pdf_encrypted" -> QueryDef(pdfEncQ _, pdfPagesSql),
+    "ingest_pdf_modern"  -> QueryDef(pdfModQ _, pdfPagesSql),
     "vs_chunk_stitch"    -> QueryDef(chunkStitchQ _, chunkStitchSql),
     "ingest_pdf_store"   -> QueryDef(pdfStoreQ _, pdfStoreSql),
     "status_events"      -> QueryDef(statusEventsQ _, statusEventsSql),
