@@ -27,6 +27,22 @@ object PdfPropertySpec extends Properties("pdf") {
     Pdf.extractPages(Pdf.write(pages, compress = false)) == pages
   }
 
+  property("roundTripEncryptedRc4") = forAll(pagesGen) { pages =>
+    Pdf.extractPages(Pdf.writeEncrypted(pages)) == pages
+  }
+
+  property("roundTripEncryptedAes") = forAll(pagesGen) { pages =>
+    Pdf.extractPages(Pdf.writeEncrypted(pages, aes = true)) == pages
+  }
+
+  property("roundTripModern") = forAll(pagesGen) { pages =>
+    Pdf.extractPages(Pdf.writeModern(pages)) == pages
+  }
+
+  property("roundTripModernEncrypted") = forAll(pagesGen) { pages =>
+    Pdf.extractPages(Pdf.writeModern(pages, encrypt = true)) == pages
+  }
+
   // corrupt input must never throw: random bytes parse to zero pages,
   // and truncating a valid PDF anywhere yields a (possibly empty)
   // result, not an exception — one bad file must not kill a 100 TB job
@@ -44,6 +60,12 @@ object PdfPropertySpec extends Properties("pdf") {
 
   property("truncatedPdfNeverThrows") = forAll(truncatedGen) { case (pages, pct) =>
     val full = Pdf.write(pages)
+    val cut = java.util.Arrays.copyOf(full, full.length * pct / 100)
+    Pdf.extractPages(cut).forall(_ != null)
+  }
+
+  property("truncatedEncryptedNeverThrows") = forAll(truncatedGen) { case (pages, pct) =>
+    val full = Pdf.writeModern(pages, encrypt = true)
     val cut = java.util.Arrays.copyOf(full, full.length * pct / 100)
     Pdf.extractPages(cut).forall(_ != null)
   }
