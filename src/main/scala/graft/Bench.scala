@@ -41,6 +41,7 @@ object Bench {
       "ingest_pdf_pages" -> queries.PipelineQueries.pdfBench _,
       "ingest_pdf_encrypted" -> queries.PipelineQueries.pdfEncBench _,
       "ingest_pdf_modern" -> queries.PipelineQueries.pdfModBench _,
+      "ingest_pdf_store" -> queries.PipelineQueries.pdfStoreBench _,
     )
 
   private def runNoop(df: DataFrame): Unit =
@@ -116,9 +117,12 @@ object Bench {
           }
       }
     }
+    // Locale.ROOT: the default-locale f"" interpolator would emit
+    // "0,711" on comma-decimal locales — invalid JSON for the driver.
+    def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
     def jsonMap(m: Seq[(String, Double)], round: Boolean): String =
       m.map { case (k, v) =>
-        val num = if (round) f"$v%.3f" else v.toString
+        val num = if (round) f3(v) else v.toString
         "\"" + k + "\":" + num
       }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
@@ -128,7 +132,7 @@ object Bench {
     // window and the round lost its parsed bench numbers. Rounded
     // millisecond precision, no cold map — full precision + cold go
     // to the bench_out.json file instead.
-    val line = s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":${jsonMap(results, round = true)},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jsonMap(results, round = true)},"sf":"$sfDir"}"""
     println(line)
     val fileLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results, round = false)},"cold":${jsonMap(coldTimes.toSeq, round = false)},"sf":"$sfDir"}"""
     try {

@@ -25,11 +25,21 @@ import org.apache.spark.sql.functions._
   */
 object Pii {
 
-  /** (name, pattern, replacement token), applied in order. */
+  /** (name, pattern, replacement token), applied in order.
+    *
+    * Boundary guards: `\b` (ASCII word boundary, supported identically
+    * by java.util.regex and RE2) keeps the phone pattern from matching
+    * inside longer digit-dash runs and the IP pattern from starting or
+    * ending mid-number; IP octets are constrained to 0-255. A dotted
+    * run like "1.2.3.4.5" still yields a leading-prefix match ("5" is
+    * a valid octet boundary) — excluding it would need lookaround,
+    * which RE2 lacks, so that residue is accepted for the cross-engine
+    * contract. */
+  private val Octet = "(25[0-5]|2[0-4][0-9]|1[0-9]{2}|[1-9]?[0-9])"
   val types: Seq[(String, String, String)] = Seq(
-    ("email", "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}", "<EMAIL>"),
-    ("phone", "[0-9]{3}-[0-9]{3}-[0-9]{4}", "<PHONE>"),
-    ("ip", "[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}", "<IP>"),
+    ("email", "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}\\b", "<EMAIL>"),
+    ("phone", "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b", "<PHONE>"),
+    ("ip", s"\\b$Octet\\.$Octet\\.$Octet\\.$Octet\\b", "<IP>"),
   )
 
   /** Per-type match counts over the raw text, as (name → count). */

@@ -323,6 +323,19 @@ object PipelineQueries {
       .orderBy(col("id"))
   }
 
+  /** Bench split (VERDICT r4 #1): fixture synthesis is corpus
+    * preparation (the reference's blobs already exist in storage), the
+    * parse → chunk → store flow is the pipeline. Same contract as
+    * [[pdfBench]]: `_build` forces a fresh blob synthesis so the
+    * number is machine-state independent; `_probe` times exactly the
+    * stored-blob → store-rows path and is directly comparable to
+    * ingest_pdf_pages_probe (same parse, plus chunk/status/id work).
+    * BENCH_NOTES r5 records why: the conflated r4 number (12.6 s on
+    * the driver vs 2.3-3.1 s on every builder re-run of identical
+    * code) could not be localized without the split. */
+  def pdfStoreBench(s: SparkSession, d: String): (() => Unit, () => DataFrame) =
+    (() => { rebuildPdfBlobs(s, d); () }, () => pdfStoreQ(s, d))
+
   private val pdfStoreSql = s"""
     WITH pg AS (
       SELECT doc_id, source, CAST(gs AS BIGINT) AS page_number,

@@ -453,4 +453,30 @@ class PdfSpec extends SparkSpec {
          |""".stripMargin.getBytes("ISO-8859-1")
     assert(Pdf.extractPages(pdf) == Seq("café plain one"))
   }
+
+  test("writeModern sizes xref offsets to the file: 3 bytes small, 4 bytes >= 16 MiB") {
+    // the in-repo parser byte-scans and never reads the xref widths,
+    // so truncated 3-byte offsets in a big file would only corrupt
+    // EXTERNAL readers — assert the W entry and the startxref value
+    // (the largest offset the stream must encode) directly
+    def wEntry(b: Array[Byte]): String = {
+      val s = new String(b, "ISO-8859-1")
+      "/W \\[1 (\\d+) 2\\]".r.findFirstMatchIn(s).get.group(1)
+    }
+    def startxref(b: Array[Byte]): Long = {
+      val s = new String(b, "ISO-8859-1")
+      "startxref\\n(\\d+)".r.findFirstMatchIn(s).get.group(1).toLong
+    }
+    val small = Pdf.writeModern(Seq("tiny page"))
+    assert(wEntry(small) == "3" && startxref(small) < (1L << 24))
+    // incompressible-ish page content still deflates; skip compression
+    // so 90 × 200 KB pages deterministically cross the 3-byte limit
+    val big = Pdf.writeModern(
+      Seq.tabulate(90)(i => s"p$i " * 50000), compress = false)
+    assert(startxref(big) >= (1L << 24),
+      s"fixture must exceed 16 MiB, got ${startxref(big)}")
+    assert(wEntry(big) == "4")
+    // and the file still round-trips through the extractor
+    assert(Pdf.extractPages(big).length == 90)
+  }
 }
