@@ -71,10 +71,37 @@ object IvfIndex {
       .select(col(idCol), col("centroid_id"))
   }
 
-  /** Corpus + centroid_id, ready to write partitioned by cell. */
+  /** Spilled (SOAR-style) multi-assignment: each vector lands in its
+    * `spill` nearest cells, and every row carries `primary_cell` (the
+    * rank-1 cell). The spare copies buy boundary recall — the chance
+    * that SOME stored copy of a true neighbor sits in a probed cell
+    * grows with spill — at exactly `spill`× storage and candidate
+    * volume. `primary_cell` is what makes probe-time DEDUP free: a
+    * probe keeps a row iff its cell is probed AND (it is the primary
+    * row OR the primary cell was NOT probed), which selects exactly
+    * one copy per vector as a per-row predicate — no shuffle, no
+    * distinct. */
+  def assignSpill(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, spill: Int): DataFrame = {
+    val w = Window.partitionBy(col(idCol)).orderBy(col("cdist"), col("centroid_id"))
+    corpus
+      .crossJoin(broadcast(centroids))
+      .select(col(idCol), col("centroid_id"),
+        l2Distance(col(vecCol), col("centroid")).as("cdist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= spill)
+      .withColumn("primary_cell",
+        first(col("centroid_id")).over(w)) // frame ends at current row → rank-1 cell
+      .select(col(idCol), col("centroid_id"), col("primary_cell"))
+  }
+
+  /** Corpus + centroid_id (+ `primary_cell` when spill > 1), ready to
+    * write partitioned by cell. `spill` > 1 stores each vector in its
+    * spill nearest cells for boundary recall (see [[assignSpill]]);
+    * the default 1 keeps the classic single-copy layout. */
   def buildIndex(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int, iters: Int = 2, trainFraction: Double = 0.25,
-      mat: Materializer = Materializer.local()): (DataFrame, DataFrame) = {
+      mat: Materializer = Materializer.local(), spill: Int = 1): (DataFrame, DataFrame) = {
     // standard IVF recipe: train centroids on a sample (quantizer
     // quality needs ~100s of points per cell, not the corpus), then
     // assign everything; materialize the nlist centroid rows once —
@@ -84,7 +111,10 @@ object IvfIndex {
       if (trainFraction >= 1.0) corpus
       else corpus.sample(withReplacement = false, trainFraction, seed = 42)
     val centroids = mat.mat(trainCentroids(train, idCol, vecCol, nlist, iters), "ivf-centroids")
-    (corpus.join(assign(corpus, idCol, vecCol, centroids), idCol), centroids)
+    val assigned =
+      if (spill <= 1) assign(corpus, idCol, vecCol, centroids)
+      else assignSpill(corpus, idCol, vecCol, centroids, spill)
+    (corpus.join(assigned, idCol), centroids)
   }
 
   /** Persist the index partitioned by cell so probes prune partitions. */
@@ -122,13 +152,18 @@ object IvfIndex {
     * radii stay valid upper bounds there — only appends invalidate.) */
   def streamAssign(
       newVectors: org.apache.spark.sql.DataFrame, idCol: String, vecCol: String,
-      centroids: org.apache.spark.sql.DataFrame, path: String, checkpoint: String)
+      centroids: org.apache.spark.sql.DataFrame, path: String, checkpoint: String,
+      spill: Int = 1) // MUST match the store's build spill, or probes
+                      // over mixed files dedup inconsistently
       : org.apache.spark.sql.streaming.StreamingQuery =
     newVectors.writeStream
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          batch.join(assign(batch, idCol, vecCol, centroids), idCol)
+          val assigned =
+            if (spill <= 1) assign(batch, idCol, vecCol, centroids)
+            else assignSpill(batch, idCol, vecCol, centroids, spill)
+          batch.join(assigned, idCol)
             .write.mode("append").partitionBy("centroid_id").parquet(path)
           graft.plans.IvfCatalog.invalidate(path)
         }
@@ -175,7 +210,23 @@ object IvfIndex {
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= nprobe)
       .select(col(qIdCol), col(qVecCol), col("centroid_id"))
-    val candidates = indexed.join(broadcast(probes), Seq("centroid_id"))
+    val joined = indexed.join(broadcast(probes), Seq("centroid_id"))
+    // spilled-store dedup (one surviving copy per (query, vector)): a
+    // copy survives iff it is the primary row, or ITS query did not
+    // probe the primary cell. Pure broadcast-join + per-row predicate.
+    val candidates =
+      if (!indexed.columns.contains("primary_cell")) joined
+      else {
+        val mark = probes.select(col(qIdCol).as("__mqid"),
+          col("centroid_id").as("__probed_pc")).distinct()
+        joined
+          .join(broadcast(mark),
+            col(qIdCol) === col("__mqid") &&
+              col("primary_cell") === col("__probed_pc"), "left_outer")
+          .filter(col("primary_cell").isNull ||
+            col("centroid_id") === col("primary_cell") || col("__probed_pc").isNull)
+          .drop("__mqid", "__probed_pc")
+      }
     (if (excludeSelf) candidates.filter(col(idCol) =!= col(qIdCol)) else candidates)
       .groupBy(col(qIdCol))
       .agg(graft.functions.TopKAggregate.topK(
@@ -200,10 +251,22 @@ object IvfIndex {
       .orderBy(col("cdist"), col("centroid_id"))
       .limit(nprobe)
       .select(col("centroid_id"))
-    indexed
+    val scanned = indexed
       // broadcast semi-join on the probed cell ids: with a
       // cell-partitioned store this is partition pruning at the source
       .join(broadcast(probed), Seq("centroid_id"), "left_semi")
+    // spilled-store dedup: keep the primary row, or a spare whose
+    // primary cell was not probed (see [[assignSpill]]) — a per-row
+    // predicate via one more broadcast of the nprobe-row cell list
+    val candidates =
+      if (!indexed.columns.contains("primary_cell")) scanned
+      else scanned
+        .join(broadcast(probed.withColumnRenamed("centroid_id", "__probed_pc")),
+          col("primary_cell") === col("__probed_pc"), "left_outer")
+        .filter(col("primary_cell").isNull ||
+          col("centroid_id") === col("primary_cell") || col("__probed_pc").isNull)
+        .drop("__probed_pc")
+    candidates
       .crossJoin(broadcast(queryVec))
       .select(col(idCol), distance(col(vecCol), col(qVecCol)).as("dist"))
       .orderBy(col("dist"), col(idCol))

@@ -2,7 +2,7 @@ package graft.plans
 
 import graft.functions.{VectorDistance, VectorDistanceExpr}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, In, Literal, NamedExpression, UnaryMinus}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, EqualTo, Expression, In, IsNull, Literal, NamedExpression, Not, Or, UnaryMinus}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -44,8 +44,14 @@ object IvfCatalog {
     * ([[graft.operators.IvfIndex.cellRadii]]); empty when the store
     * was registered without radius statistics — knn probing works
     * either way, range-query cell pruning needs them (soundness). */
+  /** `filteredWiden`: probe-width multiplier applied when the query
+    * carries a selective metadata predicate (the pgvector ≥0.8
+    * iterative-scan analogue, statically bounded): a filter shrinks
+    * the per-cell survivor count, so the same recall needs more
+    * cells — and the filter itself pays the extra scan back. */
   final case class Entry(cells: Array[Int], centroids: Array[Array[Double]],
-      nprobe: Int, vecCol: String, radii: Array[Double])
+      nprobe: Int, vecCol: String, radii: Array[Double],
+      filteredWiden: Int = 2)
 
   private val entries = TrieMap.empty[String, Entry]
 
@@ -62,7 +68,7 @@ object IvfCatalog {
     * store — a sort on some other vector column (or a joined table's
     * column) must keep its exact plan. */
   def register(storePath: String, centroids: DataFrame, nprobe: Int,
-      vecCol: String = "embedding"): Unit = {
+      vecCol: String = "embedding", filteredWiden: Int = 2): Unit = {
     val hasRadius = centroids.columns.contains("radius")
     val cols = if (hasRadius) Seq("centroid_id", "centroid", "radius")
                else Seq("centroid_id", "centroid")
@@ -72,7 +78,8 @@ object IvfCatalog {
       rows.map(_.getSeq[Double](1).toArray),
       nprobe,
       vecCol,
-      if (hasRadius) rows.map(_.getDouble(2)) else Array.empty)
+      if (hasRadius) rows.map(_.getDouble(2)) else Array.empty,
+      filteredWiden)
   }
 
   def lookup(rootPaths: Seq[org.apache.hadoop.fs.Path]): Option[Entry] =
@@ -185,7 +192,7 @@ final class IvfProbeRule(session: SparkSession) extends Rule[LogicalPlan] {
                 if (keep.isEmpty)
                   Filter(Literal(false, org.apache.spark.sql.types.BooleanType), lr)
                 else
-                  Filter(In(cellAttr, keep.map(Literal(_, IntegerType))), lr)
+                  Filter(probeCondition(cellAttr, lr.output, keep), lr)
               case _ => lr // unregistered, no radii, or not the indexed column
             }
           case _ => lr
@@ -232,7 +239,10 @@ final class IvfProbeRule(session: SparkSession) extends Rule[LogicalPlan] {
     // already-rewritten guard up front: the extraOptimizations batch
     // is fixed-point, and re-running must not re-evaluate the subplan
     val alreadyProbed = srt.child.collectFirst {
-      case Filter(In(a: AttributeReference, _), _) if a.name == "centroid_id" => ()
+      case Filter(cond, _) if cond.exists {
+        case In(a: AttributeReference, _) => a.name == "centroid_id"
+        case _ => false
+      } => ()
     }.isDefined
     for {
       head <- srt.order.headOption
@@ -345,12 +355,20 @@ final class IvfProbeRule(session: SparkSession) extends Rule[LogicalPlan] {
               case Some(entry) if vecAttr.name == entry.vecCol &&
                   lr.output.exists(_.exprId == vecAttr.exprId) =>
                 done = true
+                // pgvector-iterative-scan analogue: a selective
+                // metadata predicate over this scan shrinks the
+                // per-cell survivor count, so widen the probe — the
+                // filter pays the wider read back at the scan
+                val nprobe =
+                  if (hasSelectiveFilter(plan, lr, entry.vecCol))
+                    math.min(entry.cells.length, entry.nprobe * entry.filteredWiden)
+                  else entry.nprobe
                 val ranked = entry.cells.zip(entry.centroids)
                   .map { case (id, c) => (id, cellScore(vde.mode, negated, query, c)) }
                   .sortBy { case (id, s) => (s, id) }
-                  .take(entry.nprobe)
+                  .take(nprobe)
                   .map(_._1)
-                Filter(In(cellAttr, ranked.toSeq.map(Literal(_, IntegerType))), lr)
+                Filter(probeCondition(cellAttr, lr.output, ranked.toSeq), lr)
               case _ => lr // unregistered, or the sort key is not this store's indexed column
             }
           case _ => lr
@@ -359,16 +377,75 @@ final class IvfProbeRule(session: SparkSession) extends Rule[LogicalPlan] {
     if (done) Some(out) else None
   }
 
+  /** Does a user Filter over this scan carry a SELECTIVE (inclusion)
+    * predicate on a metadata column? Equality / IN / range conjuncts
+    * on an attribute of the scan count; exclusion shapes
+    * (`vec_id <> 0`, IsNotNull) do not — they barely shrink the
+    * survivor set, and widening every probe would double every
+    * query's read for nothing. The vector column and the index's own
+    * columns never count. */
+  private def hasSelectiveFilter(plan: LogicalPlan, lr: LogicalRelation,
+      vecCol: String): Boolean = {
+    import org.apache.spark.sql.catalyst.expressions.{BinaryComparison, InSet}
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case other => Seq(other)
+    }
+    def metaAttr(e: Expression): Boolean = e match {
+      case a: AttributeReference =>
+        lr.outputSet.contains(a) && a.name != vecCol &&
+          a.name != "centroid_id" && a.name != "primary_cell"
+      case _ => false
+    }
+    plan.collect {
+      case Filter(cond, child) if child.collectLeaves().exists(_ eq lr) =>
+        conjuncts(cond).exists {
+          case EqualTo(l, r) => (metaAttr(l) && r.foldable) || (metaAttr(r) && l.foldable)
+          case In(v, list) => metaAttr(v) && list.forall(_.foldable)
+          case InSet(v, _) => metaAttr(v)
+          case c: BinaryComparison =>
+            (metaAttr(c.left) && c.right.foldable) || (metaAttr(c.right) && c.left.foldable)
+          case _ => false
+        }
+    }.exists(identity)
+  }
+
+  /** The injected probe predicate. Over a SPILLED store (the scan
+    * carries `primary_cell`, [[graft.operators.IvfIndex.assignSpill]])
+    * the cell IN list alone would return duplicate rows for vectors
+    * with several copies in probed cells, so the predicate also picks
+    * exactly one copy per vector: the primary row, or — when the
+    * primary cell was not probed — the spare. A null primary (rows
+    * appended by a spill-1 [[graft.operators.IvfIndex.streamAssign]])
+    * counts as primary. Pure per-row conjunct: the IN half still
+    * prunes partitions; the dedup half is a data filter at the scan. */
+  private def probeCondition(cellAttr: Attribute, output: Seq[Attribute],
+      cells: Seq[Int]): Expression = {
+    val inList = In(cellAttr, cells.map(Literal(_, IntegerType)))
+    output.find(_.name == "primary_cell") match {
+      case Some(pc) =>
+        And(inList,
+          Or(IsNull(pc),
+            Or(EqualTo(pc, cellAttr),
+              Not(In(pc, cells.map(Literal(_, IntegerType)))))))
+      case None => inList
+    }
+  }
+
   /** Already rewritten? (extraOptimizations is a fixed-point batch.)
-    * Recognizes both probe markers: the IN cell filter and the
-    * empty-probe `Filter(false)` the range rewrite injects when no
-    * cell can qualify — missing the latter would re-wrap the scan in
-    * a new Filter(false) every optimizer iteration until the batch's
-    * max-iteration limit. */
+    * Recognizes both probe markers: a filter whose condition CONTAINS
+    * the injected `centroid_id IN` conjunct (the spilled-store
+    * predicate wraps it in And/Or dedup terms) and the empty-probe
+    * `Filter(false)` the range rewrite injects when no cell can
+    * qualify — missing either would re-wrap the scan every optimizer
+    * iteration until the batch's max-iteration limit. */
   private def hasProbeAbove(plan: LogicalPlan, lr: LogicalRelation): Boolean =
     plan.collect {
-      case Filter(In(attr: AttributeReference, _), child)
-        if attr.name == "centroid_id" && child.collectLeaves().exists(_ eq lr) => true
+      case Filter(cond, child)
+        if cond.exists {
+          case In(attr: AttributeReference, _) => attr.name == "centroid_id"
+          case _ => false
+        } && child.collectLeaves().exists(_ eq lr) => true
       case Filter(Literal(false, org.apache.spark.sql.types.BooleanType), child)
         if child.collectLeaves().exists(_ eq lr) => true
     }.nonEmpty

@@ -36,14 +36,16 @@ class IvfAutoSpec extends SparkSpec {
         .location.rootPaths.head.toString)
     val q = Tables.embeddings(spark, Sf).filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>")).head.getSeq[Double](0).toArray
+    // the spilled store carries duplicate rows per vector — the exact
+    // twin dedups ids before ranking
     val exact = store.filter(col("vec_id") =!= 0)
+      .dropDuplicates("vec_id")
       .select(col("vec_id"), VectorDistance.l2(col("embedding"), typedLit(q)).as("dist"))
       .orderBy(col("dist"), col("vec_id"))
       .collect().take(10).map(_.getLong(0)).toSet
-    // same floor as IvfIndexSpec: this corpus is weakly clustered, so
-    // nprobe 4/16 recall sits near 0.4; the structural guarantee is
-    // that probed cells are ranked by the query's own metric
-    assert((approx & exact).size >= 3, s"recall too low: $approx vs $exact")
+    // r5 operating point (spill 2, nprobe 6/32) measures recall ≈ 0.8
+    // on the single gate query; RecallGateSpec holds the 0.7 floor
+    assert((approx & exact).size >= 7, s"recall too low: $approx vs $exact")
   }
 
   test("batch IVF search keeps useful per-query recall vs the exact batch") {
@@ -59,11 +61,13 @@ class IvfAutoSpec extends SparkSpec {
         .location.rootPaths.head.toString)
     val q = Tables.embeddings(spark, Sf).filter(col("vec_id") < 5)
       .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
-    val exact = graft.operators.Knn.topKBatch(store, "vec_id", "embedding",
+    // dedup the spilled store's duplicate rows before the exact ranking
+    val exact = graft.operators.Knn.topKBatch(
+        store.dropDuplicates("vec_id"), "vec_id", "embedding",
         q, "qid", "qvec", graft.functions.VectorFunctions.l2Distance, 5)
       .collect().map(r => (r.getLong(0), r.getLong(1))).groupBy(_._1).view.mapValues(_.map(_._2).toSet)
     val recalls = batch.map { case (qid, ids) => (ids & exact(qid)).size.toDouble / 5 }
-    assert(recalls.sum / recalls.size >= 0.3, s"avg batch recall too low: $recalls")
+    assert(recalls.sum / recalls.size >= 0.7, s"avg batch recall too low: $recalls")
   }
 
   test("cosine and negated-dot literal queries are rewritten with their own metric") {
@@ -215,6 +219,20 @@ class IvfAutoSpec extends SparkSpec {
     assert(inList < 4, s"no cells were pruned (IN list has $inList of 4 cells)")
     val exact = shape(emb).collect().map(_.getLong(0)).toSeq
     assert(pruned.collect().map(_.getLong(0)).toSeq == exact)
+  }
+
+  test("selective metadata filter widens the probe; exclusion filter does not") {
+    def inListSize(df: org.apache.spark.sql.DataFrame): Int =
+      "PartitionFilters: \\[[^\\]]*centroid_id[^\\]]*IN \\(([^)]*)\\)".r
+        .findFirstMatchIn(df.queryExecution.executedPlan.toString)
+        .map(_.group(1).split(",").length).getOrElse(-1)
+    val base = SparkEntry.queries("vs_ivf_auto")(spark, Sf)     // vec_id <> 0 only
+    val filtered = SparkEntry.queries("vs_knn_filtered_auto")(spark, Sf) // + label = 3
+    val n = graft.queries.VectorQueries.IvfNprobe
+    assert(inListSize(base) == n,
+      s"exclusion-only probe should stay at nprobe $n, got ${inListSize(base)}")
+    assert(inListSize(filtered) == 2 * n,
+      s"selective filter should widen the probe to ${2 * n}, got ${inListSize(filtered)}")
   }
 
   test("plans without a registered store or literal query are untouched") {

@@ -85,4 +85,40 @@ class IvfIndexSpec extends SparkSpec {
     assert(indexed.count() == emb.count())
     assert(indexed.select("vec_id").distinct().count() == emb.count())
   }
+
+  test("spill=2 stores each vector in 2 distinct cells; primary_cell is the rank-1 cell") {
+    val (indexed, centroids) = IvfIndex.buildIndex(
+      emb, "vec_id", "embedding", nlist = 8, spill = 2)
+    assert(indexed.count() == 2 * emb.count())
+    // per vector: exactly 2 rows, 2 distinct cells, ONE primary row,
+    // and primary_cell is constant across the copies
+    val per = indexed.groupBy(col("vec_id")).agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("centroid_id")).as("nc"),
+      countDistinct(col("primary_cell")).as("np"),
+      sum(when(col("centroid_id") === col("primary_cell"), 1).otherwise(0)).as("prim"))
+    assert(per.filter(col("n") =!= 2 || col("nc") =!= 2 ||
+      col("np") =!= 1 || col("prim") =!= 1).count() == 0)
+    // primary matches the single-assignment choice
+    val single = IvfIndex.assign(emb, "vec_id", "embedding", centroids)
+    val joined = indexed.select(col("vec_id"), col("primary_cell")).distinct()
+      .join(single.withColumnRenamed("centroid_id", "single_cell"), "vec_id")
+    assert(joined.filter(col("primary_cell") =!= col("single_cell")).count() == 0)
+  }
+
+  test("spilled search returns distinct ids and full probe equals exact") {
+    val (indexed, centroids) = IvfIndex.buildIndex(
+      emb, "vec_id", "embedding", nlist = 8, spill = 2)
+    val partial = IvfIndex.search(indexed.filter(col("vec_id") =!= 0),
+      "vec_id", "embedding", centroids, query, "qvec", l2Distance, k = 10, nprobe = 3)
+      .collect().map(_.getLong(0)).toSeq
+    assert(partial.distinct == partial, "duplicate ids from spilled probe")
+    assert(partial.size == 10)
+    val full = IvfIndex.search(indexed.filter(col("vec_id") =!= 0),
+      "vec_id", "embedding", centroids, query, "qvec", l2Distance, k = 10, nprobe = 8)
+      .collect().map(_.getLong(0)).toSeq
+    val exact = Knn.topK(corpus, "vec_id", "embedding", query, "qvec", l2Distance, 10)
+      .collect().map(_.getLong(0)).toSeq
+    assert(full == exact)
+  }
 }

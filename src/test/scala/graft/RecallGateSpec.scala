@@ -26,18 +26,21 @@ import org.apache.spark.sql.functions._
   *    beyond its declared cell selection. These detect regressions
   *    with zero flake margin.
   *  - Recall floors at the shipped operating point (measured, then
-  *    fixed with margin below): nprobe 4/16 measures 0.40 → floor
-  *    0.30. On a clustered real-world corpus the same machinery
-  *    measures far higher; the floor is a property of corpus
-  *    geometry, not index quality.
+  *    fixed with margin below). r5 operating point: nlist 32,
+  *    spill 2 (SOAR-style multi-assignment with primary_cell probe
+  *    dedup), nprobe 6 — mean recall@10 ≈ 0.83 over 20 queries
+  *    (tools/ProfileRecall) → floors 0.7. On a clustered real-world
+  *    corpus the same machinery measures far higher; the floor is a
+  *    property of corpus geometry, not index quality.
   *
   * PQ is the exception: its ADC+re-rank pipeline re-scores the
   * shortlist with exact vectors, so ≥ 0.9 holds even here.
   */
 class RecallGateSpec extends SparkSpec {
 
-  private val Nlist = 16
-  private val Nprobe = 4
+  private val Nlist = graft.queries.VectorQueries.IvfNlist
+  private val Nprobe = graft.queries.VectorQueries.IvfNprobe
+  private val Spill = graft.queries.VectorQueries.IvfSpill
 
   private def ids(df: DataFrame): Seq[Long] =
     df.select("vec_id").collect().map(_.getLong(0)).toSeq
@@ -53,7 +56,8 @@ class RecallGateSpec extends SparkSpec {
     (approx.toSet & exact.toSet).size.toDouble / exact.size
 
   private lazy val builtIndex =
-    IvfIndex.buildIndex(Tables.embeddings(spark, Sf), "vec_id", "embedding", nlist = Nlist)
+    IvfIndex.buildIndex(Tables.embeddings(spark, Sf), "vec_id", "embedding",
+      nlist = Nlist, spill = Spill)
 
   test("vs_ivf_knn: exact within probed cells (hard) + recall@10 floor") {
     val approx = ids(SparkEntry.queries("vs_ivf_knn")(spark, Sf))
@@ -64,19 +68,30 @@ class RecallGateSpec extends SparkSpec {
         VectorFunctions.l2Distance(col("centroid"), col("qvec")).as("cdist"))
       .orderBy(col("cdist"), col("centroid_id")).limit(Nprobe)
       .collect().map(_.getInt(0))
-    // brute force restricted to those cells — the probe's exactness domain
+    // brute force restricted to the VECTORS with a copy in a probed
+    // cell — the probe's exactness domain (the spilled store holds
+    // duplicate rows, so membership is a distinct-id semi-join, and
+    // the dedup predicate must surface each member exactly once)
+    val members = indexed
+      .filter(col("centroid_id").isin(probedCells: _*))
+      .select(col("vec_id")).distinct()
     val restricted = ids(Knn.topK(
-      indexed.filter(col("vec_id") =!= 0 && col("centroid_id").isin(probedCells: _*)),
+      Tables.embeddings(spark, Sf)
+        .join(members, Seq("vec_id"), "left_semi")
+        .filter(col("vec_id") =!= 0),
       "vec_id", "embedding", queryVec, "qvec", VectorFunctions.l2Distance, 10))
     assert(approx == restricted,
       s"probe is not exact within its own cells: $approx vs $restricted")
     val r = recall(approx, exactTopK(VectorFunctions.l2Distance, 10))
-    info(f"vs_ivf_knn recall@10 = $r%.2f at nprobe $Nprobe/$Nlist (isotropic corpus: expected ≈ ${Nprobe.toDouble / Nlist}%.2f)")
-    assert(r >= 0.3, f"vs_ivf_knn recall@10 $r%.2f below floor 0.3")
+    info(f"vs_ivf_knn recall@10 = $r%.2f at spill $Spill nprobe $Nprobe/$Nlist (isotropic corpus: candidate fraction ${Spill.toDouble * Nprobe / Nlist}%.2f)")
+    assert(r >= 0.7, f"vs_ivf_knn recall@10 $r%.2f below floor 0.7")
   }
 
-  test("IVF full probe (nprobe = nlist) equals brute force exactly") {
+  test("IVF full probe (nprobe = nlist) equals brute force exactly (spilled dedup)") {
     val (indexed, centroids) = builtIndex
+    // with every cell probed, the primary_cell predicate must keep
+    // exactly the primary copy of every vector — any dedup defect
+    // shows as duplicate or missing ids here
     val full = ids(IvfIndex.search(indexed.filter(col("vec_id") =!= 0),
       "vec_id", "embedding", centroids, queryVec, "qvec",
       VectorFunctions.l2Distance, k = 10, nprobe = Nlist))
@@ -90,9 +105,29 @@ class RecallGateSpec extends SparkSpec {
     assert("PartitionFilters: \\[[^\\]]*centroid_id[^\\]]*IN".r
       .findFirstIn(auto.queryExecution.executedPlan.toString).isDefined,
       "vs_ivf_auto plan is not partition-pruned")
-    val r = recall(ids(auto), exactTopK(VectorFunctions.l2Distance, 10))
-    info(f"vs_ivf_auto recall@10 = $r%.2f at nprobe $Nprobe/$Nlist")
-    assert(r >= 0.3, f"vs_ivf_auto recall@10 $r%.2f below floor 0.3")
+    val got = ids(auto)
+    assert(got.distinct == got, "spilled-store probe returned duplicate ids")
+    val r = recall(got, exactTopK(VectorFunctions.l2Distance, 10))
+    info(f"vs_ivf_auto recall@10 = $r%.2f at spill $Spill nprobe $Nprobe/$Nlist")
+    assert(r >= 0.7, f"vs_ivf_auto recall@10 $r%.2f below floor 0.7")
+  }
+
+  test("vs_knn_filtered_auto: probe + metadata filter, recall floor vs exact filtered") {
+    val auto = SparkEntry.queries("vs_knn_filtered_auto")(spark, Sf)
+    val plan = auto.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*centroid_id[^\\]]*IN".r.findFirstIn(plan).isDefined,
+      s"filtered auto plan is not partition-pruned:\n$plan")
+    assert("PushedFilters: \\[[^\\]]*label".r.findFirstIn(plan).isDefined,
+      s"label predicate did not reach the scan:\n$plan")
+    val got = ids(auto)
+    assert(got.distinct == got, "filtered spilled probe returned duplicate ids")
+    // exact twin: brute-force top-10 within the SAME metadata filter
+    val exact = ids(Knn.topK(
+      corpus.filter(col("label") === 3),
+      "vec_id", "embedding", queryVec, "qvec", VectorFunctions.l2Distance, 10))
+    val r = recall(got, exact)
+    info(f"vs_knn_filtered_auto recall@10 = $r%.2f at spill $Spill nprobe $Nprobe/$Nlist (label = 3)")
+    assert(r >= 0.7, f"vs_knn_filtered_auto recall@10 $r%.2f below floor 0.7")
   }
 
   test("vs_ivf_batch: mean recall@5 floor vs brute-force batch") {
@@ -109,7 +144,7 @@ class RecallGateSpec extends SparkSpec {
       (approx.getOrElse(qid, Set.empty[Long]) & ex).size.toDouble / ex.size }
     val mean = recalls.sum / recalls.size
     info(f"vs_ivf_batch mean recall@5 = $mean%.2f (per-query ${recalls.map(r => f"$r%.1f").mkString(",")})")
-    assert(mean >= 0.5, f"vs_ivf_batch mean recall@5 $mean%.2f below floor 0.5")
+    assert(mean >= 0.7, f"vs_ivf_batch mean recall@5 $mean%.2f below floor 0.7")
   }
 
   test("vs_lsh_knn: recall@10 ≥ 0.9 (Hamming-1 multiprobe)") {
