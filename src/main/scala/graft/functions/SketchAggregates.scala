@@ -31,6 +31,141 @@ object SketchAggregates {
   def minhash(shingleHash: Column, numHashes: Int): Column =
     GraftSqlBridge.toColumn(
       MinhashAggExpr(GraftSqlBridge.toExpression(shingleHash), numHashes).toAggregateExpression())
+
+  /** KLL quantile sketch over an UNBOUNDED double domain: returns one
+    * estimated quantile per requested p, as array<double> aligned with
+    * `ps`. Mergeable by construction (map-side partial: one ~3k-item
+    * buffer per group per partition crosses the shuffle), rank error
+    * ≈ O(1/k) — the scale path where events_quantiles_hist's
+    * integer-binnable-range assumption does not hold. */
+  def quantileSketch(value: Column, k: Int, ps: Seq[Double]): Column =
+    GraftSqlBridge.toColumn(
+      KllQuantileAggExpr(GraftSqlBridge.toExpression(value), k, ps).toAggregateExpression())
+}
+
+/** Simplified KLL sketch (Karnin-Lang-Liberty, FOCS'16; layout follows
+  * the Apache DataSketches KLL design): `levels(i)` holds items of
+  * weight 2^i; when total size exceeds capacity the lowest full level
+  * is sorted and every other item promoted one level (the skipped
+  * half is discarded — the lossy step whose rank error telescopes to
+  * O(1/k)). Deviation from the paper: the odd/even promotion choice
+  * alternates with a compaction counter instead of a coin flip —
+  * deterministic for a fixed partition/merge order, same telescoping
+  * bound in expectation on non-adversarial data (the gate measures
+  * the realized error directly). */
+final class KllSketch(val k: Int) extends Serializable {
+  import scala.collection.mutable.ArrayBuffer
+  var n: Long = 0L
+  var compactions: Long = 0L
+  val levels: ArrayBuffer[ArrayBuffer[Double]] = ArrayBuffer(ArrayBuffer.empty[Double])
+
+  private def capacity(lvl: Int): Int = {
+    val depth = levels.length - 1 - lvl // top level gets k, lower decay 2/3
+    math.max(8, math.ceil(k * math.pow(2.0 / 3.0, depth)).toInt)
+  }
+  private def totalCap: Int = levels.indices.map(capacity).sum
+  private def size: Int = levels.map(_.length).sum
+
+  def update(v: Double): Unit = { levels(0) += v; n += 1; compress() }
+
+  private def compress(): Unit = {
+    while (size > totalCap) {
+      val i = levels.indices.find(i => levels(i).length >= capacity(i)).getOrElse(0)
+      val buf = levels(i).sorted
+      levels(i).clear()
+      if (i + 1 >= levels.length) levels += ArrayBuffer.empty[Double]
+      val m = buf.length & ~1 // even prefix: promoted item stands for itself + skipped neighbor
+      var j = (compactions & 1L).toInt
+      while (j < m) { levels(i + 1) += buf(j); j += 2 }
+      if (buf.length % 2 == 1) levels(i) += buf.last // odd leftover keeps its weight
+      compactions += 1
+    }
+  }
+
+  def merge(other: KllSketch): KllSketch = {
+    while (levels.length < other.levels.length) levels += ArrayBuffer.empty[Double]
+    for (i <- other.levels.indices) levels(i) ++= other.levels(i)
+    n += other.n
+    compactions += other.compactions
+    compress()
+    this
+  }
+
+  /** Smallest stored item whose cumulative weight reaches ceil(p·n). */
+  def quantile(p: Double): Double = {
+    if (n == 0) return Double.NaN
+    val weighted = levels.indices.flatMap(i => levels(i).map(v => (v, 1L << i)))
+      .sortBy(_._1)
+    val target = math.max(1L, math.ceil(p * weighted.map(_._2).sum).toLong)
+    var cum = 0L
+    for ((v, w) <- weighted) {
+      cum += w
+      if (cum >= target) return v
+    }
+    weighted.last._1
+  }
+
+  def serialize(): Array[Byte] = {
+    val items = levels.map(_.length).sum
+    val bb = ByteBuffer.allocate(8 + 8 + 4 + 4 * levels.length + 8 * items)
+    bb.putLong(n); bb.putLong(compactions); bb.putInt(levels.length)
+    levels.foreach(l => bb.putInt(l.length))
+    levels.foreach(_.foreach(bb.putDouble))
+    bb.array()
+  }
+}
+
+object KllSketch {
+  def deserialize(k: Int, bytes: Array[Byte]): KllSketch = {
+    val bb = ByteBuffer.wrap(bytes)
+    val s = new KllSketch(k)
+    s.n = bb.getLong(); s.compactions = bb.getLong()
+    val nl = bb.getInt()
+    val sizes = Array.fill(nl)(bb.getInt())
+    s.levels.clear()
+    for (i <- 0 until nl) {
+      val l = scala.collection.mutable.ArrayBuffer.empty[Double]
+      var j = 0
+      while (j < sizes(i)) { l += bb.getDouble(); j += 1 }
+      s.levels += l
+    }
+    s
+  }
+}
+
+case class KllQuantileAggExpr(
+    child: Expression, k: Int, ps: Seq[Double],
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[KllSketch] {
+
+  override def children: Seq[Expression] = child :: Nil
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def createAggregationBuffer(): KllSketch = new KllSketch(k)
+
+  override def update(buf: KllSketch, input: InternalRow): KllSketch = {
+    val v = child.eval(input)
+    if (v != null) buf.update(v.asInstanceOf[Double])
+    buf
+  }
+
+  override def merge(a: KllSketch, b: KllSketch): KllSketch = a.merge(b)
+
+  override def eval(buf: KllSketch): Any =
+    new GenericArrayData(ps.map(buf.quantile).toArray)
+
+  override def serialize(buf: KllSketch): Array[Byte] = buf.serialize()
+  override def deserialize(bytes: Array[Byte]): KllSketch =
+    KllSketch.deserialize(k, bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): KllQuantileAggExpr =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): KllQuantileAggExpr =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c.head)
 }
 
 case class SimhashAggExpr(

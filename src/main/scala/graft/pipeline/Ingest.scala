@@ -181,21 +181,27 @@ object Ingest {
     * (Function.java:115-135) — so pagenumber and chunk_idx are
     * distinct columns here; a rows frame without pages gets
     * pagenumber=1 (whole document = one page). */
+  /** `embedder`: the embedding-model seam ([[graft.pipeline.Embedder]]
+    * — where the reference calls `text-embedding-ada-002`,
+    * Function.java:185-214). Defaults to the deterministic
+    * feature-hashing embedder the oracles are written against;
+    * swapping in a trained model ([[Word2VecEmbedder]], or a real
+    * provider) changes ONLY the embedding column. */
   def toVectorStore(docs: DataFrame, idCol: String, textCol: String,
       fileCol: String, pageCol: Option[String] = None, dims: Int = 64,
       maxLen: Int = 120, lookback: Int = 30,
-      punct: String = ReferencePunct): DataFrame = {
+      punct: String = ReferencePunct,
+      embedder: Embedder = null): DataFrame = {
+    val emb = Option(embedder).getOrElse(FeatureHashEmbedder(dims))
     val carried = (Seq(idCol, textCol, fileCol) ++ pageCol).distinct
     val chunks = chunk(
       docs.select(carried.map(col): _*),
       idCol, textCol, maxLen, lookback, punct)
     val pagenumber = pageCol.map(c => col(c).cast("long")).getOrElse(lit(1L))
-    chunks
-      .withColumn("toks", tokens(col("chunk")))
-      .withColumn("dim_hashes", tokenDimHashes(col("toks"), dims))
+    emb.embed(chunks.withColumn("toks", tokens(col("chunk"))), "toks", "__embedding")
       .select(
         concat_ws("#", (col(idCol) +: pageCol.map(col).toSeq :+ col("chunk_idx")): _*).as("id"),
-        embedFromHashes(col("dim_hashes"), dims).as("embedding"),
+        col("__embedding").as("embedding"),
         col("chunk").as("origntext"),
         col(fileCol).as("filename"),
         pagenumber.as("pagenumber"),

@@ -295,8 +295,34 @@ object AnalyticsQueries {
     FROM q
     ORDER BY event_type, p"""
 
+  // ------------------------------------------------ KLL sketch quantiles
+  /** The scale path for quantiles over an UNBOUNDED / non-integer-
+    * binnable domain (VERDICT r4 #6): [[quantilesHist]] assumes a
+    * value range that bins to a bounded integer table; this variant is
+    * a KLL sketch ([[graft.functions.SketchAggregates.quantileSketch]],
+    * a TypedImperativeAggregate) — one map-side-combined aggregation,
+    * a ~3k-item buffer per (group × partition) crossing the shuffle,
+    * mergeable by construction, rank error O(1/k). Approximate →
+    * rows-only; RecallGateSpec asserts the realized rank error of
+    * every reported estimate against the exact CDF (floor 0.025 at
+    * k = 200). Output shape matches events_quantiles for direct
+    * comparison. */
+  private val SketchPs = Seq(0.5, 0.95)
+
+  private def quantilesSketch(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d)
+      .groupBy(col("event_type"))
+      .agg(graft.functions.SketchAggregates.quantileSketch(
+        col("value"), k = 200, SketchPs).as("qs"))
+      .select(col("event_type"), posexplode(col("qs")).as(Seq("pos", "value")))
+      .select(col("event_type"),
+        element_at(typedLit(SketchPs), col("pos") + 1).as("p"),
+        col("value"))
+      .orderBy(col("event_type"), col("p"))
+
   val defs: Map[String, QueryDef] = Map(
     "events_funnel"      -> QueryDef(funnel _, funnelSql),
+    "events_quantiles_sketch" -> QueryDef(quantilesSketch _, None),
     "events_quantiles_hist" -> QueryDef(quantilesHist _, quantilesHistSql),
     "events_asof_enrich" -> QueryDef(asofEnrich _, asofEnrichSql),
     "events_sliding_agg" -> QueryDef(slidingAgg _, slidingAggSql),

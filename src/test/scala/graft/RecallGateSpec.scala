@@ -161,6 +161,50 @@ class RecallGateSpec extends SparkSpec {
     assert(r >= 0.9, f"vs_pq_knn recall@10 $r%.2f below floor 0.9")
   }
 
+  test("events_quantiles_sketch: rank error of every estimate ≤ 0.025 (KLL k=200)") {
+    val est = SparkEntry.queries("events_quantiles_sketch")(spark, Sf)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(est.nonEmpty)
+    // exact CDF per event type: realized rank of each estimate must
+    // sit within ±0.025 of its target p (the KLL guarantee at k=200
+    // is ~1.3%; the floor leaves margin for the deterministic
+    // compaction variant)
+    val values = Tables.events(spark, Sf)
+      .select(col("event_type"), col("value"))
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+      .groupBy(_._1).map { case (t, xs) => t -> xs.map(_._2).sorted }
+    val errs = est.map { case (t, p, q) =>
+      val vs = values(t)
+      val rank = vs.count(_ <= q).toDouble / vs.length
+      (t, p, math.abs(rank - p))
+    }
+    val maxErr = errs.map(_._3).max
+    info(f"events_quantiles_sketch max rank error = $maxErr%.4f over ${errs.length} estimates")
+    assert(maxErr <= 0.025,
+      s"rank error above floor: ${errs.filter(_._3 > 0.025).mkString(", ")}")
+  }
+
+  test("KLL sketch merge is lossless in weight and bounded in rank error") {
+    // unit-level: split a deterministic stream into 8 partial
+    // sketches, merge, and compare vs a single-sketch build — the
+    // merge path is what crosses the shuffle in production
+    val rnd = new scala.util.Random(11)
+    val data = Array.fill(40000)(rnd.nextGaussian() * 100 + 7)
+    val whole = new graft.functions.KllSketch(200)
+    data.foreach(whole.update)
+    val parts = data.grouped(5000).map { chunk =>
+      val s = new graft.functions.KllSketch(200); chunk.foreach(s.update); s
+    }.toSeq
+    val merged = parts.reduce(_ merge _)
+    assert(merged.n == data.length && whole.n == data.length)
+    val sorted = data.sorted
+    for (p <- Seq(0.05, 0.25, 0.5, 0.75, 0.95, 0.99)) {
+      val q = merged.quantile(p)
+      val rank = sorted.count(_ <= q).toDouble / sorted.length
+      assert(math.abs(rank - p) <= 0.025, f"merged rank error at p=$p: ${math.abs(rank - p)}%.4f")
+    }
+  }
+
   test("events_approx_distinct: relative error vs exact distinct ≤ 3×rsd") {
     val approx = SparkEntry.queries("events_approx_distinct")(spark, Sf)
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
