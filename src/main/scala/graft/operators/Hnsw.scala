@@ -1,0 +1,223 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+
+import scala.collection.mutable
+
+/** Graph ANN (HNSW-class) — the pgvector index family the IVF/LSH/PQ
+  * trio does not cover (pgvector `USING hnsw`; Malkov & Yashunin,
+  * arXiv:1603.09320). Graph search does not partition the vector
+  * space, so its recall does not degrade on isotropic corpora the way
+  * cell probing does — the beam walks TOWARD the query wherever it
+  * lives — at the price of a build that is inherently sequential per
+  * graph.
+  *
+  * Spark-native shape: PARTITION-LOCAL graphs + cross-partition merge
+  * (the design used by the hnswlib-on-Spark integrations). Build is
+  * one `mapPartitions` pass — each task builds an in-memory HNSW over
+  * its partition and emits it as ONE (part_id, blob) row; no shuffle,
+  * no driver involvement, embarrassingly parallel across partitions.
+  * Search deserializes each graph once per executor-task batch and
+  * runs the ef-beam walk per graph (O(ef·log n) distance evaluations
+  * against n/P vectors), then merges the per-graph top-k exactly —
+  * k·P candidate rows cross to the final TakeOrderedAndProject, never
+  * the corpus. At 100 TB: size partitions so one graph blob
+  * (~(dims·8 + M·8) bytes/vector) fits an executor — the standard
+  * memory/recall knob of every serving-grade graph index.
+  *
+  * Determinism: the level draw is a hash of the vector id (not an
+  * RNG), and insertion order is the partition iterator order, so a
+  * fixed layout yields a fixed graph — the recall gate measures a
+  * stable number.
+  */
+object Hnsw {
+
+  // ---------------------------------------------------------- local index
+  /** One in-memory HNSW graph (double vectors, L2). `m` = neighbors
+    * per node per layer (2m at layer 0), `efC` = construction beam. */
+  final class Index(val m: Int, val efC: Int) extends Serializable {
+    val ids = mutable.ArrayBuffer.empty[Long]
+    val vecs = mutable.ArrayBuffer.empty[Array[Double]]
+    val nodeLevel = mutable.ArrayBuffer.empty[Int]
+    /** links(node)(level) = neighbor node indices. */
+    val links = mutable.ArrayBuffer.empty[Array[mutable.ArrayBuffer[Int]]]
+    var entry: Int = -1
+    var maxLevel: Int = -1
+
+    private def dist(a: Array[Double], b: Array[Double]): Double = {
+      var s = 0.0; var i = 0
+      val n = math.min(a.length, b.length)
+      while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+      math.sqrt(s)
+    }
+
+    /** Deterministic geometric level draw from the id hash (p = 1/e,
+      * the standard mL = 1/ln(M') choice collapsed to base e). */
+    private def levelOf(id: Long): Int = {
+      val h = java.lang.Long.rotateLeft(id * -7046029254386353131L, 31) * -4417276706812531889L
+      val u = ((h >>> 11).toDouble + 0.5) / 9007199254740992.0 // (0,1)
+      math.min(31, (-math.log(u)).toInt)
+    }
+
+    /** Greedy 1-best descent at one level. */
+    private def greedy(q: Array[Double], start: Int, level: Int): Int = {
+      var cur = start
+      var curD = dist(q, vecs(cur))
+      var improved = true
+      while (improved) {
+        improved = false
+        val ns = links(cur)(level)
+        var i = 0
+        while (i < ns.length) {
+          val d = dist(q, vecs(ns(i)))
+          if (d < curD) { curD = d; cur = ns(i); improved = true }
+          i += 1
+        }
+      }
+      cur
+    }
+
+    /** Beam search at one level: returns up to `ef` (nodeIdx, dist)
+      * sorted ascending. */
+    private def beam(q: Array[Double], start: Int, level: Int, ef: Int): mutable.ArrayBuffer[(Int, Double)] = {
+      val visited = mutable.HashSet(start)
+      // candidates: min-heap by dist; results: max-heap by dist
+      implicit val byDist: Ordering[(Int, Double)] = Ordering.by(_._2)
+      val cand = mutable.PriorityQueue((start, dist(q, vecs(start))))(byDist.reverse)
+      val res = mutable.PriorityQueue((start, dist(q, vecs(start))))(byDist)
+      while (cand.nonEmpty) {
+        val (c, cd) = cand.dequeue()
+        if (cd > res.head._2 && res.size >= ef) { cand.clear() }
+        else {
+          val ns = links(c)(level)
+          var i = 0
+          while (i < ns.length) {
+            val nb = ns(i)
+            if (!visited(nb)) {
+              visited += nb
+              val d = dist(q, vecs(nb))
+              if (res.size < ef || d < res.head._2) {
+                cand.enqueue((nb, d))
+                res.enqueue((nb, d))
+                if (res.size > ef) res.dequeue()
+              }
+            }
+            i += 1
+          }
+        }
+      }
+      val out = mutable.ArrayBuffer.empty[(Int, Double)]
+      out ++= res.dequeueAll.reverse
+      out
+    }
+
+    /** Diverse neighbor selection (paper Algorithm 4): keep a
+      * candidate only if it is closer to the base than to every
+      * already-kept neighbor, then fill leftover capacity from the
+      * discarded in distance order. Plain closest-cap pruning orphans
+      * nodes (a point's every incoming edge can be pruned away by a
+      * tight cluster near its neighbors); the diversity rule keeps
+      * spanning edges, which is what makes the graph navigable. */
+    private def selectDiverse(cands: Seq[(Int, Double)], cap: Int): Seq[(Int, Double)] = {
+      val kept = mutable.ArrayBuffer.empty[(Int, Double)]
+      val discarded = mutable.ArrayBuffer.empty[(Int, Double)]
+      for ((c, dc) <- cands if kept.length < cap) {
+        if (kept.forall { case (o, _) => dist(vecs(c), vecs(o)) > dc }) kept += ((c, dc))
+        else discarded += ((c, dc))
+      }
+      kept ++= discarded.take(cap - kept.length)
+      kept.toSeq
+    }
+
+    def insert(id: Long, v: Array[Double]): Unit = {
+      val node = ids.length
+      val lvl = levelOf(id)
+      ids += id; vecs += v; nodeLevel += lvl
+      links += Array.fill(lvl + 1)(mutable.ArrayBuffer.empty[Int])
+      if (entry < 0) { entry = node; maxLevel = lvl; return }
+      var cur = entry
+      // descend levels above lvl greedily
+      var l = maxLevel
+      while (l > lvl) { cur = greedy(v, cur, math.min(l, nodeLevel(cur))); l -= 1 }
+      // connect at each level ≤ lvl
+      l = math.min(lvl, maxLevel)
+      while (l >= 0) {
+        val cands = beam(v, cur, l, efC)
+        val cap = if (l == 0) 2 * m else m
+        val chosen = selectDiverse(cands.toSeq, cap)
+        links(node)(l) ++= chosen.map(_._1)
+        // bidirectional, pruned with the same diversity rule
+        for ((nb, _) <- chosen) {
+          val nls = links(nb)(l)
+          nls += node
+          if (nls.length > cap) {
+            val pruned = selectDiverse(
+              nls.map(x => (x, dist(vecs(nb), vecs(x)))).sortBy(_._2).toSeq, cap)
+            nls.clear(); nls ++= pruned.map(_._1)
+          }
+        }
+        cur = cands.head._1
+        l -= 1
+      }
+      if (lvl > maxLevel) { maxLevel = lvl; entry = node }
+    }
+
+    def searchKnn(q: Array[Double], k: Int, ef: Int): Seq[(Long, Double)] = {
+      if (entry < 0) return Seq.empty
+      var cur = entry
+      var l = maxLevel
+      while (l > 0) { cur = greedy(q, cur, l); l -= 1 }
+      beam(q, cur, 0, math.max(ef, k)).take(k)
+        .map { case (n, d) => (ids(n), d) }.toSeq
+    }
+  }
+
+  private def ser(ix: Index): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(
+      new java.util.zip.DeflaterOutputStream(bos))
+    oos.writeObject(ix); oos.close()
+    bos.toByteArray
+  }
+
+  private def deser(bytes: Array[Byte]): Index = {
+    val ois = new java.io.ObjectInputStream(
+      new java.util.zip.InflaterInputStream(new java.io.ByteArrayInputStream(bytes)))
+    ois.readObject().asInstanceOf[Index]
+  }
+
+  // ------------------------------------------------------------ build/search
+  /** Build partition-local graphs: one (part_id, graph) row per
+    * partition. `parts` bounds graph (= executor memory) size; the
+    * repartition is the build's ONLY shuffle. */
+  def buildPartitioned(corpus: DataFrame, idCol: String, vecCol: String,
+      m: Int = 16, efC: Int = 64, parts: Int = 8): DataFrame = {
+    val spark = corpus.sparkSession
+    import org.apache.spark.sql.types._
+    val rdd = corpus
+      .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
+      .repartition(parts)
+      .rdd.mapPartitionsWithIndex { (pid, iter) =>
+        val ix = new Index(m, efC)
+        iter.foreach(r => ix.insert(r.getLong(0), r.getSeq[Double](1).toArray))
+        if (ix.ids.isEmpty) Iterator.empty
+        else Iterator(Row(pid, ser(ix)))
+      }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("part_id", IntegerType, nullable = false),
+      StructField("graph", BinaryType, nullable = false))))
+  }
+
+  /** Search every partition graph with the ef-beam walk and merge the
+    * per-graph top-k exactly: k·P rows reach the final sort. */
+  def search(graphs: DataFrame, query: Array[Double], k: Int, ef: Int = 64): DataFrame = {
+    val spark = graphs.sparkSession
+    import spark.implicits._
+    graphs.select(col("graph")).as[Array[Byte]]
+      .flatMap(blob => deser(blob).searchKnn(query, k, ef))
+      .toDF("vec_id", "dist")
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(k)
+  }
+}

@@ -108,6 +108,40 @@ object VectorQueries {
       centroids, queryVec(s, d), "qvec", l2Distance, k = K, nprobe = IvfNprobe)
   }
 
+  // -------------------------------------------------------- HNSW graph ANN
+  /** Graph ANN (pgvector's `USING hnsw` family): partition-local HNSW
+    * graphs + exact cross-partition merge ([[graft.operators.Hnsw]]).
+    * Unlike cell probing, the beam walks toward the query wherever it
+    * lives, so recall stays high even on this isotropic corpus
+    * (gated ≥ 0.9 in RecallGateSpec). Rows-only: approximate
+    * (beam-search termination, like every HNSW). */
+  private[graft] val HnswM = 16
+  private[graft] val HnswEfC = 64
+  private[graft] val HnswEf = 96
+
+  private def hnswKnn(s: SparkSession, d: String): DataFrame = {
+    val graphs = graft.operators.Hnsw.buildPartitioned(
+      corpus(s, d), "vec_id", "embedding", m = HnswM, efC = HnswEfC, parts = 8)
+    val q = queryVec(s, d).select(col("qvec").cast("array<double>"))
+      .head.getSeq[Double](0).toArray
+    graft.operators.Hnsw.search(graphs, q, K, ef = HnswEf)
+  }
+
+  /** Bench split: graph construction is the one-time build; the probe
+    * is the per-query beam walk + k·P merge. */
+  def hnswBench(s: SparkSession, d: String): (() => Unit, () => DataFrame) = {
+    var graphs: DataFrame = null
+    var q: Array[Double] = null
+    val build = () => {
+      graphs = graft.operators.Hnsw.buildPartitioned(
+        corpus(s, d), "vec_id", "embedding",
+        m = HnswM, efC = HnswEfC, parts = 16).localCheckpoint()
+      q = queryVec(s, d).select(col("qvec").cast("array<double>"))
+        .head.getSeq[Double](0).toArray
+    }
+    (build, () => graft.operators.Hnsw.search(graphs, q, K, ef = HnswEf))
+  }
+
   /** Approximate (bucket recall < 1) → rows-only; recall gated in
     * RecallGateSpec. Hamming-1 multiprobe: each table reads 5 buckets
     * (1 + 4 bit-flips) instead of 1 — query-side fan-out only, no
@@ -517,6 +551,7 @@ object VectorQueries {
   val defs: Map[String, QueryDef] = Map(
     "vs_ivf_auto"     -> QueryDef(ivfAuto _, None),
     "vs_knn_filtered_auto" -> QueryDef(knnFilteredAuto _, None),
+    "vs_hnsw_knn"     -> QueryDef(hnswKnn _, None),
     "vs_ivf_batch"    -> QueryDef(ivfBatch _, None),
     "vs_ivf_knn"      -> QueryDef(ivfKnn _, None),
     "vs_lsh_knn"      -> QueryDef(lshKnn _, None),

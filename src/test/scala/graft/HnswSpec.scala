@@ -1,0 +1,58 @@
+package graft
+
+import graft.operators.Hnsw
+import org.apache.spark.sql.functions._
+
+/** Unit properties of the partition-local HNSW graphs: structural
+  * sanity of the local index, serialization round-trip through the
+  * (part_id, graph) frame, and the exact cross-partition merge. */
+class HnswSpec extends SparkSpec {
+
+  private lazy val emb = Tables.embeddings(spark, Sf)
+
+  test("local index: insert then self-query returns the point itself first") {
+    val ix = new Hnsw.Index(8, 32)
+    val rnd = new scala.util.Random(3)
+    val vs = Array.tabulate(500)(i => (i.toLong, Array.fill(16)(rnd.nextGaussian())))
+    vs.foreach { case (id, v) => ix.insert(id, v) }
+    for ((id, v) <- vs.take(25)) {
+      val hits = ix.searchKnn(v, 3, 32)
+      assert(hits.head._1 == id, s"self-query missed for $id: $hits")
+      assert(hits.head._2 == 0.0)
+    }
+  }
+
+  test("local index recall vs brute force on a gaussian cloud") {
+    val ix = new Hnsw.Index(16, 64)
+    val rnd = new scala.util.Random(5)
+    val vs = Array.tabulate(2000)(i => (i.toLong, Array.fill(32)(rnd.nextGaussian())))
+    vs.foreach { case (id, v) => ix.insert(id, v) }
+    def l2(a: Array[Double], b: Array[Double]) =
+      math.sqrt(a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum)
+    val recalls = for (qi <- 0 until 20) yield {
+      val q = Array.fill(32)(rnd.nextGaussian())
+      val exact = vs.map { case (id, v) => (id, l2(q, v)) }.sortBy(_._2).take(10).map(_._1).toSet
+      val got = ix.searchKnn(q, 10, 96).map(_._1).toSet
+      (exact & got).size / 10.0
+    }
+    val mean = recalls.sum / recalls.size
+    info(f"local HNSW mean recall@10 = $mean%.2f over 20 queries")
+    assert(mean >= 0.9, s"local graph recall $mean too low")
+  }
+
+  test("partitioned build emits one graph per non-empty partition; search merges exactly") {
+    val graphs = Hnsw.buildPartitioned(emb, "vec_id", "embedding", parts = 4).cache()
+    assert(graphs.count() == 4)
+    // every corpus vector is in exactly one graph: querying with a
+    // stored vector must surface that vector at distance 0
+    val someVec = emb.filter(col("vec_id") === 7)
+      .select(col("embedding").cast("array<double>")).head.getSeq[Double](0).toArray
+    val hits = Hnsw.search(graphs, someVec, 5).collect()
+    assert(hits.head.getLong(0) == 7L && hits.head.getDouble(1) == 0.0)
+    assert(hits.map(_.getLong(0)).distinct.length == 5)
+    // ascending by distance
+    val ds = hits.map(_.getDouble(1)).toSeq
+    assert(ds == ds.sorted)
+    graphs.unpersist()
+  }
+}

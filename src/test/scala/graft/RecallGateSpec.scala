@@ -147,6 +147,14 @@ class RecallGateSpec extends SparkSpec {
     assert(mean >= 0.7, f"vs_ivf_batch mean recall@5 $mean%.2f below floor 0.7")
   }
 
+  test("vs_hnsw_knn: recall@10 ≥ 0.9 (graph beam search, isotropy-immune)") {
+    val got = ids(SparkEntry.queries("vs_hnsw_knn")(spark, Sf))
+    assert(got.distinct == got)
+    val r = recall(got, exactTopK(VectorFunctions.l2Distance, 10))
+    info(f"vs_hnsw_knn recall@10 = $r%.2f (m=${graft.queries.VectorQueries.HnswM}, ef=${graft.queries.VectorQueries.HnswEf}, 8 partition graphs)")
+    assert(r >= 0.9, f"vs_hnsw_knn recall@10 $r%.2f below floor 0.9")
+  }
+
   test("vs_lsh_knn: recall@10 ≥ 0.9 (Hamming-1 multiprobe)") {
     val approx = ids(SparkEntry.queries("vs_lsh_knn")(spark, Sf))
     val r = recall(approx, exactTopK(VectorFunctions.cosineDistance, 10))
