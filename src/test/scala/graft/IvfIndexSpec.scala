@@ -106,6 +106,35 @@ class IvfIndexSpec extends SparkSpec {
     assert(joined.filter(col("primary_cell") =!= col("single_cell")).count() == 0)
   }
 
+  test("streamAssign spill=2 appends match the spilled store layout") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ivfspillstream").toString
+    val (indexed, centroids) = IvfIndex.buildIndex(
+      emb, "vec_id", "embedding", nlist = 4, spill = 2)
+    IvfIndex.writePartitioned(indexed, s"$dir/store")
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+    val q = IvfIndex.streamAssign(
+      input.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", centroids, s"$dir/store", s"$dir/ckpt", spill = 2)
+    try {
+      input.addData(emb.limit(5).collect()
+        .map(r => (r.getLong(0) + 900000L, r.getSeq[Float](1))).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val stored = spark.read.parquet(s"$dir/store")
+    // appended vectors follow the same 2-copies-with-primary contract,
+    // so a probe over the mixed store dedups them identically
+    val appended = stored.filter(col("vec_id") >= 900000L)
+    assert(appended.count() == 10)
+    assert(appended.filter(col("primary_cell").isNull).count() == 0)
+    val searched = IvfIndex.search(stored, "vec_id", "embedding", centroids,
+      emb.limit(1).select(col("embedding").as("qvec")),
+      "qvec", graft.functions.VectorFunctions.l2Distance, k = 20, nprobe = 4)
+      .collect().map(_.getLong(0)).toSeq
+    assert(searched.distinct == searched)
+  }
+
   test("spilled search returns distinct ids and full probe equals exact") {
     val (indexed, centroids) = IvfIndex.buildIndex(
       emb, "vec_id", "embedding", nlist = 8, spill = 2)
