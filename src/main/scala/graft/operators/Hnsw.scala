@@ -220,4 +220,40 @@ object Hnsw {
       .orderBy(col("dist"), col("vec_id"))
       .limit(k)
   }
+
+  /** Batch search: each graph row is deserialized ONCE and walks every
+    * query (queries ride along as a broadcast-sized array), then the
+    * per-(query, graph) top-k merge exactly as in [[search]]: k·P rows
+    * per query cross to the final per-query rank, never the corpus.
+    * The per-batch cost is P deserializations + |queries|·P beam
+    * walks — the serving shape ([[graft.streaming.KnnServing]]). */
+  def searchBatch(graphs: DataFrame, queries: Seq[(Long, Array[Double])],
+      k: Int, ef: Int = 64): DataFrame = {
+    val spark = graphs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val qs = queries // task-serialized with the closure: one tiny array
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
+    graphs.select(col("graph")).as[Array[Byte]]
+      .flatMap { blob =>
+        val ix = deser(blob)
+        qs.iterator.flatMap { case (qid, qv) =>
+          ix.searchKnn(qv, k, ef).map { case (id, d) => (qid, id, d) }
+        }
+      }
+      .toDF("qid", "vec_id", "dist")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"), col("dist"))
+      .orderBy(col("qid"), col("dist"), col("vec_id"))
+  }
+
+  /** Persist / reload the partition graphs (parquet of
+    * (part_id, blob)): build once, serve many — the graph analogue of
+    * [[IvfIndex.writePartitioned]]. */
+  def writeGraphs(graphs: DataFrame, path: String): Unit =
+    graphs.write.mode("overwrite").parquet(path)
+
+  def readGraphs(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
 }

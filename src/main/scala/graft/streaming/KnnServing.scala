@@ -65,4 +65,31 @@ object KnnServing {
         }
       }
       .start()
+
+  /** HNSW-served streaming KNN — the modern high-recall serving
+    * default: per micro-batch, the (small) query set is collected and
+    * every partition graph is deserialized once to answer all of them
+    * ([[graft.operators.Hnsw.searchBatch]]); per-batch cost is
+    * P graph loads + |batch|·P beam walks, independent of corpus
+    * row count. Graphs come from [[graft.operators.Hnsw
+    * .buildPartitioned]] (optionally persisted via writeGraphs). */
+  def serveHnsw(
+      queries: DataFrame, graphs: DataFrame,
+      qIdCol: String, qVecCol: String,
+      k: Int, ef: Int = 64)(writeBatch: (DataFrame, Long) => Unit): StreamingQuery =
+    queries.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val qs = batch
+            .select(org.apache.spark.sql.functions.col(qIdCol).cast("long"),
+              org.apache.spark.sql.functions.col(qVecCol).cast("array<double>"))
+            .collect()
+            .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+          val answered = graft.operators.Hnsw.searchBatch(graphs, qs, k, ef)
+            .withColumnRenamed("qid", qIdCol)
+          writeBatch(answered, batchId)
+        }
+      }
+      .start()
 }

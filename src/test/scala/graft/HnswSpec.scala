@@ -40,6 +40,50 @@ class HnswSpec extends SparkSpec {
     assert(mean >= 0.9, s"local graph recall $mean too low")
   }
 
+  test("batch search equals per-query search; graphs persist through parquet") {
+    val dir = java.nio.file.Files.createTempDirectory("hnswstore").toString
+    Hnsw.writeGraphs(
+      Hnsw.buildPartitioned(emb, "vec_id", "embedding", parts = 4), dir)
+    val graphs = Hnsw.readGraphs(spark, dir).cache()
+    val queries = emb.filter(col("vec_id") < 3)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    val batch = Hnsw.searchBatch(graphs, queries, k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .groupBy(_._1).view.mapValues(_.map(x => (x._2, x._3)).toSeq).toMap
+    for ((qid, qv) <- queries) {
+      val single = Hnsw.search(graphs, qv, 5)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(qid) == single, s"batch/single mismatch for query $qid")
+    }
+    graphs.unpersist()
+  }
+
+  test("streaming HNSW serving answers each micro-batch like the batch search") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val graphs = Hnsw.buildPartitioned(emb, "vec_id", "embedding", parts = 4)
+      .localCheckpoint()
+    val queries = emb.filter(col("vec_id") < 3)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val q = graft.streaming.KnnServing.serveHnsw(
+      input.toDF().toDF("qid", "qvec"), graphs, "qid", "qvec", k = 3) { (batch, _) =>
+      results ++= batch.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    }
+    try {
+      input.addData(queries.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(results.size == 9)
+    val direct = Hnsw.searchBatch(graphs,
+      queries.map { case (id, v) => (id, v.map(_.toDouble).toArray) }.toSeq, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(results.sortBy(x => (x._1, x._3, x._2)).toSeq ==
+      direct.sortBy(x => (x._1, x._3, x._2)).toSeq)
+  }
+
   test("partitioned build emits one graph per non-empty partition; search merges exactly") {
     val graphs = Hnsw.buildPartitioned(emb, "vec_id", "embedding", parts = 4).cache()
     assert(graphs.count() == 4)
