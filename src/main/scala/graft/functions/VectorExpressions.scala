@@ -162,3 +162,76 @@ case class VectorDistanceExpr(left: Expression, right: Expression, mode: Int)
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
 }
+
+/** Feature-hash embedding in ONE pass: input = the per-token dim
+  * hashes (array<long>, values in [0, dims)), output = the
+  * L2-normalized per-dimension count vector (array<double>).
+  *
+  * The HOF composition this replaces
+  * ([[graft.pipeline.Ingest.embedFromHashes]]:
+  * `transform(sequence(0, dims-1), i -> size(filter(hashes, h -> h = i)))`)
+  * scans the hash array once PER DIMENSION — O(dims·|tokens|) per row
+  * (measured 25-34 s to materialize the embedding column for the
+  * sf0.1 PDF corpus vs ~2.4 s without it). This expression is the
+  * histogram loop any hand-written embedder would run —
+  * O(|tokens| + dims) — with whole-stage codegen, and is
+  * semantics-identical including the empty-input case (zero counts →
+  * 0/0 = NaN elements, exactly what the HOF form produces).
+  */
+case class FeatureHashEmbedExpr(child: Expression, dims: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"feature_hash_embed needs array<bigint> dim hashes, got $t")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val hs = input.asInstanceOf[ArrayData]
+    val counts = new Array[Double](dims)
+    val n = hs.numElements()
+    var i = 0
+    while (i < n) {
+      val h = hs.getLong(i)
+      if (h >= 0 && h < dims) counts(h.toInt) += 1.0
+      i += 1
+    }
+    var ss = 0.0
+    i = 0
+    while (i < dims) { ss += counts(i) * counts(i); i += 1 }
+    val norm = math.sqrt(ss)
+    i = 0
+    while (i < dims) { counts(i) /= norm; i += 1 } // norm 0 → NaN, HOF-identical
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(counts)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, hs => {
+      val counts = ctx.freshName("counts")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val h = ctx.freshName("h")
+      val ss = ctx.freshName("ss")
+      val norm = ctx.freshName("norm")
+      s"""
+       double[] $counts = new double[$dims];
+       final int $n = $hs.numElements();
+       for (int $i = 0; $i < $n; $i++) {
+         long $h = $hs.getLong($i);
+         if ($h >= 0 && $h < $dims) $counts[(int) $h] += 1.0;
+       }
+       double $ss = 0.0;
+       for (int $i = 0; $i < $dims; $i++) $ss += $counts[$i] * $counts[$i];
+       double $norm = java.lang.Math.sqrt($ss);
+       for (int $i = 0; $i < $dims; $i++) $counts[$i] /= $norm;
+       ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($counts);"""
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -36,10 +36,17 @@ trait Embedder extends Serializable {
   * (BENCH_NOTES r4), so the hash array must be a real column before
   * the per-dimension fan-out. */
 final case class FeatureHashEmbedder(dims: Int = 64) extends Embedder {
-  override def embed(df: DataFrame, toksCol: String, outCol: String): DataFrame =
+  override def embed(df: DataFrame, toksCol: String, outCol: String): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge.{toColumn, toExpression}
+    // histogram + normalize in ONE codegen'd pass
+    // (functions.FeatureHashEmbedExpr, O(|tokens| + dims)/row) — the
+    // HOF composition it replaces re-scanned the hash array per
+    // dimension (semantics identical, EmbedderSpec asserts it)
     df.withColumn("__dim_hashes", Ingest.tokenDimHashes(col(toksCol), dims))
-      .withColumn(outCol, Ingest.embedFromHashes(col("__dim_hashes"), dims))
+      .withColumn(outCol, toColumn(
+        graft.functions.FeatureHashEmbedExpr(toExpression(col("__dim_hashes")), dims)))
       .drop("__dim_hashes")
+  }
 }
 
 /** A REAL trained embedding model behind the same seam: MLlib

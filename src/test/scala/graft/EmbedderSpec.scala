@@ -22,6 +22,27 @@ class EmbedderSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq)
   }
 
+  test("FeatureHashEmbedExpr is bit-identical to the HOF composition (incl. empty input)") {
+    import spark.implicits._
+    import org.apache.spark.sql.GraftSqlBridge.{toColumn, toExpression}
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    val base = docs.select(col("text"))
+      .union(Seq("", "one").toDF("text")) // empty → all-NaN row in BOTH forms
+      .select(Ingest.tokenDimHashes(toks, 64).as("hs"))
+    val hof = base.select(Ingest.embedFromHashes(col("hs"), 64).as("e"))
+      .collect().map(_.getSeq[Double](0))
+    val fused = base.select(toColumn(
+        graft.functions.FeatureHashEmbedExpr(toExpression(col("hs")), 64)).as("e"))
+      .collect().map(_.getSeq[Double](0))
+    assert(hof.length == fused.length)
+    for ((a, b) <- hof.zip(fused)) {
+      assert(a.length == b.length)
+      for ((x, y) <- a.zip(b))
+        assert(java.lang.Double.doubleToLongBits(x) == java.lang.Double.doubleToLongBits(y),
+          s"bit mismatch: $x vs $y")
+    }
+  }
+
   test("swapping embedders changes only the embedding column") {
     val fh = Ingest.toVectorStore(docs, "doc_id", "text", "source")
     val toks = graft.functions.TextFunctions.tokens(col("text"))
