@@ -256,4 +256,78 @@ object Hnsw {
 
   def readGraphs(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Incremental maintenance (the graph twin of
+    * [[IvfIndex.streamAssign]]): route each new vector to a partition
+    * by id hash, ship each partition's additions to its graph row as
+    * one collected array (broadcast-scale — a micro-batch, not a
+    * corpus), and run the SAME insert algorithm the build used —
+    * appended nodes get full diverse-prune linking, not a second-class
+    * side table. Returns the merged (part_id, graph) frame; the
+    * per-graph merge cost is |adds per partition| · efC beam walks.
+    *
+    * New-node routing is hash-based, not proximity-based, and that is
+    * correct here: partition graphs are independent indexes over
+    * disjoint subsets (search always merges all of them), so placement
+    * only affects balance, never recall. */
+  def appendBatch(graphs: DataFrame, batch: DataFrame,
+      idCol: String, vecCol: String): DataFrame = {
+    val spark = graphs.sparkSession
+    val parts = graphs.select(max(col("part_id"))).head.getInt(0) + 1
+    val assigned = batch
+      .select(col(idCol).cast("long").as("__aid"), col(vecCol).cast("array<double>").as("__avec"))
+      .withColumn("part_id", pmod(hash(col("__aid")), lit(parts)))
+      .groupBy(col("part_id"))
+      .agg(collect_list(struct(col("__aid"), col("__avec"))).as("adds"))
+    val mergedRdd = graphs.join(assigned, Seq("part_id"), "left_outer")
+      .rdd.map { row =>
+        val pid = row.getInt(0)
+        val blob = row.getAs[Array[Byte]]("graph")
+        val adds: scala.collection.Seq[Row] =
+          if (row.isNullAt(2)) null else row.getSeq[Row](2)
+        if (adds == null) Row(pid, blob)
+        else {
+          val ix = deser(blob)
+          adds.foreach(r => ix.insert(r.getLong(0), r.getSeq[Double](1).toArray))
+          Row(pid, ser(ix))
+        }
+      }
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(mergedRdd, StructType(Seq(
+      StructField("part_id", IntegerType, nullable = false),
+      StructField("graph", BinaryType, nullable = false))))
+  }
+
+  /** Streaming graph maintenance over a PERSISTED store: per
+    * micro-batch, read the graphs, insert the batch, and atomically
+    * swap the directory (write → rename aside → promote, the
+    * [[graft.sources.VectorStore.rewrite]] discipline). At-least-once
+    * on replay after a crash between swap and checkpoint commit — the
+    * same contract as any non-transactional sink; an ACID table layer
+    * would close that window (documented deviation, as for the store
+    * itself). */
+  def streamAppend(newVectors: DataFrame, idCol: String, vecCol: String,
+      path: String, checkpoint: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    newVectors.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val merged = appendBatch(readGraphs(spark, path), batch, idCol, vecCol)
+          val hPath = new org.apache.hadoop.fs.Path(path)
+          val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val tmp = new org.apache.hadoop.fs.Path(path + ".rewrite")
+          val old = new org.apache.hadoop.fs.Path(path + ".old")
+          fs.delete(tmp, true)
+          merged.write.mode("overwrite").parquet(tmp.toString)
+          fs.delete(old, true)
+          require(fs.rename(hPath, old), s"swap failed: could not move $path aside")
+          require(fs.rename(tmp, hPath), s"swap failed: could not promote $tmp")
+          fs.delete(old, true)
+          ()
+        }
+      }
+      .option("checkpointLocation", checkpoint)
+      .start()
 }

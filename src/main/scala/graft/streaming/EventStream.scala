@@ -75,6 +75,27 @@ object EventStream {
         unix_timestamp(col("window.start")).as("bucket_start"),
         col("event_type"), col("n_events"), col("sum_value"))
 
+  /** Windowed streaming quantiles via the KLL sketch aggregate
+    * ([[graft.functions.SketchAggregates.quantileSketch]]): the sketch
+    * is a TypedImperativeAggregate, so the state store holds ONE
+    * ~3k-item serialized buffer per (window × event_type) — bounded
+    * state for an unbounded value domain, where an exact streaming
+    * quantile would have to buffer every row. Same shape as
+    * [[windowedCounts]]; each output row is (bucket, type, p,
+    * estimate) with the usual O(1/k) rank error. */
+  def windowedQuantiles(events: DataFrame, ps: Seq[Double] = Seq(0.5, 0.95),
+      k: Int = 200): DataFrame =
+    events
+      .withColumn("ts_ts", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("ts_ts", "30 minutes")
+      .groupBy(window(col("ts_ts"), "1 hour"), col("event_type"))
+      .agg(graft.functions.SketchAggregates.quantileSketch(col("value"), k, ps).as("qs"))
+      .select(
+        unix_timestamp(col("window.start")).as("bucket_start"),
+        col("event_type"), posexplode(col("qs")).as(Seq("pos", "value")))
+      .select(col("bucket_start"), col("event_type"),
+        element_at(typedLit(ps), col("pos") + 1).as("p"), col("value"))
+
   /** Gap sessionization (30-min idle) with explicit per-user state via
     * flatMapGroupsWithState. In production pass
     * `GroupStateTimeout.ProcessingTimeTimeout` so idle users are

@@ -34,6 +34,41 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming windowed KLL quantiles stay within rank-error bound of the exact batch") {
+    implicit val s = spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.windowedQuantiles(input.toDF())
+      .writeStream.format("memory").queryName("wq_out")
+      .outputMode("append").start()
+    val rnd = new scala.util.Random(17)
+    val vals = Array.fill(3000)(rnd.nextGaussian() * 50 + 10)
+    try {
+      // two micro-batches into the SAME window: the second batch's
+      // sketch must MERGE with the first's state-store buffer
+      input.addData(vals.take(1500).zipWithIndex.map { case (v, i) =>
+        Event(i.toLong, ns(100 + i % 600), i.toLong % 7, "click", v) }.toSeq)
+      q.processAllAvailable()
+      input.addData(vals.drop(1500).zipWithIndex.map { case (v, i) =>
+        Event(9000L + i, ns(700 + i % 600), i.toLong % 7, "click", v) }.toSeq)
+      q.processAllAvailable()
+      // advance the watermark to close the window
+      input.addData(Event(99999L, ns(1000000), 1, "flush", 0.0))
+      q.processAllAvailable()
+      val got = spark.table("wq_out")
+        .filter(col("event_type") === "click")
+        .collect().map(r => (r.getDouble(2), r.getDouble(3))).toMap
+      assert(got.keySet == Set(0.5, 0.95))
+      val sorted = vals.sorted
+      for ((p, est) <- got) {
+        val rank = sorted.count(_ <= est).toDouble / sorted.length
+        assert(math.abs(rank - p) <= 0.03,
+          f"streaming sketch rank error at p=$p: ${math.abs(rank - p)}%.4f")
+      }
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches clicks within the hour") {
     implicit val s = spark
     import spark.implicits._

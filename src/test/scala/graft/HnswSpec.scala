@@ -84,6 +84,50 @@ class HnswSpec extends SparkSpec {
       direct.sortBy(x => (x._1, x._3, x._2)).toSeq)
   }
 
+  test("appendBatch inserts new vectors with full linking: they are findable at distance 0") {
+    val graphs = Hnsw.buildPartitioned(emb, "vec_id", "embedding", parts = 4)
+      .localCheckpoint()
+    val newVecs = emb.limit(10)
+      .select((col("vec_id") + 700000L).as("vec_id"), col("embedding"))
+    val merged = Hnsw.appendBatch(graphs, newVecs, "vec_id", "embedding")
+      .localCheckpoint()
+    assert(merged.count() == 4) // same partition graphs, larger
+    val probe = newVecs.limit(1).select(col("vec_id"),
+      col("embedding").cast("array<double>")).collect().head
+    val hits = Hnsw.search(merged, probe.getSeq[Double](1).toArray, 3).collect()
+    // the appended vector duplicates an existing one's embedding, so
+    // BOTH must surface at distance 0 (the original wins the id tie)
+    assert(hits.filter(_.getDouble(1) == 0.0).map(_.getLong(0)).contains(probe.getLong(0)),
+      s"appended vector not found: ${hits.mkString(",")}")
+    // pre-existing vectors are still findable too
+    val oldVec = emb.filter(col("vec_id") === 11)
+      .select(col("embedding").cast("array<double>")).head.getSeq[Double](0).toArray
+    assert(Hnsw.search(merged, oldVec, 1).collect().head.getLong(0) == 11L)
+  }
+
+  test("streamAppend maintains a persisted graph store through the atomic swap") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("hnswappend").toString
+    Hnsw.writeGraphs(
+      Hnsw.buildPartitioned(emb, "vec_id", "embedding", parts = 4), s"$dir/graphs")
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+    val q = Hnsw.streamAppend(
+      input.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", s"$dir/graphs", s"$dir/ckpt")
+    val fresh = emb.limit(5).collect()
+      .map(r => (r.getLong(0) + 800000L, r.getSeq[Float](1)))
+    try {
+      input.addData(fresh.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    val graphs = Hnsw.readGraphs(spark, s"$dir/graphs")
+    val qv = fresh.head._2.map(_.toDouble).toArray
+    val hits = Hnsw.search(graphs, qv, 3).collect()
+    assert(hits.filter(_.getDouble(1) == 0.0).map(_.getLong(0)).contains(fresh.head._1),
+      s"appended vector not found after swap: ${hits.mkString(",")}")
+  }
+
   test("partitioned build emits one graph per non-empty partition; search merges exactly") {
     val graphs = Hnsw.buildPartitioned(emb, "vec_id", "embedding", parts = 4).cache()
     assert(graphs.count() == 4)
