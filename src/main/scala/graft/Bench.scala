@@ -39,6 +39,7 @@ object Bench {
       "vs_ivf_auto" -> queries.VectorQueries.ivfAutoBench _,
       "vs_pq_knn" -> queries.VectorQueries.pqBench _,
       "vs_hnsw_knn" -> queries.VectorQueries.hnswBench _,
+      "vs_ivfpq_knn" -> queries.VectorQueries.ivfPqBench _,
       "ingest_pdf_pages" -> queries.PipelineQueries.pdfBench _,
       "ingest_pdf_encrypted" -> queries.PipelineQueries.pdfEncBench _,
       "ingest_pdf_modern" -> queries.PipelineQueries.pdfModBench _,

@@ -236,11 +236,13 @@ object IvfIndex {
       .orderBy(col(qIdCol), col("dist"), col(idCol))
   }
 
-  /** Probe search: scan only the nprobe cells nearest to the query. */
-  def search(
-      indexed: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame, queryVec: DataFrame, qVecCol: String,
-      distance: (Column, Column) => Column, k: Int, nprobe: Int): DataFrame = {
+  /** The probe's candidate set: rows of the nprobe nearest cells,
+    * deduplicated for spilled stores. Factored out so composite
+    * indexes (IVF-PQ: ADC-score only these candidates) reuse the
+    * probe + dedup machinery. */
+  def probeCandidates(
+      indexed: DataFrame, centroids: DataFrame, queryVec: DataFrame,
+      qVecCol: String, distance: (Column, Column) => Column, nprobe: Int): DataFrame = {
     // rank cells with the SAME metric used for final scoring: ranking
     // by L2 when the caller searches by cosine/inner-product can probe
     // the wrong cells on unnormalized vectors (recall loss beyond the
@@ -258,18 +260,23 @@ object IvfIndex {
     // spilled-store dedup: keep the primary row, or a spare whose
     // primary cell was not probed (see [[assignSpill]]) — a per-row
     // predicate via one more broadcast of the nprobe-row cell list
-    val candidates =
-      if (!indexed.columns.contains("primary_cell")) scanned
-      else scanned
-        .join(broadcast(probed.withColumnRenamed("centroid_id", "__probed_pc")),
-          col("primary_cell") === col("__probed_pc"), "left_outer")
-        .filter(col("primary_cell").isNull ||
-          col("centroid_id") === col("primary_cell") || col("__probed_pc").isNull)
-        .drop("__probed_pc")
-    candidates
+    if (!indexed.columns.contains("primary_cell")) scanned
+    else scanned
+      .join(broadcast(probed.withColumnRenamed("centroid_id", "__probed_pc")),
+        col("primary_cell") === col("__probed_pc"), "left_outer")
+      .filter(col("primary_cell").isNull ||
+        col("centroid_id") === col("primary_cell") || col("__probed_pc").isNull)
+      .drop("__probed_pc")
+  }
+
+  /** Probe search: scan only the nprobe cells nearest to the query. */
+  def search(
+      indexed: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, queryVec: DataFrame, qVecCol: String,
+      distance: (Column, Column) => Column, k: Int, nprobe: Int): DataFrame =
+    probeCandidates(indexed, centroids, queryVec, qVecCol, distance, nprobe)
       .crossJoin(broadcast(queryVec))
       .select(col(idCol), distance(col(vecCol), col(qVecCol)).as("dist"))
       .orderBy(col("dist"), col(idCol))
       .limit(k)
-  }
 }

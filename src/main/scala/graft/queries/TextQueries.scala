@@ -299,7 +299,49 @@ object TextQueries {
     LIMIT 10"""
   }
 
+  // ------------------------------------------------- unigram surprisal
+  /** Unigram language-model surprisal — the LM-based quality signal
+    * (Gopher/CCNet-style: low mean surprisal ≈ natural prose, high ≈
+    * gibberish/boilerplate-with-rare-tokens). Per token, surprisal is
+    * floor(log2 N) − floor(log2 c(w)) bits — the INTEGER log2 floor
+    * computed by binary string length in both engines (Spark
+    * `conv(x,10,2)`, DuckDB `bin(x)`), because transcendental ln/log2
+    * are not bit-portable across libm implementations (same contract
+    * choice as text_bm25's rational idf). Per doc: the exact mean.
+    *
+    * Scale shape: vocab counts are one map-side-combined groupBy; the
+    * token→count join is broadcast here (vocab ≪ corpus) and becomes
+    * a plain shuffle join keyed on the token at web-corpus vocab
+    * sizes; the per-doc mean is map-side combinable. No windows, no
+    * sorts before the presentation ORDER BY. */
+  private def surprisal(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+    val cnt = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val total = tok.agg(count(lit(1)).as("n"))
+    def bits(x: org.apache.spark.sql.Column) =
+      length(conv(x, 10, 2)).cast("long") - 1L
+    tok
+      .join(broadcast(cnt), "w")
+      .crossJoin(broadcast(total))
+      .select(col("doc_id"), (bits(col("n")) - bits(col("c"))).as("sbits"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"), avg(col("sbits")).as("surprisal"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val surprisalSql: String = s"""
+    WITH tok AS (SELECT doc_id, unnest(${tokensSql("text")}) AS w FROM documents),
+    cnt AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+    g AS (SELECT count(*) AS n FROM tok)
+    SELECT doc_id, count(*) AS n_tokens,
+           avg((length(bin(g.n)) - 1) - (length(bin(cnt.c)) - 1)) AS surprisal
+    FROM tok JOIN cnt USING (w) CROSS JOIN g
+    GROUP BY doc_id
+    ORDER BY doc_id"""
+
   val defs: Map[String, QueryDef] = Map(
+    "text_surprisal"   -> QueryDef(surprisal _, surprisalSql),
     "text_bm25"        -> QueryDef(bm25 _, bm25Sql),
     "text_repetition"  -> QueryDef(repetition _, repetitionSql),
     "text_ngram_freq"  -> QueryDef(ngramFreq _, ngramFreqSql),

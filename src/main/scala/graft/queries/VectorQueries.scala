@@ -108,6 +108,53 @@ object VectorQueries {
       centroids, queryVec(s, d), "qvec", l2Distance, k = K, nprobe = IvfNprobe)
   }
 
+  // ------------------------------------------------------------ IVF-PQ
+  /** The FAISS-style composite index (pgvector has no analogue; at
+    * 100 TB it is the memory-bound workhorse): IVF cell probing picks
+    * the candidate fraction (spill·nprobe/nlist of the corpus), PQ/ADC
+    * scores those candidates reading only the m-byte codes, and the
+    * exact re-rank touches `rerank` full vectors — so the probe's
+    * byte cost is codes-only where plain IVF reads full vectors.
+    * Pure composition of the two existing operators
+    * ([[IvfIndex.probeCandidates]] + [[PqIndex.search]]), SURVEY §6a
+    * tier (a). Rows-only: approximate (cell recall × ADC shortlist,
+    * recovered by the exact re-rank; gated in RecallGateSpec). */
+  private def ivfPqKnn(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val (indexed, centroids) = IvfIndex.buildIndex(
+      emb, "vec_id", "embedding", nlist = IvfNlist, spill = IvfSpill)
+    val cb = PqIndex.train(emb, "embedding", dims = 64, m = 16, ksub = 32)
+    val encoded = PqIndex.encode(indexed.filter(col("vec_id") =!= 0), "embedding", cb)
+    val cands = IvfIndex.probeCandidates(
+      encoded, centroids, queryVec(s, d), "qvec", l2Distance, nprobe = IvfNprobe)
+    val q = queryVec(s, d).select(col("qvec").cast("array<double>"))
+      .head.getSeq[Double](0).toArray
+    PqIndex.search(cands, "vec_id", q, cb, K, rerank = 64)
+  }
+
+  def ivfPqBench(s: SparkSession, d: String): (() => Unit, () => DataFrame) = {
+    var encoded: DataFrame = null
+    var centroids: DataFrame = null
+    var cb: PqIndex.Codebooks = null
+    var q: Array[Double] = null
+    val build = () => {
+      val emb = Tables.embeddings(s, d)
+      val (ix, c) = IvfIndex.buildIndex(
+        emb, "vec_id", "embedding", nlist = IvfNlist, spill = IvfSpill)
+      cb = PqIndex.train(emb, "embedding", dims = 64, m = 16, ksub = 32)
+      encoded = PqIndex.encode(ix.filter(col("vec_id") =!= 0), "embedding", cb)
+        .localCheckpoint()
+      centroids = c
+      q = queryVec(s, d).select(col("qvec").cast("array<double>"))
+        .head.getSeq[Double](0).toArray
+    }
+    val probe = () => PqIndex.search(
+      IvfIndex.probeCandidates(encoded, centroids, queryVec(s, d), "qvec",
+        l2Distance, nprobe = IvfNprobe),
+      "vec_id", q, cb, K, rerank = 64)
+    (build, probe)
+  }
+
   // -------------------------------------------------------- HNSW graph ANN
   /** Graph ANN (pgvector's `USING hnsw` family): partition-local HNSW
     * graphs + exact cross-partition merge ([[graft.operators.Hnsw]]).
@@ -552,6 +599,7 @@ object VectorQueries {
     "vs_ivf_auto"     -> QueryDef(ivfAuto _, None),
     "vs_knn_filtered_auto" -> QueryDef(knnFilteredAuto _, None),
     "vs_hnsw_knn"     -> QueryDef(hnswKnn _, None),
+    "vs_ivfpq_knn"    -> QueryDef(ivfPqKnn _, None),
     "vs_ivf_batch"    -> QueryDef(ivfBatch _, None),
     "vs_ivf_knn"      -> QueryDef(ivfKnn _, None),
     "vs_lsh_knn"      -> QueryDef(lshKnn _, None),

@@ -147,6 +147,14 @@ class RecallGateSpec extends SparkSpec {
     assert(mean >= 0.7, f"vs_ivf_batch mean recall@5 $mean%.2f below floor 0.7")
   }
 
+  test("vs_ivfpq_knn: recall@10 floor 0.7 (cell probe × ADC shortlist × exact re-rank)") {
+    val got = ids(SparkEntry.queries("vs_ivfpq_knn")(spark, Sf))
+    assert(got.distinct == got, "composite probe returned duplicate ids")
+    val r = recall(got, exactTopK(VectorFunctions.l2Distance, 10))
+    info(f"vs_ivfpq_knn recall@10 = $r%.2f (spill $Spill nprobe $Nprobe/$Nlist, m=16 ADC, rerank 64)")
+    assert(r >= 0.7, f"vs_ivfpq_knn recall@10 $r%.2f below floor 0.7")
+  }
+
   test("vs_hnsw_knn: recall@10 ≥ 0.9 (graph beam search, isotropy-immune)") {
     val got = ids(SparkEntry.queries("vs_hnsw_knn")(spark, Sf))
     assert(got.distinct == got)
