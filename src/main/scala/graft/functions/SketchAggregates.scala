@@ -41,6 +41,16 @@ object SketchAggregates {
   def quantileSketch(value: Column, k: Int, ps: Seq[Double]): Column =
     GraftSqlBridge.toColumn(
       KllQuantileAggExpr(GraftSqlBridge.toExpression(value), k, ps).toAggregateExpression())
+
+  /** SpaceSaving heavy hitters: top-k (item, cnt, err) structs; every
+    * item with true frequency > N/capacity is guaranteed present and
+    * each count overestimates by at most its `err`. The frequency
+    * member of the mergeable-sketch family (HLL = distinct, KLL =
+    * quantiles) — top tokens/domains/keys at 100 TB without a
+    * full-vocabulary shuffle. */
+  def heavyHitters(item: Column, capacity: Int, k: Int): Column =
+    GraftSqlBridge.toColumn(
+      SpaceSavingAggExpr(GraftSqlBridge.toExpression(item), capacity, k).toAggregateExpression())
 }
 
 /** Simplified KLL sketch (Karnin-Lang-Liberty, FOCS'16; layout follows
@@ -283,6 +293,138 @@ case class MinhashAggExpr(
   override def withNewMutableAggBufferOffset(o: Int): MinhashAggExpr =
     copy(mutableAggBufferOffset = o)
   override def withNewInputAggBufferOffset(o: Int): MinhashAggExpr =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c.head)
+}
+
+/** SpaceSaving heavy-hitters summary (Metwally et al., ICDT'05;
+  * merge per Agarwal et al. "Mergeable Summaries"): at most
+  * `capacity` (item → count, err) entries; an unseen item arriving at
+  * a full summary inherits the minimum count as its overestimate
+  * bound. Guarantee: every item with true frequency > N/capacity is
+  * present, and each kept count overestimates the truth by at most
+  * its `err`. The count/bucket double index makes update O(1)
+  * amortized (no O(capacity) min scan per eviction). */
+final class SpaceSaving(val capacity: Int) extends Serializable {
+  import scala.collection.mutable
+  val counts = mutable.HashMap.empty[String, (Long, Long)] // item -> (count, err)
+  private val buckets = new java.util.TreeMap[Long, mutable.HashSet[String]]()
+  var n: Long = 0L
+
+  private[functions] def bucketAdd(c: Long, item: String): Unit = {
+    val s = buckets.get(c)
+    if (s == null) {
+      val ns = mutable.HashSet(item); buckets.put(c, ns)
+    } else s += item
+  }
+  private def bucketRemove(c: Long, item: String): Unit = {
+    val s = buckets.get(c)
+    if (s != null) { s -= item; if (s.isEmpty) buckets.remove(c); () }
+  }
+
+  def update(item: String): Unit = {
+    n += 1
+    counts.get(item) match {
+      case Some((c, e)) =>
+        counts(item) = (c + 1, e); bucketRemove(c, item); bucketAdd(c + 1, item)
+      case None if counts.size < capacity =>
+        counts(item) = (1L, 0L); bucketAdd(1L, item)
+      case None =>
+        val minC = buckets.firstKey()
+        val victim = buckets.firstEntry().getValue.head
+        bucketRemove(minC, victim); counts.remove(victim)
+        counts(item) = (minC + 1, minC); bucketAdd(minC + 1, item)
+    }
+  }
+
+  /** Merge = per-item count/err sums over the union, truncated back
+    * to capacity by count (the mergeable-summaries recipe; dropped
+    * items had count ≤ the bound the error gate measures). */
+  def merge(other: SpaceSaving): SpaceSaving = {
+    if (other.counts.nonEmpty) {
+      val union = mutable.HashMap.empty[String, (Long, Long)]
+      union ++= counts
+      other.counts.foreach { case (item, (c, e)) =>
+        val (c0, e0) = union.getOrElse(item, (0L, 0L))
+        union(item) = (c0 + c, e0 + e)
+      }
+      val kept = union.toSeq.sortBy { case (item, (c, _)) => (-c, item) }.take(capacity)
+      counts.clear(); buckets.clear()
+      kept.foreach { case (item, (c, e)) => counts(item) = (c, e); bucketAdd(c, item) }
+    }
+    n += other.n
+    this
+  }
+
+  /** Top-k by (count desc, item asc): (item, count, err) rows. */
+  def topK(k: Int): Seq[(String, Long, Long)] =
+    counts.toSeq.map { case (i, (c, e)) => (i, c, e) }
+      .sortBy { case (i, c, _) => (-c, i) }.take(k)
+
+  def serialize(): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeLong(n); out.writeInt(counts.size)
+    counts.foreach { case (i, (c, e)) =>
+      out.writeUTF(i); out.writeLong(c); out.writeLong(e)
+    }
+    out.close(); bos.toByteArray
+  }
+}
+
+object SpaceSaving {
+  def deserialize(capacity: Int, bytes: Array[Byte]): SpaceSaving = {
+    val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(bytes))
+    val s = new SpaceSaving(capacity)
+    s.n = in.readLong()
+    val sz = in.readInt()
+    var i = 0
+    while (i < sz) {
+      val item = in.readUTF(); val c = in.readLong(); val e = in.readLong()
+      s.counts(item) = (c, e)
+      s.bucketAdd(c, item) // rebuild the count index alongside
+      i += 1
+    }
+    s
+  }
+}
+
+case class SpaceSavingAggExpr(
+    child: Expression, capacity: Int, k: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[SpaceSaving] {
+
+  override def children: Seq[Expression] = child :: Nil
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("item", StringType, nullable = false),
+    StructField("cnt", LongType, nullable = false),
+    StructField("err", LongType, nullable = false))), containsNull = false)
+
+  override def createAggregationBuffer(): SpaceSaving = new SpaceSaving(capacity)
+
+  override def update(buf: SpaceSaving, input: InternalRow): SpaceSaving = {
+    val v = child.eval(input)
+    if (v != null) buf.update(v.toString)
+    buf
+  }
+
+  override def merge(a: SpaceSaving, b: SpaceSaving): SpaceSaving = a.merge(b)
+
+  override def eval(buf: SpaceSaving): Any =
+    new GenericArrayData(buf.topK(k).map { case (i, c, e) =>
+      InternalRow(org.apache.spark.unsafe.types.UTF8String.fromString(i), c, e)
+    }.toArray[Any])
+
+  override def serialize(buf: SpaceSaving): Array[Byte] = buf.serialize()
+  override def deserialize(bytes: Array[Byte]): SpaceSaving =
+    SpaceSaving.deserialize(capacity, bytes)
+
+  override def withNewMutableAggBufferOffset(o: Int): SpaceSavingAggExpr =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): SpaceSavingAggExpr =
     copy(inputAggBufferOffset = o)
   override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
     copy(child = c.head)

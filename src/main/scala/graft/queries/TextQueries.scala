@@ -340,7 +340,26 @@ object TextQueries {
     GROUP BY doc_id
     ORDER BY doc_id"""
 
+  // ---------------------------------------------- heavy-hitter tokens
+  /** Approximate corpus top-k tokens via the SpaceSaving summary
+    * ([[graft.functions.SketchAggregates.heavyHitters]]): ONE bounded
+    * buffer per partition crosses the shuffle instead of the full
+    * vocabulary — the 100 TB shape for "top domains / tokens / keys"
+    * where even the map-side-combined exact groupBy ships
+    * vocab-per-partition rows. Rows-only: counts can overestimate by
+    * ≤ err (RecallGateSpec gates the realized error AND that the
+    * exact top-10 set is recovered). */
+  private def topkSketch(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(explode(tokens(col("text"))).as("w"))
+      .agg(graft.functions.SketchAggregates.heavyHitters(
+        col("w"), capacity = 4096, k = 20).as("hh"))
+      .select(explode(col("hh")).as("x"))
+      .select(col("x.item").as("w"), col("x.cnt").as("cnt"), col("x.err").as("err"))
+      .orderBy(col("cnt").desc, col("w"))
+
   val defs: Map[String, QueryDef] = Map(
+    "text_topk_sketch" -> QueryDef(topkSketch _, None),
     "text_surprisal"   -> QueryDef(surprisal _, surprisalSql),
     "text_bm25"        -> QueryDef(bm25 _, bm25Sql),
     "text_repetition"  -> QueryDef(repetition _, repetitionSql),

@@ -221,6 +221,27 @@ class RecallGateSpec extends SparkSpec {
     }
   }
 
+  test("text_topk_sketch: exact top-10 recovered; every count within its err bound") {
+    val got = SparkEntry.queries("text_topk_sketch")(spark, Sf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.length == 20)
+    val exact = Tables.documents(spark, Sf)
+      .select(explode(graft.functions.TextFunctions.tokens(col("text"))).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    // SpaceSaving guarantee: estimate ∈ [true, true + err]
+    for ((w, est, err) <- got) {
+      val truth = exact.getOrElse(w, 0L)
+      assert(est >= truth && est - truth <= err,
+        s"count bound violated for '$w': est=$est true=$truth err=$err")
+    }
+    val exactTop10 = exact.toSeq.sortBy { case (w, c) => (-c, w) }.take(10).map(_._1).toSet
+    val gotTop10 = got.sortBy { case (w, c, _) => (-c, w) }.take(10).map(_._1).toSet
+    val overlap = (exactTop10 & gotTop10).size
+    info(s"text_topk_sketch top-10 overlap with exact = $overlap/10")
+    assert(overlap >= 9, s"top-10 set drifted: $gotTop10 vs $exactTop10")
+  }
+
   test("events_approx_distinct: relative error vs exact distinct ≤ 3×rsd") {
     val approx = SparkEntry.queries("events_approx_distinct")(spark, Sf)
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
