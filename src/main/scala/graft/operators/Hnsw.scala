@@ -221,6 +221,29 @@ object Hnsw {
       .limit(k)
   }
 
+  /** FILTERED graph search (the pgvector ≥0.8 hnsw iterative-scan
+    * analogue, statically bounded like the IVF rule's widening): the
+    * graph stores no metadata, so the beam over-fetches `widen`·k per
+    * graph, the candidate ids join the metadata frame (k·widen·P
+    * rows — broadcast-scale, never the corpus), the predicate is
+    * applied post-join, and the exact top-k of the survivors is
+    * returned. Recall degrades with predicate selectivity exactly as
+    * pgvector's ef_search bound does; the gate measures it. */
+  def searchFiltered(graphs: DataFrame, meta: DataFrame, metaIdCol: String,
+      pred: org.apache.spark.sql.Column, query: Array[Double], k: Int,
+      ef: Int = 64, widen: Int = 8): DataFrame = {
+    val spark = graphs.sparkSession
+    import spark.implicits._
+    val cands = graphs.select(col("graph")).as[Array[Byte]]
+      .flatMap(blob => deser(blob).searchKnn(query, k * widen, math.max(ef, k * widen)))
+      .toDF("vec_id", "dist")
+    cands
+      .join(meta.filter(pred).select(col(metaIdCol)).withColumnRenamed(metaIdCol, "__mid"),
+        col("vec_id") === col("__mid"), "left_semi")
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(k)
+  }
+
   /** Batch search: each graph row is deserialized ONCE and walks every
     * query (queries ride along as a broadcast-sized array), then the
     * per-(query, graph) top-k merge exactly as in [[search]]: k·P rows

@@ -174,6 +174,20 @@ object VectorQueries {
     graft.operators.Hnsw.search(graphs, q, K, ef = HnswEf)
   }
 
+  /** Filtered graph search (`WHERE label = 3 ORDER BY <-> LIMIT k`
+    * through the HNSW index): widened beam over-fetch + metadata
+    * semi-join + exact top-k of survivors
+    * ([[graft.operators.Hnsw.searchFiltered]]). Rows-only:
+    * approximate, recall-gated vs the exact filtered search. */
+  private def hnswFiltered(s: SparkSession, d: String): DataFrame = {
+    val graphs = graft.operators.Hnsw.buildPartitioned(
+      corpus(s, d), "vec_id", "embedding", m = HnswM, efC = HnswEfC, parts = 8)
+    val q = queryVec(s, d).select(col("qvec").cast("array<double>"))
+      .head.getSeq[Double](0).toArray
+    graft.operators.Hnsw.searchFiltered(graphs, Tables.embeddings(s, d), "vec_id",
+      col("label") === 3, q, K, ef = HnswEf)
+  }
+
   /** Bench split: graph construction is the one-time build; the probe
     * is the per-query beam walk + k·P merge. */
   def hnswBench(s: SparkSession, d: String): (() => Unit, () => DataFrame) = {
@@ -599,6 +613,7 @@ object VectorQueries {
     "vs_ivf_auto"     -> QueryDef(ivfAuto _, None),
     "vs_knn_filtered_auto" -> QueryDef(knnFilteredAuto _, None),
     "vs_hnsw_knn"     -> QueryDef(hnswKnn _, None),
+    "vs_hnsw_filtered" -> QueryDef(hnswFiltered _, None),
     "vs_ivfpq_knn"    -> QueryDef(ivfPqKnn _, None),
     "vs_ivf_batch"    -> QueryDef(ivfBatch _, None),
     "vs_ivf_knn"      -> QueryDef(ivfKnn _, None),

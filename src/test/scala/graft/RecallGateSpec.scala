@@ -163,6 +163,17 @@ class RecallGateSpec extends SparkSpec {
     assert(r >= 0.9, f"vs_hnsw_knn recall@10 $r%.2f below floor 0.9")
   }
 
+  test("vs_hnsw_filtered: widened-beam filtered graph search, recall floor vs exact filtered") {
+    val got = ids(SparkEntry.queries("vs_hnsw_filtered")(spark, Sf))
+    assert(got.distinct == got)
+    val exact = ids(Knn.topK(
+      corpus.filter(col("label") === 3),
+      "vec_id", "embedding", queryVec, "qvec", VectorFunctions.l2Distance, 10))
+    val r = recall(got, exact)
+    info(f"vs_hnsw_filtered recall@10 = $r%.2f (widen 8, label = 3)")
+    assert(r >= 0.7, f"vs_hnsw_filtered recall@10 $r%.2f below floor 0.7")
+  }
+
   test("vs_lsh_knn: recall@10 ≥ 0.9 (Hamming-1 multiprobe)") {
     val approx = ids(SparkEntry.queries("vs_lsh_knn")(spark, Sf))
     val r = recall(approx, exactTopK(VectorFunctions.cosineDistance, 10))
