@@ -101,19 +101,26 @@ final class KllSketch(val k: Int) extends Serializable {
     this
   }
 
-  /** Smallest stored item whose cumulative weight reaches ceil(p·n). */
-  def quantile(p: Double): Double = {
-    if (n == 0) return Double.NaN
+  /** Smallest stored item whose cumulative weight reaches ceil(p·n),
+    * for every requested p — the sort/weight pass runs ONCE, not once
+    * per percentile. */
+  def quantiles(ps: Seq[Double]): Seq[Double] = {
+    if (n == 0) return ps.map(_ => Double.NaN)
     val weighted = levels.indices.flatMap(i => levels(i).map(v => (v, 1L << i)))
       .sortBy(_._1)
-    val target = math.max(1L, math.ceil(p * weighted.map(_._2).sum).toLong)
-    var cum = 0L
-    for ((v, w) <- weighted) {
-      cum += w
-      if (cum >= target) return v
+    val total = weighted.iterator.map(_._2).sum
+    ps.map { p =>
+      val target = math.max(1L, math.ceil(p * total).toLong)
+      var cum = 0L
+      var i = 0
+      while (i < weighted.length && cum + weighted(i)._2 < target) {
+        cum += weighted(i)._2; i += 1
+      }
+      weighted(math.min(i, weighted.length - 1))._1
     }
-    weighted.last._1
   }
+
+  def quantile(p: Double): Double = quantiles(Seq(p)).head
 
   def serialize(): Array[Byte] = {
     val items = levels.map(_.length).sum
@@ -164,7 +171,7 @@ case class KllQuantileAggExpr(
   override def merge(a: KllSketch, b: KllSketch): KllSketch = a.merge(b)
 
   override def eval(buf: KllSketch): Any =
-    new GenericArrayData(ps.map(buf.quantile).toArray)
+    new GenericArrayData(buf.quantiles(ps).toArray)
 
   override def serialize(buf: KllSketch): Array[Byte] = buf.serialize()
   override def deserialize(bytes: Array[Byte]): KllSketch =
@@ -338,16 +345,31 @@ final class SpaceSaving(val capacity: Int) extends Serializable {
     }
   }
 
-  /** Merge = per-item count/err sums over the union, truncated back
-    * to capacity by count (the mergeable-summaries recipe; dropped
-    * items had count ≤ the bound the error gate measures). */
+  /** The floor a summary guarantees for items it does NOT hold: 0
+    * while under capacity (absent truly means unseen), else the
+    * minimum kept count (an evicted item's true count is ≤ that). */
+  private def absentFloor: Long =
+    if (counts.size < capacity) 0L else buckets.firstKey()
+
+  /** Merge per Agarwal et al. (Mergeable Summaries): an item absent
+    * from one side contributes that side's `absentFloor` to both its
+    * count and its error — summing with 0 instead would UNDERCOUNT
+    * items evicted from one partial (est ≥ true breaks, and a true
+    * heavy hitter split across partials can be truncated away).
+    * Union is then cut back to capacity by count. */
   def merge(other: SpaceSaving): SpaceSaving = {
-    if (other.counts.nonEmpty) {
+    if (other.counts.nonEmpty || counts.nonEmpty) {
+      val floorA = absentFloor
+      val floorB = other.absentFloor
       val union = mutable.HashMap.empty[String, (Long, Long)]
-      union ++= counts
+      counts.foreach { case (item, (c, e)) =>
+        other.counts.get(item) match {
+          case Some((c2, e2)) => union(item) = (c + c2, e + e2)
+          case None => union(item) = (c + floorB, e + floorB)
+        }
+      }
       other.counts.foreach { case (item, (c, e)) =>
-        val (c0, e0) = union.getOrElse(item, (0L, 0L))
-        union(item) = (c0 + c, e0 + e)
+        if (!counts.contains(item)) union(item) = (c + floorA, e + floorA)
       }
       val kept = union.toSeq.sortBy { case (item, (c, _)) => (-c, item) }.take(capacity)
       counts.clear(); buckets.clear()

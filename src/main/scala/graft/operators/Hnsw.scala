@@ -296,10 +296,16 @@ object Hnsw {
   def appendBatch(graphs: DataFrame, batch: DataFrame,
       idCol: String, vecCol: String): DataFrame = {
     val spark = graphs.sparkSession
-    val parts = graphs.select(max(col("part_id"))).head.getInt(0) + 1
+    // route into the EXISTING part ids, not [0, max): buildPartitioned
+    // emits no row for an empty partition, so the id space can have
+    // holes — hashing into a hole would left_outer-drop those adds
+    // silently (vectors never inserted, never searchable)
+    val pids = graphs.select(col("part_id")).collect().map(_.getInt(0)).sorted
+    require(pids.nonEmpty, "appendBatch needs at least one existing partition graph")
     val assigned = batch
       .select(col(idCol).cast("long").as("__aid"), col(vecCol).cast("array<double>").as("__avec"))
-      .withColumn("part_id", pmod(hash(col("__aid")), lit(parts)))
+      .withColumn("part_id",
+        element_at(typedLit(pids.toSeq), (pmod(hash(col("__aid")), lit(pids.length)) + 1).cast("int")))
       .groupBy(col("part_id"))
       .agg(collect_list(struct(col("__aid"), col("__avec"))).as("adds"))
     val mergedRdd = graphs.join(assigned, Seq("part_id"), "left_outer")

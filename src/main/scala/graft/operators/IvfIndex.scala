@@ -83,6 +83,13 @@ object IvfIndex {
     * distinct. */
   def assignSpill(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, spill: Int): DataFrame = {
+    // the primary/spare probe-dedup predicate is exact only with ONE
+    // spare copy: at spill ≥ 3, a probe covering several spare cells
+    // but not the primary would keep every spare (duplicate ids in
+    // top-k). Generalizing needs each row to carry the full ranked
+    // cell list; bound the API until something needs that.
+    require(spill >= 1 && spill <= 2,
+      s"spill must be 1 or 2 (got $spill): probe dedup is primary/spare")
     val w = Window.partitionBy(col(idCol)).orderBy(col("cdist"), col("centroid_id"))
     corpus
       .crossJoin(broadcast(centroids))

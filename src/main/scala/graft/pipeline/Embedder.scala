@@ -62,7 +62,11 @@ final case class Word2VecEmbedder(model: org.apache.spark.ml.feature.Word2VecMod
   override def dims: Int = model.getVectorSize
 
   override def embed(df: DataFrame, toksCol: String, outCol: String): DataFrame = {
-    val raw = model.setInputCol(toksCol).setOutputCol("__w2v_raw").transform(df)
+    // per-call copy: mutating the shared model's in/out params would
+    // race when two jobs embed different columns concurrently
+    val m = model.copy(org.apache.spark.ml.param.ParamMap.empty)
+      .setInputCol(toksCol).setOutputCol("__w2v_raw")
+    val raw = m.transform(df)
     raw
       .withColumn("__w2v_arr",
         org.apache.spark.ml.functions.vector_to_array(col("__w2v_raw"), "float64"))

@@ -192,6 +192,9 @@ object Ingest {
       maxLen: Int = 120, lookback: Int = 30,
       punct: String = ReferencePunct,
       embedder: Embedder = null): DataFrame = {
+    // null sentinel: the natural default FeatureHashEmbedder(dims)
+    // would couple two defaults across one parameter list; resolve it
+    // here so `dims` keeps meaning "the default embedder's width"
     val emb = Option(embedder).getOrElse(FeatureHashEmbedder(dims))
     val carried = (Seq(idCol, textCol, fileCol) ++ pageCol).distinct
     val chunks = chunk(

@@ -105,6 +105,30 @@ class HnswSpec extends SparkSpec {
     assert(Hnsw.search(merged, oldVec, 1).collect().head.getLong(0) == 11L)
   }
 
+  test("appendBatch routes into EXISTING part ids (hole-y id space loses nothing)") {
+    import spark.implicits._
+    // 5 vectors into 8 partitions → empty partitions emit no graph
+    // row, so part ids have holes; every appended vector must still
+    // land in SOME existing graph and be findable
+    val tiny = emb.limit(5)
+    val graphs = Hnsw.buildPartitioned(tiny, "vec_id", "embedding", parts = 8)
+      .localCheckpoint()
+    assert(graphs.count() < 8, "fixture must produce a hole-y part-id space")
+    val adds = emb.limit(40)
+      .select((col("vec_id") + 600000L).as("vec_id"), col("embedding"))
+    val merged = Hnsw.appendBatch(graphs, adds, "vec_id", "embedding")
+      .localCheckpoint()
+    assert(merged.count() == graphs.count()) // no new graph rows, none lost
+    // every appended vector is findable at distance 0
+    val probes = adds.select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect()
+    for (p <- probes.take(10)) {
+      val hits = Hnsw.search(merged, p.getSeq[Double](1).toArray, 5).collect()
+      assert(hits.exists(h => h.getLong(0) == p.getLong(0) && h.getDouble(1) == 0.0),
+        s"appended vector ${p.getLong(0)} not findable")
+    }
+  }
+
   test("streamAppend maintains a persisted graph store through the atomic swap") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -135,6 +135,13 @@ class IvfIndexSpec extends SparkSpec {
     assert(searched.distinct == searched)
   }
 
+  test("spill outside [1,2] is rejected (dedup predicate is primary/spare)") {
+    val (_, centroids) = IvfIndex.buildIndex(emb, "vec_id", "embedding", nlist = 4)
+    intercept[IllegalArgumentException] {
+      IvfIndex.assignSpill(emb, "vec_id", "embedding", centroids, spill = 3)
+    }
+  }
+
   test("spilled search returns distinct ids and full probe equals exact") {
     val (indexed, centroids) = IvfIndex.buildIndex(
       emb, "vec_id", "embedding", nlist = 8, spill = 2)

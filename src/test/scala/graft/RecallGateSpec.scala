@@ -253,6 +253,33 @@ class RecallGateSpec extends SparkSpec {
     assert(overlap >= 9, s"top-10 set drifted: $gotTop10 vs $exactTop10")
   }
 
+  test("SpaceSaving merge with eviction keeps est ≥ true (absent-side floor, not 0)") {
+    // tiny capacity forces eviction INSIDE each partial: a heavy item
+    // split across partials and evicted from one must not be
+    // undercounted by the merge (the absent side contributes its
+    // minimum-count floor, per Mergeable Summaries)
+    val rnd = new scala.util.Random(23)
+    // zipfish stream over 40 items, heavy mass on items 0-3
+    val stream = Array.fill(20000)(s"w${math.min(39, math.abs(rnd.nextGaussian() * 8).toInt)}")
+    val truth = stream.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val parts = stream.grouped(2500).map { chunk =>
+      val s = new graft.functions.SpaceSaving(16); chunk.foreach(s.update); s
+    }.toSeq
+    val merged = parts.reduce(_ merge _)
+    assert(merged.n == stream.length)
+    for ((item, est, err) <- merged.topK(16)) {
+      val t = truth.getOrElse(item, 0L)
+      assert(est >= t, s"undercount after merge for $item: est=$est true=$t")
+      assert(est - t <= err, s"err bound broken for $item: est=$est true=$t err=$err")
+    }
+    // presence guarantee: every item above n/capacity must be reported
+    val floor = stream.length / 16
+    val reported = merged.topK(16).map(_._1).toSet
+    truth.filter(_._2 > floor).keys.foreach { hh =>
+      assert(reported.contains(hh), s"heavy hitter $hh (count ${truth(hh)}) missing")
+    }
+  }
+
   test("events_approx_distinct: relative error vs exact distinct ≤ 3×rsd") {
     val approx = SparkEntry.queries("events_approx_distinct")(spark, Sf)
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
