@@ -320,7 +320,60 @@ object AnalyticsQueries {
         col("value"))
       .orderBy(col("event_type"), col("p"))
 
+  // ------------------------------------------------------- anomaly flags
+  /** Per-type z-score outliers (monitoring's bread-and-butter over an
+    * event stream). Moments come from INTEGER-quantized values
+    * (floor(v) as BIGINT, the histogram sketch's binning): integer
+    * sums are order-independent and — at any sum below 2^53 — cast to
+    * double identically in both engines, so mean/variance and the
+    * z-scores are bit-exact without rounding, where double
+    * stddev_samp would drift with accumulation order. (A finer 2^24
+    * fixed point would overflow BIGINT in sum(q²); unit-bins keep
+    * sums exact to ~10^12 rows.) One map-side-combined aggregate
+    * broadcast back over the scan; no window, no sort until the
+    * presentation ORDER BY. */
+  private def anomaly(s: SparkSession, d: String): DataFrame = {
+    val q = floor(col("value")).cast("long")
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"), col("value"), q.as("q"))
+    val stats = ev.groupBy(col("event_type")).agg(
+      count(lit(1)).as("n"), sum(col("q")).as("sq"),
+      sum(col("q") * col("q")).as("sqq"))
+    val mu = col("sq").cast("double") / col("n").cast("double")
+    val varq = col("sqq").cast("double") / col("n").cast("double") - mu * mu
+    val z = (col("q").cast("double") - mu) / sqrt(varq)
+    ev.join(broadcast(stats), "event_type")
+      .filter(col("n") >= 30 && varq > 0.0)
+      .select(col("event_id"), col("event_type"), col("value"), z.as("zscore"))
+      .filter(abs(col("zscore")) > 3.0)
+      .orderBy(col("event_id"))
+  }
+
+  private val anomalySql = """
+    WITH ev AS (
+      SELECT event_id, event_type, value,
+             CAST(floor(value) AS BIGINT) AS q
+      FROM events),
+    st AS (
+      SELECT event_type, count(*) AS n, sum(q) AS sq, sum(q * q) AS sqq
+      FROM ev GROUP BY event_type),
+    z AS (
+      SELECT e.event_id, e.event_type, e.value,
+             (CAST(e.q AS DOUBLE) - CAST(s.sq AS DOUBLE) / CAST(s.n AS DOUBLE))
+               / sqrt(CAST(s.sqq AS DOUBLE) / CAST(s.n AS DOUBLE)
+                      - (CAST(s.sq AS DOUBLE) / CAST(s.n AS DOUBLE))
+                        * (CAST(s.sq AS DOUBLE) / CAST(s.n AS DOUBLE))) AS zscore
+      FROM ev e JOIN st s USING (event_type)
+      WHERE s.n >= 30
+        AND CAST(s.sqq AS DOUBLE) / CAST(s.n AS DOUBLE)
+            - (CAST(s.sq AS DOUBLE) / CAST(s.n AS DOUBLE))
+              * (CAST(s.sq AS DOUBLE) / CAST(s.n AS DOUBLE)) > 0.0)
+    SELECT event_id, event_type, value, zscore
+    FROM z WHERE abs(zscore) > 3.0
+    ORDER BY event_id"""
+
   val defs: Map[String, QueryDef] = Map(
+    "events_anomaly"     -> QueryDef(anomaly _, anomalySql),
     "events_funnel"      -> QueryDef(funnel _, funnelSql),
     "events_quantiles_sketch" -> QueryDef(quantilesSketch _, None),
     "events_quantiles_hist" -> QueryDef(quantilesHist _, quantilesHistSql),
