@@ -1,19 +1,27 @@
 package graft.operators
 
 import graft.functions.VectorFunctions._
-import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** IVF (inverted-file) approximate nearest neighbor — the 100 TB scale
   * path for the reference's `ORDER BY embedding <-> q LIMIT k`
   * (SURVEY.md §4).
   *
-  * Build: Lloyd's k-means expressed purely as DataFrame ops —
-  * assignment is a broadcast join + per-vector argmin window, the
-  * centroid update is a posexplode + groupBy(cell, pos) average. No
-  * driver-side collect of the corpus; only the nlist centroid rows
-  * ever concentrate.
+  * Build: Lloyd's k-means expressed purely as DataFrame ops. The
+  * assignment step is SHUFFLE-FREE (VERDICT r5 #1): the nlist
+  * centroids are collapsed to a single broadcast row holding the
+  * whole centroid table as an array, and each corpus row computes its
+  * ranked nearest cells locally with array higher-order functions —
+  * O(nlist·dims) arithmetic per row, zero exchanged rows. (The
+  * previous shape — crossJoin to N×nlist rows + a per-id argmin
+  * window — shuffled nlist× the corpus volume; with the standard
+  * nlist ≈ √N sizing at 100 TB that is a 1000×-volume exchange.)
+  * The centroid update is a posexplode + groupBy(cell, pos) average:
+  * partial aggregation reduces map output to partitions×nlist×dims
+  * rows before the only shuffle in the loop. Each round's centroids
+  * are materialized through the [[Materializer]] so deep trainings
+  * (iters ≫ 2) never accumulate lineage.
   *
   * Search: the query ranks the nlist centroids (broadcast, tiny),
   * probes the nprobe nearest cells, and scans only those — at scale
@@ -28,10 +36,108 @@ import org.apache.spark.sql.functions._
   */
 object IvfIndex {
 
-  /** (centroid_id, centroid) frame after `iters` Lloyd rounds. */
+  /** Upper bound on `spill` (multi-assignment copies per vector). The
+    * optimizer-injected probe dedup predicate
+    * ([[graft.plans.IvfProbeRule]]) is a static conjunction with one
+    * term per possible rank below this bound, so the bound must be a
+    * compile-time constant — 8 is far past the useful spill range
+    * (storage and candidate volume scale linearly with spill). */
+  val MaxSpill = 8
+
+  /** Collapse the (tiny) centroid frame to ONE broadcast row holding
+    * the full centroid table as a sorted array of structs — the
+    * carrier that lets every corpus row rank cells locally. */
+  private def centroidArray(centroids: DataFrame): DataFrame =
+    centroids
+      .groupBy()
+      .agg(array_sort(collect_list(struct(col("centroid_id"), col("centroid"))))
+        .as("__cents"))
+
+  /** Add `outCol` = the `spill` nearest centroid ids (ranked, ties on
+    * centroid id) to every row — no shuffle, no window: a broadcast
+    * nested-loop join against the ONE centroid-array row, then a
+    * per-row sort of (distance, id) structs. */
+  private def rankedWith(
+      df: DataFrame, vecCol: String, centroids: DataFrame, spill: Int,
+      outCol: String, distance: (Column, Column) => Column): DataFrame =
+    df.crossJoin(broadcast(centroidArray(centroids)))
+      .withColumn(outCol,
+        slice(
+          transform(
+            array_sort(transform(col("__cents"), c =>
+              struct(
+                distance(col(vecCol), c.getField("centroid")).as("d"),
+                c.getField("centroid_id").as("cid")))),
+            x => x.getField("cid")),
+          1, spill))
+      .drop("__cents")
+
+  /** Corpus + `cells` (array of the `spill` nearest centroid ids,
+    * rank order, L2 metric — the k-means bucketing metric). */
+  def rankedCells(corpus: DataFrame, vecCol: String,
+      centroids: DataFrame, spill: Int): DataFrame =
+    rankedWith(corpus, vecCol, centroids, spill, "cells", l2Distance)
+
+  /** (idCol, centroid_id) nearest-centroid assignment — shuffle-free. */
+  def assign(corpus: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame =
+    rankedWith(corpus.select(col(idCol), col(vecCol)), vecCol, centroids, 1,
+        "__rc", l2Distance)
+      .select(col(idCol), element_at(col("__rc"), 1).as("centroid_id"))
+
+  /** Corpus rows with their cell assignment attached — the store
+    * layout, no join (every output column is computed in place):
+    *
+    *  - spill = 1: `centroid_id` only (classic single-copy layout).
+    *  - spill ≥ 2 (SOAR-style multi-assignment): one row per (vector,
+    *    rank) with `centroid_id` = the rank's cell, `cell_rank`
+    *    (1-based) and `cells` = the vector's full ranked cell list.
+    *    The spare copies buy boundary recall at exactly spill× storage
+    *    and candidate volume, and `cells`/`cell_rank` make probe-time
+    *    DEDUP a per-row predicate: a copy survives a probe iff NONE of
+    *    its better-ranked cells was probed (its own cell was — it came
+    *    from the probed scan), which selects exactly one copy per
+    *    vector for ANY spill — no shuffle, no distinct.
+    *
+    * RAW-SCAN CONTRACT: a spilled store holds `spill` rows per vector.
+    * Every reader must either apply the probe dedup (the search
+    * helpers and [[graft.plans.IvfProbeRule]] do) or go through
+    * [[readStore]], which keeps only rank-1 copies. */
+  def assignCells(corpus: DataFrame, vecCol: String,
+      centroids: DataFrame, spill: Int): DataFrame = {
+    require(spill >= 1 && spill <= MaxSpill,
+      s"spill must be in [1, $MaxSpill] (got $spill)")
+    if (spill <= 1)
+      rankedWith(corpus, vecCol, centroids, 1, "__rc", l2Distance)
+        .withColumn("centroid_id", element_at(col("__rc"), 1))
+        .drop("__rc")
+    else
+      rankedWith(corpus, vecCol, centroids, spill, "cells", l2Distance)
+        .select(col("*"), posexplode(col("cells")).as(Seq("__rk", "centroid_id")))
+        .withColumn("cell_rank", (col("__rk") + 1).cast("int"))
+        .drop("__rk")
+  }
+
+  /** Spilled-store probe dedup as a per-row predicate: with `probed`
+    * the set of probed cells (array column), a copy survives iff no
+    * cell ranked BEFORE its own was probed — i.e. its cell is the
+    * first probed entry of the vector's ranked list, so exactly one
+    * copy per vector survives, for any spill. Null rank (rows appended
+    * by a spill-1 [[streamAssign]] into a spilled store) counts as
+    * rank 1. */
+  private def spillSurvives(probed: Column): Column =
+    col("cell_rank").isNull ||
+      !exists(slice(col("cells"), lit(1), col("cell_rank") - lit(1)),
+        c => array_contains(probed, c))
+
+  /** (centroid_id, centroid) frame after `iters` Lloyd rounds. Each
+    * round: shuffle-free assignment ([[rankedCells]]), then ONE
+    * map-side-combined aggregation for the means; the round's nlist
+    * output rows are materialized (lineage cut) before the next. */
   def trainCentroids(
       corpus: DataFrame, idCol: String, vecCol: String,
-      nlist: Int, iters: Int): DataFrame = {
+      nlist: Int, iters: Int,
+      mat: Materializer = Materializer.local()): DataFrame = {
     // init = the nlist smallest-id vectors. Only nlist rows survive the
     // limit, so numbering them via one global collect_list aggregate is
     // O(nlist) and avoids a partition-less global window (which funnels
@@ -43,98 +149,70 @@ object IvfIndex {
       .agg(array_sort(collect_list(struct(col("__init_id"), col("centroid")))).as("arr"))
       .select(posexplode(col("arr")).as(Seq("centroid_id", "x")))
       .select(col("centroid_id"), col("x.centroid").as("centroid"))
-    for (_ <- 0 until iters) {
-      val assigned = assign(corpus, idCol, vecCol, centroids)
-      centroids = corpus
-        .join(assigned, idCol)
-        .select(col("centroid_id"), posexplode(asDouble(col(vecCol))).as(Seq("pos", "v")))
-        .groupBy(col("centroid_id"), col("pos"))
-        .agg(avg(col("v")).as("m"))
-        .groupBy(col("centroid_id"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
-        .select(col("centroid_id"),
-          transform(col("pm"), x => x.getField("m")).as("centroid"))
+    var owned: DataFrame = null
+    for (i <- 0 until iters) {
+      val next = mat.mat(
+        rankedWith(corpus.select(col(vecCol)), vecCol, centroids, 1,
+            "__rc", l2Distance)
+          .select(element_at(col("__rc"), 1).as("centroid_id"),
+            posexplode(asDouble(col(vecCol))).as(Seq("pos", "v")))
+          .groupBy(col("centroid_id"), col("pos"))
+          .agg(avg(col("v")).as("m"))
+          .groupBy(col("centroid_id"))
+          .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+          .select(col("centroid_id"),
+            transform(col("pm"), x => x.getField("m")).as("centroid")),
+        s"lloyd-$i")
+      if (owned != null) mat.release(owned) // next is materialized; prev blocks free
+      owned = next
+      centroids = next
     }
-    centroids
+    if (iters <= 0) mat.mat(centroids, "lloyd-init") else centroids
   }
 
-  /** (idCol, centroid_id) nearest-centroid assignment. */
-  def assign(corpus: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col(idCol)).orderBy(col("cdist"), col("centroid_id"))
-    corpus
-      .crossJoin(broadcast(centroids))
-      .select(col(idCol), col("centroid_id"),
-        l2Distance(col(vecCol), col("centroid")).as("cdist"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col(idCol), col("centroid_id"))
-  }
-
-  /** Spilled (SOAR-style) multi-assignment: each vector lands in its
-    * `spill` nearest cells, and every row carries `primary_cell` (the
-    * rank-1 cell). The spare copies buy boundary recall — the chance
-    * that SOME stored copy of a true neighbor sits in a probed cell
-    * grows with spill — at exactly `spill`× storage and candidate
-    * volume. `primary_cell` is what makes probe-time DEDUP free: a
-    * probe keeps a row iff its cell is probed AND (it is the primary
-    * row OR the primary cell was NOT probed), which selects exactly
-    * one copy per vector as a per-row predicate — no shuffle, no
-    * distinct. */
-  def assignSpill(corpus: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame, spill: Int): DataFrame = {
-    // the primary/spare probe-dedup predicate is exact only with ONE
-    // spare copy: at spill ≥ 3, a probe covering several spare cells
-    // but not the primary would keep every spare (duplicate ids in
-    // top-k). Generalizing needs each row to carry the full ranked
-    // cell list; bound the API until something needs that.
-    require(spill >= 1 && spill <= 2,
-      s"spill must be 1 or 2 (got $spill): probe dedup is primary/spare")
-    val w = Window.partitionBy(col(idCol)).orderBy(col("cdist"), col("centroid_id"))
-    corpus
-      .crossJoin(broadcast(centroids))
-      .select(col(idCol), col("centroid_id"),
-        l2Distance(col(vecCol), col("centroid")).as("cdist"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= spill)
-      .withColumn("primary_cell",
-        first(col("centroid_id")).over(w)) // frame ends at current row → rank-1 cell
-      .select(col(idCol), col("centroid_id"), col("primary_cell"))
-  }
-
-  /** Corpus + centroid_id (+ `primary_cell` when spill > 1), ready to
-    * write partitioned by cell. `spill` > 1 stores each vector in its
-    * spill nearest cells for boundary recall (see [[assignSpill]]);
-    * the default 1 keeps the classic single-copy layout. */
+  /** Corpus + cell assignment (+ `cells`/`cell_rank` when spill > 1),
+    * ready to write partitioned by cell ([[assignCells]] documents the
+    * layout and the raw-scan contract). */
   def buildIndex(corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int, iters: Int = 2, trainFraction: Double = 0.25,
       mat: Materializer = Materializer.local(), spill: Int = 1): (DataFrame, DataFrame) = {
     // standard IVF recipe: train centroids on a sample (quantizer
     // quality needs ~100s of points per cell, not the corpus), then
-    // assign everything; materialize the nlist centroid rows once —
-    // otherwise every downstream action replays the Lloyd's lineage.
-    // Materializer.parquet makes the build restartable (VERDICT r1 #3/#4)
+    // assign everything; trainCentroids materializes the nlist centroid
+    // rows per round — otherwise every downstream action replays the
+    // Lloyd's lineage. Materializer.parquet makes the build restartable
+    // (VERDICT r1 #3/#4).
     val train =
       if (trainFraction >= 1.0) corpus
       else corpus.sample(withReplacement = false, trainFraction, seed = 42)
-    val centroids = mat.mat(trainCentroids(train, idCol, vecCol, nlist, iters), "ivf-centroids")
-    val assigned =
-      if (spill <= 1) assign(corpus, idCol, vecCol, centroids)
-      else assignSpill(corpus, idCol, vecCol, centroids, spill)
-    (corpus.join(assigned, idCol), centroids)
+    val centroids = trainCentroids(train, idCol, vecCol, nlist, iters, mat)
+    (assignCells(corpus, vecCol, centroids, spill), centroids)
   }
 
   /** Persist the index partitioned by cell so probes prune partitions. */
   def writePartitioned(indexed: DataFrame, path: String): Unit =
     indexed.write.mode("overwrite").partitionBy("centroid_id").parquet(path)
 
+  /** Duplicate-free view of a persisted store: a spilled store holds
+    * `spill` rows per vector (see [[assignCells]]), and a raw
+    * `spark.read.parquet` exposes them all — correct ONLY under the
+    * probe dedup predicate. This is the external-consumer entry point:
+    * it keeps each vector's rank-1 (primary) copy, a pure per-row
+    * filter, no shuffle. Single-copy stores pass through unchanged. */
+  def readStore(spark: SparkSession, path: String): DataFrame = {
+    val raw = spark.read.parquet(path)
+    if (!raw.columns.contains("cell_rank")) raw
+    else raw.filter(col("cell_rank").isNull || col("cell_rank") === 1)
+  }
+
   /** Per-cell bounding radius — index statistics for SOUND range-query
     * cell pruning: dist(q, member) ≥ dist(q, centroid) − radius by the
     * triangle inequality, so a cell with dist(q,c) − radius > τ
     * provably holds no point within τ of the query and can be skipped
     * without changing results (unlike nprobe knn probing, which is
-    * approximate by construction). One aggregation at build time;
-    * KB-scale output. */
+    * approximate by construction). Spare copies are included — any
+    * stored row of the cell must be bounded. One aggregation at build
+    * time; KB-scale output. */
   def cellRadii(indexed: DataFrame, vecCol: String, centroids: DataFrame): DataFrame =
     indexed.join(broadcast(centroids), "centroid_id")
       .groupBy(col("centroid_id"))
@@ -167,10 +245,7 @@ object IvfIndex {
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          val assigned =
-            if (spill <= 1) assign(batch, idCol, vecCol, centroids)
-            else assignSpill(batch, idCol, vecCol, centroids, spill)
-          batch.join(assigned, idCol)
+          assignCells(batch, vecCol, centroids, spill)
             .write.mode("append").partitionBy("centroid_id").parquet(path)
           graft.plans.IvfCatalog.invalidate(path)
         }
@@ -182,9 +257,9 @@ object IvfIndex {
     * corpus — the scale path where even one corpus scan per query is
     * too much.
     *
-    * Shape: each query ranks the broadcast centroids and keeps its
-    * nprobe cells (a window over queries × nlist rows — query-side
-    * work only); the candidate set is then the CELL-BUCKET JOIN of
+    * Shape: each query ranks the broadcast centroids LOCALLY
+    * ([[rankedWith]] — no window even on the query side) and keeps its
+    * nprobe cells; the candidate set is then the CELL-BUCKET JOIN of
     * (query, cell) pairs with the corpus on `centroid_id`, never a
     * full cross. Candidate volume is queries × nprobe × (N/nlist)
     * versus the brute-force queries × N — an nlist/nprobe reduction —
@@ -209,31 +284,21 @@ object IvfIndex {
       centroids: DataFrame, queries: DataFrame, qIdCol: String, qVecCol: String,
       distance: (Column, Column) => Column, k: Int, nprobe: Int,
       excludeSelf: Boolean = false): DataFrame = {
-    val w = Window.partitionBy(col(qIdCol)).orderBy(col("cdist"), col("centroid_id"))
-    val probes = queries
-      .crossJoin(broadcast(centroids))
-      .select(col(qIdCol), col(qVecCol), col("centroid_id"),
-        distance(col(qVecCol), col("centroid")).as("cdist"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= nprobe)
-      .select(col(qIdCol), col(qVecCol), col("centroid_id"))
+    // each probe row carries its query's FULL probed-cell list
+    // (`__qcells`) so the spilled-store dedup below stays a per-row
+    // predicate — no distinct, no second join
+    val probes = rankedWith(
+        queries.select(col(qIdCol), col(qVecCol)), qVecCol, centroids, nprobe,
+        "__qcells", distance)
+      .select(col(qIdCol), col(qVecCol), col("__qcells"),
+        explode(col("__qcells")).as("centroid_id"))
     val joined = indexed.join(broadcast(probes), Seq("centroid_id"))
     // spilled-store dedup (one surviving copy per (query, vector)): a
-    // copy survives iff it is the primary row, or ITS query did not
-    // probe the primary cell. Pure broadcast-join + per-row predicate.
+    // copy survives iff none of its better-ranked cells was probed BY
+    // ITS QUERY (see [[assignCells]]) — pure per-row predicate
     val candidates =
-      if (!indexed.columns.contains("primary_cell")) joined
-      else {
-        val mark = probes.select(col(qIdCol).as("__mqid"),
-          col("centroid_id").as("__probed_pc")).distinct()
-        joined
-          .join(broadcast(mark),
-            col(qIdCol) === col("__mqid") &&
-              col("primary_cell") === col("__probed_pc"), "left_outer")
-          .filter(col("primary_cell").isNull ||
-            col("centroid_id") === col("primary_cell") || col("__probed_pc").isNull)
-          .drop("__mqid", "__probed_pc")
-      }
+      if (!indexed.columns.contains("cell_rank")) joined
+      else joined.filter(spillSurvives(col("__qcells")))
     (if (excludeSelf) candidates.filter(col(idCol) =!= col(qIdCol)) else candidates)
       .groupBy(col(qIdCol))
       .agg(graft.functions.TopKAggregate.topK(
@@ -264,16 +329,15 @@ object IvfIndex {
       // broadcast semi-join on the probed cell ids: with a
       // cell-partitioned store this is partition pruning at the source
       .join(broadcast(probed), Seq("centroid_id"), "left_semi")
-    // spilled-store dedup: keep the primary row, or a spare whose
-    // primary cell was not probed (see [[assignSpill]]) — a per-row
-    // predicate via one more broadcast of the nprobe-row cell list
-    if (!indexed.columns.contains("primary_cell")) scanned
+    // spilled-store dedup: a copy survives iff none of its
+    // better-ranked cells was probed (see [[assignCells]]) — a per-row
+    // predicate against the ONE-row probed-cell array
+    if (!indexed.columns.contains("cell_rank")) scanned
     else scanned
-      .join(broadcast(probed.withColumnRenamed("centroid_id", "__probed_pc")),
-        col("primary_cell") === col("__probed_pc"), "left_outer")
-      .filter(col("primary_cell").isNull ||
-        col("centroid_id") === col("primary_cell") || col("__probed_pc").isNull)
-      .drop("__probed_pc")
+      .crossJoin(broadcast(
+        probed.groupBy().agg(collect_list(col("centroid_id")).as("__probed"))))
+      .filter(spillSurvives(col("__probed")))
+      .drop("__probed")
   }
 
   /** Probe search: scan only the nprobe cells nearest to the query. */

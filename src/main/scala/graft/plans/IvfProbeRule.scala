@@ -2,7 +2,7 @@ package graft.plans
 
 import graft.functions.{VectorDistance, VectorDistanceExpr}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, EqualTo, Expression, In, IsNull, Literal, NamedExpression, Not, Or, UnaryMinus}
+import org.apache.spark.sql.catalyst.expressions.{Alias, And, Attribute, AttributeReference, ElementAt, EqualTo, Expression, In, IsNull, LessThanOrEqual, Literal, NamedExpression, Not, Or, UnaryMinus}
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.catalyst.util.ArrayData
@@ -394,7 +394,7 @@ final class IvfProbeRule(session: SparkSession) extends Rule[LogicalPlan] {
     def metaAttr(e: Expression): Boolean = e match {
       case a: AttributeReference =>
         lr.outputSet.contains(a) && a.name != vecCol &&
-          a.name != "centroid_id" && a.name != "primary_cell"
+          a.name != "centroid_id" && a.name != "cells" && a.name != "cell_rank"
       case _ => false
     }
     plan.collect {
@@ -411,24 +411,34 @@ final class IvfProbeRule(session: SparkSession) extends Rule[LogicalPlan] {
   }
 
   /** The injected probe predicate. Over a SPILLED store (the scan
-    * carries `primary_cell`, [[graft.operators.IvfIndex.assignSpill]])
-    * the cell IN list alone would return duplicate rows for vectors
-    * with several copies in probed cells, so the predicate also picks
-    * exactly one copy per vector: the primary row, or — when the
-    * primary cell was not probed — the spare. A null primary (rows
-    * appended by a spill-1 [[graft.operators.IvfIndex.streamAssign]])
-    * counts as primary. Pure per-row conjunct: the IN half still
-    * prunes partitions; the dedup half is a data filter at the scan. */
+    * carries `cells`/`cell_rank`, [[graft.operators.IvfIndex
+    * .assignCells]]) the cell IN list alone would return duplicate
+    * rows for vectors with several copies in probed cells, so the
+    * predicate also picks exactly one copy per vector: the copy whose
+    * cell is the FIRST probed entry of the vector's ranked cell list —
+    * i.e. no cell ranked before this copy's own is in the probe set.
+    * Spelled as a static conjunction over ranks j = 1..MaxSpill−1:
+    * `cell_rank ≤ j OR cells[j] ∉ probed` (the Or short-circuits
+    * before any out-of-range ElementAt, and ranks past the store's
+    * actual spill are vacuously true). A null rank (rows appended by a
+    * spill-1 [[graft.operators.IvfIndex.streamAssign]]) counts as
+    * rank 1. Pure per-row conjunct: the IN half still prunes
+    * partitions; the dedup half is a data filter at the scan. */
   private def probeCondition(cellAttr: Attribute, output: Seq[Attribute],
       cells: Seq[Int]): Expression = {
-    val inList = In(cellAttr, cells.map(Literal(_, IntegerType)))
-    output.find(_.name == "primary_cell") match {
-      case Some(pc) =>
-        And(inList,
-          Or(IsNull(pc),
-            Or(EqualTo(pc, cellAttr),
-              Not(In(pc, cells.map(Literal(_, IntegerType)))))))
-      case None => inList
+    val lits = cells.map(Literal(_, IntegerType))
+    val inList = In(cellAttr, lits)
+    (output.find(_.name == "cell_rank"), output.find(_.name == "cells")) match {
+      case (Some(rank), Some(ranked)) =>
+        val noBetterProbed = (1 until graft.operators.IvfIndex.MaxSpill)
+          .map { j =>
+            Or(LessThanOrEqual(rank, Literal(j, IntegerType)),
+              Not(In(ElementAt(ranked, Literal(j, IntegerType), None,
+                failOnError = false), lits))): Expression
+          }
+          .reduce(And(_, _))
+        And(inList, Or(IsNull(rank), noBetterProbed))
+      case _ => inList
     }
   }
 

@@ -87,7 +87,7 @@ object VectorQueries {
 
   // -------------------------------------------------------------- IVF ANN
   /** Shipped IVF operating point (r5): nlist 32, spill 2 (SOAR-style
-    * multi-assignment, [[IvfIndex.assignSpill]]), nprobe 6. On the
+    * multi-assignment, [[IvfIndex.assignCells]]), nprobe 6. On the
     * isotropic test corpus — the worst case for any partitioning
     * index — this measures mean recall@10 ≈ 0.83 over 20 queries
     * (tools/ProfileRecall) at a candidate fraction of
@@ -446,9 +446,10 @@ object VectorQueries {
     * re-use across JVMs is safe. (Dir name carries a layout version:
     * v2 added the radius column.) */
   private def ensureAutoStore(s: SparkSession, d: String): (String, String) = {
-    // v3: spilled (spill=2) layout with the primary_cell dedup column
+    // v4: spilled layout carries the ranked cells array + cell_rank
+    // (generalized dedup, any spill) instead of v3's primary_cell
     val base = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_ivf_auto_v3_${Integer.toHexString(d.hashCode)}")
+      s"graft_ivf_auto_v4_${Integer.toHexString(d.hashCode)}")
     val storeP = new java.io.File(base, "store").toString
     val centP = new java.io.File(base, "centroids").toString
     VectorQueries.synchronized {
@@ -560,7 +561,7 @@ object VectorQueries {
       // every machine — a cache hit would time a no-op (r2 reported
       // 0.19 s for what is really a ~3 s build)
       val base = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_ivf_auto_v3_${Integer.toHexString(d.hashCode)}")
+        s"graft_ivf_auto_v4_${Integer.toHexString(d.hashCode)}")
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
       }

@@ -86,24 +86,63 @@ class IvfIndexSpec extends SparkSpec {
     assert(indexed.select("vec_id").distinct().count() == emb.count())
   }
 
-  test("spill=2 stores each vector in 2 distinct cells; primary_cell is the rank-1 cell") {
+  test("spill=2 stores each vector in 2 distinct cells with ranked cells + cell_rank") {
     val (indexed, centroids) = IvfIndex.buildIndex(
       emb, "vec_id", "embedding", nlist = 8, spill = 2)
     assert(indexed.count() == 2 * emb.count())
-    // per vector: exactly 2 rows, 2 distinct cells, ONE primary row,
-    // and primary_cell is constant across the copies
+    // per vector: exactly 2 rows, 2 distinct cells, ranks {1,2}, the
+    // row's cell at its rank's slot of the shared ranked list
     val per = indexed.groupBy(col("vec_id")).agg(
       count(lit(1)).as("n"),
       countDistinct(col("centroid_id")).as("nc"),
-      countDistinct(col("primary_cell")).as("np"),
-      sum(when(col("centroid_id") === col("primary_cell"), 1).otherwise(0)).as("prim"))
-    assert(per.filter(col("n") =!= 2 || col("nc") =!= 2 ||
-      col("np") =!= 1 || col("prim") =!= 1).count() == 0)
-    // primary matches the single-assignment choice
+      countDistinct(col("cells")).as("ncl"),
+      sum(col("cell_rank")).as("rksum"),
+      sum(when(element_at(col("cells"), col("cell_rank")) === col("centroid_id"), 1)
+        .otherwise(0)).as("slotok"))
+    assert(per.filter(col("n") =!= 2 || col("nc") =!= 2 || col("ncl") =!= 1 ||
+      col("rksum") =!= 3 || col("slotok") =!= 2).count() == 0)
+    // rank-1 cell matches the single-assignment choice
     val single = IvfIndex.assign(emb, "vec_id", "embedding", centroids)
-    val joined = indexed.select(col("vec_id"), col("primary_cell")).distinct()
+    val joined = indexed.filter(col("cell_rank") === 1)
+      .select(col("vec_id"), col("centroid_id").as("primary"))
       .join(single.withColumnRenamed("centroid_id", "single_cell"), "vec_id")
-    assert(joined.filter(col("primary_cell") =!= col("single_cell")).count() == 0)
+    assert(joined.filter(col("primary") =!= col("single_cell")).count() == 0)
+  }
+
+  test("assignment is shuffle-free: no exchange, no window in the plan (VERDICT r5 #1)") {
+    val (_, centroids) = IvfIndex.buildIndex(emb, "vec_id", "embedding", nlist = 8)
+    val assigned = IvfIndex.assignCells(emb, "embedding", centroids, spill = 2)
+    assigned.collect() // finalize any adaptive plan before inspecting
+    val plan = assigned.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning") &&
+      !plan.contains("Exchange rangepartitioning"),
+      s"assignment shuffles:\n$plan")
+    assert(!plan.contains("Window"), s"assignment uses a per-id window:\n$plan")
+  }
+
+  test("iters=10 training stays lineage-bounded (materialized Lloyd rounds)") {
+    val small = emb.limit(400)
+    val t0 = System.nanoTime()
+    val centroids = IvfIndex.trainCentroids(small, "vec_id", "embedding",
+      nlist = 4, iters = 10)
+    assert(centroids.count() == 4)
+    // each round is checkpointed, so the returned frame's plan is a
+    // materialized scan — not 10 rounds of nested k-means lineage
+    val depth = centroids.queryExecution.optimizedPlan.collect { case p => p }.size
+    assert(depth <= 5, s"centroids plan not lineage-cut ($depth nodes)")
+    val secs = (System.nanoTime() - t0) / 1e9
+    assert(secs < 120.0, f"deep training took $secs%.1f s — lineage blowup?")
+  }
+
+  test("readStore exposes a duplicate-free view of a spilled store") {
+    val dir = java.nio.file.Files.createTempDirectory("ivfreadstore").toString
+    val (indexed, _) = IvfIndex.buildIndex(
+      emb, "vec_id", "embedding", nlist = 8, spill = 3)
+    IvfIndex.writePartitioned(indexed, s"$dir/store")
+    assert(spark.read.parquet(s"$dir/store").count() == 3 * emb.count())
+    val view = IvfIndex.readStore(spark, s"$dir/store")
+    assert(view.count() == emb.count())
+    assert(view.select("vec_id").distinct().count() == emb.count())
   }
 
   test("streamAssign spill=2 appends match the spilled store layout") {
@@ -127,7 +166,7 @@ class IvfIndexSpec extends SparkSpec {
     // so a probe over the mixed store dedups them identically
     val appended = stored.filter(col("vec_id") >= 900000L)
     assert(appended.count() == 10)
-    assert(appended.filter(col("primary_cell").isNull).count() == 0)
+    assert(appended.filter(col("cell_rank").isNull || col("cells").isNull).count() == 0)
     val searched = IvfIndex.search(stored, "vec_id", "embedding", centroids,
       emb.limit(1).select(col("embedding").as("qvec")),
       "qvec", graft.functions.VectorFunctions.l2Distance, k = 20, nprobe = 4)
@@ -135,26 +174,28 @@ class IvfIndexSpec extends SparkSpec {
     assert(searched.distinct == searched)
   }
 
-  test("spill outside [1,2] is rejected (dedup predicate is primary/spare)") {
+  test("spill above MaxSpill is rejected (dedup conjunction is statically bounded)") {
     val (_, centroids) = IvfIndex.buildIndex(emb, "vec_id", "embedding", nlist = 4)
     intercept[IllegalArgumentException] {
-      IvfIndex.assignSpill(emb, "vec_id", "embedding", centroids, spill = 3)
+      IvfIndex.assignCells(emb, "embedding", centroids, spill = IvfIndex.MaxSpill + 1)
     }
   }
 
-  test("spilled search returns distinct ids and full probe equals exact") {
-    val (indexed, centroids) = IvfIndex.buildIndex(
-      emb, "vec_id", "embedding", nlist = 8, spill = 2)
-    val partial = IvfIndex.search(indexed.filter(col("vec_id") =!= 0),
-      "vec_id", "embedding", centroids, query, "qvec", l2Distance, k = 10, nprobe = 3)
-      .collect().map(_.getLong(0)).toSeq
-    assert(partial.distinct == partial, "duplicate ids from spilled probe")
-    assert(partial.size == 10)
-    val full = IvfIndex.search(indexed.filter(col("vec_id") =!= 0),
-      "vec_id", "embedding", centroids, query, "qvec", l2Distance, k = 10, nprobe = 8)
-      .collect().map(_.getLong(0)).toSeq
-    val exact = Knn.topK(corpus, "vec_id", "embedding", query, "qvec", l2Distance, 10)
-      .collect().map(_.getLong(0)).toSeq
-    assert(full == exact)
+  test("spilled search returns distinct ids and full probe equals exact (spill 2 and 3)") {
+    for (spill <- Seq(2, 3)) {
+      val (indexed, centroids) = IvfIndex.buildIndex(
+        emb, "vec_id", "embedding", nlist = 8, spill = spill)
+      val partial = IvfIndex.search(indexed.filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", centroids, query, "qvec", l2Distance, k = 10, nprobe = 3)
+        .collect().map(_.getLong(0)).toSeq
+      assert(partial.distinct == partial, s"duplicate ids from spill=$spill probe")
+      assert(partial.size == 10)
+      val full = IvfIndex.search(indexed.filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", centroids, query, "qvec", l2Distance, k = 10, nprobe = 8)
+        .collect().map(_.getLong(0)).toSeq
+      val exact = Knn.topK(corpus, "vec_id", "embedding", query, "qvec", l2Distance, 10)
+        .collect().map(_.getLong(0)).toSeq
+      assert(full == exact, s"spill=$spill full probe diverged")
+    }
   }
 }

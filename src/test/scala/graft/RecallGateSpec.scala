@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
   *    with zero flake margin.
   *  - Recall floors at the shipped operating point (measured, then
   *    fixed with margin below). r5 operating point: nlist 32,
-  *    spill 2 (SOAR-style multi-assignment with primary_cell probe
+  *    spill 2 (SOAR-style multi-assignment with ranked-cells probe
   *    dedup), nprobe 6 — mean recall@10 ≈ 0.83 over 20 queries
   *    (tools/ProfileRecall) → floors 0.7. On a clustered real-world
   *    corpus the same machinery measures far higher; the floor is a
@@ -128,6 +128,22 @@ class RecallGateSpec extends SparkSpec {
     val r = recall(got, exact)
     info(f"vs_knn_filtered_auto recall@10 = $r%.2f at spill $Spill nprobe $Nprobe/$Nlist (label = 3)")
     assert(r >= 0.7, f"vs_knn_filtered_auto recall@10 $r%.2f below floor 0.7")
+  }
+
+  test("spill=3 raises the recall floor to 0.85 at the same nprobe (generalized dedup)") {
+    // VERDICT r5 #7: the ranked-cells layout supports any spill; the
+    // third copy pushes candidate fraction to 3·6/32 ≈ 0.56 on this
+    // isotropic corpus, which must clear 0.85 where spill 2 clears 0.7
+    val (indexed, centroids) = IvfIndex.buildIndex(
+      Tables.embeddings(spark, Sf), "vec_id", "embedding",
+      nlist = Nlist, spill = 3)
+    val got = ids(IvfIndex.search(indexed.filter(col("vec_id") =!= 0),
+      "vec_id", "embedding", centroids, queryVec, "qvec",
+      VectorFunctions.l2Distance, k = 10, nprobe = Nprobe))
+    assert(got.distinct == got, "spill=3 probe returned duplicate ids")
+    val r = recall(got, exactTopK(VectorFunctions.l2Distance, 10))
+    info(f"spill=3 recall@10 = $r%.2f at nprobe $Nprobe/$Nlist (candidate fraction ${3.0 * Nprobe / Nlist}%.2f)")
+    assert(r >= 0.85, f"spill=3 recall@10 $r%.2f below floor 0.85")
   }
 
   test("vs_ivf_batch: mean recall@5 floor vs brute-force batch") {
