@@ -7,14 +7,14 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing (SURVEY.md §2): media as opaque `binary`
   * columns with typed metadata, batch decode via mapPartitions.
   *
-  * The image/audio/video byte→pixels/samples decode is STUBBED (no
-  * media libs in this environment — [[DecodeStub]] is a deterministic
-  * fake). The PDF modality is decoded FOR REAL: [[decodePdfs]] runs
-  * [[Pdf.extractPages]] (the engine's own ISO 32000 parser) inside the
-  * same mapPartitions batch shape, so one modality exercises the whole
-  * binary-column path end-to-end with genuine bytes. The Spark-side
-  * mechanics are identical across modalities: typed schema,
-  * per-partition batch iteration, narrow one-pass execution.
+  * Two modalities decode FOR REAL: PDFs through [[decodePdfs]]
+  * ([[Pdf.extractPages]], the engine's own ISO 32000 parser) and
+  * images through [[decodeImages]] (`javax.imageio` — PNG/JPEG decode
+  * ships with the JDK, no external dependency; VERDICT r5 #4). Only
+  * the audio/video byte→samples decode is stubbed ([[DecodeStub]], a
+  * deterministic fake — no media libs in this environment). The
+  * Spark-side mechanics are identical across modalities: typed
+  * schema, per-partition batch iteration, narrow one-pass execution.
   */
 object Multimodal {
 
@@ -35,6 +35,81 @@ object Multimodal {
         PdfFeatures(m.doc_id, m.mime, pages.length.toLong,
           pages.map(_.length.toLong).sum,
           pages.headOption.getOrElse("").take(24))
+      }
+    }
+  }
+
+  /** REAL image codec over `javax.imageio` (JDK-native, zero added
+    * dependencies). [[Png.encode]] synthesizes a genuine PNG whose
+    * pixel channels follow a closed-form ramp — R = base+x,
+    * G = base+y, B = base+x+y, all < 256 for the bounded (w, h, base)
+    * domain — so per-channel pixel SUMS have exact integer formulas an
+    * SQL oracle can recompute without any image library:
+    * any encoder or decoder defect breaks the hash match. */
+  object Png {
+    def encode(width: Int, height: Int, base: Int): Array[Byte] = {
+      require(width >= 1 && height >= 1 && base >= 0 &&
+        base + width + height <= 256, "channel ramp must not wrap")
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          img.setRGB(x, y,
+            ((base + x) << 16) | ((base + y) << 8) | (base + x + y))
+          x += 1
+        }
+        y += 1
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+  }
+
+  /** (doc_id, image geometry) — the synthesis parameters each
+    * document's deterministic PNG is rendered from. */
+  final case class ImageSpec(doc_id: Long, width: Int, height: Int, base: Int)
+
+  /** Exact integer features from a REAL pixel decode: dimensions plus
+    * per-channel sums (PNG is lossless 8-bit RGB, so sums are
+    * bit-stable across encode→decode). */
+  final case class ImageFeatures(doc_id: Long, width: Long, height: Long,
+      n_px: Long, sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** Render each spec to real PNG bytes in-executor — narrow one-pass,
+    * the [[Pdf]] synthesis playbook. */
+  def synthesizeImages(specs: Dataset[ImageSpec])(
+      implicit spark: SparkSession): Dataset[MediaRecord] = {
+    import spark.implicits._
+    specs.mapPartitions(it => it.map(s =>
+      MediaRecord(s.doc_id, "image/png", Png.encode(s.width, s.height, s.base))))
+  }
+
+  /** REAL decoder for the image modality: `ImageIO.read` the binary
+    * column, walk the pixels, derive exact channel statistics. Same
+    * batch shape as [[decodePdfs]]. */
+  def decodeImages(media: Dataset[MediaRecord])(
+      implicit spark: SparkSession): Dataset[ImageFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.bytes))
+        require(img != null, s"undecodable image bytes for doc ${m.doc_id}")
+        val (w, h) = (img.getWidth, img.getHeight)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        ImageFeatures(m.doc_id, w.toLong, h.toLong, w.toLong * h, sr, sg, sb)
       }
     }
   }

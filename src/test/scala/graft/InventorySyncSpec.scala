@@ -22,8 +22,8 @@ class InventorySyncSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the documented outcome") {
-    assert(SparkEntry.queries.size == 82)
-    assert(SparkEntry.oracleSql.size == 70)
+    assert(SparkEntry.queries.size == 83)
+    assert(SparkEntry.oracleSql.size == 71)
   }
 
   test("every rows-only (non-oracled) query carries a gate in RecallGateSpec") {
