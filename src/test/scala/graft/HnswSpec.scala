@@ -59,6 +59,84 @@ class HnswSpec extends SparkSpec {
     graphs.unpersist()
   }
 
+  test("explicit blob format round-trips the graph exactly; garbage is rejected") {
+    val ix = new Hnsw.Index(8, 32)
+    val rnd = new scala.util.Random(7)
+    val vs = Array.tabulate(300)(i => (i.toLong, Array.fill(16)(rnd.nextGaussian())))
+    vs.foreach { case (id, v) => ix.insert(id, v) }
+    val back = Hnsw.deser(Hnsw.ser(ix))
+    assert(back.m == ix.m && back.efC == ix.efC)
+    assert(back.entry == ix.entry && back.maxLevel == ix.maxLevel)
+    assert(back.ids == ix.ids && back.nodeLevel == ix.nodeLevel)
+    assert(back.vecs.zip(ix.vecs).forall { case (a, b) => a.sameElements(b) })
+    assert(back.links.zip(ix.links).forall { case (a, b) =>
+      a.length == b.length && a.zip(b).forall { case (x, y) => x == y } })
+    // identical search behavior through the round-trip
+    val q = Array.fill(16)(rnd.nextGaussian())
+    assert(back.searchKnn(q, 10, 64) == ix.searchKnn(q, 10, 64))
+    // data-only decode: a non-graph payload fails the magic check
+    // instead of instantiating whatever the bytes claim to be
+    intercept[IllegalArgumentException] {
+      Hnsw.deser {
+        val bos = new java.io.ByteArrayOutputStream()
+        val o = new java.util.zip.DeflaterOutputStream(bos)
+        o.write(Array.fill[Byte](64)(42)); o.close(); bos.toByteArray
+      }
+    }
+  }
+
+  test("targetVectorsPerGraph sizes the build mechanically; recall gate unchanged") {
+    val corpus = emb.filter(col("vec_id") =!= 0)
+    val n = corpus.count()
+    // force ~8 vectors per graph: far more graphs than natural partitions
+    val graphs = Hnsw.buildPartitioned(corpus, "vec_id", "embedding",
+      m = 16, efC = 64, targetVectorsPerGraph = 64).cache()
+    val expected = (n + 63) / 64
+    assert(graphs.count() >= expected / 2 && graphs.count() <= expected,
+      s"got ${graphs.count()} graphs for $n vectors at target 64 (expected ~$expected)")
+    // the exact k·P merge keeps search correct however many graphs exist
+    val query = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head.getSeq[Double](0).toArray
+    val got = Hnsw.search(graphs, query, 10, ef = 96)
+      .collect().map(_.getLong(0)).toSeq
+    val exact = graft.operators.Knn.topK(corpus, "vec_id", "embedding",
+        emb.filter(col("vec_id") === 0).select(col("embedding").as("qvec")),
+        "qvec", graft.functions.VectorFunctions.l2Distance, 10)
+      .collect().map(_.getLong(0)).toSeq
+    val recall = (got.toSet & exact.toSet).size / 10.0
+    info(f"recall@10 with ~64-vector graphs = $recall%.2f")
+    assert(recall >= 0.9, s"tiny-graph recall $recall below 0.9")
+  }
+
+  test("recoverStore heals a torn swap before the next micro-batch") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("hnswrecover").toString
+    Hnsw.writeGraphs(
+      Hnsw.buildPartitioned(emb, "vec_id", "embedding", parts = 4), s"$dir/graphs")
+    val before = Hnsw.readGraphs(spark, s"$dir/graphs").count()
+    // simulate a crash between "rename aside" and "promote": no store
+    // directory, previous generation stranded at .old
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$dir/graphs"),
+      new org.apache.hadoop.fs.Path(s"$dir/graphs.old")))
+    // next micro-batch self-heals, then appends normally
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Double])]
+    val q = Hnsw.streamAppend(input.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", s"$dir/graphs", s"$dir/ckpt")
+    try {
+      input.addData(Seq((777777L, Seq.fill(64)(0.25))))
+      q.processAllAvailable()
+    } finally q.stop()
+    val healed = Hnsw.readGraphs(spark, s"$dir/graphs")
+    assert(healed.count() == before)
+    val hit = Hnsw.search(healed, Array.fill(64)(0.25), 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(hit.head == ((777777L, 0.0)), s"appended vector not found: ${hit.toSeq}")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$dir/graphs.old")))
+  }
+
   test("streaming HNSW serving answers each micro-batch like the batch search") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
