@@ -175,8 +175,10 @@ case class VectorDistanceExpr(left: Expression, right: Expression, mode: Int)
   * sf0.1 PDF corpus vs ~2.4 s without it). This expression is the
   * histogram loop any hand-written embedder would run —
   * O(|tokens| + dims) — with whole-stage codegen, and is
-  * semantics-identical including the empty-input case (zero counts →
-  * 0/0 = NaN elements, exactly what the HOF form produces).
+  * semantics-identical including the empty-input case: zero counts
+  * stay the ZERO vector (division skipped at norm 0), honoring the
+  * [[graft.pipeline.Embedder]] zero-safe contract, exactly like the
+  * HOF form's zero-safe l2Normalize.
   */
 case class FeatureHashEmbedExpr(child: Expression, dims: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression {
@@ -205,8 +207,10 @@ case class FeatureHashEmbedExpr(child: Expression, dims: Int)
     i = 0
     while (i < dims) { ss += counts(i) * counts(i); i += 1 }
     val norm = math.sqrt(ss)
-    i = 0
-    while (i < dims) { counts(i) /= norm; i += 1 } // norm 0 → NaN, HOF-identical
+    if (norm != 0.0) { // zero-safe: empty input embeds to the zero vector
+      i = 0
+      while (i < dims) { counts(i) /= norm; i += 1 }
+    }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(counts)
   }
 
@@ -228,7 +232,7 @@ case class FeatureHashEmbedExpr(child: Expression, dims: Int)
        double $ss = 0.0;
        for (int $i = 0; $i < $dims; $i++) $ss += $counts[$i] * $counts[$i];
        double $norm = java.lang.Math.sqrt($ss);
-       for (int $i = 0; $i < $dims; $i++) $counts[$i] /= $norm;
+       if ($norm != 0.0) for (int $i = 0; $i < $dims; $i++) $counts[$i] /= $norm;
        ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($counts);"""
     })
 

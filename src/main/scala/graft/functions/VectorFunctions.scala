@@ -90,6 +90,8 @@ object VectorFunctions {
   /** L2-normalize a vector to unit length (double elements). */
   def l2Normalize(a: Column): Column = {
     val n = norm(a)
-    transform(asDouble(a), x => x / n)
+    // zero-safe (the Embedder trait contract): the zero vector
+    // normalizes to itself, not to NaNs from 0/0
+    transform(asDouble(a), x => when(n === lit(0.0), x).otherwise(x / n))
   }
 }

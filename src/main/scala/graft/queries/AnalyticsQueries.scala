@@ -324,21 +324,27 @@ object AnalyticsQueries {
   /** Per-type z-score outliers (monitoring's bread-and-butter over an
     * event stream). Moments come from INTEGER-quantized values
     * (floor(v) as BIGINT, the histogram sketch's binning): integer
-    * sums are order-independent and — at any sum below 2^53 — cast to
-    * double identically in both engines, so mean/variance and the
-    * z-scores are bit-exact without rounding, where double
-    * stddev_samp would drift with accumulation order. (A finer 2^24
-    * fixed point would overflow BIGINT in sum(q²); unit-bins keep
-    * sums exact to ~10^12 rows.) One map-side-combined aggregate
-    * broadcast back over the scan; no window, no sort until the
-    * presentation ORDER BY. */
+    * sums are order-independent and cast to double identically in
+    * both engines, so mean/variance and the z-scores are bit-exact
+    * without rounding, where double stddev_samp would drift with
+    * accumulation order. The moments accumulate in WIDE integers —
+    * decimal(38,0) here, HUGEINT in the oracle — because Spark's
+    * sum over BIGINT wraps silently on overflow while DuckDB
+    * promotes: a single |value| ≳ 3.04e9 would make q² exceed
+    * Long.MaxValue and silently diverge the engines (ADVICE r5).
+    * Exact domain is now Σq² < 10^38 — e.g. 10^12 rows of
+    * |value| ≤ 3·10^12 — with the long quantization itself the
+    * remaining bound (|value| < 9.2e18). One map-side-combined
+    * aggregate broadcast back over the scan; no window, no sort
+    * until the presentation ORDER BY. */
   private def anomaly(s: SparkSession, d: String): DataFrame = {
     val q = floor(col("value")).cast("long")
     val ev = Tables.events(s, d)
       .select(col("event_id"), col("event_type"), col("value"), q.as("q"))
+    val qd = col("q").cast("decimal(19,0)") // decimal(19,0)² → decimal(38,0), never wraps
     val stats = ev.groupBy(col("event_type")).agg(
-      count(lit(1)).as("n"), sum(col("q")).as("sq"),
-      sum(col("q") * col("q")).as("sqq"))
+      count(lit(1)).as("n"), sum(qd).as("sq"),
+      sum(qd * qd).as("sqq"))
     val mu = col("sq").cast("double") / col("n").cast("double")
     val varq = col("sqq").cast("double") / col("n").cast("double") - mu * mu
     val z = (col("q").cast("double") - mu) / sqrt(varq)
@@ -355,7 +361,9 @@ object AnalyticsQueries {
              CAST(floor(value) AS BIGINT) AS q
       FROM events),
     st AS (
-      SELECT event_type, count(*) AS n, sum(q) AS sq, sum(q * q) AS sqq
+      -- HUGEINT moments: q*q over BIGINT would raise on |value| > ~3e9
+      SELECT event_type, count(*) AS n, sum(CAST(q AS HUGEINT)) AS sq,
+             sum(CAST(q AS HUGEINT) * q) AS sqq
       FROM ev GROUP BY event_type),
     z AS (
       SELECT e.event_id, e.event_type, e.value,

@@ -27,14 +27,20 @@ class EmbedderSpec extends SparkSpec {
     import org.apache.spark.sql.GraftSqlBridge.{toColumn, toExpression}
     val toks = graft.functions.TextFunctions.tokens(col("text"))
     val base = docs.select(col("text"))
-      .union(Seq("", "one").toDF("text")) // empty → all-NaN row in BOTH forms
+      .union(Seq("", "one").toDF("text"))
       .select(Ingest.tokenDimHashes(toks, 64).as("hs"))
+      // a genuinely token-free row ("" still split()s to [""]): the
+      // zero-safe contract makes it the ZERO vector in BOTH forms
+      .union(Seq(Seq.empty[Long]).toDF("hs"))
     val hof = base.select(Ingest.embedFromHashes(col("hs"), 64).as("e"))
       .collect().map(_.getSeq[Double](0))
     val fused = base.select(toColumn(
         graft.functions.FeatureHashEmbedExpr(toExpression(col("hs")), 64)).as("e"))
       .collect().map(_.getSeq[Double](0))
     assert(hof.length == fused.length)
+    // zero-safe contract: no NaN anywhere — empty inputs are zero vectors
+    assert(!fused.flatten.exists(_.isNaN), "NaN leaked from the fused embedder")
+    assert(fused.exists(_.forall(_ == 0.0)), "expected a zero-vector row for empty input")
     for ((a, b) <- hof.zip(fused)) {
       assert(a.length == b.length)
       for ((x, y) <- a.zip(b))
