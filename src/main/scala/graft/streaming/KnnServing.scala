@@ -66,6 +66,57 @@ object KnnServing {
       }
       .start()
 
+  /** The reference's FULL online flow as a stream (SSE analogue,
+    * SSEOpenAIController.java:143-240: embed → top-k → per-hit
+    * summarize → stream each hit's summary to the client): every
+    * micro-batch answers its queries with one exact batched top-k,
+    * joins ONLY the k hit documents per query (broadcast-scale), runs
+    * the deterministic extractive summarizer
+    * ([[graft.operators.Summarize]] — the zero-egress ChatGPT
+    * stand-in), and emits summary rows ordered by
+    * (query, hit_rank, pos) — the incremental per-hit arrival order
+    * the reference streams over SSE. Per-batch cost: one store scan +
+    * k·|queries| document joins; summarize work never touches the
+    * corpus. */
+  def serveSummarized(
+      queries: DataFrame, store: DataFrame, docs: DataFrame,
+      qIdCol: String, qVecCol: String, idCol: String, vecCol: String,
+      docIdCol: String, textCol: String, terms: Seq[String],
+      k: Int, m: Int = 2, windowTokens: Int = 12)(
+      writeBatch: (DataFrame, Long) => Unit): StreamingQuery =
+    queries.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          import org.apache.spark.sql.functions._
+          val hits = Knn.topKBatch(store, idCol, vecCol,
+            batch, qIdCol, qVecCol,
+            VectorFunctions.cosineDistance, k, excludeSelfMatches = false)
+          // hit_rank = the reference's SSE emission order per query
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col(qIdCol)).orderBy(col("dist"), col(idCol))
+          val ranked = hits.withColumn("hit_rank", row_number().over(w))
+            // one summary scope per (query, hit): the same document hit
+            // by two queries of a batch must summarize independently
+            .withColumn("__hit_key",
+              concat(col(qIdCol).cast("string"), lit("#"), col(idCol).cast("string")))
+          val hitDocs = ranked
+            .join(docs.select(col(docIdCol).as("__did"), col(textCol).as("__text")),
+              col(idCol) === col("__did"))
+            .drop("__did")
+            .select(col("*"), graft.operators.Summarize.tokenWindows(
+              graft.functions.TextFunctions.tokens(col("__text")), windowTokens)
+              .as("__sents"))
+            .drop("__text")
+          val out = graft.operators.Summarize
+            .extract(hitDocs, "__hit_key", "__sents", terms, m)
+            .drop("__hit_key")
+            .orderBy(col(qIdCol), col("hit_rank"), col("pos"))
+          writeBatch(out, batchId)
+        }
+      }
+      .start()
+
   /** HNSW-served streaming KNN — the modern high-recall serving
     * default: per micro-batch, the (small) query set is collected and
     * every partition graph is deserialized once to answer all of them

@@ -54,6 +54,59 @@ class IncrementalSpec extends SparkSpec {
       direct.sortBy(x => (x._1, x._3, x._2)).toSeq)
   }
 
+  test("summarized serving streams ordered per-hit summaries across two micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val store = Tables.embeddings(spark, Sf).filter(col("vec_id") =!= 0)
+    val docs = Tables.documents(spark, Sf)
+    val terms = Seq("join", "vector", "scan")
+    def qRows(pred: org.apache.spark.sql.Column) =
+      Tables.embeddings(spark, Sf).filter(pred)
+        .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val input = MemoryStream[(Long, Seq[Float])]
+    // per-batch capture preserving arrival order (the SSE contract)
+    val batches = scala.collection.mutable.ArrayBuffer
+      .empty[Seq[(Long, Int, Long, Long, String, Long)]]
+    val q = KnnServing.serveSummarized(
+      input.toDF().toDF("qid", "qvec"), store, docs,
+      "qid", "qvec", "vec_id", "embedding", "doc_id", "text", terms,
+      k = 3, m = 2) { (batch, _) =>
+      batches += batch
+        .select(col("qid"), col("hit_rank"), col("vec_id"), col("pos"),
+          col("sentence"), col("overlap"))
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2),
+          r.getLong(3), r.getString(4), r.getLong(5))).toSeq
+    }
+    try {
+      input.addData(qRows(col("vec_id") < 2).toSeq)
+      q.processAllAvailable()
+      input.addData(qRows(col("vec_id") === 3).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(batches.size == 2, s"expected two answered micro-batches, got ${batches.size}")
+    assert(batches(0).map(_._1).distinct.sorted == Seq(0L, 1L))
+    assert(batches(1).map(_._1).distinct == Seq(3L))
+    for (b <- batches) {
+      // arrival order IS (query, hit_rank, pos) — the per-hit incremental
+      // emission the reference streams over SSE
+      val order = b.map(x => (x._1, x._2, x._4))
+      assert(order == order.sorted, s"summary rows out of arrival order: $order")
+      // every hit contributes at least one and at most m=2 summary rows
+      val perHit = b.groupBy(x => (x._1, x._2)).view.mapValues(_.size)
+      assert(perHit.values.forall(n => n >= 1 && n <= 2))
+      assert(perHit.keys.map(_._2).toSeq.sorted.distinct == Seq(1, 2, 3),
+        "each query must emit exactly ranks 1..k")
+      // summaries really come from the hit documents: recompute one
+      for ((qid, rank, vid, pos, sentence, overlap) <- b.take(3)) {
+        val text = docs.filter(col("doc_id") === vid).head.getAs[String]("text")
+        val window = text.trim.split("\\s+").drop((pos.toInt - 1) * 12).take(12)
+        assert(sentence == window.mkString(" "),
+          s"summary sentence for hit $vid pos $pos is not the document window")
+        assert(overlap == terms.count(window.contains(_)))
+      }
+    }
+  }
+
   test("IVF-probed streaming serving matches the batch IVF search per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
