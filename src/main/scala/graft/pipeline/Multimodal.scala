@@ -7,14 +7,16 @@ import org.apache.spark.sql.functions._
 /** Multimodal column plumbing (SURVEY.md §2): media as opaque `binary`
   * columns with typed metadata, batch decode via mapPartitions.
   *
-  * Two modalities decode FOR REAL: PDFs through [[decodePdfs]]
-  * ([[Pdf.extractPages]], the engine's own ISO 32000 parser) and
-  * images through [[decodeImages]] (`javax.imageio` — PNG/JPEG decode
-  * ships with the JDK, no external dependency; VERDICT r5 #4). Only
-  * the audio/video byte→samples decode is stubbed ([[DecodeStub]], a
-  * deterministic fake — no media libs in this environment). The
-  * Spark-side mechanics are identical across modalities: typed
-  * schema, per-partition batch iteration, narrow one-pass execution.
+  * Three modalities decode FOR REAL: PDFs through [[decodePdfs]]
+  * ([[Pdf.extractPages]], the engine's own ISO 32000 parser), images
+  * through [[decodeImages]] (`javax.imageio` — PNG/JPEG decode ships
+  * with the JDK, no external dependency; VERDICT r5 #4), and audio
+  * through [[decodeWavs]] (JDK `javax.sound.sampled` WAVE encoder +
+  * a from-the-spec RIFF/PCM chunk parser). Only the video
+  * byte→frames decode is stubbed ([[DecodeStub]], a deterministic
+  * fake — codecs genuinely need external libraries). The Spark-side
+  * mechanics are identical across modalities: typed schema,
+  * per-partition batch iteration, narrow one-pass execution.
   */
 object Multimodal {
 
@@ -112,6 +114,113 @@ object Multimodal {
           i += 1
         }
         ImageFeatures(m.doc_id, w.toLong, h.toLong, w.toLong * h, sr, sg, sb)
+      }
+    }
+  }
+
+  /** REAL audio codec: encode through the JDK's
+    * `javax.sound.sampled` WAVE writer, decode with a from-the-spec
+    * RIFF chunk walker (the [[Pdf]] playbook — RIFF/WAVE is a public
+    * container spec; PCM samples are just little-endian int16). The
+    * synthesized signal is an integer ramp sample(i) = base + i with
+    * base + n bounded far under int16 range, so amplitude sums/max
+    * have closed-form integer oracles. */
+  object Wav {
+    val SampleRate = 8000
+
+    def encode(nSamples: Int, base: Int): Array[Byte] = {
+      require(nSamples >= 1 && base >= 0 && base + nSamples <= 32767,
+        "sample ramp must stay in int16 range")
+      val pcm = new Array[Byte](nSamples * 2)
+      var i = 0
+      while (i < nSamples) {
+        val s = base + i
+        pcm(2 * i) = (s & 0xff).toByte // little-endian int16
+        pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        SampleRate.toFloat, 16, 1, true, false)
+      val ais = new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+      val out = new java.io.ByteArrayOutputStream()
+      javax.sound.sampled.AudioSystem.write(
+        ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+      out.toByteArray
+    }
+
+    /** Minimal from-spec RIFF/WAVE PCM reader: validates the RIFF and
+      * WAVE magics, walks chunks to `fmt ` and `data`, and returns
+      * (sampleRate, 16-bit mono samples). Data-only — no object
+      * deserialization, no library format drift. */
+    def decode(bytes: Array[Byte]): (Int, Array[Int]) = {
+      def le32(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+        ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+      def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+      def tag(o: Int): String = new String(bytes, o, 4, "US-ASCII")
+      require(bytes.length >= 44 && tag(0) == "RIFF" && tag(8) == "WAVE",
+        "not a RIFF/WAVE payload")
+      var off = 12
+      var rate = -1; var bits = -1; var channels = -1
+      var samples: Array[Int] = null
+      while (off + 8 <= bytes.length && (rate < 0 || samples == null)) {
+        val id = tag(off); val sz = le32(off + 4)
+        id match {
+          case "fmt " =>
+            require(le16(off + 8) == 1, "only PCM WAVE is supported")
+            channels = le16(off + 10); rate = le32(off + 12); bits = le16(off + 22)
+            require(channels == 1 && bits == 16,
+              s"expected 16-bit mono PCM, got $bits-bit x$channels")
+          case "data" =>
+            val n = sz / 2
+            samples = new Array[Int](n)
+            var i = 0
+            while (i < n) {
+              samples(i) = (le16(off + 8 + 2 * i) << 16) >> 16 // sign-extend
+              i += 1
+            }
+          case _ => // skip unknown chunks (LIST, fact, ...)
+        }
+        off += 8 + sz + (sz & 1) // chunks are word-aligned
+      }
+      require(rate > 0 && samples != null, "missing fmt/data chunk")
+      (rate, samples)
+    }
+  }
+
+  /** (doc_id, audio geometry) — the synthesis parameters for each
+    * document's deterministic WAV. */
+  final case class AudioSpec(doc_id: Long, n_samples: Int, base: Int)
+
+  /** Exact integer features from a REAL sample decode. */
+  final case class AudioFeatures(doc_id: Long, sample_rate: Long,
+      n_samples: Long, sum_amp: Long, sum_sq_amp: Long, max_amp: Long)
+
+  /** Render each spec to real WAVE bytes in-executor. */
+  def synthesizeWavs(specs: Dataset[AudioSpec])(
+      implicit spark: SparkSession): Dataset[MediaRecord] = {
+    import spark.implicits._
+    specs.mapPartitions(it => it.map(s =>
+      MediaRecord(s.doc_id, "audio/wav", Wav.encode(s.n_samples, s.base))))
+  }
+
+  /** REAL decoder for the audio modality: RIFF-parse the binary
+    * column, walk the PCM samples, derive exact amplitude statistics.
+    * Same batch shape as [[decodePdfs]]/[[decodeImages]]. */
+  def decodeWavs(media: Dataset[MediaRecord])(
+      implicit spark: SparkSession): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val (rate, samples) = Wav.decode(m.bytes)
+        var (sum, sq, mx) = (0L, 0L, Long.MinValue)
+        var i = 0
+        while (i < samples.length) {
+          val s = samples(i).toLong
+          sum += s; sq += s * s; if (s > mx) mx = s
+          i += 1
+        }
+        AudioFeatures(m.doc_id, rate.toLong, samples.length.toLong, sum, sq, mx)
       }
     }
   }

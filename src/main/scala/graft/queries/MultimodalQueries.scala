@@ -185,7 +185,47 @@ object MultimodalQueries {
     FROM documents
     ORDER BY doc_id"""
 
+  // ------------------------------------------------------ real audio decode
+  /** The audio modality decoded for REAL: per-document WAVs written by
+    * the JDK's own WAVE encoder, decoded back by the engine's
+    * from-spec RIFF/PCM parser, exact amplitude statistics oracled in
+    * closed form (ramp samples s(i) = base + i: Σs, Σs², max are all
+    * polynomial in (n, base)). Video is now the only stubbed decode. */
+  private def audioDecode(s: SparkSession, d: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val specs = Tables.documents(s, d).select(
+        col("doc_id"),
+        (lit(1000) + length(col("text")) % 3000).cast("int").as("n_samples"),
+        (((hash64(col("text")) % 1000) + 1000) % 1000).cast("int").as("base"))
+      .as[graft.pipeline.Multimodal.AudioSpec]
+    graft.pipeline.Multimodal.decodeWavs(
+        graft.pipeline.Multimodal.synthesizeWavs(specs))
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  private val audioDecodeSql: String = {
+    val h = hash64Sql("text")
+    s"""
+    WITH g AS (
+      SELECT doc_id,
+             CAST(1000 + length(text) % 3000 AS BIGINT) AS n,
+             CAST((($h % 1000) + 1000) % 1000 AS BIGINT) AS base
+      FROM documents)
+    SELECT doc_id,
+           CAST(8000 AS BIGINT) AS sample_rate,
+           n AS n_samples,
+           n * base + n * (n - 1) // 2 AS sum_amp,
+           n * base * base + base * n * (n - 1)
+             + (n - 1) * n * (2 * n - 1) // 6 AS sum_sq_amp,
+           base + n - 1 AS max_amp
+    FROM g
+    ORDER BY doc_id"""
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "mm_audio_decode" -> QueryDef(audioDecode _, audioDecodeSql),
     "mm_binary_meta"  -> QueryDef(binaryMeta _, binaryMetaSql),
     "mm_frame_sample" -> QueryDef(frameSample _, frameSampleSql),
     "mm_pdf_decode"   -> QueryDef(pdfDecode _, pdfDecodeSql),

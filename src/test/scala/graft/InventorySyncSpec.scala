@@ -22,8 +22,8 @@ class InventorySyncSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the documented outcome") {
-    assert(SparkEntry.queries.size == 83)
-    assert(SparkEntry.oracleSql.size == 71)
+    assert(SparkEntry.queries.size == 84)
+    assert(SparkEntry.oracleSql.size == 72)
   }
 
   test("every rows-only (non-oracled) query carries a gate in RecallGateSpec") {
