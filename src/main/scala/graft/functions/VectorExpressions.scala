@@ -239,3 +239,84 @@ case class FeatureHashEmbedExpr(child: Expression, dims: Int)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Ranked nearest-centroids in ONE bounded-selection pass — the IVF
+  * assignment kernel (VERDICT r5 #1 follow-through). The centroid
+  * table rides along as a PLAIN FIELD of the expression (driver
+  * metadata, like [[graft.plans.IvfCatalog]]'s — nlist rows, KB-MB
+  * scale), so per row the eval is O(nlist·dims) flat-array arithmetic
+  * plus an O(nlist·spill) insertion — no per-row struct allocation,
+  * no O(nlist log nlist) sort, no exchange. Measured at 200k rows ×
+  * 128 cells (tools/ProfileAssign): 0.34 s vs 2.07 s for the old
+  * crossJoin+window exchange (6×, identical assignment checksum) and
+  * vs 4.27 s for the interim array-HOF composition
+  * (transform → array_sort → slice), which paid boxed struct
+  * construction and a full sort per row.
+  *
+  * Distance semantics match [[VectorDistance]] L2 (sequential
+  * accumulation, FLOAT cast to DOUBLE, min-length loop); ties break
+  * on ascending centroid id exactly like the ranked-struct sort.
+  * Interpreted eval only (CodegenFallback): embedding a megabyte
+  * centroid matrix into generated Java source would bloat janino
+  * far past its limits, and the eval body is already tight JVM code.
+  */
+case class NearestCellsExpr(child: Expression,
+    centroidIds: Array[Int], centroids: Array[Array[Double]], spill: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  require(spill >= 1, "spill must be >= 1")
+  require(centroidIds.length == centroids.length, "ids/centroids length mismatch")
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.IntegerType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType | FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"nearest_cells needs array<float|double>, got $t")
+    }
+
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val k = math.min(spill, centroidIds.length)
+    val bestD = new Array[Double](k)
+    val bestI = new Array[Int](k)
+    var filled = 0
+    var c = 0
+    while (c < centroids.length) {
+      val cent = centroids(c)
+      val n = math.min(v.numElements(), cent.length)
+      var s = 0.0
+      var i = 0
+      if (isFloat) while (i < n) { val d = v.getFloat(i).toDouble - cent(i); s += d * d; i += 1 }
+      else while (i < n) { val d = v.getDouble(i) - cent(i); s += d * d; i += 1 }
+      val dist = math.sqrt(s)
+      val id = centroidIds(c)
+      // insertion position by (dist, id) ascending; ids are unique
+      if (filled < k || dist < bestD(filled - 1) ||
+          (dist == bestD(filled - 1) && id < bestI(filled - 1))) {
+        var p = if (filled < k) filled else k - 1
+        while (p > 0 && (dist < bestD(p - 1) ||
+            (dist == bestD(p - 1) && id < bestI(p - 1)))) {
+          bestD(p) = bestD(p - 1); bestI(p) = bestI(p - 1); p -= 1
+        }
+        bestD(p) = dist; bestI(p) = id
+        if (filled < k) filled += 1
+      }
+      c += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      if (filled == k) bestI else java.util.Arrays.copyOf(bestI, filled))
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

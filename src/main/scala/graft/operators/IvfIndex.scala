@@ -10,13 +10,14 @@ import org.apache.spark.sql.functions._
   *
   * Build: Lloyd's k-means expressed purely as DataFrame ops. The
   * assignment step is SHUFFLE-FREE (VERDICT r5 #1): the nlist
-  * centroids are collapsed to a single broadcast row holding the
-  * whole centroid table as an array, and each corpus row computes its
-  * ranked nearest cells locally with array higher-order functions —
-  * O(nlist·dims) arithmetic per row, zero exchanged rows. (The
-  * previous shape — crossJoin to N×nlist rows + a per-id argmin
-  * window — shuffled nlist× the corpus volume; with the standard
-  * nlist ≈ √N sizing at 100 TB that is a 1000×-volume exchange.)
+  * centroid table becomes driver metadata inside one custom
+  * expression ([[graft.functions.NearestCellsExpr]]), and each corpus
+  * row computes its ranked nearest cells locally in a single bounded-
+  * selection pass — O(nlist·dims) flat-array arithmetic per row, zero
+  * exchanged rows, zero joins. (The previous shape — crossJoin to
+  * N×nlist rows + a per-id argmin window — shuffled nlist× the corpus
+  * volume; with the standard nlist ≈ √N sizing at 100 TB that is a
+  * 1000×-volume exchange.)
   * The centroid update is a posexplode + groupBy(cell, pos) average:
   * partial aggregation reduces map output to partitions×nlist×dims
   * rows before the only shuffle in the loop. Each round's centroids
@@ -46,7 +47,9 @@ object IvfIndex {
 
   /** Collapse the (tiny) centroid frame to ONE broadcast row holding
     * the full centroid table as a sorted array of structs — the
-    * carrier that lets every corpus row rank cells locally. */
+    * carrier that lets every QUERY row rank cells locally with an
+    * arbitrary metric (probe-side use; the corpus assignment path
+    * uses the flat-array [[nearestCells]] kernel instead). */
   private def centroidArray(centroids: DataFrame): DataFrame =
     centroids
       .groupBy()
@@ -56,7 +59,9 @@ object IvfIndex {
   /** Add `outCol` = the `spill` nearest centroid ids (ranked, ties on
     * centroid id) to every row — no shuffle, no window: a broadcast
     * nested-loop join against the ONE centroid-array row, then a
-    * per-row sort of (distance, id) structs. */
+    * per-row sort of (distance, id) structs. Query-side only (small
+    * frames, caller-chosen metric): the per-row HOF sort boxes a
+    * struct per cell, which the corpus-sized path must not pay. */
   private def rankedWith(
       df: DataFrame, vecCol: String, centroids: DataFrame, spill: Int,
       outCol: String, distance: (Column, Column) => Column): DataFrame =
@@ -72,18 +77,30 @@ object IvfIndex {
           1, spill))
       .drop("__cents")
 
+  /** The ranked-cells column for the CORPUS-sized assignment path:
+    * [[graft.functions.NearestCellsExpr]] with the nlist-row centroid
+    * table collected to driver metadata — O(nlist·dims) flat-array
+    * work per row, no join, no per-row sort, no shuffle. L2, the
+    * k-means bucketing metric; ties on centroid id. */
+  private def nearestCells(vecCol: Column, centroids: DataFrame, spill: Int): Column = {
+    import org.apache.spark.sql.GraftSqlBridge.{toColumn, toExpression}
+    val rows = centroids.select(col("centroid_id"), asDouble(col("centroid")))
+      .collect().sortBy(_.getInt(0))
+    toColumn(graft.functions.NearestCellsExpr(toExpression(vecCol),
+      rows.map(_.getInt(0)), rows.map(_.getSeq[Double](1).toArray), spill))
+  }
+
   /** Corpus + `cells` (array of the `spill` nearest centroid ids,
     * rank order, L2 metric — the k-means bucketing metric). */
   def rankedCells(corpus: DataFrame, vecCol: String,
       centroids: DataFrame, spill: Int): DataFrame =
-    rankedWith(corpus, vecCol, centroids, spill, "cells", l2Distance)
+    corpus.withColumn("cells", nearestCells(col(vecCol), centroids, spill))
 
   /** (idCol, centroid_id) nearest-centroid assignment — shuffle-free. */
   def assign(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame): DataFrame =
-    rankedWith(corpus.select(col(idCol), col(vecCol)), vecCol, centroids, 1,
-        "__rc", l2Distance)
-      .select(col(idCol), element_at(col("__rc"), 1).as("centroid_id"))
+    corpus.select(col(idCol),
+      element_at(nearestCells(col(vecCol), centroids, 1), 1).as("centroid_id"))
 
   /** Corpus rows with their cell assignment attached — the store
     * layout, no join (every output column is computed in place):
@@ -108,11 +125,10 @@ object IvfIndex {
     require(spill >= 1 && spill <= MaxSpill,
       s"spill must be in [1, $MaxSpill] (got $spill)")
     if (spill <= 1)
-      rankedWith(corpus, vecCol, centroids, 1, "__rc", l2Distance)
-        .withColumn("centroid_id", element_at(col("__rc"), 1))
-        .drop("__rc")
+      corpus.withColumn("centroid_id",
+        element_at(nearestCells(col(vecCol), centroids, 1), 1))
     else
-      rankedWith(corpus, vecCol, centroids, spill, "cells", l2Distance)
+      rankedCells(corpus, vecCol, centroids, spill)
         .select(col("*"), posexplode(col("cells")).as(Seq("__rk", "centroid_id")))
         .withColumn("cell_rank", (col("__rk") + 1).cast("int"))
         .drop("__rk")
@@ -152,9 +168,9 @@ object IvfIndex {
     var owned: DataFrame = null
     for (i <- 0 until iters) {
       val next = mat.mat(
-        rankedWith(corpus.select(col(vecCol)), vecCol, centroids, 1,
-            "__rc", l2Distance)
-          .select(element_at(col("__rc"), 1).as("centroid_id"),
+        corpus
+          .select(element_at(nearestCells(col(vecCol), centroids, 1), 1)
+              .as("centroid_id"),
             posexplode(asDouble(col(vecCol))).as(Seq("pos", "v")))
           .groupBy(col("centroid_id"), col("pos"))
           .agg(avg(col("v")).as("m"))
