@@ -34,7 +34,19 @@ object PqIndex {
 
   /** Train all m subspace codebooks in ONE grouped Lloyd's pass
     * (subspace is just another grouping key), instead of m sequential
-    * k-means job chains — same math, 1/m the job count. */
+    * k-means job chains — same math, 1/m the job count.
+    *
+    * Scale shape (the [[IvfIndex]] r6 discipline): codebooks are
+    * driver metadata from the very first round — each Lloyd iteration
+    * assigns codes with the flat-array kernel
+    * ([[graft.functions.NearestCellsExpr]] per subspace: no join, no
+    * window, no exchange; the pre-r6 shape joined subrows × ksub
+    * centroids and argmin'd through a per-(sp, sid) window — a
+    * ksub×-volume exchange per round), then ONE map-side-combined
+    * mean aggregation emits the m·ksub·dsub cell means (KB scale)
+    * back to the driver. A cell that attracts no points keeps its
+    * previous centroid (it stays a valid, never-winning duplicate),
+    * so codebooks are always full — no end-of-train padding. */
   def train(corpus: DataFrame, vecCol: String, dims: Int,
       m: Int = 8, ksub: Int = 16, iters: Int = 2,
       trainFraction: Double = 0.5,
@@ -44,65 +56,50 @@ object PqIndex {
     val sample =
       if (trainFraction >= 1.0) corpus
       else corpus.sample(withReplacement = false, trainFraction, seed = 42)
-    // (sid, sp, sv): every vector contributes one row per subspace
-    val subRows = mat.mat(sample
-      .select(monotonically_increasing_id().as("sid"),
-        col(vecCol).cast("array<double>").as("v"))
-      .select(col("sid"), explode(array((0 until m).map { s =>
-        struct(lit(s).as("sp"), sub(col("v"), s, dsub).as("sv"))
-      }: _*)).as("x"))
-      .select(col("sid"), col("x.sp").as("sp"), col("x.sv").as("sv")), "pq-subrows")
-
-    val initW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("sp")).orderBy(col("sid"))
-    var centroids = subRows
-      .withColumn("rn", row_number().over(initW))
-      .filter(col("rn") <= ksub)
-      .select(col("sp"), (col("rn") - 1).as("cid"), col("sv").as("centroid"))
-
-    val asgW = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("sp"), col("sid")).orderBy(col("cdist"), col("cid"))
+    val sampleD = mat.mat(
+      sample.select(col(vecCol).cast("array<double>").as("v")), "pq-train")
+    // init: the first ksub sample vectors seed every subspace (the
+    // kernel's id tie-break keeps duplicates harmless), padded by
+    // cycling when the sample is smaller than ksub
+    val seedRows = sampleD.limit(ksub).collect()
+    require(seedRows.nonEmpty,
+      s"PQ training produced no centroids — corpus empty or trainFraction=$trainFraction sampled zero rows")
+    var books: Array[Array[Array[Double]]] = Array.tabulate(m) { s =>
+      Array.tabulate(ksub) { c =>
+        seedRows(c % seedRows.length).getSeq[Double](0)
+          .slice(s * dsub, (s + 1) * dsub).toArray
+      }
+    }
     for (_ <- 0 until iters) {
-      val assigned = subRows
-        .join(broadcast(centroids), Seq("sp"))
-        .select(col("sp"), col("sid"), col("sv"), col("cid"),
-          VectorDistance.l2(col("sv"), col("centroid")).as("cdist"))
-        .withColumn("rn", row_number().over(asgW))
-        .filter(col("rn") === 1)
-      centroids = assigned
-        .select(col("sp"), col("cid"), posexplode(col("sv")).as(Seq("pos", "x")))
+      val cb = Codebooks(m, ksub, dsub, books)
+      val means = encode(sampleD, "v", cb)
+        .select(explode(array((0 until m).map { s =>
+          struct(lit(s).as("sp"),
+            element_at(col("codes"), s + 1).as("cid"),
+            sub(col("v"), s, dsub).as("sv"))
+        }: _*)).as("e"))
+        .select(col("e.sp"), col("e.cid"), posexplode(col("e.sv")).as(Seq("pos", "x")))
         .groupBy(col("sp"), col("cid"), col("pos"))
         .agg(avg(col("x")).as("mv"))
-        .groupBy(col("sp"), col("cid"))
-        .agg(array_sort(collect_list(struct(col("pos"), col("mv")))).as("pm"))
-        .select(col("sp"), col("cid"),
-          transform(col("pm"), p => p.getField("mv")).as("centroid"))
+        .collect() // m·ksub·dsub rows — KB scale
+      val next = books.map(_.map(_.clone()))
+      means.foreach { r =>
+        next(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3)
+      }
+      books = next
     }
-
-    val rows = centroids.orderBy(col("sp"), col("cid")).collect()
-    mat.release(subRows) // codebooks are driver-side now; free the blocks
-    require(rows.nonEmpty,
-      s"PQ training produced no centroids — corpus empty or trainFraction=$trainFraction sampled zero rows")
-    val books = Array.fill(m)(scala.collection.mutable.ArrayBuffer.empty[Array[Double]])
-    rows.foreach { r =>
-      books(r.getInt(0)) += r.getSeq[Double](2).toArray
-    }
-    // Lloyd's can leave a cell empty (duplicate seed subvectors);
-    // pad to ksub with copies of the last centroid — a duplicate is
-    // never the unique argmin, so encode stays well-defined
-    val padded = books.map { b =>
-      (b ++ Seq.fill(ksub - b.length)(b.last.clone())).toArray
-    }
-    Codebooks(m, ksub, dsub, padded)
+    mat.release(sampleD)
+    Codebooks(m, ksub, dsub, books)
   }
 
-  /** Nearest-code expression for one subspace: argmin over literal
-    * centroids with first-match (lowest code) tie-break. */
+  /** Nearest-code expression for one subspace: single-pass argmin via
+    * the flat-array kernel ([[graft.functions.NearestCellsExpr]]),
+    * lowest code on ties. */
   private def codeExpr(vec: Column, cb: Codebooks, s: Int): Column = {
-    val dists = array((0 until cb.ksub).map { c =>
-      VectorDistance.l2(sub(vec, s, cb.dsub), typedLit(cb.centroids(s)(c)))
-    }: _*)
-    (array_position(dists, array_min(dists)) - 1).cast("int")
+    import org.apache.spark.sql.GraftSqlBridge.{toColumn, toExpression}
+    element_at(toColumn(graft.functions.NearestCellsExpr(
+      toExpression(sub(vec, s, cb.dsub)),
+      Array.tabulate(cb.ksub)(identity), cb.centroids(s), 1)), 1)
   }
 
   /** Corpus → (original columns + `codes` array<int> of length m). */
