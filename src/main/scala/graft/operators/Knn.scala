@@ -14,10 +14,12 @@ import org.apache.spark.sql.functions._
   *    `TakeOrderedAndProject` — a bounded per-partition heap merged on
   *    the driver. No corpus shuffle, no full sort, O(k) driver memory.
   *  - batch: Q query vectors broadcast against one corpus scan; the
-  *    per-query top-k runs as a window `row_number` over a shuffle
-  *    keyed by query id, which moves |corpus|×Q candidate rows. For
-  *    large Q at 100 TB, prefer [[graft.operators.IvfIndex]] which
-  *    prunes the scanned fraction to nprobe/nlist first.
+  *    per-query top-k runs through the bounded
+  *    [[graft.functions.TopKAggregate]] — the map side keeps ≤ k
+  *    pairs per query per partition, so the shuffle is
+  *    partitions × Q × k rows, corpus-size independent. For large Q
+  *    at 100 TB, prefer [[graft.operators.IvfIndex]] which prunes
+  *    the scanned fraction to nprobe/nlist first.
   *  - range search: a pure filter — fully pipelined, no shuffle.
   */
 object Knn {
