@@ -33,4 +33,14 @@ class PqIndexSpec extends SparkSpec {
     val recall = (approx & exact).size.toDouble / exact.size
     assert(recall >= 0.4, s"recall $recall")
   }
+
+  test("encode plan is shuffle-free: no exchange, no window (r6 kernel discipline)") {
+    val cb = PqIndex.train(emb, "embedding", dims = 64, m = 16, ksub = 32)
+    val encoded = PqIndex.encode(emb, "embedding", cb)
+    encoded.collect() // finalize any adaptive plan before inspecting
+    val plan = encoded.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange hashpartitioning") &&
+      !plan.contains("Exchange rangepartitioning"), s"encode shuffles:\n$plan")
+    assert(!plan.contains("Window"), s"encode uses a window:\n$plan")
+  }
 }
