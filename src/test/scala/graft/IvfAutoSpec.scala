@@ -48,6 +48,49 @@ class IvfAutoSpec extends SparkSpec {
     assert((approx & exact).size >= 7, s"recall too low: $approx vs $exact")
   }
 
+  test("spill=3 registered store: rule-injected dedup keeps exactly one copy per vector") {
+    // exercises probeCondition's static rank conjunction PAST rank 2
+    // (j = 2 terms) — the spill-2 auto fixture never hits it
+    val dir = java.nio.file.Files.createTempDirectory("ivfauto3").toString
+    val (indexed, centroids) = graft.operators.IvfIndex.buildIndex(
+      Tables.embeddings(spark, Sf), "vec_id", "embedding", nlist = 8, spill = 3)
+    graft.operators.IvfIndex.writePartitioned(indexed, s"$dir/store")
+    graft.plans.IvfCatalog.register(s"$dir/store", centroids, nprobe = 4)
+    graft.plans.IvfProbeRule.install(spark)
+    try {
+      val q = Tables.embeddings(spark, Sf).filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head.getSeq[Double](0).toArray
+      val knn = spark.read.parquet(s"$dir/store")
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          VectorDistance.l2(col("embedding"), typedLit(q)).as("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+        .limit(20)
+      assert(probed(knn.queryExecution.executedPlan.toString),
+        "spill-3 store plan not partition-pruned")
+      val got = knn.collect().map(_.getLong(0)).toSeq
+      assert(got.distinct == got,
+        s"rule dedup leaked duplicate copies from the spill-3 store: $got")
+      assert(got.size == 20)
+      // full-probe twin (every cell registered = nothing pruned) must
+      // equal the exact dedup'd ranking — dedup exactness, not recall
+      graft.plans.IvfCatalog.register(s"$dir/store", centroids, nprobe = 8)
+      val full = spark.read.parquet(s"$dir/store")
+        .filter(col("vec_id") =!= 0)
+        .select(col("vec_id"),
+          VectorDistance.l2(col("embedding"), typedLit(q)).as("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+        .limit(20).collect().map(_.getLong(0)).toSeq
+      val exact = spark.read.parquet(s"$dir/store")
+        .filter(col("vec_id") =!= 0).dropDuplicates("vec_id")
+        .select(col("vec_id"),
+          VectorDistance.l2(col("embedding"), typedLit(q)).as("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+        .limit(20).collect().map(_.getLong(0)).toSeq
+      assert(full == exact, s"full-probe spill-3 dedup diverged: $full vs $exact")
+    } finally graft.plans.IvfCatalog.invalidate(s"$dir/store")
+  }
+
   test("batch IVF search keeps useful per-query recall vs the exact batch") {
     import org.apache.spark.sql.functions.typedLit
     val batch = SparkEntry.queries("vs_ivf_batch")(spark, Sf).collect()
