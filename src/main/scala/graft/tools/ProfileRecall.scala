@@ -42,15 +42,10 @@ object ProfileRecall {
         IvfIndex.trainCentroids(
           emb.sample(withReplacement = false, 0.25, seed = 42),
           "vec_id", "embedding", nlist, 2), s"cent$nlist")
-      for (spill <- Seq(1, 2)) {
-        val wa = Window.partitionBy(col("vec_id")).orderBy(col("cdist"), col("centroid_id"))
-        val assigned = emb.crossJoin(broadcast(centroids))
-          .select(col("vec_id"), col("centroid_id"),
-            l2Distance(col("embedding"), col("centroid")).as("cdist"))
-          .withColumn("rn", row_number().over(wa))
-          .filter(col("rn") <= spill)
-          .select(col("vec_id"), col("centroid_id"))
-        val indexed = emb.join(assigned, "vec_id").cache()
+      for (spill <- Seq(1, 2, 3)) {
+        // the shipped kernel assignment (r6): no join, no window
+        val indexed = IvfIndex.assignCells(emb, "embedding", centroids, spill)
+          .select(col("vec_id"), col("embedding"), col("centroid_id")).cache()
         indexed.count()
         for (nprobe <- Seq(2, 4, 6, 8)) {
           val wc = Window.partitionBy(col("qid")).orderBy(col("cdist"), col("centroid_id"))
