@@ -59,4 +59,35 @@ class VectorExpressionsSpec extends SparkSpec {
     val exp = 1.0f.toDouble * 0.5f.toDouble + 2.0f.toDouble * 0.25f.toDouble + 3.0f.toDouble * 2.0f.toDouble
     assert(r.getDouble(0) == exp)
   }
+
+  test("NearestCellsExpr == sort-based reference on random inputs (incl. ties, spill > nlist)") {
+    // the insertion-selection kernel vs a trivially-correct full sort,
+    // across random geometry, duplicate centroids (dist ties), float
+    // and double inputs, and spill clamped past nlist
+    import org.apache.spark.sql.GraftSqlBridge.{toColumn, toExpression}
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    for (trial <- 0 until 30) {
+      val dims = 1 + rnd.nextInt(8)
+      val nlist = 1 + rnd.nextInt(12)
+      val spill = 1 + rnd.nextInt(6) // sometimes > nlist
+      // low-entropy coordinates force real distance ties
+      val cents = Array.tabulate(nlist)(_ =>
+        Array.fill(dims)(rnd.nextInt(3).toDouble))
+      val ids = Array.tabulate(nlist)(i => i * 3 + 1) // non-contiguous ids
+      val vecs = Seq.fill(40)(Seq.fill(dims)(rnd.nextInt(3).toFloat))
+      def ref(v: Seq[Float]): Seq[Int] =
+        cents.zip(ids).map { case (c, id) =>
+          val d = math.sqrt(v.map(_.toDouble).zip(c)
+            .map { case (x, y) => (x - y) * (x - y) }.sum)
+          (d, id)
+        }.sortBy(identity).take(spill).map(_._2).toSeq
+      val got = vecs.toDF("v")
+        .select(toColumn(graft.functions.NearestCellsExpr(
+          toExpression(col("v")), ids, cents, spill)).as("cells"))
+        .collect().map(_.getSeq[Int](0).toSeq)
+      for ((v, g) <- vecs.zip(got))
+        assert(g == ref(v), s"trial $trial dims=$dims nlist=$nlist spill=$spill: $g vs ${ref(v)}")
+    }
+  }
 }
