@@ -423,6 +423,19 @@ object VectorQueries {
     FROM r WHERE rn <= 2
     ORDER BY vec_id, pos"""
 
+  /** Binary-quantized search (pgvector `bit(n)` mode, r6): sign-bit
+    * packing (32× compression), hamming-ranked corpus pass over the
+    * packed longs, exact re-rank of the top-192 shortlist. Lossy →
+    * rows-only; recall gated in RecallGateSpec. */
+  private def bqKnn(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val quantized = graft.operators.BinaryQuant.quantize(
+      emb.filter(col("vec_id") =!= 0), "embedding")
+    val query = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head.getSeq[Double](0).toArray
+    graft.operators.BinaryQuant.search(quantized, "vec_id", query, K, rerank = 192)
+  }
+
   /** PQ/ADC compressed search with exact re-rank of the top-192 ADC
     * shortlist (lossy → rows-only; recall@10 = 1.00 gated at 0.9 in
     * RecallGateSpec). The corpus pass reads only the codes; 192 full
@@ -620,6 +633,7 @@ object VectorQueries {
     "vs_ivf_knn"      -> QueryDef(ivfKnn _, None),
     "vs_lsh_knn"      -> QueryDef(lshKnn _, None),
     "vs_pq_knn"       -> QueryDef(pqKnn _, None),
+    "vs_bq_knn"       -> QueryDef(bqKnn _, None),
     "vs_knn_filtered" -> QueryDef(knnFiltered _, knnFilteredSql),
     "vs_hybrid"       -> QueryDef(hybrid _, hybridSql),
     "vs_search_present" -> QueryDef(searchPresent _, searchPresentSql),

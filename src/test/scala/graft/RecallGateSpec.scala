@@ -204,6 +204,14 @@ class RecallGateSpec extends SparkSpec {
     assert(r >= 0.9, f"vs_pq_knn recall@10 $r%.2f below floor 0.9")
   }
 
+  test("vs_bq_knn: recall@10 ≥ 0.9 (sign-bit hamming shortlist + exact re-rank)") {
+    val approx = ids(SparkEntry.queries("vs_bq_knn")(spark, Sf))
+    assert(approx.distinct == approx)
+    val r = recall(approx, exactTopK(VectorFunctions.l2Distance, 10))
+    info(f"vs_bq_knn recall@10 = $r%.2f (64-bit sign sketch, rerank 192)")
+    assert(r >= 0.9, f"vs_bq_knn recall@10 $r%.2f below floor 0.9")
+  }
+
   test("events_quantiles_sketch: rank error of every estimate ≤ 0.025 (KLL k=200)") {
     val est = SparkEntry.queries("events_quantiles_sketch")(spark, Sf)
       .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
