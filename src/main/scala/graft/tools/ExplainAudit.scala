@@ -13,7 +13,10 @@ object ExplainAudit {
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
-      .config("spark.sql.adaptive.enabled", "true")
+      // AQE off: its pre-execution formatted plan hides `codegen id`
+      // markers (everything would flag no-codegen); the static plan is
+      // what this audit grades.
+      .config("spark.sql.adaptive.enabled", "false")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
