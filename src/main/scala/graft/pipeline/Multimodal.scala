@@ -12,11 +12,14 @@ import org.apache.spark.sql.functions._
   * through [[decodeImages]] (`javax.imageio` — PNG/JPEG decode ships
   * with the JDK, no external dependency; VERDICT r5 #4), and audio
   * through [[decodeWavs]] (JDK `javax.sound.sampled` WAVE encoder +
-  * a from-the-spec RIFF/PCM chunk parser). Only the video
-  * byte→frames decode is stubbed ([[DecodeStub]], a deterministic
-  * fake — codecs genuinely need external libraries). The Spark-side
-  * mechanics are identical across modalities: typed schema,
-  * per-partition batch iteration, narrow one-pass execution.
+  * a from-the-spec RIFF/PCM chunk parser), and video through
+  * [[decodeAvis]] (from-the-spec RIFF/AVI parser over uncompressed
+  * 24-bit DIB frames — a container of raw pixels, no codec library
+  * needed). [[DecodeStub]] remains only as the documented seam for
+  * codec-compressed formats (H.264/AAC genuinely need external
+  * libraries). The Spark-side mechanics are identical across
+  * modalities: typed schema, per-partition batch iteration, narrow
+  * one-pass execution.
   */
 object Multimodal {
 
@@ -225,14 +228,228 @@ object Multimodal {
     }
   }
 
+  /** REAL video codec: an uncompressed AVI writer + from-the-spec
+    * RIFF parser (the AVI RIFF form is a public Microsoft container
+    * spec — `RIFF('AVI ' LIST('hdrl' avih LIST('strl' strh strf))
+    * LIST('movi' 00db…) idx1)`; frames are raw bottom-up 24-bit BGR
+    * DIBs with 4-byte row padding). No codec library needed: 'DIB '
+    * streams are pixels in a container. The synthesized ramp —
+    * R = base+x, G = base+y, B = base+f (f = frame index), bounded
+    * under 256 — gives every channel sum a closed form, and the
+    * y-weighted green sum distinguishes top-down from bottom-up rows,
+    * so a parser that forgets the DIB flip (or the row padding)
+    * breaks the oracle match. */
+  object Avi {
+    private val Fps = 10
+
+    private def fourcc(o: java.io.ByteArrayOutputStream, s: String): Unit =
+      o.write(s.getBytes("US-ASCII"), 0, 4)
+    private def le32(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      o.write(v & 0xff); o.write((v >> 8) & 0xff)
+      o.write((v >> 16) & 0xff); o.write((v >> 24) & 0xff)
+    }
+    private def le16(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      o.write(v & 0xff); o.write((v >> 8) & 0xff)
+    }
+
+    private def stride(width: Int): Int = (width * 3 + 3) & ~3
+
+    def encode(width: Int, height: Int, nFrames: Int, base: Int): Array[Byte] = {
+      require(width >= 1 && height >= 1 && nFrames >= 1 && base >= 0 &&
+        base + width <= 256 && base + height <= 256 && base + nFrames <= 256,
+        "channel ramps must not wrap")
+      val rowBytes = stride(width)
+      val frameBytes = rowBytes * height
+
+      val strf = new java.io.ByteArrayOutputStream() // BITMAPINFOHEADER
+      le32(strf, 40); le32(strf, width); le32(strf, height) // biHeight > 0: bottom-up
+      le16(strf, 1); le16(strf, 24); le32(strf, 0) // planes, bits, BI_RGB
+      le32(strf, frameBytes); le32(strf, 0); le32(strf, 0); le32(strf, 0); le32(strf, 0)
+
+      val strh = new java.io.ByteArrayOutputStream() // AVIStreamHeader
+      fourcc(strh, "vids"); fourcc(strh, "DIB ")
+      le32(strh, 0); le16(strh, 0); le16(strh, 0); le32(strh, 0) // flags, prio, lang, initial
+      le32(strh, 1); le32(strh, Fps) // scale, rate → Fps frames/sec
+      le32(strh, 0); le32(strh, nFrames); le32(strh, frameBytes)
+      le32(strh, -1); le32(strh, 0) // quality, sampleSize
+      le16(strh, 0); le16(strh, 0); le16(strh, width); le16(strh, height) // rcFrame
+
+      val avih = new java.io.ByteArrayOutputStream() // MainAVIHeader
+      le32(avih, 1000000 / Fps); le32(avih, frameBytes * Fps); le32(avih, 0)
+      le32(avih, 0x10) // AVIF_HASINDEX
+      le32(avih, nFrames); le32(avih, 0); le32(avih, 1); le32(avih, frameBytes)
+      le32(avih, width); le32(avih, height)
+      le32(avih, 0); le32(avih, 0); le32(avih, 0); le32(avih, 0) // dwReserved
+
+      def chunk(id: String, body: Array[Byte]): Array[Byte] = {
+        val o = new java.io.ByteArrayOutputStream()
+        fourcc(o, id); le32(o, body.length); o.write(body, 0, body.length)
+        if ((body.length & 1) == 1) o.write(0) // word-align
+        o.toByteArray
+      }
+      def list(kind: String, body: Array[Byte]): Array[Byte] = {
+        val o = new java.io.ByteArrayOutputStream()
+        fourcc(o, "LIST"); le32(o, body.length + 4); fourcc(o, kind)
+        o.write(body, 0, body.length)
+        o.toByteArray
+      }
+
+      val strl = list("strl",
+        chunk("strh", strh.toByteArray) ++ chunk("strf", strf.toByteArray))
+      val hdrl = list("hdrl", chunk("avih", avih.toByteArray) ++ strl)
+
+      val movi = new java.io.ByteArrayOutputStream()
+      val idx1 = new java.io.ByteArrayOutputStream()
+      var f = 0
+      while (f < nFrames) {
+        val frame = new Array[Byte](frameBytes)
+        var y = 0
+        while (y < height) {
+          val rowOff = (height - 1 - y) * rowBytes // bottom-up DIB rows
+          var x = 0
+          while (x < width) {
+            frame(rowOff + 3 * x) = (base + f).toByte // B
+            frame(rowOff + 3 * x + 1) = (base + y).toByte // G
+            frame(rowOff + 3 * x + 2) = (base + x).toByte // R
+            x += 1
+          }
+          y += 1
+        }
+        // idx1 offsets are measured from the 'movi' fourcc
+        fourcc(idx1, "00db"); le32(idx1, 0x10) // AVIIF_KEYFRAME
+        le32(idx1, 4 + movi.size()); le32(idx1, frameBytes)
+        val ck = chunk("00db", frame)
+        movi.write(ck, 0, ck.length)
+        f += 1
+      }
+
+      val body = hdrl ++ list("movi", movi.toByteArray) ++
+        chunk("idx1", idx1.toByteArray)
+      val out = new java.io.ByteArrayOutputStream()
+      fourcc(out, "RIFF"); le32(out, body.length + 4); fourcc(out, "AVI ")
+      out.write(body, 0, body.length)
+      out.toByteArray
+    }
+
+    /** Minimal from-spec AVI reader: validates the RIFF/'AVI ' magics,
+      * walks nested LISTs to `avih` (geometry) and `strf` (must be
+      * uncompressed 24-bit BI_RGB), then collects every `00db` frame
+      * under LIST 'movi'. Returns (width, height, top-down frames —
+      * each frame row-major, 3 ints B,G,R per pixel). Data-only: no
+      * object deserialization, no library format drift. */
+    def decode(bytes: Array[Byte]): (Int, Int, Array[Array[Int]]) = {
+      def le32(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8) |
+        ((bytes(o + 2) & 0xff) << 16) | ((bytes(o + 3) & 0xff) << 24)
+      def le16(o: Int): Int = (bytes(o) & 0xff) | ((bytes(o + 1) & 0xff) << 8)
+      def tag(o: Int): String = new String(bytes, o, 4, "US-ASCII")
+      require(bytes.length >= 12 && tag(0) == "RIFF" && tag(8) == "AVI ",
+        "not a RIFF/AVI payload")
+      var width = -1; var height = -1; var nFrames = -1
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Int]]
+
+      def walk(start: Int, end: Int): Unit = {
+        var off = start
+        while (off + 8 <= end) {
+          val id = tag(off); val sz = le32(off + 4)
+          id match {
+            case "LIST" => walk(off + 12, off + 8 + sz) // skip the list kind
+            case "avih" =>
+              nFrames = le32(off + 8 + 16)
+              width = le32(off + 8 + 32); height = le32(off + 8 + 36)
+            case "strf" =>
+              require(le16(off + 8 + 14) == 24 && le32(off + 8 + 16) == 0,
+                "only uncompressed 24-bit BI_RGB streams are supported")
+            case "00db" =>
+              require(width > 0 && height > 0, "00db before avih header")
+              val rowBytes = stride(width)
+              require(sz >= rowBytes * height, "short DIB frame")
+              val px = new Array[Int](width * height * 3)
+              var y = 0
+              while (y < height) {
+                val rowOff = off + 8 + (height - 1 - y) * rowBytes // un-flip
+                var x = 0
+                while (x < width) {
+                  val p = (y * width + x) * 3
+                  px(p) = bytes(rowOff + 3 * x) & 0xff
+                  px(p + 1) = bytes(rowOff + 3 * x + 1) & 0xff
+                  px(p + 2) = bytes(rowOff + 3 * x + 2) & 0xff
+                  x += 1
+                }
+                y += 1
+              }
+              frames += px
+            case _ => // skip strh, idx1, JUNK, ...
+          }
+          off += 8 + sz + (sz & 1) // chunks are word-aligned
+        }
+      }
+      walk(12, bytes.length)
+      require(width > 0 && frames.nonEmpty, "missing avih/movi content")
+      require(frames.length == nFrames,
+        s"header declares $nFrames frames, movi has ${frames.length}")
+      (width, height, frames.toArray)
+    }
+  }
+
+  /** (doc_id, video geometry) — the synthesis parameters for each
+    * document's deterministic AVI. */
+  final case class VideoSpec(doc_id: Long, width: Int, height: Int,
+      n_frames: Int, base: Int)
+
+  /** Exact integer features from a REAL frame decode. `sum_yg` weights
+    * the green channel by the top-down row index — the orientation
+    * tripwire a bottom-up DIB parser must get right. */
+  final case class VideoFeatures(doc_id: Long, width: Long, height: Long,
+      n_frames: Long, n_px: Long, sum_r: Long, sum_g: Long, sum_b: Long,
+      sum_yg: Long)
+
+  /** Render each spec to real AVI bytes in-executor. */
+  def synthesizeAvis(specs: Dataset[VideoSpec])(
+      implicit spark: SparkSession): Dataset[MediaRecord] = {
+    import spark.implicits._
+    specs.mapPartitions(it => it.map(s =>
+      MediaRecord(s.doc_id, "video/x-msvideo",
+        Avi.encode(s.width, s.height, s.n_frames, s.base))))
+  }
+
+  /** REAL decoder for the video modality: RIFF-parse the binary
+    * column, walk every frame's pixels, derive exact channel
+    * statistics. Same batch shape as the other modality decoders. */
+  def decodeAvis(media: Dataset[MediaRecord])(
+      implicit spark: SparkSession): Dataset[VideoFeatures] = {
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val (w, h, frames) = Avi.decode(m.bytes)
+        var (sr, sg, sb, syg) = (0L, 0L, 0L, 0L)
+        frames.foreach { px =>
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = (y * w + x) * 3
+              sb += px(p); sg += px(p + 1); sr += px(p + 2)
+              syg += y.toLong * px(p + 1)
+              x += 1
+            }
+            y += 1
+          }
+        }
+        VideoFeatures(m.doc_id, w.toLong, h.toLong, frames.length.toLong,
+          w.toLong * h * frames.length, sr, sg, sb, syg)
+      }
+    }
+  }
+
   final case class MediaRecord(doc_id: Long, mime: String, bytes: Array[Byte])
 
   final case class MediaFeatures(doc_id: Long, mime: String, byte_len: Long,
       width: Long, height: Long, feature: Array[Double])
 
-  /** Deterministic stand-in for an image/audio/video decoder: features
-    * derive only from the bytes, so tests are reproducible. A real
-    * deployment swaps this for the native decode, keeping the
+  /** Deterministic stand-in for a codec-compressed media decoder
+    * (H.264/AAC — formats that genuinely need external libraries):
+    * features derive only from the bytes, so tests are reproducible.
+    * A real deployment swaps this for the native decode, keeping the
     * mapPartitions batch shape. */
   object DecodeStub {
     val FeatureDim = 8

@@ -6,11 +6,14 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal inventory (SURVEY.md §2): media as opaque binary columns
-  * with typed metadata. The PDF and image modalities decode FOR REAL
-  * (the engine's own ISO 32000 parser; `javax.imageio` PNG — see
-  * graft.pipeline.Multimodal); only audio/video decode remains a
-  * deterministic stub. Spark-side schema, projection, and explode
-  * mechanics are real for every modality.
+  * with typed metadata. ALL FOUR modalities decode FOR REAL — PDF
+  * (the engine's own ISO 32000 parser), image (`javax.imageio` PNG),
+  * audio (JDK WAVE encoder + from-spec RIFF/PCM parser), and video
+  * (from-spec RIFF/AVI parser over uncompressed DIB frames) — see
+  * graft.pipeline.Multimodal. The only remaining stub is the
+  * documented DecodeStub seam for codec-compressed formats.
+  * Spark-side schema, projection, and explode mechanics are real for
+  * every modality.
   */
 object MultimodalQueries {
 
@@ -224,8 +227,55 @@ object MultimodalQueries {
     ORDER BY doc_id"""
   }
 
+  // ------------------------------------------------------ real video decode
+  /** The video modality decoded for REAL: per-document uncompressed
+    * AVIs (from-spec RIFF writer, raw bottom-up 24-bit DIB frames),
+    * decoded back by the engine's RIFF/AVI parser, exact per-channel
+    * pixel statistics oracled in closed form. The ramp R = base+x,
+    * G = base+y, B = base+f makes each sum polynomial in
+    * (w, h, frames, base), and `sum_yg` (green weighted by the
+    * top-down row index) breaks the match if the parser mishandles
+    * the DIB bottom-up row order or the 4-byte row padding. */
+  private def videoDecode(s: SparkSession, d: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val specs = Tables.documents(s, d).select(
+        col("doc_id"),
+        (lit(16) + length(col("text")) % 32).cast("int").as("width"),
+        (lit(8) + length(col("text")) % 16).cast("int").as("height"),
+        (lit(2) + length(col("text")) % 9).cast("int").as("n_frames"),
+        (((hash64(col("text")) % 128) + 128) % 128).cast("int").as("base"))
+      .as[graft.pipeline.Multimodal.VideoSpec]
+    graft.pipeline.Multimodal.decodeAvis(
+        graft.pipeline.Multimodal.synthesizeAvis(specs))
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  private val videoDecodeSql: String = {
+    val h = hash64Sql("text")
+    s"""
+    WITH g AS (
+      SELECT doc_id,
+             CAST(16 + length(text) % 32 AS BIGINT) AS w,
+             CAST(8 + length(text) % 16 AS BIGINT) AS h,
+             CAST(2 + length(text) % 9 AS BIGINT) AS f,
+             CAST((($h % 128) + 128) % 128 AS BIGINT) AS base
+      FROM documents)
+    SELECT doc_id, w AS width, h AS height, f AS n_frames,
+           w * h * f AS n_px,
+           f * h * (w * base + w * (w - 1) // 2) AS sum_r,
+           f * w * (h * base + h * (h - 1) // 2) AS sum_g,
+           w * h * (f * base + f * (f - 1) // 2) AS sum_b,
+           f * w * (base * h * (h - 1) // 2
+                    + (h - 1) * h * (2 * h - 1) // 6) AS sum_yg
+    FROM g
+    ORDER BY doc_id"""
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "mm_audio_decode" -> QueryDef(audioDecode _, audioDecodeSql),
+    "mm_video_decode" -> QueryDef(videoDecode _, videoDecodeSql),
     "mm_binary_meta"  -> QueryDef(binaryMeta _, binaryMetaSql),
     "mm_frame_sample" -> QueryDef(frameSample _, frameSampleSql),
     "mm_pdf_decode"   -> QueryDef(pdfDecode _, pdfDecodeSql),

@@ -22,8 +22,8 @@ class InventorySyncSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the documented outcome") {
-    assert(SparkEntry.queries.size == 85)
-    assert(SparkEntry.oracleSql.size == 72)
+    assert(SparkEntry.queries.size == 86)
+    assert(SparkEntry.oracleSql.size == 73)
   }
 
   test("every rows-only (non-oracled) query carries a gate in RecallGateSpec") {
