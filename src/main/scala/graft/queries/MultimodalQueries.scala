@@ -28,24 +28,30 @@ object MultimodalQueries {
       (((hash64(col("text")) % 128) + 128) % 128).cast("int").as("base"))
 
   // --------------------------------------------------------- binary meta
-  /** Typed metadata over the opaque binary column. Image rows carry
-    * REAL dimensions: each document's deterministic PNG is rendered
-    * and `ImageIO.read` re-decoded in one narrow pass (no join), so
-    * the width/height columns come from actual pixel data — the
-    * oracle recomputes them from the synthesis geometry, and any
-    * codec defect breaks the match. Audio/video dims remain the
-    * documented byte-hash stub. */
+  /** Typed metadata over the opaque binary column. Image AND video
+    * rows carry REAL decoded metadata: each image document's
+    * deterministic PNG is rendered and `ImageIO.read` re-decoded, and
+    * each video document's AVI is rendered and RIFF-parsed back — all
+    * in one narrow pass (no join) — so width/height/n_frames come
+    * from actual container headers and byte_len from the actual
+    * payload. The oracle recomputes every value from the synthesis
+    * geometry (the AVI byte_len closed form re-derives the writer's
+    * full RIFF size accounting: 232 + f·(24 + stride·h)); any codec
+    * defect breaks the match. Audio rows keep the documented
+    * byte-hash stub dims — width/height are meaningless for audio and
+    * mm_audio_decode oracles the real sample-level decode. */
   private def binaryMeta(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val base = Tables.documents(s, d)
       .select(col("doc_id"),
         length(encode(col("text"), "utf-8")).cast("long").as("byte_len"),
         hash64(col("text")).as("h"),
-        (lit(16) + length(col("text")) % 48).cast("int").as("iw"),
-        (lit(8) + length(col("text")) % 24).cast("int").as("ib_h"),
-        (((hash64(col("text")) % 128) + 128) % 128).cast("int").as("ibase"))
+        length(col("text")).as("len"),
+        (((hash64(col("text")) % 128) + 128) % 128).cast("int").as("cbase"))
     val images = base.filter(col("doc_id") % 3 === 0)
-      .select(col("doc_id"), col("byte_len"), col("iw"), col("ib_h"), col("ibase"))
+      .select(col("doc_id"), col("byte_len"),
+        (lit(16) + col("len") % 48).cast("int").as("w"),
+        (lit(8) + col("len") % 24).cast("int").as("hh"), col("cbase"))
       .as[(Long, Long, Int, Int, Int)]
       .mapPartitions { it =>
         it.map { case (id, bl, w, h, b) =>
@@ -57,36 +63,58 @@ object MultimodalQueries {
       .toDF("doc_id", "byte_len", "width", "height")
       .select(col("doc_id"), col("byte_len"), lit("image/png").as("mime"),
         col("width"), col("height"), lit(0L).as("n_frames"))
-    val others = base.filter(col("doc_id") % 3 =!= 0)
+    val videos = base.filter(col("doc_id") % 3 === 2)
+      .select(col("doc_id"),
+        (lit(16) + col("len") % 32).cast("int").as("w"),
+        (lit(8) + col("len") % 16).cast("int").as("hh"),
+        (lit(2) + col("len") % 9).cast("int").as("f"), col("cbase"))
+      .as[(Long, Int, Int, Int, Int)]
+      .mapPartitions { it =>
+        it.map { case (id, w, h, f, b) =>
+          val bytes = graft.pipeline.Multimodal.Avi.encode(w, h, f, b)
+          val (gw, gh, frames) = graft.pipeline.Multimodal.Avi.decode(bytes)
+          (id, bytes.length.toLong, gw.toLong, gh.toLong, frames.length.toLong)
+        }
+      }
+      .toDF("doc_id", "byte_len", "width", "height", "n_frames")
+      .select(col("doc_id"), col("byte_len"),
+        lit("video/x-msvideo").as("mime"),
+        col("width"), col("height"), col("n_frames"))
+    val audio = base.filter(col("doc_id") % 3 === 1)
       .select(
         col("doc_id"),
         col("byte_len"),
-        when(col("doc_id") % 3 === 1, "audio/wav")
-          .otherwise("video/mp4").as("mime"),
+        lit("audio/wav").as("mime"),
         (lit(64L) + col("h") % 1920).as("width"),
-        (lit(64L) + expr("(h DIV 1920) % 1080")).as("height"))
-      .withColumn("n_frames",
-        when(col("mime") === "video/mp4", expr("byte_len DIV 16"))
-          .otherwise(lit(0L)))
-    images.unionByName(others).orderBy(col("doc_id"))
+        (lit(64L) + expr("(h DIV 1920) % 1080")).as("height"),
+        lit(0L).as("n_frames"))
+    images.unionByName(videos).unionByName(audio).orderBy(col("doc_id"))
   }
 
   private val binaryMetaSql: String = {
     val h = hash64Sql("text")
     s"""
+    WITH g AS (
+      SELECT doc_id, text, $h AS h64,
+             CAST(16 + length(text) % 32 AS BIGINT) AS vw,
+             CAST(8 + length(text) % 16 AS BIGINT) AS vh,
+             CAST(2 + length(text) % 9 AS BIGINT) AS vf
+      FROM documents)
     SELECT doc_id,
-           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           CASE WHEN doc_id % 3 = 2
+                THEN 232 + vf * (24 + ((3 * vw + 3) // 4) * 4 * vh)
+                ELSE CAST(octet_length(encode(text)) AS BIGINT) END AS byte_len,
            CASE doc_id % 3 WHEN 0 THEN 'image/png'
                            WHEN 1 THEN 'audio/wav'
-                           ELSE 'video/mp4' END AS mime,
-           CASE WHEN doc_id % 3 = 0 THEN 16 + length(text) % 48
-                ELSE 64 + $h % 1920 END AS width,
-           CASE WHEN doc_id % 3 = 0 THEN 8 + length(text) % 24
-                ELSE 64 + ($h // 1920) % 1080 END AS height,
-           CASE WHEN doc_id % 3 = 2
-                THEN CAST(octet_length(encode(text)) // 16 AS BIGINT)
-                ELSE 0 END AS n_frames
-    FROM documents
+                           ELSE 'video/x-msvideo' END AS mime,
+           CASE doc_id % 3 WHEN 0 THEN 16 + length(text) % 48
+                           WHEN 2 THEN vw
+                           ELSE 64 + h64 % 1920 END AS width,
+           CASE doc_id % 3 WHEN 0 THEN 8 + length(text) % 24
+                           WHEN 2 THEN vh
+                           ELSE 64 + (h64 // 1920) % 1080 END AS height,
+           CASE WHEN doc_id % 3 = 2 THEN vf ELSE 0 END AS n_frames
+    FROM g
     ORDER BY doc_id"""
   }
 
