@@ -73,6 +73,30 @@ object Ingest {
       .withColumn("chunk_len", length(col("chunk")).cast("long"))
   }
 
+  /** Language-aware chunking: the same split semantics with per-row
+    * (maxLen, lookback) picked by the document's language column.
+    * The real-world driver is information density — CJK scripts carry
+    * roughly 2× the content per codepoint, so a pipeline that packs
+    * chunks for a fixed-token embedding window halves the character
+    * budget for them. Same narrow per-row shape as [[chunk]]: no
+    * shuffle, no driver round-trip, streaming-safe. */
+  def chunkByLang(docs: DataFrame, idCol: String, textCol: String,
+      langCol: String, params: Map[String, (Int, Int)],
+      default: (Int, Int), punct: String): DataFrame = {
+    val pset = punct.toSet
+    val chunker = udf { (text: String, lang: String) =>
+      val (maxLen, lookback) = params.getOrElse(lang, default)
+      if (text == null) Seq.empty[String]
+      else splitText(text, maxLen, lookback, pset)
+    }
+    docs
+      .select(col("*"), posexplode(chunker(normalize(col(textCol)), col(langCol)))
+        .as(Seq("chunk_idx", "chunk")))
+      .drop(textCol)
+      .withColumn("chunk_idx", col("chunk_idx").cast("long"))
+      .withColumn("chunk_len", length(col("chunk")).cast("long"))
+  }
+
   // ----------------------------------------------------------- embedding
   /** Deterministic feature-hashing embedder (hashing-trick twin of the
     * reference's external embedding call): dim i holds the count of

@@ -53,6 +53,52 @@ object PipelineQueries {
     ORDER BY doc_id, chunk_idx"""
   }
 
+  // --------------------------------------------------------- chunk by lang
+  /** Language-aware chunking (per-row parameter selection): zh gets
+    * half the character budget — CJK codepoints carry roughly 2× the
+    * information, so a fixed-token embedding window fills at half the
+    * characters. Split semantics are the reference's unchanged; the
+    * oracle's recursive CTE carries (maxLen, lookback) as per-row
+    * columns through the recursion. */
+  private val ZhMaxLen = 60
+  private val ZhLookback = 15
+
+  private def chunkLangQ(s: SparkSession, d: String): DataFrame =
+    Ingest.chunkByLang(Tables.documents(s, d), "doc_id", "text", "lang",
+        Map("zh" -> (ZhMaxLen, ZhLookback)), (MaxLen, Lookback), " ")
+      .select(col("doc_id"), col("lang"), col("chunk_idx"), col("chunk"),
+        col("chunk_len"))
+      .orderBy(col("doc_id"), col("chunk_idx"))
+
+  private val chunkLangSql: String = {
+    // 0-based window [ml-lb+1 .. ml] = 1-based substr(rem, ml-lb+2, lb)
+    val win = "substr(rem, ml - lb + 2, lb)"
+    s"""
+    WITH RECURSIVE parts AS (
+      SELECT doc_id, lang, ${Ingest.normalizeSql("text")} AS rem,
+             CASE WHEN lang = 'zh' THEN $ZhMaxLen ELSE $MaxLen END AS ml,
+             CASE WHEN lang = 'zh' THEN $ZhLookback ELSE $Lookback END AS lb,
+             0 AS idx, CAST(NULL AS VARCHAR) AS chunk
+      FROM documents
+      UNION ALL
+      SELECT doc_id, lang, substr(rem, sp + 1), ml, lb, idx + 1,
+             substr(rem, 1, sp)
+      FROM (
+        SELECT doc_id, lang, rem, ml, lb, idx,
+          CASE WHEN length(rem) > ml THEN (
+            CASE WHEN strpos(reverse($win), ' ') > 0
+                 THEN (ml - lb) + (lb - strpos(reverse($win), ' ') + 1)
+                 ELSE ml - lb END)
+          ELSE length(rem) END AS sp
+        FROM parts
+        WHERE length(rem) > 0))
+    SELECT doc_id, lang, CAST(idx - 1 AS BIGINT) AS chunk_idx, chunk,
+           CAST(length(chunk) AS BIGINT) AS chunk_len
+    FROM parts
+    WHERE chunk IS NOT NULL
+    ORDER BY doc_id, chunk_idx"""
+  }
+
   // -------------------------------------------------------------- embed
   /** Feature-hashing embedding in relational form: (doc_id, dim,
     * weight) with L2 normalization — explode + count + window, all
@@ -420,6 +466,7 @@ object PipelineQueries {
   val defs: Map[String, QueryDef] = Map(
     "profile_documents"  -> QueryDef(profileQ _, profileSql),
     "vs_chunk"           -> QueryDef(chunkQ _, chunkSql),
+    "vs_chunk_lang"      -> QueryDef(chunkLangQ _, chunkLangSql),
     "vs_embed"           -> QueryDef(embedQ _, embedSql),
     "vs_registered_list" -> QueryDef(registered _, listSql("=")),
     "vs_failed_list"     -> QueryDef(failed _, listSql("<>")),

@@ -54,6 +54,24 @@ class IngestSpec extends SparkSpec {
     assert(store.select("id").distinct().count() == store.count())
   }
 
+  test("chunkByLang halves the budget for zh and matches the fixed chunker elsewhere") {
+    import spark.implicits._
+    val long = (Seq.fill(40)("word").mkString(" ") + ".") // 200 chars
+    val docs = Seq((1L, long, "en"), (2L, long, "zh"), (3L, long, "fr")).toDF("doc_id", "text", "lang")
+    val got = Ingest.chunkByLang(docs, "doc_id", "text", "lang",
+        Map("zh" -> (60, 15)), (120, 30), " ")
+      .select("doc_id", "lang", "chunk_idx", "chunk").collect()
+    val byDoc = got.groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(3)).toSeq).toMap
+    // en/fr use the (120, 30) budget — identical to the fixed chunker
+    val fixed = Ingest.splitText(long, 120, 30, Set(' '))
+    assert(byDoc(1L) == fixed && byDoc(3L) == fixed)
+    // zh gets the (60, 15) budget: more, shorter chunks
+    val zh = Ingest.splitText(long, 60, 15, Set(' '))
+    assert(byDoc(2L) == zh)
+    assert(byDoc(2L).length > byDoc(1L).length)
+    assert(byDoc(2L).forall(_.length <= 60))
+  }
+
   test("vector store pipeline produces the reference schema") {
     val docs = Tables.documents(spark, Sf).limit(20)
     val store = Ingest.toVectorStore(docs, "doc_id", "text", "source")
