@@ -120,6 +120,52 @@ object CurationQueries {
     FROM c
     ORDER BY source, doc_id"""
 
+  // -------------------------------------------------- sample_stratified
+  /** Exact-quota stratified sampling: exactly min(quota, |stratum|)
+    * docs per source — the min-hash-rank prefix of each stratum, the
+    * eval-split / per-source-cap pass where proportional rates
+    * ([[mixSample]]) don't fit because the contract is a COUNT.
+    *
+    * Scale shape: "quota smallest hashes per stratum" is a bounded
+    * [[graft.functions.TopKAggregate]] — map-side combined, so each
+    * partition ships at most quota pairs per stratum and the shuffle
+    * is partitions × strata × quota, independent of corpus rows. The
+    * naive plan (row_number over PARTITION BY source) funnels entire
+    * strata through single tasks — a handful of sources at 100 TB
+    * means TB-scale skewed windows.
+    *
+    * Determinism: rank key = the cross-engine [[hash64]] masked to 48
+    * bits (exact in the aggregate's double ordering; a within-stratum
+    * 48-bit tie — P < 1e-9 at 1e4 rows/stratum — breaks on doc_id in
+    * both engines identically), so the sample is a pure function of
+    * (seed, doc_id), retry- and partitioning-stable. */
+  private val stratQuota = 40
+  private val stratMask = 1L << 48
+
+  private def sampleStratified(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), col("source"),
+        (hash64(concat(lit("strat-v1:"), col("doc_id").cast("string")))
+          % stratMask).as("hk"))
+      .groupBy(col("source"))
+      .agg(graft.functions.TopKAggregate
+        .topK(col("hk").cast("double"), col("doc_id"), stratQuota).as("picks"))
+      .select(col("source"), posexplode(col("picks")).as(Seq("__i", "p")))
+      .select(col("p.id").as("doc_id"), col("source"),
+        (col("__i") + 1).cast("long").as("sample_rank"))
+      .orderBy(col("doc_id"))
+
+  private val sampleStratifiedSql: String = s"""
+    WITH t AS (SELECT doc_id, source,
+                 ${hash64Sql("'strat-v1:' || CAST(doc_id AS VARCHAR)")} % $stratMask AS hk
+               FROM documents),
+    r AS (SELECT doc_id, source,
+                 row_number() OVER (PARTITION BY source ORDER BY hk, doc_id) AS rk
+          FROM t)
+    SELECT doc_id, source, CAST(rk AS BIGINT) AS sample_rank
+    FROM r WHERE rk <= $stratQuota
+    ORDER BY doc_id"""
+
   // --------------------------------------------------------- mix_sample
   /** Deterministic training-mixture sampling: sources keep
     * 2000/3500/5000/6500 bp by source-number mod 4, selected by the
@@ -230,6 +276,7 @@ object CurationQueries {
     "pii_scan"       -> QueryDef(piiScan _, piiScanSql),
     "curate_funnel"  -> QueryDef(funnel _, funnelSql),
     "mix_sample"     -> QueryDef(mixSample _, mixSampleSql),
+    "sample_stratified" -> QueryDef(sampleStratified _, sampleStratifiedSql),
     "decontam_ngram" -> QueryDef(decontam _, decontamSql),
     "pack_tokens"    -> QueryDef(packTokens _, packTokensSql),
   )

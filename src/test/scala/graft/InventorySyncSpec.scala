@@ -22,8 +22,8 @@ class InventorySyncSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the documented outcome") {
-    assert(SparkEntry.queries.size == 87)
-    assert(SparkEntry.oracleSql.size == 74)
+    assert(SparkEntry.queries.size == 88)
+    assert(SparkEntry.oracleSql.size == 75)
   }
 
   test("every rows-only (non-oracled) query carries a gate in RecallGateSpec") {
