@@ -26,24 +26,28 @@ import org.apache.spark.sql.functions._
   */
 object Decontaminate {
 
+  // Shape rules, measured at sf0.1 (see Dedup.sharedSpans):
+  //  - tokens live in their own projection, and the explode sits
+  //    DIRECTLY over the shingle HOF — an intermediate `sh` alias
+  //    between them lets filter pushdown (InferFiltersFromGenerate)
+  //    substitute through both aliases and inline split() into every
+  //    element_at of the lambda: one regex run per element access,
+  //    measured 40× on this operator.
+  //  - n_shingles is count(*) of the exploded rows, NOT size(sh)
+  //    beside the explode — that double reference re-evaluates the
+  //    HOF once per OUTPUT row.
+  private def gramRows(df: DataFrame, idCol: String, textCol: String,
+      n: Int): DataFrame =
+    df.select(col(idCol), tokens(col(textCol)).as("tk"))
+      .select(col(idCol), explode(array_distinct(shingles(col("tk"), n))).as("s"))
+      .select(col(idCol), hash64(col("s")).as("h"))
+
   /** Corpus docs (idCol) that share ≥1 distinct word `n`-gram with
     * `bench`(textCol): (id, n_shingles, n_overlap, contam_ratio). */
   def overlaps(corpus: DataFrame, bench: DataFrame, idCol: String,
       textCol: String, n: Int): DataFrame = {
-    // Shape rules, measured at sf0.1 (see Dedup.sharedSpans):
-    //  - tokens live in their own projection, and the explode sits
-    //    DIRECTLY over the shingle HOF — an intermediate `sh` alias
-    //    between them lets filter pushdown (InferFiltersFromGenerate)
-    //    substitute through both aliases and inline split() into every
-    //    element_at of the lambda: one regex run per element access,
-    //    measured 40× on this operator.
-    //  - n_shingles is count(*) of the exploded rows, NOT size(sh)
-    //    beside the explode — that double reference re-evaluates the
-    //    HOF once per OUTPUT row.
     def gramRows(df: DataFrame) =
-      df.select(col(idCol), tokens(col(textCol)).as("tk"))
-        .select(col(idCol), explode(array_distinct(shingles(col("tk"), n))).as("s"))
-        .select(col(idCol), hash64(col("s")).as("h"))
+      Decontaminate.gramRows(df, idCol, textCol, n)
     val benchSet = gramRows(bench).select(col("h")).distinct()
     // the left join keeps every shingle row so count(*) still equals
     // size(sh); the post-agg filter restores the inner-join row set
@@ -55,6 +59,26 @@ object Decontaminate {
       .filter(col("n_overlap") > 0)
       .withColumn("contam_ratio",
         col("n_overlap").cast("double") / col("n_shingles").cast("double"))
+  }
+
+  /** Bloom-filter variant of [[overlaps]] — the shape for when the
+    * benchmark shingle set outgrows an exact broadcast (10⁷+ shingles
+    * → a compact bitmap instead of a 500 MB hash set; see
+    * [[graft.functions.Bloom]]). Error is ONE-SIDED: every truly
+    * contaminated doc is flagged with `n_maybe_overlap ≥` its true
+    * overlap (Bloom filters have no false negatives); a clean doc is
+    * false-flagged with probability ≤ n_shingles · fpp (union bound).
+    * Output: (id, n_shingles, n_maybe_overlap) for flagged docs. */
+  def bloomOverlaps(corpus: DataFrame, bench: DataFrame, idCol: String,
+      textCol: String, n: Int, fpp: Double): DataFrame = {
+    val benchSet = gramRows(bench, idCol, textCol, n).select(col("h")).distinct()
+    val bits = graft.functions.Bloom.build(benchSet, "h", fpp)
+    gramRows(corpus, idCol, textCol, n)
+      .withColumn("hit",
+        when(graft.functions.Bloom.mightContain(col("h"), bits), 1L).otherwise(0L))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"), sum(col("hit")).as("n_maybe_overlap"))
+      .filter(col("n_maybe_overlap") > 0)
   }
 
   /** DuckDB twin over a `documents`-shaped view: bench = rows where

@@ -89,6 +89,24 @@ object CurationQueries {
     Decontaminate.overlapsSql("doc_id", "text", n = 5, benchPred = "doc_id % 7 = 0") +
       "\n    ORDER BY doc_id"
 
+  // ------------------------------------------------------ decontam_bloom
+  /** Bloom-filter decontamination — same split and n as
+    * [[decontam]], but membership goes through a broadcast Bloom
+    * bitmap instead of the exact shingle set: the 100 TB shape when
+    * the eval suite's shingle set outgrows an exact broadcast.
+    * Approximate BY DESIGN (one-sided: supersets the exact flag set,
+    * never misses a contaminated doc) → rows-only entry; the
+    * zero-false-negative + bounded-false-flag contract is gated in
+    * RecallGateSpec. */
+  private def decontamBloom(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d)
+    Decontaminate.bloomOverlaps(
+      corpus = docs.filter(col("doc_id") % 7 =!= 0),
+      bench = docs.filter(col("doc_id") % 7 === 0),
+      idCol = "doc_id", textCol = "text", n = 5, fpp = 1e-5)
+      .orderBy(col("doc_id"))
+  }
+
   // -------------------------------------------------------- pack_tokens
   /** Concat-then-split packing of documents into 512-token training
     * sequences, packed independently per source shard. */
@@ -278,6 +296,7 @@ object CurationQueries {
     "mix_sample"     -> QueryDef(mixSample _, mixSampleSql),
     "sample_stratified" -> QueryDef(sampleStratified _, sampleStratifiedSql),
     "decontam_ngram" -> QueryDef(decontam _, decontamSql),
+    "decontam_bloom" -> QueryDef(decontamBloom _, None),
     "pack_tokens"    -> QueryDef(packTokens _, packTokensSql),
   )
 }

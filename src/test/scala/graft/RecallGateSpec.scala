@@ -316,4 +316,35 @@ class RecallGateSpec extends SparkSpec {
     info(f"events_approx_distinct max relative error = $maxErr%.4f (rsd 0.02)")
     assert(maxErr <= 0.06, f"approx_count_distinct error $maxErr%.4f above 0.06")
   }
+
+  test("decontam_bloom: zero false negatives (hard) + bounded false-flag rate") {
+    import graft.operators.Decontaminate
+    val docs = Tables.documents(spark, Sf)
+    val corpus = docs.filter(col("doc_id") % 7 =!= 0)
+    val bench = docs.filter(col("doc_id") % 7 === 0)
+    val exact = Decontaminate
+      .overlaps(corpus, bench, "doc_id", "text", n = 5)
+      .select("doc_id", "n_overlap")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bloom = SparkEntry.queries("decontam_bloom")(spark, Sf)
+      .select("doc_id", "n_maybe_overlap")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // HARD one-sided contract: every truly contaminated doc is
+    // flagged, with maybe-count ≥ its true overlap — a Bloom filter
+    // cannot miss a member, so any violation is a code bug.
+    exact.foreach { case (id, n) =>
+      assert(bloom.getOrElse(id, 0L) >= n,
+        s"doc $id: bloom ${bloom.getOrElse(id, 0L)} < exact $n (false negative)")
+    }
+    // False-flag bound: clean docs flag with P ≤ n_shingles·fpp
+    // (union bound) — at fpp 1e-5 and ~200 shingles/doc the expected
+    // false-flag count over this corpus is ≪ 1; gate at 1% of the
+    // clean population (plus a small-count floor).
+    val falseFlags = (bloom.keySet -- exact.keySet).size
+    val clean = corpus.count() - exact.size
+    info(s"decontam_bloom: ${exact.size} true hits all flagged, " +
+      s"$falseFlags false flags over $clean clean docs")
+    assert(falseFlags <= math.max(3L, clean / 100),
+      s"$falseFlags false-flagged docs over $clean clean (fpp budget blown)")
+  }
 }
