@@ -402,6 +402,32 @@ object Dedup {
       .orderBy(col("id_a"), col("id_b"))
   }
 
+  /** SemDeDup-style semantic dedup at corpus scale: [[embeddingNearDup]]
+    * with the blocking key derived from the DATA — k-means cell ids
+    * ([[IvfIndex.trainCentroids]] + SOAR spill-`spill` multi-assignment)
+    * instead of a human label (real corpora have none). A vector joins
+    * every one of its `spill` nearest cells, so a near-dup pair
+    * straddling one cell boundary still collides in the other's cell;
+    * the same pair found via two shared cells collapses in the final
+    * pair-level dropDuplicates (output-sized, not corpus-sized).
+    *
+    * Scale: candidate volume is Σ_cells |cell|² bounded by `maxBlock`
+    * (hot-cell guard), shuffle is spill× corpus rows — never all-pairs.
+    * Approximate: a pair whose ranked cell lists are disjoint is
+    * missed; recall is gated in RecallGateSpec against the exact
+    * all-pairs ground truth. */
+  def embeddingNearDupIvf(
+      emb: DataFrame, idCol: String, vecCol: String,
+      cosSim: (Column, Column) => Column, tau: Double,
+      nlist: Int, spill: Int, maxBlock: Int = Int.MaxValue): DataFrame = {
+    val centroids = IvfIndex.trainCentroids(emb, idCol, vecCol, nlist, iters = 2)
+    val blocked = IvfIndex.rankedCells(emb, vecCol, centroids, spill)
+      .select(col(idCol), col(vecCol), explode(col("cells")).as("cell"))
+    embeddingNearDup(blocked, idCol, vecCol, "cell", cosSim, tau, maxBlock)
+      .dropDuplicates("id_a", "id_b")
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
   // -------------------------------------------- exact-substring spans
   /** Cross-document exact-substring duplication, windowed: the
     * Spark-native substitute for suffix-array span dedup (Lee et al.,

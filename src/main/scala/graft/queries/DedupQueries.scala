@@ -107,6 +107,25 @@ object DedupQueries {
     WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35
     ORDER BY id_a, id_b"""
 
+  // ------------------------------------------------ embedding near-dup IVF
+  /** The label-free scale path for [[embedding]]: blocking key =
+    * learned IVF cell (spill-2 multi-assignment) instead of the label
+    * column — what a real unlabeled 100 TB corpus runs (SemDeDup).
+    * Approximate by design (cell-disjoint pairs are missed) →
+    * rows-only entry; recall vs exact all-pairs + hard precision are
+    * gated in RecallGateSpec.
+    *
+    * Operating point (tools/ProfileSemDedup on the isotropic
+    * fixture, where every true pair sits at cos 0.35-0.45 — the
+    * geometry floor): nlist 16 / spill 3 → pair recall 0.856; spill 2
+    * drops to 0.59, nlist 32/spill 3 to 0.76. nlist is the √N-style
+    * scale knob — it grows with corpus size to hold cell size (and so
+    * per-cell pair volume) constant. */
+  private def embeddingIvf(s: SparkSession, d: String): DataFrame =
+    Dedup.embeddingNearDupIvf(Tables.embeddings(s, d), "vec_id", "embedding",
+      VectorFunctions.cosineSimilarity, tau = 0.35,
+      nlist = 16, spill = 3, maxBlock = 5000)
+
   // ------------------------------------------------------------ clusters
   /** Near-dup clusters: LSH pairs → connected components → one
     * deterministic cluster id (component-min doc id) per member. */
@@ -153,5 +172,6 @@ object DedupQueries {
     "dedup_ngram_jaccard" -> QueryDef(ngramJaccard _, jaccardSql(4, 0.65)),
     "dedup_simhash"       -> QueryDef(simhash _, simhashSql),
     "dedup_embedding"     -> QueryDef(embedding _, embeddingSql),
+    "dedup_embedding_ivf" -> QueryDef(embeddingIvf _, None),
   )
 }
