@@ -29,8 +29,16 @@ object VectorStore {
   def read(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
 
+  /** Hash-bucketed by id, ONE sorted file per bucket: the repartition
+    * aligns write tasks to buckets (HashPartitioning and bucket id
+    * are the same pmod(murmur3, n)), so a later bucket-key join or
+    * aggregation needs neither Exchange NOR Sort (Spark only trusts
+    * per-bucket sort order with a single file per bucket — multiple
+    * writers per bucket would silently re-introduce the join-time
+    * sort), and the file count is `buckets`, not tasks × buckets. */
   def writeBucketed(store: DataFrame, table: String, buckets: Int = 64): Unit =
-    store.write.mode("overwrite")
+    store.repartition(buckets, col("id"))
+      .write.mode("overwrite")
       .bucketBy(buckets, "id").sortBy("id")
       .format("parquet")
       .saveAsTable(table)
