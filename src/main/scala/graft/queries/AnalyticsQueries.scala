@@ -43,6 +43,40 @@ object AnalyticsQueries {
       ON e.user_id = c.user_id AND e.ts >= c.ts
     ORDER BY event_id"""
 
+  // -------------------------------------------------------- range join
+  /** Per purchase: count + value-sum of the same user's clicks in the
+    * trailing hour — the attribution-window join every funnel/abuse
+    * pipeline runs. Spark-side it is [[RangeJoin.banded]]: an
+    * EQUI-join on (user, time-band) with the exact window predicate
+    * after, never a per-key nested loop (see RangeJoin scaladoc);
+    * DuckDB verifies against the declared inequality join. µs
+    * truncation for cross-engine parity, as in [[asofEnrich]]. */
+  private def rangeJoin(s: SparkSession, d: String): DataFrame = {
+    val ev = Tables.events(s, d).withColumn("ts_us", expr("ts DIV 1000"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), col("ts_us"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts_us").as("click_us"), col("value"))
+    graft.operators.RangeJoin.banded(purchases, clicks, Seq("user_id"),
+        lTime = "ts_us", rTime = "click_us", lo = -3600000000L, hi = 0L)
+      .groupBy(col("event_id"), col("user_id"))
+      .agg(count(lit(1)).as("n_clicks"), sum(col("value")).as("sum_value"))
+      .orderBy(col("event_id"))
+  }
+
+  private val rangeJoinSql = """
+    WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS ts_us
+               FROM events WHERE event_type = 'purchase'),
+    c AS (SELECT user_id, epoch_us(ts) AS click_us, value
+          FROM events WHERE event_type = 'click')
+    SELECT p.event_id, p.user_id,
+           CAST(count(*) AS BIGINT) AS n_clicks,
+           sum(c.value) AS sum_value
+    FROM p JOIN c ON p.user_id = c.user_id
+      AND c.click_us > p.ts_us - 3600000000 AND c.click_us <= p.ts_us
+    GROUP BY p.event_id, p.user_id
+    ORDER BY p.event_id"""
+
   // ----------------------------------------------------- sliding window
   /** 2-hour windows sliding by 1 hour via Spark's native window();
     * each event lands in exactly two buckets. */
@@ -386,6 +420,7 @@ object AnalyticsQueries {
     "events_quantiles_sketch" -> QueryDef(quantilesSketch _, None),
     "events_quantiles_hist" -> QueryDef(quantilesHist _, quantilesHistSql),
     "events_asof_enrich" -> QueryDef(asofEnrich _, asofEnrichSql),
+    "events_range_join"  -> QueryDef(rangeJoin _, rangeJoinSql),
     "events_sliding_agg" -> QueryDef(slidingAgg _, slidingAggSql),
     "events_quantiles"   -> QueryDef(quantiles _, quantilesSql),
     "events_json"        -> QueryDef(jsonAgg _, jsonAggSql),
