@@ -138,6 +138,49 @@ object CurationQueries {
     FROM c
     ORDER BY source, doc_id"""
 
+  // --------------------------------------------------- mix_temperature
+  /** Temperature-style mixture rebalancing (the multilingual-T5 α=0.5
+    * rule): keep-rate ∝ 1/√|source|, so dominant sources are
+    * downsampled toward a flatter mixture while small sources keep
+    * everything (rate capped at 1). Deterministic hash selection as
+    * in [[mixSample]]; `weight` carries the inverse propensity.
+    *
+    * Scale shape: per-source counts are ONE tiny map-side-combined
+    * aggregate (|sources| rows) broadcast-joined back — the corpus
+    * side never shuffles. Cross-engine exactness: the rate uses only
+    * IEEE-correctly-rounded ops (sqrt, one divide, exact-integer
+    * floor) — a pow(n, alpha) rate would NOT be bit-portable, which
+    * is why alpha is pinned to 0.5.
+    *
+    * No cross-source normalization (Σ√n) on purpose: a float sum over
+    * sources is summation-order-dependent across engines; the
+    * per-source closed form keeps the whole query bit-exact. */
+  private def mixTemperature(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select(col("doc_id"), col("source"))
+    val counts = docs.groupBy(col("source")).agg(count(lit(1)).as("n_source"))
+    docs.join(broadcast(counts), Seq("source"))
+      .withColumn("keep_ppm", least(lit(1000000L),
+        floor(lit(4000000.0) / sqrt(col("n_source").cast("double")))))
+      .filter(hash64(concat(lit("temp-v1:"), col("doc_id").cast("string")))
+        % 1000000L < col("keep_ppm"))
+      .select(col("doc_id"), col("source"), col("n_source"), col("keep_ppm"),
+        (lit(1000000.0) / col("keep_ppm").cast("double")).as("weight"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val mixTemperatureSql: String = s"""
+    WITH c AS (SELECT source, CAST(count(*) AS BIGINT) AS n_source
+               FROM documents GROUP BY source),
+    t AS (SELECT d.doc_id, d.source, c.n_source,
+            least(CAST(1000000 AS BIGINT),
+              CAST(floor(4000000.0 / sqrt(CAST(c.n_source AS DOUBLE))) AS BIGINT)) AS keep_ppm
+          FROM documents d JOIN c USING (source))
+    SELECT doc_id, source, n_source, keep_ppm,
+           1000000.0 / CAST(keep_ppm AS DOUBLE) AS weight
+    FROM t
+    WHERE ${hash64Sql("'temp-v1:' || CAST(doc_id AS VARCHAR)")} % 1000000 < keep_ppm
+    ORDER BY doc_id"""
+
   // -------------------------------------------------- sample_stratified
   /** Exact-quota stratified sampling: exactly min(quota, |stratum|)
     * docs per source — the min-hash-rank prefix of each stratum, the
@@ -295,6 +338,7 @@ object CurationQueries {
     "curate_funnel"  -> QueryDef(funnel _, funnelSql),
     "mix_sample"     -> QueryDef(mixSample _, mixSampleSql),
     "sample_stratified" -> QueryDef(sampleStratified _, sampleStratifiedSql),
+    "mix_temperature" -> QueryDef(mixTemperature _, mixTemperatureSql),
     "decontam_ngram" -> QueryDef(decontam _, decontamSql),
     "decontam_bloom" -> QueryDef(decontamBloom _, None),
     "pack_tokens"    -> QueryDef(packTokens _, packTokensSql),
