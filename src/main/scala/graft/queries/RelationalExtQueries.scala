@@ -81,6 +81,35 @@ object RelationalExtQueries {
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
     ORDER BY rflag, lstatus"""
 
+  // --------------------------------------------------------------- cube
+  /** Full CUBE over (returnflag, linestatus) — every grouping-set
+    * combination including the per-linestatus marginals ROLLUP can't
+    * produce. Same plan family as [[rollupQ]]: Spark expands the
+    * grouping sets into one Expand + single aggregate (4 streams in
+    * one pass — no union of 4 scans), map-side combined. Decimal sums
+    * cast to double at the END, as in rollup, for cross-engine
+    * bit-parity. */
+  private def cubeQ(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .cube(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("lstatus"),
+        col("n"), col("sum_qty"))
+      .orderBy(col("rflag"), col("lstatus"))
+
+  private val cubeSql = """
+    SELECT coalesce(l_returnflag, 'ALL') AS rflag,
+           coalesce(l_linestatus, 'ALL') AS lstatus,
+           count(*) AS n,
+           CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    ORDER BY rflag, lstatus"""
+
   // ---------------------------------------------------------- distincts
   /** Exact distinct users + events per type (the exact twin of the
     * HLL sketch below). */
@@ -218,6 +247,7 @@ object RelationalExtQueries {
     "q_semi_anti"            -> QueryDef(semiAnti _, semiAntiSql),
     "events_pivot"           -> QueryDef(pivotQ _, pivotSql),
     "q_rollup"               -> QueryDef(rollupQ _, rollupSql),
+    "q_cube"                 -> QueryDef(cubeQ _, cubeSql),
     "events_distinct"        -> QueryDef(distinctQ _, distinctSql),
     "events_approx_distinct" -> QueryDef(approxDistinctQ _, None),
   )
