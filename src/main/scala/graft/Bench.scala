@@ -38,6 +38,7 @@ object Bench {
       "vs_ivf_knn" -> queries.VectorQueries.ivfBench _,
       "vs_ivf_auto" -> queries.VectorQueries.ivfAutoBench _,
       "vs_pq_knn" -> queries.VectorQueries.pqBench _,
+      "vs_bq_knn" -> queries.VectorQueries.bqBench _,
       "vs_hnsw_knn" -> queries.VectorQueries.hnswBench _,
       "vs_ivfpq_knn" -> queries.VectorQueries.ivfPqBench _,
       "ingest_pdf_pages" -> queries.PipelineQueries.pdfBench _,

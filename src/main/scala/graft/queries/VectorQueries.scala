@@ -423,17 +423,55 @@ object VectorQueries {
     FROM r WHERE rn <= 2
     ORDER BY vec_id, pos"""
 
-  /** Binary-quantized search (pgvector `bit(n)` mode, r6): sign-bit
-    * packing (32× compression), hamming-ranked corpus pass over the
-    * packed longs, exact re-rank of the top-192 shortlist. Lossy →
-    * rows-only; recall gated in RecallGateSpec. */
+  /** Build-once persisted (vec_id, bq) sidecar for the binary-quant
+    * search — the packed store phase 1 scans INSTEAD of the float
+    * column (same build-once _SUCCESS discipline as ensureAutoStore). */
+  private def ensureBqStore(s: SparkSession, d: String): String = {
+    val p = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_bq_v1_${Integer.toHexString(d.hashCode)}").toString
+    VectorQueries.synchronized {
+      if (!new java.io.File(p, "_SUCCESS").exists())
+        graft.operators.BinaryQuant.writeStore(
+          Tables.embeddings(s, d).filter(col("vec_id") =!= 0),
+          "vec_id", "embedding", p)
+    }
+    p
+  }
+
+  /** Binary-quantized search (pgvector `bit(n)` mode; two-phase since
+    * r7): hamming pass over the persisted (id, packed-sign-bits)
+    * sidecar ONLY — 32× less scan IO than the float column, the
+    * operator's whole point — then exact re-rank of the top-192
+    * shortlist pulled from the corpus by a pushed `In` filter.
+    * Lossy → rows-only; recall gated in RecallGateSpec, phase-1
+    * ReadSchema plan-asserted in BinaryQuantSpec. */
   private def bqKnn(s: SparkSession, d: String): DataFrame = {
     val emb = Tables.embeddings(s, d)
-    val quantized = graft.operators.BinaryQuant.quantize(
-      emb.filter(col("vec_id") =!= 0), "embedding")
+    val bqStore = s.read.parquet(ensureBqStore(s, d))
     val query = emb.filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>")).head.getSeq[Double](0).toArray
-    graft.operators.BinaryQuant.search(quantized, "vec_id", query, K, rerank = 192)
+    graft.operators.BinaryQuant.search(
+      bqStore, emb.filter(col("vec_id") =!= 0), "vec_id", query, K, rerank = 192)
+  }
+
+  /** Bench split for vs_bq_knn: build = persist the packed sidecar,
+    * probe = two-phase search (hamming scan + In-pushed re-rank). */
+  def bqBench(s: SparkSession, d: String): (() => Unit, () => DataFrame) = {
+    val emb = Tables.embeddings(s, d)
+    var bqStore: DataFrame = null
+    var query: Array[Double] = null
+    val build = () => {
+      val p = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_bq_bench_${Integer.toHexString(d.hashCode)}").toString
+      graft.operators.BinaryQuant.writeStore(
+        emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", p)
+      bqStore = s.read.parquet(p)
+      query = emb.filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head.getSeq[Double](0).toArray
+    }
+    val probe = () => graft.operators.BinaryQuant.search(
+      bqStore, emb.filter(col("vec_id") =!= 0), "vec_id", query, K, rerank = 192)
+    (build, probe)
   }
 
   /** PQ/ADC compressed search with exact re-rank of the top-192 ADC
