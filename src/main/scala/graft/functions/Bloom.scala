@@ -30,14 +30,24 @@ import org.apache.spark.util.sketch.BloomFilter
 object Bloom {
 
   /** Serialized filter over the LongType column `keyCol` of `keys`
-    * (distinct-ness not required; sizing counts first — one extra
-    * action over the SMALL side only). */
+    * (distinct-ness not required; sizing counts first). Build needs
+    * TWO actions (the count sizes the filter the aggregate then
+    * fills), so the key projection is cached across them — without
+    * it the caller's whole upstream pipeline (tokenize → shingle →
+    * distinct at decontamination scale) executes twice. The cache is
+    * scoped to this call: a fresh single-column projection (its plan
+    * never aliases the caller's own persists), released before
+    * returning. */
   def build(keys: DataFrame, keyCol: String, fpp: Double): Array[Byte] = {
-    val n = math.max(keys.count(), 1L)
-    val bf = keys.stat.bloomFilter(keyCol, n, fpp)
-    val bos = new java.io.ByteArrayOutputStream()
-    bf.writeTo(bos)
-    bos.toByteArray
+    val keyed = keys.select(keyCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val n = math.max(keyed.count(), 1L)
+      val bf = keyed.stat.bloomFilter(keyCol, n, fpp)
+      val bos = new java.io.ByteArrayOutputStream()
+      bf.writeTo(bos)
+      bos.toByteArray
+    } finally keyed.unpersist(blocking = false)
   }
 
   /** Boolean probe column: may the filter contain long `key`? */

@@ -419,10 +419,17 @@ object Dedup {
   def embeddingNearDupIvf(
       emb: DataFrame, idCol: String, vecCol: String,
       cosSim: (Column, Column) => Column, tau: Double,
-      nlist: Int, spill: Int, maxBlock: Int = Int.MaxValue): DataFrame = {
-    val centroids = IvfIndex.trainCentroids(emb, idCol, vecCol, nlist, iters = 2)
+      nlist: Int, spill: Int, maxBlock: Int = Int.MaxValue,
+      mat: Materializer = Materializer.local()): DataFrame = {
+    val centroids = IvfIndex.trainCentroids(emb, idCol, vecCol, nlist, iters = 2, mat)
     val blocked = IvfIndex.rankedCells(emb, vecCol, centroids, spill)
       .select(col(idCol), col(vecCol), explode(col("cells")).as("cell"))
+    // rankedCells collects the centroid rows into expression metadata
+    // at plan-construction time (NearestCellsExpr), so the training
+    // materializer's last cached round is dead weight from here on —
+    // release it NOW rather than leaking one block per call for the
+    // session lifetime (parquet materializers no-op on release).
+    mat.releaseAll()
     embeddingNearDup(blocked, idCol, vecCol, "cell", cosSim, tau, maxBlock)
       .dropDuplicates("id_a", "id_b")
       .orderBy(col("id_a"), col("id_b"))

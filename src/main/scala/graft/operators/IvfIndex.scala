@@ -261,7 +261,29 @@ object IvfIndex {
       .outputMode("append")
       .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
         if (!batch.isEmpty) {
-          assignCells(batch, vecCol, centroids, spill)
+          // Appended files must share the store's schema exactly:
+          // parquet schema inference reads ONE footer (mergeSchema is
+          // off by default), so a spill-1 append into a spilled store
+          // would let readStore/search infer a rank-less schema and
+          // silently drop the dedup predicate — duplicate copies per
+          // vector. Conform the batch (a spill-1 append IS its own
+          // rank-1 primary) or reject the unrepresentable direction.
+          val storeRanked =
+            try batch.sparkSession.read.parquet(path)
+              .columns.contains("cell_rank")
+            catch { case _: org.apache.spark.sql.AnalysisException => spill >= 2 }
+          require(spill == 1 || storeRanked,
+            s"streamAssign(spill=$spill) into a single-copy store at $path: " +
+              "spilled rows cannot be deduped by readers of a rank-less " +
+              "schema; rebuild the store spilled or append with spill=1")
+          val assigned = assignCells(batch, vecCol, centroids, spill)
+          val conformed =
+            if (storeRanked && spill == 1)
+              assigned
+                .withColumn("cells", array(col("centroid_id")))
+                .withColumn("cell_rank", lit(1))
+            else assigned
+          conformed
             .write.mode("append").partitionBy("centroid_id").parquet(path)
           graft.plans.IvfCatalog.invalidate(path)
         }

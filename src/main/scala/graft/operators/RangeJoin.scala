@@ -37,6 +37,10 @@ object RangeJoin {
   def banded(left: DataFrame, right: DataFrame, keys: Seq[String],
       lTime: String, rTime: String, lo: Long, hi: Long): DataFrame = {
     require(hi > lo, s"empty window: ($lo, $hi]")
+    // the helper band column must not collide with caller data — a
+    // silent withColumn overwrite would corrupt (then drop) user data
+    require(!left.columns.contains("__band") && !right.columns.contains("__band"),
+      "__band is reserved by RangeJoin.banded; rename the input column")
     val w = hi - lo
     // ceil log2: smallest k with 2^k >= w (w >= 1 here)
     val k = 64 - java.lang.Long.numberOfLeadingZeros(math.max(w - 1, 1))

@@ -127,15 +127,26 @@ object KnnServing {
   def serveHnsw(
       queries: DataFrame, graphs: DataFrame,
       qIdCol: String, qVecCol: String,
-      k: Int, ef: Int = 64)(writeBatch: (DataFrame, Long) => Unit): StreamingQuery =
+      k: Int, ef: Int = 64,
+      maxBatch: Int = 65536)(writeBatch: (DataFrame, Long) => Unit): StreamingQuery =
     queries.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
-          val qs = batch
+          // the one driver-side collect in the serving family — bound
+          // it explicitly so a mis-wired source (say, a corpus stream
+          // routed into the query port) fails fast instead of OOMing
+          // the driver. limit(maxBatch+1) keeps the guard itself
+          // driver-bounded: at most maxBatch+1 rows ever land here.
+          val rows = batch
             .select(org.apache.spark.sql.functions.col(qIdCol).cast("long"),
               org.apache.spark.sql.functions.col(qVecCol).cast("array<double>"))
+            .limit(maxBatch + 1)
             .collect()
+          require(rows.length <= maxBatch,
+            s"serveHnsw micro-batch exceeds maxBatch=$maxBatch query " +
+              "vectors; raise maxBatch or trigger smaller batches")
+          val qs = rows
             .map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
           val answered = graft.operators.Hnsw.searchBatch(graphs, qs, k, ef)
             .withColumnRenamed("qid", qIdCol)

@@ -162,6 +162,28 @@ class HnswSpec extends SparkSpec {
       direct.sortBy(x => (x._1, x._3, x._2)).toSeq)
   }
 
+  test("serveHnsw rejects a micro-batch past maxBatch (driver collect is bounded)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val graphs = Hnsw.buildPartitioned(emb, "vec_id", "embedding", parts = 4)
+      .localCheckpoint()
+    val queries = emb.filter(col("vec_id") < 5)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+    val q = graft.streaming.KnnServing.serveHnsw(
+      input.toDF().toDF("qid", "qvec"), graphs, "qid", "qvec",
+      k = 3, maxBatch = 3) { (_, _) => () }
+    try {
+      input.addData(queries.toSeq) // 5 queries > maxBatch 3
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      val msgs = Iterator.iterate(ex: Throwable)(_.getCause).takeWhile(_ != null)
+        .map(_.getMessage).mkString("\n")
+      assert(msgs.contains("maxBatch"), s"unexpected failure:\n$msgs")
+    } finally q.stop()
+  }
+
   test("appendBatch inserts new vectors with full linking: they are findable at distance 0") {
     val graphs = Hnsw.buildPartitioned(emb, "vec_id", "embedding", parts = 4)
       .localCheckpoint()

@@ -174,6 +174,57 @@ class IvfIndexSpec extends SparkSpec {
     assert(searched.distinct == searched)
   }
 
+  test("spill=1 appends into a spilled store conform to the ranked layout (schema-inference safe)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ivfmixstream").toString
+    val (indexed, centroids) = IvfIndex.buildIndex(
+      emb, "vec_id", "embedding", nlist = 4, spill = 2)
+    IvfIndex.writePartitioned(indexed, s"$dir/store")
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+    val q = IvfIndex.streamAssign(
+      input.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", centroids, s"$dir/store", s"$dir/ckpt", spill = 1)
+    try {
+      input.addData(emb.limit(5).collect()
+        .map(r => (r.getLong(0) + 800000L, r.getSeq[Float](1))).toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    // every file now shares the ranked schema: whichever footer Spark
+    // infers from, cell_rank survives and the dedup predicate holds
+    val stored = spark.read.parquet(s"$dir/store")
+    assert(stored.columns.contains("cell_rank"))
+    val appended = stored.filter(col("vec_id") >= 800000L)
+    assert(appended.count() == 5)
+    assert(appended.filter(col("cell_rank").isNull || col("cells").isNull).count() == 0,
+      "spill-1 appends must carry explicit rank-1 cells, not nulls")
+    val view = IvfIndex.readStore(spark, s"$dir/store")
+    assert(view.count() == emb.count() + 5)
+    assert(view.select("vec_id").distinct().count() == emb.count() + 5)
+  }
+
+  test("spilled appends into a rank-less store are rejected (readers could not dedup them)") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("ivfrejstream").toString
+    val (indexed, centroids) = IvfIndex.buildIndex(
+      emb, "vec_id", "embedding", nlist = 4, spill = 1)
+    IvfIndex.writePartitioned(indexed, s"$dir/store")
+    val input = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[(Long, Seq[Float])]
+    val q = IvfIndex.streamAssign(
+      input.toDF().toDF("vec_id", "embedding"),
+      "vec_id", "embedding", centroids, s"$dir/store", s"$dir/ckpt", spill = 2)
+    try {
+      input.addData(emb.limit(2).collect()
+        .map(r => (r.getLong(0) + 700000L, r.getSeq[Float](1))).toSeq)
+      val ex = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(ex.getMessage.contains("single-copy store") ||
+        Option(ex.getCause).exists(_.getMessage.contains("single-copy store")))
+    } finally q.stop()
+  }
+
   test("spill above MaxSpill is rejected (dedup conjunction is statically bounded)") {
     val (_, centroids) = IvfIndex.buildIndex(emb, "vec_id", "embedding", nlist = 4)
     intercept[IllegalArgumentException] {

@@ -55,4 +55,16 @@ class RangeJoinSpec extends SparkSpec {
       .select("rid").as[Long].collect().toSet
     assert(fwd == Set(11L, 12L))
   }
+
+  test("inputs carrying the reserved __band column are rejected, not silently overwritten") {
+    val clean = Seq((1L, "a", 0L)).toDF("lid", "key", "lt")
+    val dirty = Seq((10L, "a", 0L, 7L)).toDF("rid", "key", "rt", "__band")
+    intercept[IllegalArgumentException] {
+      RangeJoin.banded(clean, dirty, Seq("key"), "lt", "rt", 0L, 500L)
+    }
+    intercept[IllegalArgumentException] {
+      RangeJoin.banded(dirty.withColumnRenamed("rid", "lid2"), clean,
+        Seq("key"), "lt", "rt", 0L, 500L)
+    }
+  }
 }
