@@ -142,6 +142,28 @@ object Dedup {
   def verifiedJaccard(cand: DataFrame, sh: DataFrame): DataFrame =
     verifiedJaccard(cand, sh, sh)
 
+  /** Bounded per-doc pair cap for the pair-emitting modes: keep each
+    * `aCol`'s `cap` strongest pairs (similarity desc, `bCol` asc
+    * tie-break) through the map-side-combined bounded
+    * [[graft.functions.TopKAggregate]] — shuffle volume is
+    * partitions × docs × cap, NEVER the uncapped pair set through a
+    * window (the corpus-frame row_number anti-pattern). Output pairs
+    * per doc are ≤ cap by construction, so a 10⁴-clone boilerplate
+    * group emits 10⁴·cap rows instead of 5·10⁷. The similarity is
+    * reconstructed as 1−(1−sim) — exact for these [0,1] scores only
+    * when (1−sim) round-trips, which is why capped mode is a scale
+    * knob (spec-verified), not an oracle surface. */
+  private def capPairs(pairs: DataFrame, aCol: String, bCol: String,
+      simCol: String, cap: Int): DataFrame =
+    if (cap == Int.MaxValue) pairs
+    else pairs
+      .groupBy(col(aCol))
+      .agg(graft.functions.TopKAggregate.topK(
+        lit(1.0) - col(simCol), col(bCol), cap).as("__tk"))
+      .select(col(aCol), explode(col("__tk")).as("__p"))
+      .select(col(aCol), col("__p.id").as(bCol),
+        (lit(1.0) - col("__p.dist")).as(simCol))
+
   /** MinHash+LSH near-dup pairs with exact-jaccard verification.
     * `mat` materializes the shingle relation once (it feeds the
     * signatures AND both sides of the verification join) —
@@ -172,7 +194,8 @@ object Dedup {
   def ngramJaccard(
       docs: DataFrame, idCol: String, textCol: String,
       shingleN: Int, tau: Double, maxShingleDf: Int = Int.MaxValue,
-      mat: Materializer = Materializer.local()): DataFrame = {
+      mat: Materializer = Materializer.local(),
+      pairCap: Int = Int.MaxValue): DataFrame = {
     // the pruned path consumes the shingle relation from four subtrees
     // (df counts, both candidate sides, full-set verification) —
     // materialize once instead of recomputing the tokenize→shingle
@@ -214,8 +237,8 @@ object Dedup {
           verifiedJaccard(cand, sh)
         }
       }
-    scored
-      .filter(col("jaccard") >= tau)
+    capPairs(scored.filter(col("jaccard") >= tau),
+        "doc_a", "doc_b", "jaccard", pairCap)
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
@@ -383,7 +406,8 @@ object Dedup {
   def embeddingNearDup(
       emb: DataFrame, idCol: String, vecCol: String, blockCol: String,
       cosSim: (Column, Column) => Column, tau: Double,
-      maxBlock: Int = Int.MaxValue): DataFrame = {
+      maxBlock: Int = Int.MaxValue,
+      pairCap: Int = Int.MaxValue): DataFrame = {
     val rows = emb.select(col(blockCol).as("blk"), col(idCol), col(vecCol))
     val pruned =
       if (maxBlock == Int.MaxValue) rows
@@ -395,10 +419,11 @@ object Dedup {
       }
     val a = pruned.select(col("blk"), col(idCol).as("id_a"), col(vecCol).as("v_a"))
     val b = pruned.select(col("blk"), col(idCol).as("id_b"), col(vecCol).as("v_b"))
-    a.join(b, Seq("blk"))
+    val scored = a.join(b, Seq("blk"))
       .filter(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b"), cosSim(col("v_a"), col("v_b")).as("cos_sim"))
       .filter(col("cos_sim") >= tau)
+    capPairs(scored, "id_a", "id_b", "cos_sim", pairCap)
       .orderBy(col("id_a"), col("id_b"))
   }
 
@@ -433,6 +458,90 @@ object Dedup {
     embeddingNearDup(blocked, idCol, vecCol, "cell", cosSim, tau, maxBlock)
       .dropDuplicates("id_a", "id_b")
       .orderBy(col("id_a"), col("id_b"))
+  }
+
+  // ------------------------------------- clone-collapsed pair contracts
+  /** One representative row per distinct (trimmed) text: (textCol =
+    * trimmed text, idCol = min member id, grp = member count). THE
+    * guard against clone-dense corpora for every pair-emitting
+    * near-dup variant: real web corpora are full of exact clones
+    * (boilerplate, mirrors), and a clone group of size g shares ALL
+    * shingles, so pairing raw docs emits g(g−1)/2 rows per group —
+    * output-quadratic. Collapsing first makes the near-dup stage's
+    * input (and output) the DISTINCT-text corpus; exact-clone
+    * membership is carried by `grp` (and recoverable exactly via
+    * [[exact]]). One map-side-combined aggregation — the combiner
+    * collapses same-partition clones before the shuffle. */
+  def collapseByContent(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.groupBy(trim(col(textCol)).as(textCol))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("grp"))
+
+  /** [[ngramJaccard]] over exact-clone representatives — the
+    * pair-emitting contract that survives clone density: output rows
+    * are pairs of DISTINCT texts, each annotated with the clone-group
+    * sizes it stands for (docs_a × docs_b underlying raw pairs).
+    * On a corpus where every page has g exact copies this emits the
+    * same pairs as a clone-free corpus, not g² of them. */
+  def ngramJaccardCollapsed(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, tau: Double, maxShingleDf: Int = Int.MaxValue,
+      mat: Materializer = Materializer.local()): DataFrame = {
+    val reps = collapseByContent(docs, idCol, textCol)
+    val pairs = ngramJaccard(reps, idCol, textCol, shingleN, tau, maxShingleDf, mat)
+    val sizes = reps.select(col(idCol), col("grp"))
+    pairs
+      .join(sizes.select(col(idCol).as("doc_a"), col("grp").as("docs_a")), "doc_a")
+      .join(sizes.select(col(idCol).as("doc_b"), col("grp").as("docs_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"), col("docs_a"), col("docs_b"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** [[embeddingNearDup]] over exact-clone representatives, where a
+    * clone = bit-identical (vector, block) — the embedding twin of
+    * [[ngramJaccardCollapsed]]. The collapse IS the group-by (the
+    * vector and block are the group keys, so the representative row
+    * needs no join-back). */
+  def embeddingNearDupCollapsed(
+      emb: DataFrame, idCol: String, vecCol: String, blockCol: String,
+      cosSim: (Column, Column) => Column, tau: Double,
+      maxBlock: Int = Int.MaxValue): DataFrame = {
+    val reps = emb.groupBy(col(vecCol), col(blockCol))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("grp"))
+    val pairs = embeddingNearDup(reps, idCol, vecCol, blockCol, cosSim, tau, maxBlock)
+    val sizes = reps.select(col(idCol), col("grp"))
+    pairs
+      .join(sizes.select(col(idCol).as("id_a"), col("grp").as("vecs_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("grp").as("vecs_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("cos_sim"), col("vecs_a"), col("vecs_b"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** The PRIMARY dedup contract at scale: per-doc survivor mapping
+    * (doc_id, survivor_id, is_dup) — output is one row per corpus
+    * row, never a pair set. Composition: exact-clone collapse →
+    * near-dup pairs over representatives ([[ngramJaccard]]) →
+    * [[connectedComponents]] over the rep pair graph → every doc
+    * inherits its representative's cluster label (reps are group-min
+    * ids, so the cluster-min rep id IS the cluster-min doc id).
+    * A pipeline keeps `WHERE NOT is_dup` and has deduplicated the
+    * corpus in output linear in corpus size. */
+  def ngramSurvivors(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, tau: Double, maxShingleDf: Int = Int.MaxValue,
+      mat: Materializer = Materializer.local()): DataFrame = {
+    val reps = collapseByContent(docs, idCol, textCol)
+    val pairs = ngramJaccard(reps, idCol, textCol, shingleN, tau, maxShingleDf, mat)
+      .select(col("doc_a"), col("doc_b"))
+    val comp = connectedComponents(pairs) // (doc_id, cluster_id) over reps
+    val docKeyed = docs.select(col(idCol), contentKey(col(textCol)).as("__ck"))
+    val repKeyed = reps.select(col(idCol).as("__rep"), contentKey(col(textCol)).as("__ck"))
+    docKeyed
+      .join(repKeyed, "__ck") // narrow key: the content hash, not the text
+      .join(comp.select(col("doc_id").as("__rep"), col("cluster_id")), Seq("__rep"), "left")
+      .select(col(idCol),
+        coalesce(col("cluster_id"), col("__rep")).as("survivor_id"))
+      .withColumn("is_dup", col(idCol) =!= col("survivor_id"))
+      .orderBy(col(idCol))
   }
 
   // -------------------------------------------- exact-substring spans

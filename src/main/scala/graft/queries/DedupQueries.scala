@@ -20,8 +20,8 @@ import org.apache.spark.sql.functions._
   */
 object DedupQueries {
 
-  private def shingleCte(n: Int): String = s"""
-    t AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
+  private def shingleCte(n: Int, src: String = "documents"): String = s"""
+    t AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM $src),
     shing AS (SELECT doc_id, unnest(${shinglesSql("toks", n)}) AS s FROM t),
     sh AS (SELECT DISTINCT doc_id, s FROM shing),
     sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
@@ -70,9 +70,69 @@ object DedupQueries {
   // 4-gram shingles: on a small-vocabulary corpus short shingles
   // collide massively (2-grams → ~1600 distinct keys → a quadratic
   // shingle join); 4-grams keep join buckets near 1.
+  //
+  // CLONE-COLLAPSED since r7 (VERDICT r6 #2): pairs are emitted over
+  // exact-clone representatives (one per distinct trimmed text), each
+  // annotated with the clone-group sizes it stands for — a corpus
+  // where every page has g exact copies emits the same pairs as a
+  // clone-free one instead of g²·pairs (sf1.0 measured 71× for 10×
+  // data under the old raw-pair contract). Exact-clone membership
+  // itself is dedup_exact's output.
   private def ngramJaccard(s: SparkSession, d: String): DataFrame =
-    Dedup.ngramJaccard(Tables.documents(s, d), "doc_id", "text",
+    Dedup.ngramJaccardCollapsed(Tables.documents(s, d), "doc_id", "text",
       shingleN = 4, tau = 0.65, maxShingleDf = 50)
+
+  private val repsCte =
+    """reps AS (SELECT trim(text) AS text, min(doc_id) AS doc_id, count(*) AS grp
+              FROM documents GROUP BY trim(text))"""
+
+  private def collapsedJaccardSql(n: Int, tau: Double): String = s"""
+    WITH $repsCte,
+    ${shingleCte(n, "reps").trim}
+    SELECT doc_a, doc_b,
+           CAST(shared AS DOUBLE) / (na.n + nb.n - shared) AS jaccard,
+           ga.grp AS docs_a, gb.grp AS docs_b
+    FROM shared
+    JOIN sizes na ON doc_a = na.doc_id
+    JOIN sizes nb ON doc_b = nb.doc_id
+    JOIN reps ga ON doc_a = ga.doc_id
+    JOIN reps gb ON doc_b = gb.doc_id
+    WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= $tau
+    ORDER BY doc_a, doc_b"""
+
+  // --------------------------------------------------------- survivors
+  /** The PRIMARY dedup contract at 100 TB (VERDICT r6 #2): per-doc
+    * (survivor_id, is_dup) — output linear in corpus size, never a
+    * pair set. Exact-clone collapse → rep near-dup pairs →
+    * connected components → every doc inherits its rep's cluster. */
+  private def survivors(s: SparkSession, d: String): DataFrame =
+    Dedup.ngramSurvivors(Tables.documents(s, d), "doc_id", "text",
+      shingleN = 4, tau = 0.65, maxShingleDf = 50)
+
+  private val survivorsSql = s"""
+    WITH RECURSIVE $repsCte,
+    ${shingleCte(4, "reps").trim},
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM shared
+      JOIN sizes na ON doc_a = na.doc_id
+      JOIN sizes nb ON doc_b = nb.doc_id
+      WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= 0.65),
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    nodes AS (SELECT DISTINCT a AS node FROM edges),
+    reach AS (
+      SELECT node AS a, node AS b FROM nodes
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+    comp AS (SELECT a AS rep, min(b) AS cluster_id FROM reach GROUP BY a),
+    m AS (SELECT d.doc_id, r.doc_id AS rep
+          FROM documents d JOIN reps r ON trim(d.text) = r.text)
+    SELECT m.doc_id,
+           coalesce(c.cluster_id, m.rep) AS survivor_id,
+           m.doc_id <> coalesce(c.cluster_id, m.rep) AS is_dup
+    FROM m LEFT JOIN comp c ON m.rep = c.rep
+    ORDER BY doc_id"""
 
   // ------------------------------------------------------------ simhash
   private def simhash(s: SparkSession, d: String): DataFrame =
@@ -95,15 +155,22 @@ object DedupQueries {
     ORDER BY doc_a, doc_b"""
 
   // -------------------------------------------------- embedding near-dup
+  // CLONE-COLLAPSED since r7 (VERDICT r6 #2): one representative per
+  // bit-identical (embedding, label), pair output annotated with the
+  // collapsed group sizes — same rationale as dedup_ngram_jaccard
+  // (sf1.0 measured 33× for 10× data under the raw-pair contract).
   private def embedding(s: SparkSession, d: String): DataFrame =
-    Dedup.embeddingNearDup(Tables.embeddings(s, d), "vec_id", "embedding",
+    Dedup.embeddingNearDupCollapsed(Tables.embeddings(s, d), "vec_id", "embedding",
       "label", VectorFunctions.cosineSimilarity, tau = 0.35)
 
   private val embeddingSql = """
+    WITH reps AS (SELECT embedding, label, min(vec_id) AS vec_id, count(*) AS grp
+                  FROM embeddings GROUP BY embedding, label)
     SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-           list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cos_sim
-    FROM embeddings a
-    JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+           list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS cos_sim,
+           a.grp AS vecs_a, b.grp AS vecs_b
+    FROM reps a
+    JOIN reps b ON a.label = b.label AND a.vec_id < b.vec_id
     WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35
     ORDER BY id_a, id_b"""
 
@@ -169,7 +236,8 @@ object DedupQueries {
     "dedup_clusters"      -> QueryDef(clusters _, clustersSql),
     "dedup_exact"         -> QueryDef(exact _, exactSql),
     "dedup_minhash_lsh"   -> QueryDef(minhashLsh _, jaccardSql(3, 0.8)),
-    "dedup_ngram_jaccard" -> QueryDef(ngramJaccard _, jaccardSql(4, 0.65)),
+    "dedup_ngram_jaccard" -> QueryDef(ngramJaccard _, collapsedJaccardSql(4, 0.65)),
+    "dedup_survivors"     -> QueryDef(survivors _, survivorsSql),
     "dedup_simhash"       -> QueryDef(simhash _, simhashSql),
     "dedup_embedding"     -> QueryDef(embedding _, embeddingSql),
     "dedup_embedding_ivf" -> QueryDef(embeddingIvf _, None),

@@ -61,6 +61,64 @@ class DedupSpec extends SparkSpec {
     assert(got.head.getDouble(2) == 0.5)
   }
 
+  test("clone-collapsed ngram pairs: g-clone groups emit one rep pair with group sizes") {
+    val a = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val aNear = (1 to 29).map(i => s"tok$i").mkString(" ") + " changed"
+    val other = (100 to 130).map(i => s"w$i").mkString(" ")
+    // 3 exact clones of a, 2 of its near-dup, 1 unrelated
+    val d = docs(1L -> a, 2L -> a, 3L -> ("  " + a + " "),
+      4L -> aNear, 5L -> aNear, 6L -> other)
+    val pairs = Dedup.ngramJaccardCollapsed(d, "doc_id", "text",
+      shingleN = 3, tau = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    // raw pairing would emit 3·2=6 cross pairs (+ 3+1 within-group);
+    // collapsed: exactly ONE pair (rep 1, rep 4) carrying the sizes
+    assert(pairs.toSeq == Seq((1L, 4L, 3L, 2L)))
+  }
+
+  test("ngramSurvivors: per-doc survivor mapping, linear output, clones + near-dups merged") {
+    val a = (1 to 30).map(i => s"tok$i").mkString(" ")
+    val aNear = (1 to 29).map(i => s"tok$i").mkString(" ") + " changed"
+    val other = (100 to 130).map(i => s"w$i").mkString(" ")
+    val d = docs(1L -> a, 2L -> a, 4L -> aNear, 6L -> other)
+    val m = Dedup.ngramSurvivors(d, "doc_id", "text", shingleN = 3, tau = 0.5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(m(1L) == (1L, false)) // cluster root
+    assert(m(2L) == (1L, true))  // exact clone of 1
+    assert(m(4L) == (1L, true))  // near-dup joins 1's cluster
+    assert(m(6L) == (6L, false)) // untouched singleton
+    assert(m.size == 4)
+  }
+
+  test("pairCap bounds pairs per doc and keeps the strongest; non-binding cap is identity") {
+    // doc 1 is near-dup of 2, 3, 4 at descending jaccard
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val d1 = (1 to 39).map(i => s"tok$i").mkString(" ") + " x"   // closest
+    val d2 = (1 to 37).map(i => s"tok$i").mkString(" ") + " x y z"
+    val d3 = (1 to 35).map(i => s"tok$i").mkString(" ") + " p q r s t"
+    val d = docs(1L -> base, 2L -> d1, 3L -> d2, 4L -> d3)
+    val uncapped = Dedup.ngramJaccard(d, "doc_id", "text", shingleN = 3, tau = 0.1)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val doc1Pairs = uncapped.filter(_._1 == 1L)
+    assert(doc1Pairs.length == 3)
+    val capped = Dedup.ngramJaccard(d, "doc_id", "text", shingleN = 3, tau = 0.1,
+      pairCap = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val capped1 = capped.filter(_._1 == 1L)
+    assert(capped1.length == 2, s"cap must bind: ${capped1.toSeq}")
+    // the kept two are doc 1's strongest pairs
+    val strongest = doc1Pairs.sortBy(p => (-p._3, p._2)).take(2).map(_._2).toSet
+    assert(capped1.map(_._2).toSet == strongest)
+    val nonBinding = Dedup.ngramJaccard(d, "doc_id", "text", shingleN = 3, tau = 0.1,
+      pairCap = 100)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(nonBinding.map(p => (p._1, p._2)).toSeq == uncapped.map(p => (p._1, p._2)).toSeq)
+    // capPairs reconstructs sim as 1−(1−sim): exact for sim ≥ 0.5
+    // (Sterbenz), within an ulp below — tolerance, not bit-equality
+    nonBinding.zip(uncapped).foreach { case (nb, u) =>
+      assert(math.abs(nb._3 - u._3) < 1e-12, s"$nb vs $u") }
+  }
+
   test("connected components converge on a 64-node chain within 20 rounds (pointer jumping)") {
     import spark.implicits._
     // diameter 63: plain min-label propagation needs ~63 rounds and

@@ -22,8 +22,8 @@ class InventorySyncSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the documented outcome") {
-    assert(SparkEntry.queries.size == 93)
-    assert(SparkEntry.oracleSql.size == 78)
+    assert(SparkEntry.queries.size == 94)
+    assert(SparkEntry.oracleSql.size == 79)
   }
 
   test("every rows-only (non-oracled) query carries a gate in RecallGateSpec") {
