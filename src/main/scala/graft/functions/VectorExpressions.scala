@@ -26,6 +26,7 @@ object VectorDistance {
   case object L2 extends Mode { val id = 1 }
   case object CosineDist extends Mode { val id = 2 }
   case object CosineSim extends Mode { val id = 3 }
+  case object L1 extends Mode { val id = 4 }
 
   import GraftSqlBridge.{toColumn, toExpression}
 
@@ -33,6 +34,9 @@ object VectorDistance {
     toColumn(VectorDistanceExpr(toExpression(a), toExpression(b), Dot.id))
   def l2(a: Column, b: Column): Column =
     toColumn(VectorDistanceExpr(toExpression(a), toExpression(b), L2.id))
+  /** pgvector `<+>` (taxicab / manhattan): Σ|aᵢ−bᵢ|. */
+  def l1(a: Column, b: Column): Column =
+    toColumn(VectorDistanceExpr(toExpression(a), toExpression(b), L1.id))
   def cosineDistance(a: Column, b: Column): Column =
     toColumn(VectorDistanceExpr(toExpression(a), toExpression(b), CosineDist.id))
   def cosineSimilarity(a: Column, b: Column): Column =
@@ -87,6 +91,14 @@ case class VectorDistanceExpr(left: Expression, right: Expression, mode: Int)
         i += 1
       }
       math.sqrt(dot)
+    } else if (mode == VectorDistance.L1.id) {
+      while (i < n) {
+        val x = if (leftFloat) a.getFloat(i).toDouble else a.getDouble(i)
+        val y = if (rightFloat) b.getFloat(i).toDouble else b.getDouble(i)
+        dot += math.abs(x - y)
+        i += 1
+      }
+      dot
     } else {
       while (i < n) {
         val x = if (leftFloat) a.getFloat(i).toDouble else a.getDouble(i)
@@ -134,6 +146,13 @@ case class VectorDistanceExpr(left: Expression, right: Expression, mode: Int)
              $acc += $d * $d;
            }
            ${ev.value} = java.lang.Math.sqrt($acc);"""
+        case 4 =>
+          s"""
+           double $acc = 0.0;
+           for (int $i = 0; $i < $n; $i++) {
+             $acc += java.lang.Math.abs(${getL(a, i)} - ${getR(b, i)});
+           }
+           ${ev.value} = $acc;"""
         case m =>
           val sim = ctx.freshName("sim")
           val out = if (m == 2) s"1.0 - $sim" else sim
@@ -358,6 +377,163 @@ case class SignPackExpr(child: Expression)
       i += 1
     }
     new org.apache.spark.sql.catalyst.util.GenericArrayData(words)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** IEEE 754 binary16 conversion — the pgvector `halfvec` storage
+  * precision. Hand-rolled because `Float.floatToFloat16` arrived in
+  * Java 20 and this library pins Java 17; the bit algorithm is the
+  * textbook one (sign through, exponent rebias 127→15, 10-bit
+  * mantissa with round-half-up, subnormal flush via shifted
+  * round-add, ±inf saturation past 65504). Deterministic by
+  * construction — the SAME rounding on every executor and on the
+  * driver (query packing), which is all the gated halfvec contract
+  * needs. */
+object Half {
+  def toHalfBits(f: Float): Short = {
+    val fbits = java.lang.Float.floatToIntBits(f)
+    val sign = (fbits >>> 16) & 0x8000
+    val em = fbits & 0x7fffffff
+    if (em >= 0x7f800000) { // inf / NaN propagate
+      if (em > 0x7f800000) (sign | 0x7e00).toShort
+      else (sign | 0x7c00).toShort
+    } else {
+      val rounded = em + 0x1000 // round-half-up at the dropped bit 12
+      if (rounded >= 0x47800000) (sign | 0x7c00).toShort // overflow → ±inf
+      else if (rounded >= 0x38800000) // normal half
+        (sign | ((rounded - 0x38000000) >>> 13)).toShort
+      else if (em < 0x33000000) sign.toShort // underflow → ±0
+      else { // subnormal half: add implicit bit, shift by unbiased exp
+        val e = em >>> 23
+        val mant = (em & 0x7fffff) | 0x800000
+        val shift = 126 - e
+        (sign | ((mant + (0x800000 >>> (e - 102))) >>> shift)).toShort
+      }
+    }
+  }
+
+  def fromHalfBits(h: Short): Float = {
+    val hbits = h & 0xffff
+    var mant = hbits & 0x03ff
+    var exp = hbits & 0x7c00
+    if (exp == 0x7c00) exp = 0x3fc00 // inf / NaN
+    else if (exp != 0) exp += 0x1c000 // normal: rebias 15→127
+    else if (mant != 0) { // subnormal: normalize
+      exp = 0x1c400
+      while ((mant & 0x400) == 0) { mant <<= 1; exp -= 0x400 }
+      mant &= 0x3ff
+    }
+    java.lang.Float.intBitsToFloat(((hbits & 0x8000) << 16) | ((exp | mant) << 13))
+  }
+
+  /** Driver-side packing twin of [[HalfPackExpr]] (query vectors). */
+  def pack(v: Array[Double]): Array[Byte] = {
+    val out = new Array[Byte](v.length * 2)
+    var i = 0
+    while (i < v.length) {
+      val h = toHalfBits(v(i).toFloat)
+      out(2 * i) = (h & 0xff).toByte
+      out(2 * i + 1) = ((h >> 8) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  def unpackToDouble(b: Array[Byte]): Array[Double] = {
+    val out = new Array[Double](b.length / 2)
+    var i = 0
+    while (i < out.length) {
+      val h = ((b(2 * i) & 0xff) | ((b(2 * i + 1) & 0xff) << 8)).toShort
+      out(i) = fromHalfBits(h).toDouble
+      i += 1
+    }
+    out
+  }
+}
+
+/** Float16 packing for halfvec storage (pgvector `halfvec`): each
+  * element rounded to IEEE binary16 and packed little-endian into a
+  * binary column — HALF the scan bytes of float32 at ~3 decimal
+  * digits of precision, the standard memory/recall trade for stored
+  * embeddings. One pass per row. */
+case class HalfPackExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType | FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"half_pack needs array<float|double>, got $t")
+    }
+
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val out = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) v.getFloat(i) else v.getDouble(i).toFloat
+      val h = Half.toHalfBits(x)
+      out(2 * i) = (h & 0xff).toByte
+      out(2 * i + 1) = ((h >> 8) & 0xff).toByte
+      i += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Distance between a packed halfvec column ([[HalfPackExpr]] output)
+  * and one dequantized query (driver metadata, already half-rounded):
+  * elements dequantize binary16→double and accumulate with the SAME
+  * sequential-order contract as [[VectorDistanceExpr]]. Supports the
+  * L2 / L1 / dot modes (cosine adds accumulators nobody needs on
+  * normalized stores). */
+case class HalfDistExpr(child: Expression, query: Array[Double], mode: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"half_dist needs a binary halfvec, got $t")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    val n = b.length / 2
+    if (n != query.length)
+      throw new IllegalArgumentException(
+        s"vector dimension mismatch: $n vs ${query.length}")
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val h = ((b(2 * i) & 0xff) | ((b(2 * i + 1) & 0xff) << 8)).toShort
+      val x = Half.fromHalfBits(h).toDouble
+      if (mode == VectorDistance.L2.id) { val d = x - query(i); acc += d * d }
+      else if (mode == VectorDistance.L1.id) acc += math.abs(x - query(i))
+      else acc += x * query(i)
+      i += 1
+    }
+    if (mode == VectorDistance.L2.id) math.sqrt(acc) else acc
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =

@@ -58,6 +58,9 @@ object VectorFunctions {
   /** pgvector `<->`: Euclidean distance (fused codegen). */
   def l2Distance(a: Column, b: Column): Column = VectorDistance.l2(a, b)
 
+  /** pgvector `<+>` (≥0.7): L1 / taxicab distance (fused codegen). */
+  def l1Distance(a: Column, b: Column): Column = VectorDistance.l1(a, b)
+
   def l2DistanceHof(a: Column, b: Column): Column =
     sameDims(a, b,
       sqrt(aggregate(

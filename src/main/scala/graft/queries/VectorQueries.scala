@@ -38,9 +38,19 @@ object VectorQueries {
   private val l2Sql  = "list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[]))"
   private val cosSql = "1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[]))"
   private val ipSql  = "-list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[]))"
+  // L1 has no native DuckDB list function; list_sum folds the list in
+  // element order (verified bit-identical to sequential accumulation)
+  private val l1Sql  = "list_sum(list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), " +
+    "CAST(q.qvec AS DOUBLE[])), x -> abs(x[1] - x[2])))"
 
   private def knnL2(s: SparkSession, d: String): DataFrame =
     Knn.topK(corpus(s, d), "vec_id", "embedding", queryVec(s, d), "qvec", l2Distance, K)
+
+  /** pgvector `<+>` (L1) top-k — same TakeOrderedAndProject shape as
+    * the other three distance operators, fourth mode of the fused
+    * [[graft.functions.VectorDistanceExpr]]. */
+  private def knnL1(s: SparkSession, d: String): DataFrame =
+    Knn.topK(corpus(s, d), "vec_id", "embedding", queryVec(s, d), "qvec", l1Distance, K)
 
   private def knnCos(s: SparkSession, d: String): DataFrame =
     Knn.topK(corpus(s, d), "vec_id", "embedding", queryVec(s, d), "qvec", cosineDistance, K)
@@ -454,6 +464,42 @@ object VectorQueries {
       bqStore, emb.filter(col("vec_id") =!= 0), "vec_id", query, K, rerank = 192)
   }
 
+  /** Build-once float16-packed store (pgvector `halfvec` analogue):
+    * (vec_id, hv binary) — HALF the scan bytes of the float32 column. */
+  private def ensureHalfStore(s: SparkSession, d: String): String = {
+    import org.apache.spark.sql.GraftSqlBridge.{toColumn, toExpression}
+    val p = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_half_v1_${Integer.toHexString(d.hashCode)}").toString
+    VectorQueries.synchronized {
+      if (!new java.io.File(p, "_SUCCESS").exists())
+        Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+          .select(col("vec_id"),
+            toColumn(graft.functions.HalfPackExpr(toExpression(col("embedding")))).as("hv"))
+          .write.mode("overwrite").parquet(p)
+    }
+    p
+  }
+
+  /** halfvec KNN (pgvector `halfvec` parity): L2 top-k over the
+    * float16-packed store — half the scan IO, ~3 decimal digits of
+    * element precision. Query is half-rounded too (pgvector casts
+    * both sides to halfvec). Lossy storage → rows-only; recall gated
+    * ≥ 0.9 vs the float32 exact top-k in RecallGateSpec. */
+  private def knnHalf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge.{toColumn, toExpression}
+    val store = s.read.parquet(ensureHalfStore(s, d))
+    val q = queryVec(s, d).select(col("qvec").cast("array<double>"))
+      .head.getSeq[Double](0).toArray
+    val qHalf = graft.functions.Half.unpackToDouble(graft.functions.Half.pack(q))
+    store
+      .select(col("vec_id"),
+        toColumn(graft.functions.HalfDistExpr(
+          toExpression(col("hv")), qHalf,
+          graft.functions.VectorDistance.L2.id)).as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(K)
+  }
+
   /** Bench split for vs_bq_knn: build = persist the packed sidecar,
     * probe = two-phase search (hamming scan + In-pushed re-rank). */
   def bqBench(s: SparkSession, d: String): (() => Unit, () => DataFrame) = {
@@ -679,6 +725,8 @@ object VectorQueries {
     "vs_norms"        -> QueryDef(norms _, normsSql),
     "emb_centroids"   -> QueryDef(centroids _, centroidsSql),
     "vs_knn_l2"       -> QueryDef(knnL2 _, knnOracle(l2Sql)),
+    "vs_knn_l1"       -> QueryDef(knnL1 _, knnOracle(l1Sql)),
+    "vs_knn_half"     -> QueryDef(knnHalf _, None),
     "vs_knn_cosine"   -> QueryDef(knnCos _, knnOracle(cosSql)),
     "vs_knn_ip"       -> QueryDef(knnIp _, knnOracle(ipSql)),
     "vs_knn_batch"    -> QueryDef(knnBatch _, knnBatchSql),

@@ -212,6 +212,14 @@ class RecallGateSpec extends SparkSpec {
     assert(r >= 0.9, f"vs_bq_knn recall@10 $r%.2f below floor 0.9")
   }
 
+  test("vs_knn_half: recall@10 ≥ 0.9 (float16 store, half-rounded query)") {
+    val approx = ids(SparkEntry.queries("vs_knn_half")(spark, Sf))
+    assert(approx.distinct == approx)
+    val r = recall(approx, exactTopK(VectorFunctions.l2Distance, 10))
+    info(f"vs_knn_half recall@10 = $r%.2f (binary16 elements, 2x scan IO saved)")
+    assert(r >= 0.9, f"vs_knn_half recall@10 $r%.2f below floor 0.9")
+  }
+
   test("events_quantiles_sketch: rank error of every estimate ≤ 0.025 (KLL k=200)") {
     val est = SparkEntry.queries("events_quantiles_sketch")(spark, Sf)
       .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))

@@ -60,6 +60,70 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(r.getDouble(0) == exp)
   }
 
+  test("l1 distance: codegen == interpreted == hand-computed; oracle-order accumulation") {
+    import spark.implicits._
+    val a = Seq(1.5f, -2.25f, 0.0f, 3.125f)
+    val b = Seq(-0.5f, 2.0f, 1.0f, 3.125f)
+    val expected = a.zip(b).map { case (x, y) => math.abs(x.toDouble - y.toDouble) }.sum
+    val df = Seq((a, b)).toDF("a", "b")
+    val codegen = df.select(
+      graft.functions.VectorDistance.l1(col("a"), col("b"))).head.getDouble(0)
+    assert(codegen == expected)
+    // interpreted path (eval) via a filter that defeats codegen fusion is
+    // covered by the generic interpreted-vs-codegen test idiom; here use
+    // the expression's eval directly
+    val expr = graft.functions.VectorDistanceExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal.create(a,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      org.apache.spark.sql.catalyst.expressions.Literal.create(b,
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.FloatType)),
+      graft.functions.VectorDistance.L1.id)
+    assert(expr.eval(null) == expected)
+  }
+
+  test("Half: binary16 round-trip is idempotent and within relative 2^-11 on normals") {
+    import graft.functions.Half
+    val rnd = new scala.util.Random(23)
+    for (_ <- 0 until 2000) {
+      val x = (rnd.nextFloat() - 0.5f) * 100f
+      val h = Half.fromHalfBits(Half.toHalfBits(x))
+      // idempotent: a half-representable value survives exactly
+      assert(Half.fromHalfBits(Half.toHalfBits(h)) == h)
+      if (math.abs(x) > 1e-3f)
+        assert(math.abs(h - x) <= math.abs(x) * (1.0f / 1024f),
+          s"$x -> $h error too large")
+    }
+    // exact specials
+    assert(Half.fromHalfBits(Half.toHalfBits(0.0f)) == 0.0f)
+    assert(Half.fromHalfBits(Half.toHalfBits(1.0f)) == 1.0f)
+    assert(Half.fromHalfBits(Half.toHalfBits(-2.5f)) == -2.5f)
+    assert(Half.fromHalfBits(Half.toHalfBits(65504f)) == 65504f)
+    assert(Half.fromHalfBits(Half.toHalfBits(1e30f)).isInfinite)
+    // subnormal half range round-trips to within an ulp of 2^-24
+    val sub = 3.1e-5f
+    assert(math.abs(Half.fromHalfBits(Half.toHalfBits(sub)) - sub) <= 6e-8f)
+  }
+
+  test("HalfPackExpr/HalfDistExpr: packed L2 == L2 over dequantized doubles") {
+    import org.apache.spark.sql.GraftSqlBridge.{toColumn, toExpression}
+    import spark.implicits._
+    import graft.functions.{Half, HalfDistExpr, HalfPackExpr, VectorDistance}
+    val rnd = new scala.util.Random(41)
+    val vecs = Seq.fill(50)(Seq.fill(32)((rnd.nextFloat() - 0.5f) * 4f))
+    val q = Array.fill(32)((rnd.nextDouble() - 0.5) * 4)
+    val qHalf = Half.unpackToDouble(Half.pack(q))
+    val df = vecs.toDF("v")
+      .select(col("v"), toColumn(HalfPackExpr(toExpression(col("v")))).as("hv"))
+    val got = df.select(
+      toColumn(HalfDistExpr(toExpression(col("hv")), qHalf, VectorDistance.L2.id)).as("d"))
+      .collect().map(_.getDouble(0))
+    val expected = vecs.map { v =>
+      val hv = v.map(x => Half.fromHalfBits(Half.toHalfBits(x)).toDouble)
+      math.sqrt(hv.zip(qHalf).map { case (x, y) => (x - y) * (x - y) }.sum)
+    }
+    got.zip(expected).foreach { case (g, e) => assert(g == e) }
+  }
+
   test("NearestCellsExpr == sort-based reference on random inputs (incl. ties, spill > nlist)") {
     // the insertion-selection kernel vs a trivially-correct full sort,
     // across random geometry, duplicate centroids (dist ties), float
