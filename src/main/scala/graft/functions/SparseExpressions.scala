@@ -1,0 +1,119 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftSqlBridge}
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+
+/** Sparse vector kernels — the pgvector `sparsevec` analogue (≥0.7).
+  *
+  * Representation: an (indices, values) array pair per row — indices
+  * are sorted-ascending int64 term/dimension ids (here: [[TextFunctions
+  * .hash64]] of the term — a sparse space needs no dense [0, dims)
+  * range), values are float64 weights. This is the layout a
+  * lexical/hybrid retrieval store materializes once and serves any
+  * query from, and it stays columnar in parquet (two arrays, no
+  * per-row maps).
+  *
+  * Distance vs ONE query follows the house pattern for literal-query
+  * kernels ([[HammingDistExpr]], [[NearestCellsExpr]]): the query's
+  * (indices, values) ride along as driver metadata, the corpus pass
+  * is a two-pointer merge over the sorted index arrays —
+  * O(nnz_corpus + nnz_query) per row, no explode, no join, full
+  * pushdown-friendly scan shape.
+  *
+  * Determinism contract (SURVEY.md §3): products of MATCHED index
+  * pairs accumulate sequentially in ascending index order; the norm
+  * accumulators fold values in array order. With integer-valued
+  * weights the sums are exact in any engine; with real weights the
+  * DuckDB oracle reproduces the same order via
+  * `list_sum(list_transform(list_sort(...)))`.
+  */
+object SparseVec {
+  import GraftSqlBridge.{toColumn, toExpression}
+
+  /** Σ aᵢ·qᵢ over shared indices. */
+  def dot(idx: Column, vals: Column, qIdx: Array[Long], qVal: Array[Double]): Column =
+    toColumn(SparseDistExpr(toExpression(idx), toExpression(vals),
+      qIdx, qVal, VectorDistance.Dot.id))
+
+  /** dot / (‖a‖·‖q‖), clamped to [-1, 1] like the dense kernel. */
+  def cosineSimilarity(idx: Column, vals: Column, qIdx: Array[Long], qVal: Array[Double]): Column =
+    toColumn(SparseDistExpr(toExpression(idx), toExpression(vals),
+      qIdx, qVal, VectorDistance.CosineSim.id))
+
+  /** Driver-side helper: sorted (indices, values) for a term→weight
+    * query, indices = [[TextFunctions.hash64Scala]] of each term. */
+  def queryOf(terms: Seq[(String, Double)]): (Array[Long], Array[Double]) = {
+    val sorted = terms
+      .map { case (t, w) => (TextFunctions.hash64Scala(t), w) }
+      .sortBy(_._1)
+    (sorted.map(_._1).toArray, sorted.map(_._2).toArray)
+  }
+}
+
+/** Two-pointer sparse distance against a driver-metadata query.
+  * `left` = sorted int64 indices (array<bigint>), `right` = values
+  * (array<double>), same length. Modes: Dot, CosineSim (the two
+  * sparse retrieval needs; L2 over sparse lexical weights has no
+  * consumer here). */
+case class SparseDistExpr(left: Expression, right: Expression,
+    qIdx: Array[Long], qVal: Array[Double], mode: Int)
+    extends BinaryExpression with CodegenFallback {
+
+  require(qIdx.length == qVal.length, "query indices/values length mismatch")
+  require(mode == VectorDistance.Dot.id || mode == VectorDistance.CosineSim.id,
+    s"unsupported sparse mode $mode")
+
+  // query norm² folded once, driver-side, in array order — the same
+  // sequential contract the corpus side uses
+  private lazy val qNorm2: Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < qVal.length) { acc += qVal(i) * qVal(i); i += 1 }
+    acc
+  }
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(LongType, _), ArrayType(DoubleType, _)) =>
+        TypeCheckResult.TypeCheckSuccess
+      case (l, r) => TypeCheckResult.TypeCheckFailure(
+        s"sparse_dist needs (array<bigint>, array<double>), got ($l, $r)")
+    }
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val idx = l.asInstanceOf[ArrayData]
+    val vals = r.asInstanceOf[ArrayData]
+    val n = idx.numElements()
+    if (n != vals.numElements())
+      throw new IllegalArgumentException(
+        s"sparse vector malformed: ${n} indices vs ${vals.numElements()} values")
+    var dot = 0.0
+    var aa = 0.0
+    var i = 0
+    var j = 0
+    while (i < n) {
+      val ix = idx.getLong(i)
+      val v = vals.getDouble(i)
+      if (mode == VectorDistance.CosineSim.id) aa += v * v
+      while (j < qIdx.length && qIdx(j) < ix) j += 1
+      if (j < qIdx.length && qIdx(j) == ix) dot += v * qVal(j)
+      i += 1
+    }
+    if (mode == VectorDistance.Dot.id) dot
+    else {
+      val denom = math.sqrt(aa) * math.sqrt(qNorm2)
+      if (denom == 0.0) 0.0
+      else math.max(-1.0, math.min(1.0, dot / denom))
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}

@@ -325,6 +325,137 @@ object VectorQueries {
     ORDER BY score DESC, doc_id
     LIMIT $K"""
 
+  // ----------------------------------------------------- sparse vectors
+  /** Corpus as sparse term-frequency vectors — the pgvector
+    * `sparsevec` layout: per doc, (sidx, sval) sorted-ascending
+    * (hash64(term), tf) arrays. Two bounded shuffles (term counts,
+    * per-doc assembly), columnar output, built once and served to any
+    * query. */
+  private def sparseTf(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"),
+        struct(hash64(col("w")).as("h"), col("tf").cast("double").as("v")).as("p"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(col("p"))).as("ps"))
+      .select(col("doc_id"),
+        transform(col("ps"), p => p("h")).as("sidx"),
+        transform(col("ps"), p => p("v")).as("sval"))
+  }
+
+  /** Sparse KNN (pgvector `sparsevec` search, r7): cosine top-k of an
+    * integer-weighted term query against the sparse tf store via the
+    * two-pointer [[graft.functions.SparseDistExpr]] merge — no
+    * explode, no join, one scan + TakeOrderedAndProject. Integer
+    * weights make every accumulator exact, so the relational DuckDB
+    * oracle (integer dot/ssq, then one double division) is
+    * bit-identical. */
+  private def sparseKnn(s: SparkSession, d: String): DataFrame = {
+    val (qi, qv) = graft.functions.SparseVec.queryOf(
+      Seq("join" -> 3.0, "vector" -> 2.0, "scan" -> 2.0, "fast" -> 1.0))
+    sparseTf(s, d)
+      .select(col("doc_id"),
+        graft.functions.SparseVec.cosineSimilarity(col("sidx"), col("sval"), qi, qv)
+          .as("score"))
+      .filter(col("score") > 0)
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(K)
+  }
+
+  private val sparseKnnSql = s"""
+    WITH tok AS (SELECT doc_id, unnest(${graft.functions.TextFunctions.tokensSql("text")}) AS w FROM documents),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+    q(w, wt) AS (VALUES ('join', 3), ('vector', 2), ('scan', 2), ('fast', 1)),
+    dotn AS (SELECT t.doc_id, CAST(sum(t.tf * q.wt) AS BIGINT) AS dot
+             FROM tf t JOIN q ON t.w = q.w GROUP BY t.doc_id),
+    ssq AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS ssq FROM tf GROUP BY doc_id)
+    SELECT d.doc_id,
+           CAST(d.dot AS DOUBLE) / (sqrt(CAST(s.ssq AS DOUBLE)) * sqrt(18.0)) AS score
+    FROM dotn d JOIN ssq s USING (doc_id)
+    WHERE d.dot > 0
+    ORDER BY score DESC, doc_id
+    LIMIT $K"""
+
+  /** Production hybrid retrieval (r7): the sparse side is the FULL
+    * per-doc BM25-weighted term vector (weight = the text_bm25
+    * per-term formula, k1=1.2 b=0.75, rational Robertson idf), so the
+    * sparse dot against a {term → 1.0} query IS the BM25 score — the
+    * shape real lexical+dense stacks serve (SPLADE-style sparse dot +
+    * dense cosine), replacing vs_hybrid's fixed-term term_frac. Blend
+    * 0.4·lex + 0.6·cos, inner join on the id like vs_hybrid. The
+    * DuckDB oracle replays matched-term contributions through
+    * list_sum(list_transform(list_sort(...))) — the same ascending-
+    * index accumulation order as the two-pointer kernel. */
+  private def hybridSparse(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+    val tf = tok.groupBy(col("doc_id"), col("w")).agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy(col("doc_id")).agg(sum(col("tf")).as("dl"))
+    val dfT = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val g = dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("sum_dl"))
+    val tfd = col("tf").cast("double")
+    val dfd = col("df").cast("double")
+    val nd = col("n").cast("double")
+    val avgdl = col("sum_dl").cast("double") / nd
+    val weight = tfd * lit(2.2) /
+      (tfd + lit(1.2) * (lit(0.25) + lit(0.75) * (col("dl").cast("double") / avgdl))) *
+      ((nd - dfd + lit(0.5)) / (dfd + lit(0.5)))
+    val sv = tf.join(dl, "doc_id").join(dfT, "w").crossJoin(broadcast(g))
+      .select(col("doc_id"), struct(hash64(col("w")).as("h"), weight.as("v")).as("p"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(col("p"))).as("ps"))
+      .select(col("doc_id"),
+        transform(col("ps"), p => p("h")).as("sidx"),
+        transform(col("ps"), p => p("v")).as("sval"))
+    val (qi, qv) = graft.functions.SparseVec.queryOf(
+      Seq("fast" -> 1.0, "join" -> 1.0, "vector" -> 1.0))
+    val lex = sv.select(col("doc_id"),
+      graft.functions.SparseVec.dot(col("sidx"), col("sval"), qi, qv).as("lex_score"))
+    val vectors = Tables.embeddings(s, d)
+      .crossJoin(broadcast(queryVec(s, d)))
+      .select(col("vec_id"),
+        graft.functions.VectorFunctions.cosineSimilarity(col("embedding"), col("qvec"))
+          .as("cos_sim"))
+    lex.join(vectors, col("doc_id") === col("vec_id"))
+      .select(col("doc_id"), col("lex_score"), col("cos_sim"),
+        (col("lex_score") * lit(0.4) + col("cos_sim") * lit(0.6)).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(K)
+  }
+
+  private val hybridSparseSql = s"""
+    WITH tok AS (SELECT doc_id, unnest(${graft.functions.TextFunctions.tokensSql("text")}) AS w FROM documents),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+    dl AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS dl FROM tf GROUP BY doc_id),
+    df AS (SELECT w, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY w),
+    g AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sum_dl FROM dl),
+    q(w) AS (VALUES ('fast'), ('join'), ('vector')),
+    contrib AS (
+      SELECT t.doc_id, ${graft.functions.TextFunctions.hash64Sql("t.w")} AS h,
+             CAST(t.tf AS DOUBLE) * 2.2
+               / (CAST(t.tf AS DOUBLE) + 1.2 * (0.25 + 0.75 * (CAST(dl.dl AS DOUBLE) / (CAST(g.sum_dl AS DOUBLE) / CAST(g.n AS DOUBLE)))))
+               * ((CAST(g.n AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5) / (CAST(df.df AS DOUBLE) + 0.5)) AS c
+      FROM tf t
+      JOIN q ON t.w = q.w
+      JOIN dl ON t.doc_id = dl.doc_id
+      JOIN df ON t.w = df.w
+      CROSS JOIN g),
+    lex AS (SELECT doc_id,
+             list_sum(list_transform(list_sort(list({'h': h, 'c': c})), p -> p.c)) AS lex_score
+            FROM contrib GROUP BY doc_id),
+    vec AS (SELECT e.vec_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q2.qvec AS DOUBLE[])) AS cos_sim
+            FROM embeddings e
+            CROSS JOIN (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0) q2)
+    SELECT l.doc_id, l.lex_score, v.cos_sim,
+           l.lex_score * 0.4 + v.cos_sim * 0.6 AS score
+    FROM lex l JOIN vec v ON l.doc_id = v.vec_id
+    ORDER BY score DESC, doc_id
+    LIMIT $K"""
+
   // ------------------------------------------------------ search+present
   /** The reference's full search flow (SSEOpenAIController: embed →
     * top-5 → per-hit summarize → present): here the LLM summarization
@@ -720,6 +851,8 @@ object VectorQueries {
     "vs_bq_knn"       -> QueryDef(bqKnn _, None),
     "vs_knn_filtered" -> QueryDef(knnFiltered _, knnFilteredSql),
     "vs_hybrid"       -> QueryDef(hybrid _, hybridSql),
+    "vs_sparse_knn"   -> QueryDef(sparseKnn _, sparseKnnSql),
+    "vs_hybrid_sparse" -> QueryDef(hybridSparse _, hybridSparseSql),
     "vs_search_present" -> QueryDef(searchPresent _, searchPresentSql),
     "vs_search_summarize" -> QueryDef(searchSummarize _, searchSummarizeSql),
     "vs_norms"        -> QueryDef(norms _, normsSql),

@@ -22,8 +22,8 @@ class InventorySyncSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the documented outcome") {
-    assert(SparkEntry.queries.size == 96)
-    assert(SparkEntry.oracleSql.size == 80)
+    assert(SparkEntry.queries.size == 98)
+    assert(SparkEntry.oracleSql.size == 82)
   }
 
   test("every rows-only (non-oracled) query carries a gate in RecallGateSpec") {

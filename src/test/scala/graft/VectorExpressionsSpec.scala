@@ -124,6 +124,43 @@ class VectorExpressionsSpec extends SparkSpec {
     got.zip(expected).foreach { case (g, e) => assert(g == e) }
   }
 
+  test("SparseDistExpr: two-pointer merge == brute-force map lookup on random sparse vectors") {
+    import org.apache.spark.sql.GraftSqlBridge.{toColumn, toExpression}
+    import spark.implicits._
+    import graft.functions.{SparseVec, VectorDistance}
+    val rnd = new scala.util.Random(59)
+    for (trial <- 0 until 20) {
+      // random sorted index sets with partial overlap, integer values
+      val universe = (0 until 40).map(_ => rnd.nextLong() % 1000).distinct.sorted
+      val aPairs = universe.filter(_ => rnd.nextBoolean())
+        .map(i => (i, (1 + rnd.nextInt(9)).toDouble))
+      val qPairs = universe.filter(_ => rnd.nextBoolean())
+        .map(i => (i, (1 + rnd.nextInt(9)).toDouble))
+      val qi = qPairs.map(_._1).toArray
+      val qv = qPairs.map(_._2).toArray
+      val qMap = qPairs.toMap
+      val expDot = aPairs.map { case (i, v) => v * qMap.getOrElse(i, 0.0) }.sum
+      val aNorm = math.sqrt(aPairs.map(p => p._2 * p._2).sum)
+      val qNorm = math.sqrt(qPairs.map(p => p._2 * p._2).sum)
+      val df = Seq((aPairs.map(_._1), aPairs.map(_._2))).toDF("sidx", "sval")
+      val gotDot = df.select(
+        SparseVec.dot(col("sidx"), col("sval"), qi, qv)).head.getDouble(0)
+      assert(gotDot == expDot, s"trial $trial dot: $gotDot vs $expDot")
+      if (aPairs.nonEmpty && qPairs.nonEmpty) {
+        val gotCos = df.select(
+          SparseVec.cosineSimilarity(col("sidx"), col("sval"), qi, qv)).head.getDouble(0)
+        val expCos = math.max(-1.0, math.min(1.0, expDot / (aNorm * qNorm)))
+        assert(gotCos == expCos, s"trial $trial cos: $gotCos vs $expCos")
+      }
+    }
+    // empty corpus vector: dot 0, cosine 0 (zero-safe, no NaN)
+    val empty = Seq((Seq.empty[Long], Seq.empty[Double])).toDF("sidx", "sval")
+    assert(empty.select(SparseVec.dot(col("sidx"), col("sval"),
+      Array(1L), Array(1.0))).head.getDouble(0) == 0.0)
+    assert(empty.select(SparseVec.cosineSimilarity(col("sidx"), col("sval"),
+      Array(1L), Array(1.0))).head.getDouble(0) == 0.0)
+  }
+
   test("NearestCellsExpr == sort-based reference on random inputs (incl. ties, spill > nlist)") {
     // the insertion-selection kernel vs a trivially-correct full sort,
     // across random geometry, duplicate centroids (dist ties), float
