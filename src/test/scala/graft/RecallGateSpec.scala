@@ -220,6 +220,28 @@ class RecallGateSpec extends SparkSpec {
     assert(r >= 0.9, f"vs_knn_half recall@10 $r%.2f below floor 0.9")
   }
 
+  test("mm_jpeg_decode: dims exact (hard), per-channel mean pixel error ≤ 3.0 vs lossless truth") {
+    val jpeg = SparkEntry.queries("mm_jpeg_decode")(spark, Sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    val png = SparkEntry.queries("mm_image_decode")(spark, Sf)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(jpeg.keySet == png.keySet, "every doc must decode")
+    var worst = 0.0
+    for ((id, (jw, jh, jn, jr, jg, jb)) <- jpeg) {
+      val (pw, ph, pn, pr, pg, pb) = png(id)
+      assert((jw, jh, jn) == (pw, ph, pn),
+        s"doc $id: JPEG dims ($jw,$jh) != exact ($pw,$ph) — container-level defect")
+      // mean per-pixel deviation per channel: |Σdecoded − Σexact| / n
+      val errs = Seq(jr - pr, jg - pg, jb - pb).map(d => math.abs(d).toDouble / jn)
+      worst = math.max(worst, errs.max)
+      assert(errs.forall(_ <= 3.0),
+        s"doc $id channel mean error ${errs.map(e => f"$e%.2f")} exceeds 3.0")
+    }
+    info(f"mm_jpeg_decode worst per-channel mean pixel error = $worst%.3f (bound 3.0, ${jpeg.size} docs)")
+  }
+
   test("events_quantiles_sketch: rank error of every estimate ≤ 0.025 (KLL k=200)") {
     val est = SparkEntry.queries("events_quantiles_sketch")(spark, Sf)
       .collect().map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
