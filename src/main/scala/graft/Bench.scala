@@ -40,6 +40,7 @@ object Bench {
       "vs_pq_knn" -> queries.VectorQueries.pqBench _,
       "vs_bq_knn" -> queries.VectorQueries.bqBench _,
       "vs_hnsw_knn" -> queries.VectorQueries.hnswBench _,
+      "vs_hnsw_routed" -> queries.VectorQueries.hnswRoutedBench _,
       "vs_ivfpq_knn" -> queries.VectorQueries.ivfPqBench _,
       "ingest_pdf_pages" -> queries.PipelineQueries.pdfBench _,
       "ingest_pdf_encrypted" -> queries.PipelineQueries.pdfEncBench _,

@@ -198,6 +198,69 @@ object VectorQueries {
       col("label") === 3, q, K, ef = HnswEf)
   }
 
+  // -------------------------------------------- cell-routed HNSW (r7)
+  private[graft] val RoutedNlist = 16
+  private[graft] val RoutedSpill = 2
+  private[graft] val RoutedNprobe = 4
+
+  /** Build-once cell-routed graph store: coarse k-means centroids +
+    * one graph per cell (spill-2 boundary copies), persisted under
+    * tmpdir with the ensureAutoStore _SUCCESS discipline. */
+  private[graft] def ensureRoutedGraphs(s: SparkSession, d: String): (String, String) = {
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_hnswcell_v1_${Integer.toHexString(d.hashCode)}")
+    val graphsP = new java.io.File(base, "graphs").toString
+    val centP = new java.io.File(base, "centroids").toString
+    VectorQueries.synchronized {
+      if (!new java.io.File(centP, "_SUCCESS").exists()) {
+        val mat = graft.operators.Materializer.local()
+        val centroids = IvfIndex.trainCentroids(
+          Tables.embeddings(s, d), "vec_id", "embedding",
+          nlist = RoutedNlist, iters = 2, mat = mat)
+        val graphs = graft.operators.Hnsw.buildCellRouted(
+          corpus(s, d), "vec_id", "embedding", centroids,
+          spill = RoutedSpill, m = HnswM, efC = HnswEfC)
+        graft.operators.Hnsw.writeGraphs(graphs, graphsP)
+        centroids.write.mode("overwrite").parquet(centP)
+        mat.releaseAll()
+      }
+    }
+    (graphsP, centP)
+  }
+
+  /** Cell-ROUTED graph ANN (VERDICT r6 #5): the query walks only its
+    * nprobe nearest cells' graphs — per-query cost is nprobe graph
+    * loads, independent of the partition count that flat vs_hnsw_knn
+    * pays linearly. Rows-only: approximate (cell recall × beam);
+    * recall gated ≥ 0.85 and the ≤ nprobe deserialization contract
+    * metric-asserted in HnswRoutedSpec. */
+  private def hnswRouted(s: SparkSession, d: String): DataFrame = {
+    val (graphsP, centP) = ensureRoutedGraphs(s, d)
+    val q = queryVec(s, d).select(col("qvec").cast("array<double>"))
+      .head.getSeq[Double](0).toArray
+    graft.operators.Hnsw.searchRouted(
+      s.read.parquet(graphsP), s.read.parquet(centP),
+      q, K, nprobe = RoutedNprobe, ef = HnswEf)
+  }
+
+  /** Bench split for the routed variant: build = train + per-cell
+    * graph construction + persist; probe = nprobe-pruned beam walk. */
+  def hnswRoutedBench(s: SparkSession, d: String): (() => Unit, () => DataFrame) = {
+    var q: Array[Double] = null
+    var graphsP: String = null
+    var centP: String = null
+    val build = () => {
+      val ps = ensureRoutedGraphs(s, d)
+      graphsP = ps._1; centP = ps._2
+      q = queryVec(s, d).select(col("qvec").cast("array<double>"))
+        .head.getSeq[Double](0).toArray
+    }
+    val probe = () => graft.operators.Hnsw.searchRouted(
+      s.read.parquet(graphsP), s.read.parquet(centP),
+      q, K, nprobe = RoutedNprobe, ef = HnswEf)
+    (build, probe)
+  }
+
   /** Bench split: graph construction is the one-time build; the probe
     * is the per-query beam walk + k·P merge. */
   def hnswBench(s: SparkSession, d: String): (() => Unit, () => DataFrame) = {
@@ -842,6 +905,7 @@ object VectorQueries {
     "vs_ivf_auto"     -> QueryDef(ivfAuto _, None),
     "vs_knn_filtered_auto" -> QueryDef(knnFilteredAuto _, None),
     "vs_hnsw_knn"     -> QueryDef(hnswKnn _, None),
+    "vs_hnsw_routed"  -> QueryDef(hnswRouted _, None),
     "vs_hnsw_filtered" -> QueryDef(hnswFiltered _, None),
     "vs_ivfpq_knn"    -> QueryDef(ivfPqKnn _, None),
     "vs_ivf_batch"    -> QueryDef(ivfBatch _, None),

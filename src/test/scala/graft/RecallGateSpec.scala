@@ -212,6 +212,14 @@ class RecallGateSpec extends SparkSpec {
     assert(r >= 0.9, f"vs_bq_knn recall@10 $r%.2f below floor 0.9")
   }
 
+  test("vs_hnsw_routed: recall@10 ≥ 0.85 (nprobe cell graphs, spill-2 boundary copies)") {
+    val approx = ids(SparkEntry.queries("vs_hnsw_routed")(spark, Sf))
+    assert(approx.distinct == approx)
+    val r = recall(approx, exactTopK(VectorFunctions.l2Distance, 10))
+    info(f"vs_hnsw_routed recall@10 = $r%.2f (nprobe 4/16, spill 2 — ≤4 graphs walked vs 8-16 flat)")
+    assert(r >= 0.85, f"vs_hnsw_routed recall@10 $r%.2f below floor 0.85")
+  }
+
   test("vs_knn_half: recall@10 ≥ 0.9 (float16 store, half-rounded query)") {
     val approx = ids(SparkEntry.queries("vs_knn_half")(spark, Sf))
     assert(approx.distinct == approx)
