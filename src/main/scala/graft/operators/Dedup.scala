@@ -446,8 +446,20 @@ object Dedup {
       cosSim: (Column, Column) => Column, tau: Double,
       nlist: Int, spill: Int, maxBlock: Int = Int.MaxValue,
       mat: Materializer = Materializer.local()): DataFrame = {
-    val centroids = IvfIndex.trainCentroids(emb, idCol, vecCol, nlist, iters = 2, mat)
-    val blocked = IvfIndex.rankedCells(emb, vecCol, centroids, spill)
+    // Clone-collapsed (same contract as [[embeddingNearDupCollapsed]]):
+    // bit-identical vectors collapse to one representative BEFORE the
+    // cell blocking. Without this, a clone group of size g lands g
+    // copies in the same cell (identical vectors rank identical
+    // cells), so the within-cell candidate join does g² distance
+    // evaluations and emits g(g−1)/2 cos=1.0 pairs per group —
+    // measured 40.8× wall for 10× data on the 10×-replicated sf1.0
+    // fixture. Collapsing makes both candidate volume and output a
+    // function of DISTINCT vectors; clone membership rides along as
+    // vecs_a/vecs_b (g_a·g_b underlying raw pairs per output row).
+    val reps = emb.groupBy(col(vecCol))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("grp"))
+    val centroids = IvfIndex.trainCentroids(reps, idCol, vecCol, nlist, iters = 2, mat)
+    val blocked = IvfIndex.rankedCells(reps, vecCol, centroids, spill)
       .select(col(idCol), col(vecCol), explode(col("cells")).as("cell"))
     // rankedCells collects the centroid rows into expression metadata
     // at plan-construction time (NearestCellsExpr), so the training
@@ -455,8 +467,12 @@ object Dedup {
     // release it NOW rather than leaking one block per call for the
     // session lifetime (parquet materializers no-op on release).
     mat.releaseAll()
+    val sizes = reps.select(col(idCol), col("grp"))
     embeddingNearDup(blocked, idCol, vecCol, "cell", cosSim, tau, maxBlock)
       .dropDuplicates("id_a", "id_b")
+      .join(sizes.select(col(idCol).as("id_a"), col("grp").as("vecs_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("grp").as("vecs_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("cos_sim"), col("vecs_a"), col("vecs_b"))
       .orderBy(col("id_a"), col("id_b"))
   }
 

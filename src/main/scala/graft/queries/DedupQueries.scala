@@ -180,7 +180,11 @@ object DedupQueries {
     * column — what a real unlabeled 100 TB corpus runs (SemDeDup).
     * Approximate by design (cell-disjoint pairs are missed) →
     * rows-only entry; recall vs exact all-pairs + hard precision are
-    * gated in RecallGateSpec.
+    * gated in RecallGateSpec. Clone-collapsed since r7 like the other
+    * pair contracts: pairs are over distinct-vector representatives
+    * with vecs_a/vecs_b group sizes (a clone group of size g would
+    * otherwise emit g²-growing cos=1.0 pairs from inside one cell —
+    * measured 40.8× wall for 10× data on the replicated fixture).
     *
     * Operating point (tools/ProfileSemDedup on the isotropic
     * fixture, where every true pair sits at cos 0.35-0.45 — the

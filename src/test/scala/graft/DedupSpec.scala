@@ -76,6 +76,26 @@ class DedupSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 4L, 3L, 2L)))
   }
 
+  test("clone-collapsed IVF embedding pairs: identical vectors emit one rep pair with group sizes") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions
+    // 3 bit-identical copies of vA, 2 of its near-dup vB (cos≈0.96),
+    // 1 orthogonal singleton. Raw pairing inside a shared cell would
+    // emit 3+1 within-group cos=1.0 pairs and 3·2 cross pairs; the
+    // collapsed contract emits exactly ONE rep pair carrying sizes.
+    val vA = Seq(1.0f, 0.0f)
+    val vB = Seq(0.96f, 0.28f)
+    val vC = Seq(0.0f, 1.0f)
+    val emb = Seq(1L -> vA, 2L -> vA, 3L -> vA, 4L -> vB, 5L -> vB, 6L -> vC)
+      .toDF("vec_id", "embedding")
+    // spill 2 of nlist 2: every rep joins both cells, so the blocking
+    // cannot miss a pair — the assertion isolates the collapse logic
+    val pairs = Dedup.embeddingNearDupIvf(emb, "vec_id", "embedding",
+      VectorFunctions.cosineSimilarity, tau = 0.9, nlist = 2, spill = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(3), r.getLong(4)))
+    assert(pairs.toSeq == Seq((1L, 4L, 3L, 2L)))
+  }
+
   test("ngramSurvivors: per-doc survivor mapping, linear output, clones + near-dups merged") {
     val a = (1 to 30).map(i => s"tok$i").mkString(" ")
     val aNear = (1 to 29).map(i => s"tok$i").mkString(" ") + " changed"

@@ -388,9 +388,15 @@ class RecallGateSpec extends SparkSpec {
 
   test("dedup_embedding_ivf: exact precision (hard) + pair recall floor vs all-pairs") {
     val emb = Tables.embeddings(spark, Sf)
-    // ground truth: exact ALL-PAIRS cosine >= tau — no label crutch
-    val a = emb.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
-    val b = emb.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
+    // ground truth: exact ALL-PAIRS cosine >= tau — no label crutch.
+    // Computed over distinct-vector representatives (min vec_id per
+    // bit-identical embedding) to match the operator's clone-collapsed
+    // pair contract; on this fixture the corpus has no exact clones,
+    // so rep-level and raw-level truth coincide.
+    val reps = emb.groupBy(col("embedding"))
+      .agg(min(col("vec_id")).as("vec_id"))
+    val a = reps.select(col("vec_id").as("id_a"), col("embedding").as("v_a"))
+    val b = reps.select(col("vec_id").as("id_b"), col("embedding").as("v_b"))
     val exact = a.crossJoin(b).filter(col("id_a") < col("id_b"))
       .filter(VectorFunctions.cosineSimilarity(col("v_a"), col("v_b")) >= 0.35)
       .select("id_a", "id_b")
