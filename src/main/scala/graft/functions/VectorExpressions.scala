@@ -573,3 +573,46 @@ case class HammingDistExpr(child: Expression, query: Array[Long])
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Jaccard distance between a packed sign-bit column and one query's
+  * packed words (pgvector `<%>` over `bit(n)`, jaccard_distance):
+  * 1 − |A∩B| / |A∪B| with A/B the set-bit positions — intersection is
+  * popcount(aᵢ AND qᵢ), union popcount(aᵢ OR qᵢ), accumulated as
+  * integers so the only float op is the single final division
+  * (bit-exact against any oracle that does the same). Both-empty
+  * vectors are defined as distance 0 (identical empty sets). */
+case class JaccardDistExpr(child: Expression, query: Array[Long])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(org.apache.spark.sql.types.LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"jaccard_dist needs array<bigint> packed bits, got $t")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val a = input.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), query.length)
+    var inter = 0L
+    var union = 0L
+    var i = 0
+    while (i < n) {
+      val w = a.getLong(i)
+      inter += java.lang.Long.bitCount(w & query(i))
+      union += java.lang.Long.bitCount(w | query(i))
+      i += 1
+    }
+    // words beyond the shorter side contribute their own bits to the union
+    while (i < query.length) { union += java.lang.Long.bitCount(query(i)); i += 1 }
+    while (i < a.numElements()) { union += java.lang.Long.bitCount(a.getLong(i)); i += 1 }
+    if (union == 0L) 0.0 else 1.0 - inter.toDouble / union.toDouble
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -694,6 +694,70 @@ object VectorQueries {
       .limit(K)
   }
 
+  /** pgvector `<~>` (hamming_distance over `bit(n)`) — EXACT top-k by
+    * hamming distance between sign-bit vectors, scanning only the
+    * persisted (vec_id, packed-words) sidecar. Unlike vs_bq_knn (a
+    * lossy shortlist + float re-rank) the bit vector IS the data
+    * here, so the integer distance is exact and fully oracled. */
+  private def knnBitHamming(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge.{toColumn, toExpression}
+    val store = s.read.parquet(ensureBqStore(s, d))
+    val q = graft.operators.BinaryQuant.pack(
+      Tables.embeddings(s, d).filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head.getSeq[Double](0).toArray)
+    store
+      .select(col("vec_id"),
+        toColumn(graft.functions.HammingDistExpr(toExpression(col("bq")), q))
+          .cast("long").as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(K)
+  }
+
+  private val bitHammingSql = s"""
+    SELECT e.vec_id AS vec_id,
+      CAST(list_sum(list_transform(list_zip(e.embedding, q.qvec),
+        x -> CASE WHEN (x[1] > 0) <> (x[2] > 0) THEN 1 ELSE 0 END)) AS BIGINT) AS dist
+    FROM embeddings e
+    CROSS JOIN (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0) q
+    WHERE e.vec_id <> 0
+    ORDER BY dist, vec_id
+    LIMIT $K"""
+
+  /** pgvector `<%>` (jaccard_distance over `bit(n)`) — exact top-k by
+    * 1 − |A∩B|/|A∪B| over set sign-bit positions, same packed-sidecar
+    * scan as [[knnBitHamming]]. Counts accumulate as integers; the
+    * single final double division makes the result bit-exact against
+    * the oracle's identical formula. */
+  private def knnBitJaccard(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge.{toColumn, toExpression}
+    val store = s.read.parquet(ensureBqStore(s, d))
+    val q = graft.operators.BinaryQuant.pack(
+      Tables.embeddings(s, d).filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head.getSeq[Double](0).toArray)
+    store
+      .select(col("vec_id"),
+        toColumn(graft.functions.JaccardDistExpr(toExpression(col("bq")), q)).as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(K)
+  }
+
+  private val bitJaccardSql = s"""
+    WITH d AS (
+      SELECT e.vec_id,
+        list_sum(list_transform(list_zip(e.embedding, q.qvec),
+          x -> CASE WHEN x[1] > 0 AND x[2] > 0 THEN 1 ELSE 0 END)) AS inter,
+        list_sum(list_transform(list_zip(e.embedding, q.qvec),
+          x -> CASE WHEN x[1] > 0 OR x[2] > 0 THEN 1 ELSE 0 END)) AS uni
+      FROM embeddings e
+      CROSS JOIN (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0) q
+      WHERE e.vec_id <> 0)
+    SELECT vec_id,
+      CASE WHEN uni = 0 THEN 0.0
+           ELSE 1.0 - CAST(inter AS DOUBLE) / CAST(uni AS DOUBLE) END AS dist
+    FROM d
+    ORDER BY dist, vec_id
+    LIMIT $K"""
+
   /** Bench split for vs_bq_knn: build = persist the packed sidecar,
     * probe = two-phase search (hamming scan + In-pushed re-rank). */
   def bqBench(s: SparkSession, d: String): (() => Unit, () => DataFrame) = {
@@ -924,6 +988,8 @@ object VectorQueries {
     "vs_knn_l2"       -> QueryDef(knnL2 _, knnOracle(l2Sql)),
     "vs_knn_l1"       -> QueryDef(knnL1 _, knnOracle(l1Sql)),
     "vs_knn_half"     -> QueryDef(knnHalf _, None),
+    "vs_bit_hamming"  -> QueryDef(knnBitHamming _, bitHammingSql),
+    "vs_bit_jaccard"  -> QueryDef(knnBitJaccard _, bitJaccardSql),
     "vs_knn_cosine"   -> QueryDef(knnCos _, knnOracle(cosSql)),
     "vs_knn_ip"       -> QueryDef(knnIp _, knnOracle(ipSql)),
     "vs_knn_batch"    -> QueryDef(knnBatch _, knnBatchSql),

@@ -59,4 +59,41 @@ class BinaryQuantSpec extends SparkSpec {
     assert(twoPhase == single,
       "persisted sidecar must give bit-identical results to inline packing")
   }
+
+  test("JaccardDistExpr matches a driver-side set-of-positions twin") {
+    import org.apache.spark.sql.GraftSqlBridge.{toColumn, toExpression}
+    val store = spark.read.parquet(storePath)
+    val qWords = BinaryQuant.pack(query)
+    val got = store.select(col("vec_id"),
+        toColumn(graft.functions.JaccardDistExpr(toExpression(col("bq")), qWords)).as("d"))
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val qSet = query.indices.filter(query(_) > 0.0).toSet
+    val want = emb.filter(col("vec_id") =!= 0)
+      .select(col("vec_id"), col("embedding").cast("array<double>"))
+      .collect().map { r =>
+        val v = r.getSeq[Double](1)
+        val s = v.indices.filter(v(_) > 0.0).toSet
+        val uni = (s | qSet).size
+        r.getLong(0) -> (if (uni == 0) 0.0 else 1.0 - (s & qSet).size.toDouble / uni)
+      }.toMap
+    assert(got == want, "packed-word jaccard must equal the set twin exactly")
+  }
+
+  test("JaccardDistExpr edge cases: identical → 0, disjoint → 1, both-empty → 0") {
+    import org.apache.spark.sql.GraftSqlBridge.{toColumn, toExpression}
+    import spark.implicits._
+    val a = Array(1.0, -1.0, 1.0, -1.0)   // bits {0,2}
+    val b = Array(-1.0, 1.0, -1.0, 1.0)   // bits {1,3} — disjoint
+    val z = Array(-1.0, -1.0, -1.0, -1.0) // no bits
+    def jac(v: Array[Double], q: Array[Double]): Double =
+      Seq(v.toSeq).toDF("v")
+        .select(toColumn(graft.functions.JaccardDistExpr(
+          graft.functions.SignPackExpr(toExpression(col("v"))),
+          BinaryQuant.pack(q))).as("d"))
+        .head.getDouble(0)
+    assert(jac(a, a) == 0.0)
+    assert(jac(a, b) == 1.0)
+    assert(jac(z, z) == 0.0)
+    assert(jac(a, z) == 1.0)
+  }
 }

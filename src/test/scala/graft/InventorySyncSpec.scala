@@ -22,8 +22,8 @@ class InventorySyncSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the documented outcome") {
-    assert(SparkEntry.queries.size == 100)
-    assert(SparkEntry.oracleSql.size == 82)
+    assert(SparkEntry.queries.size == 102)
+    assert(SparkEntry.oracleSql.size == 84)
   }
 
   test("every rows-only (non-oracled) query carries a gate in RecallGateSpec") {
