@@ -1,0 +1,507 @@
+package graft.sources
+
+import java.net.{URLDecoder, URLEncoder}
+import java.nio.charset.StandardCharsets.UTF_8
+import java.util.UUID
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Per-file metadata carried by the transaction log: the file's name
+  * relative to the table root, its row/byte counts, and optional
+  * per-column (min, max) stats for data skipping. Stats values are
+  * stringified; the table schema supplies the type at prune time.
+  * A column absent from `stats` (e.g. all-NULL in this file) is
+  * never pruned on. */
+final case class FileMeta(
+    path: String, rows: Long, bytes: Long,
+    stats: Map[String, (String, String)])
+
+/** ACID table format on plain parquet — the engine's stand-in for the
+  * Delta table BASELINE.json's approach names (no table-format jars
+  * exist in this sandbox, so the log protocol is built from scratch;
+  * design follows the openly published Delta Lake protocol shape:
+  * an ordered commit log of add/remove file actions beside the data,
+  * checkpoints to bound replay, optimistic concurrency on an atomic
+  * log-entry create — Armbrust et al., "Delta Lake: High-Performance
+  * ACID Table Storage over Cloud Object Stores", VLDB 2020; public
+  * knowledge, no Delta code involved).
+  *
+  * Layout: `<path>/part-*.parquet` data files (immutable, uniquely
+  * named) plus `<path>/_txlog/` holding one file per commit:
+  *
+  *  - `v<20-digit>.commit` — one action per line, a delimited
+  *    URL-encoded record (this log is an internal format: atomicity
+  *    and replay are the goals, JSON interop is a non-goal):
+  *    `s|<schema-json>` (commit 1 only), `a|rows|bytes|path|stats`,
+  *    `r|path`.
+  *  - `v<20-digit>.ckpt` — full live-file snapshot at that version
+  *    (same `a` records); snapshot load reads the newest ckpt ≤ v and
+  *    replays only the commit tail, so replay cost is bounded by
+  *    `checkpointInterval`, not table age.
+  *
+  * Commit protocol: actions are staged to a temp file and RENAMED to
+  * `v<next>.commit` — rename-without-overwrite is atomic on POSIX and
+  * HDFS, so exactly one writer wins each version (an object store
+  * would need a CAS/manifest service in front; same documented
+  * deviation as [[VectorStore.rewrite]]). Losers re-read the log and
+  * retry: blind appends always retry (they conflict with nothing);
+  * mutating commits (delete/overwrite/compact) re-validate that every
+  * file they remove is still live and otherwise throw
+  * [[java.util.ConcurrentModificationException]] — i.e. serializable
+  * writes, lock-free appends.
+  *
+  * Readers are snapshot-isolated for free: a snapshot resolves the
+  * log once to an explicit file list, and the files are immutable.
+  * Time travel is the same resolution at an older version (valid
+  * until [[vacuum]] drops the files it references).
+  *
+  * Scale shape: the log is KB-scale driver metadata (like the IVF
+  * centroid table); all data movement is executor-side parquet jobs.
+  * Per-commit stats cost one aggregation pass over the newly written
+  * files only, grouped by `input_file_name` — never a rescan of the
+  * table. Data skipping prunes the file list on the driver before
+  * the scan plan exists, the same lever that makes a 100 TB table
+  * readable when the predicate touches one day of data. */
+final class GraftTable private (
+    spark: SparkSession,
+    val path: String,
+    statsCols: Seq[String],
+    checkpointInterval: Int) {
+
+  import GraftTable._
+
+  private val root = new Path(path)
+  private val logDir = new Path(root, "_txlog")
+  private val fs: FileSystem =
+    root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  // ------------------------------------------------------------- log IO
+
+  /** Latest committed version, 0 if none. */
+  def version: Long = listLog.lastOption.map(_._1).getOrElse(0L)
+
+  /** (version, isCheckpoint=false) commits and ckpts, ascending. */
+  private def listLog: Seq[(Long, Boolean)] = {
+    if (!fs.exists(logDir)) return Nil
+    fs.listStatus(logDir).toSeq.flatMap { st =>
+      val n = st.getPath.getName
+      if (n.startsWith("v") && n.endsWith(".commit"))
+        Some((n.stripPrefix("v").stripSuffix(".commit").toLong, false))
+      else if (n.startsWith("v") && n.endsWith(".ckpt"))
+        Some((n.stripPrefix("v").stripSuffix(".ckpt").toLong, true))
+      else None
+    }.sorted
+  }
+
+  private def readLines(p: Path): Seq[String] = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toList
+    finally in.close()
+  }
+
+  /** Stage content to a temp file, then claim `dest` atomically —
+    * exactly one concurrent claimer can win, and any visible `dest`
+    * has complete content. On a local filesystem Hadoop's rename is
+    * POSIX rename(2), which silently OVERWRITES an existing dest (a
+    * lost commit under contention) — the atomic no-overwrite POSIX
+    * primitive is link(2), so the local path hardlinks tmp→dest
+    * (fails iff dest exists, dest carries full content instantly).
+    * HDFS rename is atomic and refuses an existing dest, so it is the
+    * claim there. Object stores would need a CAS/manifest service —
+    * same documented deviation as [[VectorStore.rewrite]]. */
+  private def writeLinesAtomic(dest: Path, lines: Seq[String]): Boolean = {
+    val tmp = new Path(logDir, s"_tmp_${UUID.randomUUID()}")
+    val out = fs.create(tmp, false)
+    try out.write((lines.mkString("\n") + "\n").getBytes(UTF_8))
+    finally out.close()
+    val ok =
+      if (fs.getScheme == "file") {
+        val local = (p: Path) => java.nio.file.Paths.get(p.toUri.getPath)
+        try { java.nio.file.Files.createLink(local(dest), local(tmp)); true }
+        catch { case _: java.nio.file.FileAlreadyExistsException => false }
+      } else !fs.exists(dest) && fs.rename(tmp, dest)
+    fs.delete(tmp, false)
+    ok
+  }
+
+  // --------------------------------------------------------- snapshots
+
+  /** Table schema as recorded by the creating commit. */
+  def schema: StructType = {
+    val first = new Path(logDir, commitName(1L))
+    require(fs.exists(first), s"not a GraftTable: no commit 1 under $logDir")
+    readLines(first).collectFirst {
+      case l if l.startsWith("s|") =>
+        DataType.fromJson(dec(l.drop(2))).asInstanceOf[StructType]
+    }.getOrElse(sys.error(s"commit 1 of $path carries no schema record"))
+  }
+
+  /** Live files at `version` (latest if -1): newest checkpoint ≤ v,
+    * plus the commit tail replayed over it. */
+  def snapshotMetas(atVersion: Long = -1L): Seq[FileMeta] = {
+    val log = listLog
+    require(log.nonEmpty, s"not a GraftTable: empty log at $logDir")
+    val v = if (atVersion < 0) log.filter(!_._2).map(_._1).max else atVersion
+    require(log.contains((v, false)), s"version $v does not exist in $logDir")
+    val ckpt = log.filter { case (cv, isC) => isC && cv <= v }
+      .map(_._1).sorted.lastOption
+    val base = ckpt match {
+      case Some(cv) =>
+        readLines(new Path(logDir, ckptName(cv))).map(parseAdd)
+          .map(m => m.path -> m).to(scala.collection.mutable.LinkedHashMap)
+      case None => scala.collection.mutable.LinkedHashMap.empty[String, FileMeta]
+    }
+    val from = ckpt.map(_ + 1).getOrElse(1L)
+    (from to v).foreach { cv =>
+      readLines(new Path(logDir, commitName(cv))).foreach {
+        case l if l.startsWith("a|") => val m = parseAdd(l); base(m.path) = m
+        case l if l.startsWith("r|") => base.remove(dec(l.drop(2)))
+        case _ => () // schema record
+      }
+    }
+    base.values.toSeq
+  }
+
+  /** Snapshot read (time travel via `atVersion`). The file list is
+    * resolved HERE, so the returned DataFrame is immune to later
+    * commits — snapshot isolation by construction. */
+  def read(atVersion: Long = -1L): DataFrame = readFiles(snapshotMetas(atVersion))
+
+  private def readFiles(metas: Seq[FileMeta]): DataFrame =
+    if (metas.isEmpty) spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    else spark.read.schema(schema)
+      .parquet(metas.map(m => new Path(root, m.path).toString): _*)
+
+  // ------------------------------------------------------ data skipping
+
+  /** Files whose [min, max] stats may satisfy `pred` — the driver-side
+    * prune that keeps a selective scan's file list proportional to the
+    * matching data, not the table. Conservative: any file without a
+    * verdict stays in. */
+  def candidateFiles(pred: Column, atVersion: Long = -1L): Seq[FileMeta] = {
+    val sch = schema
+    val tree = org.apache.spark.sql.GraftSqlBridge.foldColumn[Pred](pred)(
+      (n, args) => PFn(n, args), PAttr.apply, PLit.apply, () => POpaque)
+    snapshotMetas(atVersion).filter(m => mayMatch(tree, m.stats, sch))
+  }
+
+  /** Stat-pruned read: scan only [[candidateFiles]], then apply `pred`
+    * exactly. Equal to `read().filter(pred)` by the conservativeness
+    * of the prune. */
+  def readWhere(pred: Column, atVersion: Long = -1L): DataFrame =
+    readFiles(candidateFiles(pred, atVersion)).filter(pred)
+
+  // ------------------------------------------------------------ writes
+
+  /** Append `df` (blind append — never conflicts, retried until its
+    * rename wins a version). Returns the committed version. */
+  def append(df: DataFrame): Long = {
+    requireSchema(df)
+    commitRetry(stageAdds(df), Nil)
+  }
+
+  /** Replace the whole table content. Serializable: fails if any
+    * commit lands between the base snapshot and the log rename. */
+  def overwrite(df: DataFrame): Long = {
+    requireSchema(df)
+    val base = snapshotMetas()
+    commitOnce(stageAdds(df), base.map(_.path), version)
+  }
+
+  /** SQL DELETE via copy-on-write: rewrite ONLY the files that hold a
+    * matching row (found in one pass grouped by input file), keeping
+    * rows where the predicate is not TRUE (NULL keeps the row, same
+    * contract as [[VectorStore.delete]]). Untouched files are carried
+    * over by reference — on a 100 TB table a selective delete moves
+    * the matching files' bytes, not the table. Returns the version. */
+  def delete(pred: Column): Long = {
+    val baseV = version
+    val metas = snapshotMetas(baseV)
+    val touchedUris = readFiles(metas).filter(pred <=> lit(true))
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0)).toSet // ≤ #files driver rows
+    val touched = metas.filter(m =>
+      touchedUris.exists(_.endsWith("/" + m.path)))
+    if (touched.isEmpty) return baseV
+    val survivors = readFiles(touched).filter(not(pred <=> lit(true)))
+    val adds = stageAdds(survivors)
+    commitOnce(adds, touched.map(_.path), baseV)
+  }
+
+  /** Bin-pack small files (streaming-append debris) to ~`targetBytes`
+    * without changing content. Serializable like [[delete]]. */
+  def compact(targetBytes: Long = 128L << 20): Long = {
+    val baseV = version
+    val metas = snapshotMetas(baseV)
+    val total = metas.map(_.bytes).sum
+    val nFiles = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+    val adds = stageAdds(readFiles(metas).repartition(nFiles))
+    commitOnce(adds, metas.map(_.path), baseV)
+  }
+
+  /** Drop data files referenced by NO version in the last
+    * `retainVersions` (and by no checkpoint-reachable snapshot of
+    * them). Time travel older than the horizon stops working — the
+    * same retention contract every log-structured table format has.
+    * Returns files deleted. */
+  def vacuum(retainVersions: Int = 2): Int = {
+    val v = version
+    val keepFrom = math.max(1L, v - retainVersions + 1)
+    val live: Set[String] =
+      (keepFrom to v).flatMap(cv => snapshotMetas(cv).map(_.path)).toSet
+    val onDisk = fs.listStatus(root).toSeq
+      .filter(_.isFile).map(_.getPath.getName)
+      .filter(n => !n.startsWith("_") && !n.startsWith("."))
+    val doomed = onDisk.filterNot(live)
+    doomed.foreach(n => fs.delete(new Path(root, n), false))
+    doomed.size
+  }
+
+  // ----------------------------------------------------------- commit
+
+  /** Write `df` as new uniquely-named parquet files under the table
+    * root and return their add-actions. Data lands BEFORE any commit
+    * references it; a crash here leaves unreferenced files for
+    * [[vacuum]], never a torn table. Stats cost one aggregation over
+    * the new files only. */
+  private def stageAdds(df: DataFrame): Seq[FileMeta] = {
+    val staging = new Path(root, s"_staging_${UUID.randomUUID()}")
+    df.write.parquet(staging.toString)
+    val files = fs.listStatus(staging).toSeq
+      .filter(st => st.isFile && st.getPath.getName.startsWith("part-"))
+    val bytesOf = files.map(st => st.getPath.getName -> st.getLen).toMap
+    val present = statsCols.filter(df.columns.contains)
+    val staged = spark.read.schema(df.schema).parquet(staging.toString)
+    val aggs = count(lit(1)).as("__n") +: present.flatMap(c => Seq(
+      min(col(c)).cast("string").as(s"__min_$c"),
+      max(col(c)).cast("string").as(s"__max_$c")))
+    val statRows = staged.groupBy(input_file_name().as("__f"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect() // one row per new file — driver-bounded
+    val metas = statRows.map { r =>
+      val name = r.getString(0).split('/').last
+      val stats = present.flatMap { c =>
+        val lo = r.getAs[String](s"__min_$c")
+        val hi = r.getAs[String](s"__max_$c")
+        if (lo == null || hi == null) None else Some(c -> (lo, hi))
+      }.toMap
+      FileMeta(name, r.getAs[Long]("__n"), bytesOf.getOrElse(name, 0L), stats)
+    }.toSeq
+    metas.foreach { m =>
+      require(fs.rename(new Path(staging, m.path), new Path(root, m.path)),
+        s"failed to promote staged file ${m.path}")
+    }
+    fs.delete(staging, true)
+    metas
+  }
+
+  /** Blind-append retry loop: bump the version until our rename wins. */
+  private def commitRetry(adds: Seq[FileMeta], removes: Seq[String]): Long = {
+    var attempts = 0
+    while (attempts < 1000) {
+      val v = version + 1
+      if (writeCommit(v, adds, removes)) { maybeCheckpoint(v); return v }
+      attempts += 1
+    }
+    sys.error(s"append to $path lost the commit race 1000 times — giving up")
+  }
+
+  /** Serializable mutation: exactly one shot at `baseVersion + 1` — a
+    * commit that landed after the base snapshot (even a harmless-
+    * looking append, which the mutation's rewrite did not scan) makes
+    * the claim fail and the mutation abort. private[graft] so the
+    * spec can drive the race deterministically. */
+  private[graft] def commitOnce(adds: Seq[FileMeta], removes: Seq[String],
+      baseVersion: Long): Long = {
+    val v = baseVersion + 1
+    if (writeCommit(v, adds, removes)) { maybeCheckpoint(v); v }
+    else throw new java.util.ConcurrentModificationException(
+      s"$path: version $v was committed concurrently; " +
+        "re-run the mutation on the new snapshot")
+  }
+
+  private def writeCommit(v: Long, adds: Seq[FileMeta],
+      removes: Seq[String]): Boolean = {
+    val lines = removes.map(p => s"r|${enc(p)}") ++ adds.map(addLine)
+    writeLinesAtomic(new Path(logDir, commitName(v)), lines)
+  }
+
+  private def maybeCheckpoint(v: Long): Unit =
+    if (checkpointInterval > 0 && v % checkpointInterval == 0) {
+      // losing this rename (concurrent checkpointer) is harmless
+      writeLinesAtomic(new Path(logDir, ckptName(v)),
+        snapshotMetas(v).map(addLine))
+    }
+
+  private def requireSchema(df: DataFrame): Unit = {
+    val want = schema.fields.map(f => f.name -> f.dataType).toMap
+    val got = df.schema.fields.map(f =>
+      f.name -> GraftTable.asNullable(f.dataType)).toMap
+    require(got == want,
+      s"schema mismatch for $path: table has ${schema.simpleString}, " +
+        s"append has ${df.schema.simpleString}")
+  }
+}
+
+object GraftTable {
+
+  /** Create a table at `path` from `df`'s content (commit 1 carries
+    * the schema). `statsCols`: columns to track (min, max) per file
+    * for [[GraftTable.candidateFiles]] data skipping. */
+  def create(spark: SparkSession, path: String, df: DataFrame,
+      statsCols: Seq[String] = Nil,
+      checkpointInterval: Int = 10): GraftTable = {
+    val t = new GraftTable(spark, path, statsCols, checkpointInterval)
+    require(!t.fs.exists(t.logDir) || t.listLog.isEmpty,
+      s"GraftTable already exists at $path")
+    t.fs.mkdirs(t.logDir)
+    val adds = t.stageAdds(df)
+    // record the schema as-nullable: parquet cannot enforce non-null and
+    // file-source reads report nullable, so the recorded contract matches
+    // what every reader will actually see
+    val lines = s"s|${enc(asNullable(df.schema).json)}" +: adds.map(addLine)
+    require(t.writeLinesAtomic(new Path(t.logDir, commitName(1L)), lines),
+      s"lost the creation race for $path")
+    t
+  }
+
+  /** Open an existing table. */
+  def open(spark: SparkSession, path: String,
+      statsCols: Seq[String] = Nil,
+      checkpointInterval: Int = 10): GraftTable = {
+    val t = new GraftTable(spark, path, statsCols, checkpointInterval)
+    require(t.listLog.exists(!_._2), s"no GraftTable log at $path")
+    t
+  }
+
+  /** Recursively mark every field/element nullable (StructType
+    * .asNullable is private[spark]). */
+  private def asNullable(dt: DataType): DataType = dt match {
+    case s: StructType => StructType(s.fields.map(f =>
+      f.copy(dataType = asNullable(f.dataType), nullable = true)))
+    case a: ArrayType => a.copy(elementType = asNullable(a.elementType),
+      containsNull = true)
+    case m: MapType => m.copy(valueType = asNullable(m.valueType),
+      valueContainsNull = true)
+    case other => other
+  }
+  private def asNullable(s: StructType): StructType =
+    asNullable(s: DataType).asInstanceOf[StructType]
+
+  private def commitName(v: Long) = f"v$v%020d.commit"
+  private def ckptName(v: Long) = f"v$v%020d.ckpt"
+
+  private def enc(s: String) = URLEncoder.encode(s, "UTF-8")
+  private def dec(s: String) = URLDecoder.decode(s, "UTF-8")
+
+  private def addLine(m: FileMeta): String = {
+    val stats = m.stats.toSeq.sortBy(_._1)
+      .map { case (c, (lo, hi)) => s"${enc(c)}=${enc(lo)},${enc(hi)}" }
+      .mkString(";")
+    s"a|${m.rows}|${m.bytes}|${enc(m.path)}|$stats"
+  }
+
+  private def parseAdd(line: String): FileMeta = {
+    require(line.startsWith("a|"), s"expected an add record, got: $line")
+    val Array(_, rows, bytes, p, stats) = line.split('|').padTo(5, "")
+    val statMap = stats.split(';').filter(_.nonEmpty).map { kv =>
+      val Array(c, mm) = kv.split('=')
+      val Array(lo, hi) = mm.split(',').padTo(2, "")
+      dec(c) -> (dec(lo), dec(hi))
+    }.toMap
+    FileMeta(dec(p), rows.toLong, bytes.toLong, statMap)
+  }
+
+  // ---------------------------------------------- stats interval logic
+
+  /** The predicate's shape, folded out of the (private[sql]) Spark 4
+    * ColumnNode tree by GraftSqlBridge.foldColumn. */
+  private[graft] sealed trait Pred
+  private[graft] final case class PFn(name: String, args: Seq[Pred]) extends Pred
+  private[graft] final case class PAttr(name: String) extends Pred
+  private[graft] final case class PLit(value: Any) extends Pred
+  private[graft] case object POpaque extends Pred
+
+  /** Conservative may-match of a predicate tree against one file's
+    * (min, max) stats: supports and/or trees over comparison leaves
+    * between a stat column and a literal (either order); any other
+    * shape — or a column without stats in this file — returns true
+    * (scan it). Comparisons use the table schema's type. */
+  private[graft] def mayMatch(e: Pred,
+      stats: Map[String, (String, String)], schema: StructType): Boolean = {
+
+    def range(name: String): Option[(Any, Any, DataType)] =
+      for {
+        (lo, hi) <- stats.get(name)
+        f <- schema.fields.find(_.name == name)
+        l <- parseStat(lo, f.dataType)
+        h <- parseStat(hi, f.dataType)
+      } yield (l, h, f.dataType)
+
+    def cmp(a: Any, b: Any, dt: DataType): Int = dt match {
+      case _: StringType => a.toString.compareTo(b.toString)
+      case _ => BigDecimal(a.toString).compare(BigDecimal(b.toString))
+    }
+
+    def name(n: Pred): Option[String] = n match {
+      case PAttr(a) => Some(a)
+      case _ => None
+    }
+    def litVal(n: Pred): Option[Any] = n match {
+      case PLit(v) if v != null => Some(v)
+      case _ => None
+    }
+
+    // leaf verdict for `colN OP litN`; `flip` when the literal is on the left
+    def leaf(colN: Pred, litN: Pred,
+        op: String, flip: Boolean): Boolean = {
+      val o = if (!flip) op else op match {
+        case "<" => ">" case "<=" => ">=" case ">" => "<" case ">=" => "<="
+        case other => other
+      }
+      (name(colN), litVal(litN)) match {
+        case (Some(n), Some(v)) => range(n) match {
+          case Some((lo, hi, dt)) => try o match {
+            case "="  => cmp(v, lo, dt) >= 0 && cmp(v, hi, dt) <= 0
+            case "<"  => cmp(lo, v, dt) < 0
+            case "<=" => cmp(lo, v, dt) <= 0
+            case ">"  => cmp(hi, v, dt) > 0
+            case ">=" => cmp(hi, v, dt) >= 0
+            case _    => true
+          } catch { case _: NumberFormatException => true } // NaN etc.
+          case None => true // no stats for this column in this file
+        }
+        case _ => true // not a col-vs-literal leaf
+      }
+    }
+
+    e match {
+      case PFn("and", Seq(l, r)) =>
+        mayMatch(l, stats, schema) && mayMatch(r, stats, schema)
+      case PFn("or", Seq(l, r)) =>
+        mayMatch(l, stats, schema) || mayMatch(r, stats, schema)
+      case PFn(op @ ("=" | "==" | "<" | "<=" | ">" | ">="), Seq(l, r)) =>
+        val eq = if (op == "==") "=" else op
+        if (litVal(r).isDefined) leaf(l, r, eq, flip = false)
+        else if (litVal(l).isDefined) leaf(r, l, eq, flip = eq != "=")
+        else true
+      case _ => true // unknown shape: never prune on it
+    }
+  }
+
+  /** Parse a stringified stat back to a comparable value of `dt`;
+    * None (→ no pruning) for types outside the supported set. */
+  private def parseStat(s: String, dt: DataType): Option[Any] = dt match {
+    case _: StringType => Some(s)
+    case ByteType | ShortType | IntegerType | LongType |
+         FloatType | DoubleType | _: DecimalType =>
+      try Some(BigDecimal(s)) catch { case _: NumberFormatException => None }
+    // date/timestamp literals carry Catalyst-internal epoch values that
+    // don't compare against string-cast stats — never prune on them
+    case _ => None
+  }
+}

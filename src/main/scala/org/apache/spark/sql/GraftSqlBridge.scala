@@ -12,6 +12,23 @@ object GraftSqlBridge {
   def toColumn(e: Expression): Column = classic.ExpressionUtils.column(e)
   def toExpression(c: Column): Expression = classic.ExpressionUtils.expression(c)
 
+  /** Fold over a Column's node tree (Spark 4 keeps `Column.node` and
+    * the ColumnNode types private[sql]): function applications call
+    * `fn(name, foldedArgs)`, attribute references `attr(dotted-name)`,
+    * literals `lit(value)`, anything else `opaque()`. Used by
+    * GraftTable's stats pruning to walk a predicate's shape without
+    * an analyzer pass or access to the internal types. */
+  def foldColumn[T](c: Column)(fn: (String, Seq[T]) => T, attr: String => T,
+      lit: Any => T, opaque: () => T): T = {
+    def go(n: internal.ColumnNode): T = n match {
+      case f: internal.UnresolvedFunction => fn(f.functionName, f.arguments.map(go))
+      case a: internal.UnresolvedAttribute => attr(a.nameParts.mkString("."))
+      case l: internal.Literal => lit(l.value)
+      case _ => opaque()
+    }
+    go(c.node)
+  }
+
   /** Run a logical plan to rows (Dataset.ofRows is private[sql]) —
     * used by the IVF probe rule to evaluate a provably-tiny query-side
     * subplan at rewrite time. */

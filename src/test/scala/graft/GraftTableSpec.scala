@@ -1,0 +1,180 @@
+package graft
+
+import java.nio.file.Files
+
+import graft.sources.GraftTable
+import org.apache.spark.sql.{DataFrame, SaveMode}
+import org.apache.spark.sql.functions._
+
+/** The ACID table format's contract: atomic commits, snapshot
+  * isolation, time travel, serializable mutations vs lock-free
+  * appends, copy-on-write delete, checkpoint-bounded replay, vacuum
+  * retention, and stat-based file skipping. */
+class GraftTableSpec extends SparkSpec {
+
+  private def fresh(): String =
+    Files.createTempDirectory("graft_table_spec").resolve("t").toString
+
+  private def rows(lo: Int, hi: Int): DataFrame = {
+    import spark.implicits._
+    (lo until hi).map(i => (i.toLong, s"doc_$i", i * 2.0)).toDF("id", "name", "score")
+  }
+
+  test("create + append are visible; version counts commits") {
+    val t = GraftTable.create(spark, fresh(), rows(0, 100), statsCols = Seq("id"))
+    assert(t.version == 1L)
+    assert(t.read().count() == 100)
+    t.append(rows(100, 150))
+    assert(t.version == 2L)
+    assert(t.read().count() == 150)
+    assert(t.read().agg(sum("id")).head.getLong(0) == (0L until 150).sum)
+  }
+
+  test("snapshot isolation: a resolved read never sees later commits") {
+    val t = GraftTable.create(spark, fresh(), rows(0, 50))
+    val snap = t.read() // file list resolved here
+    t.append(rows(50, 80))
+    assert(snap.count() == 50, "pre-append snapshot must stay at 50 rows")
+    assert(t.read().count() == 80)
+    assert(t.read(atVersion = 1L).count() == 50, "time travel to v1")
+  }
+
+  test("concurrent appends: every committer lands, versions stay contiguous") {
+    val t = GraftTable.create(spark, fresh(), rows(0, 10))
+    val threads = (0 until 4).map { k =>
+      new Thread(() => t.append(rows(100 + k * 10, 110 + k * 10)))
+    }
+    threads.foreach(_.start())
+    threads.foreach(_.join())
+    assert(t.version == 5L, "4 appends after create → version 5")
+    assert(t.read().count() == 50)
+  }
+
+  test("delete is copy-on-write: untouched files survive by reference") {
+    val p = fresh()
+    val t = GraftTable.create(spark, p, rows(0, 100).repartition(4), statsCols = Seq("id"))
+    val before = t.snapshotMetas().map(_.path).toSet
+    assert(before.size == 4)
+    // delete rows that live in (at most) a subset of files: find a file's
+    // id range from its stats and delete exactly inside it
+    val victim = t.snapshotMetas().head
+    val lo = victim.stats("id")._1.toLong
+    t.delete(col("id") === lo)
+    val after = t.snapshotMetas().map(_.path).toSet
+    assert((before -- after).size == 1, "exactly the victim file rewritten")
+    assert((after -- before).nonEmpty, "survivor rows land in a new file")
+    assert(t.read().count() == 99)
+    assert(t.read().filter(col("id") === lo).count() == 0)
+  }
+
+  test("delete keeps NULL-predicate rows (SQL DELETE semantics)") {
+    import spark.implicits._
+    val p = fresh()
+    val df = Seq((1L, Some("a")), (2L, None), (3L, Some("b")))
+      .toDF("id", "tag")
+    val t = GraftTable.create(spark, p, df)
+    t.delete(col("tag") === "a")
+    val left = t.read().select("id").collect().map(_.getLong(0)).sorted
+    assert(left.toSeq == Seq(2L, 3L), "NULL predicate must keep the row")
+  }
+
+  test("overwrite replaces content; old version still time-travels") {
+    val t = GraftTable.create(spark, fresh(), rows(0, 30))
+    t.overwrite(rows(500, 510))
+    assert(t.read().count() == 10)
+    assert(t.read().agg(min("id")).head.getLong(0) == 500L)
+    assert(t.read(atVersion = 1L).count() == 30, "pre-overwrite snapshot intact")
+  }
+
+  test("compact preserves content and cuts file count") {
+    val t = GraftTable.create(spark, fresh(), rows(0, 40).repartition(8))
+    t.append(rows(40, 80).repartition(8))
+    assert(t.snapshotMetas().size == 16)
+    val sumBefore = t.read().agg(sum("id")).head.getLong(0)
+    t.compact(targetBytes = 1L << 30) // everything into one bin
+    assert(t.snapshotMetas().size == 1)
+    assert(t.read().agg(sum("id")).head.getLong(0) == sumBefore)
+  }
+
+  test("serializable mutations: a commit landing after the base snapshot aborts the mutation") {
+    val p = fresh()
+    val t = GraftTable.create(spark, p, rows(0, 20))
+    val t2 = GraftTable.open(spark, p)
+    // t2 resolves its base snapshot at v1, then t's append claims v2
+    // first — t2's mutation commit at v2 must lose and abort, never
+    // silently drop t's rows (the lost-update anomaly)
+    val staleBase = t2.version
+    t.append(rows(20, 30))
+    val e = intercept[java.util.ConcurrentModificationException] {
+      t2.commitOnce(Nil, Nil, staleBase)
+    }
+    assert(e.getMessage.contains("committed concurrently"))
+    assert(t.read().count() == 30, "the winning append's rows survive")
+  }
+
+  test("vacuum drops unreferenced files; retained time travel still works") {
+    val p = fresh()
+    val t = GraftTable.create(spark, p, rows(0, 50), checkpointInterval = 100)
+    t.overwrite(rows(100, 120)) // v2: v1's files now unreferenced
+    t.append(rows(120, 130))    // v3
+    val deleted = t.vacuum(retainVersions = 2) // keep v2, v3
+    assert(deleted > 0, "v1's files must be physically removed")
+    assert(t.read().count() == 30)
+    assert(t.read(atVersion = 2L).count() == 20, "retained version readable")
+    intercept[Exception] { t.read(atVersion = 1L).count() } // files gone
+  }
+
+  test("checkpoint bounds replay: snapshot equals full-log replay") {
+    val p = fresh()
+    val t = GraftTable.create(spark, p, rows(0, 10), checkpointInterval = 3)
+    (1 to 7).foreach(k => t.append(rows(k * 10, k * 10 + 10)))
+    assert(t.version == 8L)
+    // a ckpt exists at v3 and v6
+    val names = new java.io.File(p, "_txlog").list().toSeq
+    assert(names.exists(_.endsWith(".ckpt")), s"expected checkpoints in $names")
+    // replay-from-checkpoint must equal brute content
+    assert(t.read().count() == 80)
+    assert(t.read().agg(sum("id")).head.getLong(0) ==
+      (0 until 80).map(_.toLong).sum)
+    // and the same table opened cold (checkpoint path) agrees
+    val cold = GraftTable.open(spark, p)
+    assert(cold.snapshotMetas().toSet == t.snapshotMetas().toSet)
+  }
+
+  test("data skipping: stats prune the file list before the scan") {
+    val p = fresh()
+    // three commits with disjoint id ranges → one file each
+    val t = GraftTable.create(spark, p, rows(0, 100).coalesce(1), statsCols = Seq("id", "name"))
+    t.append(rows(100, 200).coalesce(1))
+    t.append(rows(200, 300).coalesce(1))
+    assert(t.snapshotMetas().size == 3)
+    assert(t.candidateFiles(col("id") === 150L).size == 1)
+    assert(t.candidateFiles(col("id") > 250L).size == 1)
+    assert(t.candidateFiles(col("id") >= 100L && col("id") < 110L).size == 1)
+    assert(t.candidateFiles(col("id") > 999L).isEmpty)
+    assert(t.candidateFiles(col("id") === 150L || col("id") === 250L).size == 2)
+    // string stats prune too
+    assert(t.candidateFiles(col("name") === "doc_150").size < 3)
+    // unsupported shapes scan everything (conservative)
+    assert(t.candidateFiles(length(col("name")) > 3).size == 3)
+    // and the pruned read is exact
+    assert(t.readWhere(col("id") === 150L).count() == 1)
+    assert(t.readWhere(col("id") > 250L).count() == 49)
+  }
+
+  test("schema is enforced on append") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, fresh(), rows(0, 10))
+    val bad = Seq((1L, "x")).toDF("id", "name") // missing score
+    intercept[IllegalArgumentException] { t.append(bad) }
+  }
+
+  test("creating over an existing table fails; open round-trips schema") {
+    val p = fresh()
+    val t = GraftTable.create(spark, p, rows(0, 10))
+    intercept[IllegalArgumentException] {
+      GraftTable.create(spark, p, rows(0, 5))
+    }
+    assert(GraftTable.open(spark, p).schema == t.read().schema)
+  }
+}
