@@ -150,7 +150,8 @@ final class GraftTable private (
       .map(_._1).sorted.lastOption
     val base = ckpt match {
       case Some(cv) =>
-        readLines(new Path(logDir, ckptName(cv))).map(parseAdd)
+        readLines(new Path(logDir, ckptName(cv)))
+          .filter(_.startsWith("a|")).map(parseAdd)
           .map(m => m.path -> m).to(scala.collection.mutable.LinkedHashMap)
       case None => scala.collection.mutable.LinkedHashMap.empty[String, FileMeta]
     }
@@ -163,6 +164,74 @@ final class GraftTable private (
       }
     }
     base.values.toSeq
+  }
+
+  /** Highest batch id committed by each streaming writer (the `t|`
+    * txn markers), replayed the same way snapshots are — newest
+    * checkpoint ≤ v, then the commit tail. Checkpoints carry the
+    * watermarks forward, so idempotence survives log truncation. */
+  def txnWatermarks(atVersion: Long = -1L): Map[String, Long] = {
+    val log = listLog
+    require(log.nonEmpty, s"not a GraftTable: empty log at $logDir")
+    val v = if (atVersion < 0) log.filter(!_._2).map(_._1).max else atVersion
+    val ckpt = log.filter { case (cv, isC) => isC && cv <= v }
+      .map(_._1).sorted.lastOption
+    val marks = scala.collection.mutable.HashMap.empty[String, Long]
+    def absorb(line: String): Unit =
+      if (line.startsWith("t|")) {
+        val Array(_, app, batch) = line.split('|')
+        val b = batch.toLong
+        if (marks.getOrElse(dec(app), Long.MinValue) < b) marks(dec(app)) = b
+      }
+    ckpt.foreach(cv => readLines(new Path(logDir, ckptName(cv))).foreach(absorb))
+    (ckpt.map(_ + 1).getOrElse(1L) to v).foreach { cv =>
+      readLines(new Path(logDir, commitName(cv))).foreach(absorb)
+    }
+    marks.toMap
+  }
+
+  /** Idempotent micro-batch append: commit `df` together with a
+    * `(appId, batchId)` txn marker IN THE SAME atomic log entry; a
+    * replayed batch (restart after the commit landed but before the
+    * stream checkpoint acked) finds batchId ≤ watermark and becomes a
+    * no-op — exactly-once streaming ingest on top of at-least-once
+    * delivery, the table-format half of the contract the engine's
+    * parquet sinks get from stream checkpoints alone. Returns the
+    * committed version, or -1 if the batch was already in. */
+  def appendBatch(df: DataFrame, appId: String, batchId: Long): Long = {
+    if (txnWatermarks().getOrElse(appId, Long.MinValue) >= batchId) return -1L
+    requireSchema(df)
+    val adds = stageAdds(df)
+    var attempts = 0
+    while (attempts < 1000) {
+      // re-check inside the retry loop: a concurrent replay of the same
+      // batch may have won a version since the check above
+      if (txnWatermarks().getOrElse(appId, Long.MinValue) >= batchId) {
+        adds.foreach(m => fs.delete(new Path(root, m.path), false))
+        return -1L
+      }
+      val v = version + 1
+      if (writeCommit(v, adds, Nil, Some(appId -> batchId))) {
+        maybeCheckpoint(v); return v
+      }
+      attempts += 1
+    }
+    sys.error(s"appendBatch to $path lost the commit race 1000 times")
+  }
+
+  /** Continuous ingest: every micro-batch lands as one atomic commit
+    * with its txn marker ([[appendBatch]]). `appId` defaults to the
+    * checkpoint path — stable across restarts, distinct per query. */
+  def streamAppend(stream: DataFrame, checkpoint: String,
+      appId: String = ""): org.apache.spark.sql.streaming.StreamingQuery = {
+    val id = if (appId.nonEmpty) appId else checkpoint
+    stream.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        appendBatch(batch, id, batchId); ()
+      }
+      .start()
   }
 
   /** Snapshot read (time travel via `atVersion`). The file list is
@@ -325,8 +394,9 @@ final class GraftTable private (
   }
 
   private def writeCommit(v: Long, adds: Seq[FileMeta],
-      removes: Seq[String]): Boolean = {
-    val lines = removes.map(p => s"r|${enc(p)}") ++ adds.map(addLine)
+      removes: Seq[String], txn: Option[(String, Long)] = None): Boolean = {
+    val lines = txn.map { case (a, b) => s"t|${enc(a)}|$b" }.toSeq ++
+      removes.map(p => s"r|${enc(p)}") ++ adds.map(addLine)
     writeLinesAtomic(new Path(logDir, commitName(v)), lines)
   }
 
@@ -334,7 +404,8 @@ final class GraftTable private (
     if (checkpointInterval > 0 && v % checkpointInterval == 0) {
       // losing this rename (concurrent checkpointer) is harmless
       writeLinesAtomic(new Path(logDir, ckptName(v)),
-        snapshotMetas(v).map(addLine))
+        txnWatermarks(v).toSeq.sorted.map { case (a, b) => s"t|${enc(a)}|$b" } ++
+          snapshotMetas(v).map(addLine))
     }
 
   private def requireSchema(df: DataFrame): Unit = {

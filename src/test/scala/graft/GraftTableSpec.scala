@@ -162,6 +162,48 @@ class GraftTableSpec extends SparkSpec {
     assert(t.readWhere(col("id") > 250L).count() == 49)
   }
 
+  test("appendBatch is idempotent per (appId, batchId) — replayed batches are no-ops") {
+    val t = GraftTable.create(spark, fresh(), rows(0, 10))
+    assert(t.appendBatch(rows(10, 20), "q1", 0L) == 2L)
+    assert(t.appendBatch(rows(10, 20), "q1", 0L) == -1L, "replay must skip")
+    assert(t.read().count() == 20, "no duplicate rows from the replay")
+    assert(t.appendBatch(rows(20, 30), "q1", 1L) == 3L)
+    assert(t.appendBatch(rows(30, 40), "q2", 0L) == 4L, "other writers unaffected")
+    assert(t.read().count() == 40)
+    assert(t.txnWatermarks() == Map("q1" -> 1L, "q2" -> 0L))
+  }
+
+  test("txn watermarks survive checkpoints") {
+    val p = fresh()
+    val t = GraftTable.create(spark, p, rows(0, 10), checkpointInterval = 2)
+    (0 to 4).foreach(b => t.appendBatch(rows(10 + b * 10, 20 + b * 10), "s", b))
+    assert(new java.io.File(p, "_txlog").list().exists(_.endsWith(".ckpt")))
+    val cold = GraftTable.open(spark, p, checkpointInterval = 2)
+    assert(cold.appendBatch(rows(10, 20), "s", 3L) == -1L,
+      "watermark must be visible through the checkpoint path")
+    assert(cold.read().count() == 60)
+  }
+
+  test("streamAppend lands micro-batches exactly once") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t = GraftTable.create(spark, fresh(), rows(0, 5))
+    val input = MemoryStream[(Long, String, Double)]
+    val ckpt = Files.createTempDirectory("graft_table_stream").toString
+    val q = t.streamAppend(
+      input.toDF().toDF("id", "name", "score"), ckpt)
+    try {
+      input.addData((100L, "a", 1.0), (101L, "b", 2.0))
+      q.processAllAvailable()
+      assert(t.read().count() == 7)
+      input.addData((102L, "c", 3.0))
+      q.processAllAvailable()
+      assert(t.read().count() == 8)
+      assert(t.read().filter(col("id") >= 100L).count() == 3)
+    } finally q.stop()
+  }
+
   test("schema is enforced on append") {
     import spark.implicits._
     val t = GraftTable.create(spark, fresh(), rows(0, 10))
