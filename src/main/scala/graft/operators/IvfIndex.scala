@@ -388,4 +388,38 @@ object IvfIndex {
       .select(col(idCol), distance(col(vecCol), col(qVecCol)).as("dist"))
       .orderBy(col("dist"), col(idCol))
       .limit(k)
+
+  /** Iterative filtered probe search — pgvector ≥0.8's "iterative
+    * index scans", the fix for the filtered-ANN failure mode: a fixed
+    * nprobe returns fewer than k rows when the predicate is selective
+    * (the shortlist dies in the filter), while sizing nprobe for the
+    * worst filter makes every easy query scan nlist cells. Here the
+    * probe width ADAPTS: start at `nprobe0`, check whether the probed
+    * cells hold k predicate-passing rows (a limit(k) count over the
+    * partition-pruned, filter-pushed scan — cheap), and double until
+    * satisfied or `maxProbe`. Geometric doubling means the widening
+    * phase re-scans at most 2× the final width's cells and issues at
+    * most log₂(maxProbe/nprobe0) driver-bounded jobs; at 100 TB the
+    * cost tracks the filter's selectivity instead of worst-casing to
+    * a full scan. Returns (top-k plan at the chosen width, width). */
+  def searchFilteredIterative(
+      indexed: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, queryVec: DataFrame, qVecCol: String,
+      distance: (Column, Column) => Column, k: Int, pred: Column,
+      nprobe0: Int = 4, maxProbe: Int = 64): (DataFrame, Int) = {
+    var p = nprobe0
+    while (p < maxProbe &&
+        probeCandidates(indexed, centroids, queryVec, qVecCol, distance, p)
+          .filter(pred).limit(k).count() < k) {
+      p = math.min(p * 2, maxProbe)
+    }
+    val result =
+      probeCandidates(indexed, centroids, queryVec, qVecCol, distance, p)
+        .filter(pred)
+        .crossJoin(broadcast(queryVec))
+        .select(col(idCol), distance(col(vecCol), col(qVecCol)).as("dist"))
+        .orderBy(col("dist"), col(idCol))
+        .limit(k)
+    (result, p)
+  }
 }

@@ -909,6 +909,25 @@ object VectorQueries {
       .limit(K)
   }
 
+  /** pgvector ≥0.8 ITERATIVE index scan: filtered top-k where the
+    * probe width adapts to the predicate's selectivity —
+    * [[IvfIndex.searchFilteredIterative]] starts at one cell and
+    * doubles until the probed cells hold k predicate-passing rows, so
+    * an easy filter costs one cell and a brutal one never silently
+    * under-returns (the fixed-nprobe failure mode
+    * vs_knn_filtered_auto accepts). Rows-only: approximate;
+    * RecallGateSpec gates recall vs the exact filtered search and
+    * IvfIndexSpec asserts the width adaptivity both ways. */
+  private def knnFilteredIter(s: SparkSession, d: String): DataFrame = {
+    val (storeP, centP) = ensureAutoStore(s, d)
+    IvfIndex.searchFilteredIterative(
+      s.read.parquet(storeP), "vec_id", "embedding",
+      s.read.parquet(centP).select(col("centroid_id"), col("centroid")),
+      queryVec(s, d), "qvec", l2Distance, k = K,
+      pred = col("vec_id") =!= 0 && col("label") === 3,
+      nprobe0 = 1, maxProbe = IvfNlist)._1
+  }
+
   def ivfAutoBench(s: SparkSession, d: String): (() => Unit, () => DataFrame) = {
     var storeP: String = null
     val build = () => {
@@ -968,6 +987,7 @@ object VectorQueries {
   val defs: Map[String, QueryDef] = Map(
     "vs_ivf_auto"     -> QueryDef(ivfAuto _, None),
     "vs_knn_filtered_auto" -> QueryDef(knnFilteredAuto _, None),
+    "vs_knn_filtered_iter" -> QueryDef(knnFilteredIter _, None),
     "vs_hnsw_knn"     -> QueryDef(hnswKnn _, None),
     "vs_hnsw_routed"  -> QueryDef(hnswRouted _, None),
     "vs_hnsw_filtered" -> QueryDef(hnswFiltered _, None),

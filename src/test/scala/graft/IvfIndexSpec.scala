@@ -232,6 +232,40 @@ class IvfIndexSpec extends SparkSpec {
     }
   }
 
+  test("iterative filtered scan adapts probe width to the predicate") {
+    val (indexed, centroids) = IvfIndex.buildIndex(emb, "vec_id", "embedding", nlist = 16)
+    val live = indexed.filter(col("vec_id") =!= 0)
+    // permissive predicate: every cell has plenty of rows → width stays
+    // at nprobe0
+    val (easy, wEasy) = IvfIndex.searchFilteredIterative(
+      live, "vec_id", "embedding", centroids, query, "qvec",
+      l2Distance, k = 5, pred = lit(true), nprobe0 = 2, maxProbe = 16)
+    assert(wEasy == 2, s"permissive filter must not widen (got $wEasy)")
+    assert(easy.count() == 5)
+    // selective predicate: ask for EVERY matching row (k = match
+    // count), so the scan must widen until the probed cells hold all
+    // of them — guaranteed growth unless the whole match set lives in
+    // the query's single nearest cell
+    val sel = col("label") === 3
+    val matches = live.filter(sel).count().toInt
+    assert(matches >= 8, s"fixture: need ≥8 label-3 rows, got $matches")
+    val cellOf = if (live.columns.contains("cells"))
+      col("cells").getItem(0) else col("centroid_id")
+    val perCell = live.filter(sel)
+      .groupBy(cellOf).count()
+      .agg(max("count")).head.getLong(0)
+    assert(perCell < matches, "fixture degenerate: all matches in one cell")
+    val (hard, wHard) = IvfIndex.searchFilteredIterative(
+      live, "vec_id", "embedding", centroids, query, "qvec",
+      l2Distance, k = matches, pred = sel, nprobe0 = 1, maxProbe = 16)
+    assert(wHard > 1, s"selective filter must widen past nprobe0 (got $wHard)")
+    assert(hard.count() == matches, "iterative scan must not under-return")
+    // the rows it returns satisfy the predicate
+    val bad = hard.join(live.select(col("vec_id"), col("label")), "vec_id")
+      .filter(col("label") =!= 3).count()
+    assert(bad == 0, "every returned row must satisfy the predicate")
+  }
+
   test("spilled search returns distinct ids and full probe equals exact (spill 2 and 3)") {
     for (spill <- Seq(2, 3)) {
       val (indexed, centroids) = IvfIndex.buildIndex(

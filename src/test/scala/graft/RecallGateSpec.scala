@@ -130,6 +130,21 @@ class RecallGateSpec extends SparkSpec {
     assert(r >= 0.7, f"vs_knn_filtered_auto recall@10 $r%.2f below floor 0.7")
   }
 
+  test("vs_knn_filtered_iter: adaptive probe width, recall floor vs exact filtered") {
+    val got = ids(SparkEntry.queries("vs_knn_filtered_iter")(spark, Sf))
+    assert(got.distinct == got, "iterative probe returned duplicate ids")
+    val exact = ids(Knn.topK(
+      corpus.filter(col("label") === 3),
+      "vec_id", "embedding", queryVec, "qvec", VectorFunctions.l2Distance, 10))
+    // the iterative scan widens until k predicate-passing rows are in
+    // the probed cells, so it must return as many rows as exist
+    assert(got.size == math.min(10, exact.size),
+      s"iterative scan under-returned: ${got.size} of ${exact.size} available")
+    val r = recall(got, exact)
+    info(f"vs_knn_filtered_iter recall@10 = $r%.2f (adaptive width, label = 3)")
+    assert(r >= 0.7, f"vs_knn_filtered_iter recall@10 $r%.2f below floor 0.7")
+  }
+
   test("spill=3 raises the recall floor to 0.85 at the same nprobe (generalized dedup)") {
     // VERDICT r5 #7: the ranked-cells layout supports any spill; the
     // third copy pushes candidate fraction to 3·6/32 ≈ 0.56 on this
