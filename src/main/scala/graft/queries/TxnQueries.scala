@@ -1,0 +1,125 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.sources.GraftTable
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Transaction-log table operations as oracled inventory entries —
+  * the mutating half of [[graft.sources.GraftTable]] (MERGE upsert,
+  * change data feed) exercised end-to-end against DuckDB oracles that
+  * reconstruct the same result relationally from the base parquet.
+  *
+  * Each query builds its table ONCE per sfDir under java.io.tmpdir
+  * (same marker-file discipline as VectorQueries.ensureAutoStore: the
+  * marker is written after the last mutation commits, so a killed
+  * build is rebuilt, never read half-mutated) and then reads the
+  * final snapshot — so what the oracle checks is the CONTENT the
+  * mutation protocol produced, not a re-derivation.
+  */
+object TxnQueries {
+
+  /** Insert keys land far above any replicated sf's key range
+    * (tools/gen_sf.py offsets ids per copy; 1e9 clears sf100). */
+  private val InsertOffset = 1000000000L
+
+  private val partCols =
+    Seq("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice")
+
+  private def freshDir(tag: String, d: String): java.io.File =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_txn_${tag}_v1_${Integer.toHexString(d.hashCode)}")
+
+  private def built(base: java.io.File)(build: String => Unit): String = {
+    val tablePath = new java.io.File(base, "table").toString
+    TxnQueries.synchronized {
+      if (!new java.io.File(base, "_GRAFT_DONE").exists()) {
+        // a killed build leaves no marker — wipe the debris and rebuild
+        def wipe(f: java.io.File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(wipe)
+          f.delete(); ()
+        }
+        if (base.exists()) wipe(base)
+        base.mkdirs()
+        build(tablePath)
+        require(new java.io.File(base, "_GRAFT_DONE").createNewFile(),
+          s"failed to mark $base complete")
+      }
+    }
+    tablePath
+  }
+
+  // -------------------------------------------------------- txn_merge
+  /** MERGE INTO on the part table: keys ≡ 0 (mod 10) arrive as
+    * corrections (price doubled — ×2 is exact in binary FP, so the
+    * oracle is bit-identical with no rounding contract), keys ≡ 0
+    * (mod 7) re-arrive offset past the key range as inserts. The
+    * read-back is the merged snapshot; the oracle rebuilds it as
+    * unmatched ∪ updated ∪ inserted. Exercises the full scale path:
+    * stats prune on the key envelope → semi-join touch detection →
+    * copy-on-write rewrite of touched files only. */
+  private def txnMerge(s: SparkSession, d: String): DataFrame = {
+    val part = Tables.part(s, d)
+    val path = built(freshDir("merge", d)) { p =>
+      val t = GraftTable.create(s, p, part.repartition(8),
+        statsCols = Seq("p_partkey"))
+      val src = part.filter(col("p_partkey") % 10 === 0)
+        .withColumn("p_retailprice", col("p_retailprice") * 2)
+        .unionByName(part.filter(col("p_partkey") % 7 === 0)
+          .withColumn("p_partkey", col("p_partkey") + InsertOffset))
+      t.merge(src, Seq("p_partkey"))
+    }
+    GraftTable.open(s, path).read()
+      .select(partCols.map(col): _*)
+      .orderBy("p_partkey")
+  }
+
+  private val txnMergeSql = s"""
+    SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+    FROM part WHERE p_partkey % 10 <> 0
+    UNION ALL
+    SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice * 2
+    FROM part WHERE p_partkey % 10 = 0
+    UNION ALL
+    SELECT p_partkey + $InsertOffset, p_name, p_brand, p_type, p_size,
+           p_retailprice
+    FROM part WHERE p_partkey % 7 = 0
+    ORDER BY p_partkey"""
+
+  // ------------------------------------------------------ txn_changes
+  /** Change data feed across a delete + an append: v1 = the part
+    * table, v2 = DELETE WHERE p_size < 10 (copy-on-write — survivor
+    * rows of the rewritten files are carried content), v3 = append of
+    * offset-keyed rows. changes(1, 3) must surface EXACTLY the
+    * deleted rows and the appended rows — the carried survivors
+    * appear on both sides of the file diff and cancel in the multiset
+    * difference. The oracle states that contract relationally. */
+  private def txnChanges(s: SparkSession, d: String): DataFrame = {
+    val part = Tables.part(s, d)
+    val path = built(freshDir("changes", d)) { p =>
+      val t = GraftTable.create(s, p, part.repartition(8),
+        statsCols = Seq("p_partkey"))
+      t.delete(col("p_size") < 10)
+      t.append(part.filter(col("p_partkey") % 7 === 0)
+        .withColumn("p_partkey", col("p_partkey") + InsertOffset))
+    }
+    GraftTable.open(s, path).changes(1L)
+      .select((partCols :+ "_change_type").map(col): _*)
+      .orderBy("_change_type", "p_partkey")
+  }
+
+  private val txnChangesSql = s"""
+    SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice,
+           'delete' AS _change_type
+    FROM part WHERE p_size < 10
+    UNION ALL
+    SELECT p_partkey + $InsertOffset, p_name, p_brand, p_type, p_size,
+           p_retailprice, 'insert' AS _change_type
+    FROM part WHERE p_partkey % 7 = 0
+    ORDER BY _change_type, p_partkey"""
+
+  val defs: Map[String, QueryDef] = Map(
+    "txn_merge"   -> QueryDef(txnMerge _, txnMergeSql),
+    "txn_changes" -> QueryDef(txnChanges _, txnChangesSql),
+  )
+}

@@ -301,6 +301,127 @@ final class GraftTable private (
     commitOnce(adds, touched.map(_.path), baseV)
   }
 
+  /** MERGE INTO (keyed upsert) via copy-on-write — the table-format
+    * operation late-arriving corrections need: every source row
+    * REPLACES the live row carrying the same key, or becomes an
+    * insert if none does (SQL MERGE with WHEN MATCHED THEN UPDATE
+    * SET * / WHEN NOT MATCHED THEN INSERT *).
+    *
+    * Scale shape, in order of leverage:
+    *  1. stats prune — only files whose per-key-column [min, max]
+    *     range can overlap the source's key envelope can hold a
+    *     match; on a key-clustered 100 TB table a one-day correction
+    *     batch prunes to that day's files before anything is scanned.
+    *  2. exact touch detection — one semi-join of the candidate files
+    *     against the broadcast (delta-scale) source key set; files
+    *     with no matching row are carried over BY REFERENCE.
+    *  3. rewrite — touched files' unmatched rows plus all source
+    *     rows; bytes moved ∝ matched files + delta, never the table.
+    *
+    * The source must be delta-scale (it is broadcast) and carry at
+    * most one row per key — SQL MERGE's cardinality rule, enforced.
+    * Serializable like [[delete]]. Returns the committed version. */
+  def merge(source: DataFrame, keyCols: Seq[String]): Long = {
+    requireSchema(source)
+    require(keyCols.nonEmpty, "merge needs at least one key column")
+    val baseV = version
+    val src = source.persist()
+    try {
+      // key envelope + cardinality rule in one delta-scale pass each
+      val envAggs = count(lit(1)).as("__n") +: keyCols.flatMap(c => Seq(
+        min(col(c)).as(s"__lo_$c"), max(col(c)).as(s"__hi_$c")))
+      val env = src.agg(envAggs.head, envAggs.tail: _*).collect()(0)
+      val nSrc = env.getAs[Long]("__n")
+      if (nSrc == 0L) return baseV
+      val keyset = src.select(keyCols.map(col): _*).distinct()
+      require(keyset.count() == nSrc,
+        s"merge source for $path has duplicate keys on (${keyCols.mkString(", ")})")
+      val rangePred = keyCols.map { c =>
+        col(c) >= lit(env.getAs[Any](s"__lo_$c")) &&
+          col(c) <= lit(env.getAs[Any](s"__hi_$c"))
+      }.reduce(_ && _)
+      val cands = candidateFiles(rangePred, baseV)
+      val touchedUris =
+        if (cands.isEmpty) Set.empty[String]
+        else readFiles(cands)
+          // capture the file BEFORE the join (input_file_name is
+          // per-source) — and the projection narrows the detection
+          // scan to the key columns only
+          .select(input_file_name().as("__f") +: keyCols.map(col): _*)
+          .join(broadcast(keyset), keyCols, "left_semi")
+          .select("__f").distinct()
+          .collect().map(_.getString(0)).toSet // ≤ #files driver rows
+      val touched = cands.filter(m =>
+        touchedUris.exists(_.endsWith("/" + m.path)))
+      val ordered = schema.fieldNames.toSeq.map(col)
+      val kept =
+        if (touched.isEmpty) readFiles(Nil)
+        else readFiles(touched).join(broadcast(keyset), keyCols, "left_anti")
+      val adds = stageAdds(
+        kept.select(ordered: _*).unionByName(src.select(ordered: _*)))
+      commitOnce(adds, touched.map(_.path), baseV)
+    } finally { src.unpersist(); () }
+  }
+
+  /** Row-level change feed between two snapshot versions, computed
+    * over ONLY the files that changed between them — never a
+    * full-table diff: rows of to-only files minus rows of from-only
+    * files are the net inserts, the reverse are the net deletes (an
+    * update surfaces as its delete+insert pair — the change-data-feed
+    * contract without per-operation row tracking). Rows a rewrite
+    * carried over unchanged (delete/merge survivors, compaction
+    * repacks) appear on both sides and cancel in the multiset
+    * difference, so a pure [[compact]] yields an EMPTY feed. Cost ∝
+    * churned bytes; valid while [[vacuum]] retains `fromVersion`. */
+  def changes(fromVersion: Long, toVersion: Long = -1L): DataFrame = {
+    val toV = if (toVersion < 0) version else toVersion
+    require(fromVersion <= toV,
+      s"changes: fromVersion $fromVersion is after toVersion $toV")
+    val fromM = snapshotMetas(fromVersion)
+    val toM = snapshotMetas(toV)
+    val fromPaths = fromM.map(_.path).toSet
+    val toPaths = toM.map(_.path).toSet
+    val ins = readFiles(toM.filterNot(m => fromPaths(m.path)))
+    val del = readFiles(fromM.filterNot(m => toPaths(m.path)))
+    ins.exceptAll(del).withColumn("_change_type", lit("insert"))
+      .unionByName(del.exceptAll(ins).withColumn("_change_type", lit("delete")))
+  }
+
+  /** OPTIMIZE ZORDER: rewrite the table ordered by the Morton key of
+    * `zCols` ([[graft.functions.ZOrderExpr]]) so per-file [min, max]
+    * stats stay selective on EVERY listed column at once — a linear
+    * sort makes skipping sharp on its leading column and useless on
+    * the rest; bit interleaving shares the locality. Boundaries come
+    * from one approxQuantile pass (driver-side, 2^bits per column —
+    * quantile buckets keep skewed columns spread over all buckets);
+    * the rewrite is one range shuffle + per-file sort. Content is
+    * unchanged (the spec asserts multiset equality); like every
+    * mutation, serializable via [[commitOnce]]. */
+  def cluster(zCols: Seq[String], targetBytes: Long = 128L << 20,
+      bits: Int = 12): Long = {
+    require(zCols.nonEmpty, "cluster needs at least one column")
+    require(targetBytes > 0, "cluster needs a positive target file size")
+    val baseV = version
+    val metas = snapshotMetas(baseV)
+    if (metas.isEmpty) return baseV
+    val df = readFiles(metas)
+    val nBuckets = 1 << math.min(bits, 63 / zCols.length)
+    val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
+    val bounds = zCols.map { c =>
+      df.select(col(c).cast("double").as(c))
+        .stat.approxQuantile(c, probs, 0.001)
+    }.toArray
+    val z = graft.functions.ZOrder.zkey(
+      zCols.map(c => col(c).cast("double")), bounds)
+    val total = metas.map(_.bytes).sum
+    val nFiles = math.max(1L, (total + targetBytes - 1) / targetBytes).toInt
+    val adds = stageAdds(df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z"))
+    commitOnce(adds, metas.map(_.path), baseV)
+  }
+
   /** Bin-pack small files (streaming-append debris) to ~`targetBytes`
     * without changing content. Serializable like [[delete]]. */
   def compact(targetBytes: Long = 128L << 20): Long = {

@@ -1,0 +1,42 @@
+package graft.tools
+
+import graft.SparkEntry
+import org.apache.spark.sql.SparkSession
+
+/** Dev harness: run a named subset of the inventory through the
+  * Verify output contract (parquet + oracle_sql.json) so new oracled
+  * queries can be checked against tools/check.py without replaying
+  * all 100+ entries. Usage: runMain graft.tools.VerifySubset
+  * <sfDir> <outDir> <name>[,<name>...] */
+object VerifySubset {
+  def main(args: Array[String]): Unit = {
+    val Array(sfDir, outDir, names) = args
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    new java.io.File(outDir).mkdirs()
+    val picked = names.split(",").toSeq
+    picked.foreach { name =>
+      SparkEntry.queries(name)(spark, sfDir).coalesce(1)
+        .write.mode("overwrite").parquet(s"$outDir/$name")
+      println(s"[verify-subset] wrote $name")
+    }
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case c if c < ' ' => "\\u%04x".format(c.toInt)
+      case c    => c.toString
+    } + "\""
+    val json = picked.flatMap(n => SparkEntry.oracleSql.get(n).map(n -> _))
+      .map { case (k, v) => q(k) + ": " + q(v) }
+      .mkString("{", ", ", "}")
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$outDir/oracle_sql.json"),
+      json.getBytes("UTF-8"))
+    spark.stop()
+  }
+}

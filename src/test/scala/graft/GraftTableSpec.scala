@@ -219,4 +219,90 @@ class GraftTableSpec extends SparkSpec {
     }
     assert(GraftTable.open(spark, p).schema == t.read().schema)
   }
+
+  test("merge upserts: matched rows replaced, unmatched inserted, " +
+      "files outside the key envelope carried by reference") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, fresh(),
+      rows(0, 100).repartitionByRange(4, col("id")), statsCols = Seq("id"))
+    val before = t.snapshotMetas().map(_.path).toSet
+    assert(before.size == 4)
+    // one update inside the first range file, one brand-new key
+    val src = Seq((5L, "doc_5", -1.0), (200L, "doc_200", 7.0))
+      .toDF("id", "name", "score")
+    t.merge(src, Seq("id"))
+    val after = t.snapshotMetas().map(_.path).toSet
+    assert((before -- after).size == 1,
+      "exactly the file holding the matched key is rewritten")
+    assert((before & after).size == 3,
+      "files the touch-detection semi-join clears are carried by reference")
+    assert(t.read().count() == 101)
+    assert(t.read().filter(col("id") === 5L).head.getDouble(2) == -1.0)
+    assert(t.read().filter(col("id") === 200L).count() == 1)
+    // the pre-merge version still time-travels to the old content
+    assert(t.read(atVersion = 1L).filter(col("id") === 5L)
+      .head.getDouble(2) == 10.0)
+  }
+
+  test("merge rejects duplicate source keys (SQL MERGE cardinality rule)") {
+    import spark.implicits._
+    val t = GraftTable.create(spark, fresh(), rows(0, 10))
+    val dup = Seq((1L, "a", 0.0), (1L, "b", 1.0)).toDF("id", "name", "score")
+    intercept[IllegalArgumentException] { t.merge(dup, Seq("id")) }
+    assert(t.version == 1L, "a rejected merge must not commit")
+  }
+
+  test("changes() is the churn cone: delete+append surface, carried " +
+      "survivors cancel, pure compact is an empty feed") {
+    val t = GraftTable.create(spark, fresh(),
+      rows(0, 100).repartition(4), statsCols = Seq("id"))
+    t.delete(col("id") < 10)   // v2
+    t.append(rows(200, 220))   // v3
+    val feed = t.changes(1L).cache()
+    try {
+      val del = feed.filter(col("_change_type") === "delete")
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+      val ins = feed.filter(col("_change_type") === "insert")
+        .select("id").collect().map(_.getLong(0)).sorted.toSeq
+      assert(del == (0L until 10L), "deletes are exactly the deleted rows")
+      assert(ins == (200L until 220L), "inserts are exactly the appended rows")
+    } finally { feed.unpersist(); () }
+    t.compact() // v4: repack only — no row-level change
+    assert(t.changes(3L).isEmpty, "compaction must yield an empty feed")
+    assert(t.changes(1L, 2L).filter(col("_change_type") === "insert").isEmpty,
+      "the delete-only hop has no inserts")
+  }
+
+  test("cluster (Z-order) preserves content and makes stats prune on " +
+      "EVERY listed dimension") {
+    import spark.implicits._
+    val grid = for (x <- 0 until 64; y <- 0 until 64) yield (x.toLong, y.toLong)
+    val df = grid.toDF("x", "y")
+    val t = GraftTable.create(spark, fresh(),
+      // linear layout: range-partitioned by x alone — selective on x,
+      // useless on y (every file spans y's whole range)
+      df.repartitionByRange(16, col("x")), statsCols = Seq("x", "y"))
+    val yPred = col("y") >= 10L && col("y") <= 11L
+    val linearCands = t.candidateFiles(yPred).size
+    assert(linearCands == 16, "linear layout cannot prune a y-only predicate")
+    val before = t.read()
+    t.cluster(Seq("x", "y"), targetBytes = t.snapshotMetas().map(_.bytes).sum / 16)
+    assert(t.read().exceptAll(before).isEmpty &&
+      before.exceptAll(t.read()).isEmpty, "cluster must not change content")
+    val zCands = t.candidateFiles(yPred).size
+    assert(zCands < linearCands / 2,
+      s"z-ordered layout must prune the y strip (got $zCands of $linearCands)")
+    // and the pruned read stays exact
+    assert(t.readWhere(yPred).count() == t.read().filter(yPred).count())
+  }
+
+  test("zkey interleaves bucket bits: quadrants order SW, SE, NW, NE") {
+    import spark.implicits._
+    val pts = Seq((0.2, 0.2), (0.7, 0.2), (0.2, 0.7), (0.7, 0.7))
+      .toDF("x", "y")
+    val z = graft.functions.ZOrder.zkey(
+      Seq(col("x"), col("y")), Array(Array(0.5), Array(0.5)))
+    val got = pts.select(z.as("z")).collect().map(_.getLong(0)).toSeq
+    assert(got == Seq(0L, 1L, 2L, 3L))
+  }
 }
