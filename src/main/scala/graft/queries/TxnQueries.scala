@@ -118,8 +118,48 @@ object TxnQueries {
     FROM part WHERE p_partkey % 7 = 0
     ORDER BY _change_type, p_partkey"""
 
+  // --------------------------------------------------- txn_timetravel
+  /** Time travel THROUGH the oracle gate: read the merge table at
+    * version 1 (pre-merge) and get exactly the original part table
+    * back — version resolution, checkpoint replay, and snapshot
+    * isolation all on the hash-compared path, not just in specs.
+    * Shares txn_merge's built table (same dir, same marker). */
+  private def txnTimetravel(s: SparkSession, d: String): DataFrame = {
+    txnMerge(s, d) // ensures the merge table is built (idempotent)
+    val path = new java.io.File(freshDir("merge", d), "table").toString
+    GraftTable.open(s, path).read(atVersion = 1L)
+      .select(partCols.map(col): _*)
+      .orderBy("p_partkey")
+  }
+
+  private val txnTimetravelSql = s"""
+    SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+    FROM part ORDER BY p_partkey"""
+
+  // ---------------------------------------------------- txn_stats_agg
+  /** Metadata-only count/min/max ([[GraftTable.statsAgg]]): the
+    * answer comes from the commit log's per-file records — zero data
+    * files scanned — yet must hash-match DuckDB aggregating the
+    * reconstructed post-merge content. The 100 TB story is the
+    * point: `SELECT count(*), min(k), max(k)` in driver
+    * milliseconds. */
+  private def txnStatsAgg(s: SparkSession, d: String): DataFrame = {
+    txnMerge(s, d)
+    val path = new java.io.File(freshDir("merge", d), "table").toString
+    GraftTable.open(s, path).statsAgg(Seq("p_partkey"))
+  }
+
+  private val txnStatsAggSql = s"""
+    SELECT count(*) AS row_count, min(p_partkey) AS min_p_partkey,
+           max(p_partkey) AS max_p_partkey
+    FROM (SELECT p_partkey FROM part
+          UNION ALL
+          SELECT p_partkey + $InsertOffset FROM part WHERE p_partkey % 7 = 0)"""
+
   val defs: Map[String, QueryDef] = Map(
-    "txn_merge"   -> QueryDef(txnMerge _, txnMergeSql),
-    "txn_changes" -> QueryDef(txnChanges _, txnChangesSql),
+    "txn_merge"      -> QueryDef(txnMerge _, txnMergeSql),
+    "txn_changes"    -> QueryDef(txnChanges _, txnChangesSql),
+    "txn_timetravel" -> QueryDef(txnTimetravel _, txnTimetravelSql),
+    "txn_stats_agg"  -> QueryDef(txnStatsAgg _, txnStatsAggSql),
   )
 }

@@ -264,6 +264,45 @@ final class GraftTable private (
   def readWhere(pred: Column, atVersion: Long = -1L): DataFrame =
     readFiles(candidateFiles(pred, atVersion)).filter(pred)
 
+  /** Metadata-only `count(*)` / `min` / `max`: answered from the
+    * commit log's per-file (rows, stats) records WITHOUT scanning a
+    * single data file — the classic lakehouse aggregate pushdown
+    * (`SELECT count(*), min(k), max(k)` on a 100 TB table in driver
+    * milliseconds). Exact because files are immutable and stats are
+    * recorded at commit from the written bytes. min/max over a
+    * column REFUSES (require) if any live non-empty file lacks that
+    * column's stats — an untracked column or an all-NULL file makes
+    * metadata min/max unsound, and a silent fallback to scanning
+    * would hide a 100 TB regression. Returns one row:
+    * `row_count, min_<c>, max_<c>...` typed by the table schema. */
+  def statsAgg(aggCols: Seq[String] = Nil, atVersion: Long = -1L): DataFrame = {
+    val sch = schema
+    val metas = snapshotMetas(atVersion)
+    val dataFiles = metas.filter(_.rows > 0)
+    val cols = lit(metas.map(_.rows).sum).as("row_count") +:
+      aggCols.flatMap { c =>
+        val f = sch.fields.find(_.name == c).getOrElse(
+          sys.error(s"statsAgg: no column $c in ${sch.simpleString}"))
+        if (dataFiles.isEmpty)
+          Seq(lit(null).cast(f.dataType).as(s"min_$c"),
+            lit(null).cast(f.dataType).as(s"max_$c"))
+        else {
+          require(dataFiles.forall(_.stats.contains(c)),
+            s"statsAgg($c) on $path: a live file carries no $c stats — " +
+              "metadata min/max would be unsound; scan instead")
+          val ord: Ordering[String] = f.dataType match {
+            case _: StringType => Ordering.String
+            case _ => Ordering.by((s: String) => BigDecimal(s))
+          }
+          Seq(lit(dataFiles.map(_.stats(c)._1).min(ord)).cast(f.dataType)
+              .as(s"min_$c"),
+            lit(dataFiles.map(_.stats(c)._2).max(ord)).cast(f.dataType)
+              .as(s"max_$c"))
+        }
+      }
+    spark.range(1).select(cols: _*)
+  }
+
   // ------------------------------------------------------------ writes
 
   /** Append `df` (blind append — never conflicts, retried until its
@@ -407,10 +446,13 @@ final class GraftTable private (
     val df = readFiles(metas)
     val nBuckets = 1 << math.min(bits, 63 / zCols.length)
     val probs = (1 until nBuckets).map(_.toDouble / nBuckets).toArray
-    val bounds = zCols.map { c =>
-      df.select(col(c).cast("double").as(c))
-        .stat.approxQuantile(c, probs, 0.001)
-    }.toArray
+    // ONE pass for every dimension's boundaries (multi-column
+    // approxQuantile shares the scan) — at 100 TB the boundary probe
+    // must not cost zCols full reads
+    val qNames = zCols.indices.map(i => s"__zq_$i")
+    val bounds = df.select(zCols.zip(qNames).map { case (c, t) =>
+        col(c).cast("double").as(t) }: _*)
+      .stat.approxQuantile(qNames.toArray, probs, 0.001)
     val z = graft.functions.ZOrder.zkey(
       zCols.map(c => col(c).cast("double")), bounds)
     val total = metas.map(_.bytes).sum

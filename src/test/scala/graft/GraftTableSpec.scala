@@ -296,6 +296,20 @@ class GraftTableSpec extends SparkSpec {
     assert(t.readWhere(yPred).count() == t.read().filter(yPred).count())
   }
 
+  test("statsAgg answers count/min/max from the log alone and refuses " +
+      "unsound metadata min/max") {
+    val t = GraftTable.create(spark, fresh(),
+      rows(5, 105).repartition(4), statsCols = Seq("id"))
+    t.delete(col("id") >= 100L)
+    val r = t.statsAgg(Seq("id")).head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((95L, 5L, 99L)))
+    // pre-delete snapshot still answers from its own metadata
+    val r1 = t.statsAgg(Seq("id"), atVersion = 1L).head
+    assert((r1.getLong(0), r1.getLong(2)) == ((100L, 104L)))
+    // name has no per-file stats → min/max would be unsound → refuse
+    intercept[IllegalArgumentException] { t.statsAgg(Seq("name")).collect() }
+  }
+
   test("zkey interleaves bucket bits: quadrants order SW, SE, NW, NE") {
     import spark.implicits._
     val pts = Seq((0.2, 0.2), (0.7, 0.2), (0.2, 0.7), (0.7, 0.7))

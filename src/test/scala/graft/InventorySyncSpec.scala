@@ -22,8 +22,8 @@ class InventorySyncSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the documented outcome") {
-    assert(SparkEntry.queries.size == 105)
-    assert(SparkEntry.oracleSql.size == 86)
+    assert(SparkEntry.queries.size == 107)
+    assert(SparkEntry.oracleSql.size == 88)
   }
 
   test("every rows-only (non-oracled) query carries a gate in RecallGateSpec") {
