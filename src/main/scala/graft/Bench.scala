@@ -46,6 +46,10 @@ object Bench {
       "ingest_pdf_encrypted" -> queries.PipelineQueries.pdfEncBench _,
       "ingest_pdf_modern" -> queries.PipelineQueries.pdfModBench _,
       "ingest_pdf_store" -> queries.PipelineQueries.pdfStoreBench _,
+      "txn_merge" -> queries.TxnQueries.mergeBench _,
+      "txn_changes" -> queries.TxnQueries.changesBench _,
+      "txn_timetravel" -> queries.TxnQueries.timetravelBench _,
+      "txn_stats_agg" -> queries.TxnQueries.statsAggBench _,
     )
 
   private def runNoop(df: DataFrame): Unit =

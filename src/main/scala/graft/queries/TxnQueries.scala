@@ -30,15 +30,16 @@ object TxnQueries {
     new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_txn_${tag}_v1_${Integer.toHexString(d.hashCode)}")
 
+  private def wipe(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(wipe)
+    f.delete(); ()
+  }
+
   private def built(base: java.io.File)(build: String => Unit): String = {
     val tablePath = new java.io.File(base, "table").toString
     TxnQueries.synchronized {
       if (!new java.io.File(base, "_GRAFT_DONE").exists()) {
         // a killed build leaves no marker — wipe the debris and rebuild
-        def wipe(f: java.io.File): Unit = {
-          if (f.isDirectory) f.listFiles().foreach(wipe)
-          f.delete(); ()
-        }
         if (base.exists()) wipe(base)
         base.mkdirs()
         build(tablePath)
@@ -58,9 +59,9 @@ object TxnQueries {
     * unmatched ∪ updated ∪ inserted. Exercises the full scale path:
     * stats prune on the key envelope → semi-join touch detection →
     * copy-on-write rewrite of touched files only. */
-  private def txnMerge(s: SparkSession, d: String): DataFrame = {
+  private def mergePath(s: SparkSession, d: String): String = {
     val part = Tables.part(s, d)
-    val path = built(freshDir("merge", d)) { p =>
+    built(freshDir("merge", d)) { p =>
       val t = GraftTable.create(s, p, part.repartition(8),
         statsCols = Seq("p_partkey"))
       val src = part.filter(col("p_partkey") % 10 === 0)
@@ -69,10 +70,15 @@ object TxnQueries {
           .withColumn("p_partkey", col("p_partkey") + InsertOffset))
       t.merge(src, Seq("p_partkey"))
     }
+  }
+
+  private def readMergeSnapshot(s: SparkSession, path: String): DataFrame =
     GraftTable.open(s, path).read()
       .select(partCols.map(col): _*)
       .orderBy("p_partkey")
-  }
+
+  private def txnMerge(s: SparkSession, d: String): DataFrame =
+    readMergeSnapshot(s, mergePath(s, d))
 
   private val txnMergeSql = s"""
     SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
@@ -94,19 +100,24 @@ object TxnQueries {
     * deleted rows and the appended rows — the carried survivors
     * appear on both sides of the file diff and cancel in the multiset
     * difference. The oracle states that contract relationally. */
-  private def txnChanges(s: SparkSession, d: String): DataFrame = {
+  private def changesPath(s: SparkSession, d: String): String = {
     val part = Tables.part(s, d)
-    val path = built(freshDir("changes", d)) { p =>
+    built(freshDir("changes", d)) { p =>
       val t = GraftTable.create(s, p, part.repartition(8),
         statsCols = Seq("p_partkey"))
       t.delete(col("p_size") < 10)
       t.append(part.filter(col("p_partkey") % 7 === 0)
         .withColumn("p_partkey", col("p_partkey") + InsertOffset))
     }
+  }
+
+  private def readChanges(s: SparkSession, path: String): DataFrame =
     GraftTable.open(s, path).changes(1L)
       .select((partCols :+ "_change_type").map(col): _*)
       .orderBy("_change_type", "p_partkey")
-  }
+
+  private def txnChanges(s: SparkSession, d: String): DataFrame =
+    readChanges(s, changesPath(s, d))
 
   private val txnChangesSql = s"""
     SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice,
@@ -124,13 +135,13 @@ object TxnQueries {
     * back — version resolution, checkpoint replay, and snapshot
     * isolation all on the hash-compared path, not just in specs.
     * Shares txn_merge's built table (same dir, same marker). */
-  private def txnTimetravel(s: SparkSession, d: String): DataFrame = {
-    txnMerge(s, d) // ensures the merge table is built (idempotent)
-    val path = new java.io.File(freshDir("merge", d), "table").toString
+  private def readAtV1(s: SparkSession, path: String): DataFrame =
     GraftTable.open(s, path).read(atVersion = 1L)
       .select(partCols.map(col): _*)
       .orderBy("p_partkey")
-  }
+
+  private def txnTimetravel(s: SparkSession, d: String): DataFrame =
+    readAtV1(s, mergePath(s, d))
 
   private val txnTimetravelSql = s"""
     SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
@@ -143,11 +154,8 @@ object TxnQueries {
     * reconstructed post-merge content. The 100 TB story is the
     * point: `SELECT count(*), min(k), max(k)` in driver
     * milliseconds. */
-  private def txnStatsAgg(s: SparkSession, d: String): DataFrame = {
-    txnMerge(s, d)
-    val path = new java.io.File(freshDir("merge", d), "table").toString
-    GraftTable.open(s, path).statsAgg(Seq("p_partkey"))
-  }
+  private def txnStatsAgg(s: SparkSession, d: String): DataFrame =
+    GraftTable.open(s, mergePath(s, d)).statsAgg(Seq("p_partkey"))
 
   private val txnStatsAggSql = s"""
     SELECT count(*) AS row_count, min(p_partkey) AS min_p_partkey,
@@ -155,6 +163,48 @@ object TxnQueries {
     FROM (SELECT p_partkey FROM part
           UNION ALL
           SELECT p_partkey + $InsertOffset FROM part WHERE p_partkey % 7 = 0)"""
+
+  // ------------------------------------------------------ bench split
+  /** Bench splits (VERDICT r7 "What's wrong" #2): the conflated
+    * entries hid the snapshot-read cost behind the one-shot table
+    * construction + mutation history. `_build` wipes the marker dir
+    * first so it is an honest cold build (create + full mutation
+    * history), `_probe` is the read the oracle checks, at the scan
+    * floor. txn_timetravel / txn_stats_agg share txn_merge's table;
+    * their `_build` is the marker-cached ensure (near-zero after
+    * txn_merge_build in the same run — the bench iterates names
+    * sorted, so txn_merge builds first), their probes are the
+    * version-resolved read and the metadata-only aggregate. */
+  private def benchSplit(
+      buildPath: (SparkSession, String) => String,
+      tag: Option[String],
+      read: (SparkSession, String) => DataFrame,
+  )(s: SparkSession, d: String): (() => Unit, () => DataFrame) = {
+    var path: String = null
+    val build = () => {
+      tag.foreach { t =>
+        TxnQueries.synchronized {
+          val base = freshDir(t, d)
+          if (base.exists()) wipe(base)
+        }
+      }
+      path = buildPath(s, d)
+    }
+    (build, () => read(s, path))
+  }
+
+  def mergeBench(s: SparkSession, d: String): (() => Unit, () => DataFrame) =
+    benchSplit(mergePath, Some("merge"), readMergeSnapshot)(s, d)
+
+  def changesBench(s: SparkSession, d: String): (() => Unit, () => DataFrame) =
+    benchSplit(changesPath, Some("changes"), readChanges)(s, d)
+
+  def timetravelBench(s: SparkSession, d: String): (() => Unit, () => DataFrame) =
+    benchSplit(mergePath, None, readAtV1)(s, d)
+
+  def statsAggBench(s: SparkSession, d: String): (() => Unit, () => DataFrame) =
+    benchSplit(mergePath, None,
+      (s, p) => GraftTable.open(s, p).statsAgg(Seq("p_partkey")))(s, d)
 
   val defs: Map[String, QueryDef] = Map(
     "txn_merge"      -> QueryDef(txnMerge _, txnMergeSql),
