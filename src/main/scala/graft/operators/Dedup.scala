@@ -551,9 +551,16 @@ object Dedup {
     val comp = connectedComponents(pairs) // (doc_id, cluster_id) over reps
     val docKeyed = docs.select(col(idCol), contentKey(col(textCol)).as("__ck"))
     val repKeyed = reps.select(col(idCol).as("__rep"), contentKey(col(textCol)).as("__ck"))
+    // comp holds only reps that appear in a near-dup pair — orders of
+    // magnitude below corpus size; its iterative (checkpointed) lineage
+    // carries no size stats, so Catalyst's static plan falls back to a
+    // corpus-wide SortMergeJoin shuffle without the explicit hint. If a
+    // pathological corpus ever outgrows the broadcast, drop the hint
+    // and AQE picks the shuffle join back at runtime.
     docKeyed
       .join(repKeyed, "__ck") // narrow key: the content hash, not the text
-      .join(comp.select(col("doc_id").as("__rep"), col("cluster_id")), Seq("__rep"), "left")
+      .join(broadcast(comp.select(col("doc_id").as("__rep"), col("cluster_id"))),
+        Seq("__rep"), "left")
       .select(col(idCol),
         coalesce(col("cluster_id"), col("__rep")).as("survivor_id"))
       .withColumn("is_dup", col(idCol) =!= col("survivor_id"))
