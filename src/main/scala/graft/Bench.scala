@@ -46,6 +46,8 @@ object Bench {
       "ingest_pdf_encrypted" -> queries.PipelineQueries.pdfEncBench _,
       "ingest_pdf_modern" -> queries.PipelineQueries.pdfModBench _,
       "ingest_pdf_store" -> queries.PipelineQueries.pdfStoreBench _,
+      "vs_registered_list" -> queries.PipelineQueries.registeredBench _,
+      "vs_failed_list" -> queries.PipelineQueries.failedBench _,
       "txn_merge" -> queries.TxnQueries.mergeBench _,
       "txn_changes" -> queries.TxnQueries.changesBench _,
       "txn_timetravel" -> queries.TxnQueries.timetravelBench _,

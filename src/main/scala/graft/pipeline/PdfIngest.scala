@@ -89,8 +89,17 @@ object PdfIngest {
   /** The reference's blob-trigger, literally: a STREAM of PDF uploads
     * (Structured Streaming binaryFile file source watching `dir`) →
     * per-page extraction → chunk → embed → store rows appended
-    * exactly-once via the checkpoint. Every transform is stateless
-    * per-row, so there is no streaming state to bound. */
+    * exactly-once. Every transform is stateless per-row, so there is
+    * no streaming state to bound.
+    *
+    * The sink is the GraftTable-backed live store
+    * ([[graft.sources.VectorStore.streamIngestTable]]'s mechanics):
+    * each micro-batch lands as ONE atomic ACID commit carrying the
+    * batch's txn watermark, so exactly-once holds at the table level
+    * (a replayed batch is a no-op commit), concurrent KNN readers
+    * get snapshot isolation mid-ingest, and a later document
+    * re-upload can DELETE its chunks copy-on-write. Read the result
+    * with `VectorStore.openTable(spark, storePath).read()`. */
   def streamPdfDir(spark: SparkSession, dir: String, storePath: String,
       checkpoint: String, dims: Int = 64, maxLen: Int = 120, lookback: Int = 30)
       : org.apache.spark.sql.streaming.StreamingQuery = {
@@ -107,15 +116,11 @@ object PdfIngest {
       .load(dir)
     val pg = pages(files)
       .withColumn("filename", regexp_extract(col("path"), "[^/]+$", 0))
-    Ingest.toVectorStore(pg, "filename", "page_text", "filename",
-        pageCol = Some("page_number"), dims = dims, maxLen = maxLen, lookback = lookback)
-      .writeStream
-      .outputMode("append")
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .option("checkpointLocation", checkpoint)
-      .format("parquet")
-      .option("path", storePath)
-      .start()
+    val rows = Ingest.toVectorStore(pg, "filename", "page_text", "filename",
+      pageCol = Some("page_number"), dims = dims, maxLen = maxLen, lookback = lookback)
+    graft.sources.VectorStore.ensureTable(spark, storePath, rows)
+      .streamAppend(rows, checkpoint,
+        trigger = Some(org.apache.spark.sql.streaming.Trigger.AvailableNow()))
   }
 
   /** Full reference flow from a directory of PDFs to vector-store

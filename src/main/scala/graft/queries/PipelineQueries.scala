@@ -138,13 +138,80 @@ object PipelineQueries {
       Ingest.statusOf(col("text")).as("status"),
       col("n_chars"))
 
+  /** The listings read a LIVE GraftTable snapshot, not the fixture
+    * directly: the reference's status registry is a mutating store
+    * (a row per chunk, deleted + re-inserted when a document is
+    * re-uploaded — CosmosDBUtil.java:44-47 reads whatever is live),
+    * so the ACID read path (log replay, snapshot resolution, pruned
+    * file listing) sits ON the hash-compared oracle gate. The build
+    * exercises the mutation protocol, not just create: create → COW
+    * DELETE of one document's rows → same-content re-append — the
+    * v3 snapshot is multiset-identical to the relational oracle, but
+    * only a reader that resolves the remove/add history correctly
+    * reproduces it. */
+  private def registryDir(d: String): java.io.File =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_registry_v1_${Integer.toHexString(d.hashCode)}")
+
+  private[graft] def ensureRegistry(s: SparkSession, d: String): String = {
+    val base = registryDir(d)
+    val tablePath = new java.io.File(base, "table").toString
+    PipelineQueries.synchronized {
+      if (!new java.io.File(base, "_GRAFT_DONE").exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(base); base.mkdirs()
+        val rows = statusBase(s, d)
+        val t = graft.sources.GraftTable.create(s, tablePath,
+          rows.repartition(8), statsCols = Seq("filename", "doc_id"))
+        val reupload = rows.orderBy(col("filename"), col("doc_id"))
+          .select(col("filename")).first().getString(0)
+        t.delete(col("filename") === lit(reupload))
+        t.append(rows.filter(col("filename") === lit(reupload)))
+        require(new java.io.File(base, "_GRAFT_DONE").createNewFile(),
+          s"failed to mark $base complete")
+      }
+    }
+    tablePath
+  }
+
+  private def readListing(s: SparkSession, path: String, completed: Boolean): DataFrame = {
+    val snap = graft.sources.GraftTable.open(s, path).read()
+    val pred = if (completed) col("status") === "COMPLETED"
+               else col("status") =!= "COMPLETED"
+    snap.filter(pred).orderBy(col("filename"), col("doc_id"))
+  }
+
   private def registered(s: SparkSession, d: String): DataFrame =
-    statusBase(s, d).filter(col("status") === "COMPLETED")
-      .orderBy(col("filename"), col("doc_id"))
+    readListing(s, ensureRegistry(s, d), completed = true)
 
   private def failed(s: SparkSession, d: String): DataFrame =
-    statusBase(s, d).filter(col("status") =!= "COMPLETED")
-      .orderBy(col("filename"), col("doc_id"))
+    readListing(s, ensureRegistry(s, d), completed = false)
+
+  /** Bench splits (same contract as [[pdfBench]]): `_build` = the
+    * registry table's create + re-upload mutation cycle, forced
+    * fresh; `_probe` = the snapshot listing read. */
+  private def listingBench(completed: Boolean)(s: SparkSession, d: String)
+      : (() => Unit, () => DataFrame) = {
+    var path: String = null
+    val build = () => {
+      PipelineQueries.synchronized {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(registryDir(d))
+      }
+      path = ensureRegistry(s, d)
+    }
+    (build, () => readListing(s, path, completed))
+  }
+
+  def registeredBench(s: SparkSession, d: String): (() => Unit, () => DataFrame) =
+    listingBench(completed = true)(s, d)
+
+  def failedBench(s: SparkSession, d: String): (() => Unit, () => DataFrame) =
+    listingBench(completed = false)(s, d)
 
   private def listSql(pred: String): String = s"""
     WITH st AS (SELECT source AS filename, doc_id,

@@ -223,15 +223,17 @@ final class GraftTable private (
     * with its txn marker ([[appendBatch]]). `appId` defaults to the
     * checkpoint path — stable across restarts, distinct per query. */
   def streamAppend(stream: DataFrame, checkpoint: String,
-      appId: String = ""): org.apache.spark.sql.streaming.StreamingQuery = {
+      appId: String = "",
+      trigger: Option[org.apache.spark.sql.streaming.Trigger] = None)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
     val id = if (appId.nonEmpty) appId else checkpoint
-    stream.writeStream
+    val w = stream.writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         appendBatch(batch, id, batchId); ()
       }
-      .start()
+    trigger.fold(w)(w.trigger).start()
   }
 
   /** Snapshot read (time travel via `atVersion`). The file list is

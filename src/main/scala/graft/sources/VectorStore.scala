@@ -129,4 +129,61 @@ object VectorStore {
       .format("parquet")
       .option("path", path)
       .start()
+
+  // ----------------------------------- GraftTable-backed live store
+  /** The LIVE store: the reference's `DOCUMENT_SEARCH_VECTOR` is a
+    * MUTATING table — INSERT per chunk as uploads arrive
+    * (Function.java:215-258), DELETE + re-ingest when a document is
+    * re-uploaded — so the serving/ingest path sits on the ACID table
+    * format ([[GraftTable]]) rather than directory swaps: atomic
+    * commits, exactly-once streaming appends via txn watermarks,
+    * snapshot isolation for concurrent readers (a KNN query planned
+    * mid-ingest reads a consistent version), time travel for
+    * debugging a regression ("what did the store serve yesterday"),
+    * and per-file [min,max] stats on the delete key so a re-upload's
+    * DELETE touches only the files holding that document. The plain
+    * layouts above remain the right call for immutable
+    * bulk-analytics snapshots (and the IVF layout for probes). */
+  val TableStatsCols: Seq[String] = Seq("filename", "id")
+
+  def createTable(spark: SparkSession, path: String, store: DataFrame): GraftTable =
+    GraftTable.create(spark, path, store, statsCols = TableStatsCols)
+
+  def openTable(spark: SparkSession, path: String): GraftTable =
+    GraftTable.open(spark, path, statsCols = TableStatsCols)
+
+  /** Open-or-create: the streaming sink's first micro-batch races
+    * table creation, so the table is created EMPTY (schema from
+    * `schemaFrom`, which may be a streaming DataFrame — only its
+    * schema is read) before the stream starts. */
+  def ensureTable(spark: SparkSession, path: String,
+      schemaFrom: DataFrame): GraftTable =
+    try openTable(spark, path)
+    catch {
+      case _: IllegalArgumentException =>
+        createTable(spark, path, spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          schemaFrom.schema))
+    }
+
+  /** documents stream → chunk → embed → exactly-once ACID appends:
+    * each micro-batch is one atomic GraftTable commit carrying the
+    * batch's txn watermark, so a batch replayed after a crash
+    * between commit and checkpoint ack is a no-op — exactly-once at
+    * the TABLE level, not just the checkpoint level. */
+  def streamIngestTable(docsStream: DataFrame, path: String,
+      checkpoint: String, idCol: String = "doc_id",
+      textCol: String = "text", fileCol: String = "source"): StreamingQuery = {
+    val rows = Ingest.toVectorStore(docsStream, idCol, textCol, fileCol)
+    ensureTable(docsStream.sparkSession, path, rows)
+      .streamAppend(rows, checkpoint)
+  }
+
+  /** The reference's document-removal admin op (`DELETE FROM
+    * DOCUMENT_SEARCH_VECTOR WHERE filename = ?`) on the live table:
+    * copy-on-write over ONLY the files whose [min,max] filename
+    * range covers the target — on a 100 TB store the rewrite moves
+    * that document's files, never the table. */
+  def deleteDocument(table: GraftTable, filename: String): Long =
+    table.delete(col("filename") === lit(filename))
 }

@@ -143,11 +143,27 @@ class PdfSpec extends SparkSpec {
     Files.write(dir.resolve("b.pdf"), Pdf.write(Seq("second upload.")))
     val q2 = PdfIngest.streamPdfDir(spark, dir.toString, s"$out/store", s"$out/ckpt")
     q2.processAllAvailable(); q2.stop()
-    val store = spark.read.parquet(s"$out/store")
+    // the sink is the ACID live store: read the GraftTable snapshot
+    val table = graft.sources.VectorStore.openTable(spark, s"$out/store")
+    val store = table.read()
     assert(store.count() == 3) // 2 pages + 1 page, exactly once
     assert(store.select("filename").distinct().count() == 2)
     assert(store.filter(col("filename") === "a.pdf" && col("pagenumber") === 2L)
       .select("origntext").head.getString(0) == "page two.")
+
+    // the reference's re-upload admin op on the SAME table the stream
+    // feeds: DELETE one document copy-on-write...
+    val preDelete = table.version
+    graft.sources.VectorStore.deleteDocument(table, "a.pdf")
+    assert(table.read().select("filename").distinct()
+      .collect().map(_.getString(0)).toSeq == Seq("b.pdf"))
+    // ...while time travel still serves the pre-delete snapshot
+    assert(table.read(atVersion = preDelete).count() == 3)
+    // and a RESTARTED stream on the same checkpoint replays nothing
+    // (exactly-once at the table level: txn watermark, not re-append)
+    val q3 = PdfIngest.streamPdfDir(spark, dir.toString, s"$out/store", s"$out/ckpt")
+    q3.processAllAvailable(); q3.stop()
+    assert(table.read().count() == 1)
   }
 
   test("multimodal PDF decoder extracts real features through the batch shape") {
