@@ -37,6 +37,7 @@ object Bench {
     Map(
       "vs_ivf_knn" -> queries.VectorQueries.ivfBench _,
       "vs_ivf_auto" -> queries.VectorQueries.ivfAutoBench _,
+      "vs_ivf_txn" -> queries.VectorQueries.ivfTxnBench _,
       "vs_pq_knn" -> queries.VectorQueries.pqBench _,
       "vs_bq_knn" -> queries.VectorQueries.bqBench _,
       "vs_hnsw_knn" -> queries.VectorQueries.hnswBench _,

@@ -49,9 +49,15 @@ object IvfCatalog {
     * iterative-scan analogue, statically bounded): a filter shrinks
     * the per-cell survivor count, so the same recall needs more
     * cells — and the filter itself pays the extra scan back. */
+  /** `table`: present when the store is a [[graft.sources.GraftTable]]
+    * — the probe rule then ALSO prunes the scan's file list against
+    * the commit log's per-file `centroid_id` [min,max] stats, so
+    * file-level skipping stacks with the injected cell filter (the
+    * lakehouse replacement for hive-partition pruning). */
   final case class Entry(cells: Array[Int], centroids: Array[Array[Double]],
       nprobe: Int, vecCol: String, radii: Array[Double],
-      filteredWiden: Int = 2)
+      filteredWiden: Int = 2,
+      table: Option[graft.sources.GraftTable] = None)
 
   private val entries = TrieMap.empty[String, Entry]
 
@@ -82,8 +88,26 @@ object IvfCatalog {
       filteredWiden)
   }
 
+  /** A GraftTable-backed store registers with its clustered-index
+    * statistics (cell → stats come from the table's own commit log at
+    * probe time, so appends since registration still prune
+    * correctly). Registered under the TABLE root: a snapshot read
+    * plans over an explicit file list, so [[lookup]] falls back to
+    * the parent directory. */
+  def registerTable(table: graft.sources.GraftTable, centroids: DataFrame,
+      nprobe: Int, vecCol: String = "embedding", filteredWiden: Int = 2): Unit = {
+    register(table.path, centroids, nprobe, vecCol, filteredWiden)
+    entries(canonical(table.path)) =
+      entries(canonical(table.path)).copy(table = Some(table))
+  }
+
+  /** Root-path match, or parent-directory match for scans planned
+    * over an explicit file list (a GraftTable snapshot read). */
   def lookup(rootPaths: Seq[org.apache.hadoop.fs.Path]): Option[Entry] =
-    rootPaths.headOption.flatMap(p => entries.get(p.toUri.getPath))
+    rootPaths.headOption.flatMap { p =>
+      entries.get(p.toUri.getPath).orElse(
+        Option(p.getParent).flatMap(pp => entries.get(pp.toUri.getPath)))
+    }
 
   /** Drop one store's registration — called when its statistics go
     * stale (e.g. [[graft.operators.IvfIndex.streamAssign]] appended
@@ -368,7 +392,8 @@ final class IvfProbeRule(session: SparkSession) extends Rule[LogicalPlan] {
                   .sortBy { case (id, s) => (s, id) }
                   .take(nprobe)
                   .map(_._1)
-                Filter(probeCondition(cellAttr, lr.output, ranked.toSeq), lr)
+                Filter(probeCondition(cellAttr, lr.output, ranked.toSeq),
+                  pruneTableFiles(lr, fs, entry, ranked))
               case _ => lr // unregistered, or the sort key is not this store's indexed column
             }
           case _ => lr
@@ -376,6 +401,46 @@ final class IvfProbeRule(session: SparkSession) extends Rule[LogicalPlan] {
     }
     if (done) Some(out) else None
   }
+
+  /** GraftTable stats skipping stacked under the cell probe: when the
+    * registered store is a transaction-log table, the probed cell set
+    * ALSO prunes the scan's FILE list against the log's per-file
+    * `centroid_id` [min,max] stats — on a cell-clustered table a
+    * 1-cell probe plans over only that cell's files, the same
+    * leverage hive-partition pruning gives the directory layout.
+    * Version-safe by construction: pruning filters the file list the
+    * reader's snapshot ALREADY resolved (stats are looked up by file
+    * name across the whole log, and files are immutable), so a
+    * time-travel read probes correctly too. Conservative: a file
+    * without a log record or without centroid_id stats stays in. */
+  private def pruneTableFiles(lr: LogicalRelation, fs: HadoopFsRelation,
+      entry: IvfCatalog.Entry, ranked: Array[Int]): LogicalPlan =
+    entry.table match {
+      case Some(t) =>
+        try {
+          import graft.sources.GraftTable.{PAttr, PFn, PLit}
+          val metas = t.knownMetas
+          val sch = t.schema
+          val cellPred = ranked.map(c =>
+              PFn("=", Seq(PAttr("centroid_id"), PLit(c))): graft.sources.GraftTable.Pred)
+            .reduce((a, b) => PFn("or", Seq(a, b)))
+          val all = fs.location.inputFiles
+          val keep = all.filter { f =>
+            metas.get(f.split('/').last)
+              .forall(m => graft.sources.GraftTable.mayMatch(cellPred, m.stats, sch))
+          }
+          if (keep.length == all.length) lr
+          else if (keep.isEmpty)
+            org.apache.spark.sql.catalyst.plans.logical.LocalRelation(lr.output)
+          else {
+            val prunedDf = session.read.schema(fs.dataSchema).parquet(keep.toSeq: _*)
+            prunedDf.queryExecution.analyzed.collectFirst {
+              case nl: LogicalRelation => nl.copy(output = lr.output)
+            }.getOrElse(lr)
+          }
+        } catch { case scala.util.control.NonFatal(_) => lr } // prune is best-effort
+      case None => lr
+    }
 
   /** Does a user Filter over this scan carry a SELECTIVE (inclusion)
     * predicate on a metadata column? Equality / IN / range conjuncts

@@ -828,6 +828,84 @@ object VectorQueries {
     (storeP, centP)
   }
 
+  /** GraftTable-backed registered store (VERDICT r7 #8): the same
+    * cell-assigned corpus as [[ensureAutoStore]], persisted as an
+    * ACID transaction-log table CLUSTERED by cell
+    * (range-repartitioned on centroid_id, so each file's committed
+    * [min,max] stats bind tight) instead of a hive-partitioned
+    * directory tree. [[IvfCatalog.registerTable]] lets the probe
+    * rule stack the log's file-level skipping under the injected
+    * cell filter — the lakehouse composition of the r6 (optimizer
+    * probe) and r7 (table format) wins. Spill=1: GraftTable files
+    * carry data columns only, and the single-copy store needs no
+    * probe dedup predicate. */
+  private[graft] def ensureTxnStore(s: SparkSession, d: String): (String, String) = {
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_ivf_txn_v1_${Integer.toHexString(d.hashCode)}")
+    val tableP = new java.io.File(base, "table").toString
+    val centP = new java.io.File(base, "centroids").toString
+    VectorQueries.synchronized {
+      if (!new java.io.File(centP, "_SUCCESS").exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(base); base.mkdirs()
+        val (indexed, centroids) = IvfIndex.buildIndex(
+          Tables.embeddings(s, d), "vec_id", "embedding",
+          nlist = IvfNlist, spill = 1)
+        graft.sources.GraftTable.create(s, tableP,
+          indexed.repartitionByRange(IvfNlist, col("centroid_id")),
+          statsCols = Seq("centroid_id", "vec_id"))
+        centroids.write.mode("overwrite").parquet(centP)
+      }
+    }
+    val t = graft.sources.GraftTable.open(s, tableP)
+    // spill=1 loses the SOAR margin the spill-2 auto store gets, so
+    // the single-copy store probes wider for the same recall band
+    IvfCatalog.registerTable(t, s.read.parquet(centP),
+      nprobe = TxnNprobe, vecCol = "embedding")
+    IvfProbeRule.install(s)
+    (tableP, centP)
+  }
+
+  private[graft] val TxnNprobe = 10
+
+  /** The reference's literal-query shape over the ACID store with NO
+    * index call: the optimizer injects the cell probe AND prunes the
+    * snapshot's file list via the commit log's per-file stats
+    * (IvfGraftSpec asserts the scan plans over ≤ the probed cells'
+    * files and gates recall vs the exact answer). Rows-only:
+    * approximate (cell recall), like vs_ivf_auto. */
+  private def ivfTxn(s: SparkSession, d: String): DataFrame = {
+    val (tableP, _) = ensureTxnStore(s, d)
+    val snap = graft.sources.GraftTable.open(s, tableP).read()
+    val q = queryVec(s, d).select(col("qvec").cast("array<double>"))
+      .head.getSeq[Double](0).toArray
+    snap
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        graft.functions.VectorDistance.l2(col("embedding"), typedLit(q)).as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(K)
+  }
+
+  /** Bench split: `_build` = index train/assign + clustered ACID
+    * table write, forced fresh; `_probe` = the optimizer-rewritten
+    * snapshot knn. */
+  def ivfTxnBench(s: SparkSession, d: String): (() => Unit, () => DataFrame) = {
+    val build = () => {
+      VectorQueries.synchronized {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_ivf_txn_v1_${Integer.toHexString(d.hashCode)}"))
+      }
+      ensureTxnStore(s, d); ()
+    }
+    (build, () => ivfTxn(s, d))
+  }
+
   /** The pgvector range shape (`WHERE embedding <-> '[...]' < τ`) over
     * the registered store with NO index call in the query: the
     * optimizer's triangle-inequality rewrite keeps only cells whose
@@ -986,6 +1064,7 @@ object VectorQueries {
 
   val defs: Map[String, QueryDef] = Map(
     "vs_ivf_auto"     -> QueryDef(ivfAuto _, None),
+    "vs_ivf_txn"      -> QueryDef(ivfTxn _, None),
     "vs_knn_filtered_auto" -> QueryDef(knnFilteredAuto _, None),
     "vs_knn_filtered_iter" -> QueryDef(knnFilteredIter _, None),
     "vs_hnsw_knn"     -> QueryDef(hnswKnn _, None),

@@ -249,6 +249,26 @@ final class GraftTable private (
 
   // ------------------------------------------------------ data skipping
 
+  /** Every add record ever committed (commits + checkpoints), keyed
+    * by file name — the stats lookup for EXTERNAL pruners (the IVF
+    * probe rule) that hold SOME snapshot's resolved file list without
+    * knowing its version. Files are immutable, so a name → stats
+    * record is valid whichever snapshot the reader resolved; files
+    * vacuumed away simply never appear in a scan, and their leftover
+    * records here are harmless. Driver metadata scale: one record per
+    * file ever written. */
+  private[graft] def knownMetas: Map[String, FileMeta] = {
+    val out = scala.collection.mutable.HashMap.empty[String, FileMeta]
+    listLog.foreach { case (v, isC) =>
+      val p = new Path(logDir, if (isC) ckptName(v) else commitName(v))
+      readLines(p).foreach {
+        case l if l.startsWith("a|") => val m = parseAdd(l); out(m.path) = m
+        case _ => ()
+      }
+    }
+    out.toMap
+  }
+
   /** Files whose [min, max] stats may satisfy `pred` — the driver-side
     * prune that keeps a selective scan's file list proportional to the
     * matching data, not the table. Conservative: any file without a

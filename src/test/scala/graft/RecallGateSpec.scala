@@ -112,6 +112,17 @@ class RecallGateSpec extends SparkSpec {
     assert(r >= 0.7, f"vs_ivf_auto recall@10 $r%.2f below floor 0.7")
   }
 
+  test("vs_ivf_txn: recall@10 floor (GraftTable store, probe + file skip)") {
+    // plan-shape + exact file-skip bound live in IvfGraftSpec; this
+    // gate quantifies the end recall of the inventory entry
+    val got = ids(SparkEntry.queries("vs_ivf_txn")(spark, Sf))
+    assert(got.distinct == got, "single-copy store returned duplicate ids")
+    val r = recall(got, exactTopK(VectorFunctions.l2Distance, 10))
+    info(f"vs_ivf_txn recall@10 = $r%.2f at spill 1 " +
+      f"nprobe ${graft.queries.VectorQueries.TxnNprobe}/$Nlist")
+    assert(r >= 0.6, f"vs_ivf_txn recall@10 $r%.2f below floor 0.6 (spill-1 store)")
+  }
+
   test("vs_knn_filtered_auto: probe + metadata filter, recall floor vs exact filtered") {
     val auto = SparkEntry.queries("vs_knn_filtered_auto")(spark, Sf)
     val plan = auto.queryExecution.executedPlan.toString
