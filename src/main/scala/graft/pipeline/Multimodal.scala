@@ -497,10 +497,32 @@ object Multimodal {
     * (H.264/AAC — formats that genuinely need external libraries):
     * features derive only from the bytes, so tests are reproducible.
     * A real deployment swaps this for the native decode, keeping the
-    * mapPartitions batch shape. */
+    * mapPartitions batch shape.
+    *
+    * The seam is HONEST about its boundary: only the declared
+    * codec-compressed mimes are stubbed — a format the engine decodes
+    * for real (PNG/BMP/JPEG via ImageIO, WAV, AVI, PDF) is REFUSED
+    * with an error naming the mime, so stub output can never
+    * silently stand in where a real decode exists (CodecSeamSpec). */
   object DecodeStub {
     val FeatureDim = 8
+
+    /** Codec-compressed formats with no decoder in this sandbox. */
+    val StubbedMimes: Set[String] = Set("video/mp4", "audio/aac")
+
+    /** Formats the engine decodes for real — never stub these. */
+    val RealDecoderMimes: Set[String] = Set(
+      "image/png", "image/bmp", "image/jpeg", "audio/wav",
+      "video/avi", "application/pdf")
+
     def decode(m: MediaRecord): MediaFeatures = {
+      require(!RealDecoderMimes.contains(m.mime),
+        s"DecodeStub refuses ${m.mime}: a real decoder exists " +
+          "(decodeImages/decodeWavs/decodeAvis/PdfIngest) — stub output " +
+          "must never stand in for it")
+      require(StubbedMimes.contains(m.mime),
+        s"DecodeStub has no stub for codec ${m.mime}: declared stubbed " +
+          s"codecs are ${StubbedMimes.mkString(", ")}")
       val h = m.bytes.foldLeft(1125899906842597L)((acc, b) => acc * 31 + (b & 0xff))
       val pos = math.abs(h)
       val feature = Array.tabulate(FeatureDim)(i => ((pos >> (i * 7)) & 127).toDouble / 127.0)
@@ -513,11 +535,12 @@ object Multimodal {
     * payloads, as the reference's PDFs live in blob storage). */
   def mediaRecords(docs: DataFrame)(implicit spark: SparkSession): Dataset[MediaRecord] = {
     import spark.implicits._
+    // stub-bound records carry only the declared codec-compressed
+    // mimes; real formats go through their real decoders instead
     docs.select(
         col("doc_id"),
-        when(col("doc_id") % 3 === 0, "image/png")
-          .when(col("doc_id") % 3 === 1, "audio/wav")
-          .otherwise("video/mp4").as("mime"),
+        when(col("doc_id") % 2 === 0, "video/mp4")
+          .otherwise("audio/aac").as("mime"),
         encode(col("text"), "utf-8").as("bytes"))
       .as[MediaRecord]
   }
