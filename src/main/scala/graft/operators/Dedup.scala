@@ -567,6 +567,46 @@ object Dedup {
       .orderBy(col(idCol))
   }
 
+  /** Clone-collapsed near-dup CLUSTERS (the dedup_clusters contract):
+    * (doc_id, cluster_id) for every doc in a duplicate cluster,
+    * cluster_id = the component's min doc id — identical semantics to
+    * LSH + connected components over the raw corpus, WITHOUT the
+    * clone-clique pair blowup (g exact copies of a page contribute
+    * g·(g−1)/2 within-group edges that say nothing; at 10× clone
+    * density that was 5× the pair volume and 3× the wall).
+    * Composition: exact-clone collapse → LSH pairs over reps →
+    * components over the rep graph → docs inherit their rep's label.
+    * Exactness: clones share the shingle set, so doc-level Jaccard
+    * depends only on (group_a, group_b) — the rep graph's components
+    * ARE the doc graph's components restricted to reps, and the
+    * component min over docs equals the min over reps (each rep is
+    * its group's min id). A doc belongs to a cluster iff its clone
+    * group has ≥ 2 members (an exact-dup cluster on its own) OR its
+    * rep is in a near-dup component. Output linear in corpus size. */
+  def minhashClusters(
+      docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, numHashes: Int, bands: Int, tau: Double,
+      maxBucket: Int = Int.MaxValue,
+      mat: Materializer = Materializer.local()): DataFrame = {
+    val reps = collapseByContent(docs, idCol, textCol)
+    val pairs = minhashLsh(reps, idCol, textCol,
+      shingleN, numHashes, bands, tau, maxBucket, mat)
+      .select(col("doc_a"), col("doc_b"))
+    val comp = connectedComponents(pairs) // (doc_id, cluster_id) over reps
+    val docKeyed = docs.select(col(idCol), contentKey(col(textCol)).as("__ck"))
+    val repKeyed = reps.select(col(idCol).as("__rep"), col("grp"),
+      contentKey(col(textCol)).as("__ck"))
+    // same broadcast rationale as ngramSurvivors: comp holds only
+    // reps in a near-dup pair, far below corpus scale
+    docKeyed
+      .join(repKeyed, "__ck")
+      .join(broadcast(comp.select(col("doc_id").as("__rep"), col("cluster_id"))),
+        Seq("__rep"), "left")
+      .filter(col("cluster_id").isNotNull || col("grp") >= 2)
+      .select(col(idCol).as("doc_id"),
+        coalesce(col("cluster_id"), col("__rep")).as("cluster_id"))
+  }
+
   // -------------------------------------------- exact-substring spans
   /** Cross-document exact-substring duplication, windowed: the
     * Spark-native substitute for suffix-array span dedup (Lee et al.,

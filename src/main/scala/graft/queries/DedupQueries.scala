@@ -201,9 +201,8 @@ object DedupQueries {
   /** Near-dup clusters: LSH pairs → connected components → one
     * deterministic cluster id (component-min doc id) per member. */
   private def clusters(s: SparkSession, d: String): DataFrame =
-    Dedup.connectedComponents(
-      Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text",
-        shingleN = 3, numHashes = 32, bands = 8, tau = 0.8, maxBucket = 50))
+    Dedup.minhashClusters(Tables.documents(s, d), "doc_id", "text",
+        shingleN = 3, numHashes = 32, bands = 8, tau = 0.8, maxBucket = 50)
       .orderBy(col("doc_id"))
 
   private val clustersSql = s"""
