@@ -266,6 +266,35 @@ class IvfIndexSpec extends SparkSpec {
     assert(bad == 0, "every returned row must satisfy the predicate")
   }
 
+  test("iterative widening counts spilled stores exactly once (width matches full recount)") {
+    // the incremental counter (scan only NEW cells per step) must land
+    // on the same final width as a from-scratch recount at every
+    // prefix — the double-count hazard is a vector first counted via a
+    // low-ranked copy, then recounted when its better cell enters
+    for (spill <- Seq(2, 3)) {
+      val (indexed, centroids) = IvfIndex.buildIndex(
+        emb, "vec_id", "embedding", nlist = 16, spill = spill)
+      val live = indexed.filter(col("vec_id") =!= 0)
+      val sel = col("label") === 3
+      val k = 12
+      val (res, w) = IvfIndex.searchFilteredIterative(
+        live, "vec_id", "embedding", centroids, query, "qvec",
+        l2Distance, k = k, pred = sel, nprobe0 = 1, maxProbe = 16)
+      // reference: full recount per prefix via probeCandidates (the
+      // pre-r8 semantics — counts DISTINCT surviving vectors)
+      var p = 1
+      while (p < 16 && IvfIndex.probeCandidates(
+          live, centroids, query, "qvec", l2Distance, p)
+          .filter(sel).count() < k) {
+        p = math.min(p * 2, 16)
+      }
+      assert(w == p, s"spill $spill: incremental width $w != recount width $p")
+      assert(res.count() == k)
+      val got = res.collect().map(_.getLong(0)).toSeq
+      assert(got.distinct == got, "duplicate ids from spilled iterative scan")
+    }
+  }
+
   test("spilled search returns distinct ids and full probe equals exact (spill 2 and 3)") {
     for (spill <- Seq(2, 3)) {
       val (indexed, centroids) = IvfIndex.buildIndex(
