@@ -52,6 +52,7 @@ object Bench {
       "txn_merge" -> queries.TxnQueries.mergeBench _,
       "txn_changes" -> queries.TxnQueries.changesBench _,
       "txn_timetravel" -> queries.TxnQueries.timetravelBench _,
+      "txn_restore" -> queries.TxnQueries.restoreBench _,
       "txn_stats_agg" -> queries.TxnQueries.statsAggBench _,
     )
 

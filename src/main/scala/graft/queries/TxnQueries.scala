@@ -147,6 +147,37 @@ object TxnQueries {
     SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
     FROM part ORDER BY p_partkey"""
 
+  // ------------------------------------------------------ txn_restore
+  /** RESTORE through the oracle gate: build a table, run the merge
+    * mutation history on it, then roll it BACK to version 1 with
+    * [[GraftTable.restore]] — a new metadata-only commit that
+    * re-references the original files. The read-back must equal the
+    * original part table exactly: only a reader that resolves the
+    * re-add/remove commit correctly reproduces it. Own table dir —
+    * restoring the shared merge table would corrupt txn_merge /
+    * txn_timetravel / txn_stats_agg. */
+  private def restorePath(s: SparkSession, d: String): String = {
+    val part = Tables.part(s, d)
+    built(freshDir("restore", d)) { p =>
+      val t = GraftTable.create(s, p, part.repartition(8),
+        statsCols = Seq("p_partkey"))
+      val src = part.filter(col("p_partkey") % 10 === 0)
+        .withColumn("p_retailprice", col("p_retailprice") * 2)
+        .unionByName(part.filter(col("p_partkey") % 7 === 0)
+          .withColumn("p_partkey", col("p_partkey") + InsertOffset))
+      t.merge(src, Seq("p_partkey"))
+      t.restore(1L)
+    }
+  }
+
+  private def readRestored(s: SparkSession, path: String): DataFrame =
+    GraftTable.open(s, path).read()
+      .select(partCols.map(col): _*)
+      .orderBy("p_partkey")
+
+  private def txnRestore(s: SparkSession, d: String): DataFrame =
+    readRestored(s, restorePath(s, d))
+
   // ---------------------------------------------------- txn_stats_agg
   /** Metadata-only count/min/max ([[GraftTable.statsAgg]]): the
     * answer comes from the commit log's per-file records — zero data
@@ -206,10 +237,14 @@ object TxnQueries {
     benchSplit(mergePath, None,
       (s, p) => GraftTable.open(s, p).statsAgg(Seq("p_partkey")))(s, d)
 
+  def restoreBench(s: SparkSession, d: String): (() => Unit, () => DataFrame) =
+    benchSplit(restorePath, Some("restore"), readRestored)(s, d)
+
   val defs: Map[String, QueryDef] = Map(
     "txn_merge"      -> QueryDef(txnMerge _, txnMergeSql),
     "txn_changes"    -> QueryDef(txnChanges _, txnChangesSql),
     "txn_timetravel" -> QueryDef(txnTimetravel _, txnTimetravelSql),
+    "txn_restore"    -> QueryDef(txnRestore _, txnTimetravelSql),
     "txn_stats_agg"  -> QueryDef(txnStatsAgg _, txnStatsAggSql),
   )
 }

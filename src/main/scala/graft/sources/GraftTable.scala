@@ -502,6 +502,34 @@ final class GraftTable private (
     * them). Time travel older than the horizon stops working — the
     * same retention contract every log-structured table format has.
     * Returns files deleted. */
+  /** RESTORE TABLE ... TO VERSION: roll the live snapshot back to
+    * `toVersion`'s content as a NEW commit — history is preserved
+    * (time travel still sees the rolled-back versions; contrast with
+    * time travel itself, which only READS old state). Metadata-only:
+    * files removed since `toVersion` are re-referenced by name and
+    * files added since are dropped from the live set — zero data
+    * bytes move, so restoring a 100 TB table is a driver-side log
+    * operation. Requires the target's files to still exist (a vacuum
+    * past `toVersion` makes it unrestorable — checked up front, file
+    * by file). Serializable like [[delete]]: a concurrent commit
+    * between the base snapshot and the log rename aborts the restore.
+    * No-op (returns current version) if the content already matches.
+    * Returns the committed version. */
+  def restore(toVersion: Long): Long = {
+    val baseV = version
+    val target = snapshotMetas(toVersion).map(m => m.path -> m).toMap
+    val current = snapshotMetas(baseV).map(m => m.path -> m).toMap
+    val adds = (target.keySet -- current.keySet).toSeq.sorted.map(target)
+    val removes = (current.keySet -- target.keySet).toSeq.sorted
+    if (adds.isEmpty && removes.isEmpty) return baseV
+    adds.foreach { m =>
+      require(fs.exists(new Path(root, m.path)),
+        s"restore($toVersion) on $path: file ${m.path} was vacuumed away — " +
+          "that version is no longer restorable")
+    }
+    commitOnce(adds, removes, baseV)
+  }
+
   def vacuum(retainVersions: Int = 2): Int = {
     val v = version
     val keepFrom = math.max(1L, v - retainVersions + 1)

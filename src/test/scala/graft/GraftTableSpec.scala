@@ -124,6 +124,31 @@ class GraftTableSpec extends SparkSpec {
     intercept[Exception] { t.read(atVersion = 1L).count() } // files gone
   }
 
+  test("restore rolls content back as a new commit; history stays travelable") {
+    val t = GraftTable.create(spark, fresh(), rows(0, 50), statsCols = Seq("id"))
+    t.delete(col("id") < 10)    // v2: COW rewrite
+    t.append(rows(100, 120))    // v3
+    val v = t.restore(1L)       // v4: content == v1, zero data moved
+    assert(v == 4L && t.version == 4L)
+    assert(t.read().agg(sum("id")).head.getLong(0) == (0L until 50).sum,
+      "restored snapshot must equal version 1's content")
+    // the rolled-back history is still THERE (restore ≠ rewind)
+    assert(t.read(atVersion = 3L).count() == 60)
+    assert(t.read(atVersion = 2L).count() == 40)
+    // no-op restore: content already matches
+    assert(t.restore(1L) == 4L, "restoring to identical content must not commit")
+  }
+
+  test("restore refuses a vacuumed-away version, naming the file") {
+    val t = GraftTable.create(spark, fresh(), rows(0, 30), checkpointInterval = 100)
+    t.overwrite(rows(100, 110)) // v2: v1's files unreferenced
+    t.append(rows(110, 115))    // v3
+    assert(t.vacuum(retainVersions = 2) > 0)
+    val e = intercept[IllegalArgumentException](t.restore(1L))
+    assert(e.getMessage.contains("vacuumed away"))
+    assert(t.read().count() == 15, "failed restore must not change the table")
+  }
+
   test("checkpoint bounds replay: snapshot equals full-log replay") {
     val p = fresh()
     val t = GraftTable.create(spark, p, rows(0, 10), checkpointInterval = 3)

@@ -22,8 +22,8 @@ class InventorySyncSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the documented outcome") {
-    assert(SparkEntry.queries.size == 108)
-    assert(SparkEntry.oracleSql.size == 88)
+    assert(SparkEntry.queries.size == 109)
+    assert(SparkEntry.oracleSql.size == 89)
   }
 
   test("every rows-only (non-oracled) query carries a gate in RecallGateSpec") {
