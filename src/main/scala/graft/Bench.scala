@@ -40,6 +40,7 @@ object Bench {
       "vs_ivf_txn" -> queries.VectorQueries.ivfTxnBench _,
       "vs_pq_knn" -> queries.VectorQueries.pqBench _,
       "vs_bq_knn" -> queries.VectorQueries.bqBench _,
+      "vs_sq_knn" -> queries.VectorQueries.sqBench _,
       "vs_hnsw_knn" -> queries.VectorQueries.hnswBench _,
       "vs_hnsw_routed" -> queries.VectorQueries.hnswRoutedBench _,
       "vs_ivfpq_knn" -> queries.VectorQueries.ivfPqBench _,

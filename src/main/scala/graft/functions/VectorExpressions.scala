@@ -616,3 +616,100 @@ case class JaccardDistExpr(child: Expression, query: Array[Long])
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Pack a float vector to SQ8 codes (1 byte/dim): per-dimension
+  * affine quantization `code = round((x − min_d) / scale_d · 255)`,
+  * clamped to [0, 255]. `mins`/`scales` are trained per-dim corpus
+  * statistics ([[graft.operators.ScalarQuant.trainParams]]) riding
+  * the expression as driver metadata — the NearestCellsExpr
+  * discipline: no join against a params table, no shuffle. A
+  * zero-range dimension (scale 0) codes to 0 and dequantizes to its
+  * constant. 4× smaller than float32, 2× smaller than halfvec, with
+  * per-dim adaptive range instead of binary16's global format. */
+case class SqPackExpr(child: Expression,
+    mins: Array[Double], scales: Array[Double])
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType | FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"sq_pack needs array<float|double>, got $t")
+    }
+
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    if (n != mins.length)
+      throw new IllegalArgumentException(
+        s"vector dimension mismatch: $n vs ${mins.length}")
+    val out = new Array[Byte](n)
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      val c =
+        if (scales(i) == 0.0) 0
+        else {
+          val r = math.round((x - mins(i)) / scales(i) * 255.0).toInt
+          if (r < 0) 0 else if (r > 255) 255 else r
+        }
+      out(i) = c.toByte
+      i += 1
+    }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** Asymmetric SQ8 distance: the stored codes dequantize
+  * (`min_d + code/255 · scale_d`) against the UNQUANTIZED query —
+  * the standard asymmetric-distance trick (query precision is free,
+  * only the corpus is compressed). Same sequential accumulation
+  * contract and modes as [[HalfDistExpr]]. */
+case class SqDistExpr(child: Expression, query: Array[Double],
+    mins: Array[Double], scales: Array[Double], mode: Int)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"sq_dist needs a binary SQ8 column, got $t")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    val n = b.length
+    if (n != query.length)
+      throw new IllegalArgumentException(
+        s"vector dimension mismatch: $n vs ${query.length}")
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      val x = mins(i) + (b(i) & 0xff).toDouble / 255.0 * scales(i)
+      if (mode == VectorDistance.L2.id) { val d = x - query(i); acc += d * d }
+      else if (mode == VectorDistance.L1.id) acc += math.abs(x - query(i))
+      else acc += x * query(i)
+      i += 1
+    }
+    if (mode == VectorDistance.L2.id) math.sqrt(acc) else acc
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -658,6 +658,55 @@ object VectorQueries {
       bqStore, emb.filter(col("vec_id") =!= 0), "vec_id", query, K, rerank = 192)
   }
 
+  /** Build-once SQ8 sidecar (FAISS `QT_8bit` rung of the compression
+    * ladder): (vec_id, sq binary) + trained per-dim params — 4× less
+    * scan IO than float32. */
+  private def ensureSqStore(s: SparkSession, d: String): String = {
+    val p = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_sq_v1_${Integer.toHexString(d.hashCode)}").toString
+    VectorQueries.synchronized {
+      if (!new java.io.File(p, "_SUCCESS").exists())
+        graft.operators.ScalarQuant.writeStore(
+          Tables.embeddings(s, d).filter(col("vec_id") =!= 0),
+          "vec_id", "embedding", p)
+    }
+    p
+  }
+
+  /** SQ8 two-phase KNN: asymmetric-distance shortlist over the
+    * 1-byte-per-dim sidecar (codes dequantize against the
+    * full-precision query), exact re-rank of the survivors. Lossy
+    * storage → rows-only; recall gated ≥ 0.9 in RecallGateSpec
+    * (8-bit per-dim range beats halfvec's global format at 2× less
+    * IO than it). */
+  private def sqKnn(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val p = ensureSqStore(s, d)
+    val (mins, scales) = graft.operators.ScalarQuant.readParams(s, p)
+    val query = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head.getSeq[Double](0).toArray
+    graft.operators.ScalarQuant.search(
+      s.read.parquet(p), emb.filter(col("vec_id") =!= 0), "vec_id",
+      query, mins, scales, K, rerank = 64)
+  }
+
+  /** Bench split for vs_sq_knn: build = train params + persist the
+    * packed sidecar (forced fresh), probe = the two-phase search. */
+  def sqBench(s: SparkSession, d: String): (() => Unit, () => DataFrame) = {
+    var path: String = null
+    val build = () => {
+      VectorQueries.synchronized {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(new java.io.File(sys.props("java.io.tmpdir"),
+          s"graft_sq_v1_${Integer.toHexString(d.hashCode)}"))
+      }
+      path = ensureSqStore(s, d)
+    }
+    (build, () => sqKnn(s, d))
+  }
+
   /** Build-once float16-packed store (pgvector `halfvec` analogue):
     * (vec_id, hv binary) — HALF the scan bytes of the float32 column. */
   private def ensureHalfStore(s: SparkSession, d: String): String = {
@@ -1076,6 +1125,7 @@ object VectorQueries {
     "vs_lsh_knn"      -> QueryDef(lshKnn _, None),
     "vs_pq_knn"       -> QueryDef(pqKnn _, None),
     "vs_bq_knn"       -> QueryDef(bqKnn _, None),
+    "vs_sq_knn"       -> QueryDef(sqKnn _, None),
     "vs_knn_filtered" -> QueryDef(knnFiltered _, knnFilteredSql),
     "vs_hybrid"       -> QueryDef(hybrid _, hybridSql),
     "vs_sparse_knn"   -> QueryDef(sparseKnn _, sparseKnnSql),

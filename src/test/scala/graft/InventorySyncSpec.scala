@@ -22,7 +22,7 @@ class InventorySyncSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the documented outcome") {
-    assert(SparkEntry.queries.size == 109)
+    assert(SparkEntry.queries.size == 110)
     assert(SparkEntry.oracleSql.size == 89)
   }
 

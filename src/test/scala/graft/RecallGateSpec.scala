@@ -112,6 +112,14 @@ class RecallGateSpec extends SparkSpec {
     assert(r >= 0.7, f"vs_ivf_auto recall@10 $r%.2f below floor 0.7")
   }
 
+  test("vs_sq_knn: recall@10 floor 0.9 (SQ8 shortlist × exact re-rank)") {
+    val got = ids(SparkEntry.queries("vs_sq_knn")(spark, Sf))
+    assert(got.distinct == got)
+    val r = recall(got, exactTopK(VectorFunctions.l2Distance, 10))
+    info(f"vs_sq_knn recall@10 = $r%.2f (per-dim 8-bit, rerank 64)")
+    assert(r >= 0.9, f"vs_sq_knn recall@10 $r%.2f below floor 0.9")
+  }
+
   test("vs_ivf_txn: recall@10 floor (GraftTable store, probe + file skip)") {
     // plan-shape + exact file-skip bound live in IvfGraftSpec; this
     // gate quantifies the end recall of the inventory entry
