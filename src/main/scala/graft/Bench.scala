@@ -54,6 +54,7 @@ object Bench {
       "txn_changes" -> queries.TxnQueries.changesBench _,
       "txn_timetravel" -> queries.TxnQueries.timetravelBench _,
       "txn_restore" -> queries.TxnQueries.restoreBench _,
+      "txn_evolve" -> queries.TxnQueries.evolveBench _,
       "txn_stats_agg" -> queries.TxnQueries.statsAggBench _,
     )
 

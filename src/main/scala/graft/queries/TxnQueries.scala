@@ -178,6 +178,50 @@ object TxnQueries {
   private def txnRestore(s: SparkSession, d: String): DataFrame =
     readRestored(s, restorePath(s, d))
 
+  // ------------------------------------------------------- txn_evolve
+  /** Schema evolution through the oracle gate: create the table with
+    * three part columns, ALTER TABLE ADD COLUMNS a double, then
+    * append rows that carry it. The read-back interleaves
+    * pre-evolution rows (schema-on-read NULL in the new column) with
+    * post-evolution rows — only a reader that resolves the evolved
+    * schema AND fills missing columns correctly hash-matches the
+    * oracle's explicit NULL union. ×0.5 is exact in binary FP, so no
+    * rounding contract. */
+  private val evolveCols = Seq("p_partkey", "p_name", "p_retailprice")
+
+  private def evolvePath(s: SparkSession, d: String): String = {
+    val part = Tables.part(s, d)
+    built(freshDir("evolve", d)) { p =>
+      val t = GraftTable.create(s, p,
+        part.select(evolveCols.map(col): _*).repartition(4),
+        statsCols = Seq("p_partkey"))
+      t.addColumns(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("p_discounted",
+          org.apache.spark.sql.types.DoubleType))))
+      t.append(part.filter(col("p_partkey") % 5 === 0)
+        .select(col("p_partkey") + InsertOffset as "p_partkey",
+          col("p_name"), col("p_retailprice"),
+          (col("p_retailprice") * 0.5).as("p_discounted")))
+    }
+  }
+
+  private def readEvolved(s: SparkSession, path: String): DataFrame =
+    GraftTable.open(s, path).read()
+      .select((evolveCols :+ "p_discounted").map(col): _*)
+      .orderBy("p_partkey")
+
+  private def txnEvolve(s: SparkSession, d: String): DataFrame =
+    readEvolved(s, evolvePath(s, d))
+
+  private val txnEvolveSql = s"""
+    SELECT p_partkey, p_name, p_retailprice, CAST(NULL AS DOUBLE) AS p_discounted
+    FROM part
+    UNION ALL
+    SELECT p_partkey + $InsertOffset, p_name, p_retailprice,
+           p_retailprice * 0.5
+    FROM part WHERE p_partkey % 5 = 0
+    ORDER BY p_partkey"""
+
   // ---------------------------------------------------- txn_stats_agg
   /** Metadata-only count/min/max ([[GraftTable.statsAgg]]): the
     * answer comes from the commit log's per-file records — zero data
@@ -240,11 +284,15 @@ object TxnQueries {
   def restoreBench(s: SparkSession, d: String): (() => Unit, () => DataFrame) =
     benchSplit(restorePath, Some("restore"), readRestored)(s, d)
 
+  def evolveBench(s: SparkSession, d: String): (() => Unit, () => DataFrame) =
+    benchSplit(evolvePath, Some("evolve"), readEvolved)(s, d)
+
   val defs: Map[String, QueryDef] = Map(
     "txn_merge"      -> QueryDef(txnMerge _, txnMergeSql),
     "txn_changes"    -> QueryDef(txnChanges _, txnChangesSql),
     "txn_timetravel" -> QueryDef(txnTimetravel _, txnTimetravelSql),
     "txn_restore"    -> QueryDef(txnRestore _, txnTimetravelSql),
+    "txn_evolve"     -> QueryDef(txnEvolve _, txnEvolveSql),
     "txn_stats_agg"  -> QueryDef(txnStatsAgg _, txnStatsAggSql),
   )
 }

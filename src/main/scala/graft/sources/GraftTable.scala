@@ -35,8 +35,9 @@ final case class FileMeta(
   *  - `v<20-digit>.commit` — one action per line, a delimited
   *    URL-encoded record (this log is an internal format: atomicity
   *    and replay are the goals, JSON interop is a non-goal):
-  *    `s|<schema-json>` (commit 1 only), `a|rows|bytes|path|stats`,
-  *    `r|path`.
+  *    `s|<schema-json>` (commit 1, and any [[addColumns]] schema
+  *    evolution commit — the newest record ≤ a version is that
+  *    version's schema), `a|rows|bytes|path|stats`, `r|path`.
   *  - `v<20-digit>.ckpt` — full live-file snapshot at that version
   *    (same `a` records); snapshot load reads the newest ckpt ≤ v and
   *    replays only the commit tail, so replay cost is bounded by
@@ -130,13 +131,26 @@ final class GraftTable private (
   // --------------------------------------------------------- snapshots
 
   /** Table schema as recorded by the creating commit. */
-  def schema: StructType = {
-    val first = new Path(logDir, commitName(1L))
-    require(fs.exists(first), s"not a GraftTable: no commit 1 under $logDir")
-    readLines(first).collectFirst {
-      case l if l.startsWith("s|") =>
-        DataType.fromJson(dec(l.drop(2))).asInstanceOf[StructType]
-    }.getOrElse(sys.error(s"commit 1 of $path carries no schema record"))
+  def schema: StructType = schemaAt(-1L)
+
+  /** Schema as of `atVersion` (latest if -1): the newest `s|` record
+    * at or below that version — commit 1 always carries one, and
+    * [[addColumns]] evolution commits write another. The scan runs
+    * newest-first over the commit names only (driver metadata,
+    * bounded by log age) and stops at the first hit. */
+  def schemaAt(atVersion: Long = -1L): StructType = {
+    val log = listLog
+    require(log.nonEmpty, s"not a GraftTable: empty log at $logDir")
+    val v = if (atVersion < 0) log.filter(!_._2).map(_._1).max else atVersion
+    val commits = log.filter { case (cv, isC) => !isC && cv <= v }
+      .map(_._1).sorted.reverse
+    commits.iterator.flatMap { cv =>
+      readLines(new Path(logDir, commitName(cv))).collectFirst {
+        case l if l.startsWith("s|") =>
+          DataType.fromJson(dec(l.drop(2))).asInstanceOf[StructType]
+      }
+    }.nextOption().getOrElse(
+      sys.error(s"no schema record at or below version $v of $path"))
   }
 
   /** Live files at `version` (latest if -1): newest checkpoint ≤ v,
@@ -239,13 +253,17 @@ final class GraftTable private (
   /** Snapshot read (time travel via `atVersion`). The file list is
     * resolved HERE, so the returned DataFrame is immune to later
     * commits — snapshot isolation by construction. */
-  def read(atVersion: Long = -1L): DataFrame = readFiles(snapshotMetas(atVersion))
+  def read(atVersion: Long = -1L): DataFrame =
+    readFiles(snapshotMetas(atVersion), schemaAt(atVersion))
 
-  private def readFiles(metas: Seq[FileMeta]): DataFrame =
+  private def readFiles(metas: Seq[FileMeta],
+      sch: StructType = null): DataFrame = {
+    val s0 = Option(sch).getOrElse(schema)
     if (metas.isEmpty) spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
-    else spark.read.schema(schema)
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s0)
+    else spark.read.schema(s0)
       .parquet(metas.map(m => new Path(root, m.path).toString): _*)
+  }
 
   // ------------------------------------------------------ data skipping
 
@@ -502,6 +520,35 @@ final class GraftTable private (
     * them). Time travel older than the horizon stops working — the
     * same retention contract every log-structured table format has.
     * Returns files deleted. */
+  /** ALTER TABLE ADD COLUMNS: append new NULLABLE fields to the
+    * schema as a metadata-only commit (a new `s|` record; zero data
+    * bytes move). Existing files are untouched — schema-on-read
+    * fills the new columns with NULL for rows written before the
+    * evolution, the same contract Delta/Iceberg document. Only
+    * additive evolution is supported (rename/drop/retype would need
+    * column-id tracking to stay unambiguous — refused by
+    * construction since every new name must be fresh). Appends after
+    * the evolution are validated against the widened schema; time
+    * travel reads old versions with their OWN schema
+    * ([[schemaAt]]). Returns the committed version. */
+  def addColumns(newCols: StructType): Long = {
+    val cur = schema
+    val dup = newCols.fieldNames.filter(cur.fieldNames.contains)
+    require(dup.isEmpty,
+      s"addColumns on $path: column(s) ${dup.mkString(", ")} already exist")
+    require(newCols.fields.nonEmpty, "addColumns: no columns given")
+    val merged = StructType(cur.fields ++ GraftTable.asNullable(newCols).fields)
+    var attempts = 0
+    while (attempts < 1000) {
+      val v = version + 1
+      if (writeCommit(v, Nil, Nil, schemaJson = Some(merged.json))) {
+        maybeCheckpoint(v); return v
+      }
+      attempts += 1
+    }
+    sys.error(s"addColumns on $path lost the commit race 1000 times")
+  }
+
   /** RESTORE TABLE ... TO VERSION: roll the live snapshot back to
     * `toVersion`'s content as a NEW commit — history is preserved
     * (time travel still sees the rolled-back versions; contrast with
@@ -607,8 +654,10 @@ final class GraftTable private (
   }
 
   private def writeCommit(v: Long, adds: Seq[FileMeta],
-      removes: Seq[String], txn: Option[(String, Long)] = None): Boolean = {
-    val lines = txn.map { case (a, b) => s"t|${enc(a)}|$b" }.toSeq ++
+      removes: Seq[String], txn: Option[(String, Long)] = None,
+      schemaJson: Option[String] = None): Boolean = {
+    val lines = schemaJson.map(j => s"s|${enc(j)}").toSeq ++
+      txn.map { case (a, b) => s"t|${enc(a)}|$b" }.toSeq ++
       removes.map(p => s"r|${enc(p)}") ++ adds.map(addLine)
     writeLinesAtomic(new Path(logDir, commitName(v)), lines)
   }

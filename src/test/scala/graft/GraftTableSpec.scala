@@ -139,6 +139,29 @@ class GraftTableSpec extends SparkSpec {
     assert(t.restore(1L) == 4L, "restoring to identical content must not commit")
   }
 
+  test("addColumns: schema-on-read evolution — old rows read NULL, time travel keeps old schema") {
+    import org.apache.spark.sql.types._
+    val t = GraftTable.create(spark, fresh(), rows(0, 20), statsCols = Seq("id"))
+    val v = t.addColumns(StructType(Seq(StructField("lang", StringType))))
+    assert(v == 2L)
+    // pre-evolution files read with NULL in the new column
+    assert(t.read().filter(col("lang").isNull).count() == 20)
+    // appends validate against the widened schema and carry the column
+    import spark.implicits._
+    t.append(Seq((100L, "doc_100", 1.0, "en")).toDF("id", "name", "score", "lang"))
+    assert(t.read().filter(col("lang") === "en").count() == 1)
+    assert(t.read().count() == 21)
+    // the narrow append no longer conforms
+    intercept[IllegalArgumentException](t.append(rows(200, 201)))
+    // time travel to v1 reads the ORIGINAL schema (no lang column)
+    assert(!t.read(atVersion = 1L).columns.contains("lang"))
+    assert(t.read(atVersion = 1L).count() == 20)
+    // duplicate-name evolution refused
+    val e = intercept[IllegalArgumentException](
+      t.addColumns(StructType(Seq(StructField("score", DoubleType)))))
+    assert(e.getMessage.contains("score"))
+  }
+
   test("restore refuses a vacuumed-away version, naming the file") {
     val t = GraftTable.create(spark, fresh(), rows(0, 30), checkpointInterval = 100)
     t.overwrite(rows(100, 110)) // v2: v1's files unreferenced
