@@ -56,6 +56,7 @@ object Bench {
       "txn_restore" -> queries.TxnQueries.restoreBench _,
       "txn_evolve" -> queries.TxnQueries.evolveBench _,
       "txn_stats_agg" -> queries.TxnQueries.statsAggBench _,
+      "txn_stats_auto" -> queries.TxnQueries.statsAutoBench _,
     )
 
   private def runNoop(df: DataFrame): Unit =

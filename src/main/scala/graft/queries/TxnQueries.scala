@@ -239,6 +239,24 @@ object TxnQueries {
           UNION ALL
           SELECT p_partkey + $InsertOffset FROM part WHERE p_partkey % 7 = 0)"""
 
+  // --------------------------------------------------- txn_stats_auto
+  /** The OPTIMIZER-picked twin of txn_stats_agg
+    * ([[graft.plans.GraftStatsRule]]): the query is a plain
+    * `read().agg(count/min/max)` — no statsAgg API call — and the
+    * installed rule replaces the whole Aggregate with a one-row
+    * LocalRelation answered from the commit log (zero file scans,
+    * plan-asserted in GraftStatsRuleSpec). Same oracle as
+    * txn_stats_agg: the rewrite must be invisible to correctness. */
+  private def txnStatsAuto(s: SparkSession, d: String): DataFrame = {
+    graft.plans.GraftStatsRule.install(s)
+    val t = GraftTable.open(s, mergePath(s, d))
+    graft.plans.GraftStatsCatalog.register(t)
+    t.read().agg(
+      count(lit(1)).as("row_count"),
+      min(col("p_partkey")).as("min_p_partkey"),
+      max(col("p_partkey")).as("max_p_partkey"))
+  }
+
   // ------------------------------------------------------ bench split
   /** Bench splits (VERDICT r7 "What's wrong" #2): the conflated
     * entries hid the snapshot-read cost behind the one-shot table
@@ -281,6 +299,9 @@ object TxnQueries {
     benchSplit(mergePath, None,
       (s, p) => GraftTable.open(s, p).statsAgg(Seq("p_partkey")))(s, d)
 
+  def statsAutoBench(s: SparkSession, d: String): (() => Unit, () => DataFrame) =
+    benchSplit(mergePath, None, (s, _) => txnStatsAuto(s, d))(s, d)
+
   def restoreBench(s: SparkSession, d: String): (() => Unit, () => DataFrame) =
     benchSplit(restorePath, Some("restore"), readRestored)(s, d)
 
@@ -294,5 +315,6 @@ object TxnQueries {
     "txn_restore"    -> QueryDef(txnRestore _, txnTimetravelSql),
     "txn_evolve"     -> QueryDef(txnEvolve _, txnEvolveSql),
     "txn_stats_agg"  -> QueryDef(txnStatsAgg _, txnStatsAggSql),
+    "txn_stats_auto" -> QueryDef(txnStatsAuto _, txnStatsAggSql),
   )
 }
