@@ -388,6 +388,126 @@ object VectorQueries {
     ORDER BY score DESC, doc_id
     LIMIT $K"""
 
+  // ------------------------------------------------------- MMR re-rank
+  /** Maximal-marginal-relevance diversified top-k (Carbonell &
+    * Goldstein 1998) — the result-diversification stage a RAG stack
+    * runs between retrieval and the LLM so k near-duplicate chunks
+    * don't fill the context window. Two-phase, the same
+    * shortlist-then-rerank discipline as [[operators.BinaryQuant]]:
+    * the corpus-scale work is one exact cosine top-`MmrShortlist`
+    * scan (TakeOrderedAndProject — per-partition heaps, no shuffle);
+    * the greedy selection is O(k·m·dims) driver arithmetic over the
+    * m collected candidates, constants at any corpus size.
+    *
+    * Every number is bit-exact against the DuckDB recursive-CTE
+    * oracle: relevance comes from the codegen'd
+    * [[graft.functions.VectorFunctions.cosineSimilarity]] (verified
+    * ≡ list_cosine_similarity), pairwise sims use the same
+    * sequential-accumulation clamp kernel on the driver, λ = 0.5
+    * makes both blend terms exact halvings, and ties break on
+    * vec_id in both engines. Seed convention: rank 1 is the pure
+    * argmax-relevance pick (its blended score has no diversity term:
+    * max over the empty selected set = 0). */
+  private val MmrShortlist = 30
+
+  private def rerankMmr(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val short = corpus(s, d)
+      .crossJoin(broadcast(queryVec(s, d)))
+      .select(col("vec_id"), col("embedding"),
+        graft.functions.VectorFunctions.cosineSimilarity(col("embedding"), col("qvec"))
+          .as("rel"))
+      .orderBy((lit(1.0) - col("rel")).asc, col("vec_id"))
+      .limit(MmrShortlist)
+      .collect() // m rows by construction — the corpus work is the scan above
+    val n = short.length
+    val ids = short.map(_.getLong(0))
+    val embs = short.map(_.getSeq[Float](1).toArray.map(_.toDouble))
+    val rels = short.map(_.getDouble(2))
+    // the §3 cosine contract, driver-side: per-element double cast,
+    // sequential accumulation, clamp (DuckDB and pgvector both clamp)
+    def sim(a: Array[Double], b: Array[Double]): Double = {
+      var dot = 0.0; var aa = 0.0; var bb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i) * b(i); aa += a(i) * a(i); bb += b(i) * b(i); i += 1
+      }
+      math.max(-1.0, math.min(1.0, dot / (math.sqrt(aa) * math.sqrt(bb))))
+    }
+    val taken = Array.fill(n)(false)
+    // max sim to the selected set so far; −∞ so a candidate whose
+    // similarities are all NEGATIVE keeps its true (negative) max —
+    // a 0.0 floor would silently shrink its diversity bonus
+    val maxSim = Array.fill(n)(Double.NegativeInfinity)
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Double, Double)]
+    var seed = 0
+    var i = 1
+    while (i < n) {
+      if (rels(i) > rels(seed) || (rels(i) == rels(seed) && ids(i) < ids(seed))) seed = i
+      i += 1
+    }
+    def absorb(j: Int): Unit = {
+      var t = 0
+      while (t < n) {
+        if (!taken(t)) { val sv = sim(embs(t), embs(j)); if (sv > maxSim(t)) maxSim(t) = sv }
+        t += 1
+      }
+    }
+    taken(seed) = true
+    out += ((1, ids(seed), rels(seed), 0.5 * rels(seed)))
+    absorb(seed)
+    var r = 2
+    while (r <= K && r <= n) {
+      var best = -1; var bestScore = 0.0
+      var c = 0
+      while (c < n) {
+        if (!taken(c)) {
+          val sc = 0.5 * rels(c) - 0.5 * maxSim(c)
+          if (best < 0 || sc > bestScore || (sc == bestScore && ids(c) < ids(best))) {
+            best = c; bestScore = sc
+          }
+        }
+        c += 1
+      }
+      taken(best) = true
+      out += ((r, ids(best), rels(best), bestScore))
+      absorb(best)
+      r += 1
+    }
+    out.toSeq.toDF("rank", "vec_id", "rel", "mmr_score")
+  }
+
+  private val rerankMmrSql = s"""
+    WITH RECURSIVE
+    cand AS (
+      SELECT e.vec_id,
+             CAST(e.embedding AS DOUBLE[]) AS emb,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])) AS rel
+      FROM embeddings e
+      CROSS JOIN (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0) q
+      WHERE e.vec_id <> 0
+      ORDER BY 1.0 - rel, e.vec_id
+      LIMIT $MmrShortlist),
+    pair AS (
+      SELECT a.vec_id AS ia, b.vec_id AS ib,
+             list_cosine_similarity(a.emb, b.emb) AS sim
+      FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+    mmr AS (
+      SELECT 1 AS rank, [vec_id] AS sel, vec_id, rel, 0.5 * rel AS mmr_score
+      FROM (SELECT * FROM cand ORDER BY rel DESC, vec_id LIMIT 1)
+      UNION ALL
+      SELECT m.rank + 1, list_append(m.sel, nxt.vec_id), nxt.vec_id, nxt.rel, nxt.score
+      FROM mmr m, LATERAL (
+        SELECT c.vec_id, c.rel,
+               0.5 * c.rel - 0.5 * (
+                 SELECT max(p.sim) FROM pair p
+                 WHERE p.ia = c.vec_id AND list_contains(m.sel, p.ib)) AS score
+        FROM cand c
+        WHERE NOT list_contains(m.sel, c.vec_id)
+        ORDER BY score DESC, c.vec_id
+        LIMIT 1) nxt
+      WHERE m.rank < $K)
+    SELECT rank, vec_id, rel, mmr_score FROM mmr ORDER BY rank"""
+
   // ----------------------------------------------------- sparse vectors
   /** Corpus as sparse term-frequency vectors — the pgvector
     * `sparsevec` layout: per doc, (sidx, sval) sorted-ascending
@@ -1128,6 +1248,7 @@ object VectorQueries {
     "vs_sq_knn"       -> QueryDef(sqKnn _, None),
     "vs_knn_filtered" -> QueryDef(knnFiltered _, knnFilteredSql),
     "vs_hybrid"       -> QueryDef(hybrid _, hybridSql),
+    "vs_rerank_mmr"   -> QueryDef(rerankMmr _, rerankMmrSql),
     "vs_sparse_knn"   -> QueryDef(sparseKnn _, sparseKnnSql),
     "vs_hybrid_sparse" -> QueryDef(hybridSparse _, hybridSparseSql),
     "vs_search_present" -> QueryDef(searchPresent _, searchPresentSql),

@@ -22,8 +22,8 @@ class InventorySyncSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the documented outcome") {
-    assert(SparkEntry.queries.size == 112)
-    assert(SparkEntry.oracleSql.size == 91)
+    assert(SparkEntry.queries.size == 113)
+    assert(SparkEntry.oracleSql.size == 92)
   }
 
   test("every rows-only (non-oracled) query carries a gate in RecallGateSpec") {
