@@ -388,6 +388,61 @@ object VectorQueries {
     ORDER BY score DESC, doc_id
     LIMIT $K"""
 
+  // --------------------------------------------- multi-vector late interaction
+  /** ColBERT-style late-interaction retrieval (Khattab & Zaharia,
+    * SIGIR 2020): documents are BAGS of token vectors (here: 8
+    * consecutive embeddings per doc, `vec_id DIV 8`), queries are
+    * bags too (vec_id < 4), and the score is
+    * MaxSim = Σ_q max_t cos(q, t) — each query token finds its best
+    * match in the document independently, which single-vector search
+    * cannot express.
+    *
+    * Scale shape: the query bag is broadcast (Q rows), the per-token
+    * sims are one shuffle-free projection over the corpus, and the
+    * per-doc max/sum is ONE map-side-combined groupBy keyed on
+    * doc_id (partial maxes per partition — Q doubles per doc cross
+    * the wire, not token rows), then TakeOrderedAndProject. Bit-exact
+    * oracle: max is an exact pick, and the Σ is a fixed-order
+    * left-associated 4-term add in both engines. */
+  private def multivecMaxsim(s: SparkSession, d: String): DataFrame = {
+    val nq = 4
+    val qs = Tables.embeddings(s, d).filter(col("vec_id") < nq)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    val toks = Tables.embeddings(s, d).filter(col("vec_id") >= 8)
+      .select(expr("vec_id DIV 8").as("doc_id"), col("embedding"))
+    val sims = toks.crossJoin(broadcast(qs))
+      .select(col("doc_id"), col("qid"),
+        graft.functions.VectorFunctions.cosineSimilarity(col("embedding"), col("qvec"))
+          .as("sim"))
+    val maxAggs = (0 until nq).map(q =>
+      max(when(col("qid") === q, col("sim"))).as(s"m$q"))
+    sims.groupBy(col("doc_id"))
+      .agg(maxAggs.head, maxAggs.tail: _*)
+      .select(col("doc_id") +: (0 until nq).map(q => col(s"m$q")) :+
+        (0 until nq).map(q => col(s"m$q")).reduce(_ + _).as("maxsim_score"): _*)
+      .orderBy(col("maxsim_score").desc, col("doc_id"))
+      .limit(K)
+  }
+
+  private val multivecMaxsimSql = s"""
+    WITH q AS (
+      SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+      FROM embeddings WHERE vec_id < 4),
+    sims AS (
+      SELECT e.vec_id // 8 AS doc_id, q.qid,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qvec) AS sim
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id >= 8),
+    perdoc AS (
+      SELECT doc_id,
+             max(sim) FILTER (WHERE qid = 0) AS m0,
+             max(sim) FILTER (WHERE qid = 1) AS m1,
+             max(sim) FILTER (WHERE qid = 2) AS m2,
+             max(sim) FILTER (WHERE qid = 3) AS m3
+      FROM sims GROUP BY doc_id)
+    SELECT doc_id, m0, m1, m2, m3, m0 + m1 + m2 + m3 AS maxsim_score
+    FROM perdoc ORDER BY maxsim_score DESC, doc_id LIMIT $K"""
+
   // ------------------------------------------------------- MMR re-rank
   /** Maximal-marginal-relevance diversified top-k (Carbonell &
     * Goldstein 1998) — the result-diversification stage a RAG stack
@@ -1249,6 +1304,7 @@ object VectorQueries {
     "vs_knn_filtered" -> QueryDef(knnFiltered _, knnFilteredSql),
     "vs_hybrid"       -> QueryDef(hybrid _, hybridSql),
     "vs_rerank_mmr"   -> QueryDef(rerankMmr _, rerankMmrSql),
+    "vs_multivec_maxsim" -> QueryDef(multivecMaxsim _, multivecMaxsimSql),
     "vs_sparse_knn"   -> QueryDef(sparseKnn _, sparseKnnSql),
     "vs_hybrid_sparse" -> QueryDef(hybridSparse _, hybridSparseSql),
     "vs_search_present" -> QueryDef(searchPresent _, searchPresentSql),
