@@ -291,6 +291,55 @@ object IvfIndex {
       .option("checkpointLocation", checkpoint)
       .start()
 
+  /** Keep a cell-clustered [[graft.sources.GraftTable]] INDEX in sync
+    * with a MUTATING base table by consuming the base's change-data
+    * feed ([[graft.sources.GraftTable.changes]]) — the lakehouse
+    * answer to "the corpus got corrections; is the ANN index stale?".
+    * Cost ∝ churn, never the corpus:
+    *
+    *  - feed deletes propagate as a stats-pruned copy-on-write
+    *    [[graft.sources.GraftTable.deleteKeys]] on the index — only
+    *    index files holding a deleted id are rewritten, the rest
+    *    carry by reference;
+    *  - feed inserts are cell-assigned locally (broadcast centroids,
+    *    [[assignCells]] — shuffle-free) and appended as ONE atomic
+    *    commit, range-clustered on `centroid_id` so the new files'
+    *    committed [min,max] stats stay selective for the probe rule's
+    *    file skipping ([[graft.plans.IvfProbeRule]] re-reads the log
+    *    at probe time, so the appended files prune via their own
+    *    commits with no re-registration).
+    *
+    * Deletes apply BEFORE inserts: an update surfaces in the feed as
+    * its delete+insert pair under the same id — the reverse order
+    * would delete the freshly appended replacement. Single-copy
+    * (spill=1) layout, matching the GraftTable store contract.
+    * Repeated appends loosen per-file cell locality over time;
+    * [[graft.sources.GraftTable.cluster]] restores it, the same
+    * OPTIMIZE discipline every log-structured table needs. Returns
+    * (deleted-key count applied, inserted-row count applied). */
+  def syncFromChanges(index: graft.sources.GraftTable, changes: DataFrame,
+      idCol: String, vecCol: String, centroids: DataFrame,
+      appendFiles: Int = 4): (Long, Long) = {
+    val feed = changes.persist()
+    try {
+      val del = feed.filter(col("_change_type") === "delete")
+        .select(col(idCol))
+      val ins = feed.filter(col("_change_type") === "insert")
+        .drop("_change_type")
+      val nDel = del.count()
+      if (nDel > 0) index.deleteKeys(del, Seq(idCol))
+      val nIns = ins.count()
+      if (nIns > 0) {
+        val assigned = assignCells(ins, vecCol, centroids, spill = 1)
+          .select(index.schema.fieldNames.toSeq.map(col): _*)
+        index.append(
+          assigned.repartitionByRange(appendFiles, col("centroid_id"))
+            .sortWithinPartitions("centroid_id"))
+      }
+      (nDel, nIns)
+    } finally { feed.unpersist(); () }
+  }
+
   /** Batch ANN: many query vectors at once against the cell-assigned
     * corpus — the scale path where even one corpus scan per query is
     * too much.

@@ -442,6 +442,46 @@ final class GraftTable private (
     } finally { src.unpersist(); () }
   }
 
+  /** DELETE by key set via copy-on-write — [[merge]]'s WHEN MATCHED
+    * THEN DELETE half, with the same scale ladder: stats-prune
+    * candidate files on the key envelope, ONE broadcast semi-join
+    * finds exactly the touched files, rewrite = touched files minus
+    * matching rows; untouched files carried by reference. The key
+    * set is delta-scale (it is broadcast) — for predicate deletes use
+    * [[delete]]; this is the churn path (a change feed's deleted ids,
+    * a GDPR key list) where materializing a per-key predicate on the
+    * driver would not scale. Serializable like [[delete]]. Returns
+    * the committed version (unchanged if nothing matched). */
+  def deleteKeys(keys: DataFrame, keyCols: Seq[String]): Long = {
+    require(keyCols.nonEmpty, "deleteKeys needs at least one key column")
+    val baseV = version
+    val ks = keys.select(keyCols.map(col): _*).distinct().persist()
+    try {
+      val envAggs = count(lit(1)).as("__n") +: keyCols.flatMap(c => Seq(
+        min(col(c)).as(s"__lo_$c"), max(col(c)).as(s"__hi_$c")))
+      val env = ks.agg(envAggs.head, envAggs.tail: _*).collect()(0)
+      if (env.getAs[Long]("__n") == 0L) return baseV
+      val rangePred = keyCols.map { c =>
+        col(c) >= lit(env.getAs[Any](s"__lo_$c")) &&
+          col(c) <= lit(env.getAs[Any](s"__hi_$c"))
+      }.reduce(_ && _)
+      val cands = candidateFiles(rangePred, baseV)
+      val touchedUris =
+        if (cands.isEmpty) Set.empty[String]
+        else readFiles(cands)
+          .select(input_file_name().as("__f") +: keyCols.map(col): _*)
+          .join(broadcast(ks), keyCols, "left_semi")
+          .select("__f").distinct()
+          .collect().map(_.getString(0)).toSet // ≤ #files driver rows
+      val touched = cands.filter(m =>
+        touchedUris.exists(_.endsWith("/" + m.path)))
+      if (touched.isEmpty) return baseV
+      val ordered = schema.fieldNames.toSeq.map(col)
+      val kept = readFiles(touched).join(broadcast(ks), keyCols, "left_anti")
+      commitOnce(stageAdds(kept.select(ordered: _*)), touched.map(_.path), baseV)
+    } finally { ks.unpersist(); () }
+  }
+
   /** Row-level change feed between two snapshot versions, computed
     * over ONLY the files that changed between them — never a
     * full-table diff: rows of to-only files minus rows of from-only
