@@ -57,6 +57,8 @@ object Bench {
       "txn_evolve" -> queries.TxnQueries.evolveBench _,
       "txn_stats_agg" -> queries.TxnQueries.statsAggBench _,
       "txn_stats_auto" -> queries.TxnQueries.statsAutoBench _,
+      "text_bpe_train" -> queries.TextQueries.bpeTrainBench _,
+      "text_bpe_apply" -> queries.TextQueries.bpeApplyBench _,
     )
 
   private def runNoop(df: DataFrame): Unit =

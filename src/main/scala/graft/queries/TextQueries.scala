@@ -358,6 +358,111 @@ object TextQueries {
       .select(col("x.item").as("w"), col("x.cnt").as("cnt"), col("x.err").as("err"))
       .orderBy(col("cnt").desc, col("w"))
 
+  // ---------------------------------------------------------------- BPE
+  private val BpeMerges = 20
+
+  /** Build-once BPE artifacts per sfDir (the ensureAutoStore marker
+    * discipline): the trained merge table and the final vocabulary
+    * tokenization persisted as parquet, so every consumer (the train
+    * listing, the corpus apply join, bench probes) reads a
+    * restartable artifact instead of replaying the training rounds —
+    * and the artifacts survive Bench's between-query block sweep,
+    * which a localCheckpoint handoff would not. */
+  private[graft] def ensureBpe(s: SparkSession, d: String): (String, String) = {
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_bpe_v1_${Integer.toHexString(d.hashCode)}")
+    val mergesP = new java.io.File(base, "merges").toString
+    val symsP = new java.io.File(base, "syms").toString
+    TextQueries.synchronized {
+      // merges is written LAST: its marker implies both artifacts
+      if (!new java.io.File(mergesP, "_SUCCESS").exists()) {
+        val mat = graft.operators.Materializer.local()
+        try {
+          val (merges, syms) = graft.operators.Bpe.train(
+            Tables.documents(s, d), "text", BpeMerges, mat)
+          syms.write.mode("overwrite").parquet(symsP)
+          s.createDataFrame(merges)
+            .select(col("rank"), col("lhs"), col("rhs"), col("merged"),
+              col("pairCount").as("pair_count"))
+            .coalesce(1).write.mode("overwrite").parquet(mergesP)
+        } finally mat.releaseAll()
+      }
+    }
+    (mergesP, symsP)
+  }
+
+  /** The first training round's pair-count table — the one BPE step
+    * that is purely relational, so it carries the DuckDB oracle for
+    * the family: corpus word counts (one map-side-combined groupBy),
+    * adjacent character pairs weighted by word count, top-20. */
+  private def bpePairs(s: SparkSession, d: String): DataFrame =
+    graft.operators.Bpe.pairCounts(
+      graft.operators.Bpe.charSymbols(
+        graft.operators.Bpe.wordCounts(Tables.documents(s, d), "text")))
+      .orderBy(col("pair_count").desc, col("lhs"), col("rhs"))
+      .limit(20)
+
+  private val bpePairsSql = s"""
+    WITH words AS (
+      SELECT word, count(*) AS wc FROM (
+        SELECT unnest(${graft.functions.TextFunctions.tokensSql("text")}) AS word
+        FROM documents)
+      WHERE regexp_matches(word, '^[a-z]+$$')
+      GROUP BY word),
+    pairs AS (
+      SELECT substr(word, i, 1) AS lhs, substr(word, i + 1, 1) AS rhs, wc
+      FROM words, LATERAL (
+        SELECT unnest(generate_series(1, length(word) - 1)) AS i) t
+      WHERE length(word) >= 2)
+    SELECT lhs, rhs, CAST(sum(wc) AS BIGINT) AS pair_count
+    FROM pairs GROUP BY lhs, rhs
+    ORDER BY pair_count DESC, lhs, rhs LIMIT 20"""
+
+  /** The learned merge sequence (rank order). Rows-only: the greedy
+    * argmax loop is not relationally expressible — gated in
+    * RecallGateSpec against an independent in-memory trainer run on
+    * the same corpus (exact sequence equality). */
+  private def bpeTrain(s: SparkSession, d: String): DataFrame = {
+    val (mergesP, _) = ensureBpe(s, d)
+    s.read.parquet(mergesP).orderBy("rank")
+  }
+
+  /** Corpus tokenized under the trained vocabulary: per-doc word and
+    * BPE-token counts via ONE broadcast join of the corpus words
+    * against the vocab-scale tokenization (the apply path never
+    * replays merges over the corpus). Rows-only, gated with the
+    * trainer. */
+  private def bpeApply(s: SparkSession, d: String): DataFrame = {
+    val (_, symsP) = ensureBpe(s, d)
+    val vocab = s.read.parquet(symsP)
+      .select(col("word"), size(col("symbols")).as("n_sub"))
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
+      .filter(col("word").rlike("^[a-z]+$"))
+      .join(broadcast(vocab), Seq("word"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_bpe"))
+      .orderBy("doc_id")
+  }
+
+  def bpeTrainBench(s: SparkSession, d: String): (() => Unit, () => DataFrame) = {
+    val build = () => {
+      val base = new java.io.File(sys.props("java.io.tmpdir"),
+        s"graft_bpe_v1_${Integer.toHexString(d.hashCode)}")
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      TextQueries.synchronized { rm(base) }
+      ensureBpe(s, d); ()
+    }
+    (build, () => bpeTrain(s, d))
+  }
+
+  def bpeApplyBench(s: SparkSession, d: String): (() => Unit, () => DataFrame) = {
+    val build = () => { ensureBpe(s, d); () } // marker-cached after train's build
+    (build, () => bpeApply(s, d))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     "text_topk_sketch" -> QueryDef(topkSketch _, None),
     "text_surprisal"   -> QueryDef(surprisal _, surprisalSql),
@@ -368,5 +473,8 @@ object TextQueries {
     "text_quality"     -> QueryDef(quality _, qualitySql),
     "text_tokens"      -> QueryDef(tokenCounts _, tokenCountsSql),
     "text_fingerprint" -> QueryDef(fingerprint _, fingerprintSql),
+    "text_bpe_pairs"   -> QueryDef(bpePairs _, bpePairsSql),
+    "text_bpe_train"   -> QueryDef(bpeTrain _, None),
+    "text_bpe_apply"   -> QueryDef(bpeApply _, None),
   )
 }

@@ -451,4 +451,72 @@ class RecallGateSpec extends SparkSpec {
     info(f"dedup_embedding_ivf pair recall = $rec%.3f over ${exact.size} true pairs (floor 0.7)")
     assert(rec >= 0.7, f"pair recall $rec%.3f below 0.7")
   }
+
+  /** "text_bpe_train" / "text_bpe_apply" gate: the distributed
+    * trainer is not relationally expressible (greedy argmax loop), so
+    * the gate is EXACT equality against an independent in-memory
+    * reference implementation run on the same corpus — same
+    * determinism contract (tie-break count DESC, lhs, rhs; greedy
+    * left-to-right merge), zero tolerance. The apply path is then
+    * checked end-to-end: the persisted vocabulary tokenization must
+    * round-trip (concat of symbols == word) and the per-doc BPE token
+    * counts must equal a from-scratch in-memory tokenization of every
+    * document. */
+  test("BPE trainer matches an independent in-memory reference exactly") {
+    import graft.operators.Bpe
+    // ---- independent reference: plain Scala on collected word counts
+    val wc = Bpe.wordCounts(Tables.documents(spark, Sf), "text")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).sortBy(_._1)
+    var syms: Array[(String, Array[String], Long)] =
+      wc.map { case (w, c) => (w, w.map(_.toString).toArray, c) }
+    def applyRef(ss: Array[String], a: String, b: String): Array[String] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      ss.foreach { sy =>
+        if (out.nonEmpty && out.last == a && sy == b) out(out.length - 1) = a + b
+        else out += sy
+      }
+      out.toArray
+    }
+    val ref = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, String, Long)]
+    for (r <- 1 to 20) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      syms.foreach { case (_, ss, c) =>
+        var i = 0
+        while (i < ss.length - 1) {
+          counts((ss(i), ss(i + 1))) = counts.getOrElse((ss(i), ss(i + 1)), 0L) + c
+          i += 1
+        }
+      }
+      val ((a, b), c) = counts.minBy { case ((l, rr), cnt) => (-cnt, l, rr) }
+      ref += ((r, a, b, a + b, c))
+      syms = syms.map { case (w, ss, c2) => (w, applyRef(ss, a, b), c2) }
+    }
+    // ---- the distributed trainer's output, exactly
+    val got = SparkEntry.queries("text_bpe_train")(spark, Sf).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getString(3), r.getLong(4)))
+    assert(got.toSeq == ref.toSeq,
+      s"trainer diverged from the reference:\n got=${got.take(5).mkString(", ")}\n ref=${ref.take(5).mkString(", ")}")
+
+    // ---- apply path: vocabulary round-trip + per-doc count equality
+    val (_, symsP) = graft.queries.TextQueries.ensureBpe(spark, Sf)
+    val vocabRows = spark.read.parquet(symsP)
+      .select(col("word"), col("symbols")).collect()
+    vocabRows.foreach { r =>
+      val w = r.getString(0); val ss = r.getSeq[String](1)
+      assert(ss.mkString == w, s"round-trip broke for '$w': $ss")
+    }
+    val refLen = syms.map { case (w, ss, _) => w -> ss.length }.toMap
+    val sparkLen = vocabRows.map(r => r.getString(0) -> r.getSeq[String](1).length).toMap
+    assert(sparkLen == refLen, "vocabulary tokenization lengths diverge")
+    val expected = Tables.documents(spark, Sf)
+      .select(col("doc_id"), col("text")).collect().flatMap { r =>
+        val ws = r.getString(1).trim.split("\\s+").filter(_.matches("^[a-z]+$"))
+        if (ws.isEmpty) None
+        else Some((r.getLong(0), ws.length.toLong, ws.map(w => refLen(w).toLong).sum))
+      }.sortBy(_._1).toSeq
+    val gotApply = SparkEntry.queries("text_bpe_apply")(spark, Sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(gotApply == expected,
+      s"apply counts diverge: got ${gotApply.take(3)}, want ${expected.take(3)}")
+  }
 }
