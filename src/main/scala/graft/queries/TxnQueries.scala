@@ -239,6 +239,82 @@ object TxnQueries {
           UNION ALL
           SELECT p_partkey + $InsertOffset FROM part WHERE p_partkey % 7 = 0)"""
 
+  // ------------------------------------------------------ txn_cluster
+  /** OPTIMIZE ZORDER through the oracle gate: build the table, run a
+    * delete (so the clustered content is a real mutation product),
+    * then [[GraftTable.cluster]] on (p_size, p_partkey). The
+    * clustering rewrite must preserve content EXACTLY — the read-back
+    * hash-matches DuckDB's relational reconstruction — while the
+    * file-level selectivity it buys is asserted separately
+    * (GraftTableSpec's 64×64 grid prune). ×-free oracle: only rows
+    * move, never values. */
+  private def clusterPath(s: SparkSession, d: String): String = {
+    val part = Tables.part(s, d)
+    built(freshDir("cluster", d)) { p =>
+      val t = GraftTable.create(s, p, part.repartition(8),
+        statsCols = Seq("p_partkey", "p_size"))
+      t.delete(col("p_partkey") % 11 === 0)
+      t.cluster(Seq("p_size", "p_partkey"), targetBytes = 64L << 10)
+    }
+  }
+
+  private def readClustered(s: SparkSession, path: String): DataFrame =
+    GraftTable.open(s, path).read()
+      .select(partCols.map(col): _*)
+      .orderBy("p_partkey")
+
+  private def txnCluster(s: SparkSession, d: String): DataFrame =
+    readClustered(s, clusterPath(s, d))
+
+  private val txnClusterSql = s"""
+    SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+    FROM part WHERE p_partkey % 11 <> 0
+    ORDER BY p_partkey"""
+
+  // --------------------------------------------------- txn_index_sync
+  /** CDF-driven index maintenance on the oracle gate
+    * ([[graft.operators.IvfIndex.syncFromChanges]]): a base table of
+    * embeddings takes a delete + an append, the cell-clustered index
+    * table syncs from the base's change feed, and the synced index's
+    * ID SET must hash-match DuckDB's relational reconstruction of the
+    * mutated base — the sync protocol (COW delete propagation +
+    * assigned append), not a re-derivation, produced what the oracle
+    * checks. Cell assignment itself is k-means (not SQL-expressible);
+    * its correctness is spec'd in IvfSyncSpec's
+    * synced-≡-fresh-assignment contract. */
+  private def indexSyncPath(s: SparkSession, d: String): String = {
+    val emb = Tables.embeddings(s, d)
+    built(freshDir("ivfsync", d)) { p =>
+      val baseP = new java.io.File(new java.io.File(p).getParentFile, "base").toString
+      val base = GraftTable.create(s, baseP, emb, statsCols = Seq("vec_id"))
+      val v1 = base.version
+      val (indexed, centroids) = graft.operators.IvfIndex.buildIndex(
+        emb, "vec_id", "embedding", nlist = 16, spill = 1)
+      val index = GraftTable.create(s, p,
+        indexed.repartitionByRange(8, col("centroid_id")),
+        statsCols = Seq("centroid_id", "vec_id"))
+      base.delete(col("vec_id") % 7 === 1)
+      base.append(emb.filter(col("vec_id") % 9 === 2)
+        .withColumn("vec_id", col("vec_id") + InsertOffset))
+      graft.operators.IvfIndex.syncFromChanges(
+        index, base.changes(v1), "vec_id", "embedding", centroids)
+      ()
+    }
+  }
+
+  private def readSyncedIds(s: SparkSession, path: String): DataFrame =
+    GraftTable.open(s, path).read()
+      .select(col("vec_id")).orderBy("vec_id")
+
+  private def txnIndexSync(s: SparkSession, d: String): DataFrame =
+    readSyncedIds(s, indexSyncPath(s, d))
+
+  private val txnIndexSyncSql = s"""
+    SELECT vec_id FROM embeddings WHERE vec_id % 7 <> 1
+    UNION ALL
+    SELECT vec_id + $InsertOffset FROM embeddings WHERE vec_id % 9 = 2
+    ORDER BY vec_id"""
+
   // --------------------------------------------------- txn_stats_auto
   /** The OPTIMIZER-picked twin of txn_stats_agg
     * ([[graft.plans.GraftStatsRule]]): the query is a plain
@@ -302,6 +378,12 @@ object TxnQueries {
   def statsAutoBench(s: SparkSession, d: String): (() => Unit, () => DataFrame) =
     benchSplit(mergePath, None, (s, _) => txnStatsAuto(s, d))(s, d)
 
+  def clusterBench(s: SparkSession, d: String): (() => Unit, () => DataFrame) =
+    benchSplit(clusterPath, Some("cluster"), readClustered)(s, d)
+
+  def indexSyncBench(s: SparkSession, d: String): (() => Unit, () => DataFrame) =
+    benchSplit(indexSyncPath, Some("ivfsync"), readSyncedIds)(s, d)
+
   def restoreBench(s: SparkSession, d: String): (() => Unit, () => DataFrame) =
     benchSplit(restorePath, Some("restore"), readRestored)(s, d)
 
@@ -316,5 +398,7 @@ object TxnQueries {
     "txn_evolve"     -> QueryDef(txnEvolve _, txnEvolveSql),
     "txn_stats_agg"  -> QueryDef(txnStatsAgg _, txnStatsAggSql),
     "txn_stats_auto" -> QueryDef(txnStatsAuto _, txnStatsAggSql),
+    "txn_cluster"    -> QueryDef(txnCluster _, txnClusterSql),
+    "txn_index_sync" -> QueryDef(txnIndexSync _, txnIndexSyncSql),
   )
 }

@@ -87,6 +87,29 @@ class IvfSyncSpec extends SparkSpec {
     assert(hit.map(_.getLong(0)).toSet == Set(3L, 100003L),
       s"appended twin of vec 3 not found: ${hit.mkString(", ")}")
     assert(index.read().filter(col("vec_id") === delIds.head).isEmpty)
+
+    // and the optimizer probe still file-skips on the SYNCED table:
+    // a 1-cell probe over the registered store must plan over a
+    // strict subset of the snapshot's files (the rewritten + appended
+    // files prune via their own commits, no re-registration)
+    graft.plans.IvfCatalog.registerTable(index, centroids, nprobe = 1)
+    graft.plans.IvfProbeRule.install(spark)
+    try {
+      val knn = index.read()
+        .select(col("vec_id"),
+          graft.functions.VectorDistance.l2(col("embedding"), typedLit(q)).as("dist"))
+        .orderBy(col("dist"), col("vec_id"))
+        .limit(2)
+      val total = index.snapshotMetas().size
+      val scanned = knn.queryExecution.executedPlan.collect {
+        case sc: org.apache.spark.sql.execution.FileSourceScanExec =>
+          sc.relation.location.inputFiles.length
+      }.sum
+      assert(scanned < total,
+        s"probe over the synced table scanned all $total files")
+      assert(knn.collect().map(_.getLong(0)).toSet == Set(3L, 100003L),
+        "probe over the synced table lost the distance-0 twins")
+    } finally graft.plans.IvfCatalog.invalidate(index.path)
   }
 
   test("deleteKeys: COW accounting, no-ops, and serializable base") {
