@@ -107,6 +107,57 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
+  // --------------------------------------------------- decontam_semantic
+  /** Embedding-space decontamination — the semantic complement of the
+    * n-gram overlap scans: a corpus item is contaminated if it sits
+    * within cosine [[SemTau]] of ANY eval-set embedding (the
+    * paraphrase/translation leak n-grams can't see; the check modern
+    * eval-hygiene pipelines run alongside exact-match).
+    *
+    * Scale shape: the eval set is driver-collected and folded into
+    * the projection as literals — eval suites are thousands of rows,
+    * corpora are billions, so the right asymmetry is a SHUFFLE-FREE
+    * single corpus scan computing all |eval| sims per row (at larger
+    * eval sets: broadcast-join + groupBy, or route through the ANN
+    * index family). Bit-exact: each cosine is the §3 sequential-fold
+    * kernel, max is an exact pick, the flag count is integer. */
+  private val SemTau = 0.28
+  private val SemEvalIds = 1 to 5
+
+  private def decontamSemantic(s: SparkSession, d: String): DataFrame = {
+    val evals = Tables.embeddings(s, d)
+      .filter(col("vec_id").between(SemEvalIds.head, SemEvalIds.last))
+      .orderBy(col("vec_id"))
+      .select(col("embedding").cast("array<double>"))
+      .collect().map(_.getSeq[Double](0))
+    val sims = evals.map(ev =>
+      graft.functions.VectorFunctions.cosineSimilarity(
+        col("embedding"), typedLit(ev)))
+    val nClose = sims.map(c => when(c >= SemTau, lit(1L)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    Tables.embeddings(s, d)
+      .filter(col("vec_id") > SemEvalIds.last)
+      .select(col("vec_id"), nClose.as("n_close"), greatest(sims: _*).as("max_cos"))
+      .filter(col("n_close") > 0)
+      .orderBy(col("vec_id"))
+  }
+
+  private val decontamSemanticSql: String = s"""
+    WITH ev AS (
+      SELECT CAST(embedding AS DOUBLE[]) AS ev
+      FROM embeddings
+      WHERE vec_id BETWEEN ${SemEvalIds.head} AND ${SemEvalIds.last}),
+    s AS (
+      SELECT e.vec_id,
+             CAST(sum(CASE WHEN list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), ev.ev) >= $SemTau THEN 1 ELSE 0 END) AS BIGINT) AS n_close,
+             max(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), ev.ev)) AS max_cos
+      FROM embeddings e CROSS JOIN ev
+      WHERE e.vec_id > ${SemEvalIds.last}
+      GROUP BY e.vec_id)
+    SELECT vec_id, n_close, max_cos FROM s
+    WHERE n_close > 0
+    ORDER BY vec_id"""
+
   // -------------------------------------------------------- pack_tokens
   /** Concat-then-split packing of documents into 512-token training
     * sequences, packed independently per source shard. */
@@ -340,6 +391,7 @@ object CurationQueries {
     "sample_stratified" -> QueryDef(sampleStratified _, sampleStratifiedSql),
     "mix_temperature" -> QueryDef(mixTemperature _, mixTemperatureSql),
     "decontam_ngram" -> QueryDef(decontam _, decontamSql),
+    "decontam_semantic" -> QueryDef(decontamSemantic _, decontamSemanticSql),
     "decontam_bloom" -> QueryDef(decontamBloom _, None),
     "pack_tokens"    -> QueryDef(packTokens _, packTokensSql),
   )

@@ -340,6 +340,51 @@ object TextQueries {
     GROUP BY doc_id
     ORDER BY doc_id"""
 
+  // ------------------------------------------------- bigram LM surprisal
+  /** Bigram-LM surprisal — the stronger CCNet/KenLM-shaped quality
+    * signal: per adjacent pair (w₁,w₂), surprisal ≈ −log₂ p(w₂|w₁) =
+    * bits(c(w₁·)) − bits(c(w₁w₂)) with the same INTEGER log₂-floor
+    * contract as text_surprisal (binary string length — transcendental
+    * log is not bit-portable across libm). The context count c(w₁·)
+    * counts bigram starts, so every pair's conditional is well-defined
+    * and ≥ its own occurrence — no unseen-event backoff needed when
+    * scoring the training corpus itself.
+    *
+    * Scale shape: bigrams come from the shuffle-free positional
+    * shingle projection; the two count tables are map-side-combined
+    * groupBys; the count joins are broadcast here (bigram vocab ≪
+    * corpus) and become shuffle joins keyed on the n-gram at web
+    * scale; the per-doc mean is map-side combinable. */
+  private def lmBigram(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.documents(s, d)
+      .select(col("doc_id"), explode(shingles(tokens(col("text")), 2)).as("bg"))
+      .select(col("doc_id"), col("bg"),
+        element_at(split(col("bg"), " "), 1).as("w1"))
+    val c2 = big.groupBy(col("bg")).agg(count(lit(1)).as("c2"))
+    val c1 = big.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    def bits(x: org.apache.spark.sql.Column) =
+      length(conv(x, 10, 2)).cast("long") - 1L
+    big
+      .join(broadcast(c2), "bg")
+      .join(broadcast(c1), "w1")
+      .select(col("doc_id"), (bits(col("c1")) - bits(col("c2"))).as("sbits"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), avg(col("sbits")).as("bigram_surprisal"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val lmBigramSql: String = s"""
+    WITH tok AS (SELECT doc_id, ${tokensSql("text")} AS t FROM documents),
+    big AS (SELECT doc_id, unnest(${shinglesSql("t", 2)}) AS bg FROM tok),
+    bigw AS (SELECT doc_id, bg, string_split(bg, ' ')[1] AS w1 FROM big),
+    c2 AS (SELECT bg, count(*) AS c2 FROM bigw GROUP BY bg),
+    c1 AS (SELECT w1, count(*) AS c1 FROM bigw GROUP BY w1)
+    SELECT doc_id, count(*) AS n_bigrams,
+           avg((length(bin(c1.c1)) - 1) - (length(bin(c2.c2)) - 1)) AS bigram_surprisal
+    FROM bigw JOIN c2 USING (bg) JOIN c1 USING (w1)
+    GROUP BY doc_id
+    ORDER BY doc_id"""
+
   // ---------------------------------------------- heavy-hitter tokens
   /** Approximate corpus top-k tokens via the SpaceSaving summary
     * ([[graft.functions.SketchAggregates.heavyHitters]]): ONE bounded
@@ -466,6 +511,7 @@ object TextQueries {
   val defs: Map[String, QueryDef] = Map(
     "text_topk_sketch" -> QueryDef(topkSketch _, None),
     "text_surprisal"   -> QueryDef(surprisal _, surprisalSql),
+    "text_lm_bigram"   -> QueryDef(lmBigram _, lmBigramSql),
     "text_bm25"        -> QueryDef(bm25 _, bm25Sql),
     "text_repetition"  -> QueryDef(repetition _, repetitionSql),
     "text_ngram_freq"  -> QueryDef(ngramFreq _, ngramFreqSql),

@@ -563,6 +563,164 @@ object VectorQueries {
       WHERE m.rank < $K)
     SELECT rank, vec_id, rel, mmr_score FROM mmr ORDER BY rank"""
 
+  // -------------------------------------------- reciprocal rank fusion
+  /** RRF hybrid fusion (Cormack/Clarke/Buettcher, SIGIR 2009) — the
+    * rank-based alternative to vs_hybrid's score blend: each
+    * retriever contributes 1/(60+rank), so systems with incomparable
+    * score scales (lexical term overlap vs dense cosine) fuse without
+    * normalization — the fusion Elasticsearch/Vespa/pgvector hybrid
+    * stacks default to.
+    *
+    * Scale shape: each retriever runs its own top-`RrfShortlist`
+    * (TakeOrderedAndProject — per-partition heaps, no global sort);
+    * ranks are then row_number over the collected m-row shortlists
+    * (constant size, the single-partition window is over m rows, not
+    * the corpus) and the fuse is an m-vs-m join. A doc outside a
+    * shortlist contributes rank 0 = "absent" (no fusion term), the
+    * standard RRF convention. Bit-exact: ranks are integers and each
+    * fusion term is one double division in fixed add order in both
+    * engines. */
+  private val RrfC = 60
+  private val RrfShortlist = 50
+
+  private def hybridRrf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = Seq("fast", "join", "vector")
+    val toks = graft.functions.TextFunctions.tokens(col("text"))
+    val termFrac = terms.map(t =>
+      when(array_contains(toks, t), lit(1.0)).otherwise(lit(0.0)))
+      .reduce(_ + _) / terms.length.toDouble
+    val lexShort = Tables.documents(s, d).filter(col("doc_id") =!= 0)
+      .select(col("doc_id"), termFrac.as("lex"))
+      .orderBy(col("lex").desc, col("doc_id"))
+      .limit(RrfShortlist)
+    val vecShort = corpus(s, d)
+      .crossJoin(broadcast(queryVec(s, d)))
+      .select(col("vec_id").as("doc_id"),
+        graft.functions.VectorFunctions.cosineSimilarity(col("embedding"), col("qvec"))
+          .as("cos"))
+      .orderBy(col("cos").desc, col("doc_id"))
+      .limit(RrfShortlist)
+    // constant-m frames: the unpartitioned window ranks m rows, never
+    // the corpus
+    val lr = lexShort.select(col("doc_id"),
+      row_number().over(Window.orderBy(col("lex").desc, col("doc_id")))
+        .cast("long").as("r_lex"))
+    val vr = vecShort.select(col("doc_id"),
+      row_number().over(Window.orderBy(col("cos").desc, col("doc_id")))
+        .cast("long").as("r_vec"))
+    lr.join(vr, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        coalesce(col("r_lex"), lit(0L)).as("r_lex"),
+        coalesce(col("r_vec"), lit(0L)).as("r_vec"))
+      .select(col("doc_id"), col("r_lex"), col("r_vec"),
+        (when(col("r_lex") > 0, lit(1.0) / (lit(RrfC) + col("r_lex"))).otherwise(lit(0.0))
+          + when(col("r_vec") > 0, lit(1.0) / (lit(RrfC) + col("r_vec"))).otherwise(lit(0.0)))
+          .as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(K)
+  }
+
+  private val hybridRrfSql = s"""
+    WITH lex AS (
+      SELECT doc_id,
+             ((CASE WHEN list_contains(${graft.functions.TextFunctions.tokensSql("text")}, 'fast') THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN list_contains(${graft.functions.TextFunctions.tokensSql("text")}, 'join') THEN 1.0 ELSE 0.0 END)
+            + (CASE WHEN list_contains(${graft.functions.TextFunctions.tokensSql("text")}, 'vector') THEN 1.0 ELSE 0.0 END)) / 3.0 AS lex
+      FROM documents WHERE doc_id <> 0
+      ORDER BY lex DESC, doc_id LIMIT $RrfShortlist),
+    lr AS (SELECT doc_id, row_number() OVER (ORDER BY lex DESC, doc_id) AS r_lex FROM lex),
+    vec AS (
+      SELECT e.vec_id AS doc_id,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])) AS cos
+      FROM embeddings e
+      CROSS JOIN (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0) q
+      WHERE e.vec_id <> 0
+      ORDER BY cos DESC, doc_id LIMIT $RrfShortlist),
+    vr AS (SELECT doc_id, row_number() OVER (ORDER BY cos DESC, doc_id) AS r_vec FROM vec),
+    fused AS (
+      SELECT COALESCE(lr.doc_id, vr.doc_id) AS doc_id,
+             COALESCE(lr.r_lex, 0) AS r_lex,
+             COALESCE(vr.r_vec, 0) AS r_vec
+      FROM lr FULL OUTER JOIN vr ON lr.doc_id = vr.doc_id)
+    SELECT doc_id, r_lex, r_vec,
+           (CASE WHEN r_lex > 0 THEN 1.0 / ($RrfC + r_lex) ELSE 0.0 END)
+         + (CASE WHEN r_vec > 0 THEN 1.0 / ($RrfC + r_vec) ELSE 0.0 END) AS rrf
+    FROM fused
+    ORDER BY rrf DESC, doc_id
+    LIMIT $K"""
+
+  // ------------------------------------------- Matryoshka / subvector
+  /** Matryoshka two-phase KNN — pgvector's documented `subvector()`
+    * index pattern for MRL embeddings (Kusupati et al., NeurIPS 2022:
+    * the first m dims of an MRL embedding are themselves a usable
+    * embedding): phase 1 ranks by L2 over the first [[MrlHead]] dims
+    * read from a persisted (id, head) sidecar — dims/64ths of the
+    * scan IO, the same packed-sidecar discipline as
+    * [[operators.BinaryQuant]] (ReadSchema plan-asserted in MrlSpec)
+    * — and phase 2 exactly re-ranks the `MrlShortlist` survivors
+    * pulled by an `In` filter pushed to the full-precision scan.
+    *
+    * Unlike BQ/SQ/PQ the coarse metric here is an EXACT L2 over a
+    * deterministic prefix, so the whole two-phase pipeline is
+    * bit-reproducible and the DuckDB oracle replays it with list
+    * slicing — no recall gate needed, the contract is exact. */
+  private val MrlHead = 16
+  private val MrlShortlist = 50
+
+  /** Build-once (vec_id, head) sidecar: the first [[MrlHead]] dims. */
+  private def ensureMrlStore(s: SparkSession, d: String): String = {
+    val p = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_mrl_v1_${Integer.toHexString(d.hashCode)}").toString
+    VectorQueries.synchronized {
+      if (!new java.io.File(p, "_SUCCESS").exists())
+        corpus(s, d)
+          .select(col("vec_id"), slice(col("embedding"), 1, MrlHead).as("head"))
+          .write.mode("overwrite").parquet(p)
+    }
+    p
+  }
+
+  /** Exposed for MrlSpec's ReadSchema assertion. */
+  private[graft] def mrlShortlistPlan(s: SparkSession, d: String): DataFrame = {
+    val q = Tables.embeddings(s, d).filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head.getSeq[Double](0).toArray
+    s.read.parquet(ensureMrlStore(s, d))
+      .select(col("vec_id"),
+        graft.functions.VectorDistance.l2(col("head"), typedLit(q.take(MrlHead).toSeq))
+          .as("cd"))
+      .orderBy(col("cd"), col("vec_id"))
+      .limit(MrlShortlist)
+  }
+
+  private def mrlKnn(s: SparkSession, d: String): DataFrame = {
+    val emb = Tables.embeddings(s, d)
+    val q = emb.filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head.getSeq[Double](0).toArray
+    val ids = mrlShortlistPlan(s, d)
+      .select(col("vec_id")).collect().map(_.getLong(0))
+    emb.filter(col("vec_id").isin(ids: _*))
+      .select(col("vec_id"),
+        graft.functions.VectorDistance.l2(col("embedding"), typedLit(q.toSeq)).as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(K)
+  }
+
+  private val mrlKnnSql = s"""
+    WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+    short AS (
+      SELECT e.vec_id
+      FROM embeddings e CROSS JOIN q
+      WHERE e.vec_id <> 0
+      ORDER BY list_distance(CAST(e.embedding[1:$MrlHead] AS DOUBLE[]),
+                             CAST(q.qvec[1:$MrlHead] AS DOUBLE[])), e.vec_id
+      LIMIT $MrlShortlist)
+    SELECT e.vec_id AS vec_id,
+           list_distance(CAST(e.embedding AS DOUBLE[]), CAST(q.qvec AS DOUBLE[])) AS dist
+    FROM embeddings e JOIN short USING (vec_id) CROSS JOIN q
+    ORDER BY dist, vec_id
+    LIMIT $K"""
+
   // ----------------------------------------------------- sparse vectors
   /** Corpus as sparse term-frequency vectors — the pgvector
     * `sparsevec` layout: per doc, (sidx, sval) sorted-ascending
@@ -1304,6 +1462,8 @@ object VectorQueries {
     "vs_knn_filtered" -> QueryDef(knnFiltered _, knnFilteredSql),
     "vs_hybrid"       -> QueryDef(hybrid _, hybridSql),
     "vs_rerank_mmr"   -> QueryDef(rerankMmr _, rerankMmrSql),
+    "vs_hybrid_rrf"   -> QueryDef(hybridRrf _, hybridRrfSql),
+    "vs_mrl_knn"      -> QueryDef(mrlKnn _, mrlKnnSql),
     "vs_multivec_maxsim" -> QueryDef(multivecMaxsim _, multivecMaxsimSql),
     "vs_sparse_knn"   -> QueryDef(sparseKnn _, sparseKnnSql),
     "vs_hybrid_sparse" -> QueryDef(hybridSparse _, hybridSparseSql),

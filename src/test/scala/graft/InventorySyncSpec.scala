@@ -22,8 +22,8 @@ class InventorySyncSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the documented outcome") {
-    assert(SparkEntry.queries.size == 119)
-    assert(SparkEntry.oracleSql.size == 96)
+    assert(SparkEntry.queries.size == 125)
+    assert(SparkEntry.oracleSql.size == 102)
   }
 
   test("every rows-only (non-oracled) query carries a gate in RecallGateSpec") {
