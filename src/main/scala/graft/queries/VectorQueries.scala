@@ -575,11 +575,15 @@ object VectorQueries {
     * (TakeOrderedAndProject — per-partition heaps, no global sort);
     * ranks are then row_number over the collected m-row shortlists
     * (constant size, the single-partition window is over m rows, not
-    * the corpus) and the fuse is an m-vs-m join. A doc outside a
-    * shortlist contributes rank 0 = "absent" (no fusion term), the
-    * standard RRF convention. Bit-exact: ranks are integers and each
-    * fusion term is one double division in fixed add order in both
-    * engines. */
+    * the corpus) and the fuse is a UNION + one hash aggregate — not a
+    * join: each retriever emits (doc, rank) with zeros for the other
+    * retrievers' slots and a map-side-combined max folds them, which
+    * generalizes to R retrievers with no R-way outer join (a full
+    * outer join cannot broadcast and would plan a SortMergeJoin). A
+    * doc outside a shortlist keeps rank 0 = "absent" (no fusion
+    * term), the standard RRF convention. Bit-exact: ranks are
+    * integers and each fusion term is one double division in fixed
+    * add order in both engines. */
   private val RrfC = 60
   private val RrfShortlist = 50
 
@@ -609,10 +613,10 @@ object VectorQueries {
     val vr = vecShort.select(col("doc_id"),
       row_number().over(Window.orderBy(col("cos").desc, col("doc_id")))
         .cast("long").as("r_vec"))
-    lr.join(vr, Seq("doc_id"), "full_outer")
-      .select(col("doc_id"),
-        coalesce(col("r_lex"), lit(0L)).as("r_lex"),
-        coalesce(col("r_vec"), lit(0L)).as("r_vec"))
+    lr.select(col("doc_id"), col("r_lex"), lit(0L).as("r_vec"))
+      .unionAll(vr.select(col("doc_id"), lit(0L).as("r_lex"), col("r_vec")))
+      .groupBy(col("doc_id"))
+      .agg(max(col("r_lex")).as("r_lex"), max(col("r_vec")).as("r_vec"))
       .select(col("doc_id"), col("r_lex"), col("r_vec"),
         (when(col("r_lex") > 0, lit(1.0) / (lit(RrfC) + col("r_lex"))).otherwise(lit(0.0))
           + when(col("r_vec") > 0, lit(1.0) / (lit(RrfC) + col("r_vec"))).otherwise(lit(0.0)))
