@@ -15,7 +15,8 @@ object SparkEntry {
       TextQueries.defs ++ DedupQueries.defs ++
       PipelineQueries.defs ++ MultimodalQueries.defs ++
       AnalyticsQueries.defs ++ RelationalExtQueries.defs ++
-      CurationQueries.defs ++ TxnQueries.defs ++ GraphQueries.defs
+      CurationQueries.defs ++ TxnQueries.defs ++ GraphQueries.defs ++
+      TpchDeepQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's headline operation: top-k vector search. */
