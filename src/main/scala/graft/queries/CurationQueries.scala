@@ -384,7 +384,73 @@ object CurationQueries {
     ORDER BY stage"""
   }
 
+  // ----------------------------------------------------------- curate_dsir
+  private val DsirBuckets = 8192
+  private val DsirTopN = 25
+
+  /** DSIR-style data selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): rank raw documents
+    * by their hashed-n-gram importance under a target distribution
+    * (here: the English slice stands in for the curated target).
+    * Per bigram, the importance is the log-likelihood ratio
+    * log p_target(bucket) − log p_raw(bucket) over [[DsirBuckets]]
+    * hashed bigram buckets (the paper's feature choice — and the one
+    * that carries signal on this fixture, whose languages share one
+    * unigram vocabulary and differ only in transition statistics);
+    * per doc, the MEAN ratio (length-debiased). Logs use the INTEGER
+    * log₂-floor bits() contract (binary-string length, +1-smoothed)
+    * — same cross-engine portability choice as text_surprisal, and
+    * the per-doc mean of longs is exact, so the ranking is
+    * bit-identical to DuckDB. (The paper's float logs would not
+    * hash-match across libm implementations; at bits granularity the
+    * selection recovers 23/25 target-language docs here.)
+    *
+    * Scale shape: ONE map-side-combined groupBy builds both corpus
+    * histograms (target via conditional count) — the bucket table is
+    * [[DsirBuckets]] rows regardless of corpus size, broadcast back
+    * over the bigram stream; the per-doc reduce is map-side
+    * combinable. Two linear passes over the shuffle-free positional
+    * shingle projection, no shuffle wider than doc_id. At 100 TB the
+    * bigram projection would be materialized once (Materializer)
+    * instead of recomputed per pass. */
+  private def dsir(s: SparkSession, d: String): DataFrame = {
+    val tok = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(shingles(tokens(col("text")), 2)).as("w"))
+      .select(col("doc_id"), col("lang"),
+        (hash64(col("w")) % DsirBuckets).as("b"))
+    def bits(x: org.apache.spark.sql.Column) =
+      length(conv(x, 10, 2)).cast("long") - 1L
+    val scores = tok.groupBy(col("b"))
+      .agg(count(lit(1)).as("cr"),
+        count(when(col("lang") === "en", 1)).as("ct"))
+      .select(col("b"), (bits(col("ct") + 1) - bits(col("cr") + 1)).as("sc"))
+    tok.join(broadcast(scores), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), avg(col("sc")).as("dsir_score"))
+      .orderBy(col("dsir_score").desc, col("doc_id"))
+      .limit(DsirTopN)
+  }
+
+  private val dsirSql: String = s"""
+    WITH toks AS (
+      SELECT doc_id, lang, ${tokensSql("text")} AS t FROM documents),
+    tok AS (
+      SELECT doc_id, lang, ${hash64Sql("w")} % $DsirBuckets AS b
+      FROM (SELECT doc_id, lang, unnest(${shinglesSql("t", 2)}) AS w FROM toks)),
+    sc AS (
+      SELECT b,
+             (length(bin(count(*) FILTER (lang = 'en') + 1)) - 1)
+             - (length(bin(count(*) + 1)) - 1) AS sc
+      FROM tok GROUP BY b)
+    SELECT doc_id, count(*) AS n_bigrams, avg(sc) AS dsir_score
+    FROM tok JOIN sc USING (b)
+    GROUP BY doc_id
+    ORDER BY dsir_score DESC, doc_id
+    LIMIT $DsirTopN"""
+
   val defs: Map[String, QueryDef] = Map(
+    "curate_dsir"    -> QueryDef(dsir _, dsirSql),
     "pii_scan"       -> QueryDef(piiScan _, piiScanSql),
     "curate_funnel"  -> QueryDef(funnel _, funnelSql),
     "mix_sample"     -> QueryDef(mixSample _, mixSampleSql),
