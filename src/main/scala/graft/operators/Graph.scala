@@ -80,10 +80,11 @@ object Graph {
     val sym = undirected.select(col("u").as("s"), col("v").as("t"))
       .unionAll(undirected.select(col("v").as("s"), col("u").as("t")))
     val deg = sym.groupBy(col("s")).agg(count(lit(1)).as("deg"))
-    // orient by (deg, id): lo → hi
+    // orient by (deg, id): lo → hi; the node-sized degree table
+    // (nodes ≪ edges) is the hash-build side
     val o = undirected
-      .join(deg.select(col("s").as("u"), col("deg").as("du")), "u")
-      .join(deg.select(col("s").as("v"), col("deg").as("dv")), "v")
+      .join(deg.select(col("s").as("u"), col("deg").as("du")).hint("shuffle_hash"), "u")
+      .join(deg.select(col("s").as("v"), col("deg").as("dv")).hint("shuffle_hash"), "v")
       .select(
         when(col("du") < col("dv") ||
              (col("du") === col("dv") && col("u") < col("v")),
@@ -91,9 +92,13 @@ object Graph {
         when(col("du") < col("dv") ||
              (col("du") === col("dv") && col("u") < col("v")),
           col("v")).otherwise(col("u")).as("hi"))
+    // shuffled-hash, not sort-merge: pure-equality edge⋈edge joins
+    // gain nothing from the sort, and the oriented out-edge build
+    // side is degree-bounded (≤ O(√m) per node), so the per-partition
+    // hash table cannot blow up even on skewed graphs
     val e1 = o.select(col("lo").as("a"), col("hi").as("b"))
-    val e2 = o.select(col("lo").as("b2"), col("hi").as("c"))
-    val e3 = o.select(col("lo").as("a3"), col("hi").as("c3"))
+    val e2 = o.select(col("lo").as("b2"), col("hi").as("c")).hint("shuffle_hash")
+    val e3 = o.select(col("lo").as("a3"), col("hi").as("c3")).hint("shuffle_hash")
     val tri = e1.join(e2, col("b") === col("b2"))
       .join(e3, col("a") === col("a3") && col("c") === col("c3"))
       .select(col("a"), col("b"), col("c"))

@@ -248,8 +248,11 @@ object TpchDeepQueries {
         countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"))
       .filter(col("n_supp") >= 2 && col("n_late_supp") === 1)
       .select(col("l_orderkey").as("ok"))
+    // shuffled-hash: the per-order qualifier table is one row per
+    // surviving order (≪ lineitems) — hashing it beats sorting both
+    // sides, and the join key is pure equality
     lo.filter(col("late"))
-      .join(perOrder, col("l_orderkey") === col("ok"))
+      .join(perOrder.hint("shuffle_hash"), col("l_orderkey") === col("ok"))
       .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
       .groupBy(col("s_name"))
       .agg(count(lit(1)).as("numwait"))
