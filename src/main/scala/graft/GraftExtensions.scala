@@ -1,15 +1,42 @@
 package graft
 
-import graft.functions.VectorDistanceExpr
+import graft.functions.{HalfDistExpr, HammingDistExpr, JaccardDistExpr,
+  L2NormalizeExpr, SignPackExpr, HalfPackExpr, SparseDistExpr,
+  VectorDistance, VectorDistanceExpr, Half}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo,
+  Size, Slice, Sqrt}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType}
 
-/** SQL surface of the engine: registers the pgvector operators as SQL
-  * functions, so `spark.sql("... ORDER BY vec_l2(embedding, q) LIMIT
-  * 5")` is the literal Spark translation of the reference's
+/** SQL surface of the engine: registers the pgvector operator and
+  * function family as SQL functions, so
+  * `spark.sql("... ORDER BY vec_l2(embedding, q) LIMIT 5")` is the
+  * literal Spark translation of the reference's
   * `ORDER BY embedding <-> ?::vector LIMIT 5`
   * (SSEOpenAIController.java:316).
+  *
+  * Parity map (pgvector → here):
+  *  - `<->` l2_distance → `vec_l2`; `<#>` → `-vec_dot`;
+  *    `<=>` cosine_distance → `vec_cos_dist`; `<+>` l1_distance →
+  *    `vec_l1`
+  *  - `<~>` hamming_distance → `vec_hamming`; `<%>`
+  *    jaccard_distance → `vec_jaccard` (over `vec_binary_quantize`
+  *    sign-packed words — pgvector's `bit(n)` storage)
+  *  - `binary_quantize` → `vec_binary_quantize`; `::halfvec` →
+  *    `vec_half` (+ `vec_half_l2` / `vec_half_dot` over the packed
+  *    column); `l2_normalize` → `vec_l2_normalize`; `vector_norm` →
+  *    `vec_norm`; `subvector` → `vec_subvector` (1-based, like
+  *    pgvector); `vector_dims` → `vec_dims`
+  *  - `sparsevec` inner product / cosine → `sparse_dot` /
+  *    `sparse_cos_sim` over sorted (indices, values) pairs
+  *
+  * Query-side arguments of the quantized kernels (`vec_hamming`,
+  * `vec_jaccard`, `vec_half_*`, `sparse_*`) must be FOLDABLE — they
+  * are driver metadata baked into the codegen'd scan, exactly how
+  * the DataFrame API passes them; a non-literal raises at analysis,
+  * not at runtime.
   *
   * Install with:
   * {{{
@@ -18,23 +45,108 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * }}}
   */
 object GraftExtensions {
+
+  // ------------------------------------------------ literal extraction
+  private def litArray(e: Expression, fn: String): ArrayData = {
+    require(e.foldable, s"$fn: the query argument must be a literal")
+    val v = e.eval(null)
+    require(v != null, s"$fn: the query argument must not be NULL")
+    v.asInstanceOf[ArrayData]
+  }
+
+  private def litLongs(e: Expression, fn: String): Array[Long] =
+    litArray(e, fn).toLongArray()
+
+  private def litDoubles(e: Expression, fn: String): Array[Double] = {
+    val a = litArray(e, fn)
+    e.dataType match {
+      case ArrayType(DoubleType, _) => a.toDoubleArray()
+      case ArrayType(FloatType, _)  => a.toFloatArray().map(_.toDouble)
+      case ArrayType(LongType, _)   => a.toLongArray().map(_.toDouble)
+      case t => throw new IllegalArgumentException(
+        s"$fn: query must be a numeric array literal, got $t")
+    }
+  }
+
+  /** Half-round a query once, driver-side — [[HalfDistExpr]] expects
+    * its metadata query already at binary16 precision so corpus and
+    * query quantize identically. */
+  private def halfRound(q: Array[Double]): Array[Double] =
+    q.map(x => Half.fromHalfBits(Half.toHalfBits(x.toFloat)).toDouble)
+
+  private def arity(fn: String, args: Seq[Expression], n: Int): Unit =
+    require(args.length == n, s"$fn expects $n arguments, got ${args.length}")
+
+  /** name → (usage, builder); single source for both registration
+    * paths. */
+  private val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("vec_dot", "vec_dot(a, b) - inner product (pgvector <#> is -vec_dot)",
+      args => { arity("vec_dot", args, 2)
+        VectorDistanceExpr(args.head, args(1), VectorDistance.Dot.id) }),
+    ("vec_l2", "vec_l2(a, b) - Euclidean distance (pgvector <->)",
+      args => { arity("vec_l2", args, 2)
+        VectorDistanceExpr(args.head, args(1), VectorDistance.L2.id) }),
+    ("vec_cos_dist", "vec_cos_dist(a, b) - cosine distance (pgvector <=>)",
+      args => { arity("vec_cos_dist", args, 2)
+        VectorDistanceExpr(args.head, args(1), VectorDistance.CosineDist.id) }),
+    ("vec_cos_sim", "vec_cos_sim(a, b) - cosine similarity",
+      args => { arity("vec_cos_sim", args, 2)
+        VectorDistanceExpr(args.head, args(1), VectorDistance.CosineSim.id) }),
+    ("vec_l1", "vec_l1(a, b) - taxicab distance (pgvector <+>)",
+      args => { arity("vec_l1", args, 2)
+        VectorDistanceExpr(args.head, args(1), VectorDistance.L1.id) }),
+    ("vec_norm", "vec_norm(v) - Euclidean norm (pgvector vector_norm)",
+      args => { arity("vec_norm", args, 1)
+        Sqrt(VectorDistanceExpr(args.head, args.head, VectorDistance.Dot.id)) }),
+    ("vec_l2_normalize", "vec_l2_normalize(v) - unit vector (pgvector l2_normalize); zero vectors pass through",
+      args => { arity("vec_l2_normalize", args, 1)
+        L2NormalizeExpr(args.head) }),
+    ("vec_binary_quantize", "vec_binary_quantize(v) - sign bits packed to array<bigint> (pgvector binary_quantize)",
+      args => { arity("vec_binary_quantize", args, 1)
+        SignPackExpr(args.head) }),
+    ("vec_half", "vec_half(v) - IEEE binary16 packed to binary (pgvector ::halfvec)",
+      args => { arity("vec_half", args, 1)
+        HalfPackExpr(args.head) }),
+    ("vec_hamming", "vec_hamming(packed, query_packed) - hamming distance over vec_binary_quantize words (pgvector <~>); query must be a literal",
+      args => { arity("vec_hamming", args, 2)
+        HammingDistExpr(args.head, litLongs(args(1), "vec_hamming")) }),
+    ("vec_jaccard", "vec_jaccard(packed, query_packed) - jaccard distance over vec_binary_quantize words (pgvector <%>); query must be a literal",
+      args => { arity("vec_jaccard", args, 2)
+        JaccardDistExpr(args.head, litLongs(args(1), "vec_jaccard")) }),
+    ("vec_half_l2", "vec_half_l2(halfvec, query) - Euclidean distance over a vec_half column; query must be a literal",
+      args => { arity("vec_half_l2", args, 2)
+        HalfDistExpr(args.head, halfRound(litDoubles(args(1), "vec_half_l2")),
+          VectorDistance.L2.id) }),
+    ("vec_half_dot", "vec_half_dot(halfvec, query) - inner product over a vec_half column; query must be a literal",
+      args => { arity("vec_half_dot", args, 2)
+        HalfDistExpr(args.head, halfRound(litDoubles(args(1), "vec_half_dot")),
+          VectorDistance.Dot.id) }),
+    ("vec_subvector", "vec_subvector(v, start, count) - 1-based slice (pgvector subvector)",
+      args => { arity("vec_subvector", args, 3)
+        Slice(args.head, args(1), args(2)) }),
+    ("vec_dims", "vec_dims(v) - dimension count (pgvector vector_dims)",
+      args => { arity("vec_dims", args, 1)
+        Size(args.head, legacySizeOfNull = false) }),
+    ("sparse_dot", "sparse_dot(indices, values, q_indices, q_values) - sparsevec inner product; query must be literal",
+      args => { arity("sparse_dot", args, 4)
+        SparseDistExpr(args.head, args(1), litLongs(args(2), "sparse_dot"),
+          litDoubles(args(3), "sparse_dot"), VectorDistance.Dot.id) }),
+    ("sparse_cos_sim", "sparse_cos_sim(indices, values, q_indices, q_values) - sparsevec cosine similarity; query must be literal",
+      args => { arity("sparse_cos_sim", args, 4)
+        SparseDistExpr(args.head, args(1), litLongs(args(2), "sparse_cos_sim"),
+          litDoubles(args(3), "sparse_cos_sim"), VectorDistance.CosineSim.id) }),
+    ("array_max_count", "array_max_count(xs) - max multiplicity of any element, one pass",
+      args => { arity("array_max_count", args, 1)
+        graft.functions.ArrayMaxCountExpr(args.head) }),
+  )
+
   /** Runtime registration into an existing session (the
     * `withExtensions` path only applies at session construction). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    Seq("vec_dot" -> 0, "vec_l2" -> 1, "vec_cos_dist" -> 2, "vec_cos_sim" -> 3)
-      .foreach { case (name, mode) =>
-        reg.createOrReplaceTempFunction(name,
-          exprs => {
-            require(exprs.length == 2, s"$name expects (vector, vector), got ${exprs.length} args")
-            VectorDistanceExpr(exprs.head, exprs(1), mode)
-          }, "scala_udf")
-      }
-    reg.createOrReplaceTempFunction("array_max_count",
-      exprs => {
-        require(exprs.length == 1, s"array_max_count expects (array<string>), got ${exprs.length} args")
-        graft.functions.ArrayMaxCountExpr(exprs.head)
-      }, "scala_udf")
+    builders.foreach { case (name, _, b) =>
+      reg.createOrReplaceTempFunction(name, b, "scala_udf")
+    }
   }
 }
 
@@ -44,30 +156,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[VectorDistanceExpr].getName, null, name, usage,
       "", "", "", "", "", "", "scala_udf")
 
-  private def binary(mode: Int)(args: Seq[Expression]): Expression = {
-    require(args.length == 2, "expected (vector, vector)")
-    VectorDistanceExpr(args.head, args(1), mode)
-  }
-
-  override def apply(e: SparkSessionExtensions): Unit = {
-    e.injectFunction((FunctionIdentifier("vec_dot"),
-      info("vec_dot", "vec_dot(a, b) - inner product (pgvector <#> is -vec_dot)"),
-      binary(0) _))
-    e.injectFunction((FunctionIdentifier("vec_l2"),
-      info("vec_l2", "vec_l2(a, b) - Euclidean distance (pgvector <->)"),
-      binary(1) _))
-    e.injectFunction((FunctionIdentifier("vec_cos_dist"),
-      info("vec_cos_dist", "vec_cos_dist(a, b) - cosine distance (pgvector <=>)"),
-      binary(2) _))
-    e.injectFunction((FunctionIdentifier("vec_cos_sim"),
-      info("vec_cos_sim", "vec_cos_sim(a, b) - cosine similarity"),
-      binary(3) _))
-    e.injectFunction((FunctionIdentifier("array_max_count"),
-      info("array_max_count",
-        "array_max_count(xs) - max multiplicity of any element, one pass"),
-      args => {
-        require(args.length == 1, "expected (array<string>)")
-        graft.functions.ArrayMaxCountExpr(args.head)
-      }))
-  }
+  override def apply(e: SparkSessionExtensions): Unit =
+    GraftExtensions.builders.foreach { case (name, usage, b) =>
+      e.injectFunction((FunctionIdentifier(name), info(name, usage), b))
+    }
 }

@@ -713,3 +713,53 @@ case class SqDistExpr(child: Expression, query: Array[Double],
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** Unit-normalize a vector in one pass (pgvector `l2_normalize`):
+  * norm² accumulates in element order (the §3 sequential contract),
+  * then each element divides by the square root. A zero vector (or
+  * non-finite norm) passes through unchanged — the pgvector edge
+  * behavior callers rely on for all-zero embeddings. Output is
+  * array<double> regardless of input width, matching the dense
+  * kernel's FLOAT→DOUBLE cast. */
+case class L2NormalizeExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(DoubleType | FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"l2_normalize needs array<float|double>, got $t")
+    }
+
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val n = v.numElements()
+    val out = new Array[Double](n)
+    var norm2 = 0.0
+    var i = 0
+    while (i < n) {
+      val x = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      out(i) = x
+      norm2 += x * x
+      i += 1
+    }
+    val norm = math.sqrt(norm2)
+    if (norm > 0.0 && java.lang.Double.isFinite(norm)) {
+      i = 0
+      while (i < n) { out(i) /= norm; i += 1 }
+    }
+    ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

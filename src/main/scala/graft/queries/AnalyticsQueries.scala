@@ -414,7 +414,72 @@ object AnalyticsQueries {
     FROM z WHERE abs(zscore) > 3.0
     ORDER BY event_id"""
 
+  // ------------------------------------------------------------- ewma
+  private val EwmaLags = 8
+
+  /** Per-user exponentially-weighted moving average (α = 1/2,
+    * truncated at [[EwmaLags]] lags — the tail weight beyond 8 lags
+    * is < 0.4%, below the signal's own noise) reported at each
+    * user's final event. The geometric weights are INTEGER powers of
+    * two over DECIMAL-cast values, so the weighted sum is exact in
+    * both engines and only the final (numerator / weight-mass)
+    * division is a double op — bit-deterministic because its
+    * operands are. The recurrence form of EWMA cannot hash-match
+    * across engines (it compounds float rounding per row); the
+    * truncated-lag form is algebraically the same signal and exact.
+    *
+    * Scale shape: ONE shuffle on user_id serves every window (the
+    * lags, the recency rank, the per-user count all share the same
+    * partitioning); no joins, no second shuffle. */
+  private def ewma(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val v = col("value").cast("decimal(18,6)")
+    val lags = (0 until EwmaLags).map { k =>
+      (lag(v, k).over(w), 1L << (EwmaLags - 1 - k))
+    }
+    val num = lags.map { case (c, wt) =>
+      coalesce(c, lit(0).cast("decimal(18,6)")) * lit(wt).cast("decimal(18,6)")
+    }.reduce(_ + _)
+    val den = lags.map { case (c, wt) =>
+      when(c.isNotNull, lit(wt)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"), col("value"))
+      .withColumn("ewma", num.cast("double") / den)
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("ts").desc, col("event_id").desc)))
+      .withColumn("n_events", count(lit(1)).over(
+        Window.partitionBy(col("user_id"))))
+      .filter(col("rn") === 1)
+      .select(col("user_id"), col("n_events"), col("ewma"))
+      .orderBy(col("user_id"))
+  }
+
+  private val ewmaSql: String = {
+    val terms = (0 until EwmaLags).map { k =>
+      val wt = 1L << (EwmaLags - 1 - k)
+      s"coalesce(lag(CAST(value AS DECIMAL(18,6)), $k) OVER w, 0) * CAST($wt AS DECIMAL(18,6))"
+    }.mkString(" + ")
+    val mass = (0 until EwmaLags).map { k =>
+      val wt = 1L << (EwmaLags - 1 - k)
+      s"CASE WHEN lag(value, $k) OVER w IS NOT NULL THEN $wt ELSE 0 END"
+    }.mkString(" + ")
+    s"""
+    WITH scored AS (
+      SELECT user_id,
+             CAST($terms AS DOUBLE) / ($mass) AS ewma,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn,
+             count(*) OVER (PARTITION BY user_id) AS n_events
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+    SELECT user_id, n_events, ewma
+    FROM scored WHERE rn = 1
+    ORDER BY user_id"""
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "events_ewma"        -> QueryDef(ewma _, ewmaSql),
     "events_anomaly"     -> QueryDef(anomaly _, anomalySql),
     "events_funnel"      -> QueryDef(funnel _, funnelSql),
     "events_quantiles_sketch" -> QueryDef(quantilesSketch _, None),
