@@ -478,7 +478,44 @@ object AnalyticsQueries {
     ORDER BY user_id"""
   }
 
+  // ------------------------------------------------------------ markov
+  /** First-order Markov transition matrix over per-user event-type
+    * sequences — the behavioral-model table behind next-action
+    * prediction and bot detection (uniform rows ≈ scripted traffic).
+    * Transition probability is an exact-integer count divided by the
+    * exact per-source total — one double division on exact operands,
+    * bit-deterministic. ONE user_id shuffle builds the adjacent
+    * pairs; the 25-cell matrix aggregates map-side. */
+  private def markov(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val pairs = Tables.events(s, d)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        col("event_type").as("from_type"))
+      .withColumn("to_type", lead(col("from_type"), 1).over(w))
+      .filter(col("to_type").isNotNull)
+    pairs.groupBy(col("from_type"), col("to_type"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("p", col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("from_type"))))
+      .orderBy(col("from_type"), col("to_type"))
+  }
+
+  private val markovSql: String = """
+    WITH pairs AS (
+      SELECT event_type AS from_type,
+             lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+      FROM events),
+    cnt AS (
+      SELECT from_type, to_type, count(*) AS n
+      FROM pairs WHERE to_type IS NOT NULL
+      GROUP BY 1, 2)
+    SELECT from_type, to_type, n,
+           CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY from_type) AS p
+    FROM cnt
+    ORDER BY from_type, to_type"""
+
   val defs: Map[String, QueryDef] = Map(
+    "events_markov"      -> QueryDef(markov _, markovSql),
     "events_ewma"        -> QueryDef(ewma _, ewmaSql),
     "events_anomaly"     -> QueryDef(anomaly _, anomalySql),
     "events_funnel"      -> QueryDef(funnel _, funnelSql),

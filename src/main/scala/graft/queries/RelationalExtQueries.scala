@@ -239,7 +239,38 @@ object RelationalExtQueries {
     FROM customer LEFT OUTER JOIN o ON c_custkey = o_custkey
     ORDER BY c_custkey"""
 
+  // -------------------------------------------------------- salted agg
+  /** Skew-proof aggregation on the oracle gate: revenue and row count
+    * per returnflag — THREE values over 600k+ rows, the textbook
+    * hot-key shape where an unsalted groupBy gives three reducers the
+    * whole table — via [[graft.operators.Salt.saltedSumCount]]'s
+    * two-phase reduce (32 salts; phase 2 carries keys × salts rows).
+    * Sums stay DECIMAL through both phases (the operator REJECTS
+    * float sums — re-associated double addition is order-dependent)
+    * and cast to double only at the end, which is why a re-associated
+    * two-phase plan can sit on the bit-exact oracle gate at all. */
+  private def saltedAgg(s: SparkSession, d: String): DataFrame =
+    graft.operators.Salt.saltedSumCount(
+        Tables.lineitem(s, d),
+        keys = Seq("l_returnflag"),
+        stable = col("l_orderkey") * 8 + col("l_linenumber"),
+        salts = 32,
+        sums = Map(
+          "revenue" -> (col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(18,2)") - col("l_discount").cast("decimal(18,2)")))))
+      .select(col("l_returnflag"), col("n_rows"),
+        col("revenue").cast("double").as("revenue"))
+      .orderBy(col("l_returnflag"))
+
+  private val saltedAggSql = """
+    SELECT l_returnflag, count(*) AS n_rows,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag"""
+
   val defs: Map[String, QueryDef] = Map(
+    "q_salted_agg"           -> QueryDef(saltedAgg _, saltedAggSql),
     "q_set_ops"              -> QueryDef(setOps _, setOpsSql),
     "q_having_like"          -> QueryDef(havingLike _, havingLikeSql),
     "q_outer_join"           -> QueryDef(outerJoin _, outerJoinSql),

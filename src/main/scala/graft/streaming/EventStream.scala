@@ -24,6 +24,37 @@ object EventStream {
       n_events: Long, session_start_s: Long, session_end_s: Long,
       sum_value: Double)
 
+  final case class EwmaState(ewma: Double, n: Long)
+  final case class EwmaOut(user_id: Long, n_events: Long, ewma: Double)
+
+  /** Streaming per-user EWMA (α = 1/2): the stateful twin of the
+    * batch `events_ewma`. State is two numbers per user — O(users),
+    * never O(events); each micro-batch folds its rows in
+    * (ts, event_id) order into the recurrence and emits the user's
+    * updated smoothed value. The batch query uses the truncated-lag
+    * form because its DuckDB replay must be bit-exact; the stream
+    * keeps the natural recurrence — per-key sequential state is
+    * exactly where the recurrence form is the right shape, and no
+    * cross-engine replay contract applies. Out-of-order arrivals
+    * WITHIN a micro-batch are sorted; across batches the state
+    * evolves in arrival order, the standard streaming trade. */
+  def ewmaStream(events: Dataset[Event])(
+      implicit spark: SparkSession): Dataset[EwmaOut] = {
+    import spark.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[EwmaState, EwmaOut](GroupStateTimeout.NoTimeout) {
+        (user, it, state) =>
+          var st = state.getOption.getOrElse(EwmaState(0.0, 0L))
+          it.toSeq.sortBy(e => (e.ts, e.event_id)).foreach { e =>
+            st =
+              if (st.n == 0L) EwmaState(e.value, 1L)
+              else EwmaState(0.5 * e.value + 0.5 * st.ewma, st.n + 1L)
+          }
+          state.update(st)
+          EwmaOut(user, st.n, st.ewma)
+      }
+  }
+
   /** Streaming exact dedup: drop re-deliveries of the same content
     * hash within the watermark horizon — the streaming twin of
     * Dedup.exact. Uses dropDuplicatesWithinWatermark so the state

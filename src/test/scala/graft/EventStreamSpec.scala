@@ -112,4 +112,32 @@ class EventStreamSpec extends SparkSpec {
       assert(got.head == SessionOut(7, 1, 2, 0, 600, 3.0))
     } finally q.stop()
   }
+
+  test("streaming EWMA matches the sequential recurrence across micro-batches") {
+    implicit val s = spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.ewmaStream(input.toDS())
+      .writeStream.format("memory").queryName("ewma_out")
+      .outputMode("update").start()
+    try {
+      // batch 1 delivered out of order WITHIN the batch (sorted by the
+      // operator); batch 2 continues the same user's state
+      input.addData(
+        Event(2, ns(200), 7, "click", 8.0),
+        Event(1, ns(100), 7, "click", 4.0),
+        Event(3, ns(300), 9, "view", 1.0))
+      q.processAllAvailable()
+      input.addData(Event(4, ns(400), 7, "click", 2.0))
+      q.processAllAvailable()
+      val rows = spark.table("ewma_out")
+        .groupBy("user_id").agg(max_by(struct($"n_events", $"ewma"), $"n_events").as("st"))
+        .select($"user_id", $"st.n_events", $"st.ewma")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+      // user 7: e0=4 → e1=.5*8+.5*4=6 → e2=.5*2+.5*6=4
+      assert(rows(7L) == ((3L, 4.0)))
+      assert(rows(9L) == ((1L, 1.0)))
+    } finally q.stop()
+  }
 }

@@ -22,8 +22,8 @@ class InventorySyncSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the documented outcome") {
-    assert(SparkEntry.queries.size == 136)
-    assert(SparkEntry.oracleSql.size == 113)
+    assert(SparkEntry.queries.size == 138)
+    assert(SparkEntry.oracleSql.size == 115)
   }
 
   test("every rows-only (non-oracled) query carries a gate in RecallGateSpec") {
