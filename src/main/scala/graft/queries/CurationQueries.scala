@@ -449,7 +449,56 @@ object CurationQueries {
     ORDER BY dsir_score DESC, doc_id
     LIMIT $DsirTopN"""
 
+  // ----------------------------------------------------- curate_classifier
+  private val ClsBuckets = 8192
+  private val ClsEpochs = 16
+  private val ClsLr = 2.0
+
+  /** Trained quality/domain classifier (the fastText-shaped filter of
+    * CCNet/GPT-3/LLaMA pipelines): logistic regression over hashed
+    * bigram features, fit ON the engine ([[graft.operators.Classifier]]
+    * — driver-held bucket-bounded weights, one map-side-combined
+    * gradient aggregation per epoch) to predict membership in the
+    * target slice (English), then swept over the corpus. Features are
+    * bigram-bucket PRESENCE flags plus a bias bucket — presence keeps
+    * per-feature magnitude O(1) so gradient steps actually move the
+    * margins (L1-normalized counts at ~1/250 magnitude left the model
+    * at the majority baseline for any feasible learning rate). The
+    * train/score split this fixture can't express (labels everywhere)
+    * is the production shape: fit on the labeled sample, sweep the
+    * 100 TB corpus with the broadcast-weights score pass.
+    *
+    * Approximate tier: gradient sums reassociate float addition, so
+    * the entry is rows-only with a measured accuracy floor
+    * (RecallGateSpec) instead of a bit-exact oracle. */
+  private def classifier(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"),
+        explode(shingles(tokens(col("text")), 2)).as("w"))
+      .select(col("doc_id"), col("lang"),
+        (hash64(col("w")) % ClsBuckets).cast("int").as("b"))
+    val present = base.select(col("doc_id"), col("b")).distinct()
+    val feat = present
+      .select(col("doc_id"), col("b"), lit(1.0).as("x"))
+      .unionAll(present.select(col("doc_id")).distinct()
+        .select(col("doc_id"), lit(ClsBuckets).as("b"), lit(1.0).as("x"))) // bias
+      .persist()
+    val labels = Tables.documents(s, d)
+      .select(col("doc_id"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+    try {
+      val w = graft.operators.Classifier.trainLogReg(
+        s, feat, labels, ClsBuckets + 1, ClsEpochs, ClsLr)
+      graft.operators.Classifier.score(s, feat, w)
+        .join(labels, "doc_id")
+        .select(col("doc_id"), col("y"), col("score"),
+          (col("score") > 0.5).cast("int").as("pred"))
+        .orderBy(col("doc_id"))
+    } finally feat.unpersist()
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    "curate_classifier" -> QueryDef(classifier _, None),
     "curate_dsir"    -> QueryDef(dsir _, dsirSql),
     "pii_scan"       -> QueryDef(piiScan _, piiScanSql),
     "curate_funnel"  -> QueryDef(funnel _, funnelSql),
