@@ -26,18 +26,22 @@ import org.apache.spark.sql.functions._
   */
 object Classifier {
 
-  /** One training epoch's gradient, as a closed-form DataFrame plan:
-    * margin per doc (features ⋈ broadcast weights, map-side-combined
-    * sum), residual per doc (σ(margin) − y), gradient per bucket
-    * (features ⋈ residuals, map-side-combined sum). */
+  /** One training epoch's gradient, as a closed-form DataFrame plan
+    * executing as ONE job: margin per doc (features ⋈ broadcast
+    * weights, map-side-combined sum — no exchange when `feat` is
+    * pre-partitioned on doc_id), residual per doc (σ(margin) − y;
+    * labels are the curated TRAINING SAMPLE, small by construction,
+    * so they broadcast), gradient per bucket (features ⋈ residuals
+    * aligned on the same doc_id partitioning, map-side-combined sum
+    * into a buckets-sized shuffle). */
   private def gradient(spark: SparkSession, feat: DataFrame,
       labels: DataFrame, w: Array[Double]): Array[(Int, Double)] = {
     import spark.implicits._
     val wDf = w.zipWithIndex.map { case (v, b) => (b, v) }.toSeq.toDF("b", "w")
-    val margins = feat.join(broadcast(wDf), "b")
+    val resid = feat.join(broadcast(wDf), "b")
       .groupBy(col("doc_id"))
       .agg(sum(col("x") * col("w")).as("m"))
-    val resid = margins.join(labels, "doc_id")
+      .join(broadcast(labels), "doc_id")
       .select(col("doc_id"),
         (lit(1.0) / (lit(1.0) + exp(-col("m"))) - col("y")).as("r"))
     feat.join(resid, "doc_id")
@@ -47,17 +51,56 @@ object Classifier {
       .map(row => (row.getInt(0), row.getDouble(1)))
   }
 
+  /** Multinomial naive-Bayes log-odds weights — the convex-problem
+    * warm start full-batch GD needs: GD from zero weights converges
+    * too slowly past toy corpus sizes (measured: 500 docs reach 0.93
+    * in 16 epochs by near-memorization, 5000 docs stall at 0.63
+    * against an NB ceiling of 0.96), while the NB closed form is ONE
+    * map-side-combined aggregation producing a buckets-sized collect:
+    * w_b = log((ct_b+1)/(T_t+B)) − log((cf_b+1)/(T_f+B)), bias =
+    * log-prior. GD then refines the calibration the generative
+    * approximation gets wrong. `feat.x` should be counts here (the
+    * multinomial likelihood is linear in counts). */
+  def nbLogOdds(spark: SparkSession, feat: DataFrame, labels: DataFrame,
+      buckets: Int, biasBucket: Int): Array[Double] = {
+    val hist = feat.join(broadcast(labels), "doc_id")
+      .groupBy(col("b"))
+      .agg(sum(col("x") * col("y")).as("ct"), sum(col("x")).as("cr"))
+      .collect() // buckets rows — driver-bounded
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2)))
+    val tt = hist.map(_._2).sum
+    val tf = hist.map(h => h._3 - h._2).sum
+    val w = new Array[Double](buckets)
+    hist.foreach { case (b, ct, cr) =>
+      if (b != biasBucket)
+        w(b) = math.log((ct + 1.0) / (tt + buckets)) -
+          math.log((cr - ct + 1.0) / (tf + buckets))
+    }
+    val n1 = labels.filter(col("y") === 1.0).count().toDouble
+    val n0 = labels.count() - n1
+    require(n1 > 0 && n0 > 0, "naive-Bayes init needs both classes present")
+    w(biasBucket) = math.log(n1 / n0)
+    w
+  }
+
   /** Batch gradient descent. `feat`: (doc_id: long, b: int, x:
-    * double) — one row per (doc, active bucket), L1-normalized
-    * counts plus a bias bucket work well. `labels`: (doc_id, y:
-    * double in {0,1}). Returns the weight vector (index = bucket).
+    * double) — one row per (doc, active bucket); counts plus a bias
+    * bucket, warm-started via [[nbLogOdds]], is the working recipe.
+    * `labels`: (doc_id, y: double in {0,1}) — the labeled training
+    * sample; broadcast per epoch, so keep it sample-sized (the
+    * corpus being scored has no such limit). `init`: optional warm
+    * start (cloned, not mutated). Returns the weight vector (index =
+    * bucket).
     *
-    * `feat` is consumed `epochs` times — pass a materialized frame. */
+    * `feat` is consumed `epochs` times — pass a materialized frame,
+    * ideally pre-partitioned on doc_id so no epoch re-shuffles it. */
   def trainLogReg(spark: SparkSession, feat: DataFrame, labels: DataFrame,
-      buckets: Int, epochs: Int, lr: Double, l2: Double = 1e-4): Array[Double] = {
+      buckets: Int, epochs: Int, lr: Double, l2: Double = 1e-4,
+      init: Array[Double] = null): Array[Double] = {
     val n = labels.count().toDouble
     require(n > 0, "empty training set")
-    val w = new Array[Double](buckets)
+    val w = if (init == null) new Array[Double](buckets) else init.clone()
+    require(w.length == buckets, s"init length ${w.length} != buckets $buckets")
     var e = 0
     while (e < epochs) {
       val grad = gradient(spark, feat, labels, w)

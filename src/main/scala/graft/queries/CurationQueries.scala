@@ -405,29 +405,38 @@ object CurationQueries {
     * hash-match across libm implementations; at bits granularity the
     * selection recovers 23/25 target-language docs here.)
     *
-    * Scale shape: ONE map-side-combined groupBy builds both corpus
-    * histograms (target via conditional count) — the bucket table is
-    * [[DsirBuckets]] rows regardless of corpus size, broadcast back
-    * over the bigram stream; the per-doc reduce is map-side
-    * combinable. Two linear passes over the shuffle-free positional
-    * shingle projection, no shuffle wider than doc_id. At 100 TB the
-    * bigram projection would be materialized once (Materializer)
-    * instead of recomputed per pass. */
+    * Scale shape: the bigram stream is tokenized ONCE and collapsed
+    * to a (doc, bucket, count) projection by one map-side-combined
+    * groupBy (bounded by docs × distinct-buckets-per-doc, a
+    * many-fold reduction of the raw token stream); both corpus
+    * histograms derive from that projection with a second TINY
+    * aggregate ([[DsirBuckets]] rows, target via conditional sum),
+    * broadcast back over it. Per-doc mean over tokens re-weights by
+    * the counts — Σ c·sc / Σ c, the same exact-integer ratio the
+    * token-stream mean would give, without a second tokenize pass
+    * (measured 2× at sf0.1). Widest shuffle is (doc_id, bucket). */
   private def dsir(s: SparkSession, d: String): DataFrame = {
-    val tok = Tables.documents(s, d)
+    // tokens projected BEFORE the shingle HOF: collapsing them lets the
+    // optimizer inline split() into every element_at reference — the
+    // measured 8× quadratic-retokenize trap (Dedup.sharedSpans comment)
+    val dbc = Tables.documents(s, d)
+      .select(col("doc_id"), col("lang"), tokens(col("text")).as("tk"))
       .select(col("doc_id"), col("lang"),
-        explode(shingles(tokens(col("text")), 2)).as("w"))
-      .select(col("doc_id"), col("lang"),
+        explode(shingles(col("tk"), 2)).as("w"))
+      .groupBy(col("doc_id"), col("lang"),
         (hash64(col("w")) % DsirBuckets).as("b"))
+      .agg(count(lit(1)).as("c"))
     def bits(x: org.apache.spark.sql.Column) =
       length(conv(x, 10, 2)).cast("long") - 1L
-    val scores = tok.groupBy(col("b"))
-      .agg(count(lit(1)).as("cr"),
-        count(when(col("lang") === "en", 1)).as("ct"))
+    val scores = dbc.groupBy(col("b"))
+      .agg(sum(col("c")).as("cr"),
+        sum(when(col("lang") === "en", col("c")).otherwise(0L)).as("ct"))
       .select(col("b"), (bits(col("ct") + 1) - bits(col("cr") + 1)).as("sc"))
-    tok.join(broadcast(scores), "b")
+    dbc.join(broadcast(scores), "b")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"), avg(col("sc")).as("dsir_score"))
+      .agg(sum(col("c")).as("n_bigrams"),
+        (sum(col("c") * col("sc")).cast("double") / sum(col("c")))
+          .as("dsir_score"))
       .orderBy(col("dsir_score").desc, col("doc_id"))
       .limit(DsirTopN)
   }
@@ -435,61 +444,70 @@ object CurationQueries {
   private val dsirSql: String = s"""
     WITH toks AS (
       SELECT doc_id, lang, ${tokensSql("text")} AS t FROM documents),
-    tok AS (
-      SELECT doc_id, lang, ${hash64Sql("w")} % $DsirBuckets AS b
-      FROM (SELECT doc_id, lang, unnest(${shinglesSql("t", 2)}) AS w FROM toks)),
+    dbc AS (
+      SELECT doc_id, lang, ${hash64Sql("w")} % $DsirBuckets AS b, count(*) AS c
+      FROM (SELECT doc_id, lang, unnest(${shinglesSql("t", 2)}) AS w FROM toks)
+      GROUP BY 1, 2, 3),
     sc AS (
       SELECT b,
-             (length(bin(count(*) FILTER (lang = 'en') + 1)) - 1)
-             - (length(bin(count(*) + 1)) - 1) AS sc
-      FROM tok GROUP BY b)
-    SELECT doc_id, count(*) AS n_bigrams, avg(sc) AS dsir_score
-    FROM tok JOIN sc USING (b)
+             (length(bin(coalesce(CAST(sum(c) FILTER (lang = 'en') AS BIGINT), 0) + 1)) - 1)
+             - (length(bin(CAST(sum(c) AS BIGINT) + 1)) - 1) AS sc
+      FROM dbc GROUP BY b)
+    SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_bigrams,
+           CAST(sum(c * sc) AS DOUBLE) / sum(c) AS dsir_score
+    FROM dbc JOIN sc USING (b)
     GROUP BY doc_id
     ORDER BY dsir_score DESC, doc_id
     LIMIT $DsirTopN"""
 
   // ----------------------------------------------------- curate_classifier
-  private val ClsBuckets = 8192
-  private val ClsEpochs = 16
-  private val ClsLr = 2.0
+  private val ClsBuckets = 16384
+  private val ClsNgram = 3
+  private val ClsEpochs = 4
+  private val ClsLr = 0.05
 
   /** Trained quality/domain classifier (the fastText-shaped filter of
     * CCNet/GPT-3/LLaMA pipelines): logistic regression over hashed
-    * bigram features, fit ON the engine ([[graft.operators.Classifier]]
-    * — driver-held bucket-bounded weights, one map-side-combined
-    * gradient aggregation per epoch) to predict membership in the
-    * target slice (English), then swept over the corpus. Features are
-    * bigram-bucket PRESENCE flags plus a bias bucket — presence keeps
-    * per-feature magnitude O(1) so gradient steps actually move the
-    * margins (L1-normalized counts at ~1/250 magnitude left the model
-    * at the majority baseline for any feasible learning rate). The
-    * train/score split this fixture can't express (labels everywhere)
-    * is the production shape: fit on the labeled sample, sweep the
-    * 100 TB corpus with the broadcast-weights score pass.
+    * trigram count features, fit ON the engine
+    * ([[graft.operators.Classifier]] — driver-held bucket-bounded
+    * weights, one map-side-combined gradient aggregation per epoch)
+    * to predict membership in the target slice (English), then swept
+    * over the corpus. Trigrams because the fixture's languages share
+    * one vocabulary and an order-2 generator: the bigram NB ceiling
+    * is 0.67 at sf0.1 while trigrams reach 0.96
+    * (tools/ProfileClassifier). Training = naive-Bayes log-odds warm
+    * start (one aggregation — full-batch GD from zero stalls far
+    * below the NB ceiling at corpus size) + [[ClsEpochs]] GD
+    * calibration epochs. The train/score split this fixture can't
+    * express (labels everywhere) is the production shape: fit on the
+    * labeled sample, sweep the 100 TB corpus with the
+    * broadcast-weights score pass.
     *
     * Approximate tier: gradient sums reassociate float addition, so
     * the entry is rows-only with a measured accuracy floor
     * (RecallGateSpec) instead of a bit-exact oracle. */
   private def classifier(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.documents(s, d)
-      .select(col("doc_id"), col("lang"),
-        explode(shingles(tokens(col("text")), 2)).as("w"))
-      .select(col("doc_id"), col("lang"),
-        (hash64(col("w")) % ClsBuckets).cast("int").as("b"))
-    val present = base.select(col("doc_id"), col("b")).distinct()
-    val feat = present
-      .select(col("doc_id"), col("b"), lit(1.0).as("x"))
-      .unionAll(present.select(col("doc_id")).distinct()
+    // tokens projected before the shingle HOF (see dsir's trap note)
+    val feat0 = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"),
+        explode(shingles(col("tk"), ClsNgram)).as("w"))
+      .groupBy(col("doc_id"), (hash64(col("w")) % ClsBuckets).cast("int").as("b"))
+      .agg(count(lit(1)).cast("double").as("x"))
+    val feat = feat0
+      .unionAll(feat0.select(col("doc_id")).distinct()
         .select(col("doc_id"), lit(ClsBuckets).as("b"), lit(1.0).as("x"))) // bias
+      .repartition(col("doc_id")) // epochs reuse this partitioning: no per-epoch shuffle
       .persist()
     val labels = Tables.documents(s, d)
       .select(col("doc_id"),
         when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
     try {
-      val w = graft.operators.Classifier.trainLogReg(
-        s, feat, labels, ClsBuckets + 1, ClsEpochs, ClsLr)
-      graft.operators.Classifier.score(s, feat, w)
+      val cls = graft.operators.Classifier
+      val w0 = cls.nbLogOdds(s, feat, labels, ClsBuckets + 1, ClsBuckets)
+      val w = cls.trainLogReg(
+        s, feat, labels, ClsBuckets + 1, ClsEpochs, ClsLr, init = w0)
+      cls.score(s, feat, w)
         .join(labels, "doc_id")
         .select(col("doc_id"), col("y"), col("score"),
           (col("score") > 0.5).cast("int").as("pred"))

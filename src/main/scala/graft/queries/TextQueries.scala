@@ -356,8 +356,12 @@ object TextQueries {
     * corpus) and become shuffle joins keyed on the n-gram at web
     * scale; the per-doc mean is map-side combinable. */
   private def lmBigram(s: SparkSession, d: String): DataFrame = {
+    // tokens projected BEFORE the shingle HOF — collapsed projections
+    // re-inline split() into every element_at, the measured 8×
+    // quadratic-retokenize trap (Dedup.sharedSpans comment)
     val big = Tables.documents(s, d)
-      .select(col("doc_id"), explode(shingles(tokens(col("text")), 2)).as("bg"))
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"), explode(shingles(col("tk"), 2)).as("bg"))
       .select(col("doc_id"), col("bg"),
         element_at(split(col("bg"), " "), 1).as("w1"))
     val c2 = big.groupBy(col("bg")).agg(count(lit(1)).as("c2"))

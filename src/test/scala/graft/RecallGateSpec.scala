@@ -520,13 +520,14 @@ class RecallGateSpec extends SparkSpec {
       s"apply counts diverge: got ${gotApply.take(3)}, want ${expected.take(3)}")
   }
 
-  test("curate_classifier: training accuracy ≥ 0.85 on the target-language label") {
-    // Floor 0.85 under measured 0.93 at the shipped operating point
-    // (presence features, lr=2.0, 16 epochs — tools/ProfileClassifier);
+  test("curate_classifier: training accuracy ≥ 0.9 on the target-language label") {
+    // Floor 0.9 under measured 0.98 at the shipped operating point
+    // (trigram counts, NB warm start + 4 GD calibration epochs —
+    // tools/ProfileClassifier; 0.92 at sf0.1's 5000 docs, so the
+    // accuracy is learned signal, not small-corpus memorization);
     // gradient sums reassociate float addition, so the gate is a
     // measured floor, not a bit-exact replay. Majority baseline on
-    // this fixture is 0.564 — the floor proves the model actually
-    // learned the transition-statistics signal.
+    // this fixture is 0.564.
     val out = SparkEntry.queries("curate_classifier")(spark, Sf)
     val agg = out.agg(
       avg((col("pred") === col("y").cast("int")).cast("double")).as("acc"),
@@ -534,6 +535,6 @@ class RecallGateSpec extends SparkSpec {
     val acc = agg.getDouble(0)
     info(f"classifier training accuracy: $acc%.3f over ${agg.getLong(1)} docs")
     assert(agg.getLong(1) > 0)
-    assert(acc >= 0.85, f"accuracy $acc%.3f below the 0.85 floor")
+    assert(acc >= 0.9, f"accuracy $acc%.3f below the 0.9 floor")
   }
 }
