@@ -134,6 +134,51 @@ object Multimodal {
   final case class ImageFeatures(doc_id: Long, width: Long, height: Long,
       n_px: Long, sum_r: Long, sum_g: Long, sum_b: Long)
 
+  /** Exact integer features of a nearest-neighbor-resized decode:
+    * output geometry plus per-channel sums over the RESIZED pixels. */
+  final case class ResizedFeatures(doc_id: Long, out_w: Long, out_h: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** REAL resize (the feature-extraction step of an image-training
+    * pipeline — thumbnail to the model's input geometry before
+    * embedding): decode the binary column, nearest-neighbor sample to
+    * (outW × outH) with the standard floor map src = ⌊dst·in/out⌋ —
+    * integer-exact, no interpolation arithmetic — and emit exact
+    * channel sums of the resized pixels. NN (not bilinear) keeps
+    * every output pixel a source pixel, so the SQL oracle can replay
+    * the sums in closed form with no image library. Same narrow
+    * one-pass batch shape as [[decodeImages]]; per-row cost is
+    * outW·outH samples regardless of source size. */
+  def resizeImages(media: Dataset[MediaRecord], outW: Int, outH: Int)(
+      implicit spark: SparkSession): Dataset[ResizedFeatures] = {
+    import spark.implicits._
+    require(outW >= 1 && outH >= 1, "target geometry must be positive")
+    media.mapPartitions { it =>
+      it.map { m =>
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(m.bytes))
+        require(img != null, s"undecodable image bytes for doc ${m.doc_id}")
+        val (w, h) = (img.getWidth, img.getHeight)
+        val px = img.getRGB(0, 0, w, h, null, 0, w)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        var y = 0
+        while (y < outH) {
+          val sy = y * h / outH
+          var x = 0
+          while (x < outW) {
+            val sx = x * w / outW
+            val p = px(sy * w + sx)
+            sr += (p >> 16) & 0xff
+            sg += (p >> 8) & 0xff
+            sb += p & 0xff
+            x += 1
+          }
+          y += 1
+        }
+        ResizedFeatures(m.doc_id, outW.toLong, outH.toLong, sr, sg, sb)
+      }
+    }
+  }
+
   /** Render each spec to real PNG bytes in-executor — narrow one-pass,
     * the [[Pdf]] synthesis playbook. */
   def synthesizeImages(specs: Dataset[ImageSpec])(

@@ -153,6 +153,50 @@ object MultimodalQueries {
     ORDER BY doc_id"""
   }
 
+  // ------------------------------------------------------ real image resize
+  private val RszW = 8
+  private val RszH = 4
+
+  /** Nearest-neighbor resize of the real decoded images to the
+    * model-input geometry ([[RszW]]×[[RszH]]) — the thumbnail /
+    * feature-extract step of an image-training pipeline
+    * ([[graft.pipeline.Multimodal.resizeImages]]). The floor sampling
+    * map keeps every output pixel a source pixel of the closed-form
+    * channel ramp, so the resized sums are oracled exactly:
+    * Σ⌊x·w/W⌋ replayed by a DuckDB list fold over range(W). */
+  private def imageResize(s: SparkSession, d: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val specs = imageSpecs(s, d).as[graft.pipeline.Multimodal.ImageSpec]
+    graft.pipeline.Multimodal.resizeImages(
+        graft.pipeline.Multimodal.synthesizeImages(specs), RszW, RszH)
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  private val imageResizeSql: String = {
+    val h = hash64Sql("text")
+    s"""
+    WITH g AS (
+      SELECT doc_id,
+             CAST(16 + length(text) % 48 AS BIGINT) AS w,
+             CAST(8 + length(text) % 24 AS BIGINT) AS h,
+             CAST((($h % 128) + 128) % 128 AS BIGINT) AS base
+      FROM documents),
+    sx AS (
+      SELECT doc_id, w, h, base,
+             CAST(list_sum(list_transform(range(0, $RszW), x -> (x * w) // $RszW)) AS BIGINT) AS sxs,
+             CAST(list_sum(list_transform(range(0, $RszH), y -> (y * h) // $RszH)) AS BIGINT) AS sys
+      FROM g)
+    SELECT doc_id,
+           CAST($RszW AS BIGINT) AS out_w, CAST($RszH AS BIGINT) AS out_h,
+           $RszH * ($RszW * base + sxs) AS sum_r,
+           $RszW * ($RszH * base + sys) AS sum_g,
+           $RszW * $RszH * base + $RszH * sxs + $RszW * sys AS sum_b
+    FROM sx
+    ORDER BY doc_id"""
+  }
+
   // ------------------------------------------------------ real JPEG decode
   /** The LOSSY image codec decoded for real (VERDICT r6 #6): same
     * geometry and channel ramp as mm_image_decode, but encoded
@@ -326,6 +370,7 @@ object MultimodalQueries {
     "mm_frame_sample" -> QueryDef(frameSample _, frameSampleSql),
     "mm_pdf_decode"   -> QueryDef(pdfDecode _, pdfDecodeSql),
     "mm_image_decode" -> QueryDef(imageDecode _, imageDecodeSql),
+    "mm_image_resize" -> QueryDef(imageResize _, imageResizeSql),
     "mm_jpeg_decode"  -> QueryDef(jpegDecode _, None),
   )
 }

@@ -22,8 +22,8 @@ class InventorySyncSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the documented outcome") {
-    assert(SparkEntry.queries.size == 139)
-    assert(SparkEntry.oracleSql.size == 115)
+    assert(SparkEntry.queries.size == 140)
+    assert(SparkEntry.oracleSql.size == 116)
   }
 
   test("every rows-only (non-oracled) query carries a gate in RecallGateSpec") {
