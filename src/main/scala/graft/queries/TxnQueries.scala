@@ -333,6 +333,43 @@ object TxnQueries {
       max(col("p_partkey")).as("max_p_partkey"))
   }
 
+  // ------------------------------------------------------- txn_clone
+  /** Shallow clone + divergent mutation: zero-copy clone of a part
+    * table ([[GraftTable.cloneTo]] — the published Delta CLONE
+    * shape), then COW-delete the small parts ON THE CLONE only; the
+    * read-back is the clone's final snapshot, oracled as the base
+    * table minus the deleted slice. GraftCloneSpec carries the
+    * isolation proofs (no data copied at clone time, source content
+    * and files untouched by the clone's COW, vacuum safety); this
+    * entry proves the clone's content contract end-to-end at every
+    * SF. Source and clone live under ONE marker dir so the cache
+    * wipe can never leave a clone dangling on rebuilt source files. */
+  private def clonePath(s: SparkSession, d: String): String = {
+    val base = freshDir("clone", d)
+    built(base) { p =>
+      val srcPath = new java.io.File(base, "source").toString
+      val src = GraftTable.create(s, srcPath,
+        Tables.part(s, d).repartition(8), statsCols = Seq("p_partkey"))
+      val clone = src.cloneTo(p)
+      clone.delete(col("p_size") < 10)
+      ()
+    }
+  }
+
+  private def readClone(s: SparkSession, path: String): DataFrame =
+    GraftTable.open(s, path).read()
+      .select(partCols.map(col): _*)
+      .orderBy("p_partkey")
+
+  private def txnClone(s: SparkSession, d: String): DataFrame =
+    readClone(s, clonePath(s, d))
+
+  private val txnCloneSql: String = s"""
+    SELECT ${partCols.mkString(", ")}
+    FROM part
+    WHERE p_size >= 10
+    ORDER BY p_partkey"""
+
   // ------------------------------------------------------ bench split
   /** Bench splits (VERDICT r7 "What's wrong" #2): the conflated
     * entries hid the snapshot-read cost behind the one-shot table
@@ -390,6 +427,9 @@ object TxnQueries {
   def evolveBench(s: SparkSession, d: String): (() => Unit, () => DataFrame) =
     benchSplit(evolvePath, Some("evolve"), readEvolved)(s, d)
 
+  def cloneBench(s: SparkSession, d: String): (() => Unit, () => DataFrame) =
+    benchSplit(clonePath, Some("clone"), readClone)(s, d)
+
   val defs: Map[String, QueryDef] = Map(
     "txn_merge"      -> QueryDef(txnMerge _, txnMergeSql),
     "txn_changes"    -> QueryDef(txnChanges _, txnChangesSql),
@@ -400,5 +440,6 @@ object TxnQueries {
     "txn_stats_auto" -> QueryDef(txnStatsAuto _, txnStatsAggSql),
     "txn_cluster"    -> QueryDef(txnCluster _, txnClusterSql),
     "txn_index_sync" -> QueryDef(txnIndexSync _, txnIndexSyncSql),
+    "txn_clone"      -> QueryDef(txnClone _, txnCloneSql),
   )
 }

@@ -366,6 +366,16 @@ final class GraftTable private (
     * contract as [[VectorStore.delete]]). Untouched files are carried
     * over by reference — on a 100 TB table a selective delete moves
     * the matching files' bytes, not the table. Returns the version. */
+  /** Does a scanned-file URI from `input_file_name()` refer to meta
+    * `m`? Resolved through qualified-URI paths rather than a string
+    * suffix match: clone tables carry ABSOLUTE source paths (a
+    * "/"+relative suffix test would never hit them), and the scan
+    * and the filesystem print the same file with different
+    * scheme/slash spellings (file:/ vs file:///). */
+  private def sameFile(uri: String, m: FileMeta): Boolean =
+    new java.net.URI(uri).getPath ==
+      fs.makeQualified(new Path(root, m.path)).toUri.getPath
+
   def delete(pred: Column): Long = {
     val baseV = version
     val metas = snapshotMetas(baseV)
@@ -373,7 +383,7 @@ final class GraftTable private (
       .select(input_file_name().as("f")).distinct()
       .collect().map(_.getString(0)).toSet // ≤ #files driver rows
     val touched = metas.filter(m =>
-      touchedUris.exists(_.endsWith("/" + m.path)))
+      touchedUris.exists(u => sameFile(u, m)))
     if (touched.isEmpty) return baseV
     val survivors = readFiles(touched).filter(not(pred <=> lit(true)))
     val adds = stageAdds(survivors)
@@ -431,7 +441,7 @@ final class GraftTable private (
           .select("__f").distinct()
           .collect().map(_.getString(0)).toSet // ≤ #files driver rows
       val touched = cands.filter(m =>
-        touchedUris.exists(_.endsWith("/" + m.path)))
+        touchedUris.exists(u => sameFile(u, m)))
       val ordered = schema.fieldNames.toSeq.map(col)
       val kept =
         if (touched.isEmpty) readFiles(Nil)
@@ -474,7 +484,7 @@ final class GraftTable private (
           .select("__f").distinct()
           .collect().map(_.getString(0)).toSet // ≤ #files driver rows
       val touched = cands.filter(m =>
-        touchedUris.exists(_.endsWith("/" + m.path)))
+        touchedUris.exists(u => sameFile(u, m)))
       if (touched.isEmpty) return baseV
       val ordered = schema.fieldNames.toSeq.map(col)
       val kept = readFiles(touched).join(broadcast(ks), keyCols, "left_anti")
@@ -615,6 +625,32 @@ final class GraftTable private (
           "that version is no longer restorable")
     }
     commitOnce(adds, removes, baseV)
+  }
+
+  /** Shallow clone (the published Delta CLONE shape): a NEW table
+    * whose first commit references this snapshot's data files by
+    * ABSOLUTE qualified path — zero data movement, O(files) driver
+    * metadata, so cloning a 100 TB table costs the same as cloning a
+    * 100 MB one. The clone is fully independent from commit 1 on:
+    * appends, deletes, compaction, clustering all write under the
+    * clone's own root, and copy-on-write never mutates a source file
+    * (files are immutable engine-wide), so neither table can corrupt
+    * the other. Stats records ride along, so data skipping works on
+    * the clone unchanged. Caveat shared with Delta's documented
+    * semantics: vacuum on the SOURCE can drop files a clone still
+    * references (the clone's own [[vacuum]] is fs-listing-based
+    * under its root and structurally cannot touch source files). */
+  def cloneTo(destPath: String): GraftTable = {
+    val dest = new GraftTable(spark, destPath, statsCols, checkpointInterval)
+    require(!dest.fs.exists(dest.logDir) || dest.listLog.isEmpty,
+      s"GraftTable already exists at $destPath")
+    dest.fs.mkdirs(dest.logDir)
+    val absolute = snapshotMetas().map(m =>
+      m.copy(path = fs.makeQualified(new Path(root, m.path)).toString))
+    val lines = s"s|${enc(schema.json)}" +: absolute.map(addLine)
+    require(dest.writeLinesAtomic(new Path(dest.logDir, commitName(1L)), lines),
+      s"lost the creation race for $destPath")
+    dest
   }
 
   def vacuum(retainVersions: Int = 2): Int = {

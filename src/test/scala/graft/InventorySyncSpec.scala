@@ -22,8 +22,8 @@ class InventorySyncSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the documented outcome") {
-    assert(SparkEntry.queries.size == 140)
-    assert(SparkEntry.oracleSql.size == 116)
+    assert(SparkEntry.queries.size == 141)
+    assert(SparkEntry.oracleSql.size == 117)
   }
 
   test("every rows-only (non-oracled) query carries a gate in RecallGateSpec") {
