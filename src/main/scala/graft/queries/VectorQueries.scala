@@ -326,6 +326,131 @@ object VectorQueries {
     GROUP BY label, pos
     ORDER BY label, pos"""
 
+  // ------------------------------------------------------------ outliers
+  private val OutShift = 134217728L // 2^27: keeps shifted components non-negative for |v| < 8
+  private val OutTopK = 3
+
+  /** Embedding outlier audit: the [[OutTopK]] farthest vectors from
+    * their label's centroid — the per-class quality sweep a training
+    * pipeline runs on embedded data (mislabeled / corrupt items sit
+    * far from their class mean). Bit-exact pipeline: components
+    * quantize at 2^-24 and SHIFT non-negative (so integer division
+    * floors identically in both engines), the centroid is the
+    * floored per-(label, pos) mean, and the squared distance is an
+    * integer sum of squared deviations (≤ 2^62 at 64 dims — no
+    * overflow). Only the final sqrt/scale is IEEE, on exact operands.
+    *
+    * Scale shape: one explode pass + a map-side-combined
+    * (label, pos) aggregate whose output is labels × dims rows —
+    * broadcast back over the component stream; the per-vector reduce
+    * is map-side combinable and the per-label top-k is a bounded
+    * window over label partitions. */
+  private def outliers(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val comp = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("vec_id"), col("label"), col("pos"),
+        (floor(col("v").cast("double") * 16777216.0).cast("long") + OutShift)
+          .as("vq"))
+    val cent = comp.groupBy(col("label"), col("pos"))
+      .agg(sum(col("vq")).as("sq"), count(lit(1)).as("n"))
+      .select(col("label").as("c_label"), col("pos").as("c_pos"),
+        expr("sq div n").as("cq"))
+    val d2 = comp
+      .join(broadcast(cent),
+        col("label") === col("c_label") && col("pos") === col("c_pos"))
+      .groupBy(col("vec_id"), col("label"))
+      .agg(sum((col("vq") - col("cq")) * (col("vq") - col("cq"))).as("d2q"))
+    d2.withColumn("rk", row_number().over(
+        Window.partitionBy(col("label"))
+          .orderBy(col("d2q").desc, col("vec_id"))))
+      .filter(col("rk") <= OutTopK)
+      .select(col("label"), col("rk").cast("long").as("rk"), col("vec_id"),
+        (sqrt(col("d2q").cast("double")) / 16777216.0).as("dist"))
+      .orderBy(col("label"), col("rk"))
+  }
+
+  private val outliersSql: String = s"""
+    WITH comp AS (
+      SELECT vec_id, label, i - 1 AS pos,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 16777216.0) AS BIGINT) + $OutShift AS vq
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+    cent AS (
+      SELECT label, pos, CAST(sum(vq) AS BIGINT) // count(*) AS cq
+      FROM comp GROUP BY label, pos),
+    d2 AS (
+      SELECT vec_id, comp.label,
+             CAST(sum((vq - cq) * (vq - cq)) AS BIGINT) AS d2q
+      FROM comp JOIN cent USING (label, pos)
+      GROUP BY vec_id, comp.label),
+    rk AS (
+      SELECT label, vec_id, d2q,
+             row_number() OVER (PARTITION BY label ORDER BY d2q DESC, vec_id) AS rk
+      FROM d2)
+    SELECT label, CAST(rk AS BIGINT) AS rk, vec_id,
+           sqrt(CAST(d2q AS DOUBLE)) / 16777216.0 AS dist
+    FROM rk WHERE rk <= $OutTopK
+    ORDER BY label, rk"""
+
+  // --------------------------------------------------------------- drift
+  /** Embedding distribution drift: per-label centroid displacement
+    * between two corpus slices (here: even vs odd vec_id standing in
+    * for old vs new snapshot) — the monitoring query that tells a
+    * pipeline its embedding space moved and indexes/thresholds need
+    * retraining. Same shifted fixed-point contract as
+    * [[outliers]]: floored integer centroids per slice, integer
+    * squared-displacement sum, one IEEE sqrt on exact operands.
+    * One explode pass, map-side-combined (label, pos, slice)
+    * aggregate (labels × dims × 2 rows), driver-bounded finish. */
+  private def drift(s: SparkSession, d: String): DataFrame = {
+    val comp = Tables.embeddings(s, d)
+      .select(col("label"), (col("vec_id") % 2).as("slice"),
+        posexplode(col("embedding")).as(Seq("pos", "v")))
+      .select(col("label"), col("slice"), col("pos"),
+        (floor(col("v").cast("double") * 16777216.0).cast("long") + OutShift)
+          .as("vq"))
+    comp.groupBy(col("label"), col("slice"), col("pos"))
+      .agg(sum(col("vq")).as("sq"), count(lit(1)).as("n"))
+      .select(col("label"), col("pos"), col("slice"),
+        expr("sq div n").as("cq"), col("n"))
+      .groupBy(col("label"), col("pos"))
+      .agg(
+        sum(when(col("slice") === 0, col("cq")).otherwise(0L)).as("cq_a"),
+        sum(when(col("slice") === 1, col("cq")).otherwise(0L)).as("cq_b"),
+        max(when(col("slice") === 0, col("n")).otherwise(0L)).as("n_a"),
+        max(when(col("slice") === 1, col("n")).otherwise(0L)).as("n_b"))
+      .groupBy(col("label"))
+      .agg(
+        (sqrt(sum((col("cq_a") - col("cq_b")) * (col("cq_a") - col("cq_b")))
+          .cast("double")) / 16777216.0).as("drift"),
+        max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"))
+      .orderBy(col("label"))
+  }
+
+  private val driftSql: String = s"""
+    WITH comp AS (
+      SELECT label, vec_id % 2 AS slice, i - 1 AS pos,
+             CAST(floor(CAST(embedding[i] AS DOUBLE) * 16777216.0) AS BIGINT) + $OutShift AS vq
+      FROM embeddings, unnest(range(1, len(embedding) + 1)) AS u(i)),
+    cent AS (
+      SELECT label, slice, pos,
+             CAST(sum(vq) AS BIGINT) // count(*) AS cq, count(*) AS n
+      FROM comp GROUP BY label, slice, pos),
+    sides AS (
+      SELECT label, pos,
+             CAST(sum(CASE WHEN slice = 0 THEN cq ELSE 0 END) AS BIGINT) AS cq_a,
+             CAST(sum(CASE WHEN slice = 1 THEN cq ELSE 0 END) AS BIGINT) AS cq_b,
+             CAST(max(CASE WHEN slice = 0 THEN n ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(max(CASE WHEN slice = 1 THEN n ELSE 0 END) AS BIGINT) AS n_b
+      FROM cent GROUP BY label, pos)
+    SELECT label,
+           sqrt(CAST(sum((cq_a - cq_b) * (cq_a - cq_b)) AS DOUBLE)) / 16777216.0 AS drift,
+           CAST(max(n_a) AS BIGINT) AS n_a, CAST(max(n_b) AS BIGINT) AS n_b
+    FROM sides
+    GROUP BY label
+    ORDER BY label"""
+
   // -------------------------------------------------------- filtered knn
   /** pgvector filtered search: `WHERE label = 3 ORDER BY embedding <->
     * q LIMIT k` — the metadata predicate is pushed into the parquet
@@ -1475,6 +1600,8 @@ object VectorQueries {
     "vs_search_summarize" -> QueryDef(searchSummarize _, searchSummarizeSql),
     "vs_norms"        -> QueryDef(norms _, normsSql),
     "emb_centroids"   -> QueryDef(centroids _, centroidsSql),
+    "emb_outliers"    -> QueryDef(outliers _, outliersSql),
+    "emb_drift"       -> QueryDef(drift _, driftSql),
     "vs_knn_l2"       -> QueryDef(knnL2 _, knnOracle(l2Sql)),
     "vs_knn_l1"       -> QueryDef(knnL1 _, knnOracle(l1Sql)),
     "vs_knn_half"     -> QueryDef(knnHalf _, None),
