@@ -514,7 +514,47 @@ object AnalyticsQueries {
     FROM cnt
     ORDER BY from_type, to_type"""
 
+  // -------------------------------------------------------------- gaps
+  /** Per-user activity-gap profile: active-day count, first→last
+    * span, and the longest inactive stretch — the churn-risk /
+    * sparse-history signal, and the batch shape of time-series gap
+    * detection (missing buckets surface as lag deltas > 1, no
+    * generate-and-join densification needed). Integer day arithmetic
+    * end to end. ONE user_id shuffle: the distinct, the lag window,
+    * and the final per-user aggregate all share it. */
+  private def gaps(s: SparkSession, d: String): DataFrame = {
+    val days = Tables.events(s, d)
+      .select(col("user_id"), expr("(ts DIV 1000000000) DIV 86400").as("day"))
+      .distinct()
+    val w = Window.partitionBy(col("user_id")).orderBy(col("day"))
+    days
+      .withColumn("gap", col("day") - lag(col("day"), 1).over(w) - 1L)
+      .groupBy(col("user_id"))
+      .agg(
+        count(lit(1)).as("n_active_days"),
+        (max(col("day")) - min(col("day")) + 1L).as("span_days"),
+        coalesce(max(col("gap")), lit(0L)).as("longest_gap"))
+      .orderBy(col("user_id"))
+  }
+
+  private val gapsSql: String = """
+    WITH days AS (
+      SELECT DISTINCT user_id,
+             (CAST(floor(epoch(ts)) AS BIGINT) // 86400) AS day
+      FROM events),
+    lagged AS (
+      SELECT user_id, day,
+             day - lag(day, 1) OVER (PARTITION BY user_id ORDER BY day) - 1 AS gap
+      FROM days)
+    SELECT user_id, count(*) AS n_active_days,
+           max(day) - min(day) + 1 AS span_days,
+           coalesce(max(gap), 0) AS longest_gap
+    FROM lagged
+    GROUP BY user_id
+    ORDER BY user_id"""
+
   val defs: Map[String, QueryDef] = Map(
+    "events_gaps"        -> QueryDef(gaps _, gapsSql),
     "events_markov"      -> QueryDef(markov _, markovSql),
     "events_ewma"        -> QueryDef(ewma _, ewmaSql),
     "events_anomaly"     -> QueryDef(anomaly _, anomalySql),

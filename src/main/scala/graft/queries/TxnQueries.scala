@@ -370,6 +370,71 @@ object TxnQueries {
     WHERE p_size >= 10
     ORDER BY p_partkey"""
 
+  // --------------------------------------------------- txn_incr_view
+  /** Incremental materialized-view maintenance from the change feed —
+    * the lakehouse pattern that keeps a 100 TB table's aggregate view
+    * fresh for the cost of the CHURN, never a recompute: the view
+    * (revenue + count per priority) materializes at v1, the table
+    * takes a delete + a MERGE (updates re-inserting a deleted slice),
+    * and the view is maintained as base ⊕ signed delta over
+    * [[GraftTable.changes]] (insert rows add, delete rows subtract;
+    * DECIMAL through the signed sums so the maintained numbers are
+    * bit-exact). The ORACLE checks the MAINTAINED view against a
+    * from-scratch reconstruction of the final content — any CDF or
+    * maintenance defect breaks the hash. */
+  private def incrPath(s: SparkSession, d: String): String = {
+    val orders = Tables.orders(s, d)
+    built(freshDir("incr", d)) { p =>
+      val t = GraftTable.create(s, p, orders.repartition(8),
+        statsCols = Seq("o_orderkey"))
+      t.delete(col("o_orderkey") % 5 === 0)
+      t.merge(
+        orders.filter(col("o_orderkey") % 7 === 0)
+          .withColumn("o_totalprice", col("o_totalprice") * 2),
+        Seq("o_orderkey"))
+      ()
+    }
+  }
+
+  private def readIncrView(s: SparkSession, path: String): DataFrame = {
+    val t = GraftTable.open(s, path)
+    val D2 = "decimal(18,2)"
+    val base = t.read(1L)
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"), sum(col("o_totalprice").cast(D2)).as("p"))
+    val delta = t.changes(1L)
+      .select(col("o_orderpriority"),
+        when(col("_change_type") === "insert", 1L).otherwise(-1L).as("sgn"),
+        col("o_totalprice").cast(D2).as("tp"))
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("sgn")).as("n"),
+        sum(when(col("sgn") === 1L, col("tp")).otherwise(-col("tp"))).as("p"))
+    base.unionByName(delta)
+      .groupBy(col("o_orderpriority"))
+      .agg(sum(col("n")).as("n_orders"),
+        sum(col("p")).cast("double").as("total_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private def txnIncrView(s: SparkSession, d: String): DataFrame =
+    readIncrView(s, incrPath(s, d))
+
+  /** Final content: %5 keys deleted, then the %7 slice upserted with
+    * doubled price (re-inserting %35 keys the delete removed). */
+  private val txnIncrViewSql = """
+    WITH finalt AS (
+      SELECT o_orderpriority,
+             CASE WHEN o_orderkey % 7 = 0
+                  THEN CAST(o_totalprice * 2 AS DECIMAL(18,2))
+                  ELSE CAST(o_totalprice AS DECIMAL(18,2)) END AS tp
+      FROM orders
+      WHERE o_orderkey % 5 <> 0 OR o_orderkey % 7 = 0)
+    SELECT o_orderpriority, count(*) AS n_orders,
+           CAST(sum(tp) AS DOUBLE) AS total_price
+    FROM finalt
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority"""
+
   // ------------------------------------------------------ bench split
   /** Bench splits (VERDICT r7 "What's wrong" #2): the conflated
     * entries hid the snapshot-read cost behind the one-shot table
@@ -430,6 +495,9 @@ object TxnQueries {
   def cloneBench(s: SparkSession, d: String): (() => Unit, () => DataFrame) =
     benchSplit(clonePath, Some("clone"), readClone)(s, d)
 
+  def incrViewBench(s: SparkSession, d: String): (() => Unit, () => DataFrame) =
+    benchSplit(incrPath, Some("incr"), readIncrView)(s, d)
+
   val defs: Map[String, QueryDef] = Map(
     "txn_merge"      -> QueryDef(txnMerge _, txnMergeSql),
     "txn_changes"    -> QueryDef(txnChanges _, txnChangesSql),
@@ -441,5 +509,6 @@ object TxnQueries {
     "txn_cluster"    -> QueryDef(txnCluster _, txnClusterSql),
     "txn_index_sync" -> QueryDef(txnIndexSync _, txnIndexSyncSql),
     "txn_clone"      -> QueryDef(txnClone _, txnCloneSql),
+    "txn_incr_view"  -> QueryDef(txnIncrView _, txnIncrViewSql),
   )
 }

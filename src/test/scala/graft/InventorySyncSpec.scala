@@ -22,8 +22,8 @@ class InventorySyncSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the documented outcome") {
-    assert(SparkEntry.queries.size == 143)
-    assert(SparkEntry.oracleSql.size == 119)
+    assert(SparkEntry.queries.size == 145)
+    assert(SparkEntry.oracleSql.size == 121)
   }
 
   test("every rows-only (non-oracled) query carries a gate in RecallGateSpec") {
