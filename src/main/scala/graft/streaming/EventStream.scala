@@ -55,6 +55,26 @@ object EventStream {
       }
   }
 
+  /** Streaming trending heavy hitters: per tumbling window, the top-k
+    * hottest items (event types here; domains/tokens in production)
+    * via the mergeable SpaceSaving sketch
+    * ([[graft.functions.SketchAggregates.heavyHitters]]) — the state
+    * store holds ONE capacity-bounded sketch per window, not a
+    * per-item count map, so cardinality of the item domain never
+    * grows state; micro-batch partials merge exactly like the batch
+    * twin text_topk_sketch's shuffle combine. Append mode: a window's
+    * top-k emits once, when the watermark closes it. */
+  def trendingTopK(events: DataFrame, capacity: Int = 64, k: Int = 3): DataFrame =
+    events
+      .withColumn("ts_ts", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("ts_ts", "30 minutes")
+      .groupBy(window(col("ts_ts"), "1 hour"))
+      .agg(graft.functions.SketchAggregates
+        .heavyHitters(col("event_type"), capacity, k).as("top"))
+      .select(
+        unix_timestamp(col("window.start")).as("bucket_start"),
+        col("top"))
+
   /** Streaming exact dedup: drop re-deliveries of the same content
     * hash within the watermark horizon — the streaming twin of
     * Dedup.exact. Uses dropDuplicatesWithinWatermark so the state

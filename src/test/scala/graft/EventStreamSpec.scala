@@ -113,6 +113,36 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming trending top-k merges sketch state across micro-batches") {
+    implicit val s = spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[Event]
+    val q = EventStream.trendingTopK(input.toDF(), capacity = 16, k = 2)
+      .writeStream.format("memory").queryName("trend_out")
+      .outputMode("append").start()
+    try {
+      // window [0, 3600): 3 clicks in batch 1, then 2 views + 1 click in
+      // batch 2 — the merged sketch must rank click(4) > view(2)
+      input.addData(
+        Event(1, ns(100), 1, "click", 0), Event(2, ns(200), 2, "click", 0),
+        Event(3, ns(300), 3, "click", 0))
+      q.processAllAvailable()
+      input.addData(
+        Event(4, ns(400), 4, "view", 0), Event(5, ns(500), 5, "view", 0),
+        Event(6, ns(600), 6, "click", 0))
+      q.processAllAvailable()
+      // advance the watermark far enough to close the window
+      input.addData(Event(7, ns(100000), 9, "error", 0))
+      q.processAllAvailable()
+      val rows = spark.table("trend_out")
+        .filter($"bucket_start" === 0L)
+        .selectExpr("explode(top) AS t").select("t.item", "t.cnt")
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(rows == Seq(("click", 4L), ("view", 2L)), s"$rows")
+    } finally q.stop()
+  }
+
   test("streaming EWMA matches the sequential recurrence across micro-batches") {
     implicit val s = spark
     import spark.implicits._
