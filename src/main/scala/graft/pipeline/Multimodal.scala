@@ -320,6 +320,39 @@ object Multimodal {
     }
   }
 
+  /** Exact integer features of a decimated decode. */
+  final case class ResampledAudio(doc_id: Long, factor: Long, n_out: Long,
+      sum_amp: Long, sum_sq_amp: Long)
+
+  /** REAL resample (the rate-reduction step of an audio-training
+    * pipeline — decimate to the model's input rate before feature
+    * extraction): decode the binary column, keep every `factor`-th
+    * PCM sample (integer decimation — no interpolation arithmetic, so
+    * every output sample is a source sample and the SQL oracle can
+    * replay the statistics in closed form), emit exact amplitude
+    * stats of the kept samples. Production decimators low-pass
+    * first; the kept-sample arithmetic — what the oracle can check
+    * exactly — is identical. Same narrow one-pass batch shape as
+    * [[decodeWavs]]. */
+  def resampleWavs(media: Dataset[MediaRecord], factor: Int)(
+      implicit spark: SparkSession): Dataset[ResampledAudio] = {
+    import spark.implicits._
+    require(factor >= 1, "decimation factor must be positive")
+    media.mapPartitions { it =>
+      it.map { m =>
+        val (_, samples) = Wav.decode(m.bytes)
+        var (sum, sq, n) = (0L, 0L, 0L)
+        var i = 0
+        while (i < samples.length) {
+          val s = samples(i).toLong
+          sum += s; sq += s * s; n += 1L
+          i += factor
+        }
+        ResampledAudio(m.doc_id, factor.toLong, n, sum, sq)
+      }
+    }
+  }
+
   /** REAL video codec: an uncompressed AVI writer + from-the-spec
     * RIFF parser (the AVI RIFF form is a public Microsoft container
     * spec — `RIFF('AVI ' LIST('hdrl' avih LIST('strl' strh strf))

@@ -317,6 +317,49 @@ object MultimodalQueries {
     ORDER BY doc_id"""
   }
 
+  // --------------------------------------------------- real audio resample
+  private val RsmpFactor = 8
+
+  /** Integer decimation of the real decoded audio
+    * ([[graft.pipeline.Multimodal.resampleWavs]]) — every kept sample
+    * is a source sample of the ramp s(i) = base + i at stride
+    * [[RsmpFactor]], so the decimated count and amplitude sums have
+    * closed forms over m = ⌈n/k⌉ that the oracle replays with no
+    * audio code. */
+  private def audioResample(s: SparkSession, d: String): DataFrame = {
+    implicit val sp: SparkSession = s
+    import s.implicits._
+    val specs = Tables.documents(s, d).select(
+        col("doc_id"),
+        (lit(1000) + length(col("text")) % 3000).cast("int").as("n_samples"),
+        (((hash64(col("text")) % 1000) + 1000) % 1000).cast("int").as("base"))
+      .as[graft.pipeline.Multimodal.AudioSpec]
+    graft.pipeline.Multimodal.resampleWavs(
+        graft.pipeline.Multimodal.synthesizeWavs(specs), RsmpFactor)
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  private val audioResampleSql: String = {
+    val h = hash64Sql("text")
+    val k = RsmpFactor
+    s"""
+    WITH g AS (
+      SELECT doc_id,
+             CAST(1000 + length(text) % 3000 AS BIGINT) AS n,
+             CAST((($h % 1000) + 1000) % 1000 AS BIGINT) AS base
+      FROM documents),
+    m AS (SELECT doc_id, base, (n + $k - 1) // $k AS m FROM g)
+    SELECT doc_id,
+           CAST($k AS BIGINT) AS factor,
+           m AS n_out,
+           m * base + $k * (m * (m - 1) // 2) AS sum_amp,
+           m * base * base + 2 * base * $k * (m * (m - 1) // 2)
+             + $k * $k * ((m - 1) * m * (2 * m - 1) // 6) AS sum_sq_amp
+    FROM m
+    ORDER BY doc_id"""
+  }
+
   // ------------------------------------------------------ real video decode
   /** The video modality decoded for REAL: per-document uncompressed
     * AVIs (from-spec RIFF writer, raw bottom-up 24-bit DIB frames),
@@ -365,6 +408,7 @@ object MultimodalQueries {
 
   val defs: Map[String, QueryDef] = Map(
     "mm_audio_decode" -> QueryDef(audioDecode _, audioDecodeSql),
+    "mm_audio_resample" -> QueryDef(audioResample _, audioResampleSql),
     "mm_video_decode" -> QueryDef(videoDecode _, videoDecodeSql),
     "mm_binary_meta"  -> QueryDef(binaryMeta _, binaryMetaSql),
     "mm_frame_sample" -> QueryDef(frameSample _, frameSampleSql),

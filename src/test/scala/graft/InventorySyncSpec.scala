@@ -22,8 +22,8 @@ class InventorySyncSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the documented outcome") {
-    assert(SparkEntry.queries.size == 145)
-    assert(SparkEntry.oracleSql.size == 121)
+    assert(SparkEntry.queries.size == 146)
+    assert(SparkEntry.oracleSql.size == 122)
   }
 
   test("every rows-only (non-oracled) query carries a gate in RecallGateSpec") {
