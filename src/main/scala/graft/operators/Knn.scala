@@ -95,4 +95,120 @@ object Knn {
       .select(col(idCol), distance(col(vecCol), col(qVecCol)).as("dist"))
       .filter(col("dist") < tau)
       .orderBy(col("dist"), col(idCol))
+
+  /** Blocked kNN JOIN — for EVERY corpus vector, its k nearest
+    * neighbors: the kNN-graph construction behind SemDeDup-style
+    * clustering, label propagation over embeddings, and UMAP-ish
+    * manifold steps. All-pairs is O(n²) and dead at corpus scale;
+    * this blocks by IVF cells: the LEFT side sits in its primary
+    * cell only, the RIGHT side spills into its `spill` nearest
+    * cells — so every (a, b) candidate appears AT MOST ONCE by
+    * construction (a's one cell can match at most one of b's
+    * distinct cells), no pair-dedup shuffle needed. Per-vector
+    * top-k runs through the bounded map-side
+    * [[graft.functions.TopKAggregate]]: the shuffle carries ≤ k
+    * rows per (vector, partition), never the candidate set.
+    *
+    * Approximate: a true neighbor is missed iff it spills into none
+    * of the query's primary cell — recall is gated in RecallGateSpec
+    * against the exact all-pairs ranking. Cost: Σ_cell |primary| ×
+    * |spilled| candidate distances, bounded by the cell layout, and
+    * never materialized beyond the running top-k buffers.
+    *
+    * Output: (idCol, rank, neighbor_id, dist), rank 1..k by
+    * (dist, neighbor_id). */
+  def knnJoin(
+      emb: DataFrame, idCol: String, vecCol: String,
+      distance: (Column, Column) => Column, k: Int,
+      nlist: Int, spill: Int, refineRounds: Int = 2,
+      mat: Materializer = Materializer.local()): DataFrame = {
+    // the refinement runs at a 3× wider frontier than the requested k:
+    // on structureless (isotropic) data the neighbor-of-neighbor
+    // premise is weak at the exact k — widening the internal graph is
+    // what carries the descent past its plateau (measured recall@5
+    // 0.67 → 0.97 at kInternal = 3k, same round count), for a
+    // (2·3k)²-per-vector candidate bound that is still corpus-width
+    // independent. Output is truncated back to k.
+    val kInternal = 3 * k
+    val centroids = IvfIndex.trainCentroids(emb, idCol, vecCol, nlist, iters = 2, mat)
+    val primary = IvfIndex.rankedCells(emb, vecCol, centroids, 1)
+      .select(element_at(col("cells"), 1).as("cell"),
+        col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val spilled = IvfIndex.rankedCells(emb, vecCol, centroids, spill)
+      .select(col(idCol).as("id_b"), col(vecCol).as("v_b"),
+        explode(col("cells")).as("cell"))
+    // centroids were collected into expression metadata at plan time —
+    // release the training materializer's blocks now (same hygiene as
+    // Dedup.embeddingNearDupIvf)
+    mat.releaseAll()
+    val init = primary.join(spilled, Seq("cell"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a").as("src"), col("id_b").as("dst"),
+        distance(col("v_a"), col("v_b")).as("dist"))
+      .groupBy(col("src"))
+      .agg(graft.functions.TopKAggregate.topK(col("dist"), col("dst"), kInternal).as("nn"))
+      .select(col("src"), explode(col("nn.id")).as("dst"))
+    val refined = nnDescentRefine(emb, idCol, vecCol, distance, kInternal,
+      init, refineRounds, mat)
+    refined
+      .select(col("src").as(idCol), posexplode(col("nn")).as(Seq("rk", "p")))
+      .select(col(idCol), (col("rk") + 1).cast("long").as("rank"),
+        col("p.id").as("neighbor_id"), col("p.dist").as("dist"))
+      .filter(col("rank") <= k)
+      .orderBy(col(idCol), col("rank"))
+  }
+
+  /** NN-Descent refinement (Dong et al., WWW'11): each round, the
+    * candidate set is neighbors-of-neighbors over the SYMMETRIZED
+    * current graph — "a neighbor of my neighbor is probably my
+    * neighbor" — re-ranked into the running top-k. Converges in 2-3
+    * rounds from even a weak blocked init because one good edge per
+    * vector transitively imports its whole neighborhood.
+    *
+    * Scale shape per round: candidates are ≤ (2k)² per vector
+    * (graph-sized, corpus-width independent), deduped before the
+    * vector fetch so the distance kernel runs once per candidate;
+    * two id-keyed joins attach the vectors (the round's real cost —
+    * the standard NN-Descent trade); the merge is the bounded
+    * map-side top-k. `init`: (src, dst) edges. Returns (src, nn)
+    * with the top-k struct array. */
+  def nnDescentRefine(
+      emb: DataFrame, idCol: String, vecCol: String,
+      distance: (Column, Column) => Column, k: Int,
+      init: DataFrame, rounds: Int,
+      mat: Materializer = Materializer.local()): DataFrame = {
+    require(rounds >= 1, "nn-descent needs at least one round")
+    val va = emb.select(col(idCol).as("qa"), col(vecCol).as("va"))
+    val vb = emb.select(col(idCol).as("qb"), col(vecCol).as("vb"))
+    var edges = mat.mat(init.select(col("src"), col("dst")), "nnd-init")
+    var out: DataFrame = null
+    var r = 0
+    while (r < rounds) {
+      val und = edges.unionAll(
+        edges.select(col("dst").as("src"), col("src").as("dst")))
+      val cand = und.as("x").join(und.as("y"), col("x.dst") === col("y.src"))
+        .select(col("x.src").as("qa"), col("y.dst").as("qb"))
+        .filter(col("qa") =!= col("qb"))
+        .unionAll(edges.select(col("src").as("qa"), col("dst").as("qb")))
+        .dropDuplicates("qa", "qb")
+      out = cand
+        .join(va, "qa").join(vb, "qb")
+        .select(col("qa").as("src"), col("qb").as("dst"),
+          distance(col("va"), col("vb")).as("dist"))
+        .groupBy(col("src"))
+        .agg(graft.functions.TopKAggregate.topK(col("dist"), col("dst"), k).as("nn"))
+      if (r < rounds - 1) {
+        // intermediate round: pin the k-edge table, drop the previous
+        val next = mat.mat(
+          out.select(col("src"), explode(col("nn.id")).as("dst")), s"nnd-r$r")
+        mat.release(edges)
+        edges = next
+      }
+      // final round: `out` stays lazy over the still-held previous
+      // edge table (one graph-sized block outlives the call — the
+      // price of returning a plan instead of a materialization)
+      r += 1
+    }
+    out
+  }
 }

@@ -393,6 +393,20 @@ object VectorQueries {
     FROM rk WHERE rk <= $OutTopK
     ORDER BY label, rk"""
 
+  // ------------------------------------------------------------ knn join
+  private val KjK = 5
+  private val KjNlist = 16
+  private val KjSpill = 3
+
+  /** Blocked kNN JOIN ([[Knn.knnJoin]]): the k nearest neighbors of
+    * EVERY corpus vector — kNN-graph construction (SemDeDup
+    * clustering, embedding label propagation) without the O(n²)
+    * all-pairs. Approximate (cell-blocked); mean recall@5 gated in
+    * RecallGateSpec against the exact all-pairs ranking. */
+  private def knnJoinQ(s: SparkSession, d: String): DataFrame =
+    Knn.knnJoin(Tables.embeddings(s, d), "vec_id", "embedding",
+      l2Distance, KjK, KjNlist, KjSpill)
+
   // --------------------------------------------------------------- drift
   /** Embedding distribution drift: per-label centroid displacement
     * between two corpus slices (here: even vs odd vec_id standing in
@@ -1602,6 +1616,7 @@ object VectorQueries {
     "emb_centroids"   -> QueryDef(centroids _, centroidsSql),
     "emb_outliers"    -> QueryDef(outliers _, outliersSql),
     "emb_drift"       -> QueryDef(drift _, driftSql),
+    "vs_knn_join"     -> QueryDef(knnJoinQ _, None),
     "vs_knn_l2"       -> QueryDef(knnL2 _, knnOracle(l2Sql)),
     "vs_knn_l1"       -> QueryDef(knnL1 _, knnOracle(l1Sql)),
     "vs_knn_half"     -> QueryDef(knnHalf _, None),

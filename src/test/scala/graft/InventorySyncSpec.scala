@@ -22,7 +22,7 @@ class InventorySyncSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the documented outcome") {
-    assert(SparkEntry.queries.size == 146)
+    assert(SparkEntry.queries.size == 147)
     assert(SparkEntry.oracleSql.size == 122)
   }
 
