@@ -313,7 +313,158 @@ object TpchDeepQueries {
     GROUP BY c_nationkey
     ORDER BY c_nationkey"""
 
+  // --------------------------------------------------- q6: filtered revenue
+  /** TPC-H Q6: the pure filter-scan aggregate — every predicate must
+    * reach the parquet scan (PushedFilters), the whole plan is one
+    * codegen span to a 1-row result. */
+  private def q6Revenue(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1997-01-01").cast("timestamp") &&
+              col("l_discount").between(0.03, 0.07) &&
+              col("l_quantity") < 24)
+      .agg(sum(col("l_extendedprice").cast(D2) * col("l_discount").cast(D2))
+        .cast("double").as("revenue"),
+        count(lit(1)).as("n_items"))
+
+  private val q6Sql = """
+    SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           count(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.03 AND 0.07
+      AND l_quantity < 24"""
+
+  // ------------------------------------------------ q10: returned items
+  /** TPC-H Q10: top 20 customers by revenue lost to returns in a
+    * quarter — fact-fact orderkey shuffle, customer/nation broadcast,
+    * TakeOrderedAndProject for the top-k. */
+  private def q10Returns(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+      .join(Tables.orders(s, d).filter(
+          col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("o_orderdate") <  lit("1996-07-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("n_name"), col("c_acctbal"))
+      .agg(revenueAgg.as("revenue"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+
+  private val q10Sql = s"""
+    SELECT c_custkey, c_name, n_name, c_acctbal, $revenueSql AS revenue
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation ON c_nationkey = n_nationkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-07-01'
+    GROUP BY 1, 2, 3, 4
+    ORDER BY revenue DESC, c_custkey
+    LIMIT 20"""
+
+  // ------------------------------------------------- q14: promo share
+  /** TPC-H Q14: promo revenue share by ship month — conditional-sum
+    * ratio, decimal-exact on both sides of the one double division. */
+  private def q14Promo(s: SparkSession, d: String): DataFrame = {
+    val volume = col("l_extendedprice").cast(D2) *
+      (lit(1).cast(D2) - col("l_discount").cast(D2))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("l_shipdate") <  lit("1997-01-01").cast("timestamp"))
+      .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_type"))),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy(month(col("l_shipdate")).as("l_month"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", volume).otherwise(lit(0).cast(D2)))
+          .cast("double").as("promo_volume"),
+        sum(volume).cast("double").as("total_volume"))
+      .select(col("l_month"),
+        (col("promo_volume") * 100.0 / col("total_volume")).as("promo_share"))
+      .orderBy(col("l_month"))
+  }
+
+  private val q14Sql = """
+    SELECT month(l_shipdate) AS l_month,
+           CAST(sum(CASE WHEN p_type = 'PROMO'
+                    THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    ELSE 0 END) AS DOUBLE) * 100.0
+           / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+             AS promo_share
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+    GROUP BY 1
+    ORDER BY l_month"""
+
+  // ------------------------------------------------- q18: large orders
+  /** TPC-H Q18: orders whose total quantity exceeds 140 — the
+    * HAVING-subquery shape as an aggregate + re-join on the fact key
+    * (one orderkey shuffle feeds both the qualifier and the join). */
+  private def q18Large(s: SparkSession, d: String): DataFrame = {
+    val big = Tables.lineitem(s, d)
+      .groupBy(col("l_orderkey"))
+      .agg(sum(col("l_quantity").cast(D2)).cast("double").as("sum_qty"))
+      .filter(col("sum_qty") > 140.0)
+    big.join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.customer(s, d)), col("o_custkey") === col("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        unix_timestamp(col("o_orderdate")).as("o_orderdate_s"),
+        col("o_totalprice"), col("sum_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(20)
+  }
+
+  private val q18Sql = """
+    WITH big AS (
+      SELECT l_orderkey,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey
+      HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 140.0)
+    SELECT c_custkey, c_name, o_orderkey,
+           CAST(floor(epoch(o_orderdate)) AS BIGINT) AS o_orderdate_s,
+           o_totalprice, sum_qty
+    FROM big
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20"""
+
+  // ------------------------------------------- q19: disjunctive predicates
+  /** TPC-H Q19: revenue under a disjunction of (brand-set, size
+    * range, quantity range) triples — the OR-of-ANDs shape that
+    * tests predicate normalization; the part dimension broadcasts
+    * with its own size filter pushed down. */
+  private def q19Disjunct(s: SparkSession, d: String): DataFrame = {
+    val p1 = col("p_brand").isin("Brand#1", "Brand#2", "Brand#3") &&
+      col("p_size").between(1, 15) && col("l_quantity").between(5, 35)
+    val p2 = col("p_brand").isin("Brand#4", "Brand#5", "Brand#6") &&
+      col("p_size").between(10, 30) && col("l_quantity").between(10, 40)
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)
+        .select(col("p_partkey"), col("p_brand"), col("p_size"))),
+        col("l_partkey") === col("p_partkey"))
+      .filter(p1 || p2)
+      .agg(revenueAgg.as("revenue"), count(lit(1)).as("n_items"))
+  }
+
+  private val q19Sql = s"""
+    SELECT $revenueSql AS revenue, count(*) AS n_items
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand IN ('Brand#1', 'Brand#2', 'Brand#3')
+           AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 5 AND 35)
+       OR (p_brand IN ('Brand#4', 'Brand#5', 'Brand#6')
+           AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 40)"""
+
   val defs: Map[String, QueryDef] = Map(
+    "q6_filter_revenue" -> QueryDef(q6Revenue _, q6Sql),
+    "q10_returns"       -> QueryDef(q10Returns _, q10Sql),
+    "q14_promo_share"   -> QueryDef(q14Promo _, q14Sql),
+    "q18_large_orders"  -> QueryDef(q18Large _, q18Sql),
+    "q19_disjunct"      -> QueryDef(q19Disjunct _, q19Sql),
     "q2_min_price_supp" -> QueryDef(q2MinPrice _, q2Sql),
     "q7_volume"         -> QueryDef(q7Volume _, q7Sql),
     "q8_mkt_share"      -> QueryDef(q8Share _, q8Sql),

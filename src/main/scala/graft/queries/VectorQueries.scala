@@ -395,17 +395,23 @@ object VectorQueries {
 
   // ------------------------------------------------------------ knn join
   private val KjK = 5
-  private val KjNlist = 16
   private val KjSpill = 3
 
   /** Blocked kNN JOIN ([[Knn.knnJoin]]): the k nearest neighbors of
     * EVERY corpus vector — kNN-graph construction (SemDeDup
     * clustering, embedding label propagation) without the O(n²)
-    * all-pairs. Approximate (cell-blocked); mean recall@5 gated in
-    * RecallGateSpec against the exact all-pairs ranking. */
-  private def knnJoinQ(s: SparkSession, d: String): DataFrame =
+    * all-pairs. nlist scales as √n (the standard IVF sizing) so the
+    * init's within-cell candidate volume stays ~n^1.5/√n-bounded
+    * instead of n²/nlist with a fixed cell count — at a fixed nlist
+    * the init re-approaches all-pairs as the corpus grows.
+    * Approximate; mean recall@5 gated in RecallGateSpec against the
+    * exact all-pairs ranking. */
+  private def knnJoinQ(s: SparkSession, d: String): DataFrame = {
+    val n = Tables.embeddings(s, d).count()
+    val nlist = math.max(16, math.min(256, math.ceil(math.sqrt(n.toDouble)).toInt))
     Knn.knnJoin(Tables.embeddings(s, d), "vec_id", "embedding",
-      l2Distance, KjK, KjNlist, KjSpill)
+      l2Distance, KjK, nlist, KjSpill)
+  }
 
   // --------------------------------------------------------------- drift
   /** Embedding distribution drift: per-label centroid displacement

@@ -1,0 +1,18 @@
+package graft.tools
+import org.apache.spark.sql.SparkSession
+object TimeOne {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions","32")
+      .config("spark.sql.session.timeZone","UTC")
+      .config("spark.ui.enabled","false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    for (n <- args) {
+      val t0 = System.nanoTime()
+      graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.1")
+        .write.mode("overwrite").format("noop").save()
+      println(f"[time] $n ${(System.nanoTime()-t0)/1e9}%.2f s")
+    }
+    spark.stop()
+  }
+}
