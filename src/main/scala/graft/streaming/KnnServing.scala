@@ -154,4 +154,99 @@ object KnnServing {
         }
       }
       .start()
+
+  /** Semantically-cached serving: repeated (or near-repeated) query
+    * vectors are answered from a cache of previously computed result
+    * sets instead of re-scanning the store — the serving-layer
+    * optimization for power-law query traffic, where a handful of hot
+    * queries dominate. Per micro-batch:
+    *
+    *  1. every query checks the cache for its most similar cached
+    *     query vector (cache broadcast — it is query-history-sized,
+    *     never corpus-sized); cosine similarity ≥ 1 − `eps` is a HIT
+    *     and replays the cached result set verbatim (`cache_hit` =
+    *     true in the output — the consumer can see staleness);
+    *  2. misses run ONE exact batched top-k against the store
+    *     ([[Knn.topKBatch]]) and their result sets enter the cache
+    *     (eagerly pinned, previous cache generation released — the
+    *     foreachBatch sequence owns the lifecycle).
+    *
+    * With eps = 0 the cache only ever replays bit-identical queries,
+    * so answers equal the uncached path exactly; eps > 0 trades
+    * bounded query-side drift for hit rate (the classic semantic
+    * cache contract). Store mutations invalidate nothing here — pair
+    * with a fresh cache per store version (GraftTable versions give
+    * the signal) in production.
+    *
+    * Output rows: (qIdCol, idCol, dist, cache_hit). */
+  def serveCached(
+      queries: DataFrame, store: DataFrame,
+      qIdCol: String, qVecCol: String, idCol: String, vecCol: String,
+      k: Int, eps: Double)(writeBatch: (DataFrame, Long) => Unit): StreamingQuery = {
+    import org.apache.spark.sql.functions._
+    val spark = store.sparkSession
+    // cache: (c_vec array<double>, c_answers array<struct<id, dist>>)
+    var cache: DataFrame = null
+    queries.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          val q = batch.select(col(qIdCol), col(qVecCol))
+          val (hits, misses) =
+            if (cache == null) (None, q)
+            else {
+              val w = org.apache.spark.sql.expressions.Window
+                .partitionBy(col(qIdCol)).orderBy(col("sim").desc, col("c_key"))
+              val best = q.join(broadcast(cache))
+                .select(col(qIdCol), col(qVecCol), col("c_key"), col("c_answers"),
+                  VectorFunctions.cosineSimilarity(col(qVecCol), col("c_vec")).as("sim"))
+                .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+              val hit = best.filter(col("sim") >= 1.0 - eps)
+                .select(col(qIdCol), explode(col("c_answers")).as("a"))
+                .select(col(qIdCol), col("a.id").as(idCol),
+                  col("a.dist").as("dist"), lit(true).as("cache_hit"))
+              (Some(hit), best.filter(col("sim") < 1.0 - eps)
+                .select(col(qIdCol), col(qVecCol)))
+            }
+          val freshRows =
+            if (misses.isEmpty) None
+            else {
+              val answered = Knn.topKBatch(
+                store, idCol, vecCol, misses, qIdCol, qVecCol,
+                VectorFunctions.cosineDistance, k, excludeSelfMatches = false)
+              Some(answered.withColumn("cache_hit", lit(false)))
+            }
+          freshRows.foreach { fresh =>
+            // admit the miss results; keyed by a stable hash of the
+            // vector so re-admitting an identical query replaces itself
+            val entries = fresh
+              .groupBy(col(qIdCol))
+              .agg(collect_list(struct(col(idCol).as("id"), col("dist"))).as("c_answers0"))
+              .join(misses, qIdCol)
+              .select(col(qVecCol).cast("array<double>").as("c_vec"),
+                sort_array(col("c_answers0")).as("c_answers"))
+              .withColumn("c_key", hash(col("c_vec")))
+            val merged = (if (cache == null) entries
+              else cache.unionByName(entries)
+                .withColumn("rn", row_number().over(
+                  org.apache.spark.sql.expressions.Window
+                    .partitionBy(col("c_key")).orderBy(lit(1))))
+                .filter(col("rn") === 1).drop("rn"))
+              .localCheckpoint(true) // eager: the old generation can go
+            if (cache != null) cache.unpersist()
+            cache = merged
+          }
+          val out: Option[DataFrame] = (hits, freshRows) match {
+            case (Some(h), Some(f)) => Some(h.unionByName(
+              f.select(col(qIdCol), col(idCol), col("dist"), col("cache_hit"))))
+            case (Some(h), None) => Some(h)
+            case (None, Some(f)) =>
+              Some(f.select(col(qIdCol), col(idCol), col("dist"), col("cache_hit")))
+            case (None, None) => None // unreachable: a non-empty batch is hits ∪ misses
+          }
+          out.foreach(writeBatch(_, batchId))
+        }
+      }
+      .start()
+  }
 }

@@ -137,4 +137,47 @@ class IncrementalSpec extends SparkSpec {
     assert(results.sortBy(x => (x._1, x._3, x._2)).toSeq ==
       direct.sortBy(x => (x._1, x._3, x._2)).toSeq)
   }
+
+  test("semantically-cached serving: exact repeats hit, new queries miss, answers match uncached") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val store = Tables.embeddings(spark, Sf).filter(col("vec_id") =!= 0)
+    def qRows(pred: org.apache.spark.sql.Column, idOffset: Long) =
+      Tables.embeddings(spark, Sf).filter(pred)
+        .collect().map(r => (r.getLong(0) + idOffset, r.getSeq[Float](1))).toSeq
+    val input = MemoryStream[(Long, Seq[Float])]
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Boolean)]
+    val q = KnnServing.serveCached(
+      input.toDF().toDF("qid", "qvec"),
+      store, "qid", "qvec", "vec_id", "embedding", k = 3, eps = 0.0) { (batch, _) =>
+      results ++= batch.collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
+    }
+    try {
+      // batch 1: queries 1, 2 — all misses (cold cache)
+      input.addData(qRows(col("vec_id").isin(1L, 2L), 0))
+      q.processAllAvailable()
+      // batch 2: query 1 repeated verbatim (new request id) + query 3 (new)
+      input.addData(qRows(col("vec_id") === 1L, 100) ++ qRows(col("vec_id") === 3L, 0))
+      q.processAllAvailable()
+    } finally q.stop()
+    val byQid = results.groupBy(_._1)
+    assert(byQid(1L).forall(!_._4), "cold-cache query must miss")
+    assert(byQid(2L).forall(!_._4), "cold-cache query must miss")
+    assert(byQid(101L).forall(_._4), "verbatim repeat must hit the cache")
+    assert(byQid(3L).forall(!_._4), "novel query must miss")
+    // the cached replay carries the same answer set as the original
+    assert(byQid(101L).map(r => (r._2, r._3)).toSet ==
+      byQid(1L).map(r => (r._2, r._3)).toSet)
+    // and every answer matches the uncached exact path
+    val direct = Knn.topKBatch(store, "vec_id", "embedding",
+      Tables.embeddings(spark, Sf).filter(col("vec_id").isin(1L, 2L, 3L))
+        .select(col("vec_id").as("qid"), col("embedding").as("qvec")),
+      "qid", "qvec", VectorFunctions.cosineDistance, 3,
+      excludeSelfMatches = false)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val fresh = results.filter(r => !r._4).map(r => (r._1, r._2, r._3))
+    assert(fresh.sortBy(x => (x._1, x._3, x._2)).toSeq ==
+      direct.sortBy(x => (x._1, x._3, x._2)).toSeq)
+  }
 }
