@@ -186,7 +186,11 @@ object Knn {
     while (r < rounds) {
       val und = edges.unionAll(
         edges.select(col("dst").as("src"), col("src").as("dst")))
-      val cand = und.as("x").join(und.as("y"), col("x.dst") === col("y.src"))
+      // shuffled-hash: pure-equality edge⋈edge with per-key build
+      // groups bounded by the symmetrized degree (≤ 2k per node) —
+      // the sort buys nothing (same reasoning as Graph.triangleCounts)
+      val cand = und.as("x")
+        .join(und.as("y").hint("shuffle_hash"), col("x.dst") === col("y.src"))
         .select(col("x.src").as("qa"), col("y.dst").as("qb"))
         .filter(col("qa") =!= col("qb"))
         .unionAll(edges.select(col("src").as("qa"), col("dst").as("qb")))

@@ -408,7 +408,7 @@ object VectorQueries {
     * exact all-pairs ranking. */
   private def knnJoinQ(s: SparkSession, d: String): DataFrame = {
     val n = Tables.embeddings(s, d).count()
-    val nlist = math.max(16, math.min(256, math.ceil(math.sqrt(n.toDouble)).toInt))
+    val nlist = math.max(16, math.min(1024, math.ceil(math.sqrt(n.toDouble)).toInt))
     Knn.knnJoin(Tables.embeddings(s, d), "vec_id", "embedding",
       l2Distance, KjK, nlist, KjSpill)
   }
