@@ -60,6 +60,7 @@ object Bench {
       "txn_cluster" -> queries.TxnQueries.clusterBench _,
       "txn_clone" -> queries.TxnQueries.cloneBench _,
       "txn_incr_view" -> queries.TxnQueries.incrViewBench _,
+      "txn_compact" -> queries.TxnQueries.compactBench _,
       "txn_index_sync" -> queries.TxnQueries.indexSyncBench _,
       "text_bpe_train" -> queries.TextQueries.bpeTrainBench _,
       "text_bpe_apply" -> queries.TextQueries.bpeApplyBench _,

@@ -299,6 +299,65 @@ object TextQueries {
     LIMIT 10"""
   }
 
+  // ------------------------------------------------------------ tf-idf
+  private val TfidfTopN = 3
+
+  /** Per-document top-[[TfidfTopN]] distinguishing terms by tf·idf —
+    * the keyword-extraction pass (document tagging, index-time
+    * boosts). idf uses the INTEGER log₂-floor bits() contract
+    * (bits(N) − bits(df) — same cross-engine portability choice as
+    * text_surprisal; float log idf would not hash-match across
+    * libm), so the score tf · idf_bits is an exact integer and the
+    * (score desc, term asc) ranking replays bit-identically.
+    *
+    * Scale shape: tf is ONE map-side-combined (doc, term) aggregate;
+    * df derives from it with a second term-keyed aggregate (vocab
+    * rows, broadcast back — shuffle-joined on the term at web-scale
+    * vocab); the per-doc rank window partitions by doc (bounded
+    * groups). */
+  private def tfidf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def bits(x: org.apache.spark.sql.Column) =
+      length(conv(x, 10, 2)).cast("long") - 1L
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("doc_id"), col("w"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
+    val n = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+    val scored = tf
+      .join(broadcast(df), "w")
+      .crossJoin(broadcast(n))
+      .select(col("doc_id"), col("w"),
+        (col("tf") * (bits(col("n")) - bits(col("df")))).as("score"))
+    scored
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("doc_id"))
+          .orderBy(col("score").desc, col("w"))))
+      .filter(col("rk") <= TfidfTopN)
+      .select(col("doc_id"), col("rk").cast("long").as("rk"),
+        col("w").as("term"), col("score"))
+      .orderBy(col("doc_id"), col("rk"))
+  }
+
+  private val tfidfSql: String = s"""
+    WITH tok AS (
+      SELECT doc_id, unnest(${tokensSql("text")}) AS w FROM documents),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY 1, 2),
+    dfc AS (SELECT w, count(*) AS df FROM tf GROUP BY w),
+    g AS (SELECT count(*) AS n FROM documents),
+    scored AS (
+      SELECT doc_id, w,
+             CAST(tf * ((length(bin(g.n)) - 1) - (length(bin(df)) - 1)) AS BIGINT) AS score
+      FROM tf JOIN dfc USING (w) CROSS JOIN g),
+    rk AS (
+      SELECT doc_id, w, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, w) AS rk
+      FROM scored)
+    SELECT doc_id, CAST(rk AS BIGINT) AS rk, w AS term, score
+    FROM rk WHERE rk <= $TfidfTopN
+    ORDER BY doc_id, rk"""
+
   // ------------------------------------------------- unigram surprisal
   /** Unigram language-model surprisal — the LM-based quality signal
     * (Gopher/CCNet-style: low mean surprisal ≈ natural prose, high ≈
@@ -522,6 +581,7 @@ object TextQueries {
     "text_lang_id"     -> QueryDef(langId _, langIdSql),
     "text_quality"     -> QueryDef(quality _, qualitySql),
     "text_tokens"      -> QueryDef(tokenCounts _, tokenCountsSql),
+    "text_tfidf"       -> QueryDef(tfidf _, tfidfSql),
     "text_fingerprint" -> QueryDef(fingerprint _, fingerprintSql),
     "text_bpe_pairs"   -> QueryDef(bpePairs _, bpePairsSql),
     "text_bpe_train"   -> QueryDef(bpeTrain _, None),

@@ -435,6 +435,41 @@ object TxnQueries {
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority"""
 
+  // ------------------------------------------------------ txn_compact
+  /** OPTIMIZE (bin-packing compaction) on the oracle gate: the table
+    * is built as TEN deliberate small-file appends (streaming-debris
+    * shape), compacted to the byte target, and the read-back must
+    * hash-match the plain relational content — the rewrite may
+    * change layout, never data. The file-count collapse itself is
+    * asserted in GraftTableSpec; this entry pins content
+    * preservation at every SF. */
+  private def compactPath(s: SparkSession, d: String): String = {
+    val supplier = Tables.supplier(s, d)
+    built(freshDir("compact", d)) { p =>
+      val t = GraftTable.create(s, p,
+        supplier.filter(col("s_suppkey") % 10 === 0).repartition(2),
+        statsCols = Seq("s_suppkey"))
+      (1 to 9).foreach { r =>
+        t.append(supplier.filter(col("s_suppkey") % 10 === r).repartition(2))
+      }
+      t.compact(targetBytes = 64L << 20)
+      ()
+    }
+  }
+
+  private def readCompacted(s: SparkSession, path: String): DataFrame =
+    GraftTable.open(s, path).read()
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
+      .orderBy(col("s_suppkey"))
+
+  private def txnCompact(s: SparkSession, d: String): DataFrame =
+    readCompacted(s, compactPath(s, d))
+
+  private val txnCompactSql = """
+    SELECT s_suppkey, s_name, s_nationkey, s_acctbal
+    FROM supplier
+    ORDER BY s_suppkey"""
+
   // ------------------------------------------------------ bench split
   /** Bench splits (VERDICT r7 "What's wrong" #2): the conflated
     * entries hid the snapshot-read cost behind the one-shot table
@@ -498,6 +533,9 @@ object TxnQueries {
   def incrViewBench(s: SparkSession, d: String): (() => Unit, () => DataFrame) =
     benchSplit(incrPath, Some("incr"), readIncrView)(s, d)
 
+  def compactBench(s: SparkSession, d: String): (() => Unit, () => DataFrame) =
+    benchSplit(compactPath, Some("compact"), readCompacted)(s, d)
+
   val defs: Map[String, QueryDef] = Map(
     "txn_merge"      -> QueryDef(txnMerge _, txnMergeSql),
     "txn_changes"    -> QueryDef(txnChanges _, txnChangesSql),
@@ -510,5 +548,6 @@ object TxnQueries {
     "txn_index_sync" -> QueryDef(txnIndexSync _, txnIndexSyncSql),
     "txn_clone"      -> QueryDef(txnClone _, txnCloneSql),
     "txn_incr_view"  -> QueryDef(txnIncrView _, txnIncrViewSql),
+    "txn_compact"    -> QueryDef(txnCompact _, txnCompactSql),
   )
 }
