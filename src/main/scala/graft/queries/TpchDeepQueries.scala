@@ -29,6 +29,38 @@ object TpchDeepQueries {
   private val revenueSql =
     "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
 
+  // ----------------------------------------------- q4: priority semi-count
+  /** TPC-H Q4: orders with at least one late lineitem (shipped > 30
+    * days after order date — the fixture has no commitdate), counted
+    * by priority: EXISTS as a left-semi join whose correlated date
+    * condition rides INTO the join (not a post-filter). */
+  private def q4Priority(s: SparkSession, d: String): DataFrame = {
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+              col("o_orderdate") <  lit("1996-07-01").cast("timestamp"))
+    val l = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_shipdate"))
+    o.join(l,
+        col("o_orderkey") === col("l_orderkey") &&
+        col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  private val q4Sql = """
+    SELECT o_orderpriority, count(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1996-07-01'
+      AND EXISTS (
+        SELECT 1 FROM lineitem
+        WHERE l_orderkey = o_orderkey
+          AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority"""
+
   // ------------------------------------------------- q2: min-price supplier
   /** TPC-H Q2 shape without partsupp: for each of the 100 priciest
     * parts, the supplier(s) achieving the minimum lineitem price —
@@ -460,6 +492,7 @@ object TpchDeepQueries {
            AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 40)"""
 
   val defs: Map[String, QueryDef] = Map(
+    "q4_priority"       -> QueryDef(q4Priority _, q4Sql),
     "q6_filter_revenue" -> QueryDef(q6Revenue _, q6Sql),
     "q10_returns"       -> QueryDef(q10Returns _, q10Sql),
     "q14_promo_share"   -> QueryDef(q14Promo _, q14Sql),

@@ -113,6 +113,34 @@ object EventStream {
         col("click_id"), col("value"))
   }
 
+  /** Abandonment detection: every click matched LEFT OUTER against
+    * purchases by the same user within the following hour — clicks
+    * with no purchase emit with a null purchase once the watermark
+    * proves no match can still arrive (the outer-side emission is
+    * watermark-gated by construction; state on both sides is evicted
+    * past the horizon, the same bounded-state contract as
+    * [[clickToPurchase]]). The streaming form of the funnel's
+    * drop-off stage. */
+  def abandonedClicks(clicks: DataFrame, purchases: DataFrame): DataFrame = {
+    val c = clicks
+      .withColumn("c_ts", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("c_ts", "1 hour")
+      .select(col("user_id").as("c_user"), col("c_ts"),
+        col("event_id").as("click_id"))
+    val p = purchases
+      .withColumn("p_ts", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("p_ts", "1 hour")
+      .select(col("user_id").as("p_user"), col("p_ts"),
+        col("event_id").as("purchase_id"))
+    c.join(p,
+        col("c_user") === col("p_user") &&
+          col("p_ts") >= col("c_ts") &&
+          col("p_ts") <= col("c_ts") + expr("INTERVAL 1 HOUR"),
+        "left_outer")
+      .select(col("c_user").as("user_id"), col("click_id"),
+        col("purchase_id"), col("purchase_id").isNull.as("abandoned"))
+  }
+
   /** Tumbling 1-hour windows with a 30-minute watermark: late events
     * beyond the watermark are dropped, so state is bounded by
     * (#windows in watermark horizon) × (#event types). */

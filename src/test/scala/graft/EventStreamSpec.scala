@@ -113,6 +113,34 @@ class EventStreamSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("left-outer stream-stream join emits abandoned clicks after the watermark closes") {
+    implicit val s = spark
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val clicks = MemoryStream[Event]
+    val purchases = MemoryStream[Event]
+    val q = EventStream.abandonedClicks(clicks.toDF(), purchases.toDF())
+      .writeStream.format("memory").queryName("aband_out")
+      .outputMode("append").start()
+    try {
+      // user 1 clicks then buys within the hour; user 2 clicks and never buys
+      clicks.addData(Event(1, ns(100), 1, "click", 0), Event(2, ns(200), 2, "click", 0))
+      purchases.addData(Event(3, ns(1000), 1, "purchase", 9.0))
+      q.processAllAvailable()
+      // push both watermarks far past the join horizon so the unmatched
+      // click is provably unmatched and must emit with a null
+      clicks.addData(Event(4, ns(100000), 9, "click", 0))
+      purchases.addData(Event(5, ns(100000), 9, "purchase", 0))
+      q.processAllAvailable()
+      val got = spark.table("aband_out")
+        .filter($"user_id".isin(1L, 2L))
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2), r.getBoolean(3))).toSet
+      assert(got.contains((1L, 1L, 3L, false)), s"matched click missing: $got")
+      assert(got.contains((2L, 2L, -1L, true)), s"abandoned click missing: $got")
+    } finally q.stop()
+  }
+
   test("streaming trending top-k merges sketch state across micro-batches") {
     implicit val s = spark
     import spark.implicits._

@@ -22,8 +22,8 @@ class InventorySyncSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the documented outcome") {
-    assert(SparkEntry.queries.size == 154)
-    assert(SparkEntry.oracleSql.size == 129)
+    assert(SparkEntry.queries.size == 155)
+    assert(SparkEntry.oracleSql.size == 130)
   }
 
   test("every rows-only (non-oracled) query carries a gate in RecallGateSpec") {
