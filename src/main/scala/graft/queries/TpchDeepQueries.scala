@@ -61,6 +61,44 @@ object TpchDeepQueries {
     GROUP BY o_orderpriority
     ORDER BY o_orderpriority"""
 
+  // ------------------------------------------------------- q9: profit
+  /** TPC-H Q9 shape without partsupp: profit per (supplier nation,
+    * order year) with the part's retail price standing in for
+    * supplycost (amount = revenue − 10% of retailprice × quantity),
+    * over the 'widget' part family (TPC-H's '%green%'). Exercises the
+    * widest decimal-exact arithmetic in the suite: three decimal
+    * operands per row folded into one sum. */
+  private def q9Profit(s: SparkSession, d: String): DataFrame = {
+    val amount =
+      col("l_extendedprice").cast(D2) * (lit(1).cast(D2) - col("l_discount").cast(D2)) -
+      col("p_retailprice").cast(D2) * col("l_quantity").cast(D2) * lit(0.1).cast("decimal(18,6)")
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)
+          .filter(col("p_name").contains("widget"))
+          .select(col("p_partkey"), col("p_retailprice"))),
+        col("l_partkey") === col("p_partkey"))
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(Tables.supplier(s, d)), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("o_orderdate")).as("o_year"))
+      .agg(sum(amount).cast("double").as("profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  private val q9Sql = """
+    SELECT n_name AS nation, year(o_orderdate) AS o_year,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
+                    - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) * CAST(0.1 AS DECIMAL(18,6)))
+             AS DOUBLE) AS profit
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    JOIN orders ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN nation ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%widget%'
+    GROUP BY 1, 2
+    ORDER BY nation, o_year DESC"""
+
   // ------------------------------------------------- q2: min-price supplier
   /** TPC-H Q2 shape without partsupp: for each of the 100 priciest
     * parts, the supplier(s) achieving the minimum lineitem price —
@@ -501,6 +539,7 @@ object TpchDeepQueries {
     "q2_min_price_supp" -> QueryDef(q2MinPrice _, q2Sql),
     "q7_volume"         -> QueryDef(q7Volume _, q7Sql),
     "q8_mkt_share"      -> QueryDef(q8Share _, q8Sql),
+    "q9_profit"         -> QueryDef(q9Profit _, q9Sql),
     "q13_custdist"      -> QueryDef(q13Custdist _, q13Sql),
     "q15_top_supplier"  -> QueryDef(q15TopSupplier _, q15Sql),
     "q21_sole_late"     -> QueryDef(q21SoleLate _, q21Sql),
