@@ -269,7 +269,45 @@ object RelationalExtQueries {
     GROUP BY l_returnflag
     ORDER BY l_returnflag"""
 
+  // -------------------------------------------------------- range frame
+  /** Value-based window frame (RANGE BETWEEN, r8): for each order,
+    * the same customer's order count and revenue within ±30 DAYS of
+    * it — the frame is bounded by the ORDER-BY VALUE, not by row
+    * offsets (ROWS frames are everywhere else in the inventory; this
+    * is the missing frame kind). Integer day arithmetic keys the
+    * frame; the revenue sum is DECIMAL-exact. ONE customer shuffle
+    * serves the window. */
+  private def rangeFrame(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("day"))
+      .rangeBetween(-30, 30)
+    Tables.orders(s, d)
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+        (unix_timestamp(col("o_orderdate")) / 86400L).cast("long").as("day"))
+      .withColumn("n_nearby", count(lit(1)).over(w))
+      .withColumn("nearby_total",
+        sum(col("o_totalprice").cast("decimal(18,2)")).over(w).cast("double"))
+      .select(col("o_orderkey"), col("o_custkey"), col("n_nearby"),
+        col("nearby_total"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  private val rangeFrameSql = """
+    WITH o AS (
+      SELECT o_orderkey, o_custkey, o_totalprice,
+             CAST(floor(epoch(o_orderdate)) AS BIGINT) // 86400 AS day
+      FROM orders)
+    SELECT o_orderkey, o_custkey,
+           count(*) OVER w AS n_nearby,
+           CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER w AS DOUBLE) AS nearby_total
+    FROM o
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY day
+                 RANGE BETWEEN 30 PRECEDING AND 30 FOLLOWING)
+    ORDER BY o_orderkey"""
+
   val defs: Map[String, QueryDef] = Map(
+    "q_range_frame"          -> QueryDef(rangeFrame _, rangeFrameSql),
     "q_salted_agg"           -> QueryDef(saltedAgg _, saltedAggSql),
     "q_set_ops"              -> QueryDef(setOps _, setOpsSql),
     "q_having_like"          -> QueryDef(havingLike _, havingLikeSql),

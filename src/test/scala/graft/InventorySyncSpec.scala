@@ -22,8 +22,8 @@ class InventorySyncSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the documented outcome") {
-    assert(SparkEntry.queries.size == 156)
-    assert(SparkEntry.oracleSql.size == 131)
+    assert(SparkEntry.queries.size == 157)
+    assert(SparkEntry.oracleSql.size == 132)
   }
 
   test("every rows-only (non-oracled) query carries a gate in RecallGateSpec") {
