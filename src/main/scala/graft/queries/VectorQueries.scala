@@ -108,14 +108,20 @@ object VectorQueries {
   private[graft] val IvfSpill = 2
   private[graft] val IvfNprobe = 6
 
-  /** Approximate (cell recall < 1), so no SQL oracle — recall floor
-    * asserted in RecallGateSpec (rows-only driver check). */
+  /** Explicit-API IVF probe over the PERSISTED cell-assigned store
+    * ([[ensureAutoStore]] — same nlist/spill/nprobe operating point).
+    * Approximate vs the true exact top-k (cell recall < 1, floor
+    * asserted in RecallGateSpec) but DETERMINISTIC given the
+    * materialized centroids: the DuckDB oracle replays cell ranking +
+    * spilled-copy dedup + within-cell exact top-k over the same
+    * parquet (VERDICT r8 #1), so the entry carries the full
+    * rows+schema+hash gate. */
   private def ivfKnn(s: SparkSession, d: String): DataFrame = {
-    val (indexed, centroids) =
-      IvfIndex.buildIndex(Tables.embeddings(s, d), "vec_id", "embedding",
-        nlist = IvfNlist, spill = IvfSpill)
-    IvfIndex.search(indexed.filter(col("vec_id") =!= 0), "vec_id", "embedding",
-      centroids, queryVec(s, d), "qvec", l2Distance, k = K, nprobe = IvfNprobe)
+    val (storeP, centP) = ensureAutoStore(s, d)
+    IvfIndex.search(
+      s.read.parquet(storeP).filter(col("vec_id") =!= 0), "vec_id", "embedding",
+      s.read.parquet(centP).select(col("centroid_id"), col("centroid")),
+      queryVec(s, d), "qvec", l2Distance, k = K, nprobe = IvfNprobe)
   }
 
   // ------------------------------------------------------------ IVF-PQ
@@ -1143,9 +1149,12 @@ object VectorQueries {
   /** Build-once SQ8 sidecar (FAISS `QT_8bit` rung of the compression
     * ladder): (vec_id, sq binary) + trained per-dim params — 4× less
     * scan IO than float32. */
-  private def ensureSqStore(s: SparkSession, d: String): String = {
-    val p = new java.io.File(sys.props("java.io.tmpdir"),
+  private[graft] def sqStorePath(d: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_sq_v1_${Integer.toHexString(d.hashCode)}").toString
+
+  private def ensureSqStore(s: SparkSession, d: String): String = {
+    val p = sqStorePath(d)
     VectorQueries.synchronized {
       if (!new java.io.File(p, "_SUCCESS").exists())
         graft.operators.ScalarQuant.writeStore(
@@ -1190,14 +1199,21 @@ object VectorQueries {
   }
 
   /** Build-once float16-packed store (pgvector `halfvec` analogue):
-    * (vec_id, hv binary) — HALF the scan bytes of the float32 column. */
+    * (vec_id, hv binary) — HALF the scan bytes of the float32 column.
+    * v2: the query row (vec_id 0) is packed too, so the replay oracle
+    * can decode the half-rounded query from the same sidecar instead
+    * of re-implementing the encoder's double→float→binary16 rounding
+    * (pack is deterministic: the stored row 0 IS `Half.pack(q)`). */
+  private[graft] def halfStorePath(d: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_half_v2_${Integer.toHexString(d.hashCode)}").toString
+
   private def ensureHalfStore(s: SparkSession, d: String): String = {
     import org.apache.spark.sql.GraftSqlBridge.{toColumn, toExpression}
-    val p = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_half_v1_${Integer.toHexString(d.hashCode)}").toString
+    val p = halfStorePath(d)
     VectorQueries.synchronized {
       if (!new java.io.File(p, "_SUCCESS").exists())
-        Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+        Tables.embeddings(s, d)
           .select(col("vec_id"),
             toColumn(graft.functions.HalfPackExpr(toExpression(col("embedding")))).as("hv"))
           .write.mode("overwrite").parquet(p)
@@ -1208,8 +1224,11 @@ object VectorQueries {
   /** halfvec KNN (pgvector `halfvec` parity): L2 top-k over the
     * float16-packed store — half the scan IO, ~3 decimal digits of
     * element precision. Query is half-rounded too (pgvector casts
-    * both sides to halfvec). Lossy storage → rows-only; recall gated
-    * ≥ 0.9 vs the float32 exact top-k in RecallGateSpec. */
+    * both sides to halfvec). Lossy vs float32 (recall gated ≥ 0.9 in
+    * RecallGateSpec) but bit-DETERMINISTIC given the packed sidecar:
+    * the oracle decodes the stored binary16 codes with integer bit
+    * arithmetic and replays the same sequential L2 fold, so the entry
+    * carries the full hash gate (VERDICT r8 #1). */
   private def knnHalf(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.GraftSqlBridge.{toColumn, toExpression}
     val store = s.read.parquet(ensureHalfStore(s, d))
@@ -1217,6 +1236,7 @@ object VectorQueries {
       .head.getSeq[Double](0).toArray
     val qHalf = graft.functions.Half.unpackToDouble(graft.functions.Half.pack(q))
     store
+      .filter(col("vec_id") =!= 0)
       .select(col("vec_id"),
         toColumn(graft.functions.HalfDistExpr(
           toExpression(col("hv")), qHalf,
@@ -1331,11 +1351,14 @@ object VectorQueries {
     * Deterministic: same corpus → same k-means → same layout, so
     * re-use across JVMs is safe. (Dir name carries a layout version:
     * v2 added the radius column.) */
+  private[graft] def autoBasePath(d: String): java.io.File =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_ivf_auto_v4_${Integer.toHexString(d.hashCode)}")
+
   private def ensureAutoStore(s: SparkSession, d: String): (String, String) = {
     // v4: spilled layout carries the ranked cells array + cell_rank
     // (generalized dedup, any spill) instead of v3's primary_cell
-    val base = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_ivf_auto_v4_${Integer.toHexString(d.hashCode)}")
+    val base = autoBasePath(d)
     val storeP = new java.io.File(base, "store").toString
     val centP = new java.io.File(base, "centroids").toString
     VectorQueries.synchronized {
@@ -1370,9 +1393,12 @@ object VectorQueries {
     * probe) and r7 (table format) wins. Spill=1: GraftTable files
     * carry data columns only, and the single-copy store needs no
     * probe dedup predicate. */
-  private[graft] def ensureTxnStore(s: SparkSession, d: String): (String, String) = {
-    val base = new java.io.File(sys.props("java.io.tmpdir"),
+  private[graft] def txnBasePath(d: String): java.io.File =
+    new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_ivf_txn_v1_${Integer.toHexString(d.hashCode)}")
+
+  private[graft] def ensureTxnStore(s: SparkSession, d: String): (String, String) = {
+    val base = txnBasePath(d)
     val tableP = new java.io.File(base, "table").toString
     val centP = new java.io.File(base, "centroids").toString
     VectorQueries.synchronized {
@@ -1593,21 +1619,187 @@ object VectorQueries {
     (build, probe)
   }
 
-  val defs: Map[String, QueryDef] = Map(
-    "vs_ivf_auto"     -> QueryDef(ivfAuto _, None),
-    "vs_ivf_txn"      -> QueryDef(ivfTxn _, None),
+  // ------------------------------------ deterministic ANN replay oracles
+  // (VERDICT r8 #1.) An IVF probe over a PERSISTED store is
+  // deterministic given the materialized centroids: the oracle replays
+  // cell ranking (same (dist, centroid_id) tie-break), the spilled-copy
+  // dedup predicate ("no better-ranked cell probed" —
+  // IvfIndex.assignCells), and the within-cell exact top-k, all in
+  // DuckDB over the same parquet the engine wrote. Paths embed
+  // OracleEnv.sfDir (set by Verify before the dump), which is why
+  // `defs` below is a def, not a val.
+
+  /** DuckDB replay of the single-query spilled-store probe (vs_ivf_knn
+    * explicit API and vs_ivf_auto optimizer rewrite plan to the same
+    * candidates by construction — IvfProbeRule ranks with the same
+    * metric and injects the same dedup conjunct). */
+  private def ivfProbeOracle(d: String): String = {
+    val base = autoBasePath(d)
+    s"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0),
+    probed AS (
+      SELECT centroid_id
+      FROM read_parquet('$base/centroids/*.parquet'), q
+      ORDER BY list_distance(CAST(centroid AS DOUBLE[]), qvec), centroid_id
+      LIMIT $IvfNprobe),
+    plist AS (SELECT list(centroid_id) AS pl FROM probed),
+    store AS (
+      SELECT vec_id, embedding, cells, cell_rank, CAST(centroid_id AS INT) AS centroid_id
+      FROM read_parquet('$base/store/centroid_id=*/*.parquet', hive_partitioning=1))
+    SELECT s.vec_id AS vec_id,
+           list_distance(CAST(s.embedding AS DOUBLE[]), q.qvec) AS dist
+    FROM store s, plist, q
+    WHERE s.centroid_id IN (SELECT centroid_id FROM probed)
+      AND s.vec_id <> 0
+      AND NOT list_has_any(list_slice(s.cells, 1, s.cell_rank - 1), plist.pl)
+    ORDER BY dist, vec_id
+    LIMIT $K"""
+  }
+
+  /** Replay of the GraftTable-backed probe: single-copy store (no
+    * dedup), nprobe = TxnNprobe, the table's live files are the one
+    * create-commit's part-*.parquet (the store is immutable once
+    * built, so a raw glob IS the snapshot). */
+  private def ivfTxnOracle(d: String): String = {
+    val base = txnBasePath(d)
+    s"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0),
+    probed AS (
+      SELECT centroid_id
+      FROM read_parquet('$base/centroids/*.parquet'), q
+      ORDER BY list_distance(CAST(centroid AS DOUBLE[]), qvec), centroid_id
+      LIMIT $TxnNprobe)
+    SELECT s.vec_id AS vec_id,
+           list_distance(CAST(s.embedding AS DOUBLE[]), q.qvec) AS dist
+    FROM read_parquet('$base/table/part-*.parquet') s, q
+    WHERE s.centroid_id IN (SELECT centroid_id FROM probed)
+      AND s.vec_id <> 0
+    ORDER BY dist, vec_id
+    LIMIT $K"""
+  }
+
+  /** Replay of the batch probe: per-query cell ranking (row_number
+    * with the engine's (dist, centroid_id) struct-sort tie-break),
+    * per-query spilled dedup, self-exclusion, exact top-5 per query
+    * (TopKAggregate's (dist, id) eviction = the row_number order). */
+  private def ivfBatchOracle(d: String): String = {
+    val base = autoBasePath(d)
+    s"""
+    WITH qs AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qvec
+                FROM embeddings WHERE vec_id < 5),
+    ranked AS (
+      SELECT qid, qvec, centroid_id,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY list_distance(CAST(centroid AS DOUBLE[]), qvec), centroid_id) AS rn
+      FROM qs, read_parquet('$base/centroids/*.parquet')),
+    probes AS (
+      SELECT qid, any_value(qvec) AS qvec, list(centroid_id ORDER BY rn) AS pl
+      FROM ranked WHERE rn <= $IvfNprobe GROUP BY qid),
+    store AS (
+      SELECT vec_id, embedding, cells, cell_rank, CAST(centroid_id AS INT) AS centroid_id
+      FROM read_parquet('$base/store/centroid_id=*/*.parquet', hive_partitioning=1)),
+    cand AS (
+      SELECT p.qid, s.vec_id,
+             list_distance(CAST(s.embedding AS DOUBLE[]), p.qvec) AS dist
+      FROM store s JOIN probes p ON list_contains(p.pl, s.centroid_id)
+      WHERE s.vec_id <> p.qid
+        AND NOT list_has_any(list_slice(s.cells, 1, s.cell_rank - 1), p.pl)),
+    r AS (SELECT qid, vec_id, dist,
+                 row_number() OVER (PARTITION BY qid ORDER BY dist, vec_id) AS rn
+          FROM cand)
+    SELECT qid, vec_id, dist FROM r WHERE rn <= 5
+    ORDER BY qid, dist, vec_id"""
+  }
+
+  /** Hex-pair → int for the packed-sidecar decoders (DuckDB has no
+    * get_byte; hex() + strpos arithmetic is exact). `hx` must be the
+    * hex(blob) column, `i` a 1-based char index of the pair. */
+  private def hexByte(hx: String, i: String): String =
+    s"((strpos('0123456789ABCDEF', $hx[$i]) - 1) * 16 + " +
+      s"strpos('0123456789ABCDEF', $hx[($i) + 1]) - 1)"
+
+  /** Replay of the SQ8 two-phase search: dequantize the stored codes
+    * (min + code/255·scale — the exact SqDistExpr arithmetic), ADC
+    * shortlist of 64 by (ad, vec_id), exact re-rank from the float
+    * column. list(… ORDER BY dim) + list_sum reproduces the
+    * sequential accumulation contract. */
+  private def sqKnnOracle(d: String): String = {
+    val p = sqStorePath(d)
+    s"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0),
+    qd AS (SELECT generate_subscripts(qvec, 1) AS qdim, unnest(qvec) AS qx FROM q),
+    par AS (SELECT dim, "min" AS mn, "scale" AS sc FROM read_parquet('$p.params/*.parquet')),
+    st AS (SELECT vec_id, hex(sq) AS hx FROM read_parquet('$p/*.parquet')),
+    dec AS (
+      SELECT s.vec_id, p.dim,
+             p.mn + (CAST(${hexByte("s.hx", "2*p.dim+1")} AS DOUBLE) / 255.0) * p.sc AS x
+      FROM st s, par p),
+    ad AS (
+      SELECT d.vec_id,
+             sqrt(list_sum(list((d.x - qd.qx) * (d.x - qd.qx) ORDER BY d.dim))) AS ad
+      FROM dec d JOIN qd ON qd.qdim = d.dim + 1
+      GROUP BY d.vec_id),
+    short AS (SELECT vec_id FROM ad ORDER BY ad, vec_id LIMIT 64)
+    SELECT e.vec_id AS vec_id,
+           list_distance(CAST(e.embedding AS DOUBLE[]), q.qvec) AS dist
+    FROM embeddings e JOIN short USING (vec_id), q
+    ORDER BY dist, vec_id
+    LIMIT $K"""
+  }
+
+  /** Replay of the halfvec search from the packed sidecar alone: the
+    * stored binary16 codes (query row 0 included — v2 layout) decode
+    * with integer bit arithmetic (sign · (1024+mant)·2^(exp−25),
+    * subnormal mant·2^−24 — exact in double), then the same
+    * sequential L2 fold. No encoder replication: the sidecar IS the
+    * rounding's output. */
+  private def knnHalfOracle(d: String): String = {
+    val p = halfStorePath(d)
+    val u = hexByte("hx", "4*dim+1") + " + 256 * " + hexByte("hx", "4*dim+3")
+    s"""
+    WITH st AS (SELECT vec_id, hex(hv) AS hx, octet_length(hv) // 2 AS nd
+                FROM read_parquet('$p/*.parquet')),
+    bits AS (
+      SELECT vec_id, dim, $u AS u
+      FROM (SELECT vec_id, hx, unnest(range(0, nd)) AS dim FROM st)),
+    dec AS (
+      SELECT vec_id, dim,
+             (CASE WHEN u >= 32768 THEN -1.0 ELSE 1.0 END) *
+             (CASE WHEN ((u % 32768) // 1024) = 0
+                   THEN (u % 1024) * power(2.0, -24)
+                   ELSE (1024 + (u % 1024)) * power(2.0, ((u % 32768) // 1024) - 25) END) AS x
+      FROM bits),
+    qd AS (SELECT dim, x AS qx FROM dec WHERE vec_id = 0)
+    SELECT d.vec_id AS vec_id,
+           sqrt(list_sum(list((d.x - qd.qx) * (d.x - qd.qx) ORDER BY d.dim))) AS dist
+    FROM dec d JOIN qd USING (dim)
+    WHERE d.vec_id <> 0
+    GROUP BY d.vec_id
+    ORDER BY dist, vec_id
+    LIMIT $K"""
+  }
+
+  /** def, not val: the replay oracles above embed
+    * [[graft.OracleEnv.sfDir]]-derived store paths, resolved at dump
+    * time (Verify sets sfDir, runs the queries — which build the
+    * stores — then reads this map). */
+  def defs: Map[String, QueryDef] = {
+    val d = graft.OracleEnv.sfDir
+    Map(
+    "vs_ivf_auto"     -> QueryDef(ivfAuto _, ivfProbeOracle(d)),
+    "vs_ivf_txn"      -> QueryDef(ivfTxn _, ivfTxnOracle(d)),
     "vs_knn_filtered_auto" -> QueryDef(knnFilteredAuto _, None),
     "vs_knn_filtered_iter" -> QueryDef(knnFilteredIter _, None),
     "vs_hnsw_knn"     -> QueryDef(hnswKnn _, None),
     "vs_hnsw_routed"  -> QueryDef(hnswRouted _, None),
     "vs_hnsw_filtered" -> QueryDef(hnswFiltered _, None),
     "vs_ivfpq_knn"    -> QueryDef(ivfPqKnn _, None),
-    "vs_ivf_batch"    -> QueryDef(ivfBatch _, None),
-    "vs_ivf_knn"      -> QueryDef(ivfKnn _, None),
+    "vs_ivf_batch"    -> QueryDef(ivfBatch _, ivfBatchOracle(d)),
+    "vs_ivf_knn"      -> QueryDef(ivfKnn _, ivfProbeOracle(d)),
     "vs_lsh_knn"      -> QueryDef(lshKnn _, None),
     "vs_pq_knn"       -> QueryDef(pqKnn _, None),
     "vs_bq_knn"       -> QueryDef(bqKnn _, None),
-    "vs_sq_knn"       -> QueryDef(sqKnn _, None),
+    "vs_sq_knn"       -> QueryDef(sqKnn _, sqKnnOracle(d)),
     "vs_knn_filtered" -> QueryDef(knnFiltered _, knnFilteredSql),
     "vs_hybrid"       -> QueryDef(hybrid _, hybridSql),
     "vs_rerank_mmr"   -> QueryDef(rerankMmr _, rerankMmrSql),
@@ -1625,7 +1817,7 @@ object VectorQueries {
     "vs_knn_join"     -> QueryDef(knnJoinQ _, None),
     "vs_knn_l2"       -> QueryDef(knnL2 _, knnOracle(l2Sql)),
     "vs_knn_l1"       -> QueryDef(knnL1 _, knnOracle(l1Sql)),
-    "vs_knn_half"     -> QueryDef(knnHalf _, None),
+    "vs_knn_half"     -> QueryDef(knnHalf _, knnHalfOracle(d)),
     "vs_bit_hamming"  -> QueryDef(knnBitHamming _, bitHammingSql),
     "vs_bit_jaccard"  -> QueryDef(knnBitJaccard _, bitJaccardSql),
     "vs_knn_cosine"   -> QueryDef(knnCos _, knnOracle(cosSql)),
@@ -1633,5 +1825,6 @@ object VectorQueries {
     "vs_knn_batch"    -> QueryDef(knnBatch _, knnBatchSql),
     "vs_range_search" -> QueryDef(rangeSearch _, rangeSearchSql),
     "vs_range_auto"   -> QueryDef(rangeAuto _, rangeSearchSql),
-  )
+    )
+  }
 }

@@ -23,7 +23,9 @@ class InventorySyncSpec extends AnyFunSuite {
 
   test("inventory size matches the documented outcome") {
     assert(SparkEntry.queries.size == 157)
-    assert(SparkEntry.oracleSql.size == 132)
+    // r9: +6 — the deterministic ANN replay slice (vs_ivf_knn/auto/
+    // txn/batch, vs_sq_knn, vs_knn_half) moved to the hash gate
+    assert(SparkEntry.oracleSql.size == 138)
   }
 
   test("every rows-only (non-oracled) query carries a gate in RecallGateSpec") {
