@@ -155,58 +155,132 @@ object KnnServing {
       }
       .start()
 
+  /** Handle returned by [[serveCached]]: the streaming query plus a
+    * cache-size probe (spec/observability surface — the capacity
+    * contract is testable without reaching into the closure). */
+  final case class CachedServing(query: StreamingQuery, cacheRows: () => Long)
+
+  /** The banded-probe candidate plan (eps > 0) — factored out so its
+    * join shape is directly spec-assertable: query and cache rows
+    * explode to their LSH band keys and meet in a KEYED equi-join on
+    * `band` (hash join against the broadcast cache), never the old
+    * key-less batch × cache cross. A true near-repeat that shares no
+    * band with its cached twin is treated as a miss and recomputed
+    * exactly — hit rate is best-effort, answers never degrade. */
+  private[graft] def bandedCandidates(
+      q: DataFrame, cache: DataFrame, qIdCol: String, qVecCol: String,
+      lshTables: Int, lshBits: Int, dims: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val bandKeys = (0 until lshTables).map { t =>
+      lit(t.toLong * (1L << lshBits)) +
+        graft.operators.LshAnn.signature(col("__qv"), t, lshBits, dims)
+    }
+    q.withColumn("__qv", col(qVecCol).cast("array<double>"))
+      .withColumn("band", explode(array(bandKeys: _*)))
+      .join(broadcast(cache.withColumn("band", explode(col("c_bands")))), "band")
+  }
+
+  /** The eps = 0 probe: a keyed equi-join on the vector itself —
+    * verbatim repeats hit by EQUALITY, not by a rounded similarity
+    * reaching exactly 1.0 (the old `sim >= 1 − eps` test held only by
+    * per-vector sqrt-rounding luck). */
+  private[graft] def exactCandidates(
+      q: DataFrame, cache: DataFrame, qIdCol: String, qVecCol: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    q.withColumn("__qv", col(qVecCol).cast("array<double>"))
+      .join(broadcast(cache), col("__qv") === col("c_vec"))
+  }
+
   /** Semantically-cached serving: repeated (or near-repeated) query
-    * vectors are answered from a cache of previously computed result
-    * sets instead of re-scanning the store — the serving-layer
-    * optimization for power-law query traffic, where a handful of hot
-    * queries dominate. Per micro-batch:
+    * vectors are answered from a bounded cache of previously computed
+    * result sets instead of re-scanning the store — the serving-layer
+    * optimization for power-law query traffic. Per micro-batch:
     *
-    *  1. every query checks the cache for its most similar cached
-    *     query vector (cache broadcast — it is query-history-sized,
-    *     never corpus-sized); cosine similarity ≥ 1 − `eps` is a HIT
-    *     and replays the cached result set verbatim (`cache_hit` =
-    *     true in the output — the consumer can see staleness);
+    *  1. every query probes the broadcast cache through a KEYED join —
+    *     eps = 0: equi-join on the vector itself (verbatim repeats hit
+    *     by equality, deterministically); eps > 0: equi-join on shared
+    *     LSH band keys ([[graft.operators.LshAnn]] signatures,
+    *     `lshTables` × `lshBits`), so probe candidates are
+    *     same-bucket rows, never batch × cache. A candidate is a HIT
+    *     when dot² ≥ (1−eps)²·|q|²·|c|² with dot ≥ 0 — the sqrt-free
+    *     cosine test (cosine ≥ 1−eps without the rounding hazard);
     *  2. misses run ONE exact batched top-k against the store
-    *     ([[Knn.topKBatch]]) and their result sets enter the cache
-    *     (eagerly pinned, previous cache generation released — the
-    *     foreachBatch sequence owns the lifecycle).
+    *     ([[Knn.topKBatch]]) and their result sets enter the cache;
+    *  3. the cache is CAPACITY-BOUNDED: every entry carries `c_gen` =
+    *     the last batch that admitted OR hit it, re-admissions dedup
+    *     newest-generation-first (deterministic — the old
+    *     `orderBy(lit(1))` kept an arbitrary generation), and
+    *     eviction keeps the `capacity` most-recent generations (LRU)
+    *     via orderBy+limit — no global window, no unbounded growth on
+    *     heavy-tail traffic. Each generation is eagerly pinned and
+    *     the previous one released.
     *
-    * With eps = 0 the cache only ever replays bit-identical queries,
-    * so answers equal the uncached path exactly; eps > 0 trades
-    * bounded query-side drift for hit rate (the classic semantic
-    * cache contract). Store mutations invalidate nothing here — pair
-    * with a fresh cache per store version (GraftTable versions give
-    * the signal) in production.
+    * With eps = 0 answers equal the uncached path exactly; eps > 0
+    * trades bounded query-side drift for hit rate (the classic
+    * semantic-cache contract; hits are best-effort under banding).
+    * Store mutations invalidate nothing here — pair with a fresh
+    * cache per store version (GraftTable versions give the signal).
     *
     * Output rows: (qIdCol, idCol, dist, cache_hit). */
   def serveCached(
       queries: DataFrame, store: DataFrame,
       qIdCol: String, qVecCol: String, idCol: String, vecCol: String,
-      k: Int, eps: Double)(writeBatch: (DataFrame, Long) => Unit): StreamingQuery = {
+      k: Int, eps: Double, capacity: Int = 4096,
+      lshTables: Int = 4, lshBits: Int = 10)(
+      writeBatch: (DataFrame, Long) => Unit): CachedServing = {
     import org.apache.spark.sql.functions._
-    val spark = store.sparkSession
-    // cache: (c_vec array<double>, c_answers array<struct<id, dist>>)
+    require(eps >= 0 && eps < 1, s"eps must be in [0, 1) (got $eps)")
+    require(capacity > 0, s"capacity must be positive (got $capacity)")
+    // banding needs the plan-time dimensionality; the store is static,
+    // so one head() at wiring time settles it
+    val dims =
+      if (eps > 0) store.select(size(col(vecCol))).head.getInt(0) else 0
+    // cache: (c_vec array<double>, c_norm2, c_answers, c_gen[, c_bands])
     var cache: DataFrame = null
-    queries.writeStream
+    @volatile var cacheCount: Long = 0L
+    def bandsOf(vec: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      array((0 until lshTables).map { t =>
+        lit(t.toLong * (1L << lshBits)) +
+          graft.operators.LshAnn.signature(vec, t, lshBits, dims)
+      }: _*)
+    val sq = queries.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val q = batch.select(col(qIdCol), col(qVecCol))
-          val (hits, misses) =
-            if (cache == null) (None, q)
+          val (hits, hitVecs, misses) =
+            if (cache == null) (None, None, q)
             else {
-              val w = org.apache.spark.sql.expressions.Window
-                .partitionBy(col(qIdCol)).orderBy(col("sim").desc, col("c_key"))
-              val best = q.join(broadcast(cache))
-                .select(col(qIdCol), col(qVecCol), col("c_key"), col("c_answers"),
-                  VectorFunctions.cosineSimilarity(col(qVecCol), col("c_vec")).as("sim"))
-                .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
-              val hit = best.filter(col("sim") >= 1.0 - eps)
+              val scored =
+                if (eps == 0)
+                  // equality join: at most one cache row per query
+                  // (c_vec is unique), and it is always a hit
+                  exactCandidates(q, cache, qIdCol, qVecCol)
+                    .withColumn("__hit", lit(true))
+                else {
+                  // best same-band candidate per query, then the
+                  // sqrt-free cosine threshold decides the hit
+                  val w = org.apache.spark.sql.expressions.Window
+                    .partitionBy(col(qIdCol))
+                    .orderBy(col("__rank").desc, col("c_vec"))
+                  bandedCandidates(q, cache, qIdCol, qVecCol, lshTables, lshBits, dims)
+                    .withColumn("__dot", VectorFunctions.dot(col("__qv"), col("c_vec")))
+                    .withColumn("__qn2", VectorFunctions.dot(col("__qv"), col("__qv")))
+                    .withColumn("__rank", col("__dot") / sqrt(col("c_norm2")))
+                    .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+                    .withColumn("__hit", col("__dot") >= 0 &&
+                      col("__dot") * col("__dot") >=
+                        lit((1.0 - eps) * (1.0 - eps)) * col("__qn2") * col("c_norm2"))
+                }
+              val hitRows = scored.filter(col("__hit"))
+              val hit = hitRows
                 .select(col(qIdCol), explode(col("c_answers")).as("a"))
                 .select(col(qIdCol), col("a.id").as(idCol),
                   col("a.dist").as("dist"), lit(true).as("cache_hit"))
-              (Some(hit), best.filter(col("sim") < 1.0 - eps)
-                .select(col(qIdCol), col(qVecCol)))
+              // misses = the batch minus hit queries (novel vectors and
+              // band-orphaned near-repeats alike)
+              val miss = q.join(hitRows.select(col(qIdCol)), Seq(qIdCol), "left_anti")
+              (Some(hit), Some(hitRows.select(col("c_vec")).distinct()), miss)
             }
           val freshRows =
             if (misses.isEmpty) None
@@ -216,25 +290,48 @@ object KnnServing {
                 VectorFunctions.cosineDistance, k, excludeSelfMatches = false)
               Some(answered.withColumn("cache_hit", lit(false)))
             }
-          freshRows.foreach { fresh =>
-            // admit the miss results; keyed by a stable hash of the
-            // vector so re-admitting an identical query replaces itself
-            val entries = fresh
+          // cache maintenance: admit misses, LRU-refresh hits, dedup
+          // newest-first, evict past capacity — all over ≤ capacity +
+          // |batch| rows (the bound makes every step cheap)
+          val newEntries = freshRows.map { fresh =>
+            val base = fresh
               .groupBy(col(qIdCol))
               .agg(collect_list(struct(col(idCol).as("id"), col("dist"))).as("c_answers0"))
               .join(misses, qIdCol)
               .select(col(qVecCol).cast("array<double>").as("c_vec"),
                 sort_array(col("c_answers0")).as("c_answers"))
-              .withColumn("c_key", hash(col("c_vec")))
-            val merged = (if (cache == null) entries
-              else cache.unionByName(entries)
-                .withColumn("rn", row_number().over(
-                  org.apache.spark.sql.expressions.Window
-                    .partitionBy(col("c_key")).orderBy(lit(1))))
-                .filter(col("rn") === 1).drop("rn"))
+              .withColumn("c_norm2", VectorFunctions.dot(col("c_vec"), col("c_vec")))
+              .withColumn("c_gen", lit(batchId))
+            if (eps > 0) base.withColumn("c_bands", bandsOf(col("c_vec"))) else base
+          }
+          if (newEntries.isDefined || hitVecs.isDefined) {
+            val refreshed =
+              (cache, hitVecs) match {
+                case (null, _) => None
+                case (c, None) => Some(c)
+                case (c, Some(hv)) => Some(
+                  c.join(hv.withColumn("__hit", lit(true)), Seq("c_vec"), "left")
+                    .withColumn("c_gen",
+                      when(col("__hit"), lit(batchId)).otherwise(col("c_gen")))
+                    .drop("__hit"))
+              }
+            val all = (refreshed, newEntries) match {
+              case (Some(c), Some(e)) => c.unionByName(e)
+              case (Some(c), None) => c
+              case (None, Some(e)) => e
+              case (None, None) => null // unreachable: guarded above
+            }
+            val dedupW = org.apache.spark.sql.expressions.Window
+              .partitionBy(col("c_vec")).orderBy(col("c_gen").desc)
+            val merged = all
+              .withColumn("rn", row_number().over(dedupW))
+              .filter(col("rn") === 1).drop("rn")
+              .orderBy(col("c_gen").desc, col("c_vec")) // LRU eviction:
+              .limit(capacity) // TakeOrderedAndProject, no global window
               .localCheckpoint(true) // eager: the old generation can go
             if (cache != null) cache.unpersist()
             cache = merged
+            cacheCount = merged.count()
           }
           val out: Option[DataFrame] = (hits, freshRows) match {
             case (Some(h), Some(f)) => Some(h.unionByName(
@@ -248,5 +345,6 @@ object KnnServing {
         }
       }
       .start()
+    CachedServing(sq, () => cacheCount)
   }
 }

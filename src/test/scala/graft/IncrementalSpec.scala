@@ -147,12 +147,13 @@ class IncrementalSpec extends SparkSpec {
         .collect().map(r => (r.getLong(0) + idOffset, r.getSeq[Float](1))).toSeq
     val input = MemoryStream[(Long, Seq[Float])]
     val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double, Boolean)]
-    val q = KnnServing.serveCached(
+    val served = KnnServing.serveCached(
       input.toDF().toDF("qid", "qvec"),
       store, "qid", "qvec", "vec_id", "embedding", k = 3, eps = 0.0) { (batch, _) =>
       results ++= batch.collect().map(r =>
         (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3)))
     }
+    val q = served.query
     try {
       // batch 1: queries 1, 2 — all misses (cold cache)
       input.addData(qRows(col("vec_id").isin(1L, 2L), 0))
