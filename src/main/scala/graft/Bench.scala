@@ -99,6 +99,17 @@ object Bench {
       thunk()
       (System.nanoTime() - t0) / 1e9
     }
+    // Contention canary (VERDICT r8 #8): a fixed floor query timed
+    // after every entry. Its time is constant on an idle machine; if
+    // the canary inflates around some entries in a DRIVER artifact,
+    // the inflation quantifies multi-job/neighbor contention in that
+    // run — the confound that has skewed three rounds of driver
+    // numbers — so the artifact self-diagnoses (see BENCH_NOTES.md).
+    val canaryTimes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    def canary(name: String): Unit =
+      canaryTimes(name) = timed(() => {
+        spark.range(4000000L).selectExpr("sum(id) s").collect(); ()
+      })
     /** Cold run; below the threshold, a warm re-run is the reported
       * number (cold recorded alongside). No block sweep between the
       * two runs: split-bench probes read a localCheckpoint'ed index
@@ -119,7 +130,7 @@ object Bench {
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       sweepBlocks()
-      splitBench.get(name) match {
+      val out = splitBench.get(name) match {
         case Some(mk) =>
           try {
             val (build, probe) = mk(spark, sfDir)
@@ -138,6 +149,8 @@ object Bench {
             Seq(name -> -1.0)
           }
       }
+      canary(name)
+      out
     }
     // Locale.ROOT: the default-locale f"" interpolator would emit
     // "0,711" on comma-decimal locales — invalid JSON for the driver.
@@ -154,9 +167,15 @@ object Bench {
     // window and the round lost its parsed bench numbers. Rounded
     // millisecond precision, no cold map — full precision + cold go
     // to the bench_out.json file instead.
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jsonMap(results, round = true)},"sf":"$sfDir"}"""
+    // canary summary: median + max on the short stdout line (two
+    // numbers diagnose "was this run contended"); the per-entry map
+    // goes to the file JSON only
+    val cSorted = canaryTimes.values.toSeq.sorted
+    val cMed = if (cSorted.isEmpty) 0.0 else cSorted(cSorted.size / 2)
+    val cMax = if (cSorted.isEmpty) 0.0 else cSorted.last
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jsonMap(results, round = true)},"canary_med":${f3(cMed)},"canary_max":${f3(cMax)},"sf":"$sfDir"}"""
     println(line)
-    val fileLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results, round = false)},"cold":${jsonMap(coldTimes.toSeq, round = false)},"sf":"$sfDir"}"""
+    val fileLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results, round = false)},"cold":${jsonMap(coldTimes.toSeq, round = false)},"canary":${jsonMap(canaryTimes.toSeq, round = false)},"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (fileLine + "\n").getBytes("UTF-8"))

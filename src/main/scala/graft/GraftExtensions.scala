@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo,
   Size, Slice, Sqrt}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType, LongType}
 
 /** SQL surface of the engine: registers the pgvector operator and
   * function family as SQL functions, so
@@ -54,8 +54,15 @@ object GraftExtensions {
     v.asInstanceOf[ArrayData]
   }
 
-  private def litLongs(e: Expression, fn: String): Array[Long] =
-    litArray(e, fn).toLongArray()
+  private def litLongs(e: Expression, fn: String): Array[Long] = {
+    val a = litArray(e, fn)
+    e.dataType match {
+      case ArrayType(LongType, _) => a.toLongArray()
+      case ArrayType(IntegerType, _) => a.toIntArray().map(_.toLong)
+      case t => throw new IllegalArgumentException(
+        s"$fn: query must be an integer array literal (array<bigint>), got $t")
+    }
+  }
 
   private def litDoubles(e: Expression, fn: String): Array[Double] = {
     val a = litArray(e, fn)
@@ -138,6 +145,9 @@ object GraftExtensions {
     ("array_max_count", "array_max_count(xs) - max multiplicity of any element, one pass",
       args => { arity("array_max_count", args, 1)
         graft.functions.ArrayMaxCountExpr(args.head) }),
+    ("vec_literal", "vec_literal('[x, y, ...]') - pgvector text-format vector literal (the ::vector cast target)",
+      args => { arity("vec_literal", args, 1)
+        graft.functions.VecLiteralExpr(args.head) }),
   )
 
   /** Runtime registration into an existing session (the
@@ -156,8 +166,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo(classOf[VectorDistanceExpr].getName, null, name, usage,
       "", "", "", "", "", "", "scala_udf")
 
-  override def apply(e: SparkSessionExtensions): Unit =
+  override def apply(e: SparkSessionExtensions): Unit = {
     GraftExtensions.builders.foreach { case (name, usage, b) =>
       e.injectFunction((FunctionIdentifier(name), info(name, usage), b))
     }
+    // pgvector operator syntax (`<->`, `<=>`, `<#>`, `<+>`, `<~>`,
+    // `<%>`, `'[...]'::vector`) — the reference's literal SQL parses
+    // unmodified ([[graft.plans.PgVectorParser]])
+    e.injectParser((_, delegate) => new graft.plans.PgVectorParser(delegate))
+  }
 }

@@ -763,3 +763,44 @@ case class L2NormalizeExpr(child: Expression)
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)
 }
+
+/** The pgvector text-format vector literal — `'[0.1, -2, 3e-1]'` —
+  * as an array<double> expression ([[graft.plans.PgVectorParser]]
+  * rewrites `'[...]'::vector` to `vec_literal('[...]')`). Foldable
+  * when the child is (a string literal always is), so constant
+  * folding collapses it to a Literal array and the IvfProbeRule's
+  * literal-query rewrite fires on the reference's verbatim SQL. */
+case class VecLiteralExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"vec_literal needs a '[x, y, ...]' string, got $t")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val s = input.toString.trim
+    require(s.startsWith("[") && s.endsWith("]"),
+      s"malformed vector literal (expected '[x, y, ...]'): $s")
+    val body = s.substring(1, s.length - 1).trim
+    val out =
+      if (body.isEmpty) Array.empty[Double]
+      else body.split(",").map { tok =>
+        try tok.trim.toDouble
+        catch { case _: NumberFormatException =>
+          throw new IllegalArgumentException(
+            s"malformed vector literal element '${tok.trim}' in: $s")
+        }
+      }
+    ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}

@@ -207,12 +207,38 @@ object Knn {
           out.select(col("src"), explode(col("nn.id")).as("dst")), s"nnd-r$r")
         mat.release(edges)
         edges = next
+      } else {
+        // final round: materialize through `mat` and release the
+        // previous edge table — the returned graph is ONE mat-owned
+        // block (VERDICT r8 #2: the old shape left `out` lazy over a
+        // still-pinned block nobody could release, and re-ran the
+        // final join on every downstream action). The caller that
+        // owns `mat` frees it with releaseAll() when done —
+        // [[Knn.knnJoinManaged]] scopes that automatically.
+        val fin = mat.mat(out, s"nnd-final")
+        mat.release(edges)
+        edges = fin
+        out = fin
       }
-      // final round: `out` stays lazy over the still-held previous
-      // edge table (one graph-sized block outlives the call — the
-      // price of returning a plan instead of a materialization)
       r += 1
     }
     out
+  }
+
+  /** Scope-managed [[knnJoin]]: materializes the graph, hands the
+    * result to `consume`, and releases EVERY block the construction
+    * pinned before returning — after this call
+    * `sparkContext.getPersistentRDDs` holds nothing of the join's
+    * (spec-asserted). Use this unless you are batching several graph
+    * consumers over one Materializer you release yourself; the
+    * returned frame must not be re-used after the scope closes (its
+    * lineage is truncated to the released blocks). */
+  def knnJoinManaged[T](
+      emb: DataFrame, idCol: String, vecCol: String,
+      distance: (Column, Column) => Column, k: Int,
+      nlist: Int, spill: Int, refineRounds: Int = 2)(consume: DataFrame => T): T = {
+    val mat = Materializer.local()
+    try consume(knnJoin(emb, idCol, vecCol, distance, k, nlist, spill, refineRounds, mat))
+    finally mat.releaseAll()
   }
 }

@@ -93,3 +93,31 @@ object Word2VecEmbedder {
     Word2VecEmbedder(model)
   }
 }
+
+/** A transient embedding-provider failure — the 429/5xx class the
+  * reference's retry loop absorbs (Function.java:185-214 catches the
+  * OpenAI invocation failure, flags RETRY_OAI_INVOCATION, backs off
+  * and retries up to its max). [[Ingest.embedWithRetry]] is the
+  * matching bounded-retry control flow on this side. */
+final class TransientEmbeddingFailure(msg: String) extends RuntimeException(msg)
+
+/** Test/chaos embedder inducing REAL transient failures: the first
+  * `transientFailures` embed() invocations throw
+  * [[TransientEmbeddingFailure]] (a provider outage wave), later ones
+  * delegate — so [[Ingest.embedWithRetry]]'s retry/backoff control
+  * flow and its RETRY/FAILED status transitions are exercised by
+  * genuine thrown-and-caught failures, not synthesized labels.
+  * Deterministic and thread-safe (one atomic call counter). */
+final case class FlakyEmbedder(inner: Embedder, transientFailures: Int)
+    extends Embedder {
+  private val calls = new java.util.concurrent.atomic.AtomicInteger(0)
+  override def dims: Int = inner.dims
+  def callCount: Int = calls.get()
+  override def embed(df: DataFrame, toksCol: String, outCol: String): DataFrame = {
+    val c = calls.incrementAndGet()
+    if (c <= transientFailures)
+      throw new TransientEmbeddingFailure(
+        s"induced transient embedding failure (call $c of $transientFailures)")
+    inner.embed(df, toksCol, outCol)
+  }
+}

@@ -159,6 +159,36 @@ object RelationalQueries {
     GROUP BY 1, 2
     ORDER BY bucket_start, event_type"""
 
+  // ----------------------------------------------------- stream_window_agg
+  /** The STREAMING twin on the hash-oracle gate (VERDICT r8 #5): the
+    * same fixture runs through Structured Streaming —
+    * [[graft.streaming.EventStream.windowedCounts]] fed by a real
+    * file stream in four micro-batches (maxFilesPerTrigger=1, so the
+    * state store genuinely merges across batches) — and the final
+    * complete-mode table must HASH-match the batch oracle
+    * (events_window_agg's SQL). Decimal accumulation makes the
+    * aggregate independent of how the stream slices the rows; the
+    * memory sink holds windows × types rows, never the corpus. */
+  private def streamWindowAgg(s: SparkSession, d: String): DataFrame = {
+    val src = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_stream_events_v1_${Integer.toHexString(d.hashCode)}").toString
+    RelationalQueries.synchronized {
+      if (!new java.io.File(src, "_SUCCESS").exists())
+        Tables.events(s, d).repartition(4, col("user_id"))
+          .write.mode("overwrite").parquet(src)
+    }
+    val schema = s.read.parquet(src).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(src)
+    val name = "graft_stream_window_agg"
+    s.catalog.dropTempView(name)
+    val q = graft.streaming.EventStream.windowedCounts(stream)
+      .writeStream.outputMode("complete")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name).orderBy(col("bucket_start"), col("event_type"))
+  }
+
   // ----------------------------------------------------- events_sessionize
   // Gap-based sessionization (30-min idle gap) via running-sum window —
   // batch twin of EventStream.sessionize (flatMapGroupsWithState).
@@ -216,6 +246,7 @@ object RelationalQueries {
     "q5_multi_join"     -> QueryDef(q5 _, q5Sql),
     "topk_orders"       -> QueryDef(topkOrders _, topkOrdersSql),
     "events_window_agg" -> QueryDef(eventsWindowAgg _, eventsWindowAggSql),
+    "stream_window_agg" -> QueryDef(streamWindowAgg _, eventsWindowAggSql),
     "events_sessionize" -> QueryDef(eventsSessionize _, eventsSessionizeSql),
   )
 }

@@ -149,10 +149,16 @@ object EventStream {
       .withColumn("ts_ts", timestamp_micros(expr("ts DIV 1000")))
       .withWatermark("ts_ts", "30 minutes")
       .groupBy(window(col("ts_ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      // DECIMAL accumulation: addition is associative+commutative, so
+      // the aggregate is bit-identical no matter how micro-batches
+      // slice the rows — what puts this twin on the HASH oracle gate
+      // (stream_window_agg) instead of a tolerance check
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast("decimal(18,6)")).as("__sum_dec"))
       .select(
         unix_timestamp(col("window.start")).as("bucket_start"),
-        col("event_type"), col("n_events"), col("sum_value"))
+        col("event_type"), col("n_events"),
+        col("__sum_dec").cast("double").as("sum_value"))
 
   /** Windowed streaming quantiles via the KLL sketch aggregate
     * ([[graft.functions.SketchAggregates.quantileSketch]]): the sketch

@@ -114,4 +114,23 @@ class GraftExtensionsSpec extends AnyFunSuite {
     }
     assert(err.getMessage.contains("literal"), s"got: ${err.getMessage}")
   }
+
+  test("integer-array query literals widen to bigint; non-integer arrays raise clearly") {
+    // int literals (array(1, 5)) previously hit an opaque
+    // ClassCastException inside ArrayData.toLongArray (ADVICE r8)
+    val wide = spark.sql(
+      """SELECT sparse_dot(array(1L, 5L), array(1.0D, 2.0D),
+                           array(1, 5), array(1.0D, 2.0D)) AS d""").head.getDouble(0)
+    val long0 = spark.sql(
+      """SELECT sparse_dot(array(1L, 5L), array(1.0D, 2.0D),
+                           array(1L, 5L), array(1.0D, 2.0D)) AS d""").head.getDouble(0)
+    assert(wide == long0)
+    val err = intercept[Exception] {
+      spark.sql(
+        """SELECT sparse_dot(array(1L), array(1.0D),
+                             array('a'), array(1.0D)) AS d""").head
+    }
+    assert(err.getMessage.contains("integer array literal"),
+      s"got: ${err.getMessage}")
+  }
 }

@@ -22,10 +22,12 @@ class InventorySyncSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the documented outcome") {
-    assert(SparkEntry.queries.size == 157)
-    // r9: +6 — the deterministic ANN replay slice (vs_ivf_knn/auto/
-    // txn/batch, vs_sq_knn, vs_knn_half) moved to the hash gate
-    assert(SparkEntry.oracleSql.size == 138)
+    // r9: +1 — stream_window_agg, the streaming twin on the hash gate
+    assert(SparkEntry.queries.size == 158)
+    // r9: +7 — the deterministic ANN replay slice (vs_ivf_knn/auto/
+    // txn/batch, vs_sq_knn, vs_knn_half) + stream_window_agg moved
+    // to / landed on the hash gate
+    assert(SparkEntry.oracleSql.size == 139)
   }
 
   test("every rows-only (non-oracled) query carries a gate in RecallGateSpec") {

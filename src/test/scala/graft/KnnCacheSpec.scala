@@ -3,26 +3,13 @@ package graft
 import graft.streaming.KnnServing
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import org.apache.spark.sql.functions._
-import org.scalatest.BeforeAndAfterAll
-import org.scalatest.funsuite.AnyFunSuite
 
 /** The bounded semantic cache's three contracts (VERDICT r8 "What's
   * wrong" #1 + ADVICE): (a) capacity bound under distinct-query
   * traffic, (b) keyed probe join — never batch × cache key-less,
   * (c) eps = 0 hits by vector EQUALITY (no sqrt-rounding luck) with
   * answers equal to the uncached path. */
-class KnnCacheSpec extends AnyFunSuite with BeforeAndAfterAll {
-
-  private val Sf = "/root/testdata/sf0.001"
-
-  private lazy val spark = org.apache.spark.sql.SparkSession.builder()
-    .master("local[4]")
-    .config("spark.sql.shuffle.partitions", 4)
-    .config("spark.sql.session.timeZone", "UTC")
-    .config("spark.ui.enabled", "false")
-    .getOrCreate()
-
-  override def afterAll(): Unit = spark.stop()
+class KnnCacheSpec extends SparkSpec {
 
   private def qRows(pred: org.apache.spark.sql.Column, idOffset: Long) =
     Tables.embeddings(spark, Sf).filter(pred)

@@ -1,0 +1,146 @@
+package graft
+
+import graft.plans.PgVectorSql
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** pgvector operator syntax (VERDICT r8 #3): the reference's literal
+  * SQL — `ORDER BY embedding <-> '[...]'::vector LIMIT 5`
+  * (SSEOpenAIController.java:316) — parses and runs UNMODIFIED on a
+  * GraftExtensions session, and the IvfProbeRule still fires on the
+  * rewritten plan. */
+class PgVectorSyntaxSpec extends AnyFunSuite {
+
+  private val Sf = "/root/testdata/sf0.001"
+
+  // ------------------------------------------------- pure translation
+  test("operator translation: all six operators and the ::vector cast") {
+    assert(PgVectorSql.translate("SELECT a <-> b FROM t") ==
+      "SELECT vec_l2(a, b) FROM t")
+    assert(PgVectorSql.translate("SELECT e.embedding <=> q.embedding FROM t") ==
+      "SELECT vec_cos_dist(e.embedding, q.embedding) FROM t")
+    assert(PgVectorSql.translate("SELECT a <#> '[1,2]'::vector") ==
+      "SELECT (-vec_dot(a, vec_literal('[1,2]')))")
+    assert(PgVectorSql.translate("SELECT (a) <+> (b)") ==
+      "SELECT vec_l1((a), (b))")
+    assert(PgVectorSql.translate(
+      "SELECT vec_binary_quantize(v) <~> vec_binary_quantize('[1]'::vector)") ==
+      "SELECT vec_hamming(vec_binary_quantize(v), vec_binary_quantize(vec_literal('[1]')))")
+    assert(PgVectorSql.translate("SELECT a <%> b FROM t") ==
+      "SELECT vec_jaccard(a, b) FROM t")
+  }
+
+  test("translation preserves parameter markers, strings, and non-vector SQL") {
+    assert(PgVectorSql.translate(
+      "ORDER BY embedding <-> ?::vector LIMIT 5") ==
+      "ORDER BY vec_l2(embedding, vec_literal(?)) LIMIT 5")
+    // operators inside string literals are data, not syntax
+    assert(PgVectorSql.translate("SELECT '<->' AS s, \"a<=>b\" FROM t") ==
+      "SELECT '<->' AS s, \"a<=>b\" FROM t")
+    // ordinary comparisons survive (<= is not <=>)
+    assert(PgVectorSql.translate("SELECT * FROM t WHERE a <= b AND c <> d") ==
+      "SELECT * FROM t WHERE a <= b AND c <> d")
+    // lambda arrows survive
+    assert(PgVectorSql.translate("SELECT transform(xs, x -> x + 1) FROM t") ==
+      "SELECT transform(xs, x -> x + 1) FROM t")
+  }
+
+  test("nested operand groups rewrite inside-out") {
+    assert(PgVectorSql.translate("SELECT (a <-> b) <=> c") ==
+      "SELECT vec_cos_dist((vec_l2(a, b)), c)")
+  }
+
+  // --------------------------------------- parser-injected execution
+  // extensions only apply at session construction; build a sibling
+  // session over the same SparkContext, restore the shared one after
+  private def withExtSession[T](f: SparkSession => T): T = {
+    val base = SparkSpec.session
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    try {
+      val s = SparkSession.builder()
+        .withExtensions(new GraftExtensions)
+        .getOrCreate()
+      f(s)
+    } finally {
+      SparkSession.clearActiveSession()
+      SparkSession.clearDefaultSession()
+      SparkSession.setDefaultSession(base)
+      SparkSession.setActiveSession(base)
+    }
+  }
+
+  private def queryVecText(s: SparkSession): String =
+    Tables.embeddings(s, Sf).filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>"))
+      .head.getSeq[Double](0).mkString("[", ",", "]")
+
+  test("the reference's literal query text runs verbatim") {
+    withExtSession { s =>
+      Tables.embeddings(s, Sf).createOrReplaceTempView("embeddings")
+      val vec = queryVecText(s)
+      val got = s.sql(
+        s"""SELECT vec_id FROM embeddings
+            WHERE vec_id <> 0
+            ORDER BY embedding <-> '$vec'::vector
+            LIMIT 5""").collect().map(_.getLong(0)).toSeq
+      val want = graft.operators.Knn.topK(
+        Tables.embeddings(s, Sf).filter(col("vec_id") =!= 0), "vec_id", "embedding",
+        Tables.embeddings(s, Sf).filter(col("vec_id") === 0)
+          .select(col("embedding").as("qvec")),
+        "qvec", graft.functions.VectorFunctions.l2Distance, 5)
+        .collect().map(_.getLong(0)).toSeq
+      assert(got == want)
+    }
+  }
+
+  test("parameterized ?::vector binds through spark.sql args") {
+    withExtSession { s =>
+      Tables.embeddings(s, Sf).createOrReplaceTempView("embeddings")
+      val vec = queryVecText(s)
+      val got = s.sql(
+        """SELECT vec_id FROM embeddings WHERE vec_id <> 0
+           ORDER BY embedding <-> ?::vector LIMIT 3""",
+        Array(vec)).collect().map(_.getLong(0)).toSeq
+      assert(got.length == 3)
+      val lit = s.sql(
+        s"""SELECT vec_id FROM embeddings WHERE vec_id <> 0
+            ORDER BY embedding <-> '$vec'::vector LIMIT 3""")
+        .collect().map(_.getLong(0)).toSeq
+      assert(got == lit)
+    }
+  }
+
+  test("<#> is the NEGATIVE inner product, like pgvector") {
+    withExtSession { s =>
+      val r = s.sql(
+        "SELECT array(1.0D, 2.0D) <#> '[3,4]'::vector AS d").head.getDouble(0)
+      assert(r == -(1.0 * 3 + 2.0 * 4))
+    }
+  }
+
+  test("IvfProbeRule fires on the verbatim pgvector query over a registered store") {
+    withExtSession { s =>
+      // build + register the auto store and install the rule on THIS
+      // session (the query entry does all three)
+      SparkEntry.queries("vs_ivf_auto")(s, Sf)
+      val storeP = new java.io.File(
+        graft.queries.VectorQueries.autoBasePath(Sf), "store").toString
+      s.read.parquet(storeP).createOrReplaceTempView("vstore")
+      val vec = queryVecText(s)
+      val df = s.sql(
+        s"""SELECT vec_id FROM vstore
+            WHERE vec_id <> 0
+            ORDER BY embedding <-> '$vec'::vector
+            LIMIT 10""")
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("centroid_id"),
+        s"probe rule did not fire on the rewritten plan:\n$plan")
+      // and the probed answer equals the engine's vs_ivf_auto entry
+      val want = SparkEntry.queries("vs_ivf_auto")(s, Sf)
+        .collect().map(_.getLong(0)).toSeq
+      assert(df.collect().map(_.getLong(0)).toSeq == want)
+    }
+  }
+}

@@ -49,4 +49,65 @@ class StatusMachineSpec extends SparkSpec {
     assert(withRetries.nonEmpty) // h % 3 > 0 for some completed docs
     withRetries.foreach(w => assert(w.count(_ == "RETRY_OAI_INVOCATION") <= 2))
   }
+
+  // ------------------------- real retry control flow (VERDICT r8 #4)
+  private def tokDocs = Tables.documents(spark, Sf).limit(20)
+    .select(col("doc_id"),
+      graft.functions.TextFunctions.tokens(col("text")).as("toks"))
+
+  test("embedWithRetry: induced transient failures drive RETRY then FINISH, backoff doubles") {
+    val flaky = graft.pipeline.FlakyEmbedder(
+      graft.pipeline.FeatureHashEmbedder(16), transientFailures = 2)
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val out = Ingest.embedWithRetry(tokDocs, "doc_id", "toks", "emb",
+      flaky, maxAttempts = 3, backoffMs = 10, sleep = sleeps += _)
+    assert(out.attempts == 3)
+    assert(sleeps.toSeq == Seq(10L, 20L), "exponential backoff between retries")
+    // the embedded frame equals the non-flaky embedder's output
+    val want = graft.pipeline.FeatureHashEmbedder(16)
+      .embed(tokDocs, "toks", "emb")
+      .select(col("doc_id"), col("emb")).collect().map(r =>
+        (r.getLong(0), r.getSeq[Double](1))).toSet
+    val got = out.embedded.get.select(col("doc_id"), col("emb"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSet
+    assert(got == want)
+    // every doc's REAL walk: SEP, RETRY, RETRY, FINISH — legal and
+    // caused by caught throws, not synthesized labels
+    val walks = out.events.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1).values.map(_.sortBy(_._2).map(_._3).toSeq)
+    assert(walks.nonEmpty)
+    walks.foreach { w =>
+      assert(w == Seq("PAGE_SEPARATE_FINISHED", "RETRY_OAI_INVOCATION",
+        "RETRY_OAI_INVOCATION", "FINISH_OAI_INVOCATION"))
+      w.sliding(2).foreach { case Seq(a, b) => assert(Legal(a).contains(b)) }
+    }
+  }
+
+  test("embedWithRetry: exhaustion emits FAILED_OAI_INVOCATION and no embedded frame") {
+    val flaky = graft.pipeline.FlakyEmbedder(
+      graft.pipeline.FeatureHashEmbedder(16), transientFailures = 99)
+    val out = Ingest.embedWithRetry(tokDocs, "doc_id", "toks", "emb",
+      flaky, maxAttempts = 2)
+    assert(out.embedded.isEmpty)
+    assert(flaky.callCount == 2, "bounded: exactly maxAttempts invocations")
+    val walks = out.events.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1).values.map(_.sortBy(_._2).map(_._3).toSeq)
+    walks.foreach { w =>
+      assert(w == Seq("PAGE_SEPARATE_FINISHED", "RETRY_OAI_INVOCATION",
+        "RETRY_OAI_INVOCATION", "FAILED_OAI_INVOCATION"))
+    }
+  }
+
+  test("embedWithRetry: a healthy embedder goes straight to FINISH, no sleeps") {
+    val sleeps = scala.collection.mutable.ArrayBuffer.empty[Long]
+    val out = Ingest.embedWithRetry(tokDocs, "doc_id", "toks", "emb",
+      graft.pipeline.FeatureHashEmbedder(16), maxAttempts = 3,
+      backoffMs = 10, sleep = sleeps += _)
+    assert(out.attempts == 1 && sleeps.isEmpty)
+    val statuses = out.events.select(col("status")).distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(statuses == Set("PAGE_SEPARATE_FINISHED", "FINISH_OAI_INVOCATION"))
+  }
 }
