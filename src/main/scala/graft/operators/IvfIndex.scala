@@ -398,7 +398,21 @@ object IvfIndex {
   /** The probe's candidate set: rows of the nprobe nearest cells,
     * deduplicated for spilled stores. Factored out so composite
     * indexes (IVF-PQ: ADC-score only these candidates) reuse the
-    * probe + dedup machinery. */
+    * probe + dedup machinery.
+    *
+    * The cell ranking is evaluated EAGERLY (one nlist-row driver
+    * job — index metadata scale) and injected as a literal
+    * `centroid_id IN (...)` filter, for two load-bearing reasons:
+    * (1) on a `partitionBy("centroid_id")` store the In-list prunes
+    * partitions STATICALLY at planning, where the previous broadcast
+    * semi-join only pruned at runtime; (2) the In conjunct is what
+    * [[graft.plans.IvfProbeRule]]'s already-probed guard recognizes —
+    * with the semi-join shape the rule re-injected its OWN (possibly
+    * WIDER, via filteredWiden) probe on top, and the two probes'
+    * dedup lists disagreed: a spilled copy could be killed by a
+    * better-ranked cell the narrow probe never scanned, silently
+    * dropping that vector (caught by the r9 vs_knn_filtered_iter
+    * replay oracle; OracleAnnSpec pins the regression). */
   def probeCandidates(
       indexed: DataFrame, centroids: DataFrame, queryVec: DataFrame,
       qVecCol: String, distance: (Column, Column) => Column, nprobe: Int): DataFrame = {
@@ -406,25 +420,18 @@ object IvfIndex {
     // by L2 when the caller searches by cosine/inner-product can probe
     // the wrong cells on unnormalized vectors (recall loss beyond the
     // normal IVF approximation)
-    val probed = centroids
+    val probedIds: Seq[Int] = centroids
       .crossJoin(broadcast(queryVec))
       .select(col("centroid_id"), distance(col("centroid"), col(qVecCol)).as("cdist"))
       .orderBy(col("cdist"), col("centroid_id"))
       .limit(nprobe)
-      .select(col("centroid_id"))
-    val scanned = indexed
-      // broadcast semi-join on the probed cell ids: with a
-      // cell-partitioned store this is partition pruning at the source
-      .join(broadcast(probed), Seq("centroid_id"), "left_semi")
+      .select(col("centroid_id")).collect().map(_.getInt(0)).toSeq
+    val scanned = indexed.filter(col("centroid_id").isin(probedIds.map(c => c: Any): _*))
     // spilled-store dedup: a copy survives iff none of its
-    // better-ranked cells was probed (see [[assignCells]]) — a per-row
-    // predicate against the ONE-row probed-cell array
+    // better-ranked cells was probed (see [[assignCells]]) — a pure
+    // per-row predicate against the literal probed-cell list
     if (!indexed.columns.contains("cell_rank")) scanned
-    else scanned
-      .crossJoin(broadcast(
-        probed.groupBy().agg(collect_list(col("centroid_id")).as("__probed"))))
-      .filter(spillSurvives(col("__probed")))
-      .drop("__probed")
+    else scanned.filter(spillSurvives(typedLit(probedIds)))
   }
 
   /** Probe search: scan only the nprobe cells nearest to the query. */

@@ -61,8 +61,17 @@ object LshAnn {
     * stored copies) is the more expensive axis. */
   def search(corpus: DataFrame, idCol: String, vecCol: String,
       queryVec: DataFrame, qVecCol: String, dims: Int,
+      k: Int, tables: Int = 8, bits: Int = 4, multiprobe: Int = 0): DataFrame =
+    searchBuckets(bucketRows(corpus, idCol, vecCol, tables, bits, dims),
+      idCol, vecCol, queryVec, qVecCol, dims, k, tables, bits, multiprobe)
+
+  /** Probe PRE-BUILT bucket rows (the persisted layout — at scale the
+    * corpus is stored bucketed once, not re-hashed per query): the
+    * query computes its own signatures, fans out to the multiprobe
+    * neighborhood, bucket-joins, and exactly re-ranks candidates. */
+  def searchBuckets(corpusBuckets: DataFrame, idCol: String, vecCol: String,
+      queryVec: DataFrame, qVecCol: String, dims: Int,
       k: Int, tables: Int = 8, bits: Int = 4, multiprobe: Int = 0): DataFrame = {
-    val corpusBuckets = bucketRows(corpus, idCol, vecCol, tables, bits, dims)
     val baseQuery = bucketRows(
       queryVec.select(lit(0L).as("qid"), col(qVecCol)), "qid", qVecCol, tables, bits, dims)
       .select(col("table_id"), col("sig"), col(qVecCol))

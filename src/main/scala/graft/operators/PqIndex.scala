@@ -107,6 +107,31 @@ object PqIndex {
     corpus.withColumn("codes",
       array((0 until cb.m).map(s => codeExpr(col(vecCol), cb, s)): _*))
 
+  /** Persist trained codebooks as a tiny (sp, cid, pos, c) parquet —
+    * m·ksub·dsub rows, KB scale — so a search (and the r9 replay
+    * oracle) can re-open them without retraining. */
+  def writeCodebooks(spark: SparkSession, cb: Codebooks, path: String): Unit = {
+    import spark.implicits._
+    (for {
+      s <- 0 until cb.m
+      c <- 0 until cb.ksub
+      p <- 0 until cb.dsub
+    } yield (s, c, p, cb.centroids(s)(c)(p)))
+      .toDF("sp", "cid", "pos", "c")
+      .coalesce(1).write.mode("overwrite").parquet(path)
+  }
+
+  def readCodebooks(spark: SparkSession, path: String): Codebooks = {
+    val rows = spark.read.parquet(path)
+      .orderBy("sp", "cid", "pos").collect()
+    val m = rows.map(_.getInt(0)).max + 1
+    val ksub = rows.map(_.getInt(1)).max + 1
+    val dsub = rows.map(_.getInt(2)).max + 1
+    val cents = Array.fill(m, ksub, dsub)(0.0)
+    rows.foreach(r => cents(r.getInt(0))(r.getInt(1))(r.getInt(2)) = r.getDouble(3))
+    Codebooks(m, ksub, dsub, cents)
+  }
+
   /** ADC distance table for one query vector: [subspace][code] →
     * squared L2 between the query subvector and that centroid. */
   def distanceTable(query: Array[Double], cb: Codebooks): Array[Array[Double]] =

@@ -135,14 +135,44 @@ object VectorQueries {
     * ([[IvfIndex.probeCandidates]] + [[PqIndex.search]]), SURVEY §6a
     * tier (a). Rows-only: approximate (cell recall × ADC shortlist,
     * recovered by the exact re-rank; gated in RecallGateSpec). */
+  /** Build-once IVF-PQ store: the cell-assigned spilled layout WITH
+    * the PQ codes on every row (at 100 TB codes live inside the
+    * cell-partitioned files — the probe reads codes-only from the
+    * probed cells), plus centroids + codebooks sidecars. */
+  private[graft] def ivfPqBasePath(d: String): java.io.File =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_ivfpq_v1_${Integer.toHexString(d.hashCode)}")
+
+  private def ensureIvfPqStore(s: SparkSession, d: String): (String, String, String) = {
+    val base = ivfPqBasePath(d)
+    val storeP = new java.io.File(base, "store").toString
+    val centP = new java.io.File(base, "centroids").toString
+    val cbP = new java.io.File(base, "codebooks").toString
+    VectorQueries.synchronized {
+      if (!new java.io.File(cbP, "_SUCCESS").exists()) {
+        val emb = Tables.embeddings(s, d)
+        val (indexed, centroids) = IvfIndex.buildIndex(
+          emb, "vec_id", "embedding", nlist = IvfNlist, spill = IvfSpill)
+        val cb = PqIndex.train(emb, "embedding", dims = 64, m = 16, ksub = 32)
+        IvfIndex.writePartitioned(
+          PqIndex.encode(indexed, "embedding", cb), storeP)
+        centroids.write.mode("overwrite").parquet(centP)
+        PqIndex.writeCodebooks(s, cb, cbP)
+      }
+    }
+    (storeP, centP, cbP)
+  }
+
+  /** IVF-PQ composite search over the persisted combined store: cell
+    * probe picks the candidate fraction, ADC scores codes-only, exact
+    * re-rank touches 64 vectors. Deterministic given the persisted
+    * cells + codes + codebooks — since r9 fully hash-oracled. */
   private def ivfPqKnn(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d)
-    val (indexed, centroids) = IvfIndex.buildIndex(
-      emb, "vec_id", "embedding", nlist = IvfNlist, spill = IvfSpill)
-    val cb = PqIndex.train(emb, "embedding", dims = 64, m = 16, ksub = 32)
-    val encoded = PqIndex.encode(indexed.filter(col("vec_id") =!= 0), "embedding", cb)
+    val (storeP, centP, cbP) = ensureIvfPqStore(s, d)
+    val cb = PqIndex.readCodebooks(s, cbP)
     val cands = IvfIndex.probeCandidates(
-      encoded, centroids, queryVec(s, d), "qvec", l2Distance, nprobe = IvfNprobe)
+      s.read.parquet(storeP).filter(col("vec_id") =!= 0),
+      s.read.parquet(centP), queryVec(s, d), "qvec", l2Distance, nprobe = IvfNprobe)
     val q = queryVec(s, d).select(col("qvec").cast("array<double>"))
       .head.getSeq[Double](0).toArray
     PqIndex.search(cands, "vec_id", q, cb, K, rerank = 64)
@@ -282,13 +312,39 @@ object VectorQueries {
     (build, () => graft.operators.Hnsw.search(graphs, q, K, ef = HnswEf))
   }
 
-  /** Approximate (bucket recall < 1) → rows-only; recall gated in
-    * RecallGateSpec. Hamming-1 multiprobe: each table reads 5 buckets
-    * (1 + 4 bit-flips) instead of 1 — query-side fan-out only, no
-    * extra stored copies. */
+  /** Build-once LSH bucket store: (vec_id, embedding, table_id, sig)
+    * — the stored-bucketed layout the operator is designed around (at
+    * 100 TB a probe reads single buckets; re-hashing the corpus per
+    * query was the old shape). The signatures are deterministic
+    * (md5-derived planes), so the store makes the bucket probe
+    * REPLAYABLE: the oracle recomputes only the QUERY's signatures. */
+  private[graft] def lshStorePath(d: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_lsh_v1_${Integer.toHexString(d.hashCode)}").toString
+
+  private[graft] val LshTables = 8
+  private[graft] val LshBits = 4
+
+  private def ensureLshStore(s: SparkSession, d: String): String = {
+    val p = lshStorePath(d)
+    VectorQueries.synchronized {
+      if (!new java.io.File(p, "_SUCCESS").exists())
+        LshAnn.bucketRows(corpus(s, d), "vec_id", "embedding",
+          tables = LshTables, bits = LshBits, dims = 64)
+          .write.mode("overwrite").parquet(p)
+    }
+    p
+  }
+
+  /** Bucket-probed ANN over the persisted bucket store. Approximate
+    * vs exact search (bucket recall, gated in RecallGateSpec) but
+    * deterministic given the stored signatures — since r9 fully
+    * hash-oracled (the oracle recomputes the query's md5-plane
+    * signatures in SQL, expands the Hamming-1 multiprobe, bucket-
+    * joins the store, and re-ranks exactly). */
   private def lshKnn(s: SparkSession, d: String): DataFrame =
-    LshAnn.search(corpus(s, d), "vec_id", "embedding",
-      queryVec(s, d), "qvec", dims = 64, k = K, tables = 8, bits = 4,
+    LshAnn.searchBuckets(s.read.parquet(ensureLshStore(s, d)), "vec_id", "embedding",
+      queryVec(s, d), "qvec", dims = 64, k = K, tables = LshTables, bits = LshBits,
       multiprobe = 1)
 
   // ---------------------------------------------------------------- norms
@@ -1329,18 +1385,44 @@ object VectorQueries {
     (build, probe)
   }
 
+  /** Build-once PQ store: (vec_id, embedding, codes) + the trained
+    * codebooks persisted next to it — the memory-resident serving
+    * layout, and what makes the ADC search REPLAYABLE: given the
+    * stored codes and the exact codebook doubles, the shortlist is
+    * deterministic arithmetic the oracle re-runs in DuckDB. */
+  private[graft] def pqBasePath(d: String): java.io.File =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_pq_v1_${Integer.toHexString(d.hashCode)}")
+
+  private def ensurePqStore(s: SparkSession, d: String): (String, String) = {
+    val base = pqBasePath(d)
+    val storeP = new java.io.File(base, "store").toString
+    val cbP = new java.io.File(base, "codebooks").toString
+    VectorQueries.synchronized {
+      if (!new java.io.File(cbP, "_SUCCESS").exists()) {
+        val emb = Tables.embeddings(s, d)
+        val cb = PqIndex.train(emb, "embedding", dims = 64, m = 16, ksub = 32)
+        PqIndex.encode(emb.filter(col("vec_id") =!= 0), "embedding", cb)
+          .select(col("vec_id"), col("embedding"), col("codes"))
+          .write.mode("overwrite").parquet(storeP)
+        PqIndex.writeCodebooks(s, cb, cbP)
+      }
+    }
+    (storeP, cbP)
+  }
+
   /** PQ/ADC compressed search with exact re-rank of the top-192 ADC
-    * shortlist (lossy → rows-only; recall@10 = 1.00 gated at 0.9 in
-    * RecallGateSpec). The corpus pass reads only the codes; 192 full
-    * vectors are scored exactly — a constant, corpus-size-independent
-    * re-rank cost. */
+    * shortlist over the persisted code store. Lossy vs exact search
+    * (recall gated in RecallGateSpec) but deterministic given the
+    * stored codes + codebooks — since r9 fully hash-oracled (the
+    * oracle rebuilds the ADC table from the codebook parquet and
+    * replays shortlist + re-rank). */
   private def pqKnn(s: SparkSession, d: String): DataFrame = {
-    val emb = Tables.embeddings(s, d)
-    val cb = PqIndex.train(emb, "embedding", dims = 64, m = 16, ksub = 32)
-    val encoded = PqIndex.encode(emb.filter(col("vec_id") =!= 0), "embedding", cb)
-    val query = emb.filter(col("vec_id") === 0)
+    val (storeP, cbP) = ensurePqStore(s, d)
+    val cb = PqIndex.readCodebooks(s, cbP)
+    val query = Tables.embeddings(s, d).filter(col("vec_id") === 0)
       .select(col("embedding").cast("array<double>")).head.getSeq[Double](0).toArray
-    PqIndex.search(encoded, "vec_id", query, cb, K, rerank = 192)
+    PqIndex.search(s.read.parquet(storeP), "vec_id", query, cb, K, rerank = 192)
   }
 
   // ------------------------------------------- optimizer-picked IVF probe
@@ -1711,6 +1793,196 @@ object VectorQueries {
     ORDER BY qid, dist, vec_id"""
   }
 
+  /** Replay of the binary-quant two-phase search — needs NO store
+    * path: the packed sidecar is the sign bits of the float column,
+    * so the oracle computes the SAME integer hamming distance from
+    * the embeddings directly (the vs_bit_hamming formula), takes the
+    * top-`rerank` shortlist by (hd, vec_id), and re-ranks exactly. */
+  private val bqKnnOracle: String = s"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0),
+    hd AS (
+      SELECT e.vec_id,
+        CAST(list_sum(list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), q.qvec),
+          x -> CASE WHEN (x[1] > 0) <> (x[2] > 0) THEN 1 ELSE 0 END)) AS BIGINT) AS hd
+      FROM embeddings e, q WHERE e.vec_id <> 0),
+    short AS (SELECT vec_id FROM hd ORDER BY hd, vec_id LIMIT 192)
+    SELECT e.vec_id AS vec_id,
+           list_distance(CAST(e.embedding AS DOUBLE[]), q.qvec) AS dist
+    FROM embeddings e JOIN short USING (vec_id), q
+    ORDER BY dist, vec_id
+    LIMIT $K"""
+
+  /** Replay of the FILTERED auto probe: the selective metadata
+    * predicate widens the probe (nprobe × filteredWiden — the
+    * pgvector-iterative-scan analogue IvfProbeRule applies), then the
+    * label filter and the spilled dedup run inside the probed cells. */
+  private def knnFilteredAutoOracle(d: String): String = {
+    val base = autoBasePath(d)
+    val widened = math.min(IvfNlist, IvfNprobe * 2) // filteredWiden = 2
+    s"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0),
+    probed AS (
+      SELECT centroid_id
+      FROM read_parquet('$base/centroids/*.parquet'), q
+      ORDER BY list_distance(CAST(centroid AS DOUBLE[]), qvec), centroid_id
+      LIMIT $widened),
+    plist AS (SELECT list(centroid_id) AS pl FROM probed),
+    store AS (
+      SELECT vec_id, embedding, label, cells, cell_rank, CAST(centroid_id AS INT) AS centroid_id
+      FROM read_parquet('$base/store/centroid_id=*/*.parquet', hive_partitioning=1))
+    SELECT s.vec_id AS vec_id,
+           list_distance(CAST(s.embedding AS DOUBLE[]), q.qvec) AS dist
+    FROM store s, plist, q
+    WHERE s.centroid_id IN (SELECT centroid_id FROM probed)
+      AND s.vec_id <> 0 AND s.label = 3
+      AND NOT list_has_any(list_slice(s.cells, 1, s.cell_rank - 1), plist.pl)
+    ORDER BY dist, vec_id
+    LIMIT $K"""
+  }
+
+  /** Replay of the ITERATIVE filtered probe: the adaptive width is
+    * itself deterministic — the doubling schedule stops at the first
+    * width whose probed cells hold k predicate-passing vectors, and
+    * the engine's exactly-once incremental count across steps sums to
+    * COUNT(DISTINCT vec_id) over the prefix — so the oracle computes
+    * cnt(w) per schedule width, picks p, and replays the final probe
+    * (dedup included) at that width. */
+  private def knnFilteredIterOracle(d: String): String = {
+    val base = autoBasePath(d)
+    s"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0),
+    ranked AS (
+      SELECT centroid_id,
+             row_number() OVER (
+               ORDER BY list_distance(CAST(centroid AS DOUBLE[]), q.qvec), centroid_id) AS rn
+      FROM read_parquet('$base/centroids/*.parquet'), q),
+    store AS (
+      SELECT vec_id, embedding, label, cells, cell_rank, CAST(centroid_id AS INT) AS centroid_id
+      FROM read_parquet('$base/store/centroid_id=*/*.parquet', hive_partitioning=1)),
+    widths(w) AS (VALUES (1), (2), (4), (8), (16), (32)),
+    cnts AS (
+      SELECT w.w,
+             (SELECT count(DISTINCT s.vec_id)
+              FROM store s JOIN ranked r ON s.centroid_id = r.centroid_id
+              WHERE r.rn <= w.w AND s.vec_id <> 0 AND s.label = 3) AS cnt
+      FROM widths w),
+    pw AS (SELECT coalesce(min(w) FILTER (WHERE cnt >= $K), 32) AS p FROM cnts),
+    plist AS (SELECT list(centroid_id ORDER BY rn) AS pl
+              FROM ranked, pw WHERE rn <= pw.p)
+    SELECT s.vec_id AS vec_id,
+           list_distance(CAST(s.embedding AS DOUBLE[]), q.qvec) AS dist
+    FROM store s, plist, pw, q
+    WHERE s.centroid_id IN (SELECT centroid_id FROM ranked, pw WHERE rn <= pw.p)
+      AND s.vec_id <> 0 AND s.label = 3
+      AND NOT list_has_any(list_slice(s.cells, 1, s.cell_rank - 1), plist.pl)
+    ORDER BY dist, vec_id
+    LIMIT $K"""
+  }
+
+  /** The ADC arithmetic shared by the PQ replay oracles: rebuild the
+    * query's [subspace][code] squared-distance table from the
+    * codebook parquet (same sequential fold as
+    * [[PqIndex.distanceTable]]), score each candidate's stored codes
+    * (fold over subspaces in order), shortlist, exact re-rank. */
+  private def pqAdcSql(codesFrom: String, cbP: String, dsub: Int,
+      rerank: Int): String = s"""
+    qd AS (SELECT generate_subscripts(qvec, 1) AS gd, unnest(qvec) AS qx FROM q),
+    tbl AS (
+      SELECT cb.sp, cb.cid,
+             list_sum(list((qd.qx - cb.c) * (qd.qx - cb.c) ORDER BY cb.pos)) AS sqd
+      FROM read_parquet('$cbP/*.parquet') cb
+      JOIN qd ON qd.gd = cb.sp * $dsub + cb.pos + 1
+      GROUP BY cb.sp, cb.cid),
+    cvals AS (
+      SELECT vec_id, generate_subscripts(codes, 1) AS sp1, unnest(codes) AS code
+      FROM ($codesFrom)),
+    adc AS (
+      SELECT cv.vec_id, sqrt(list_sum(list(t.sqd ORDER BY cv.sp1))) AS ad
+      FROM cvals cv JOIN tbl t ON t.sp = cv.sp1 - 1 AND t.cid = cv.code
+      GROUP BY cv.vec_id),
+    short AS (SELECT vec_id FROM adc ORDER BY ad, vec_id LIMIT $rerank)"""
+
+  /** Replay of the flat PQ/ADC search over the persisted code store. */
+  private def pqKnnOracle(d: String): String = {
+    val base = pqBasePath(d)
+    s"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0),
+    ${pqAdcSql(s"SELECT vec_id, codes FROM read_parquet('$base/store/*.parquet')",
+        s"$base/codebooks", dsub = 4, rerank = 192)}
+    SELECT e.vec_id AS vec_id,
+           list_distance(CAST(e.embedding AS DOUBLE[]), q.qvec) AS dist
+    FROM embeddings e JOIN short USING (vec_id), q
+    ORDER BY dist, vec_id
+    LIMIT $K"""
+  }
+
+  /** Replay of the IVF-PQ composite: cell probe + spilled dedup picks
+    * the candidates, then the same ADC arithmetic on their codes. */
+  private def ivfPqKnnOracle(d: String): String = {
+    val base = ivfPqBasePath(d)
+    s"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0),
+    probed AS (
+      SELECT centroid_id
+      FROM read_parquet('$base/centroids/*.parquet'), q
+      ORDER BY list_distance(CAST(centroid AS DOUBLE[]), qvec), centroid_id
+      LIMIT $IvfNprobe),
+    plist AS (SELECT list(centroid_id) AS pl FROM probed),
+    cand0 AS (
+      SELECT s.vec_id, s.codes
+      FROM (SELECT vec_id, codes, cells, cell_rank, CAST(centroid_id AS INT) AS centroid_id
+            FROM read_parquet('$base/store/centroid_id=*/*.parquet', hive_partitioning=1)) s,
+           plist
+      WHERE s.centroid_id IN (SELECT centroid_id FROM probed)
+        AND s.vec_id <> 0
+        AND NOT list_has_any(list_slice(s.cells, 1, s.cell_rank - 1), plist.pl)),
+    ${pqAdcSql("SELECT vec_id, codes FROM cand0", s"$base/codebooks",
+        dsub = 4, rerank = 64)}
+    SELECT e.vec_id AS vec_id,
+           list_distance(CAST(e.embedding AS DOUBLE[]), q.qvec) AS dist
+    FROM embeddings e JOIN short USING (vec_id), q
+    ORDER BY dist, vec_id
+    LIMIT $K"""
+  }
+
+  /** Replay of the LSH bucket probe: the query's signatures are
+    * recomputed IN SQL from the same md5-derived ±1 planes
+    * (hash64Sql ≡ LshAnn.plane), expanded to the Hamming-1 multiprobe
+    * neighborhood, bucket-joined against the persisted store, and the
+    * candidates re-ranked exactly by cosine distance. */
+  private def lshKnnOracle(d: String): String = {
+    val h = "CAST(('0x' || substr(md5(CAST(pl.t AS VARCHAR) || ':' || " +
+      "CAST(pl.b AS VARCHAR) || ':' || CAST(pl.d AS VARCHAR)), 1, 15)) AS BIGINT)"
+    s"""
+    WITH q AS (SELECT CAST(embedding AS DOUBLE[]) AS qvec FROM embeddings WHERE vec_id = 0),
+    qd AS (SELECT generate_subscripts(qvec, 1) AS gd, unnest(qvec) AS qx FROM q),
+    planes AS (
+      SELECT pl.t, pl.b, pl.d,
+             CASE WHEN $h % 2 = 0 THEN 1.0 ELSE -1.0 END AS p
+      FROM (SELECT t.range AS t, b.range AS b, d.range AS d
+            FROM range($LshTables) t, range($LshBits) b, range(64) d) pl),
+    dots AS (
+      SELECT pl.t, pl.b, list_sum(list(qd.qx * pl.p ORDER BY pl.d)) AS dotv
+      FROM planes pl JOIN qd ON qd.gd = pl.d + 1
+      GROUP BY pl.t, pl.b),
+    qsig AS (
+      SELECT t AS table_id,
+             CAST(sum(CASE WHEN dotv > 0 THEN CAST(power(2, b) AS BIGINT) ELSE 0 END) AS BIGINT) AS sig
+      FROM dots GROUP BY t),
+    probes AS (
+      SELECT table_id, xor(sig, CAST(m.m AS BIGINT)) AS sig
+      FROM qsig, (VALUES (0), (1), (2), (4), (8)) m(m)),
+    cand AS (
+      SELECT DISTINCT s.vec_id
+      FROM read_parquet('${lshStorePath(d)}/*.parquet') s
+      JOIN probes p ON s.table_id = p.table_id AND s.sig = p.sig)
+    SELECT e.vec_id AS vec_id,
+           1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qvec) AS dist
+    FROM embeddings e JOIN cand USING (vec_id), q
+    ORDER BY dist, vec_id
+    LIMIT $K"""
+  }
+
   /** Hex-pair → int for the packed-sidecar decoders (DuckDB has no
     * get_byte; hex() + strpos arithmetic is exact). `hx` must be the
     * hex(blob) column, `i` a 1-based char index of the pair. */
@@ -1788,17 +2060,17 @@ object VectorQueries {
     Map(
     "vs_ivf_auto"     -> QueryDef(ivfAuto _, ivfProbeOracle(d)),
     "vs_ivf_txn"      -> QueryDef(ivfTxn _, ivfTxnOracle(d)),
-    "vs_knn_filtered_auto" -> QueryDef(knnFilteredAuto _, None),
-    "vs_knn_filtered_iter" -> QueryDef(knnFilteredIter _, None),
+    "vs_knn_filtered_auto" -> QueryDef(knnFilteredAuto _, knnFilteredAutoOracle(d)),
+    "vs_knn_filtered_iter" -> QueryDef(knnFilteredIter _, knnFilteredIterOracle(d)),
     "vs_hnsw_knn"     -> QueryDef(hnswKnn _, None),
     "vs_hnsw_routed"  -> QueryDef(hnswRouted _, None),
     "vs_hnsw_filtered" -> QueryDef(hnswFiltered _, None),
-    "vs_ivfpq_knn"    -> QueryDef(ivfPqKnn _, None),
+    "vs_ivfpq_knn"    -> QueryDef(ivfPqKnn _, ivfPqKnnOracle(d)),
     "vs_ivf_batch"    -> QueryDef(ivfBatch _, ivfBatchOracle(d)),
     "vs_ivf_knn"      -> QueryDef(ivfKnn _, ivfProbeOracle(d)),
-    "vs_lsh_knn"      -> QueryDef(lshKnn _, None),
-    "vs_pq_knn"       -> QueryDef(pqKnn _, None),
-    "vs_bq_knn"       -> QueryDef(bqKnn _, None),
+    "vs_lsh_knn"      -> QueryDef(lshKnn _, lshKnnOracle(d)),
+    "vs_pq_knn"       -> QueryDef(pqKnn _, pqKnnOracle(d)),
+    "vs_bq_knn"       -> QueryDef(bqKnn _, bqKnnOracle),
     "vs_sq_knn"       -> QueryDef(sqKnn _, sqKnnOracle(d)),
     "vs_knn_filtered" -> QueryDef(knnFiltered _, knnFilteredSql),
     "vs_hybrid"       -> QueryDef(hybrid _, hybridSql),
