@@ -191,11 +191,74 @@ object DedupQueries {
     * geometry floor): nlist 16 / spill 3 → pair recall 0.856; spill 2
     * drops to 0.59, nlist 32/spill 3 to 0.76. nlist is the √N-style
     * scale knob — it grows with corpus size to hold cell size (and so
-    * per-cell pair volume) constant. */
-  private def embeddingIvf(s: SparkSession, d: String): DataFrame =
-    Dedup.embeddingNearDupIvf(Tables.embeddings(s, d), "vec_id", "embedding",
-      VectorFunctions.cosineSimilarity, tau = 0.35,
-      nlist = 16, spill = 3, maxBlock = 5000)
+    * per-cell pair volume) constant.
+    *
+    * Since r9 the blocking layout persists (build-once reps +
+    * ranked-cells store) and the entry is fully HASH-ORACLED: given
+    * the materialized cell assignments, the whole pipeline —
+    * hot-block pruning, within-cell pairs, τ filter, pair dedup,
+    * clone-size join — is deterministic SQL the oracle replays.
+    * Recall/precision gates in RecallGateSpec still quantify the
+    * approximation vs the exact all-pairs ground truth. */
+  private[graft] def dedupIvfStorePath(d: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_dedupivf_v1_${Integer.toHexString(d.hashCode)}").toString
+
+  private def ensureDedupIvfStore(s: SparkSession, d: String): String = {
+    val p = dedupIvfStorePath(d)
+    DedupQueries.synchronized {
+      if (!new java.io.File(p, "_SUCCESS").exists()) {
+        val reps = Tables.embeddings(s, d)
+          .groupBy(col("embedding"))
+          .agg(min(col("vec_id")).as("vec_id"), count(lit(1)).as("grp"))
+        val mat = graft.operators.Materializer.local()
+        val centroids = graft.operators.IvfIndex.trainCentroids(
+          reps, "vec_id", "embedding", nlist = 16, iters = 2, mat)
+        graft.operators.IvfIndex.rankedCells(reps, "embedding", centroids, spill = 3)
+          .select(col("vec_id"), col("embedding"), col("grp"), col("cells"))
+          .write.mode("overwrite").parquet(p)
+        mat.releaseAll()
+      }
+    }
+    p
+  }
+
+  private def embeddingIvf(s: SparkSession, d: String): DataFrame = {
+    val st = s.read.parquet(ensureDedupIvfStore(s, d))
+    val blocked = st.select(col("vec_id"), col("embedding"),
+      explode(col("cells")).as("cell"))
+    val sizes = st.select(col("vec_id"), col("grp"))
+    Dedup.embeddingNearDup(blocked, "vec_id", "embedding", "cell",
+        VectorFunctions.cosineSimilarity, tau = 0.35, maxBlock = 5000)
+      .dropDuplicates("id_a", "id_b")
+      .join(sizes.select(col("vec_id").as("id_a"), col("grp").as("vecs_a")), "id_a")
+      .join(sizes.select(col("vec_id").as("id_b"), col("grp").as("vecs_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("cos_sim"), col("vecs_a"), col("vecs_b"))
+      .orderBy(col("id_a"), col("id_b"))
+  }
+
+  /** DuckDB replay of the persisted-blocking SemDeDup: hot-block
+    * prune (> maxBlock rows), within-cell pairs, τ filter, pair-level
+    * DISTINCT (a pair found via two shared cells has the identical
+    * cos), clone sizes joined back. */
+  private def embeddingIvfOracle(d: String): String = s"""
+    WITH st AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, grp, cells
+                FROM read_parquet('${dedupIvfStorePath(d)}/*.parquet')),
+    rows_ AS (SELECT vec_id, v, unnest(cells) AS cell FROM st),
+    bsz AS (SELECT cell, count(*) AS n FROM rows_ GROUP BY cell),
+    pruned AS (SELECT r.vec_id, r.v, r.cell
+               FROM rows_ r JOIN bsz USING (cell) WHERE bsz.n <= 5000),
+    pairs AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b,
+             list_cosine_similarity(a.v, b.v) AS cos_sim
+      FROM pruned a JOIN pruned b USING (cell)
+      WHERE a.vec_id < b.vec_id),
+    flt AS (SELECT * FROM pairs WHERE cos_sim >= 0.35)
+    SELECT f.id_a, f.id_b, f.cos_sim, ga.grp AS vecs_a, gb.grp AS vecs_b
+    FROM flt f
+    JOIN st ga ON ga.vec_id = f.id_a
+    JOIN st gb ON gb.vec_id = f.id_b
+    ORDER BY id_a, id_b"""
 
   // ------------------------------------------------------------ clusters
   /** Near-dup clusters: LSH pairs → connected components → one
@@ -234,7 +297,9 @@ object DedupQueries {
   private val spansSql: String =
     Dedup.sharedSpansSql("doc_id", "text", w = 15) + "\n    ORDER BY doc_id"
 
-  val defs: Map[String, QueryDef] = Map(
+  /** def, not val: embeddingIvfOracle embeds the OracleEnv.sfDir
+    * store path, resolved at dump time (the VectorQueries pattern). */
+  def defs: Map[String, QueryDef] = Map(
     "dedup_spans"         -> QueryDef(spans _, spansSql),
     "dedup_clusters"      -> QueryDef(clusters _, clustersSql),
     "dedup_exact"         -> QueryDef(exact _, exactSql),
@@ -243,6 +308,7 @@ object DedupQueries {
     "dedup_survivors"     -> QueryDef(survivors _, survivorsSql),
     "dedup_simhash"       -> QueryDef(simhash _, simhashSql),
     "dedup_embedding"     -> QueryDef(embedding _, embeddingSql),
-    "dedup_embedding_ivf" -> QueryDef(embeddingIvf _, None),
+    "dedup_embedding_ivf" -> QueryDef(embeddingIvf _,
+      embeddingIvfOracle(graft.OracleEnv.sfDir)),
   )
 }

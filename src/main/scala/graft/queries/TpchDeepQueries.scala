@@ -69,9 +69,17 @@ object TpchDeepQueries {
     * widest decimal-exact arithmetic in the suite: three decimal
     * operands per row folded into one sum. */
   private def q9Profit(s: SparkSession, d: String): DataFrame = {
+    // The unbounded triple product (18,2)·(18,2)·(18,6) overflows
+    // decimal precision 38, where Spark rounds (allowPrecisionLoss)
+    // and DuckDB promotes differently — a 1-ulp divergence first
+    // visible at sf1.0 magnitudes. Each intermediate cast below is
+    // VALUE-exact (true scales are ≤4 digits, magnitudes ≪ 10^12),
+    // so both engines stay in the exact-decimal domain end to end.
     val amount =
-      col("l_extendedprice").cast(D2) * (lit(1).cast(D2) - col("l_discount").cast(D2)) -
-      col("p_retailprice").cast(D2) * col("l_quantity").cast(D2) * lit(0.1).cast("decimal(18,6)")
+      (col("l_extendedprice").cast(D2) * (lit(1).cast(D2) - col("l_discount").cast(D2)))
+        .cast("decimal(18,6)") -
+      (col("p_retailprice").cast(D2) * col("l_quantity").cast(D2)).cast("decimal(18,4)") *
+        lit(0.1).cast("decimal(2,1)")
     Tables.lineitem(s, d)
       .join(broadcast(Tables.part(s, d)
           .filter(col("p_name").contains("widget"))
@@ -87,8 +95,8 @@ object TpchDeepQueries {
 
   private val q9Sql = """
     SELECT n_name AS nation, year(o_orderdate) AS o_year,
-           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))
-                    - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) * CAST(0.1 AS DECIMAL(18,6)))
+           CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,6))
+                    - CAST(CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) AS DECIMAL(18,4)) * CAST(0.1 AS DECIMAL(2,1)))
              AS DOUBLE) AS profit
     FROM lineitem
     JOIN part ON l_partkey = p_partkey
