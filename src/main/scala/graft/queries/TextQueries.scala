@@ -466,6 +466,20 @@ object TextQueries {
       .select(col("x.item").as("w"), col("x.cnt").as("cnt"), col("x.err").as("err"))
       .orderBy(col("cnt").desc, col("w"))
 
+  /** Hash oracle (r9): SpaceSaving with support ≤ capacity NEVER
+    * evicts, so counts are exact, err = 0, and the top-k selection's
+    * (−cnt, item) tie-break equals ORDER BY cnt DESC, w — all
+    * merge-order independent. The fixture vocabulary is 31 tokens
+    * against capacity 4096, so the oracle is the exact heavy-hitter
+    * table; a corpus past capacity would fail the hash loudly (and
+    * lives in the RecallGateSpec bounded-error regime instead). */
+  private val topkSketchSql = s"""
+    WITH w AS (SELECT unnest(${tokensSql("text")}) AS w FROM documents),
+    c AS (SELECT w, count(*) AS cnt FROM w GROUP BY w)
+    SELECT w, cnt, CAST(0 AS BIGINT) AS err FROM c
+    ORDER BY cnt DESC, w
+    LIMIT 20"""
+
   // ---------------------------------------------------------------- BPE
   private val BpeMerges = 20
 
@@ -572,7 +586,7 @@ object TextQueries {
   }
 
   val defs: Map[String, QueryDef] = Map(
-    "text_topk_sketch" -> QueryDef(topkSketch _, None),
+    "text_topk_sketch" -> QueryDef(topkSketch _, topkSketchSql),
     "text_surprisal"   -> QueryDef(surprisal _, surprisalSql),
     "text_lm_bigram"   -> QueryDef(lmBigram _, lmBigramSql),
     "text_bm25"        -> QueryDef(bm25 _, bm25Sql),

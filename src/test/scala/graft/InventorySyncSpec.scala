@@ -27,9 +27,10 @@ class InventorySyncSpec extends AnyFunSuite {
     // r9: +14 — the deterministic ANN replay tier (vs_ivf_knn/auto/
     // txn/batch, vs_sq_knn, vs_knn_half, vs_bq_knn, vs_pq_knn,
     // vs_ivfpq_knn, vs_lsh_knn, vs_knn_filtered_auto/iter,
-    // dedup_embedding_ivf) moved to the hash gate, +
+    // dedup_embedding_ivf, text_topk_sketch — the last exact on the
+    // fixture's sub-capacity support) moved to the hash gate, +
     // stream_window_agg landed on it
-    assert(SparkEntry.oracleSql.size == 146)
+    assert(SparkEntry.oracleSql.size == 147)
   }
 
   test("every rows-only (non-oracled) query carries a gate in RecallGateSpec") {
