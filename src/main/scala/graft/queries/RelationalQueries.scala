@@ -189,6 +189,107 @@ object RelationalQueries {
     s.table(name).orderBy(col("bucket_start"), col("event_type"))
   }
 
+  // ----------------------------------------------------- stream_sessionize
+  /** flatMapGroupsWithState sessionization on the HASH-oracle gate
+    * (the stateful streaming twin, beyond stream_window_agg's window
+    * agg): the fixture's events run through
+    * [[graft.streaming.EventStream.sessionize]] as a REAL file stream
+    * in five micro-batches — four time-quartile slices (file-source
+    * order pinned by modification time AND path) so sessions straddle
+    * batch boundaries and the per-user state genuinely carries
+    * across, plus one far-future sentinel event per user whose
+    * arrival closes (and emits) every user's final open session; the
+    * sentinel's own session stays open and is never emitted, so the
+    * collected output is exactly the real session table.
+    *
+    * Deterministic: session membership depends only on per-second
+    * gaps (intra-second order cannot move a boundary), the state
+    * fold sums doubles in (ts, event_id) order — which the oracle
+    * replays with an in-order list_sum — and session numbering is
+    * the per-user running count. */
+  private def streamSessionize(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_stream_sess_v1_${Integer.toHexString(d.hashCode)}")
+    val srcDir = new java.io.File(base, "src")
+    RelationalQueries.synchronized {
+      if (!new java.io.File(base, "_GRAFT_DONE").exists()) {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+        }
+        rm(base); srcDir.mkdirs()
+        val ev = Tables.events(s, d)
+          .select(col("event_id"), col("ts"), col("user_id"),
+            col("event_type"), col("value"))
+        val mm = ev.agg(min(col("ts")), max(col("ts"))).head
+        val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+        val step = math.max(1L, (hi - lo) / 4 + 1)
+        val sentinelTs = hi + 86400L * 1000000000L // +1 day: past any gap
+        val slices = (0 until 4).map { i =>
+          ev.filter(col("ts") >= lo + i * step && col("ts") < lo + (i + 1) * step)
+        } :+ ev.select(col("user_id")).distinct()
+          .select(lit(-1L).as("event_id"), lit(sentinelTs).as("ts"),
+            col("user_id"), lit("sentinel").as("event_type"), lit(0.0).as("value"))
+        slices.zipWithIndex.foreach { case (df, i) =>
+          val tmp = new java.io.File(base, s"tmp_$i")
+          df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+          val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+          val dst = new java.io.File(srcDir, f"chunk_$i%02d.parquet")
+          java.nio.file.Files.move(part.toPath, dst.toPath)
+          rm(tmp)
+          // file-source ordering: modification time (and path as the
+          // tie-break — names are already ascending)
+          require(dst.setLastModified((i + 1) * 60000L))
+        }
+        require(new java.io.File(base, "_GRAFT_DONE").createNewFile())
+      }
+    }
+    val schema = s.read.parquet(srcDir.toString).schema
+    val stream = s.readStream.schema(schema)
+      .option("maxFilesPerTrigger", 1).parquet(srcDir.toString)
+      .as[graft.streaming.EventStream.Event]
+    val name = "graft_stream_sessionize"
+    s.catalog.dropTempView(name)
+    val q = graft.streaming.EventStream.sessionize(stream, gapSec = 1800)(s)
+      .toDF()
+      .writeStream.outputMode("append")
+      .format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    s.table(name).orderBy(col("user_id"), col("session_id"))
+  }
+
+  /** Same session construction as the batch oracle, but the
+    * per-session sum replays the STREAM's sequential double fold
+    * (list_sum in (ts, event_id) order) instead of decimal
+    * aggregation — the state machine adds doubles one event at a
+    * time, and that order is part of the contract being verified. */
+  private val streamSessionizeSql = """
+    WITH e AS (
+      SELECT user_id, event_id, ts,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_s,
+             CAST(value AS DOUBLE) AS value_d
+      FROM events),
+    marked AS (
+      SELECT *,
+             CASE WHEN lag(ts_s) OVER w IS NULL
+                    OR ts_s - lag(ts_s) OVER w > 1800
+                  THEN 1 ELSE 0 END AS is_new
+      FROM e
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT *,
+             CAST(sum(is_new) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_id
+      FROM marked)
+    SELECT user_id, session_id,
+           count(*) AS n_events,
+           min(ts_s) AS session_start_s,
+           max(ts_s) AS session_end_s,
+           list_sum(list(value_d ORDER BY ts, event_id)) AS sum_value
+    FROM sess
+    GROUP BY user_id, session_id
+    ORDER BY user_id, session_id"""
+
   // ----------------------------------------------------- events_sessionize
   // Gap-based sessionization (30-min idle gap) via running-sum window —
   // batch twin of EventStream.sessionize (flatMapGroupsWithState).
@@ -247,6 +348,7 @@ object RelationalQueries {
     "topk_orders"       -> QueryDef(topkOrders _, topkOrdersSql),
     "events_window_agg" -> QueryDef(eventsWindowAgg _, eventsWindowAggSql),
     "stream_window_agg" -> QueryDef(streamWindowAgg _, eventsWindowAggSql),
+    "stream_sessionize" -> QueryDef(streamSessionize _, streamSessionizeSql),
     "events_sessionize" -> QueryDef(eventsSessionize _, eventsSessionizeSql),
   )
 }

@@ -22,15 +22,16 @@ class InventorySyncSpec extends AnyFunSuite {
   }
 
   test("inventory size matches the documented outcome") {
-    // r9: +1 — stream_window_agg, the streaming twin on the hash gate
-    assert(SparkEntry.queries.size == 158)
+    // r9: +2 — stream_window_agg + stream_sessionize, the streaming
+    // twins on the hash gate
+    assert(SparkEntry.queries.size == 159)
     // r9: +14 — the deterministic ANN replay tier (vs_ivf_knn/auto/
     // txn/batch, vs_sq_knn, vs_knn_half, vs_bq_knn, vs_pq_knn,
     // vs_ivfpq_knn, vs_lsh_knn, vs_knn_filtered_auto/iter,
     // dedup_embedding_ivf, text_topk_sketch — the last exact on the
     // fixture's sub-capacity support) moved to the hash gate, +
-    // stream_window_agg landed on it
-    assert(SparkEntry.oracleSql.size == 147)
+    // stream_window_agg + stream_sessionize landed on it
+    assert(SparkEntry.oracleSql.size == 148)
   }
 
   test("every rows-only (non-oracled) query carries a gate in RecallGateSpec") {
