@@ -51,6 +51,115 @@ object SketchAggregates {
   def heavyHitters(item: Column, capacity: Int, k: Int): Column =
     GraftSqlBridge.toColumn(
       SpaceSavingAggExpr(GraftSqlBridge.toExpression(item), capacity, k).toAggregateExpression())
+
+  /** HyperLogLog distinct-count estimate over pre-hashed values on the
+    * md5 hash64 contract (SURVEY §3): `hash64` must be the 60-bit
+    * [[TextFunctions.hash64]] column. Register index = top p bits,
+    * rho = leading-zero run of the remaining Q = 60−p bits + 1; the
+    * m = 2^p byte registers merge by elementwise max (map-side
+    * partial, mergeable by construction).
+    *
+    * The estimate is EXACT INTEGER arithmetic end to end — see
+    * [[HllEstimator.estimate]] — so a DuckDB oracle replays the whole
+    * estimator relationally (GROUP BY register → MAX(rho) → integer
+    * folds) and the entry is hash-exact, not rows-only. */
+  def hllDistinct(hash64: Column, p: Int): Column =
+    GraftSqlBridge.toColumn(
+      HllDistinctAggExpr(GraftSqlBridge.toExpression(hash64), p).toAggregateExpression())
+}
+
+/** The integer-exact HLL estimator shared by the aggregate's eval and
+  * the oracle-SQL builder (flajolet et al. '07 estimator shape, HLL++
+  * small-range linear counting; constants re-expressed as exact
+  * rationals so no float reassociation can diverge across engines):
+  *
+  *  - harmonic sum kept 2^(Q+1)-scaled: S = Σ_j 2^(Q+1−ρ_j) ≤ m·2^(Q+1)
+  *    — an exact Long for p ≥ 10 (Q = 60−p);
+  *  - alpha_m ≈ 0.7213/(1+1.079/m) as the exact rational
+  *    7213000·m / (10^4·(1000m+1079)), so
+  *    E_raw = ⌊7213000·m³·2^(Q+1) / (10^4·(1000m+1079)·S)⌋ (BigInt);
+  *  - linear counting (V zero registers > 0 and E_raw ≤ 2.5m):
+  *    E = ⌊m·lnBits(m,V) / 2^30⌋ with [[lnBits]] a 2^30 fixed-point
+  *    ln(m/V) table — written as a parquet sidecar for the oracle,
+  *    because ln itself is not bit-portable across libm/JVM. */
+object HllEstimator {
+
+  /** round(ln(m/v)·2^30) — StrictMath (fdlibm) so the sidecar content
+    * is platform-stable; the oracle reads the sidecar, never libm. */
+  def lnBits(m: Int, v: Int): Long =
+    Math.round(StrictMath.log(m.toDouble / v) * (1L << 30))
+
+  /** (registerIndex, rho) of one 60-bit hash under precision p. */
+  def registerRho(h: Long, p: Int): (Int, Int) = {
+    val q = 60 - p
+    val reg = (h >>> q).toInt
+    val low = h & ((1L << q) - 1L)
+    val rho = if (low == 0L) q + 1 else q + 1 - (64 - java.lang.Long.numberOfLeadingZeros(low))
+    (reg, rho)
+  }
+
+  def estimate(p: Int, registers: Array[Byte]): Long = {
+    val m = 1 << p
+    val q = 60 - p
+    var s = 0L
+    var zeros = 0
+    var i = 0
+    while (i < m) {
+      val rho = registers(i) & 0xff
+      if (rho == 0) zeros += 1
+      s += 1L << (q + 1 - rho)
+      i += 1
+    }
+    val num = BigInt(7213000L) * BigInt(m).pow(3) * (BigInt(1) << (q + 1))
+    val den = BigInt(10000L) * BigInt(1000L * m + 1079L) * BigInt(s)
+    val eRaw = (num / den).toLong
+    if (zeros > 0 && 2L * eRaw <= 5L * m.toLong)
+      (m.toLong * lnBits(m, zeros)) >> 30
+    else eRaw
+  }
+}
+
+case class HllDistinctAggExpr(
+    child: Expression, p: Int,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]] {
+
+  override def children: Seq[Expression] = child :: Nil
+  override def nullable: Boolean = false
+  override def dataType: DataType = LongType
+
+  override def createAggregationBuffer(): Array[Byte] = new Array[Byte](1 << p)
+
+  override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val (reg, rho) = HllEstimator.registerRho(v.asInstanceOf[Long], p)
+      if (rho > (buf(reg) & 0xff)) buf(reg) = rho.toByte
+    }
+    buf
+  }
+
+  override def merge(a: Array[Byte], b: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < a.length) {
+      if ((b(i) & 0xff) > (a(i) & 0xff)) a(i) = b(i)
+      i += 1
+    }
+    a
+  }
+
+  override def eval(buf: Array[Byte]): Any = HllEstimator.estimate(p, buf)
+
+  override def serialize(buf: Array[Byte]): Array[Byte] = buf
+  override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+
+  override def withNewMutableAggBufferOffset(o: Int): HllDistinctAggExpr =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): HllDistinctAggExpr =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(c: IndexedSeq[Expression]): Expression =
+    copy(child = c.head)
 }
 
 /** Simplified KLL sketch (Karnin-Lang-Liberty, FOCS'16; layout follows

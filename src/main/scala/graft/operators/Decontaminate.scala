@@ -68,17 +68,60 @@ object Decontaminate {
     * contaminated doc is flagged with `n_maybe_overlap ≥` its true
     * overlap (Bloom filters have no false negatives); a clean doc is
     * false-flagged with probability ≤ n_shingles · fpp (union bound).
-    * Output: (id, n_shingles, n_maybe_overlap) for flagged docs. */
+    * Output: (id, n_shingles, n_maybe_overlap) for flagged docs.
+    *
+    * Since r10 the filter is the engine's own DETERMINISTIC bitmap
+    * (integer sizing + Kirsch–Mitzenmacher positions on hash64, see
+    * [[graft.functions.Bloom]]) — so the false-positive SET itself is
+    * replayable and [[bloomOverlapsSql]] puts this entry on the
+    * hash-exact oracle gate; the zero-false-negative property stays
+    * separately gated in RecallGateSpec as belt-and-braces. */
   def bloomOverlaps(corpus: DataFrame, bench: DataFrame, idCol: String,
-      textCol: String, n: Int, fpp: Double): DataFrame = {
+      textCol: String, n: Int): DataFrame = {
     val benchSet = gramRows(bench, idCol, textCol, n).select(col("h")).distinct()
-    val bits = graft.functions.Bloom.build(benchSet, "h", fpp)
+    val f = graft.functions.Bloom.build(benchSet, "h")
     gramRows(corpus, idCol, textCol, n)
       .withColumn("hit",
-        when(graft.functions.Bloom.mightContain(col("h"), bits), 1L).otherwise(0L))
+        when(graft.functions.Bloom.mightContain(col("h"), f), 1L).otherwise(0L))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shingles"), sum(col("hit")).as("n_maybe_overlap"))
       .filter(col("n_maybe_overlap") > 0)
+  }
+
+  /** DuckDB twin of [[bloomOverlaps]]: rebuilds the exact bitmap
+    * relationally (bench keys × range(k) → DISTINCT positions) and
+    * replays membership as a k-way position join — a corpus shingle
+    * "hits" iff all k of its probe positions were set by some bench
+    * key, exactly the engine's bit test. */
+  def bloomOverlapsSql(idCol: String, textCol: String, n: Int,
+      benchPred: String): String = {
+    val bpk = graft.functions.Bloom.BitsPerKey
+    val k = graft.functions.Bloom.K
+    s"""
+    WITH tok AS (SELECT $idCol, ${tokensSql(textCol)} AS tk FROM documents),
+    t AS (SELECT $idCol, list_distinct(${shinglesSql("tk", n)}) AS sh FROM tok),
+    bench AS (SELECT DISTINCT ${hash64Sql("s")} AS h
+              FROM (SELECT unnest(sh) AS s FROM t WHERE $benchPred)),
+    msize AS (SELECT CAST(1 AS BIGINT) << length(bin($bpk * COUNT(*) - 1)) AS m
+              FROM bench),
+    benchpos AS (
+      SELECT DISTINCT (b.h % s.m + i.range * (2 * ((b.h // s.m) % (s.m // 2)) + 1)) % s.m AS pos
+      FROM bench b CROSS JOIN msize s CROSS JOIN range($k) i),
+    corpus AS (SELECT $idCol, ${hash64Sql("s")} AS h
+               FROM (SELECT $idCol, unnest(sh) AS s FROM t WHERE NOT ($benchPred))),
+    cpos AS (
+      SELECT c.$idCol, c.h,
+             (c.h % s.m + i.range * (2 * ((c.h // s.m) % (s.m // 2)) + 1)) % s.m AS pos
+      FROM corpus c CROSS JOIN msize s CROSS JOIN range($k) i),
+    hits AS (
+      SELECT $idCol, h FROM cpos JOIN benchpos USING (pos)
+      GROUP BY $idCol, h HAVING COUNT(*) = $k)
+    SELECT c.$idCol,
+           CAST(count(*) AS BIGINT) AS n_shingles,
+           CAST(count(ht.h) AS BIGINT) AS n_maybe_overlap
+    FROM corpus c LEFT JOIN hits ht ON ht.$idCol = c.$idCol AND ht.h = c.h
+    GROUP BY c.$idCol HAVING count(ht.h) > 0
+    ORDER BY c.$idCol"""
   }
 
   /** DuckDB twin over a `documents`-shaped view: bench = rows where

@@ -95,17 +95,24 @@ object CurationQueries {
     * bitmap instead of the exact shingle set: the 100 TB shape when
     * the eval suite's shingle set outgrows an exact broadcast.
     * Approximate BY DESIGN (one-sided: supersets the exact flag set,
-    * never misses a contaminated doc) → rows-only entry; the
-    * zero-false-negative + bounded-false-flag contract is gated in
-    * RecallGateSpec. */
+    * never misses a contaminated doc) — but since r10 the bitmap is
+    * the engine's own deterministic filter (integer sizing +
+    * double-hashed positions on hash64), so the DuckDB oracle rebuilds
+    * the exact bitmap and replays membership: HASH-EXACT entry. The
+    * zero-false-negative + bounded-false-flag contract stays gated in
+    * RecallGateSpec as belt-and-braces. */
   private def decontamBloom(s: SparkSession, d: String): DataFrame = {
     val docs = Tables.documents(s, d)
     Decontaminate.bloomOverlaps(
       corpus = docs.filter(col("doc_id") % 7 =!= 0),
       bench = docs.filter(col("doc_id") % 7 === 0),
-      idCol = "doc_id", textCol = "text", n = 5, fpp = 1e-5)
+      idCol = "doc_id", textCol = "text", n = 5)
       .orderBy(col("doc_id"))
   }
+
+  private val decontamBloomSql: String =
+    Decontaminate.bloomOverlapsSql("doc_id", "text", n = 5,
+      benchPred = "doc_id % 7 = 0")
 
   // --------------------------------------------------- decontam_semantic
   /** Embedding-space decontamination — the semantic complement of the
@@ -525,7 +532,7 @@ object CurationQueries {
     "mix_temperature" -> QueryDef(mixTemperature _, mixTemperatureSql),
     "decontam_ngram" -> QueryDef(decontam _, decontamSql),
     "decontam_semantic" -> QueryDef(decontamSemantic _, decontamSemanticSql),
-    "decontam_bloom" -> QueryDef(decontamBloom _, None),
+    "decontam_bloom" -> QueryDef(decontamBloom _, decontamBloomSql),
     "pack_tokens"    -> QueryDef(packTokens _, packTokensSql),
   )
 }

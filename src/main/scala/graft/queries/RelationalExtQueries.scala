@@ -129,15 +129,91 @@ object RelationalExtQueries {
     GROUP BY event_type
     ORDER BY event_type"""
 
-  /** HLL approximate distinct (Spark's HyperLogLog++): sketch-based
-    * cardinality at 100 TB where exact distinct would shuffle every
-    * key. Approximate → rows-only check (estimates are
-    * implementation-specific), exact twin above is the oracle anchor. */
-  private def approxDistinctQ(s: SparkSession, d: String): DataFrame =
+  /** HLL approximate distinct — the engine's own sketch
+    * ([[graft.functions.SketchAggregates.hllDistinct]]) on the md5
+    * hash64 contract: sketch-based cardinality at 100 TB where exact
+    * distinct would shuffle every key (registers merge map-side; one
+    * m-byte buffer per group crosses the shuffle). Unlike Spark's
+    * HLL++ (implementation-specific estimate → rows-only), register
+    * index and rho are integer bit arithmetic on hash64 and the
+    * estimator is exact-integer end to end (see
+    * [[graft.functions.HllEstimator]]), so the DuckDB oracle replays
+    * register maxima relationally (GROUP BY register → MAX(rho) →
+    * 2^49-scaled harmonic fold → rational-alpha division, linear
+    * counting from the ln-LUT sidecar) and the entry is HASH-EXACT.
+    * The residual approximation-vs-truth error stays gated in
+    * RecallGateSpec (rsd 1.04/√4096 ≈ 1.6%). */
+  private def approxDistinctQ(s: SparkSession, d: String): DataFrame = {
+    ensureHllLut(s)
     Tables.events(s, d)
+      .filter(col("user_id").isNotNull)
       .groupBy(col("event_type"))
-      .agg(approx_count_distinct(col("user_id"), 0.02).as("approx_users"))
+      .agg(graft.functions.SketchAggregates.hllDistinct(
+        graft.functions.TextFunctions.hash64(col("user_id").cast("string")),
+        HllP).as("approx_users"))
       .orderBy(col("event_type"))
+  }
+
+  private[graft] val HllP = 12
+
+  /** 2^30 fixed-point ln(m/v) sidecar for the linear-counting branch —
+    * content depends only on p, so the path is fixture-independent. */
+  private[graft] def hllLutPath: String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_hll_lut_p${HllP}_v1").toString
+
+  private def ensureHllLut(s: SparkSession): Unit =
+    RelationalExtQueries.synchronized {
+      if (!new java.io.File(hllLutPath, "_SUCCESS").exists()) {
+        val m = 1 << HllP
+        val rows = (1 to m).map(v =>
+          (v.toLong, graft.functions.HllEstimator.lnBits(m, v)))
+        s.createDataFrame(rows).toDF("v", "ln_bits")
+          .coalesce(1).write.mode("overwrite").parquet(hllLutPath)
+      }
+    }
+
+  /** DuckDB replay of the whole HLL estimator on exact operands. */
+  private def approxDistinctSql: String = {
+    val m = 1 << HllP
+    val q = 60 - HllP
+    val twoQ = 1L << q
+    val num = BigInt(7213000L) * BigInt(m).pow(3) * (BigInt(1) << (q + 1))
+    val den = BigInt(10000L) * BigInt(1000L * m + 1079L)
+    s"""
+    WITH h AS (
+      SELECT event_type,
+             CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)),1,15)) AS BIGINT) AS h64
+      FROM events WHERE user_id IS NOT NULL
+    ),
+    regs AS (
+      SELECT event_type, h64 // $twoQ AS reg,
+             MAX(CASE WHEN h64 % $twoQ = 0 THEN ${q + 1}
+                      ELSE ${q + 1} - length(bin(h64 % $twoQ)) END) AS rho
+      FROM h GROUP BY 1, 2
+    ),
+    agg AS (
+      SELECT event_type,
+             SUM(CAST(1 AS BIGINT) << (${q + 1} - rho)) AS s_hit,
+             COUNT(*) AS hit
+      FROM regs GROUP BY 1
+    ),
+    est AS (
+      SELECT event_type, $m - hit AS zeros,
+             CAST(CAST('$num' AS HUGEINT) //
+                  (CAST('$den' AS HUGEINT) *
+                   (CAST(s_hit AS HUGEINT) +
+                    CAST($m - hit AS HUGEINT) * (CAST(1 AS HUGEINT) << ${q + 1})))
+               AS BIGINT) AS e_raw
+      FROM agg
+    )
+    SELECT e.event_type,
+           CAST(CASE WHEN e.zeros > 0 AND 2 * e.e_raw <= ${5L * m}
+                     THEN ($m * l.ln_bits) // ${1L << 30}
+                     ELSE e.e_raw END AS BIGINT) AS approx_users
+    FROM est e LEFT JOIN read_parquet('$hllLutPath/*.parquet') l ON l.v = e.zeros
+    ORDER BY e.event_type"""
+  }
 
   // ------------------------------------------- correlated aggregate (Q17)
   /** TPC-H Q17 shape: revenue from small-quantity orders, where
@@ -318,6 +394,6 @@ object RelationalExtQueries {
     "q_rollup"               -> QueryDef(rollupQ _, rollupSql),
     "q_cube"                 -> QueryDef(cubeQ _, cubeSql),
     "events_distinct"        -> QueryDef(distinctQ _, distinctSql),
-    "events_approx_distinct" -> QueryDef(approxDistinctQ _, None),
+    "events_approx_distinct" -> QueryDef(approxDistinctQ _, approxDistinctSql),
   )
 }

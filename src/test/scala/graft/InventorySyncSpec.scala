@@ -25,13 +25,10 @@ class InventorySyncSpec extends AnyFunSuite {
     // r9: +2 — stream_window_agg + stream_sessionize, the streaming
     // twins on the hash gate
     assert(SparkEntry.queries.size == 159)
-    // r9: +14 — the deterministic ANN replay tier (vs_ivf_knn/auto/
-    // txn/batch, vs_sq_knn, vs_knn_half, vs_bq_knn, vs_pq_knn,
-    // vs_ivfpq_knn, vs_lsh_knn, vs_knn_filtered_auto/iter,
-    // dedup_embedding_ivf, text_topk_sketch — the last exact on the
-    // fixture's sub-capacity support) moved to the hash gate, +
-    // stream_window_agg + stream_sessionize landed on it
-    assert(SparkEntry.oracleSql.size == 148)
+    // r10: +2 — events_approx_distinct (engine HLL, integer-exact
+    // estimator replay) and decontam_bloom (deterministic bitmap,
+    // relational rebuild) moved from rows-only to the hash gate
+    assert(SparkEntry.oracleSql.size == 150)
   }
 
   test("every rows-only (non-oracled) query carries a gate in RecallGateSpec") {

@@ -385,8 +385,8 @@ class RecallGateSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap
     val maxErr = exact.map { case (et, n) =>
       math.abs(approx(et) - n).toDouble / n }.max
-    info(f"events_approx_distinct max relative error = $maxErr%.4f (rsd 0.02)")
-    assert(maxErr <= 0.06, f"approx_count_distinct error $maxErr%.4f above 0.06")
+    info(f"events_approx_distinct max relative error = $maxErr%.4f (rsd 1.04/sqrt(4096) = 0.0163)")
+    assert(maxErr <= 0.05, f"engine HLL error $maxErr%.4f above 0.05 (3x rsd)")
   }
 
   test("decontam_bloom: zero false negatives (hard) + bounded false-flag rate") {
