@@ -14,7 +14,10 @@ import org.apache.spark.sql.types.{DataType, StructType}
   * parser sees it:
   *
   *  - `a <-> b`  → `vec_l2(a, b)`          (l2_distance)
-  *  - `a <=> b`  → `vec_cos_dist(a, b)`    (cosine_distance)
+  *  - `a <=> b`  → `vec_cos_dist(a, b)`    (cosine_distance — only in
+  *                                          statements that carry
+  *                                          another pgvector marker;
+  *                                          see [[cosineDialect]])
   *  - `a <#> b`  → `(-vec_dot(a, b))`      (NEGATIVE inner product —
   *                                          pgvector's operator value)
   *  - `a <+> b`  → `vec_l1(a, b)`          (l1_distance)
@@ -68,6 +71,19 @@ object PgVectorSql {
     val lower = sql.toLowerCase(java.util.Locale.ROOT)
     VecOps.keysIterator.exists(sql.contains) || lower.contains("::vector")
   }
+
+  /** `<=>` is ALSO Spark SQL's native null-safe-equality operator, so
+    * claiming it unconditionally would hijack valid upstream SQL
+    * (`JOIN … ON a.k <=> b.k`). The cosine reading applies only when
+    * the statement carries another UNAMBIGUOUS pgvector marker — a
+    * `::vector` cast or one of the five operators Spark doesn't own
+    * (`<->`/`<#>`/`<+>`/`<~>`/`<%>`); otherwise `<=>` passes through
+    * to the stock parser as EqualNullSafe. Decided ONCE on the
+    * original statement (rewrites consume the markers, so per-step
+    * re-detection would flip mid-fixpoint). */
+  private def cosineDialect(sql: String): Boolean =
+    VecOps.keysIterator.exists(op => op != "<=>" && sql.contains(op)) ||
+      sql.toLowerCase(java.util.Locale.ROOT).contains("::vector")
 
   private def lex(sql: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -282,7 +298,7 @@ object PgVectorSql {
   /** One rewrite step: leftmost `::vector` cast or vector operator
     * whose operands extract cleanly. Returns the rewritten SQL, or
     * None when nothing (more) rewrites. */
-  private def step(sql: String): Option[String] = {
+  private def step(sql: String, claimCosEq: Boolean): Option[String] = {
     val ts = lex(sql)
     // candidate positions in source order: casts and operators together
     val candidates = ts.indices.filter(i => ts(i) match {
@@ -291,6 +307,7 @@ object PgVectorSql {
           case id: Ident => sql.substring(id.s, id.e).equalsIgnoreCase("vector")
           case _ => false
         }
+      case Op(_, _, "<=>") => claimCosEq
       case Op(_, _, op) => VecOps.contains(op)
       case _ => false
     })
@@ -331,11 +348,12 @@ object PgVectorSql {
     * cast or operator; nested operands surface on later steps). */
   def translate(sql: String): String = {
     if (!mayContain(sql)) return sql
+    val claimCosEq = cosineDialect(sql)
     var cur = sql
     var continue = true
     var guard = 0
     while (continue && guard < 10000) {
-      step(cur) match {
+      step(cur, claimCosEq) match {
         case Some(next) => cur = next; guard += 1
         case None => continue = false
       }
@@ -348,10 +366,12 @@ object PgVectorSql {
   * translated, identifier/schema entry points pass through. */
 final class PgVectorParser(delegate: ParserInterface) extends ParserInterface {
   override def parsePlan(sqlText: String): LogicalPlan =
-    delegate.parsePlan(PgVectorSql.translate(sqlText))
+    VectorIndexDdl.toCommand(sqlText).getOrElse(
+      delegate.parsePlan(PgVectorSql.translate(sqlText)))
   override def parsePlanWithParameters(
       sqlText: String, ctx: ParameterContext): LogicalPlan =
-    delegate.parsePlanWithParameters(PgVectorSql.translate(sqlText), ctx)
+    VectorIndexDdl.toCommand(sqlText).getOrElse(
+      delegate.parsePlanWithParameters(PgVectorSql.translate(sqlText), ctx))
   override def parseQuery(sqlText: String): LogicalPlan =
     delegate.parseQuery(PgVectorSql.translate(sqlText))
   override def parseExpression(sqlText: String): Expression =

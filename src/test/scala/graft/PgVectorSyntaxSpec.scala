@@ -18,8 +18,11 @@ class PgVectorSyntaxSpec extends AnyFunSuite {
   test("operator translation: all six operators and the ::vector cast") {
     assert(PgVectorSql.translate("SELECT a <-> b FROM t") ==
       "SELECT vec_l2(a, b) FROM t")
-    assert(PgVectorSql.translate("SELECT e.embedding <=> q.embedding FROM t") ==
-      "SELECT vec_cos_dist(e.embedding, q.embedding) FROM t")
+    // <=> doubles as Spark's null-safe equality: the cosine reading
+    // needs another unambiguous pgvector marker in the statement
+    assert(PgVectorSql.translate(
+      "SELECT e.embedding <=> '[1,2]'::vector FROM t") ==
+      "SELECT vec_cos_dist(e.embedding, vec_literal('[1,2]')) FROM t")
     assert(PgVectorSql.translate("SELECT a <#> '[1,2]'::vector") ==
       "SELECT (-vec_dot(a, vec_literal('[1,2]')))")
     assert(PgVectorSql.translate("SELECT (a) <+> (b)") ==
@@ -44,6 +47,18 @@ class PgVectorSyntaxSpec extends AnyFunSuite {
     // lambda arrows survive
     assert(PgVectorSql.translate("SELECT transform(xs, x -> x + 1) FROM t") ==
       "SELECT transform(xs, x -> x + 1) FROM t")
+  }
+
+  test("<=> without a pgvector marker stays Spark's null-safe equality") {
+    // valid upstream SQL must NOT be hijacked into cosine distance
+    assert(PgVectorSql.translate(
+      "SELECT * FROM a JOIN b ON a.k <=> b.k") ==
+      "SELECT * FROM a JOIN b ON a.k <=> b.k")
+    // a marker anywhere in the statement flips the whole statement to
+    // the pgvector dialect (decided once, not per occurrence)
+    assert(PgVectorSql.translate(
+      "SELECT a <=> b, c <-> d FROM t") ==
+      "SELECT vec_cos_dist(a, b), vec_l2(c, d) FROM t")
   }
 
   test("nested operand groups rewrite inside-out") {
@@ -109,6 +124,19 @@ class PgVectorSyntaxSpec extends AnyFunSuite {
             ORDER BY embedding <-> '$vec'::vector LIMIT 3""")
         .collect().map(_.getLong(0)).toSeq
       assert(got == lit)
+    }
+  }
+
+  test("null-safe equality joins execute correctly on an extension session") {
+    withExtSession { s =>
+      import s.implicits._
+      Seq((1L, Some("x")), (2L, None)).toDF("k", "v").createOrReplaceTempView("nsa")
+      Seq((10L, Some("x")), (20L, None)).toDF("k", "v").createOrReplaceTempView("nsb")
+      val got = s.sql(
+        "SELECT a.k, b.k FROM nsa a JOIN nsb b ON a.v <=> b.v ORDER BY a.k")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      // <=> matched NULL to NULL — EqualNullSafe semantics, not cosine
+      assert(got == Seq((1L, 10L), (2L, 20L)))
     }
   }
 
