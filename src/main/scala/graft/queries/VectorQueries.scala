@@ -475,6 +475,76 @@ object VectorQueries {
       l2Distance, KjK, nlist, KjSpill)
   }
 
+  /** The kNN join's IVF-blocked INIT graph on the hash-exact gate
+    * (VERDICT r9 #5): given the persisted spill-ranked cell store, the
+    * init phase is fully deterministic — primary×spilled candidate
+    * pairs (each pair at most once by construction: a's one primary
+    * cell matches at most one of b's distinct spill cells) → bit-exact
+    * sequential-fold L2 → the bounded (dist, id)-ordered per-vector
+    * top-k — so the DuckDB oracle replays it relationally. The
+    * NN-Descent refinement on top stays recall-gated (vs_knn_join).
+    * Primary side sampled (vec_id % 17) so the replay stays cheap at
+    * 10×; the blocking geometry exercised is identical. */
+  private def kjInitStorePath(d: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_kjinit_v1_${Integer.toHexString(d.hashCode)}").toString
+
+  private def ensureKjInitStore(s: SparkSession, d: String): String = {
+    val p = kjInitStorePath(d)
+    VectorQueries.synchronized {
+      if (!new java.io.File(p, "_SUCCESS").exists()) {
+        val emb = Tables.embeddings(s, d)
+        val n = emb.count()
+        val nlist = math.max(16, math.min(1024, math.ceil(math.sqrt(n.toDouble)).toInt))
+        val centroids = IvfIndex.trainCentroids(emb, "vec_id", "embedding", nlist, iters = 2)
+        IvfIndex.rankedCells(emb, "embedding", centroids, KjSpill)
+          .select(col("vec_id"), col("embedding"), col("cells"))
+          .write.mode("overwrite").parquet(p)
+      }
+    }
+    p
+  }
+
+  private def knnJoinInitQ(s: SparkSession, d: String): DataFrame = {
+    val store = s.read.parquet(ensureKjInitStore(s, d))
+    val primary = store.filter(col("vec_id") % 17 === 0)
+      .select(element_at(col("cells"), 1).as("cell"),
+        col("vec_id").as("id_a"), col("embedding").as("v_a"))
+    val spilled = store.select(col("vec_id").as("id_b"),
+      col("embedding").as("v_b"), explode(col("cells")).as("cell"))
+    primary.join(spilled, Seq("cell"))
+      .filter(col("id_a") =!= col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        l2Distance(col("v_a"), col("v_b")).as("dist"))
+      .groupBy(col("id_a"))
+      .agg(graft.functions.TopKAggregate.topK(col("dist"), col("id_b"), KjK).as("nn"))
+      .select(col("id_a").as("vec_id"), posexplode(col("nn")).as(Seq("rk", "p")))
+      .select(col("vec_id"), (col("rk") + 1).cast("long").as("rank"),
+        col("p.id").as("neighbor_id"), col("p.dist").as("dist"))
+      .orderBy(col("vec_id"), col("rank"))
+  }
+
+  private def knnJoinInitOracle(d: String): String = {
+    val p = kjInitStorePath(d)
+    s"""
+    WITH store AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, cells
+                   FROM read_parquet('$p/*.parquet')),
+    prim AS (SELECT cells[1] AS cell, vec_id AS id_a, emb AS v_a
+             FROM store WHERE vec_id % 17 = 0),
+    spl AS (SELECT u.c AS cell, s.vec_id AS id_b, s.emb AS v_b
+            FROM store s, unnest(s.cells) AS u(c)),
+    cand AS (
+      SELECT p.id_a, s2.id_b, list_distance(p.v_a, s2.v_b) AS dist
+      FROM prim p JOIN spl s2 USING (cell)
+      WHERE p.id_a <> s2.id_b),
+    r AS (SELECT id_a, id_b, dist,
+                 row_number() OVER (PARTITION BY id_a ORDER BY dist, id_b) AS rn
+          FROM cand)
+    SELECT id_a AS vec_id, CAST(rn AS BIGINT) AS rank, id_b AS neighbor_id, dist
+    FROM r WHERE rn <= $KjK
+    ORDER BY vec_id, rank"""
+  }
+
   // --------------------------------------------------------------- drift
   /** Embedding distribution drift: per-label centroid displacement
     * between two corpus slices (here: even vs odd vec_id standing in
@@ -2087,6 +2157,7 @@ object VectorQueries {
     "emb_outliers"    -> QueryDef(outliers _, outliersSql),
     "emb_drift"       -> QueryDef(drift _, driftSql),
     "vs_knn_join"     -> QueryDef(knnJoinQ _, None),
+    "vs_knn_join_init" -> QueryDef(knnJoinInitQ _, knnJoinInitOracle(d)),
     "vs_knn_l2"       -> QueryDef(knnL2 _, knnOracle(l2Sql)),
     "vs_knn_l1"       -> QueryDef(knnL1 _, knnOracle(l1Sql)),
     "vs_knn_half"     -> QueryDef(knnHalf _, knnHalfOracle(d)),

@@ -24,11 +24,14 @@ class InventorySyncSpec extends AnyFunSuite {
   test("inventory size matches the documented outcome") {
     // r9: +2 — stream_window_agg + stream_sessionize, the streaming
     // twins on the hash gate
-    assert(SparkEntry.queries.size == 159)
-    // r10: +2 — events_approx_distinct (engine HLL, integer-exact
-    // estimator replay) and decontam_bloom (deterministic bitmap,
-    // relational rebuild) moved from rows-only to the hash gate
-    assert(SparkEntry.oracleSql.size == 150)
+    // r10: +1 — vs_knn_join_init, the kNN join's deterministic
+    // IVF-blocked init phase as its own hash-exact entry
+    assert(SparkEntry.queries.size == 160)
+    // r10: +3 — events_approx_distinct (engine HLL, integer-exact
+    // estimator replay), decontam_bloom (deterministic bitmap,
+    // relational rebuild), and vs_knn_join_init moved onto /
+    // landed on the hash gate
+    assert(SparkEntry.oracleSql.size == 151)
   }
 
   test("every rows-only (non-oracled) query carries a gate in RecallGateSpec") {
