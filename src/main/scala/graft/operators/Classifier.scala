@@ -19,12 +19,25 @@ import org.apache.spark.sql.functions._
   * callers materialize it once ([[Materializer]]) and every epoch
   * re-reads the compact projection instead of re-tokenizing.
   *
-  * Determinism: gradients sum doubles across partitions, so trained
-  * weights are only reproducible to float-addition reassociation —
-  * the classifier is gated on measured accuracy (RecallGateSpec),
-  * not on a bit-exact oracle (SURVEY.md §3's approximate tier).
+  * Determinism (r10, VERDICT r9 #6): every cross-partition reduction
+  * in training is EXACT —
+  *  - gradient/margin terms are 2^24 fixed-point quantized per row
+  *    and summed in DECIMAL(38,0) (integer addition cannot
+  *    reassociate), with ONE double cast after the reduce;
+  *  - the naive-Bayes histogram sums integer-valued doubles (count
+  *    features), which IEEE addition also sums exactly in any order —
+  * so trained weights are BIT-IDENTICAL across partition counts and
+  * executor schedules (ClassifierSpec asserts this). The per-term
+  * 2^-24 quantization is three orders below the gradient noise the
+  * epoch budget already tolerates; the entry's accuracy floor stays
+  * gated in RecallGateSpec.
   */
 object Classifier {
+
+  /** Fixed-point scale for the exact gradient reduce: products are
+    * floored to 1/2^24 units (exact integers < 2^53, so the floor
+    * itself is exact) and summed as DECIMAL. */
+  val GradScale = 1L << 24
 
   /** One training epoch's gradient, as a closed-form DataFrame plan
     * executing as ONE job: margin per doc (features ⋈ broadcast
@@ -33,22 +46,25 @@ object Classifier {
     * labels are the curated TRAINING SAMPLE, small by construction,
     * so they broadcast), gradient per bucket (features ⋈ residuals
     * aligned on the same doc_id partitioning, map-side-combined sum
-    * into a buckets-sized shuffle). */
+    * into a buckets-sized shuffle). Both sums are fixed-point DECIMAL
+    * (see object doc) — order-exact. */
   private def gradient(spark: SparkSession, feat: DataFrame,
       labels: DataFrame, w: Array[Double]): Array[(Int, Double)] = {
     import spark.implicits._
     val wDf = w.zipWithIndex.map { case (v, b) => (b, v) }.toSeq.toDF("b", "w")
     val resid = feat.join(broadcast(wDf), "b")
       .groupBy(col("doc_id"))
-      .agg(sum(col("x") * col("w")).as("m"))
+      .agg(sum(floor(col("x") * col("w") * GradScale).cast("decimal(38,0)")).as("mq"))
       .join(broadcast(labels), "doc_id")
       .select(col("doc_id"),
-        (lit(1.0) / (lit(1.0) + exp(-col("m"))) - col("y")).as("r"))
+        (lit(1.0) / (lit(1.0) +
+          exp(-(col("mq").cast("double") / GradScale))) - col("y")).as("r"))
     feat.join(resid, "doc_id")
       .groupBy(col("b"))
-      .agg(sum(col("x") * col("r")).as("g"))
+      .agg(sum(floor(col("x") * col("r") * GradScale).cast("decimal(38,0)")).as("gq"))
       .collect() // exactly `buckets` rows — driver-bounded
-      .map(row => (row.getInt(0), row.getDouble(1)))
+      .map(row => (row.getInt(0),
+        row.getDecimal(1).doubleValue() / GradScale))
   }
 
   /** Multinomial naive-Bayes log-odds weights — the convex-problem
@@ -60,7 +76,10 @@ object Classifier {
     * w_b = log((ct_b+1)/(T_t+B)) − log((cf_b+1)/(T_f+B)), bias =
     * log-prior. GD then refines the calibration the generative
     * approximation gets wrong. `feat.x` should be counts here (the
-    * multinomial likelihood is linear in counts). */
+    * multinomial likelihood is linear in counts) — which also makes
+    * the histogram reduce EXACT: integer-valued doubles add without
+    * rounding in any order, so the warm start is bit-deterministic
+    * across partitionings with no fixed-point machinery. */
   def nbLogOdds(spark: SparkSession, feat: DataFrame, labels: DataFrame,
       buckets: Int, biasBucket: Int): Array[Double] = {
     val hist = feat.join(broadcast(labels), "doc_id")

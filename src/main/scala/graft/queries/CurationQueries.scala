@@ -490,25 +490,15 @@ object CurationQueries {
     * labeled sample, sweep the 100 TB corpus with the
     * broadcast-weights score pass.
     *
-    * Approximate tier: gradient sums reassociate float addition, so
-    * the entry is rows-only with a measured accuracy floor
-    * (RecallGateSpec) instead of a bit-exact oracle. */
+    * Approximate tier: since r10 TRAINING is bit-deterministic
+    * (fixed-point DECIMAL gradient reduce — ClassifierSpec asserts
+    * identical weights across partition counts), but the σ scores in
+    * the output still sum floats, so the entry stays rows-only with a
+    * measured accuracy floor (RecallGateSpec); the deterministic NB
+    * scoring sweep is hash-oracled as [[classifierNb]]. */
   private def classifier(s: SparkSession, d: String): DataFrame = {
-    // tokens projected before the shingle HOF (see dsir's trap note)
-    val feat0 = Tables.documents(s, d)
-      .select(col("doc_id"), tokens(col("text")).as("tk"))
-      .select(col("doc_id"),
-        explode(shingles(col("tk"), ClsNgram)).as("w"))
-      .groupBy(col("doc_id"), (hash64(col("w")) % ClsBuckets).cast("int").as("b"))
-      .agg(count(lit(1)).cast("double").as("x"))
-    val feat = feat0
-      .unionAll(feat0.select(col("doc_id")).distinct()
-        .select(col("doc_id"), lit(ClsBuckets).as("b"), lit(1.0).as("x"))) // bias
-      .repartition(col("doc_id")) // epochs reuse this partitioning: no per-epoch shuffle
-      .persist()
-    val labels = Tables.documents(s, d)
-      .select(col("doc_id"),
-        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+    val (feat0, labels) = clsFeat(s, d)
+    val feat = feat0.persist()
     try {
       val cls = graft.operators.Classifier
       val w0 = cls.nbLogOdds(s, feat, labels, ClsBuckets + 1, ClsBuckets)
@@ -522,8 +512,116 @@ object CurationQueries {
     } finally feat.unpersist()
   }
 
-  val defs: Map[String, QueryDef] = Map(
+  /** Hashed-trigram count features (+ per-doc bias row) and labels —
+    * shared by [[classifier]] and [[classifierNb]]. Tokens projected
+    * before the shingle HOF (see dsir's trap note). */
+  private def clsFeat(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val feat0 = Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"),
+        explode(shingles(col("tk"), ClsNgram)).as("w"))
+      .groupBy(col("doc_id"), (hash64(col("w")) % ClsBuckets).cast("int").as("b"))
+      .agg(count(lit(1)).cast("double").as("x"))
+    val feat = feat0
+      .unionAll(feat0.select(col("doc_id")).distinct()
+        .select(col("doc_id"), lit(ClsBuckets).as("b"), lit(1.0).as("x"))) // bias
+      .repartition(col("doc_id")) // epochs reuse this partitioning: no per-epoch shuffle
+    val labels = Tables.documents(s, d)
+      .select(col("doc_id"),
+        when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
+    (feat, labels)
+  }
+
+  // -------------------------------------------- curate_classifier_nb
+  /** The classifier's naive-Bayes scoring sweep on the HASH-EXACT
+    * gate (VERDICT r9 #6 stretch): the NB warm-start weights are
+    * bit-deterministic (integer-count histogram — IEEE addition of
+    * integer-valued doubles is exact in any order), so the engine
+    * quantizes them to 2^30 fixed point, persists them as a sidecar,
+    * and scores the corpus with an ALL-INTEGER dot product
+    * (score_bits = Σ count·w_bits + bias_bits; pred = sign) — the
+    * DuckDB oracle recomputes the trigram features relationally,
+    * reads the sidecar, and replays the sum exactly. This oracles the
+    * CORPUS-SCALE half of the classifier family (the broadcast-
+    * weights sweep — the part that touches 100 TB); the GD
+    * calibration refinement stays accuracy-gated under
+    * curate_classifier. */
+  private def clsNbPath(d: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_clsnb_v1_${Integer.toHexString(d.hashCode)}").toString
+
+  private val ClsNbScale = 1L << 30
+
+  private def ensureClsNbStore(s: SparkSession, d: String): String = {
+    val p = clsNbPath(d)
+    CurationQueries.synchronized {
+      if (!new java.io.File(p, "_SUCCESS").exists()) {
+        val (feat0, labels) = clsFeat(s, d)
+        val feat = feat0.persist()
+        try {
+          val w0 = graft.operators.Classifier
+            .nbLogOdds(s, feat, labels, ClsBuckets + 1, ClsBuckets)
+          import s.implicits._
+          w0.zipWithIndex.toSeq
+            .map { case (v, b) => (b, Math.round(v * ClsNbScale)) }
+            .toDF("b", "wq").coalesce(1)
+            .write.mode("overwrite").parquet(p)
+        } finally { feat.unpersist(); () }
+      }
+    }
+    p
+  }
+
+  private def classifierNb(s: SparkSession, d: String): DataFrame = {
+    val wt = s.read.parquet(ensureClsNbStore(s, d))
+    val bias = wt.filter(col("b") === ClsBuckets).select(col("wq")).head.getLong(0)
+    Tables.documents(s, d)
+      .select(col("doc_id"), tokens(col("text")).as("tk"))
+      .select(col("doc_id"),
+        explode(shingles(col("tk"), ClsNgram)).as("w"))
+      .groupBy(col("doc_id"), (hash64(col("w")) % ClsBuckets).cast("int").as("b"))
+      .agg(count(lit(1)).as("c"))
+      .join(broadcast(wt), "b")
+      .groupBy(col("doc_id"))
+      .agg((sum(col("c") * col("wq")) + bias).as("score_bits"))
+      .join(Tables.documents(s, d)
+        .select(col("doc_id"),
+          when(col("lang") === "en", 1).otherwise(0).as("y")), "doc_id")
+      .select(col("doc_id"), col("y"), col("score_bits"),
+        (col("score_bits") > 0).cast("int").as("pred"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def classifierNbSql(d: String): String = {
+    val p = clsNbPath(d)
+    s"""
+    WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS t FROM documents),
+    f AS (
+      SELECT doc_id, ${hash64Sql("w")} % $ClsBuckets AS b, count(*) AS c
+      FROM (SELECT doc_id, unnest(${shinglesSql("t", ClsNgram)}) AS w FROM toks)
+      GROUP BY 1, 2),
+    wt AS (SELECT b, wq FROM read_parquet('$p/*.parquet')),
+    sc AS (
+      SELECT f.doc_id,
+             CAST(sum(f.c * w.wq) +
+                  (SELECT wq FROM wt WHERE b = $ClsBuckets) AS BIGINT) AS score_bits
+      FROM f JOIN wt w USING (b)
+      GROUP BY f.doc_id)
+    SELECT sc.doc_id,
+           CASE WHEN d.lang = 'en' THEN 1 ELSE 0 END AS y,
+           sc.score_bits,
+           CAST(sc.score_bits > 0 AS INT) AS pred
+    FROM sc JOIN documents d ON d.doc_id = sc.doc_id
+    ORDER BY sc.doc_id"""
+  }
+
+  /** def, not val: classifierNbSql embeds the
+    * [[graft.OracleEnv.sfDir]]-derived weight-sidecar path, resolved
+    * at dump time (see VectorQueries.defs). */
+  def defs: Map[String, QueryDef] = Map(
     "curate_classifier" -> QueryDef(classifier _, None),
+    "curate_classifier_nb" -> QueryDef(classifierNb _,
+      classifierNbSql(graft.OracleEnv.sfDir)),
     "curate_dsir"    -> QueryDef(dsir _, dsirSql),
     "pii_scan"       -> QueryDef(piiScan _, piiScanSql),
     "curate_funnel"  -> QueryDef(funnel _, funnelSql),

@@ -42,6 +42,27 @@ class ClassifierSpec extends SparkSpec {
     assert(p > 0.5 && p < 1.0)
   }
 
+  test("trained weights are bit-identical across partition counts") {
+    import spark.implicits._
+    // realistic shape: many docs, overlapping buckets, fractional
+    // weights after the NB warm start — the case where a float-sum
+    // gradient reduce WOULD reassociate differently per partitioning
+    val feat = (0L until 400L).flatMap { d =>
+      (0 until 12).map(j => (d, ((d * 7 + j * j) % 50).toInt, 1.0 + (j % 3))) ++
+        Seq((d, 50, 1.0)) // bias
+    }.toDF("doc_id", "b", "x")
+    val labels = (0L until 400L).map(d => (d, if ((d * 13) % 3 == 0) 1.0 else 0.0))
+      .toDF("doc_id", "y")
+    val ws = Seq(1, 3, 13).map { parts =>
+      val f = feat.repartition(parts)
+      val w0 = Classifier.nbLogOdds(spark, f, labels, buckets = 51, biasBucket = 50)
+      Classifier.trainLogReg(spark, f, labels,
+        buckets = 51, epochs = 4, lr = 0.05, init = w0).toSeq
+    }
+    assert(ws(0) == ws(1) && ws(1) == ws(2),
+      "weights diverged across partition counts — the gradient reduce reassociated")
+  }
+
   test("empty training set is rejected") {
     import spark.implicits._
     val empty = Seq.empty[(Long, Int, Double)].toDF("doc_id", "b", "x")

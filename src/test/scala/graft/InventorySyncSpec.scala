@@ -24,14 +24,15 @@ class InventorySyncSpec extends AnyFunSuite {
   test("inventory size matches the documented outcome") {
     // r9: +2 — stream_window_agg + stream_sessionize, the streaming
     // twins on the hash gate
-    // r10: +1 — vs_knn_join_init, the kNN join's deterministic
-    // IVF-blocked init phase as its own hash-exact entry
-    assert(SparkEntry.queries.size == 160)
-    // r10: +3 — events_approx_distinct (engine HLL, integer-exact
-    // estimator replay), decontam_bloom (deterministic bitmap,
-    // relational rebuild), and vs_knn_join_init moved onto /
-    // landed on the hash gate
-    assert(SparkEntry.oracleSql.size == 151)
+    // r10: +2 — vs_knn_join_init (the kNN join's deterministic
+    // IVF-blocked init phase) and curate_classifier_nb (the
+    // classifier's integer NB scoring sweep), both hash-exact
+    assert(SparkEntry.queries.size == 161)
+    // r10: +4 — events_approx_distinct (engine HLL, integer-exact
+    // estimator replay) and decontam_bloom (deterministic bitmap,
+    // relational rebuild) moved onto the hash gate; the two new
+    // entries landed on it
+    assert(SparkEntry.oracleSql.size == 152)
   }
 
   test("every rows-only (non-oracled) query carries a gate in RecallGateSpec") {
