@@ -40,6 +40,38 @@ class HnswSpec extends SparkSpec {
     assert(mean >= 0.9, s"local graph recall $mean too low")
   }
 
+  test("ef = graph size makes the beam exhaustive: equals brute force per partition graph") {
+    // STRUCTURAL gate (VERDICT r9 #8), no recall dependence: with
+    // ef >= n the beam never evicts and never terminates early, so it
+    // must visit the entry's whole layer-0 component — on a sound
+    // build that is the entire graph, and the top-k equals the exact
+    // scan over the graph's own stored vectors bit-for-bit. A
+    // beam-walk or graph-connectivity regression fails THIS loudly
+    // instead of surfacing as a recall drift toward the gate floor.
+    import graft.operators.Hnsw
+    val graphs = Hnsw.buildPartitioned(
+      Tables.embeddings(spark, Sf), "vec_id", "embedding",
+      m = 8, efC = 32, parts = 4)
+    val q = Tables.embeddings(spark, Sf).filter(col("vec_id") === 0)
+      .select(col("embedding").cast("array<double>")).head.getSeq[Double](0).toArray
+    graphs.collect().foreach { row =>
+      val ix = Hnsw.deser(row.getAs[Array[Byte]]("graph"))
+      val n = ix.ids.length
+      val got = ix.searchKnn(q, k = 10, ef = n).map { case (id, d) => (d, id) }
+      val want = (0 until n)
+        .map { i =>
+          var s = 0.0
+          val v = ix.vecs(i)
+          var j = 0
+          while (j < v.length) { val dd = v(j) - q(j); s += dd * dd; j += 1 }
+          (math.sqrt(s), ix.ids(i))
+        }
+        .sorted.take(10)
+      assert(got == want,
+        s"partition graph ${row.getInt(0)}: exhaustive beam != brute force\n$got\n$want")
+    }
+  }
+
   test("batch search equals per-query search; graphs persist through parquet") {
     val dir = java.nio.file.Files.createTempDirectory("hnswstore").toString
     Hnsw.writeGraphs(
