@@ -152,6 +152,29 @@ object Bench {
       canary(name)
       out
     }
+    // Streaming serving family (VERDICT r9 #7): fixed micro-batch
+    // replays at steady state — build + warm-up feed are untimed
+    // startup; the timed probe is one end-to-end micro-batch. These
+    // are not SparkEntry queries (no oracle surface), so they run as
+    // their own canary-annotated pass after the main loop.
+    val servingResults = graft.streaming.ServingBench.all.flatMap { case (name, mk) =>
+      sweepBlocks()
+      val out =
+        try {
+          val p = mk(spark, sfDir)
+          try {
+            p.build()
+            Seq(name -> coldThenWarm(name, p.probe))
+          } finally p.stop()
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            Seq(name -> -1.0)
+        }
+      canary(name)
+      out
+    }
+    val allResults = results ++ servingResults
     // Locale.ROOT: the default-locale f"" interpolator would emit
     // "0,711" on comma-decimal locales — invalid JSON for the driver.
     def f3(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
@@ -160,7 +183,7 @@ object Bench {
         val num = if (round) f3(v) else v.toString
         "\"" + k + "\":" + num
       }.mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = allResults.map(_._2).filter(_ >= 0).sum
     // stdout line must stay SHORT: the driver captures a bounded tail
     // of program output and parses the JSON line out of it. Round 3's
     // line (full-precision doubles + the cold map) overflowed that
@@ -173,9 +196,9 @@ object Bench {
     val cSorted = canaryTimes.values.toSeq.sorted
     val cMed = if (cSorted.isEmpty) 0.0 else cSorted(cSorted.size / 2)
     val cMax = if (cSorted.isEmpty) 0.0 else cSorted.last
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jsonMap(results, round = true)},"canary_med":${f3(cMed)},"canary_max":${f3(cMax)},"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jsonMap(allResults, round = true)},"canary_med":${f3(cMed)},"canary_max":${f3(cMax)},"sf":"$sfDir"}"""
     println(line)
-    val fileLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(results, round = false)},"cold":${jsonMap(coldTimes.toSeq, round = false)},"canary":${jsonMap(canaryTimes.toSeq, round = false)},"sf":"$sfDir"}"""
+    val fileLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(allResults, round = false)},"cold":${jsonMap(coldTimes.toSeq, round = false)},"canary":${jsonMap(canaryTimes.toSeq, round = false)},"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (fileLine + "\n").getBytes("UTF-8"))

@@ -1,0 +1,144 @@
+package graft.streaming
+
+import graft.Tables
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Bench harness for the streaming serving family (VERDICT r9 #7):
+  * the serve/serveIvf/serveHnsw/serveCached surfaces had specs but no
+  * bench rows, so serving latency had no round-over-round trend.
+  *
+  * Each probe is a FIXED deterministic micro-batch replay: build
+  * prepares the store/index, starts the streaming query on a
+  * MemoryStream source, and feeds one warm-up batch (stream machinery
+  * + index load are startup cost, not serving latency); the timed
+  * probe then feeds [[BatchSize]] fixed query vectors and blocks on
+  * processAllAvailable — one end-to-end micro-batch at steady state.
+  * Request ids advance per feed so every batch is a distinct request
+  * set over the same vectors (the cached probe therefore measures the
+  * HIT path — its design point). */
+object ServingBench {
+
+  final case class Probe(build: () => Unit, probe: () => Unit, stop: () => Unit)
+
+  private val BatchSize = 64
+  private val K = 5
+
+  /** (qid, qvec) rows for vec_id ∈ [lo, lo+BatchSize). */
+  private def qRows(s: SparkSession, d: String, lo: Long,
+      idOffset: Long): Array[(Long, Seq[Float])] =
+    Tables.embeddings(s, d)
+      .filter(col("vec_id") >= lo && col("vec_id") < lo + BatchSize)
+      .select(col("vec_id") + idOffset, col("embedding"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Float](1)))
+
+  def serveExactProbe(s: SparkSession, d: String): Probe = {
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    var input: MemoryStream[(Long, Seq[Float])] = null
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    var feeds = 0L
+    val store = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+    def feed(lo: Long): Unit = {
+      feeds += 1
+      input.addData(qRows(s, d, lo, feeds * 1000000L).toIndexedSeq)
+      q.processAllAvailable()
+    }
+    Probe(
+      build = () => {
+        input = MemoryStream[(Long, Seq[Float])]
+        q = KnnServing.serve(input.toDF().toDF("qid", "qvec"), store,
+          "qid", "qvec", "vec_id", "embedding", K) { (b, _) => b.count(); () }
+        feed(lo = BatchSize + 1) // warm-up: machinery, codegen
+      },
+      probe = () => feed(lo = 1),
+      stop = () => if (q != null) q.stop())
+  }
+
+  def serveIvfProbe(s: SparkSession, d: String): Probe = {
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    var input: MemoryStream[(Long, Seq[Float])] = null
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    var feeds = 0L
+    def feed(lo: Long): Unit = {
+      feeds += 1
+      input.addData(qRows(s, d, lo, feeds * 1000000L).toIndexedSeq)
+      q.processAllAvailable()
+    }
+    Probe(
+      build = () => {
+        val (ix, cents) = graft.operators.IvfIndex.buildIndex(
+          Tables.embeddings(s, d), "vec_id", "embedding", nlist = 16)
+        val store = ix.localCheckpoint()
+        val centroids = cents.localCheckpoint()
+        input = MemoryStream[(Long, Seq[Float])]
+        q = KnnServing.serveIvf(input.toDF().toDF("qid", "qvec"),
+          store, centroids,
+          "qid", "qvec", "vec_id", "embedding", K, nprobe = 4) { (b, _) => b.count(); () }
+        feed(lo = BatchSize + 1)
+      },
+      probe = () => feed(lo = 1),
+      stop = () => if (q != null) q.stop())
+  }
+
+  def serveHnswProbe(s: SparkSession, d: String): Probe = {
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    var input: MemoryStream[(Long, Seq[Float])] = null
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    var feeds = 0L
+    def feed(lo: Long): Unit = {
+      feeds += 1
+      input.addData(qRows(s, d, lo, feeds * 1000000L).toIndexedSeq)
+      q.processAllAvailable()
+    }
+    Probe(
+      build = () => {
+        val graphs = graft.operators.Hnsw.buildPartitioned(
+          Tables.embeddings(s, d), "vec_id", "embedding",
+          m = 16, efC = 64, parts = 8).localCheckpoint()
+        input = MemoryStream[(Long, Seq[Float])]
+        q = KnnServing.serveHnsw(input.toDF().toDF("qid", "qvec"), graphs,
+          "qid", "qvec", K, ef = 64) { (b, _) => b.count(); () }
+        feed(lo = BatchSize + 1)
+      },
+      probe = () => feed(lo = 1),
+      stop = () => if (q != null) q.stop())
+  }
+
+  def serveCachedProbe(s: SparkSession, d: String): Probe = {
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    var input: MemoryStream[(Long, Seq[Float])] = null
+    var served: KnnServing.CachedServing = null
+    var feeds = 0L
+    val store = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+    def feed(lo: Long): Unit = {
+      feeds += 1
+      input.addData(qRows(s, d, lo, feeds * 1000000L).toIndexedSeq)
+      served.query.processAllAvailable()
+    }
+    Probe(
+      build = () => {
+        input = MemoryStream[(Long, Seq[Float])]
+        served = KnnServing.serveCached(input.toDF().toDF("qid", "qvec"), store,
+          "qid", "qvec", "vec_id", "embedding",
+          K, eps = 0.0, capacity = 256) { (b, _) => b.count(); () }
+        // warm-up feeds the SAME vectors the probe replays, so the
+        // timed batch exercises the cache's hit path — its design point
+        feed(lo = 1)
+      },
+      probe = () => feed(lo = 1),
+      stop = () => if (served != null) served.query.stop())
+  }
+
+  /** name → probe factory, in bench execution order. */
+  def all: Seq[(String, (SparkSession, String) => Probe)] = Seq(
+    "serve_exact_probe" -> (serveExactProbe _),
+    "serve_ivf_probe" -> (serveIvfProbe _),
+    "serve_hnsw_probe" -> (serveHnswProbe _),
+    "serve_cached_probe" -> (serveCachedProbe _))
+}
