@@ -105,7 +105,7 @@ final class TransientEmbeddingFailure(msg: String) extends RuntimeException(msg)
   * `transientFailures` embed() invocations throw
   * [[TransientEmbeddingFailure]] (a provider outage wave), later ones
   * delegate — so [[Ingest.embedWithRetry]]'s retry/backoff control
-  * flow and its RETRY/FAILED status transitions are exercised by
+  * flow and its RETRY/FINISH status transitions are exercised by
   * genuine thrown-and-caught failures, not synthesized labels.
   * Deterministic and thread-safe (one atomic call counter). */
 final case class FlakyEmbedder(inner: Embedder, transientFailures: Int)

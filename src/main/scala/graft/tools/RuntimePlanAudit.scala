@@ -30,11 +30,16 @@ object RuntimePlanAudit {
     targets.foreach { name =>
       val df = SparkEntry.all(name).fn(spark, sfDir)
       val t0 = System.nanoTime()
-      df.write.format("noop").mode("overwrite").save()
+      // Execute THIS df's QueryExecution (ADVICE r9): a noop write runs
+      // through its own QueryExecution, leaving df's AdaptiveSparkPlan
+      // un-executed (isFinalPlan=false) — the printed tree would be the
+      // initial AQE plan, not the one that ran. Driving the plan's own
+      // RDD forces AQE's re-planning on the same object we print.
+      df.queryExecution.executedPlan.execute().foreach(_ => ())
       val sec = (System.nanoTime() - t0) / 1e9
-      // post-execution: AdaptiveSparkPlan is final — this IS the tree
-      // that ran, with every AQE re-plan applied
       val plan = df.queryExecution.executedPlan.toString
+      require(!plan.contains("isFinalPlan=false"),
+        s"$name: AQE tree still initial after execution — audit evidence invalid")
       println(f"\n===== $name (ran in $sec%.1f s, AQE final plan)")
       plan.linesIterator
         .filter(l => l.contains("Join") || l.contains("Exchange") ||

@@ -3,6 +3,37 @@ package graft
 import graft.pipeline.Ingest
 import org.apache.spark.sql.functions._
 
+/** Chaos embedder whose failures surface at ACTION time: embed()
+  * returns normally, and the frame throws from inside a task when it
+  * materializes — the lazy-provider shape ADVICE r9 flagged as
+  * escaping the retry loop. Whether a materialization fails is decided
+  * (and the budget consumed) at embed() call time on the driver, so
+  * the count is one per attempt regardless of partition count; the
+  * throw itself happens task-side. */
+final case class LazyFlakyEmbedder(inner: graft.pipeline.Embedder)
+    extends graft.pipeline.Embedder {
+  override def dims: Int = inner.dims
+  override def embed(df: org.apache.spark.sql.DataFrame, toksCol: String,
+      outCol: String): org.apache.spark.sql.DataFrame = {
+    val out = inner.embed(df, toksCol, outCol)
+    val failThis = LazyFlakyEmbedder.consume()
+    out.mapPartitions { it =>
+      if (failThis)
+        throw new graft.pipeline.TransientEmbeddingFailure(
+          "induced action-time provider failure")
+      it
+    }(org.apache.spark.sql.Encoders.row(out.schema))
+  }
+}
+
+object LazyFlakyEmbedder {
+  // JVM-static: local-mode tests share one JVM, so the task-side state
+  // and the driver-side reset see the same counter
+  private val remaining = new java.util.concurrent.atomic.AtomicInteger(0)
+  def reset(transientFailures: Int): Unit = remaining.set(transientFailures)
+  private def consume(): Boolean = remaining.getAndDecrement() > 0
+}
+
 /** The status event log must be a legal walk of the reference's state
   * machine (models/CosmosDBDocumentStatus.java) and agree with the
   * terminal snapshot the listing queries use. */
@@ -84,19 +115,50 @@ class StatusMachineSpec extends SparkSpec {
     }
   }
 
-  test("embedWithRetry: exhaustion emits FAILED_OAI_INVOCATION and no embedded frame") {
+  test("embedWithRetry: exhaustion logs FINISH (the reference's trace) and no embedded frame") {
     val flaky = graft.pipeline.FlakyEmbedder(
       graft.pipeline.FeatureHashEmbedder(16), transientFailures = 99)
     val out = Ingest.embedWithRetry(tokDocs, "doc_id", "toks", "emb",
       flaky, maxAttempts = 2)
     assert(out.embedded.isEmpty)
     assert(flaky.callCount == 2, "bounded: exactly maxAttempts invocations")
+    // reference mirror (Function.java:147-150): the Cosmos trace records
+    // FINISH_OAI_INVOCATION even after retry exhaustion — no FAILED_OAI
+    // status exists in its enum; exhaustion is an API outcome (None)
     val walks = out.events.collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
       .groupBy(_._1).values.map(_.sortBy(_._2).map(_._3).toSeq)
     walks.foreach { w =>
       assert(w == Seq("PAGE_SEPARATE_FINISHED", "RETRY_OAI_INVOCATION",
-        "RETRY_OAI_INVOCATION", "FAILED_OAI_INVOCATION"))
+        "RETRY_OAI_INVOCATION", "FINISH_OAI_INVOCATION"))
+      w.sliding(2).foreach { case Seq(a, b) => assert(Legal(a).contains(b)) }
+    }
+  }
+
+  test("embedWithRetry: a failure thrown at ACTION time is retried, not escaped") {
+    // ADVICE r9: embed() returns a lazy frame — a provider whose failure
+    // only surfaces when the batch materializes used to escape the retry
+    // loop entirely (FINISH logged for work that never ran). The loop now
+    // materializes inside the try and unwraps Spark's task-failure cause
+    // chain, so the lazy throw drives the same RETRY → FINISH walk.
+    LazyFlakyEmbedder.reset(transientFailures = 2)
+    val out = Ingest.embedWithRetry(tokDocs, "doc_id", "toks", "emb",
+      LazyFlakyEmbedder(graft.pipeline.FeatureHashEmbedder(16)),
+      maxAttempts = 3)
+    assert(out.attempts == 3)
+    val want = graft.pipeline.FeatureHashEmbedder(16)
+      .embed(tokDocs, "toks", "emb")
+      .select(col("doc_id"), col("emb")).collect().map(r =>
+        (r.getLong(0), r.getSeq[Double](1))).toSet
+    val got = out.embedded.get.select(col("doc_id"), col("emb"))
+      .collect().map(r => (r.getLong(0), r.getSeq[Double](1))).toSet
+    assert(got == want)
+    val walks = out.events.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      .groupBy(_._1).values.map(_.sortBy(_._2).map(_._3).toSeq)
+    walks.foreach { w =>
+      assert(w == Seq("PAGE_SEPARATE_FINISHED", "RETRY_OAI_INVOCATION",
+        "RETRY_OAI_INVOCATION", "FINISH_OAI_INVOCATION"))
     }
   }
 
