@@ -16,7 +16,7 @@ object SparkEntry {
       PipelineQueries.defs ++ MultimodalQueries.defs ++
       AnalyticsQueries.defs ++ RelationalExtQueries.defs ++
       CurationQueries.defs ++ TxnQueries.defs ++ GraphQueries.defs ++
-      TpchDeepQueries.defs
+      TpchDeepQueries.defs ++ StreamingTwinQueries.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
     * The reference's headline operation: top-k vector search. */
