@@ -154,11 +154,23 @@ object IvfIndex {
       corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int, iters: Int,
       mat: Materializer = Materializer.local()): DataFrame = {
+    // Lloyd input hygiene (r10): a single-file input scans as ONE
+    // partition, serializing the per-row assignment stage on a
+    // many-core box (measured 24 s/iteration at the 10× fixture while
+    // 31 cores idled). Repartition UP to the session parallelism when
+    // the plan is narrower — a real multi-split corpus is untouched —
+    // and materialize once, since every iteration re-reads it.
+    val sc = corpus.sparkSession.sparkContext
+    val src0 = corpus.select(col(idCol), col(vecCol))
+    val src =
+      if (src0.rdd.getNumPartitions < sc.defaultParallelism)
+        mat.mat(src0.repartition(sc.defaultParallelism), "lloyd-input")
+      else src0 // already parallel: avoid a redundant checkpoint
     // init = the nlist smallest-id vectors. Only nlist rows survive the
     // limit, so numbering them via one global collect_list aggregate is
     // O(nlist) and avoids a partition-less global window (which funnels
     // through a single task AND logs a scale warning).
-    var centroids = corpus
+    var centroids = src
       .orderBy(col(idCol)).limit(nlist)
       .select(col(idCol).as("__init_id"), asDouble(col(vecCol)).as("centroid"))
       .groupBy()
@@ -168,12 +180,18 @@ object IvfIndex {
     var owned: DataFrame = null
     for (i <- 0 until iters) {
       val next = mat.mat(
-        corpus
+        src
           .select(element_at(nearestCells(col(vecCol), centroids, 1), 1)
               .as("centroid_id"),
             posexplode(asDouble(col(vecCol))).as(Seq("pos", "v")))
           .groupBy(col("centroid_id"), col("pos"))
-          .agg(avg(col("v")).as("m"))
+          // DECIMAL mean (the q_salted_agg discipline): the decimal sum
+          // is exact and associative, so the centroid is independent of
+          // partition count — which the repartition above now varies.
+          // One double cast after the division; quantizer quality is
+          // unaffected, determinism is load-bearing.
+          .agg((sum(col("v").cast(org.apache.spark.sql.types.DecimalType(30, 18)))
+            / count(lit(1))).cast("double").as("m"))
           .groupBy(col("centroid_id"))
           .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
           .select(col("centroid_id"),
@@ -183,7 +201,9 @@ object IvfIndex {
       owned = next
       centroids = next
     }
-    if (iters <= 0) mat.mat(centroids, "lloyd-init") else centroids
+    val result = if (iters <= 0) mat.mat(centroids, "lloyd-init") else centroids
+    mat.release(src)
+    result
   }
 
   /** Corpus + cell assignment (+ `cells`/`cell_rank` when spill > 1),

@@ -130,17 +130,32 @@ object Knn {
     // (2·3k)²-per-vector candidate bound that is still corpus-width
     // independent. Output is truncated back to k.
     val kInternal = 3 * k
-    val centroids = IvfIndex.trainCentroids(emb, idCol, vecCol, nlist, iters = 2, mat)
-    val primary = IvfIndex.rankedCells(emb, vecCol, centroids, 1)
+    // single-file inputs scan as one partition, serializing the
+    // interpreted cell-assignment maps (same hygiene as
+    // trainCentroids, r10): repartition UP as a PLAN, not a
+    // checkpoint — a checkpointed block loses the file relation's
+    // size stats and silently demotes the descent's vector-attach
+    // joins from broadcast to shuffle. The consumers re-run the tiny
+    // re-shuffle instead; a multi-split corpus passes through.
+    val sc = emb.sparkSession.sparkContext
+    val embP =
+      if (emb.rdd.getNumPartitions < sc.defaultParallelism)
+        emb.repartition(sc.defaultParallelism)
+      else emb
+    // training blocks scoped separately: centroids are collected into
+    // expression metadata at plan time, so the Lloyd blocks free here
+    // (same hygiene as Dedup.embeddingNearDupIvf) — while embP must
+    // outlive them
+    val matTrain = Materializer.local()
+    val centroids = IvfIndex.trainCentroids(embP, idCol, vecCol, nlist,
+      iters = 2, matTrain)
+    val primary = IvfIndex.rankedCells(embP, vecCol, centroids, 1)
       .select(element_at(col("cells"), 1).as("cell"),
         col(idCol).as("id_a"), col(vecCol).as("v_a"))
-    val spilled = IvfIndex.rankedCells(emb, vecCol, centroids, spill)
+    val spilled = IvfIndex.rankedCells(embP, vecCol, centroids, spill)
       .select(col(idCol).as("id_b"), col(vecCol).as("v_b"),
         explode(col("cells")).as("cell"))
-    // centroids were collected into expression metadata at plan time —
-    // release the training materializer's blocks now (same hygiene as
-    // Dedup.embeddingNearDupIvf)
-    mat.releaseAll()
+    matTrain.releaseAll()
     val init = primary.join(spilled, Seq("cell"))
       .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a").as("src"), col("id_b").as("dst"),
@@ -148,7 +163,7 @@ object Knn {
       .groupBy(col("src"))
       .agg(graft.functions.TopKAggregate.topK(col("dist"), col("dst"), kInternal).as("nn"))
       .select(col("src"), explode(col("nn.id")).as("dst"))
-    val refined = nnDescentRefine(emb, idCol, vecCol, distance, kInternal,
+    val refined = nnDescentRefine(embP, idCol, vecCol, distance, kInternal,
       init, refineRounds, mat)
     refined
       .select(col("src").as(idCol), posexplode(col("nn")).as(Seq("rk", "p")))

@@ -212,10 +212,48 @@ object StreamingTwinQueries {
     WHERE c.event_type = 'click'
     ORDER BY click_id, purchase_id NULLS FIRST"""
 
+  // ------------------------------------------------------ stream_trending
+  /** [[EventStream.trendingTopK]] — the windowed SpaceSaving sketch in
+    * STREAMING state (one capacity-bounded sketch per window, merged
+    * across micro-batches exactly like text_topk_sketch's shuffle
+    * combine). On the hash gate by the sub-capacity argument: the
+    * fixture's item domain (5 event types) is far below capacity 64,
+    * so the sketch never evicts, counts are exact, and the top-k
+    * array order is the deterministic (−cnt, item) tie-break —
+    * which the oracle replays as row_number() over
+    * (cnt DESC, event_type). Append mode emits a window only when
+    * the watermark closes it; the sentinel file's far-future markers
+    * close the last real windows (their own window never emits). */
+  private def streamTrending(s: SparkSession, d: String): DataFrame = {
+    val stream = eventStream(s, d, sentinel = true)
+    val table = runToTable(s, "graft_stream_trending",
+      EventStream.trendingTopK(stream, capacity = 64, k = 3), mode = "append")
+    table
+      .select(col("bucket_start"), posexplode(col("top")).as(Seq("pos", "x")))
+      .select(col("bucket_start"), (col("pos") + 1).cast("long").as("rank"),
+        col("x.item").as("event_type"), col("x.cnt").as("cnt"))
+      .orderBy(col("bucket_start"), col("rank"))
+  }
+
+  private val streamTrendingSql = """
+    WITH b AS (
+      SELECT CAST(floor(epoch(date_trunc('hour', ts))) AS BIGINT) AS bucket_start,
+             event_type, count(*) AS cnt
+      FROM events
+      GROUP BY 1, 2),
+    r AS (
+      SELECT *, row_number() OVER (PARTITION BY bucket_start
+                                   ORDER BY cnt DESC, event_type) AS rank
+      FROM b)
+    SELECT bucket_start, rank, event_type, cnt
+    FROM r WHERE rank <= 3
+    ORDER BY bucket_start, rank"""
+
   val defs: Map[String, QueryDef] = Map(
     "stream_ewma"      -> QueryDef(streamEwma _, streamEwmaSql),
     "stream_dedup"     -> QueryDef(streamDedup _, streamDedupSql),
     "stream_click2buy" -> QueryDef(streamClick2Buy _, streamClick2BuySql),
     "stream_abandoned" -> QueryDef(streamAbandoned _, streamAbandonedSql),
+    "stream_trending"  -> QueryDef(streamTrending _, streamTrendingSql),
   )
 }

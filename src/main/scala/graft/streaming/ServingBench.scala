@@ -135,10 +135,37 @@ object ServingBench {
       stop = () => if (served != null) served.query.stop())
   }
 
+  def serveSummarizedProbe(s: SparkSession, d: String): Probe = {
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    var input: MemoryStream[(Long, Seq[Float])] = null
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    var feeds = 0L
+    val store = Tables.embeddings(s, d).filter(col("vec_id") =!= 0)
+    val docs = Tables.documents(s, d)
+    def feed(lo: Long): Unit = {
+      feeds += 1
+      input.addData(qRows(s, d, lo, feeds * 1000000L).toIndexedSeq)
+      q.processAllAvailable()
+    }
+    Probe(
+      build = () => {
+        input = MemoryStream[(Long, Seq[Float])]
+        q = KnnServing.serveSummarized(input.toDF().toDF("qid", "qvec"),
+          store, docs, "qid", "qvec", "vec_id", "embedding",
+          "doc_id", "text", terms = Seq("join", "vector", "scan"),
+          k = K) { (b, _) => b.count(); () }
+        feed(lo = BatchSize + 1)
+      },
+      probe = () => feed(lo = 1),
+      stop = () => if (q != null) q.stop())
+  }
+
   /** name → probe factory, in bench execution order. */
   def all: Seq[(String, (SparkSession, String) => Probe)] = Seq(
     "serve_exact_probe" -> (serveExactProbe _),
     "serve_ivf_probe" -> (serveIvfProbe _),
     "serve_hnsw_probe" -> (serveHnswProbe _),
-    "serve_cached_probe" -> (serveCachedProbe _))
+    "serve_cached_probe" -> (serveCachedProbe _),
+    "serve_summarized_probe" -> (serveSummarizedProbe _))
 }

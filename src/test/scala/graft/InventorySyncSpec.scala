@@ -27,15 +27,15 @@ class InventorySyncSpec extends AnyFunSuite {
     // r10: +2 — vs_knn_join_init (the kNN join's deterministic
     // IVF-blocked init phase) and curate_classifier_nb (the
     // classifier's integer NB scoring sweep), both hash-exact
-    // r10: +4 more streaming twins — stream_ewma, stream_dedup,
-    // stream_click2buy, stream_abandoned (StreamingTwinQueries), all
-    // on the hash gate
-    assert(SparkEntry.queries.size == 165)
+    // r10: +5 more streaming twins — stream_ewma, stream_dedup,
+    // stream_click2buy, stream_abandoned, stream_trending
+    // (StreamingTwinQueries), all on the hash gate
+    assert(SparkEntry.queries.size == 166)
     // r10: +4 — events_approx_distinct (engine HLL, integer-exact
     // estimator replay) and decontam_bloom (deterministic bitmap,
     // relational rebuild) moved onto the hash gate; the two new
-    // entries landed on it; +4 streaming twins above
-    assert(SparkEntry.oracleSql.size == 156)
+    // entries landed on it; +5 streaming twins above
+    assert(SparkEntry.oracleSql.size == 157)
   }
 
   test("every rows-only (non-oracled) query carries a gate in RecallGateSpec") {
