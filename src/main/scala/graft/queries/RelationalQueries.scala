@@ -182,10 +182,17 @@ object RelationalQueries {
       .option("maxFilesPerTrigger", 1).parquet(src)
     val name = "graft_stream_window_agg"
     s.catalog.dropTempView(name)
-    val q = graft.streaming.EventStream.windowedCounts(stream)
-      .writeStream.outputMode("complete")
-      .format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    // 8 state partitions (see StreamingTwinQueries.runToTable): the
+    // decimal window aggregate is partition-count independent, and
+    // per-store commit overhead dominates at fixture volume
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = graft.streaming.EventStream.windowedCounts(stream)
+        .writeStream.outputMode("complete")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name).orderBy(col("bucket_start"), col("event_type"))
   }
 
@@ -250,11 +257,18 @@ object RelationalQueries {
       .as[graft.streaming.EventStream.Event]
     val name = "graft_stream_sessionize"
     s.catalog.dropTempView(name)
-    val q = graft.streaming.EventStream.sessionize(stream, gapSec = 1800)(s)
-      .toDF()
-      .writeStream.outputMode("append")
-      .format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    // 8 state partitions (see StreamingTwinQueries.runToTable): the
+    // session state is per-user and batch-internal order is sorted by
+    // the state fold itself, so the reducer count cannot move results
+    val prev = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      val q = graft.streaming.EventStream.sessionize(stream, gapSec = 1800)(s)
+        .toDF()
+        .writeStream.outputMode("append")
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prev)
     s.table(name).orderBy(col("user_id"), col("session_id"))
   }
 

@@ -94,9 +94,23 @@ object StreamingTwinQueries {
   private def runToTable(s: SparkSession, name: String,
       out: DataFrame, mode: String): DataFrame = {
     s.catalog.dropTempView(name)
-    val q = out.writeStream.outputMode(mode)
-      .format("memory").queryName(name).start()
-    try q.processAllAvailable() finally q.stop()
+    // State-partition tuning: each stateful operator commits one state
+    // store per shuffle partition per micro-batch, and at this
+    // fixture's volume the per-store commit overhead dominates the
+    // state work itself — the twins run their micro-batches at 8
+    // state partitions (a real deployment sizes this to state volume,
+    // the same knob). Results are partition-count independent: state
+    // is per-key, per-key arrival order survives any reducer count
+    // (one ordered upstream partition per batch), and the joins are
+    // set-equal to their batch oracles. Session conf restored after.
+    val key = "spark.sql.shuffle.partitions"
+    val prev = s.conf.get(key)
+    s.conf.set(key, "8")
+    try {
+      val q = out.writeStream.outputMode(mode)
+        .format("memory").queryName(name).start()
+      try q.processAllAvailable() finally q.stop()
+    } finally s.conf.set(key, prev)
     s.table(name)
   }
 
