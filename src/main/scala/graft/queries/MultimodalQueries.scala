@@ -17,11 +17,26 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalQueries {
 
+  /** Documents with the scan repartitioned UP to the session
+    * parallelism (r10, the Lloyd-fix discipline): every mm_* entry
+    * synthesizes its media per row and byte-parses it back —
+    * CPU-heavy narrow work that a single-file fixture would otherwise
+    * serialize on one core (the sf1.0 fixture is one row group). No
+    * filter sits below the repartition, so no scan pushdown is lost;
+    * a multi-split corpus passes through untouched. */
+  private def docs(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+    val p = s.sparkContext.defaultParallelism
+    if (base.rdd.getNumPartitions < p) base.repartition(p, col("doc_id"))
+    else base
+  }
+
+
   /** Image geometry derived from the document — bounded so the PNG
     * channel ramp never wraps (w ≤ 63, h ≤ 31, base ≤ 127;
     * base + w + h ≤ 221 < 256), identically computable in SQL. */
   private def imageSpecs(s: SparkSession, d: String) =
-    Tables.documents(s, d).select(
+    docs(s, d).select(
       col("doc_id"),
       (lit(16) + length(col("text")) % 48).cast("int").as("width"),
       (lit(8) + length(col("text")) % 24).cast("int").as("height"),
@@ -42,7 +57,7 @@ object MultimodalQueries {
     * mm_audio_decode oracles the real sample-level decode. */
   private def binaryMeta(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val base = Tables.documents(s, d)
+    val base = docs(s, d)
       .select(col("doc_id"),
         length(encode(col("text"), "utf-8")).cast("long").as("byte_len"),
         hash64(col("text")).as("h"),
@@ -221,7 +236,7 @@ object MultimodalQueries {
     * feature. */
   private def frameSample(s: SparkSession, d: String): DataFrame = {
     val nFrames = (length(encode(col("text"), "utf-8")).cast("long") / 16L).cast("long")
-    Tables.documents(s, d)
+    docs(s, d)
       .filter(col("doc_id") % 3 === 2)
       .select(col("doc_id"), col("text"), least(nFrames, lit(10L)).as("n"))
       .select(col("doc_id"), col("text"),
@@ -262,7 +277,7 @@ object MultimodalQueries {
     implicit val sp: SparkSession = s
     import s.implicits._
     val mk = graft.pipeline.PdfIngest.syntheticPdf(PdfPageChars)
-    val media = Tables.documents(s, d)
+    val media = docs(s, d)
       .select(col("doc_id"), lit("application/pdf").as("mime"),
         mk(col("text")).as("bytes"))
       .as[graft.pipeline.Multimodal.PdfDoc]
@@ -287,7 +302,7 @@ object MultimodalQueries {
   private def audioDecode(s: SparkSession, d: String): DataFrame = {
     implicit val sp: SparkSession = s
     import s.implicits._
-    val specs = Tables.documents(s, d).select(
+    val specs = docs(s, d).select(
         col("doc_id"),
         (lit(1000) + length(col("text")) % 3000).cast("int").as("n_samples"),
         (((hash64(col("text")) % 1000) + 1000) % 1000).cast("int").as("base"))
@@ -329,7 +344,7 @@ object MultimodalQueries {
   private def audioResample(s: SparkSession, d: String): DataFrame = {
     implicit val sp: SparkSession = s
     import s.implicits._
-    val specs = Tables.documents(s, d).select(
+    val specs = docs(s, d).select(
         col("doc_id"),
         (lit(1000) + length(col("text")) % 3000).cast("int").as("n_samples"),
         (((hash64(col("text")) % 1000) + 1000) % 1000).cast("int").as("base"))
@@ -372,7 +387,7 @@ object MultimodalQueries {
   private def videoDecode(s: SparkSession, d: String): DataFrame = {
     implicit val sp: SparkSession = s
     import s.implicits._
-    val specs = Tables.documents(s, d).select(
+    val specs = docs(s, d).select(
         col("doc_id"),
         (lit(16) + length(col("text")) % 32).cast("int").as("width"),
         (lit(8) + length(col("text")) % 16).cast("int").as("height"),

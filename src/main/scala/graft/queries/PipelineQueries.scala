@@ -258,7 +258,14 @@ object PipelineQueries {
     val dir = blobDir(d, tag).toString
     PipelineQueries.synchronized {
       if (!new java.io.File(dir, "_SUCCESS").exists()) {
+        // repartition-up (r10, the Lloyd-fix discipline): a single-file
+        // documents fixture scans as ONE partition, which would (a)
+        // synthesize the blobs single-threaded and (b) leave ONE blob
+        // file, serializing every downstream parse probe on a 32-core
+        // box (measured: the 10× encrypted-parse probe at 59 s with 31
+        // cores idle). Real blob storage is many objects — many splits.
         Tables.documents(s, d)
+          .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
           .select(col("doc_id"), col("source"), content.as("content"))
           .write.mode("overwrite").parquet(dir)
       }
@@ -267,10 +274,10 @@ object PipelineQueries {
   }
 
   private def ensurePdfBlobs(s: SparkSession, d: String): String =
-    ensureBlobs(s, d, "v1", mkPdf(col("text")))
+    ensureBlobs(s, d, "v2", mkPdf(col("text")))
 
   private def ensureEncPdfBlobs(s: SparkSession, d: String): String =
-    ensureBlobs(s, d, "enc_v1", mkEncPdf(col("doc_id"), col("text")))
+    ensureBlobs(s, d, "enc_v2", mkEncPdf(col("doc_id"), col("text")))
 
   /** Bench build thunk: force a fresh synthesis so `_build` measures
     * the same work on every machine (a pre-existing cache would time
@@ -285,7 +292,7 @@ object PipelineQueries {
   }
 
   def rebuildPdfBlobs(s: SparkSession, d: String): String =
-    rebuildBlobs(s, d, "v1", ensurePdfBlobs)
+    rebuildBlobs(s, d, "v2", ensurePdfBlobs)
 
   private def pdfPagesQ(s: SparkSession, d: String): DataFrame = {
     val pdfs = s.read.parquet(ensurePdfBlobs(s, d))
@@ -312,10 +319,10 @@ object PipelineQueries {
   }
 
   def pdfEncBench(s: SparkSession, d: String): (() => Unit, () => DataFrame) =
-    (() => { rebuildBlobs(s, d, "enc_v1", ensureEncPdfBlobs); () }, () => pdfEncQ(s, d))
+    (() => { rebuildBlobs(s, d, "enc_v2", ensureEncPdfBlobs); () }, () => pdfEncQ(s, d))
 
   private def ensureModPdfBlobs(s: SparkSession, d: String): String =
-    ensureBlobs(s, d, "mod_v1", mkModPdf(col("doc_id"), col("text")))
+    ensureBlobs(s, d, "mod_v2", mkModPdf(col("doc_id"), col("text")))
 
   /** The CONTEMPORARY file shape through the same parse path: xref
     * streams + object streams ([[graft.pipeline.Pdf.writeModern]]),
@@ -330,7 +337,7 @@ object PipelineQueries {
   }
 
   def pdfModBench(s: SparkSession, d: String): (() => Unit, () => DataFrame) =
-    (() => { rebuildBlobs(s, d, "mod_v1", ensureModPdfBlobs); () }, () => pdfModQ(s, d))
+    (() => { rebuildBlobs(s, d, "mod_v2", ensureModPdfBlobs); () }, () => pdfModQ(s, d))
 
   // --------------------------------------- cross-page chunk stitching
   /** The reference chunks each page separately (Function.java:115-135
