@@ -24,6 +24,15 @@ import org.apache.spark.sql.functions._
   */
 object Multimodal {
 
+  // ImageIO's default stream cache is a TEMP FILE per image stream:
+  // with 32 tasks decoding tiny in-memory images concurrently, the
+  // per-image temp-file creation (under a synchronized registry)
+  // costs more than the decode and made the parallel path SLOWER
+  // than one core (r10, measured 30 → 41 s at the 10× fixture after
+  // the repartition fix). Memory-cached streams are strictly right
+  // for byte-array media. JVM-wide, idempotent.
+  javax.imageio.ImageIO.setUseCache(false)
+
   final case class PdfDoc(doc_id: Long, mime: String, bytes: Array[Byte])
 
   final case class PdfFeatures(doc_id: Long, mime: String,

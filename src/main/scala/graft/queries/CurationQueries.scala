@@ -516,7 +516,18 @@ object CurationQueries {
     * shared by [[classifier]] and [[classifierNb]]. Tokens projected
     * before the shingle HOF (see dsir's trap note). */
   private def clsFeat(s: SparkSession, d: String): (DataFrame, DataFrame) = {
-    val feat0 = Tables.documents(s, d)
+    // repartition-up (r10, the Lloyd-fix discipline): the trigram
+    // explode is the classifier's corpus-scale map stage, and a
+    // single-file fixture would run it on one core. Counts are
+    // integers and the GD accumulates in decimal, so partitioning
+    // cannot move any result.
+    val src = {
+      val base = Tables.documents(s, d)
+      val p = s.sparkContext.defaultParallelism
+      if (base.rdd.getNumPartitions < p) base.repartition(p, col("doc_id"))
+      else base
+    }
+    val feat0 = src
       .select(col("doc_id"), tokens(col("text")).as("tk"))
       .select(col("doc_id"),
         explode(shingles(col("tk"), ClsNgram)).as("w"))
