@@ -19,6 +19,20 @@ import org.apache.spark.sql.functions._
   * chunking is exact by pigeonhole).
   */
 object DedupQueries {
+  /** Documents with the scan repartitioned UP to the session
+    * parallelism (r10, the Lloyd-fix discipline): every entry here
+    * fans the corpus out through a shingle/token explode — a
+    * CPU-heavy narrow map that a single-file fixture would otherwise
+    * run on one core. All outputs are partition-independent (integer
+    * counts, min-hash, content keys); no filter sits below, so no
+    * scan pushdown is lost; a multi-split corpus passes through. */
+  private def docs(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+    val p = s.sparkContext.defaultParallelism
+    if (base.rdd.getNumPartitions < p) base.repartition(p, col("doc_id"))
+    else base
+  }
+
 
   private def shingleCte(n: Int, src: String = "documents"): String = s"""
     t AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM $src),
@@ -41,7 +55,7 @@ object DedupQueries {
 
   // -------------------------------------------------------------- exact
   private def exact(s: SparkSession, d: String): DataFrame =
-    Dedup.exact(Tables.documents(s, d), "doc_id", "text")
+    Dedup.exact(docs(s, d), "doc_id", "text")
       .orderBy(col("doc_id"))
 
   private val exactSql = """
@@ -63,7 +77,7 @@ object DedupQueries {
   // only on pathological skew and the oracle comparison is unchanged;
   // DedupGuardSpec proves the bound on a crafted skewed corpus.
   private def minhashLsh(s: SparkSession, d: String): DataFrame =
-    Dedup.minhashLsh(Tables.documents(s, d), "doc_id", "text",
+    Dedup.minhashLsh(docs(s, d), "doc_id", "text",
       shingleN = 3, numHashes = 32, bands = 8, tau = 0.8, maxBucket = 50)
 
   // ------------------------------------------------------ ngram jaccard
@@ -79,7 +93,7 @@ object DedupQueries {
   // data under the old raw-pair contract). Exact-clone membership
   // itself is dedup_exact's output.
   private def ngramJaccard(s: SparkSession, d: String): DataFrame =
-    Dedup.ngramJaccardCollapsed(Tables.documents(s, d), "doc_id", "text",
+    Dedup.ngramJaccardCollapsed(docs(s, d), "doc_id", "text",
       shingleN = 4, tau = 0.65, maxShingleDf = 50)
 
   private val repsCte =
@@ -106,7 +120,7 @@ object DedupQueries {
     * pair set. Exact-clone collapse → rep near-dup pairs →
     * connected components → every doc inherits its rep's cluster. */
   private def survivors(s: SparkSession, d: String): DataFrame =
-    Dedup.ngramSurvivors(Tables.documents(s, d), "doc_id", "text",
+    Dedup.ngramSurvivors(docs(s, d), "doc_id", "text",
       shingleN = 4, tau = 0.65, maxShingleDf = 50)
 
   private val survivorsSql = s"""
@@ -136,7 +150,7 @@ object DedupQueries {
 
   // ------------------------------------------------------------ simhash
   private def simhash(s: SparkSession, d: String): DataFrame =
-    Dedup.simhashPairs(Tables.documents(s, d), "doc_id", "text", tau = 3)
+    Dedup.simhashPairs(docs(s, d), "doc_id", "text", tau = 3)
 
   private val simhashSql = s"""
     WITH t AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
@@ -264,7 +278,7 @@ object DedupQueries {
   /** Near-dup clusters: LSH pairs → connected components → one
     * deterministic cluster id (component-min doc id) per member. */
   private def clusters(s: SparkSession, d: String): DataFrame =
-    Dedup.minhashClusters(Tables.documents(s, d), "doc_id", "text",
+    Dedup.minhashClusters(docs(s, d), "doc_id", "text",
         shingleN = 3, numHashes = 32, bands = 8, tau = 0.8, maxBucket = 50)
       .orderBy(col("doc_id"))
 
@@ -291,7 +305,7 @@ object DedupQueries {
     * Spark-native): docs whose 15-token windows appear verbatim in
     * other docs, with the shared fraction. */
   private def spans(s: SparkSession, d: String): DataFrame =
-    Dedup.sharedSpans(Tables.documents(s, d), "doc_id", "text", w = 15)
+    Dedup.sharedSpans(docs(s, d), "doc_id", "text", w = 15)
       .orderBy(col("doc_id"))
 
   private val spansSql: String =

@@ -11,13 +11,27 @@ import org.apache.spark.sql.functions._
   * is the final presentation ORDER BY).
   */
 object TextQueries {
+  /** Documents with the scan repartitioned UP to the session
+    * parallelism (r10, the Lloyd-fix discipline): every entry here
+    * fans the corpus out through a shingle/token explode — a
+    * CPU-heavy narrow map that a single-file fixture would otherwise
+    * run on one core. All outputs are partition-independent (integer
+    * counts, min-hash, content keys); no filter sits below, so no
+    * scan pushdown is lost; a multi-split corpus passes through. */
+  private def docs(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+    val p = s.sparkContext.defaultParallelism
+    if (base.rdd.getNumPartitions < p) base.repartition(p, col("doc_id"))
+    else base
+  }
+
 
   private val BpePattern = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
 
   // ------------------------------------------------------------ lang id
   private def langId(s: SparkSession, d: String): DataFrame = {
     val toks = tokens(col("text"))
-    val scored = Tables.documents(s, d)
+    val scored = docs(s, d)
       .select(col("doc_id"), col("lang").as("true_lang"), toks.as("toks"))
     val withScores = langDicts.foldLeft(scored) { case (df, (l, words)) =>
       df.withColumn(s"s_$l", langScore(col("toks"), words).cast("long"))
@@ -69,7 +83,7 @@ object TextQueries {
       least(lit(1.0), nToks.cast("double") / lit(50.0)) *
         (lit(1.0) - digitRatio) *
         (lit(0.5) + least(stopRatio * lit(2.0), lit(0.5)))
-    Tables.documents(s, d)
+    docs(s, d)
       .select(col("doc_id"), t, tokens(t).as("toks"))
       .select(
         col("doc_id"),
@@ -107,7 +121,7 @@ object TextQueries {
   // ------------------------------------------------------------- tokens
   private def tokenCounts(s: SparkSession, d: String): DataFrame = {
     val t = col("text")
-    Tables.documents(s, d)
+    docs(s, d)
       .select(col("doc_id"), t, tokens(t).as("toks"))
       .select(
         col("doc_id"),
@@ -133,7 +147,7 @@ object TextQueries {
     * fingerprint (robust to reordering-free small edits). */
   private def fingerprint(s: SparkSession, d: String): DataFrame = {
     val toks = tokens(col("text"))
-    Tables.documents(s, d)
+    docs(s, d)
       .select(col("doc_id"), col("text"), toks.as("toks"))
       .select(
         col("doc_id"),
@@ -161,7 +175,7 @@ object TextQueries {
     * pass of a data pipeline; map-side combinable count, top-k via
     * TakeOrderedAndProject. */
   private def ngramFreq(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    docs(s, d)
       .select(tokens(col("text")).as("toks"))
       .select(explode(shingles(col("toks"), 2)).as("bigram"))
       .groupBy(col("bigram"))
@@ -192,7 +206,7 @@ object TextQueries {
     * integers, bit-identical across engines and partitionings. */
   private def repetition(s: SparkSession, d: String): DataFrame = {
     val maxCount = (xs: Column) => graft.functions.ArrayMaxCount.maxCount(xs)
-    Tables.documents(s, d)
+    docs(s, d)
       .select(col("doc_id"), tokens(col("text")).as("toks"))
       .withColumn("bi", shingles(col("toks"), 2))
       .select(
@@ -245,7 +259,7 @@ object TextQueries {
   private val Bm25Terms = Seq("join", "vector", "scan")
 
   private def bm25(s: SparkSession, d: String): DataFrame = {
-    val tok = Tables.documents(s, d)
+    val tok = docs(s, d)
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
     val stats = tok.groupBy(col("doc_id")).agg(
       count(lit(1)).as("dl"),
@@ -319,12 +333,12 @@ object TextQueries {
     import org.apache.spark.sql.expressions.Window
     def bits(x: org.apache.spark.sql.Column) =
       length(conv(x, 10, 2)).cast("long") - 1L
-    val tf = Tables.documents(s, d)
+    val tf = docs(s, d)
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       .groupBy(col("doc_id"), col("w"))
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("w")).agg(count(lit(1)).as("df"))
-    val n = Tables.documents(s, d).agg(count(lit(1)).as("n"))
+    val n = docs(s, d).agg(count(lit(1)).as("n"))
     val scored = tf
       .join(broadcast(df), "w")
       .crossJoin(broadcast(n))
@@ -374,7 +388,7 @@ object TextQueries {
     * sizes; the per-doc mean is map-side combinable. No windows, no
     * sorts before the presentation ORDER BY. */
   private def surprisal(s: SparkSession, d: String): DataFrame = {
-    val tok = Tables.documents(s, d)
+    val tok = docs(s, d)
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
     val cnt = tok.groupBy(col("w")).agg(count(lit(1)).as("c"))
     val total = tok.agg(count(lit(1)).as("n"))
@@ -418,7 +432,7 @@ object TextQueries {
     // tokens projected BEFORE the shingle HOF — collapsed projections
     // re-inline split() into every element_at, the measured 8×
     // quadratic-retokenize trap (Dedup.sharedSpans comment)
-    val big = Tables.documents(s, d)
+    val big = docs(s, d)
       .select(col("doc_id"), tokens(col("text")).as("tk"))
       .select(col("doc_id"), explode(shingles(col("tk"), 2)).as("bg"))
       .select(col("doc_id"), col("bg"),
@@ -458,7 +472,7 @@ object TextQueries {
     * ≤ err (RecallGateSpec gates the realized error AND that the
     * exact top-10 set is recovered). */
   private def topkSketch(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    docs(s, d)
       .select(explode(tokens(col("text"))).as("w"))
       .agg(graft.functions.SketchAggregates.heavyHitters(
         col("w"), capacity = 4096, k = 20).as("hh"))
@@ -501,7 +515,7 @@ object TextQueries {
         val mat = graft.operators.Materializer.local()
         try {
           val (merges, syms) = graft.operators.Bpe.train(
-            Tables.documents(s, d), "text", BpeMerges, mat)
+            docs(s, d), "text", BpeMerges, mat)
           syms.write.mode("overwrite").parquet(symsP)
           s.createDataFrame(merges)
             .select(col("rank"), col("lhs"), col("rhs"), col("merged"),
@@ -520,7 +534,7 @@ object TextQueries {
   private def bpePairs(s: SparkSession, d: String): DataFrame =
     graft.operators.Bpe.pairCounts(
       graft.operators.Bpe.charSymbols(
-        graft.operators.Bpe.wordCounts(Tables.documents(s, d), "text")))
+        graft.operators.Bpe.wordCounts(docs(s, d), "text")))
       .orderBy(col("pair_count").desc, col("lhs"), col("rhs"))
       .limit(20)
 
@@ -558,7 +572,7 @@ object TextQueries {
     val (_, symsP) = ensureBpe(s, d)
     val vocab = s.read.parquet(symsP)
       .select(col("word"), size(col("symbols")).as("n_sub"))
-    Tables.documents(s, d)
+    docs(s, d)
       .select(col("doc_id"), explode(tokens(col("text"))).as("word"))
       .filter(col("word").rlike("^[a-z]+$"))
       .join(broadcast(vocab), Seq("word"))
