@@ -14,6 +14,22 @@ import org.apache.spark.sql.functions._
   */
 object CurationQueries {
 
+  /** Documents with the scan repartitioned UP to the session
+    * parallelism (r10, the Lloyd-fix discipline) — used by the
+    * entries whose corpus map stage tokenizes/shingles the text
+    * (decontam, pack, pii, dsir, classifier): a single-file fixture
+    * would run that stage on one core. The metadata-only queries
+    * (mix, stratified) keep the plain scan. All consumers are
+    * partition-independent (integer counts, hash predicates, decimal
+    * accumulation). */
+  private def docsWide(s: SparkSession, d: String): DataFrame = {
+    val base = Tables.documents(s, d)
+    val p = s.sparkContext.defaultParallelism
+    if (base.rdd.getNumPartitions < p) base.repartition(p, col("doc_id"))
+    else base
+  }
+
+
   // ------------------------------------------------------------ pii_scan
   /** PII scan+redact over support-ticket-shaped text. The slim TPC-H
     * customer table carries no contact columns, so the ticket text is
@@ -77,7 +93,7 @@ object CurationQueries {
     * set" is the doc_id % 7 == 0 slice, n=5 word-grams (sized to this
     * corpus's token entropy; the GPT-3 rule is 13 on web text). */
   private def decontam(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+    val docs = docsWide(s, d)
     Decontaminate.overlaps(
       corpus = docs.filter(col("doc_id") % 7 =!= 0),
       bench = docs.filter(col("doc_id") % 7 === 0),
@@ -102,7 +118,7 @@ object CurationQueries {
     * zero-false-negative + bounded-false-flag contract stays gated in
     * RecallGateSpec as belt-and-braces. */
   private def decontamBloom(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+    val docs = docsWide(s, d)
     Decontaminate.bloomOverlaps(
       corpus = docs.filter(col("doc_id") % 7 =!= 0),
       bench = docs.filter(col("doc_id") % 7 === 0),
@@ -169,7 +185,7 @@ object CurationQueries {
   /** Concat-then-split packing of documents into 512-token training
     * sequences, packed independently per source shard. */
   private def packTokens(s: SparkSession, d: String): DataFrame = {
-    val docs = Tables.documents(s, d)
+    val docs = docsWide(s, d)
       .select(col("source"), col("doc_id"),
         size(tokens(col("text"))).cast("long").as("n_tokens"))
     Pack.pack(docs, groupCol = "source", orderCol = "doc_id",
@@ -329,7 +345,7 @@ object CurationQueries {
     import org.apache.spark.sql.expressions.Window
     val maxCount = (xs: org.apache.spark.sql.Column) =>
       graft.functions.ArrayMaxCount.maxCount(xs)
-    val flagged = Tables.documents(s, d)
+    val flagged = docsWide(s, d)
       .select(col("doc_id"), col("lang"), col("text"), tokens(col("text")).as("toks"))
       .select(
         col("doc_id"),
@@ -426,7 +442,7 @@ object CurationQueries {
     // tokens projected BEFORE the shingle HOF: collapsing them lets the
     // optimizer inline split() into every element_at reference — the
     // measured 8× quadratic-retokenize trap (Dedup.sharedSpans comment)
-    val dbc = Tables.documents(s, d)
+    val dbc = docsWide(s, d)
       .select(col("doc_id"), col("lang"), tokens(col("text")).as("tk"))
       .select(col("doc_id"), col("lang"),
         explode(shingles(col("tk"), 2)).as("w"))
@@ -521,13 +537,7 @@ object CurationQueries {
     // single-file fixture would run it on one core. Counts are
     // integers and the GD accumulates in decimal, so partitioning
     // cannot move any result.
-    val src = {
-      val base = Tables.documents(s, d)
-      val p = s.sparkContext.defaultParallelism
-      if (base.rdd.getNumPartitions < p) base.repartition(p, col("doc_id"))
-      else base
-    }
-    val feat0 = src
+    val feat0 = docsWide(s, d)
       .select(col("doc_id"), tokens(col("text")).as("tk"))
       .select(col("doc_id"),
         explode(shingles(col("tk"), ClsNgram)).as("w"))
