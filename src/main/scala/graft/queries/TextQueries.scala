@@ -599,20 +599,75 @@ object TextQueries {
     (build, () => bpeApply(s, d))
   }
 
-  val defs: Map[String, QueryDef] = Map(
-    "text_topk_sketch" -> QueryDef(topkSketch _, topkSketchSql),
-    "text_surprisal"   -> QueryDef(surprisal _, surprisalSql),
-    "text_lm_bigram"   -> QueryDef(lmBigram _, lmBigramSql),
-    "text_bm25"        -> QueryDef(bm25 _, bm25Sql),
-    "text_repetition"  -> QueryDef(repetition _, repetitionSql),
-    "text_ngram_freq"  -> QueryDef(ngramFreq _, ngramFreqSql),
-    "text_lang_id"     -> QueryDef(langId _, langIdSql),
-    "text_quality"     -> QueryDef(quality _, qualitySql),
-    "text_tokens"      -> QueryDef(tokenCounts _, tokenCountsSql),
-    "text_tfidf"       -> QueryDef(tfidf _, tfidfSql),
-    "text_fingerprint" -> QueryDef(fingerprint _, fingerprintSql),
-    "text_bpe_pairs"   -> QueryDef(bpePairs _, bpePairsSql),
-    "text_bpe_train"   -> QueryDef(bpeTrain _, None),
-    "text_bpe_apply"   -> QueryDef(bpeApply _, None),
-  )
+  /** The apply entry's oracle (r10): GIVEN the persisted merge table
+    * — the same "deterministic probe over a persisted artifact"
+    * argument as the ANN replay tier — segmentation is the greedy
+    * LEFT-TO-RIGHT merge fold, which DuckDB replays as a recursive
+    * CTE doing leftmost single-occurrence string surgery on a
+    * space-delimited symbol string until each rank stops matching
+    * (one replacement per step ≡ the fold's leftmost-first order;
+    * a replace-ALL would wrongly skip consecutive overlaps). Runs at
+    * vocab scale (Heaps' law), then one corpus join. Training itself
+    * stays exact-sequence-gated (text_bpe_train): replaying 20
+    * rounds of pair-count argmax needs aggregation over the
+    * recursive reference, which SQL recursion cannot express. */
+  private def bpeApplySql(d: String): String = {
+    val mergesP = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_bpe_v1_${Integer.toHexString(d.hashCode)}/merges").toString
+    s"""
+    WITH RECURSIVE m AS (
+      SELECT rank, lhs, rhs, merged FROM read_parquet('$mergesP/*.parquet')),
+    tok AS (
+      SELECT doc_id, word FROM (
+        SELECT doc_id, unnest(${tokensSql("text")}) AS word FROM documents)
+      WHERE regexp_matches(word, '^[a-z]+$$')),
+    w0 AS (SELECT DISTINCT word FROM tok),
+    seg AS (
+      SELECT word, CAST(1 AS BIGINT) AS rank,
+             ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS s
+      FROM w0
+      UNION ALL
+      SELECT word,
+             CASE WHEN hit = 0 THEN rank + 1 ELSE rank END,
+             CASE WHEN hit = 0 THEN s
+                  ELSE substr(s, 1, hit - 1) || ' ' || merged || ' ' ||
+                       substr(s, hit + length(pat)) END
+      FROM (
+        SELECT g.word, g.rank, g.s, m.merged,
+               ' ' || m.lhs || ' ' || m.rhs || ' ' AS pat,
+               strpos(g.s, ' ' || m.lhs || ' ' || m.rhs || ' ') AS hit
+        FROM seg g JOIN m ON m.rank = g.rank
+        WHERE g.rank <= $BpeMerges))
+    SELECT doc_id, count(*) AS n_words,
+           CAST(sum(n_sub) AS BIGINT) AS n_bpe
+    FROM tok JOIN (
+      SELECT word,
+             CAST(length(trim(s)) - length(replace(trim(s), ' ', '')) + 1 AS BIGINT) AS n_sub
+      FROM seg WHERE rank = $BpeMerges + 1) v USING (word)
+    GROUP BY doc_id
+    ORDER BY doc_id"""
+  }
+
+  /** Oracle SQL embeds the sfDir-derived merge-table path, resolved
+    * at dump time via [[graft.OracleEnv.sfDir]] — so defs must be a
+    * def (same pattern as VectorQueries). */
+  def defs: Map[String, QueryDef] = {
+    val d = graft.OracleEnv.sfDir
+    Map(
+      "text_topk_sketch" -> QueryDef(topkSketch _, topkSketchSql),
+      "text_surprisal"   -> QueryDef(surprisal _, surprisalSql),
+      "text_lm_bigram"   -> QueryDef(lmBigram _, lmBigramSql),
+      "text_bm25"        -> QueryDef(bm25 _, bm25Sql),
+      "text_repetition"  -> QueryDef(repetition _, repetitionSql),
+      "text_ngram_freq"  -> QueryDef(ngramFreq _, ngramFreqSql),
+      "text_lang_id"     -> QueryDef(langId _, langIdSql),
+      "text_quality"     -> QueryDef(quality _, qualitySql),
+      "text_tokens"      -> QueryDef(tokenCounts _, tokenCountsSql),
+      "text_tfidf"       -> QueryDef(tfidf _, tfidfSql),
+      "text_fingerprint" -> QueryDef(fingerprint _, fingerprintSql),
+      "text_bpe_pairs"   -> QueryDef(bpePairs _, bpePairsSql),
+      "text_bpe_train"   -> QueryDef(bpeTrain _, None),
+      "text_bpe_apply"   -> QueryDef(bpeApply _, bpeApplySql(d)),
+    )
+  }
 }

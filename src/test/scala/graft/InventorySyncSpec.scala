@@ -34,8 +34,9 @@ class InventorySyncSpec extends AnyFunSuite {
     // r10: +4 — events_approx_distinct (engine HLL, integer-exact
     // estimator replay) and decontam_bloom (deterministic bitmap,
     // relational rebuild) moved onto the hash gate; the two new
-    // entries landed on it; +5 streaming twins above
-    assert(SparkEntry.oracleSql.size == 157)
+    // entries landed on it; +5 streaming twins above; text_bpe_apply
+    // flipped late-r10 (recursive-CTE merge replay)
+    assert(SparkEntry.oracleSql.size == 158)
   }
 
   test("every rows-only (non-oracled) query carries a gate in RecallGateSpec") {
