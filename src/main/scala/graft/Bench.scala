@@ -35,6 +35,7 @@ object Bench {
   /** name → (build thunk, probe thunk) for queries benched split. */
   private def splitBench: Map[String, (SparkSession, String) => (() => Unit, () => DataFrame)] =
     Map(
+      "vs_knn_join" -> queries.VectorQueries.kjBench _,
       "vs_ivf_knn" -> queries.VectorQueries.ivfBench _,
       "vs_ivf_auto" -> queries.VectorQueries.ivfAutoBench _,
       "vs_ivf_txn" -> queries.VectorQueries.ivfTxnBench _,

@@ -149,13 +149,37 @@ object Knn {
     val matTrain = Materializer.local()
     val centroids = IvfIndex.trainCentroids(embP, idCol, vecCol, nlist,
       iters = 2, matTrain)
-    val primary = IvfIndex.rankedCells(embP, vecCol, centroids, 1)
-      .select(element_at(col("cells"), 1).as("cell"),
-        col(idCol).as("id_a"), col(vecCol).as("v_a"))
-    val spilled = IvfIndex.rankedCells(embP, vecCol, centroids, spill)
-      .select(col(idCol).as("id_b"), col(vecCol).as("v_b"),
-        explode(col("cells")).as("cell"))
+    val cells = IvfIndex.rankedCells(embP, vecCol, centroids, spill)
+      .select(col(idCol), col(vecCol), col("cells"))
+    // centroids were collected into expression metadata at plan time
+    val out = knnJoinFromCells(cells, idCol, vecCol, distance, k,
+      refineRounds, mat)
     matTrain.releaseAll()
+    out
+  }
+
+  /** The blocked kNN join over a ranked-cell frame (idCol, vecCol,
+    * cells) — the trained-once / probed-many shape: [[knnJoin]] feeds
+    * it live-computed cells; the oracle-gate query feeds it the
+    * PERSISTED cell store, which holds exactly the cells live
+    * training recomputes (the decimal-Lloyd determinism contract).
+    * Primary side = each vector's rank-1 cell; spilled side =
+    * every ranked cell, so each candidate pair appears at most once
+    * by construction. Given the cells, the init top-k and the
+    * NN-Descent rounds are deterministic arithmetic with (dist, id)
+    * tie-breaks — which is what puts the whole join on the
+    * hash-exact oracle gate (vs_knn_join replays init + both rounds
+    * relationally in DuckDB). */
+  def knnJoinFromCells(
+      cells: DataFrame, idCol: String, vecCol: String,
+      distance: (Column, Column) => Column, k: Int,
+      refineRounds: Int = 2,
+      mat: Materializer = Materializer.local()): DataFrame = {
+    val kInternal = 3 * k
+    val primary = cells.select(element_at(col("cells"), 1).as("cell"),
+      col(idCol).as("id_a"), col(vecCol).as("v_a"))
+    val spilled = cells.select(col(idCol).as("id_b"), col(vecCol).as("v_b"),
+      explode(col("cells")).as("cell"))
     val init = primary.join(spilled, Seq("cell"))
       .filter(col("id_a") =!= col("id_b"))
       .select(col("id_a").as("src"), col("id_b").as("dst"),
@@ -163,7 +187,9 @@ object Knn {
       .groupBy(col("src"))
       .agg(graft.functions.TopKAggregate.topK(col("dist"), col("dst"), kInternal).as("nn"))
       .select(col("src"), explode(col("nn.id")).as("dst"))
-    val refined = nnDescentRefine(embP, idCol, vecCol, distance, kInternal,
+    // cells pruned away for the vector sides: one store read per join
+    val emb = cells.select(col(idCol), col(vecCol))
+    val refined = nnDescentRefine(emb, idCol, vecCol, distance, kInternal,
       init, refineRounds, mat)
     refined
       .select(col("src").as(idCol), posexplode(col("nn")).as(Seq("rk", "p")))

@@ -459,20 +459,95 @@ object VectorQueries {
   private val KjK = 5
   private val KjSpill = 3
 
-  /** Blocked kNN JOIN ([[Knn.knnJoin]]): the k nearest neighbors of
-    * EVERY corpus vector — kNN-graph construction (SemDeDup
-    * clustering, embedding label propagation) without the O(n²)
-    * all-pairs. nlist scales as √n (the standard IVF sizing) so the
-    * init's within-cell candidate volume stays ~n^1.5/√n-bounded
+  /** Blocked kNN JOIN ([[Knn.knnJoinFromCells]]): the k nearest
+    * neighbors of EVERY corpus vector — kNN-graph construction
+    * (SemDeDup clustering, embedding label propagation) without the
+    * O(n²) all-pairs. nlist scales as √n (the standard IVF sizing) so
+    * the init's within-cell candidate volume stays ~n^1.5/√n-bounded
     * instead of n²/nlist with a fixed cell count — at a fixed nlist
     * the init re-approaches all-pairs as the corpus grows.
-    * Approximate; mean recall@5 gated in RecallGateSpec against the
-    * exact all-pairs ranking. */
+    *
+    * Since r10 on the HASH-EXACT gate: the query reads the PERSISTED
+    * ranked-cell store (trained once, probed many — the same shape
+    * as the rest of the ANN tier and the same store vs_knn_join_init
+    * replays), and GIVEN the cells the whole join — blocked init
+    * top-k and both NN-Descent rounds — is deterministic (dist, id)
+    * arithmetic the DuckDB oracle replays with two unrolled
+    * neighbor-of-neighbor rounds. The blocking RECALL (vs the exact
+    * all-pairs ranking) stays approximate and gated in
+    * RecallGateSpec — both halves checked, as with the dedup/IVF
+    * conversions. */
   private def knnJoinQ(s: SparkSession, d: String): DataFrame = {
-    val n = Tables.embeddings(s, d).count()
-    val nlist = math.max(16, math.min(1024, math.ceil(math.sqrt(n.toDouble)).toInt))
-    Knn.knnJoin(Tables.embeddings(s, d), "vec_id", "embedding",
-      l2Distance, KjK, nlist, KjSpill)
+    val store = s.read.parquet(ensureKjInitStore(s, d))
+    Knn.knnJoinFromCells(store, "vec_id", "embedding", l2Distance, KjK)
+  }
+
+  /** Bench split (r10): the cell store is trained once (`_build`,
+    * fresh each bench run), the join itself — init + descent, the
+    * real per-refresh work — is the probe. */
+  def kjBench(s: SparkSession, d: String): (() => Unit, () => DataFrame) = {
+    val build = () => {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      VectorQueries.synchronized { rm(new java.io.File(kjInitStorePath(d))) }
+      ensureKjInitStore(s, d); ()
+    }
+    (build, () => knnJoinQ(s, d))
+  }
+
+  /** The full-join replay (r10): init top-kInternal from the store's
+    * primary×spilled blocking, then TWO unrolled NN-Descent rounds —
+    * candidates = neighbor-of-neighbor pairs over the symmetrized
+    * graph plus the current edges, deduped, re-ranked by
+    * (dist, neighbor) — and the final truncation to k. list_distance
+    * is bit-identical to the engine's sequential-fold L2 on these
+    * operands (proven by the init entry's hash match). */
+  private def knnJoinSql(d: String): String = {
+    val p = kjInitStorePath(d)
+    val ki = 3 * KjK
+    s"""
+    WITH store AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb, cells
+      FROM read_parquet('$p/*.parquet')),
+    prim AS (SELECT cells[1] AS cell, vec_id AS id_a, emb AS v_a FROM store),
+    spl AS (SELECT u.c AS cell, s.vec_id AS id_b, s.emb AS v_b
+            FROM store s, unnest(s.cells) AS u(c)),
+    initc AS (
+      SELECT p.id_a AS src, s2.id_b AS dst, list_distance(p.v_a, s2.v_b) AS dist
+      FROM prim p JOIN spl s2 USING (cell) WHERE p.id_a <> s2.id_b),
+    init AS (
+      SELECT src, dst FROM (
+        SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rn
+        FROM initc) WHERE rn <= $ki),
+    v AS (SELECT vec_id AS id, emb FROM store),
+    und1 AS (SELECT src, dst FROM init UNION ALL SELECT dst, src FROM init),
+    cand1 AS (
+      SELECT DISTINCT qa, qb FROM (
+        SELECT x.src AS qa, y.dst AS qb FROM und1 x JOIN und1 y ON x.dst = y.src
+        UNION ALL SELECT src, dst FROM init) WHERE qa <> qb),
+    sc1 AS (
+      SELECT c.qa AS src, c.qb AS dst, list_distance(a.emb, b.emb) AS dist
+      FROM cand1 c JOIN v a ON c.qa = a.id JOIN v b ON c.qb = b.id),
+    g1 AS (
+      SELECT src, dst FROM (
+        SELECT src, dst, row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rn
+        FROM sc1) WHERE rn <= $ki),
+    und2 AS (SELECT src, dst FROM g1 UNION ALL SELECT dst, src FROM g1),
+    cand2 AS (
+      SELECT DISTINCT qa, qb FROM (
+        SELECT x.src AS qa, y.dst AS qb FROM und2 x JOIN und2 y ON x.dst = y.src
+        UNION ALL SELECT src, dst FROM g1) WHERE qa <> qb),
+    sc2 AS (
+      SELECT c.qa AS src, c.qb AS dst, list_distance(a.emb, b.emb) AS dist
+      FROM cand2 c JOIN v a ON c.qa = a.id JOIN v b ON c.qb = b.id),
+    g2 AS (
+      SELECT src, dst, dist, rn FROM (
+        SELECT src, dst, dist, row_number() OVER (PARTITION BY src ORDER BY dist, dst) AS rn
+        FROM sc2) WHERE rn <= $ki)
+    SELECT src AS vec_id, CAST(rn AS BIGINT) AS rank, dst AS neighbor_id, dist
+    FROM g2 WHERE rn <= $KjK
+    ORDER BY vec_id, rank"""
   }
 
   /** The kNN join's IVF-blocked INIT graph on the hash-exact gate
@@ -2156,7 +2231,7 @@ object VectorQueries {
     "emb_centroids"   -> QueryDef(centroids _, centroidsSql),
     "emb_outliers"    -> QueryDef(outliers _, outliersSql),
     "emb_drift"       -> QueryDef(drift _, driftSql),
-    "vs_knn_join"     -> QueryDef(knnJoinQ _, None),
+    "vs_knn_join"     -> QueryDef(knnJoinQ _, knnJoinSql(d)),
     "vs_knn_join_init" -> QueryDef(knnJoinInitQ _, knnJoinInitOracle(d)),
     "vs_knn_l2"       -> QueryDef(knnL2 _, knnOracle(l2Sql)),
     "vs_knn_l1"       -> QueryDef(knnL1 _, knnOracle(l1Sql)),
