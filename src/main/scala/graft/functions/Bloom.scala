@@ -64,7 +64,10 @@ object Bloom {
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     try {
       val n = math.max(keyed.count(), 1L)
-      val m = nextPow2(bitsPerKey * n)
+      // floor at one 64-bit word: below 64 bits nWords rounds to 0 and
+      // every probe would index an empty array (hit at n ≤ 2 with the
+      // default 24 bits/key)
+      val m = nextPow2(math.max(64L, bitsPerKey * n))
       val nWords = (m >> 6).toInt
       import keyed.sparkSession.implicits._
       val words = keyed.as[Long].rdd

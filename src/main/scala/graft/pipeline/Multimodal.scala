@@ -232,14 +232,61 @@ object Multimodal {
   object Wav {
     val SampleRate = 8000
 
+    /** Canonical 44-byte RIFF/WAVE header + PCM payload, written
+      * directly (r11). The previous `AudioSystem.write` path re-ran a
+      * synchronized SPI provider lookup (`JDK13Services.getProviders`)
+      * on EVERY call — with 32 concurrent tasks encoding tiny
+      * in-memory WAVs the registry lock serialized the whole synthesis
+      * stage (the same trap class as ImageIO's synchronized
+      * stream-cache registry, r10; there is no public API to resolve
+      * the writer once). The byte layout below is asserted
+      * BYTE-IDENTICAL to `AudioSystem.write`'s output in WavSpec, so
+      * the JDK writer remains the encoding reference — it just runs
+      * once in the spec instead of once per row. */
     def encode(nSamples: Int, base: Int): Array[Byte] = {
       require(nSamples >= 1 && base >= 0 && base + nSamples <= 32767,
         "sample ramp must stay in int16 range")
+      val dataLen = nSamples * 2
+      val bytes = new Array[Byte](44 + dataLen)
+      def le32(o: Int, v: Int): Unit = {
+        bytes(o) = (v & 0xff).toByte; bytes(o + 1) = ((v >> 8) & 0xff).toByte
+        bytes(o + 2) = ((v >> 16) & 0xff).toByte; bytes(o + 3) = ((v >> 24) & 0xff).toByte
+      }
+      def le16(o: Int, v: Int): Unit = {
+        bytes(o) = (v & 0xff).toByte; bytes(o + 1) = ((v >> 8) & 0xff).toByte
+      }
+      def tag(o: Int, s: String): Unit = {
+        var i = 0; while (i < 4) { bytes(o + i) = s.charAt(i).toByte; i += 1 }
+      }
+      tag(0, "RIFF"); le32(4, 36 + dataLen); tag(8, "WAVE")
+      tag(12, "fmt "); le32(16, 16)
+      le16(20, 1) // PCM
+      le16(22, 1) // mono
+      le32(24, SampleRate)
+      le32(28, SampleRate * 2) // byte rate
+      le16(32, 2) // block align
+      le16(34, 16) // bits per sample
+      tag(36, "data"); le32(40, dataLen)
+      var i = 0
+      while (i < nSamples) {
+        val s = base + i
+        bytes(44 + 2 * i) = (s & 0xff).toByte // little-endian int16
+        bytes(44 + 2 * i + 1) = ((s >> 8) & 0xff).toByte
+        i += 1
+      }
+      bytes
+    }
+
+    /** The JDK `AudioSystem` encoder for the same spec — the
+      * reference implementation [[encode]] is spec-checked against
+      * (byte-identical). Slow (per-call synchronized SPI lookup), so
+      * only WavSpec calls it. */
+    def encodeViaJdk(nSamples: Int, base: Int): Array[Byte] = {
       val pcm = new Array[Byte](nSamples * 2)
       var i = 0
       while (i < nSamples) {
         val s = base + i
-        pcm(2 * i) = (s & 0xff).toByte // little-endian int16
+        pcm(2 * i) = (s & 0xff).toByte
         pcm(2 * i + 1) = ((s >> 8) & 0xff).toByte
         i += 1
       }

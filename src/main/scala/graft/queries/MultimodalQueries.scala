@@ -17,18 +17,57 @@ import org.apache.spark.sql.functions._
   */
 object MultimodalQueries {
 
-  /** Documents with the scan repartitioned UP to the session
-    * parallelism (r10, the Lloyd-fix discipline): every mm_* entry
-    * synthesizes its media per row and byte-parses it back —
-    * CPU-heavy narrow work that a single-file fixture would otherwise
-    * serialize on one core (the sf1.0 fixture is one row group). No
-    * filter sits below the repartition, so no scan pushdown is lost;
-    * a multi-split corpus passes through untouched. */
-  private def docs(s: SparkSession, d: String): DataFrame = {
-    val base = Tables.documents(s, d)
-    val p = s.sparkContext.defaultParallelism
-    if (base.rdd.getNumPartitions < p) base.repartition(p, col("doc_id"))
-    else base
+  /** Documents RANGE-partitioned on doc_id (r11). Two problems the
+    * r10 hash-repartition-up had: (a) it shuffled whatever payload
+    * the consumer later projected (fixed by [[docSpecs]] for the
+    * spec-derived entries; this wide variant remains only for
+    * consumers that genuinely need `text` below the exchange — the
+    * per-frame hash in frameSample, the PDF synthesis in pdfDecode);
+    * (b) the final `orderBy` range sampler was a second Spark job
+    * that re-executed the whole synthesize→decode pipeline. Range
+    * partitioning up front gives both parallelism (single-file
+    * fixtures fan out across the cluster) and disjoint ordered
+    * doc_id ranges, so the narrow decode stages preserve them and a
+    * final `sortWithinPartitions` IS the global order — one
+    * exchange, no post-decode sort, no double decode. */
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .repartitionByRange(shufflePartitions(s), col("doc_id"))
+
+  /** Explicit partition count for the range exchange: without it,
+    * `repartitionByRange` collapsed to ONE partition in this Spark
+    * build (measured — 7× slower image decode), serializing the
+    * decode. The session's shuffle-partition setting is the
+    * cluster-sized choice. */
+  private def shufflePartitions(s: SparkSession): Int =
+    s.conf.get("spark.sql.shuffle.partitions", "200").toInt
+
+  /** Narrow-spec variant of [[docs]] (r11): derive the spec columns
+    * FIRST, then range-partition the ~16-byte spec rows. The r10
+    * helper repartitioned the full documents scan, so the text
+    * payload crossed the exchange; for entries whose per-row decode
+    * is microseconds (audio) that shuffle WAS the entry (2.4-2.9×
+    * regression at both SFs). Catalyst cannot push a projection that
+    * still references `text` below a repartition, so the projection
+    * must be applied before it. Range (not hash) partitioning lets
+    * the decode end with `sortWithinPartitions` — see [[docs]]. */
+  private def docSpecs(s: SparkSession, d: String, cols: org.apache.spark.sql.Column*): DataFrame =
+    Tables.documents(s, d).select(cols: _*)
+      .repartitionByRange(shufflePartitions(s), col("doc_id"))
+
+  /** Materialize the (narrow) decoded-stats frame, then globally
+    * sort (r11) — for the one consumer whose branch-union destroys
+    * the range partitioning ([[binaryMeta]]), where
+    * `sortWithinPartitions` cannot stand in for the global sort.
+    * `orderBy`'s range-partitioner sampling is a separate Spark job
+    * that would otherwise RE-EXECUTE the decode pipeline; the eager
+    * localCheckpoint makes the sampler read cached blocks instead.
+    * The rows are a few longs each, so the blocks stay tiny at any
+    * corpus scale, and no join consumes this frame, so the
+    * checkpoint's broadcast-stats-loss trap (r10) does not apply. */
+  private def sortedByDoc(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
+    val ks = if (keys.isEmpty) Seq(col("doc_id")) else keys
+    df.localCheckpoint(true).orderBy(ks: _*)
   }
 
 
@@ -36,7 +75,7 @@ object MultimodalQueries {
     * channel ramp never wraps (w ≤ 63, h ≤ 31, base ≤ 127;
     * base + w + h ≤ 221 < 256), identically computable in SQL. */
   private def imageSpecs(s: SparkSession, d: String) =
-    docs(s, d).select(
+    docSpecs(s, d,
       col("doc_id"),
       (lit(16) + length(col("text")) % 48).cast("int").as("width"),
       (lit(8) + length(col("text")) % 24).cast("int").as("height"),
@@ -57,8 +96,8 @@ object MultimodalQueries {
     * mm_audio_decode oracles the real sample-level decode. */
   private def binaryMeta(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val base = docs(s, d)
-      .select(col("doc_id"),
+    val base = docSpecs(s, d,
+        col("doc_id"),
         length(encode(col("text"), "utf-8")).cast("long").as("byte_len"),
         hash64(col("text")).as("h"),
         length(col("text")).as("len"),
@@ -103,7 +142,7 @@ object MultimodalQueries {
         (lit(64L) + col("h") % 1920).as("width"),
         (lit(64L) + expr("(h DIV 1920) % 1080")).as("height"),
         lit(0L).as("n_frames"))
-    images.unionByName(videos).unionByName(audio).orderBy(col("doc_id"))
+    sortedByDoc(images.unionByName(videos).unionByName(audio))
   }
 
   private val binaryMetaSql: String = {
@@ -147,8 +186,7 @@ object MultimodalQueries {
     val specs = imageSpecs(s, d).as[graft.pipeline.Multimodal.ImageSpec]
     graft.pipeline.Multimodal.decodeImages(
         graft.pipeline.Multimodal.synthesizeImages(specs))
-      .toDF()
-      .orderBy(col("doc_id"))
+      .toDF().sortWithinPartitions(col("doc_id"))
   }
 
   private val imageDecodeSql: String = {
@@ -185,8 +223,7 @@ object MultimodalQueries {
     val specs = imageSpecs(s, d).as[graft.pipeline.Multimodal.ImageSpec]
     graft.pipeline.Multimodal.resizeImages(
         graft.pipeline.Multimodal.synthesizeImages(specs), RszW, RszH)
-      .toDF()
-      .orderBy(col("doc_id"))
+      .toDF().sortWithinPartitions(col("doc_id"))
   }
 
   private val imageResizeSql: String = {
@@ -226,8 +263,7 @@ object MultimodalQueries {
     val specs = imageSpecs(s, d).as[graft.pipeline.Multimodal.ImageSpec]
     graft.pipeline.Multimodal.decodeImages(
         graft.pipeline.Multimodal.synthesizeJpegs(specs))
-      .toDF()
-      .orderBy(col("doc_id"))
+      .toDF().sortWithinPartitions(col("doc_id"))
   }
 
   // -------------------------------------------------------- frame sample
@@ -247,7 +283,7 @@ object MultimodalQueries {
       .select(col("doc_id"), col("frame_idx"),
         (hash64(concat(col("text"), lit("#"), col("frame_idx").cast("string"))) % 256)
           .as("frame_feature"))
-      .orderBy(col("doc_id"), col("frame_idx"))
+      .sortWithinPartitions(col("doc_id"), col("frame_idx"))
   }
 
   private val frameSampleSql: String = {
@@ -282,7 +318,7 @@ object MultimodalQueries {
         mk(col("text")).as("bytes"))
       .as[graft.pipeline.Multimodal.PdfDoc]
     graft.pipeline.Multimodal.decodePdfs(media).toDF()
-      .orderBy(col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
   }
 
   private val pdfDecodeSql = s"""
@@ -302,15 +338,14 @@ object MultimodalQueries {
   private def audioDecode(s: SparkSession, d: String): DataFrame = {
     implicit val sp: SparkSession = s
     import s.implicits._
-    val specs = docs(s, d).select(
+    val specs = docSpecs(s, d,
         col("doc_id"),
         (lit(1000) + length(col("text")) % 3000).cast("int").as("n_samples"),
         (((hash64(col("text")) % 1000) + 1000) % 1000).cast("int").as("base"))
       .as[graft.pipeline.Multimodal.AudioSpec]
     graft.pipeline.Multimodal.decodeWavs(
         graft.pipeline.Multimodal.synthesizeWavs(specs))
-      .toDF()
-      .orderBy(col("doc_id"))
+      .toDF().sortWithinPartitions(col("doc_id"))
   }
 
   private val audioDecodeSql: String = {
@@ -344,15 +379,14 @@ object MultimodalQueries {
   private def audioResample(s: SparkSession, d: String): DataFrame = {
     implicit val sp: SparkSession = s
     import s.implicits._
-    val specs = docs(s, d).select(
+    val specs = docSpecs(s, d,
         col("doc_id"),
         (lit(1000) + length(col("text")) % 3000).cast("int").as("n_samples"),
         (((hash64(col("text")) % 1000) + 1000) % 1000).cast("int").as("base"))
       .as[graft.pipeline.Multimodal.AudioSpec]
     graft.pipeline.Multimodal.resampleWavs(
         graft.pipeline.Multimodal.synthesizeWavs(specs), RsmpFactor)
-      .toDF()
-      .orderBy(col("doc_id"))
+      .toDF().sortWithinPartitions(col("doc_id"))
   }
 
   private val audioResampleSql: String = {
@@ -387,7 +421,7 @@ object MultimodalQueries {
   private def videoDecode(s: SparkSession, d: String): DataFrame = {
     implicit val sp: SparkSession = s
     import s.implicits._
-    val specs = docs(s, d).select(
+    val specs = docSpecs(s, d,
         col("doc_id"),
         (lit(16) + length(col("text")) % 32).cast("int").as("width"),
         (lit(8) + length(col("text")) % 16).cast("int").as("height"),
@@ -396,8 +430,7 @@ object MultimodalQueries {
       .as[graft.pipeline.Multimodal.VideoSpec]
     graft.pipeline.Multimodal.decodeAvis(
         graft.pipeline.Multimodal.synthesizeAvis(specs))
-      .toDF()
-      .orderBy(col("doc_id"))
+      .toDF().sortWithinPartitions(col("doc_id"))
   }
 
   private val videoDecodeSql: String = {

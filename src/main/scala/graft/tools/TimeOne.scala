@@ -7,9 +7,12 @@ object TimeOne {
       .config("spark.sql.session.timeZone","UTC")
       .config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    for (n <- args) {
+    val (dir, names) =
+      if (args.nonEmpty && args(0).startsWith("/")) (args(0), args.drop(1))
+      else ("/root/testdata/sf0.1", args)
+    for (n <- names) {
       val t0 = System.nanoTime()
-      graft.SparkEntry.queries(n)(spark, "/root/testdata/sf0.1")
+      graft.SparkEntry.queries(n)(spark, dir)
         .write.mode("overwrite").format("noop").save()
       println(f"[time] $n ${(System.nanoTime()-t0)/1e9}%.2f s")
     }
