@@ -17,9 +17,16 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
+      // mm_* decode plans end in sortWithinPartitions (range-disjoint
+      // partitions, no final exchange), so coalesce(1) would collapse
+      // the whole decode stage into one task; an eager localCheckpoint
+      // materializes it at full parallelism first and the single
+      // writer task reads cached blocks (ADVICE r11)
+      try {
+        val df = fn(spark, sfDir)
+        val out = if (name.startsWith("mm_")) df.localCheckpoint(true) else df
+        out.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
       // free blocks a query materialized (checkpointed intermediates):

@@ -102,7 +102,7 @@ object Decontaminate {
     t AS (SELECT $idCol, list_distinct(${shinglesSql("tk", n)}) AS sh FROM tok),
     bench AS (SELECT DISTINCT ${hash64Sql("s")} AS h
               FROM (SELECT unnest(sh) AS s FROM t WHERE $benchPred)),
-    msize AS (SELECT CAST(1 AS BIGINT) << length(bin($bpk * COUNT(*) - 1)) AS m
+    msize AS (SELECT CAST(1 AS BIGINT) << length(bin(greatest($bpk * COUNT(*), 64) - 1)) AS m
               FROM bench),
     benchpos AS (
       SELECT DISTINCT (b.h % s.m + i.range * (2 * ((b.h // s.m) % (s.m // 2)) + 1)) % s.m AS pos

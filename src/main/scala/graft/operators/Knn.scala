@@ -122,14 +122,6 @@ object Knn {
       distance: (Column, Column) => Column, k: Int,
       nlist: Int, spill: Int, refineRounds: Int = 2,
       mat: Materializer = Materializer.local()): DataFrame = {
-    // the refinement runs at a 3× wider frontier than the requested k:
-    // on structureless (isotropic) data the neighbor-of-neighbor
-    // premise is weak at the exact k — widening the internal graph is
-    // what carries the descent past its plateau (measured recall@5
-    // 0.67 → 0.97 at kInternal = 3k, same round count), for a
-    // (2·3k)²-per-vector candidate bound that is still corpus-width
-    // independent. Output is truncated back to k.
-    val kInternal = 3 * k
     // single-file inputs scan as one partition, serializing the
     // interpreted cell-assignment maps (same hygiene as
     // trainCentroids, r10): repartition UP as a PLAN, not a
@@ -175,6 +167,13 @@ object Knn {
       distance: (Column, Column) => Column, k: Int,
       refineRounds: Int = 2,
       mat: Materializer = Materializer.local()): DataFrame = {
+    // the refinement runs at a 3× wider frontier than the requested k:
+    // on structureless (isotropic) data the neighbor-of-neighbor
+    // premise is weak at the exact k — widening the internal graph is
+    // what carries the descent past its plateau (measured recall@5
+    // 0.67 → 0.97 at kInternal = 3k, same round count), for a
+    // (2·3k)²-per-vector candidate bound that is still corpus-width
+    // independent. Output is truncated back to k.
     val kInternal = 3 * k
     val primary = cells.select(element_at(col("cells"), 1).as("cell"),
       col(idCol).as("id_a"), col(vecCol).as("v_a"))

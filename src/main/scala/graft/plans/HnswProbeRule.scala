@@ -1,0 +1,254 @@
+package graft.plans
+
+import graft.functions.{VectorDistance, VectorDistanceExpr}
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Alias, AttributeReference, Expression, In, Literal, UnaryMinus}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, GlobalLimit, LocalLimit, LogicalPlan, Project, Sort}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType, LongType}
+
+/** Plan-time HNSW index selection (VERDICT r10 #2 / r11 #1 — the
+  * pgvector parity gap): after `CREATE INDEX ... USING hnsw`, the
+  * reference's verbatim SELECT —
+  * `ORDER BY embedding <-> '...'::vector LIMIT k`
+  * (SSEOpenAIController.java:316) — against the indexed TABLE
+  * beam-walks the persisted partition graphs instead of scanning the
+  * corpus, exactly as pgvector serves the same text from its hnsw AM.
+  *
+  * Mechanics (the [[IvfProbeRule]] discipline, graph-shaped): the DDL
+  * records the indexed table's file-source root paths + its id column
+  * in [[HnswSqlCatalog]] (the hnsw build does NOT rebind the table —
+  * graph blobs are not row tables). This rule matches
+  * GlobalLimit▸LocalLimit▸Sort whose leading ASCENDING key resolves to
+  * a [[VectorDistanceExpr]] between the registered embedding column
+  * and a LITERAL query vector, with the sort's metric equal to the
+  * index opclass metric (a pgvector `vector_l2_ops` index serves only
+  * `<->` — same rule here). On match it runs the ef-beam walk over the
+  * graph store AT REWRITE TIME (one bounded job: P graph loads, the
+  * same work the query itself would do) and injects
+  * `id IN (<candidate ids>)` above the table scan — the Sort+Limit on
+  * top then ranks the ≤ k·P survivors by EXACT distance, so the served
+  * result is the exact top-k OF the graph candidates (recall = HNSW
+  * recall, gated in VectorIndexDdlSpec).
+  *
+  * pgvector session knob: `SET hnsw.ef_search = N` (create-env-en.sh
+  * context) is read at rewrite time — it widens the beam AND, as in
+  * pgvector, caps the per-graph candidate count at N, so
+  * `ef_search < k` visibly shrinks the injected IN list.
+  *
+  * Scale shape: rewrite cost is P graph deserializations + P beam
+  * walks (corpus-size-independent for a fixed graph layout; cell-
+  * routed stores pin it to nprobe), and the injected IN list is k·P
+  * ids — KB-scale plan metadata. The table scan then reads only the
+  * candidate rows' row groups (the IN filter reaches the parquet scan
+  * as PushedFilters).
+  */
+object HnswProbeRule {
+
+  /** Gates the rewrite's graph-walk job (launched at OPTIMIZATION
+    * time, so even `explain()` on a matching plan runs it — the
+    * [[IvfProbeRule.JoinEvalKey]] precedent). Default on. */
+  val EvalKey = "spark.graft.hnsw.probeEval"
+
+  /** Test hook: counts actual graph-blob deserializations so specs pin
+    * the "≤ parts graph loads" contract as a measured number (the
+    * HnswRoutedSpec accumulator trick). */
+  @volatile var deserCounter: Option[org.apache.spark.util.LongAccumulator] = None
+
+  def install(spark: SparkSession): Unit = {
+    val cur = spark.experimental.extraOptimizations
+    if (!cur.exists(_.isInstanceOf[HnswProbeRule])) {
+      spark.experimental.extraOptimizations = cur :+ new HnswProbeRule(spark)
+    }
+  }
+}
+
+final class HnswProbeRule(session: SparkSession) extends Rule[LogicalPlan] {
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
+    case gl @ GlobalLimit(Literal(k: Int, IntegerType), _) => gl.child match {
+      case ll: LocalLimit =>
+        val (rewrap, core) = peelProjects(ll.child)
+        core match {
+          case srt: Sort if srt.global =>
+            rewrite(srt, k)
+              .map(s => gl.withNewChildren(Seq(ll.withNewChildren(Seq(rewrap(s))))))
+              .getOrElse(gl)
+          case _ => gl
+        }
+      case _ => gl
+    }
+  }
+
+  /** pgvector's `SET hnsw.ef_search` (default 64, as pgvector). */
+  private def efSearch: Int =
+    session.conf.getOption("hnsw.ef_search")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .filter(_ > 0).getOrElse(64)
+
+  private def rewrite(srt: Sort, k: Int): Option[Sort] =
+    for {
+      head <- srt.order.headOption
+      if head.direction == org.apache.spark.sql.catalyst.expressions.Ascending
+      (vde, negated) <- asDistance(resolveThroughProjects(head.child, srt.child))
+      query <- literalVector(vde)
+      colSide <- Seq(vde.left, vde.right).find(e => !e.isInstanceOf[Literal])
+      vecAttr <- resolveToAttribute(colSide, srt.child)
+      if session.conf.get(HnswProbeRule.EvalKey, "true").toBoolean
+      rewritten <- injectCandidates(srt.child, vde, vecAttr, query, negated, k)
+    } yield srt.copy(child = rewritten)
+
+  /** Sort-key metric → the opclass metric string the index registered
+    * under. pgvector parity: an index serves ONLY its opclass's
+    * operator (`<->` ↔ vector_l2_ops, `<=>` ↔ vector_cosine_ops,
+    * `<#>` ↔ vector_ip_ops). */
+  private def sortMetric(mode: Int, negated: Boolean): Option[String] =
+    (mode, negated) match {
+      case (VectorDistance.L2.id, false) => Some("l2")
+      case (VectorDistance.CosineDist.id, false) => Some("cosine")
+      case (VectorDistance.Dot.id, true) => Some("ip")
+      case _ => None
+    }
+
+  private def injectCandidates(plan: LogicalPlan, vde: VectorDistanceExpr,
+      vecAttr: AttributeReference, query: Array[Double], negated: Boolean,
+      k: Int): Option[LogicalPlan] = {
+    var done = false
+    val out = plan transform {
+      case lr: LogicalRelation if !done && !hasProbeAbove(plan, lr) =>
+        (for {
+          entry <- matchEntry(lr, vecAttr, vde.mode, negated)
+          idAttr <- lr.output.find(_.name == entry.idCol)
+          if idAttr.dataType == LongType || idAttr.dataType == IntegerType
+          // a user predicate between sort and scan filters the
+          // candidates post-hoc — over-fetch per graph so the survivor
+          // set can still fill k (the statically bounded
+          // iterative-scan analogue, as in Hnsw.searchFiltered and the
+          // IVF rule's widening). pgvector caps the candidate list at
+          // ef_search, so `SET hnsw.ef_search` below k visibly shrinks
+          // the injected IN list.
+          widen = if (hasUserFilter(plan, lr)) 8 else 1
+          ef = efSearch
+          fetch = math.min(k * widen, math.max(1, ef))
+          ids <- walkGraphs(entry, query, fetch, math.max(ef, fetch))
+          if ids.nonEmpty
+        } yield {
+          done = true
+          val lits = ids.sorted.toIndexedSeq.map[Expression] { id =>
+            if (idAttr.dataType == LongType) Literal(id, LongType)
+            else Literal(id.toInt, IntegerType)
+          }
+          Filter(In(idAttr, lits), lr)
+        }).getOrElse(lr)
+    }
+    if (done) Some(out) else None
+  }
+
+  /** The registered index (if any) whose table root paths back this
+    * scan, whose indexed column is the sort's distance column on THIS
+    * relation, and whose opclass metric is the sort's metric. */
+  private def matchEntry(lr: LogicalRelation, vecAttr: AttributeReference,
+      mode: Int, negated: Boolean): Option[HnswSqlCatalog.Entry] =
+    lr.relation match {
+      case fs: HadoopFsRelation =>
+        val scanPaths = fs.location.rootPaths.map(_.toUri.getPath).toSet
+        sortMetric(mode, negated).flatMap { metric =>
+          HnswSqlCatalog.all.collectFirst {
+            case (_, e) if e.rootPaths.nonEmpty &&
+              e.rootPaths.exists(scanPaths.contains) &&
+              e.vecCol == vecAttr.name &&
+              e.idCol.nonEmpty &&
+              e.metric == metric &&
+              lr.output.exists(_.exprId == vecAttr.exprId) => e
+          }
+        }
+      case _ => None
+    }
+
+  /** The bounded rewrite-time job: beam-walk every partition graph
+    * (blob scan pushed to the store parquet; each blob deserialized
+    * once), return the union of per-graph top-`fetch` candidate ids.
+    * Any failure falls back to the exact plan. */
+  private def walkGraphs(e: HnswSqlCatalog.Entry, query: Array[Double],
+      fetch: Int, ef: Int): Option[Array[Long]] = {
+    try {
+      val spark = session
+      import spark.implicits._
+      val cnt = HnswProbeRule.deserCounter
+      val q = query
+      val ids = session.read.parquet(e.path)
+        .select(org.apache.spark.sql.functions.col("graph")).as[Array[Byte]]
+        .flatMap { blob =>
+          cnt.foreach(_.add(1))
+          graft.operators.Hnsw.deser(blob).searchKnn(q, fetch, ef).map(_._1)
+        }
+        .collect().distinct
+      Some(ids)
+    } catch { case scala.util.control.NonFatal(_) => None }
+  }
+
+  /** Fixed-point guard: an IN-on-the-id-column filter above this scan
+    * means the probe already fired (a USER id-IN filter also
+    * suppresses the probe — conservative: the exact plan is always
+    * correct). */
+  private def hasProbeAbove(plan: LogicalPlan, lr: LogicalRelation): Boolean =
+    plan.collect {
+      case Filter(cond, child) if cond.exists {
+        case In(a: AttributeReference, _) =>
+          HnswSqlCatalog.all.exists(_._2.idCol == a.name)
+        case _ => false
+      } && child.collectLeaves().exists(_ eq lr) => true
+    }.nonEmpty
+
+  private def hasUserFilter(plan: LogicalPlan, lr: LogicalRelation): Boolean =
+    plan.collect {
+      case Filter(_, child) if child.collectLeaves().exists(_ eq lr) => true
+    }.nonEmpty
+
+  // ----- shared plan-walk helpers (the IvfProbeRule shapes) -----
+
+  private def peelProjects(p: LogicalPlan): (LogicalPlan => LogicalPlan, LogicalPlan) =
+    p match {
+      case proj: Project =>
+        val (inner, core) = peelProjects(proj.child)
+        (child => proj.withNewChildren(Seq(inner(child))), core)
+      case other => (identity, other)
+    }
+
+  private def resolveThroughProjects(e: Expression, plan: LogicalPlan): Expression = e match {
+    case attr: AttributeReference =>
+      plan match {
+        case Project(projectList, child) =>
+          projectList.collectFirst {
+            case a: Alias if a.exprId == attr.exprId => resolveThroughProjects(a.child, child)
+          }.getOrElse(attr)
+        case Filter(_, child) => resolveThroughProjects(attr, child)
+        case _ => attr
+      }
+    case other => other
+  }
+
+  private def asDistance(e: Expression): Option[(VectorDistanceExpr, Boolean)] = e match {
+    case v: VectorDistanceExpr => Some((v, false))
+    case u: UnaryMinus => u.child match {
+      case v: VectorDistanceExpr => Some((v, true))
+      case _ => None
+    }
+    case _ => None
+  }
+
+  private def literalVector(v: VectorDistanceExpr): Option[Array[Double]] =
+    Seq(v.left, v.right).collectFirst {
+      case Literal(data: ArrayData, ArrayType(DoubleType, _)) => data.toDoubleArray()
+      case Literal(data: ArrayData, ArrayType(FloatType, _)) => data.toFloatArray().map(_.toDouble)
+    }
+
+  private def resolveToAttribute(
+      e: Expression, plan: LogicalPlan): Option[AttributeReference] =
+    resolveThroughProjects(e, plan) match {
+      case a: AttributeReference => Some(a)
+      case _ => None
+    }
+}

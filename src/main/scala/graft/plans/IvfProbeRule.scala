@@ -144,6 +144,15 @@ object IvfProbeRule {
 
 final class IvfProbeRule(session: SparkSession) extends Rule[LogicalPlan] {
 
+  /** `SET ivfflat.probes = N` — pgvector's exact session knob name
+    * works verbatim (Spark's SET command accepts arbitrary dotted conf
+    * keys). Non-positive / non-integer values are ignored rather than
+    * failing plan rewrite. */
+  private def sessionProbes: Option[Int] =
+    session.conf.getOption("ivfflat.probes")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .filter(_ > 0)
+
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
     case gl: GlobalLimit => gl.child match {
       case ll: LocalLimit =>
@@ -379,14 +388,20 @@ final class IvfProbeRule(session: SparkSession) extends Rule[LogicalPlan] {
               case Some(entry) if vecAttr.name == entry.vecCol &&
                   lr.output.exists(_.exprId == vecAttr.exprId) =>
                 done = true
+                // probe width: `SET ivfflat.probes = N` (the pgvector
+                // session knob, create-env-en.sh:61-88 context) read at
+                // REWRITE time overrides the width frozen at CREATE /
+                // register — same query text, different session conf,
+                // different partition-filter literal count
+                val baseProbe = sessionProbes.getOrElse(entry.nprobe)
                 // pgvector-iterative-scan analogue: a selective
                 // metadata predicate over this scan shrinks the
                 // per-cell survivor count, so widen the probe — the
                 // filter pays the wider read back at the scan
                 val nprobe =
                   if (hasSelectiveFilter(plan, lr, entry.vecCol))
-                    math.min(entry.cells.length, entry.nprobe * entry.filteredWiden)
-                  else entry.nprobe
+                    math.min(entry.cells.length, baseProbe * entry.filteredWiden)
+                  else baseProbe
                 val ranked = entry.cells.zip(entry.centroids)
                   .map { case (id, c) => (id, cellScore(vde.mode, negated, query, c)) }
                   .sortBy { case (id, s) => (s, id) }

@@ -58,36 +58,126 @@ object VectorIndexDdl {
     """\s+USING\s+(ivfflat|hnsw)\s*\(\s*(\w+)(\s+(\w+))?\s*\)""" +
     """(?:\s*WITH\s*\(([^)]*)\))?\s*;?\s*$""").r
 
+  private val Drop =
+    """(?is)^\s*DROP\s+INDEX(\s+IF\s+EXISTS)?\s+(\w+)\s*;?\s*$""".r
+
   final case class Stmt(ifNotExists: Boolean, name: Option[String],
       table: String, method: String, column: String, opclass: Option[String],
       options: Map[String, String])
 
+  final case class DropStmt(ifExists: Boolean, name: String)
+
+  /** One `key = value` WITH option. Malformed entries (no `=`, empty
+    * key) fail with a NAMED error instead of a MatchError — the DDL
+    * already matched the CREATE INDEX grammar, so a bad option must
+    * not fall through to the stock parser's generic syntax error
+    * (VERDICT r10 #7). Keys and values may be single- or
+    * double-quoted; surrounding whitespace is ignored. */
+  private def parseOption(kv: String): (String, String) = {
+    def unquote(s: String): String = {
+      val t = s.trim
+      if (t.length >= 2 &&
+          ((t.head == '\'' && t.last == '\'') || (t.head == '"' && t.last == '"')))
+        t.substring(1, t.length - 1)
+      else t
+    }
+    kv.split("=", 2) match {
+      case Array(k, v) if k.trim.nonEmpty =>
+        unquote(k).toLowerCase(java.util.Locale.ROOT) -> unquote(v)
+      case _ => throw new IllegalArgumentException(
+        s"malformed WITH option '${kv.trim}' in CREATE INDEX: expected key = value " +
+          "(e.g. WITH (lists = 100))")
+    }
+  }
+
   def parse(sql: String): Option[Stmt] = sql match {
     case Ddl(ine, _, name, table, method, column, _, opclass, opts) =>
       val options = Option(opts).map(_.trim).filter(_.nonEmpty)
-        .map(_.split(",").map { kv =>
-          val Array(k, v) = kv.split("=", 2).map(_.trim)
-          k.toLowerCase(java.util.Locale.ROOT) -> v.stripPrefix("'").stripSuffix("'")
-        }.toMap).getOrElse(Map.empty)
+        .map(_.split(",").map(parseOption).toMap).getOrElse(Map.empty)
       Some(Stmt(ine != null, Option(name), table,
         method.toLowerCase(java.util.Locale.ROOT), column,
         Option(opclass), options))
     case _ => None
   }
 
+  def parseDrop(sql: String): Option[DropStmt] = sql match {
+    case Drop(ife, name) => Some(DropStmt(ife != null, name))
+    case _ => None
+  }
+
   def toCommand(sql: String): Option[LogicalPlan] =
-    parse(sql).map(CreateVectorIndexCommand(_))
+    parse(sql).map(CreateVectorIndexCommand(_): LogicalPlan)
+      .orElse(parseDrop(sql).map(DropVectorIndexCommand(_)))
+}
+
+/** Driver registry of DDL-created indexes, keyed by index name — what
+  * `DROP INDEX` needs to undo a CREATE: the method + store path to
+  * unregister, and (ivfflat) a closure restoring the table's
+  * pre-index binding. */
+object VectorIndexRegistry {
+  final case class Created(method: String, storePath: String, table: String,
+      restoreBinding: () => Unit)
+  private val entries = TrieMap.empty[String, Created]
+  def put(name: String, c: Created): Unit = entries(name) = c
+  def get(name: String): Option[Created] = entries.get(name)
+  def remove(name: String): Option[Created] = entries.remove(name)
+  def clear(): Unit = entries.clear()
+}
+
+/** pgvector `DROP INDEX [IF EXISTS] name`: unregisters the index from
+  * its catalog (so the probe rules stop firing and the verbatim
+  * SELECT replans the plain scan), restores the original table
+  * binding (ivfflat rebinds at CREATE), and deletes the materialized
+  * store. */
+final case class DropVectorIndexCommand(stmt: VectorIndexDdl.DropStmt)
+    extends LeafRunnableCommand {
+
+  override def output: Seq[Attribute] = Nil
+
+  override def run(session: SparkSession): Seq[Row] = {
+    VectorIndexRegistry.remove(stmt.name) match {
+      case None =>
+        if (stmt.ifExists) Nil
+        else throw new IllegalArgumentException(
+          s"index '${stmt.name}' does not exist (created via CREATE INDEX " +
+            "... USING ivfflat/hnsw on this session); use DROP INDEX IF EXISTS to ignore")
+      case Some(c) =>
+        c.method match {
+          case "ivfflat" => IvfCatalog.invalidate(c.storePath)
+          case _ => HnswSqlCatalog.remove(stmt.name)
+        }
+        c.restoreBinding()
+        // drop the materialized store (pgvector DROP INDEX frees the
+        // index's storage); best-effort — a racing reader holding the
+        // old file list fails as any dropped-table reader would
+        try {
+          val p = new org.apache.hadoop.fs.Path(c.storePath)
+          val fs = p.getFileSystem(session.sparkContext.hadoopConfiguration)
+          fs.delete(p, true); ()
+        } catch { case scala.util.control.NonFatal(_) => () }
+        Nil
+    }
+  }
 }
 
 /** HNSW graph stores registered by `CREATE INDEX ... USING hnsw` —
   * driver metadata (name → store), the lookup surface for the serving
   * layer. */
 object HnswSqlCatalog {
+  /** `rootPaths`/`idCol` feed [[HnswProbeRule]]: the rule recognizes a
+    * scan of the indexed TABLE by its file-source root paths (the hnsw
+    * build leaves the table binding untouched, unlike ivfflat's store
+    * rebind) and injects its candidate filter on `idCol`. Empty
+    * rootPaths (a non-file-backed table) registers for the serving API
+    * only — the probe rule never fires. */
   final case class Entry(path: String, table: String, vecCol: String,
-      metric: String, m: Int, efConstruction: Int)
+      metric: String, m: Int, efConstruction: Int,
+      idCol: String = "", rootPaths: Seq[String] = Nil)
   private val entries = TrieMap.empty[String, Entry]
   def put(name: String, e: Entry): Unit = entries(name) = e
   def get(name: String): Option[Entry] = entries.get(name)
+  def remove(name: String): Unit = { entries.remove(name); () }
+  def all: Seq[(String, Entry)] = entries.toSeq
   def clear(): Unit = entries.clear()
 }
 
@@ -106,7 +196,13 @@ final case class CreateVectorIndexCommand(stmt: VectorIndexDdl.Stmt)
     }
 
   private def intOpt(key: String, default: Int): Int =
-    stmt.options.get(key).map(_.toInt).getOrElse(default)
+    stmt.options.get(key).map { v =>
+      try v.trim.toInt
+      catch { case _: NumberFormatException =>
+        throw new IllegalArgumentException(
+          s"index option '$key' must be an integer, got '$v'")
+      }
+    }.getOrElse(default)
 
   private def indexName: String =
     stmt.name.getOrElse(s"${stmt.table}_${stmt.column}_${stmt.method}")
@@ -131,10 +227,25 @@ final case class CreateVectorIndexCommand(stmt: VectorIndexDdl.Stmt)
     val exists = new java.io.File(storePath, "_SUCCESS").exists()
     if (stmt.ifNotExists && exists && registered) return Nil
     val df = session.table(stmt.table)
+    // capture the PRE-index binding so DROP INDEX can restore it: for
+    // ivfflat the build rebinds the table name over the store; for
+    // hnsw the binding is untouched and restore is a no-op. The
+    // ANALYZED plan is captured (not the lazy `session.table` frame —
+    // re-registering that under the same name would self-reference).
+    val restore: () => Unit = stmt.method match {
+      case "ivfflat" =>
+        val analyzed = df.queryExecution.analyzed
+        val tbl = stmt.table
+        () => org.apache.spark.sql.GraftSqlBridge.planToDf(session, analyzed)
+          .createOrReplaceTempView(tbl)
+      case _ => () => ()
+    }
     stmt.method match {
       case "ivfflat" => buildIvf(session, df)
-      case "hnsw" => buildHnsw(df)
+      case "hnsw" => buildHnsw(session, df)
     }
+    VectorIndexRegistry.put(indexName,
+      VectorIndexRegistry.Created(stmt.method, storePath, stmt.table, restore))
     Nil
   }
 
@@ -165,15 +276,28 @@ final case class CreateVectorIndexCommand(stmt: VectorIndexDdl.Stmt)
       .createOrReplaceTempView(stmt.table)
   }
 
-  private def buildHnsw(df: org.apache.spark.sql.DataFrame): Unit = {
+  private def buildHnsw(session: SparkSession,
+      df: org.apache.spark.sql.DataFrame): Unit = {
     import graft.operators.Hnsw
     val m = intOpt("m", 16)
     val efC = intOpt("ef_construction", 64)
     val parts = intOpt("parts", 8)
-    val graphs = Hnsw.buildPartitioned(df, idCol(df), stmt.column,
+    val id = idCol(df)
+    val graphs = Hnsw.buildPartitioned(df, id, stmt.column,
       m = m, efC = efC, parts = parts)
     Hnsw.writeGraphs(graphs, storePath)
+    // the indexed table's file-source roots: how HnswProbeRule
+    // recognizes a scan of THIS table (the binding stays untouched)
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val roots = df.queryExecution.analyzed.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toUri.getPath)
+        case _ => Seq.empty[String]
+      }
+    }.flatten
     HnswSqlCatalog.put(indexName, HnswSqlCatalog.Entry(
-      storePath, stmt.table, stmt.column, metric, m, efC))
+      storePath, stmt.table, stmt.column, metric, m, efC,
+      idCol = id, rootPaths = roots))
+    HnswProbeRule.install(session)
   }
 }

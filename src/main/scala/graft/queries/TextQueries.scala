@@ -617,6 +617,12 @@ object TextQueries {
     s"""
     WITH RECURSIVE m AS (
       SELECT rank, lhs, rhs, merged FROM read_parquet('$mergesP/*.parquet')),
+    -- recursion bound = the table's ACTUAL max rank, not the nominal
+    -- merge budget: an early-stopping trainer (pairs exhausted before
+    -- $BpeMerges rounds) persists fewer ranks, and a constant bound
+    -- would dead-end the recursive join at the first missing rank and
+    -- silently empty the oracle (ADVICE r11)
+    mx AS (SELECT max(rank) AS mr FROM m),
     tok AS (
       SELECT doc_id, word FROM (
         SELECT doc_id, unnest(${tokensSql("text")}) AS word FROM documents)
@@ -636,14 +642,14 @@ object TextQueries {
         SELECT g.word, g.rank, g.s, m.merged,
                ' ' || m.lhs || ' ' || m.rhs || ' ' AS pat,
                strpos(g.s, ' ' || m.lhs || ' ' || m.rhs || ' ') AS hit
-        FROM seg g JOIN m ON m.rank = g.rank
-        WHERE g.rank <= $BpeMerges))
+        FROM seg g JOIN m ON m.rank = g.rank CROSS JOIN mx
+        WHERE g.rank <= mx.mr))
     SELECT doc_id, count(*) AS n_words,
            CAST(sum(n_sub) AS BIGINT) AS n_bpe
     FROM tok JOIN (
       SELECT word,
              CAST(length(trim(s)) - length(replace(trim(s), ' ', '')) + 1 AS BIGINT) AS n_sub
-      FROM seg WHERE rank = $BpeMerges + 1) v USING (word)
+      FROM seg WHERE rank = (SELECT mr FROM mx) + 1) v USING (word)
     GROUP BY doc_id
     ORDER BY doc_id"""
   }

@@ -35,4 +35,13 @@ object GraftSqlBridge {
   def runPlan(spark: SparkSession,
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Array[Row] =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan).collect()
+
+  /** Wrap a logical plan as a DataFrame (Dataset.ofRows is
+    * private[sql]) — used by DROP INDEX to restore a table's
+    * pre-index binding from its captured ANALYZED plan (re-registering
+    * `session.table(t)` unanalyzed would create a self-referencing
+    * view). */
+  def planToDf(spark: SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
+    classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 }

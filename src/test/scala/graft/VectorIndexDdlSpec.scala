@@ -125,6 +125,207 @@ class VectorIndexDdlSpec extends SparkSpec {
     }
   }
 
+  // ----------------------------------------- hnsw probe rule (r12)
+  test("hnsw DDL + verbatim SELECT: graph path serves it (deser ≤ parts), gated recall") {
+    withExtSession { s =>
+      graft.plans.HnswSqlCatalog.clear()
+      Tables.embeddings(s, Sf).createOrReplaceTempView("ddl_hnsw_probe")
+      s.sql("""CREATE INDEX idx_hnsw_probe ON ddl_hnsw_probe
+               USING hnsw (embedding vector_l2_ops)
+               WITH (m = 8, ef_construction = 32, parts = 4, id = 'vec_id')""")
+      val vec = Tables.embeddings(s, Sf).filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head.getSeq[Double](0)
+      val vecText = vec.mkString("[", ",", "]")
+      val acc = s.sparkContext.longAccumulator("hnsw_probe_deser")
+      graft.plans.HnswProbeRule.deserCounter = Some(acc)
+      try {
+        val df = s.sql(
+          s"""SELECT vec_id FROM ddl_hnsw_probe
+              ORDER BY embedding <-> '$vecText'::vector
+              LIMIT 5""")
+        val got = df.collect().map(_.getLong(0)).toSeq
+        // the graph walk ran, loading each of the 4 partition graphs
+        // exactly once (the rewrite-time job IS the index probe)
+        assert(acc.value > 0 && acc.value <= 4,
+          s"graph path not taken or over-read: ${acc.value} deserializations")
+        // the candidate filter reached the optimized plan as an IN on
+        // the id column over the ORIGINAL table scan (hnsw never
+        // rebinds the table)
+        import org.apache.spark.sql.catalyst.expressions.{AttributeReference, In}
+        val inLists = df.queryExecution.optimizedPlan.collect {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            f.condition.collect {
+              case In(a: AttributeReference, list) if a.name == "vec_id" => list.size
+            }
+        }.flatten
+        assert(inLists.nonEmpty, s"no injected vec_id IN filter:\n${df.queryExecution.optimizedPlan}")
+        val scans = df.queryExecution.executedPlan.collect {
+          case sc: FileSourceScanExec => sc }
+        assert(scans.exists(_.relation.location.rootPaths.exists(
+          _.toString.contains("embeddings"))), "scan is not the original table")
+        // gated recall vs exact brute force (exact rerank of graph
+        // candidates, so ≥ the vs_hnsw_knn gate)
+        val exact = graft.operators.Knn.topK(
+          Tables.embeddings(s, Sf), "vec_id", "embedding",
+          Tables.embeddings(s, Sf).filter(col("vec_id") === 0)
+            .select(col("embedding").as("qvec")),
+          "qvec", graft.functions.VectorFunctions.l2Distance, 5)
+          .collect().map(_.getLong(0)).toSet
+        val recall = got.count(exact.contains).toDouble / 5
+        info(f"hnsw DDL probe recall@5 = $recall%.2f")
+        assert(recall >= 0.8, s"recall $recall below gate (got $got, want $exact)")
+      } finally {
+        graft.plans.HnswProbeRule.deserCounter = None
+      }
+    }
+  }
+
+  test("SET hnsw.ef_search caps the candidate list (pgvector session knob)") {
+    withExtSession { s =>
+      graft.plans.HnswSqlCatalog.clear()
+      Tables.embeddings(s, Sf).createOrReplaceTempView("ddl_hnsw_ef")
+      s.sql("""CREATE INDEX idx_hnsw_ef ON ddl_hnsw_ef
+               USING hnsw (embedding vector_l2_ops)
+               WITH (m = 8, ef_construction = 32, parts = 4, id = 'vec_id')""")
+      val vec = Tables.embeddings(s, Sf).filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head.getSeq[Double](0)
+      val q = s"""SELECT vec_id FROM ddl_hnsw_ef
+                  ORDER BY embedding <-> '${vec.mkString("[", ",", "]")}'::vector
+                  LIMIT 5"""
+      import org.apache.spark.sql.catalyst.expressions.{AttributeReference, In}
+      def inListSize(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.optimizedPlan.collect {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            f.condition.collect {
+              case In(a: AttributeReference, list) if a.name == "vec_id" => list.size
+            }
+        }.flatten.max
+      val wide = s.sql(q)
+      assert(wide.collect().length == 5)
+      val wideList = inListSize(wide)
+      s.conf.set("hnsw.ef_search", "1")
+      try {
+        // SAME query text: per-graph candidates now capped at 1, so
+        // the injected IN list shrinks to ≤ parts ids
+        val narrow = s.sql(q)
+        val rows = narrow.collect()
+        val narrowList = inListSize(narrow)
+        assert(narrowList <= 4 && narrowList < wideList,
+          s"ef_search=1 IN list $narrowList !< default $wideList")
+        assert(rows.length <= 4, s"ef_search=1 returned ${rows.length} rows")
+      } finally s.conf.unset("hnsw.ef_search")
+    }
+  }
+
+  test("SET ivfflat.probes changes the partition-filter width at rewrite time") {
+    withExtSession { s =>
+      Tables.embeddings(s, Sf).createOrReplaceTempView("ddl_probes")
+      s.sql("""CREATE INDEX idx_probes ON ddl_probes
+               USING ivfflat (embedding vector_l2_ops)
+               WITH (lists = 8, probes = 2, id = 'vec_id')""")
+      val vec = Tables.embeddings(s, Sf).filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head.getSeq[Double](0)
+      val q = s"""SELECT vec_id FROM ddl_probes
+                  ORDER BY embedding <-> '${vec.mkString("[", ",", "]")}'::vector
+                  LIMIT 5"""
+      def probedCells(df: org.apache.spark.sql.DataFrame): Int = {
+        import org.apache.spark.sql.catalyst.expressions.{AttributeReference, In}
+        df.queryExecution.optimizedPlan.collect {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            f.condition.collect {
+              case In(a: AttributeReference, list) if a.name == "centroid_id" => list.size
+            }
+        }.flatten.max
+      }
+      assert(probedCells(s.sql(q)) == 2, "CREATE-time probes=2 not honored")
+      s.conf.set("ivfflat.probes", "5")
+      try {
+        // SAME query text, wider session probe width (pgvector's
+        // `SET ivfflat.probes`) → 5 cells in the injected filter
+        assert(probedCells(s.sql(q)) == 5, "SET ivfflat.probes=5 not read at rewrite")
+      } finally s.conf.unset("ivfflat.probes")
+      assert(probedCells(s.sql(q)) == 2, "unset did not restore CREATE-time width")
+    }
+  }
+
+  test("DROP INDEX replans the plain scan; IF EXISTS tolerates absence") {
+    withExtSession { s =>
+      Tables.embeddings(s, Sf).createOrReplaceTempView("ddl_drop")
+      s.sql("""CREATE INDEX idx_drop ON ddl_drop
+               USING ivfflat (embedding vector_l2_ops)
+               WITH (lists = 8, probes = 2, id = 'vec_id')""")
+      val vec = Tables.embeddings(s, Sf).filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head.getSeq[Double](0)
+      val q = s"""SELECT vec_id FROM ddl_drop
+                  ORDER BY embedding <-> '${vec.mkString("[", ",", "]")}'::vector
+                  LIMIT 5"""
+      // indexed: probe fires over the store
+      val before = s.sql(q)
+      before.collect()
+      assert(before.queryExecution.executedPlan.collect {
+        case sc: FileSourceScanExec => sc
+      }.exists(_.partitionFilters.exists(_.toString.contains("centroid_id"))))
+
+      s.sql("DROP INDEX idx_drop")
+      // same text: plain exact scan over the ORIGINAL fixture — no
+      // probe filter, no store path, and centroid_id is gone from the
+      // rebound-then-restored table
+      val after = s.sql(q)
+      assert(after.collect().length == 5)
+      val scans = after.queryExecution.executedPlan.collect {
+        case sc: FileSourceScanExec => sc }
+      assert(!scans.exists(_.partitionFilters.exists(_.toString.contains("centroid_id"))),
+        "probe still fires after DROP INDEX")
+      assert(!scans.exists(_.relation.location.rootPaths.exists(
+        _.toString.contains("graft_sqlindex"))), "scan still reads the dropped store")
+      assert(!s.table("ddl_drop").columns.contains("centroid_id"),
+        "original binding not restored")
+
+      // hnsw drop unregisters the graphs
+      Tables.embeddings(s, Sf).createOrReplaceTempView("ddl_drop_h")
+      s.sql("""CREATE INDEX idx_drop_h ON ddl_drop_h
+               USING hnsw (embedding) WITH (parts = 2, id = 'vec_id')""")
+      assert(HnswSqlCatalog.get("idx_drop_h").isDefined)
+      s.sql("DROP INDEX idx_drop_h")
+      assert(HnswSqlCatalog.get("idx_drop_h").isEmpty)
+
+      // absence: named error without IF EXISTS, silence with
+      val e = intercept[Exception] { s.sql("DROP INDEX idx_missing") }
+      assert(e.getMessage.contains("idx_missing"))
+      s.sql("DROP INDEX IF EXISTS idx_missing") // no throw
+    }
+  }
+
+  test("malformed WITH options fail with a named error, not MatchError") {
+    // bare key, no value
+    val e1 = intercept[IllegalArgumentException] {
+      VectorIndexDdl.parse("CREATE INDEX ON t USING ivfflat (v) WITH (lists)")
+    }
+    assert(e1.getMessage.contains("lists") && e1.getMessage.contains("key = value"))
+    // one good, one bad
+    val e2 = intercept[IllegalArgumentException] {
+      VectorIndexDdl.parse(
+        "CREATE INDEX ON t USING hnsw (v) WITH (m = 16, ef_construction)")
+    }
+    assert(e2.getMessage.contains("ef_construction"))
+    // whitespace / quoted variants parse
+    val ok = VectorIndexDdl.parse(
+      """CREATE INDEX ON t USING ivfflat (v) WITH ( "lists" = '100' ,probes=2 )""").get
+    assert(ok.options == Map("lists" -> "100", "probes" -> "2"))
+    // non-integer value surfaces the option name at run time
+    withExtSession { s =>
+      Tables.embeddings(s, Sf).createOrReplaceTempView("ddl_badopt")
+      val e3 = intercept[Exception] {
+        s.sql("CREATE INDEX ON ddl_badopt USING ivfflat (embedding) WITH (lists = many)")
+      }
+      assert(e3.getMessage.contains("lists") && e3.getMessage.contains("many"))
+    }
+  }
+
   test("unsupported opclass fails loudly, table untouched") {
     withExtSession { s =>
       Tables.embeddings(s, Sf).createOrReplaceTempView("ddl_bad")
