@@ -65,6 +65,7 @@ object Bench {
       "txn_index_sync" -> queries.TxnQueries.indexSyncBench _,
       "text_bpe_train" -> queries.TextQueries.bpeTrainBench _,
       "text_bpe_apply" -> queries.TextQueries.bpeApplyBench _,
+      "curate_classifier" -> queries.CurationQueries.classifierBench _,
     )
 
   private def runNoop(df: DataFrame): Unit =

@@ -506,26 +506,66 @@ object CurationQueries {
     * labeled sample, sweep the 100 TB corpus with the
     * broadcast-weights score pass.
     *
-    * Approximate tier: since r10 TRAINING is bit-deterministic
-    * (fixed-point DECIMAL gradient reduce — ClassifierSpec asserts
-    * identical weights across partition counts), but the σ scores in
-    * the output still sum floats, so the entry stays rows-only with a
-    * measured accuracy floor (RecallGateSpec); the deterministic NB
-    * scoring sweep is hash-oracled as [[classifierNb]]. */
-  private def classifier(s: SparkSession, d: String): DataFrame = {
-    val (feat0, labels) = clsFeat(s, d)
-    val feat = feat0.persist()
-    try {
-      val cls = graft.operators.Classifier
-      val w0 = cls.nbLogOdds(s, feat, labels, ClsBuckets + 1, ClsBuckets)
-      val w = cls.trainLogReg(
-        s, feat, labels, ClsBuckets + 1, ClsEpochs, ClsLr, init = w0)
-      cls.score(s, feat, w)
-        .join(labels, "doc_id")
-        .select(col("doc_id"), col("y"), col("score"),
-          (col("score") > 0.5).cast("int").as("pred"))
-        .orderBy(col("doc_id"))
-    } finally feat.unpersist()
+    * HASH-EXACT since r12 (VERDICT r10 #3 / r11 #2): TRAINING is
+    * bit-deterministic since r10 (fixed-point DECIMAL gradient
+    * reduce — ClassifierSpec asserts identical weights across
+    * partition counts), so the GD-calibrated weights are quantized to
+    * 2^30 fixed point and persisted as a sidecar exactly like the NB
+    * twin's ([[ensureClsNbStore]]), and the corpus sweep is the same
+    * ALL-INTEGER dot product (score_bits = Σ count·w_bits +
+    * bias_bits) the DuckDB oracle replays from the sidecar. σ is
+    * monotone, so `pred` ≡ σ(w·x) > 0.5 ⟺ score_bits > 0 — the
+    * decision function is unchanged (the 2^-30 weight quantization is
+    * orders below the gradient noise the epoch budget tolerates), and
+    * the calibration QUALITY stays separately gated by the accuracy
+    * floor in RecallGateSpec. */
+  private def classifier(s: SparkSession, d: String): DataFrame =
+    scoreQuantized(s, d, ensureClsGdStore(s, d))
+
+  private def clsGdPath(d: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_clsgd_v1_${Integer.toHexString(d.hashCode)}").toString
+
+  /** Train NB warm start + [[ClsEpochs]] GD calibration epochs once
+    * per sfDir and persist the 2^30-quantized weights — the
+    * deterministic-replay sidecar discipline (probe over a persisted
+    * artifact, as for every ANN store). */
+  private def ensureClsGdStore(s: SparkSession, d: String): String = {
+    val p = clsGdPath(d)
+    CurationQueries.synchronized {
+      if (!new java.io.File(p, "_SUCCESS").exists()) {
+        val (feat0, labels) = clsFeat(s, d)
+        val feat = feat0.persist()
+        try {
+          val cls = graft.operators.Classifier
+          val w0 = cls.nbLogOdds(s, feat, labels, ClsBuckets + 1, ClsBuckets)
+          val w = cls.trainLogReg(
+            s, feat, labels, ClsBuckets + 1, ClsEpochs, ClsLr, init = w0)
+          import s.implicits._
+          w.zipWithIndex.toSeq
+            .map { case (v, b) => (b, Math.round(v * ClsNbScale)) }
+            .toDF("b", "wq").coalesce(1)
+            .write.mode("overwrite").parquet(p)
+        } finally { feat.unpersist(); () }
+      }
+    }
+    p
+  }
+
+  /** Split bench: `_build` = full retrain (sidecar cleared first so
+    * the one-time training cost is measured, not amortized away),
+    * `_probe` = the broadcast-weights corpus sweep — the half that
+    * touches 100 TB. */
+  def classifierBench(s: SparkSession, d: String): (() => Unit, () => DataFrame) = {
+    val build = () => {
+      val base = new java.io.File(clsGdPath(d))
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      CurationQueries.synchronized { rm(base) }
+      ensureClsGdStore(s, d); ()
+    }
+    (build, () => classifier(s, d))
   }
 
   /** Hashed-trigram count features (+ per-doc bias row) and labels —
@@ -593,8 +633,14 @@ object CurationQueries {
     p
   }
 
-  private def classifierNb(s: SparkSession, d: String): DataFrame = {
-    val wt = s.read.parquet(ensureClsNbStore(s, d))
+  private def classifierNb(s: SparkSession, d: String): DataFrame =
+    scoreQuantized(s, d, ensureClsNbStore(s, d))
+
+  /** The quantized-weights corpus sweep shared by the GD and NB
+    * entries: trigram features → broadcast sidecar join →
+    * map-side-combined integer dot product. */
+  private def scoreQuantized(s: SparkSession, d: String, path: String): DataFrame = {
+    val wt = s.read.parquet(path)
     val bias = wt.filter(col("b") === ClsBuckets).select(col("wq")).head.getLong(0)
     Tables.documents(s, d)
       .select(col("doc_id"), tokens(col("text")).as("tk"))
@@ -613,8 +659,13 @@ object CurationQueries {
       .orderBy(col("doc_id"))
   }
 
-  private def classifierNbSql(d: String): String = {
-    val p = clsNbPath(d)
+  private def classifierNbSql(d: String): String =
+    quantizedScoreSql(clsNbPath(d))
+
+  private def classifierSql(d: String): String =
+    quantizedScoreSql(clsGdPath(d))
+
+  private def quantizedScoreSql(p: String): String = {
     s"""
     WITH toks AS (SELECT doc_id, ${tokensSql("text")} AS t FROM documents),
     f AS (
@@ -640,7 +691,8 @@ object CurationQueries {
     * [[graft.OracleEnv.sfDir]]-derived weight-sidecar path, resolved
     * at dump time (see VectorQueries.defs). */
   def defs: Map[String, QueryDef] = Map(
-    "curate_classifier" -> QueryDef(classifier _, None),
+    "curate_classifier" -> QueryDef(classifier _,
+      classifierSql(graft.OracleEnv.sfDir)),
     "curate_classifier_nb" -> QueryDef(classifierNb _,
       classifierNbSql(graft.OracleEnv.sfDir)),
     "curate_dsir"    -> QueryDef(dsir _, dsirSql),

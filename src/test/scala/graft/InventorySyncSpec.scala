@@ -36,7 +36,9 @@ class InventorySyncSpec extends AnyFunSuite {
     // relational rebuild) moved onto the hash gate; the two new
     // entries landed on it; +5 streaming twins above; text_bpe_apply
     // flipped late-r10 (recursive-CTE merge replay)
-    assert(SparkEntry.oracleSql.size == 159)
+    // r12: curate_classifier flipped — GD-calibrated weights persist
+    // to a quantized sidecar like _nb; integer-dot sweep replayed
+    assert(SparkEntry.oracleSql.size == 160)
   }
 
   test("every rows-only (non-oracled) query carries a gate in RecallGateSpec") {
