@@ -66,6 +66,7 @@ object Bench {
       "text_bpe_train" -> queries.TextQueries.bpeTrainBench _,
       "text_bpe_apply" -> queries.TextQueries.bpeApplyBench _,
       "curate_classifier" -> queries.CurationQueries.classifierBench _,
+      "events_quantiles_sketch" -> queries.AnalyticsQueries.quantilesSketchBench _,
     )
 
   private def runNoop(df: DataFrame): Unit =

@@ -231,6 +231,14 @@ final class KllSketch(val k: Int) extends Serializable {
 
   def quantile(p: Double): Double = quantiles(Seq(p)).head
 
+  /** The sketch's full weighted-item state, (value, 2^level) per
+    * stored item — what the persisted-sketch oracle replay consumes:
+    * [[quantiles]] is exactly the weighted-quantile select over this
+    * multiset, which is relational (see
+    * AnalyticsQueries.quantilesSketch). */
+  def weightedItems: Seq[(Double, Long)] =
+    levels.indices.flatMap(i => levels(i).toSeq.map(v => (v, 1L << i)))
+
   def serialize(): Array[Byte] = {
     val items = levels.map(_.length).sum
     val bb = ByteBuffer.allocate(8 + 8 + 4 + 4 * levels.length + 8 * items)

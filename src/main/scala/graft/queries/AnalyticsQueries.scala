@@ -343,16 +343,115 @@ object AnalyticsQueries {
     * comparison. */
   private val SketchPs = Seq(0.5, 0.95)
 
-  private def quantilesSketch(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d)
-      .groupBy(col("event_type"))
-      .agg(graft.functions.SketchAggregates.quantileSketch(
-        col("value"), k = 200, SketchPs).as("qs"))
-      .select(col("event_type"), posexplode(col("qs")).as(Seq("pos", "value")))
-      .select(col("event_type"),
-        element_at(typedLit(SketchPs), col("pos") + 1).as("p"),
-        col("value"))
+  /** KLL quantiles on the HASH-EXACT gate since r12 (VERDICT r10 #8 /
+    * r11 #10): the LIVE TypedImperativeAggregate path cannot be
+    * oracled — its buffer-merge order is the shuffle scheduler's, and
+    * the compaction sequence is a data-dependent sequential fold over
+    * an unbounded level structure, which SQL recursion cannot replay
+    * (the text_bpe_train argument, with scheduler nondeterminism on
+    * top). What IS replayable is the probe: a KLL sketch's quantile
+    * extraction is a weighted-quantile SELECT over its stored
+    * (value, 2^level) multiset. So the entry persists the merged
+    * per-type sketch state once (sketches built per PARTITION —
+    * bounded state, the sketch's whole point — then driver-merged in
+    * PARTITION-INDEX order, making the artifact deterministic for a
+    * fixed file layout), and both engines answer the same relational
+    * weighted-quantile query over the sidecar: smallest value whose
+    * RANGE-frame cumulative weight reaches ceil(p·total). The
+    * sketch's rank-error quality stays separately gated in
+    * RecallGateSpec. */
+  private def kllPath(d: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_kll_v1_${Integer.toHexString(d.hashCode)}").toString
+
+  private def ensureKllStore(s: SparkSession, d: String): String = {
+    val p = kllPath(d)
+    AnalyticsQueries.synchronized {
+      if (!new java.io.File(p, "_SUCCESS").exists()) {
+        import graft.functions.KllSketch
+        // one sketch per (event_type, partition): bounded executor
+        // state, P·|types| KB-scale blobs to the driver — the
+        // standard mergeable-sketch topology at any corpus size
+        val parts = Tables.events(s, d)
+          .select(col("event_type"), col("value").cast("double"))
+          .filter(col("value").isNotNull) // the agg path's null skip
+          .rdd.mapPartitionsWithIndex { (pid, it) =>
+            val m = scala.collection.mutable.Map.empty[String, KllSketch]
+            it.foreach { r =>
+              m.getOrElseUpdate(r.getString(0), new KllSketch(200))
+                .update(r.getDouble(1))
+            }
+            m.iterator.map { case (et, sk) => (et, pid, sk.serialize()) }
+          }.collect()
+        // deterministic merge: partition-index order per type
+        val merged = parts.groupBy(_._1).toSeq.sortBy(_._1).map { case (et, blobs) =>
+          val sks = blobs.sortBy(_._2).map(b => KllSketch.deserialize(200, b._3))
+          et -> sks.reduceLeft((a, b) => a.merge(b))
+        }
+        import s.implicits._
+        merged.flatMap { case (et, sk) =>
+          sk.weightedItems.map { case (v, w) => (et, v, w) }
+        }.toDF("event_type", "value", "weight")
+          .coalesce(1).write.mode("overwrite").parquet(p)
+      }
+    }
+    p
+  }
+
+  private def quantilesSketch(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val it = s.read.parquet(ensureKllStore(s, d))
+    // RANGE frame (the default with an ORDER BY): equal values share
+    // the run's full cumulative weight, which both makes the cum
+    // deterministic under ties and matches the sketch's inclusive-rank
+    // semantics
+    val cumW = Window.partitionBy(col("event_type")).orderBy(col("value"))
+    val tot = Window.partitionBy(col("event_type"))
+    it
+      .withColumn("cum", sum(col("weight")).over(cumW))
+      .withColumn("tw", sum(col("weight")).over(tot))
+      .crossJoin(broadcast(SketchPs.toDF("p")))
+      .filter(col("cum") >= greatest(lit(1L), ceil(col("p") * col("tw"))))
+      .groupBy(col("event_type"), col("p"))
+      .agg(min(col("value")).as("value"))
       .orderBy(col("event_type"), col("p"))
+  }
+
+  /** Split bench: `_build` = the corpus-scale sketch pass (store
+    * cleared first), `_probe` = the weighted-quantile select over the
+    * persisted state — without the split the warm bench would report
+    * only the KB-scale probe and hide the real work. */
+  def quantilesSketchBench(s: SparkSession, d: String): (() => Unit, () => DataFrame) = {
+    val build = () => {
+      val base = new java.io.File(kllPath(d))
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      AnalyticsQueries.synchronized { rm(base) }
+      ensureKllStore(s, d); ()
+    }
+    (build, () => quantilesSketch(s, d))
+  }
+
+  private def quantilesSketchSql(d: String): String = {
+    val p = kllPath(d)
+    val psRows = SketchPs.map(v => s"($v)").mkString(", ")
+    s"""
+    WITH it AS (SELECT event_type, value, weight
+                FROM read_parquet('$p/*.parquet')),
+    ps(p) AS (VALUES $psRows),
+    cum AS (
+      SELECT event_type, value,
+             sum(weight) OVER (PARTITION BY event_type ORDER BY value) AS cum,
+             sum(weight) OVER (PARTITION BY event_type) AS tw
+      FROM it)
+    SELECT c.event_type, p.p, min(c.value) AS value
+    FROM cum c CROSS JOIN ps p
+    WHERE c.cum >= greatest(1, CAST(ceil(p.p * c.tw) AS BIGINT))
+    GROUP BY c.event_type, p.p
+    ORDER BY c.event_type, p.p"""
+  }
 
   // ------------------------------------------------------- anomaly flags
   /** Per-type z-score outliers (monitoring's bread-and-butter over an
@@ -553,13 +652,17 @@ object AnalyticsQueries {
     GROUP BY user_id
     ORDER BY user_id"""
 
-  val defs: Map[String, QueryDef] = Map(
+  /** def, not val: quantilesSketchSql embeds the
+    * [[graft.OracleEnv.sfDir]]-derived sketch-sidecar path, resolved
+    * at dump time (see VectorQueries.defs). */
+  def defs: Map[String, QueryDef] = Map(
     "events_gaps"        -> QueryDef(gaps _, gapsSql),
     "events_markov"      -> QueryDef(markov _, markovSql),
     "events_ewma"        -> QueryDef(ewma _, ewmaSql),
     "events_anomaly"     -> QueryDef(anomaly _, anomalySql),
     "events_funnel"      -> QueryDef(funnel _, funnelSql),
-    "events_quantiles_sketch" -> QueryDef(quantilesSketch _, None),
+    "events_quantiles_sketch" -> QueryDef(quantilesSketch _,
+      quantilesSketchSql(graft.OracleEnv.sfDir)),
     "events_quantiles_hist" -> QueryDef(quantilesHist _, quantilesHistSql),
     "events_asof_enrich" -> QueryDef(asofEnrich _, asofEnrichSql),
     "events_range_join"  -> QueryDef(rangeJoin _, rangeJoinSql),

@@ -37,8 +37,10 @@ class InventorySyncSpec extends AnyFunSuite {
     // entries landed on it; +5 streaming twins above; text_bpe_apply
     // flipped late-r10 (recursive-CTE merge replay)
     // r12: curate_classifier flipped — GD-calibrated weights persist
-    // to a quantized sidecar like _nb; integer-dot sweep replayed
-    assert(SparkEntry.oracleSql.size == 160)
+    // to a quantized sidecar like _nb; integer-dot sweep replayed.
+    // events_quantiles_sketch flipped — persisted per-type sketch
+    // state, weighted-quantile select replayed relationally
+    assert(SparkEntry.oracleSql.size == 161)
   }
 
   test("every rows-only (non-oracled) query carries a gate in RecallGateSpec") {
