@@ -160,7 +160,8 @@ object Bench {
     // startup; the timed probe is one end-to-end micro-batch. These
     // are not SparkEntry queries (no oracle surface), so they run as
     // their own canary-annotated pass after the main loop.
-    val servingResults = graft.streaming.ServingBench.all.flatMap { case (name, mk) =>
+    val servingResults = (graft.streaming.ServingBench.all ++
+        graft.streaming.ServingBench.tput).flatMap { case (name, mk) =>
       sweepBlocks()
       val out =
         try {

@@ -21,7 +21,21 @@ object CurationQueries {
     * would run that stage on one core. The metadata-only queries
     * (mix, stratified) keep the plain scan. All consumers are
     * partition-independent (integer counts, hash predicates, decimal
-    * accumulation). */
+    * accumulation).
+    *
+    * The trade, MEASURED at both SFs (r12, VERDICT r11 #4 — warm
+    * TimeOne pairs, with/without the exchange): at sf1.0 the
+    * repartition wins decisively on all three flagged entries
+    * (curate_dsir 10.10 → 1.94 s, curate_funnel 1.99 → 0.92,
+    * pack_tokens 1.06 → 0.84); at sf0.1 it wins for dsir
+    * (1.93 → 1.33) and costs pack/funnel ~0.1-0.2 s each (0.48 →
+    * 0.59 / 0.51 → 0.71) — the shuffle of the 580 KB fixture exceeds
+    * the parallelism gain only when the per-row map work is a single
+    * split(). That sub-second fixture-scale cost is accepted: the
+    * condition `partitions < parallelism` makes the exchange a
+    * PASSTHROUGH on any real multi-split corpus, so the sf0.1 number
+    * is the only place it ever shows. Full numbers in BENCH_NOTES
+    * round 12. */
   private def docsWide(s: SparkSession, d: String): DataFrame = {
     val base = Tables.documents(s, d)
     val p = s.sparkContext.defaultParallelism

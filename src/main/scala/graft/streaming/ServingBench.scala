@@ -168,4 +168,24 @@ object ServingBench {
     "serve_hnsw_probe" -> (serveHnswProbe _),
     "serve_cached_probe" -> (serveCachedProbe _),
     "serve_summarized_probe" -> (serveSummarizedProbe _))
+
+  /** Micro-batches per `_tput` row. */
+  val TputBatches = 16
+
+  /** THROUGHPUT rows (VERDICT r10 #5 / r11 #8): each family's probe
+    * fed [[TputBatches]] consecutive micro-batches in ONE timed span.
+    * A single-batch row carries the per-batch fixed floor (state-store
+    * commits, plan reuse misses, index touch); the tput row divided by
+    * 16× the single-batch row shows what amortizes at steady state —
+    * the serving-relevant number (the cached family's hit path should
+    * amortize hardest). Request ids advance per feed, so every batch
+    * is a distinct request set over the same vectors. */
+  def tput: Seq[(String, (SparkSession, String) => Probe)] =
+    all.map { case (name, mk) =>
+      (name.stripSuffix("_probe") + "_tput") ->
+        ((s: SparkSession, d: String) => {
+          val p = mk(s, d)
+          p.copy(probe = () => (1 to TputBatches).foreach(_ => p.probe()))
+        })
+    }
 }
