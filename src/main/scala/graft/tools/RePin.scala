@@ -27,10 +27,20 @@ object RePin {
     def timed(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
+    // any split-bench entry can be timed per phase: `<name>_build`
+    // runs only the build thunk; `<name>_probe` runs build UNTIMED
+    // (store prep) then times the probe
+    def split(base: String) = graft.Bench.splitBench(base)(spark, sfDir)
     val sec = entry match {
-      case "ingest_pdf_encrypted_build" =>
-        val (build, _) = graft.queries.PipelineQueries.pdfEncBench(spark, sfDir)
+      case b if b.endsWith("_build") &&
+          graft.Bench.splitBench.contains(b.stripSuffix("_build")) =>
+        val (build, _) = split(b.stripSuffix("_build"))
         timed(build())
+      case p if p.endsWith("_probe") &&
+          graft.Bench.splitBench.contains(p.stripSuffix("_probe")) =>
+        val (build, probe) = split(p.stripSuffix("_probe"))
+        build()
+        timed { probe().write.mode("overwrite").format("noop").save() }
       case name =>
         timed {
           graft.SparkEntry.queries(name)(spark, sfDir)
