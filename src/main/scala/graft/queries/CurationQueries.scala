@@ -72,8 +72,16 @@ object CurationQueries {
     val ticket = concat_ws(" ",
       col("c_name"), lit("of segment"), col("c_mktsegment"),
       lit("wrote: reach me at"), email, lit("or"), phone, lit("from"), ip)
+    // range-partition the narrow (doc_id, ticket) rows BEFORE the
+    // regex stage (r12, the multimodal discipline): a single-file
+    // customer table scans as one partition, so without the exchange
+    // the whole scan+redact pass — the entry's entire cost — ran on
+    // one core (measured 5.8 s at sf1.0). Range partitioning on the
+    // sort key lets the final orderBy reuse the distribution (local
+    // sort only, no second exchange).
     val base = Tables.customer(s, d)
       .select(col("c_custkey").as("doc_id"), ticket.as("ticket"))
+      .repartitionByRange(s.sparkContext.defaultParallelism, col("doc_id"))
     val counted = Pii.counts(col("ticket")).foldLeft(base) {
       case (df, (n, c)) => df.withColumn(s"n_$n", c)
     }
@@ -651,20 +659,31 @@ object CurationQueries {
     scoreQuantized(s, d, ensureClsNbStore(s, d))
 
   /** The quantized-weights corpus sweep shared by the GD and NB
-    * entries: trigram features → broadcast sidecar join →
-    * map-side-combined integer dot product. */
+    * entries: trigram features → broadcast sidecar join → ONE
+    * map-side-combined integer sum per doc.
+    *
+    * Shuffle shape (r12): Σ_b count_b·wq_b ≡ Σ_occurrences wq — an
+    * integer sum either way, so the per-(doc, bucket) COUNT pre-agg
+    * (a full extra exchange) is dropped: each exploded shingle maps
+    * straight through the broadcast weight join and partial-aggregates
+    * into the per-doc sum map-side. With [[docsWide]]'s doc_id
+    * partitioning up front, the final groupBy(doc_id) reuses it —
+    * the whole sweep runs parallel with ZERO non-presentation
+    * exchanges (measured: 2 exchanges + single-partition explode
+    * before; the sf1.0 probe row is the gauge). Order-free integer
+    * arithmetic: the hash-exact oracle (which still replays via
+    * counts) is unchanged. */
   private def scoreQuantized(s: SparkSession, d: String, path: String): DataFrame = {
     val wt = s.read.parquet(path)
     val bias = wt.filter(col("b") === ClsBuckets).select(col("wq")).head.getLong(0)
-    Tables.documents(s, d)
+    docsWide(s, d)
       .select(col("doc_id"), tokens(col("text")).as("tk"))
       .select(col("doc_id"),
         explode(shingles(col("tk"), ClsNgram)).as("w"))
-      .groupBy(col("doc_id"), (hash64(col("w")) % ClsBuckets).cast("int").as("b"))
-      .agg(count(lit(1)).as("c"))
+      .select(col("doc_id"), (hash64(col("w")) % ClsBuckets).cast("int").as("b"))
       .join(broadcast(wt), "b")
       .groupBy(col("doc_id"))
-      .agg((sum(col("c") * col("wq")) + bias).as("score_bits"))
+      .agg((sum(col("wq")) + bias).as("score_bits"))
       .join(Tables.documents(s, d)
         .select(col("doc_id"),
           when(col("lang") === "en", 1).otherwise(0).as("y")), "doc_id")

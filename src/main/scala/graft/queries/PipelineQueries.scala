@@ -105,7 +105,16 @@ object PipelineQueries {
     * map-side-combinable. */
   private def embedQ(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("doc_id"))
+    // repartition the narrow (doc_id, text) rows up front (r12): a
+    // single-file fixture ran the explode+hash map stage on one core;
+    // hash partitioning on doc_id also SATISFIES the groupBy's
+    // (doc_id, dim) clustering and the window's doc_id clustering
+    // (subset-key rule), so both downstream exchanges are elided —
+    // one text exchange buys a parallel map stage AND two fewer
+    // shuffles (sf1.0: 4.4 → see BENCH_NOTES r12)
     Tables.documents(s, d)
+      .select(col("doc_id"), col("text"))
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
       .select(col("doc_id"), (hash64(col("w")) % 64).as("dim"))
       .groupBy(col("doc_id"), col("dim"))
