@@ -186,13 +186,26 @@ final case class CreateVectorIndexCommand(stmt: VectorIndexDdl.Stmt)
 
   override def output: Seq[Attribute] = Nil
 
+  /** pgvector opclass → metric. The element-type prefix (pgvector
+    * ≥0.7 added `halfvec_*` and `sparsevec_*` opclass families; bit
+    * columns use `bit_hamming_ops`/`bit_jaccard_ops`) selects storage
+    * width in pgvector; here every build path already widens to
+    * array<double> for graph/centroid arithmetic, so the prefix only
+    * needs to be ACCEPTED — the metric suffix is what the probe rules
+    * match on. `vector_l1_ops` maps to the engine's L1 kernel
+    * (vec_l1 / `<+>`). */
+  private val OpclassRe =
+    "(vector|halfvec|sparsevec)_(l2|cosine|ip|l1)_ops".r
+
   private def metric: String =
     stmt.opclass.map(_.toLowerCase(java.util.Locale.ROOT)) match {
-      case None | Some("vector_l2_ops") => "l2"
-      case Some("vector_cosine_ops") => "cosine"
-      case Some("vector_ip_ops") => "ip"
+      case None => "l2"
+      case Some(OpclassRe(_, m)) => m
+      case Some("bit_hamming_ops") => "hamming"
+      case Some("bit_jaccard_ops") => "jaccard"
       case Some(other) => throw new IllegalArgumentException(
-        s"unsupported opclass $other (vector_l2_ops/vector_cosine_ops/vector_ip_ops)")
+        s"unsupported opclass $other (expected {vector|halfvec|sparsevec}_" +
+          "{l2|cosine|ip|l1}_ops, bit_hamming_ops, or bit_jaccard_ops)")
     }
 
   private def intOpt(key: String, default: Int): Int =

@@ -37,6 +37,27 @@ class VectorIndexDdlSpec extends SparkSpec {
     assert(VectorIndexDdl.parse("CREATE INDEX ON t (a)").isEmpty) // btree: not ours
   }
 
+  test("pgvector 0.7+ opclass families: halfvec/sparsevec/bit accepted, metric from suffix") {
+    withExtSession { s =>
+      Tables.embeddings(s, Sf).createOrReplaceTempView("ddl_half")
+      s.sql("""CREATE INDEX idx_half ON ddl_half
+               USING hnsw (embedding halfvec_cosine_ops)
+               WITH (m = 8, ef_construction = 32, parts = 2, id = 'vec_id')""")
+      assert(HnswSqlCatalog.get("idx_half").exists(_.metric == "cosine"))
+      s.sql("DROP INDEX idx_half")
+      s.sql("""CREATE INDEX idx_sparse ON ddl_half
+               USING hnsw (embedding sparsevec_ip_ops)
+               WITH (m = 8, ef_construction = 32, parts = 2, id = 'vec_id')""")
+      assert(HnswSqlCatalog.get("idx_sparse").exists(_.metric == "ip"))
+      s.sql("DROP INDEX idx_sparse")
+      // unknown families still fail loudly
+      val e = intercept[Exception] {
+        s.sql("CREATE INDEX ON ddl_half USING hnsw (embedding quadvec_l2_ops)")
+      }
+      assert(e.getMessage.contains("quadvec_l2_ops"))
+    }
+  }
+
   // ------------------------------------------------- end-to-end ivfflat
   private def withExtSession[T](f: SparkSession => T): T = {
     val base = SparkSpec.session
