@@ -202,6 +202,50 @@ class VectorIndexDdlSpec extends SparkSpec {
     }
   }
 
+  test("hnsw probe soundness: metric mismatch and probeEval=false keep the exact plan") {
+    withExtSession { s =>
+      graft.plans.HnswSqlCatalog.clear()
+      Tables.embeddings(s, Sf).createOrReplaceTempView("ddl_hnsw_neg")
+      // l2 index — a COSINE-ordered query must NOT be served by it
+      // (pgvector: an index serves only its opclass's operator)
+      s.sql("""CREATE INDEX idx_hnsw_neg ON ddl_hnsw_neg
+               USING hnsw (embedding vector_l2_ops)
+               WITH (m = 8, ef_construction = 32, parts = 2, id = 'vec_id')""")
+      val vec = Tables.embeddings(s, Sf).filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head.getSeq[Double](0)
+      val vecText = vec.mkString("[", ",", "]")
+      import org.apache.spark.sql.catalyst.expressions.{AttributeReference, In}
+      def probed(df: org.apache.spark.sql.DataFrame): Boolean =
+        df.queryExecution.optimizedPlan.collect {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            f.condition.collect {
+              case In(a: AttributeReference, _) if a.name == "vec_id" => true
+            }
+        }.flatten.nonEmpty
+      val cosine = s.sql(
+        s"""SELECT vec_id FROM ddl_hnsw_neg
+            ORDER BY embedding <=> '$vecText'::vector LIMIT 5""")
+      assert(!probed(cosine), "cosine query served by an l2 hnsw index")
+      assert(cosine.collect().length == 5) // exact plan still answers
+      // eval gate off: same l2 query, no rewrite-time job, exact plan
+      s.conf.set(graft.plans.HnswProbeRule.EvalKey, "false")
+      try {
+        val gated = s.sql(
+          s"""SELECT vec_id FROM ddl_hnsw_neg
+              ORDER BY embedding <-> '$vecText'::vector LIMIT 5""")
+        assert(!probed(gated), "probe fired with probeEval=false")
+        assert(gated.collect().length == 5)
+      } finally s.conf.unset(graft.plans.HnswProbeRule.EvalKey)
+      // gate back on: the same text IS served
+      val served = s.sql(
+        s"""SELECT vec_id FROM ddl_hnsw_neg
+            ORDER BY embedding <-> '$vecText'::vector LIMIT 5""")
+      assert(probed(served), "probe did not fire after re-enabling")
+      s.sql("DROP INDEX idx_hnsw_neg")
+    }
+  }
+
   test("SET hnsw.ef_search caps the candidate list (pgvector session knob)") {
     withExtSession { s =>
       graft.plans.HnswSqlCatalog.clear()
