@@ -678,6 +678,82 @@ object VectorQueries {
     GROUP BY label
     ORDER BY label"""
 
+  // ------------------------------------------------- contrastive pairs
+  /** Contrastive training-pair mining (r12) — the SimCSE/E5-style
+    * data-prep op an embedding-model pipeline runs over its corpus:
+    * for each ANCHOR, emit its nearest in-margin neighbor as the
+    * POSITIVE (cosine distance < [[PairTauP]]) and its nearest
+    * beyond-margin neighbor as the HARD NEGATIVE (distance ≥
+    * [[PairTauN]] — "hardest negative outside the positive ball", the
+    * mining rule that makes contrastive batches informative). Anchors
+    * without an in-margin positive emit no pair (an anchor with no
+    * paraphrase has no training signal).
+    *
+    * Scale shape: the anchor set is BROADCAST (bounded by the mining
+    * batch, never the corpus); one corpus pass computes |anchors|
+    * distances per row, and each anchor reduces through two bounded
+    * map-side-combined top-1 aggregates — nothing corpus-sized
+    * shuffles or collects. At real scale the anchor batch streams
+    * (the [[graft.streaming.KnnServing]] shape) or routes through the
+    * ANN index family; the brute-force pass here is the exact tier.
+    *
+    * Hash-exact: cosine is the fused [[graft.functions
+    * .VectorDistanceExpr]] sequential-fold kernel (bit-identical to
+    * DuckDB's list_cosine_similarity, proven by vs_knn_cosine) and
+    * both argmins tie-break (dist, id) through the bounded
+    * [[graft.functions.TopKAggregate]]. */
+  private val PairAnchors = 8
+  private val PairTauP = 0.7
+  private val PairTauN = 0.8
+
+  private def embPairs(s: SparkSession, d: String): DataFrame = {
+    val anchors = Tables.embeddings(s, d)
+      .filter(col("vec_id").between(1, PairAnchors))
+      .select(col("vec_id").as("anchor_id"), col("embedding").as("avec"))
+    val scored = Tables.embeddings(s, d)
+      .select(col("vec_id"), col("embedding"))
+      .join(broadcast(anchors), col("vec_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("vec_id"),
+        cosineDistance(col("embedding"), col("avec")).as("dist"))
+    // ONE corpus pass, both argmins as conditional top-1 aggregates
+    // (TopKAggregate skips null dists), no join: the shuffle carries
+    // |anchors| groups of two 1-element buffers
+    val tk = graft.functions.TopKAggregate.topK _
+    scored.groupBy(col("anchor_id"))
+      .agg(
+        tk(when(col("dist") < PairTauP, col("dist")), col("vec_id"), 1).as("p"),
+        tk(when(col("dist") >= PairTauN, col("dist")), col("vec_id"), 1).as("n"))
+      .filter(size(col("p")) === 1 && size(col("n")) === 1) // a usable pair needs both
+      .select(col("anchor_id"),
+        element_at(col("p"), 1).getField("id").as("pos_id"),
+        element_at(col("p"), 1).getField("dist").as("pos_dist"),
+        element_at(col("n"), 1).getField("id").as("neg_id"),
+        element_at(col("n"), 1).getField("dist").as("neg_dist"))
+      .orderBy(col("anchor_id"))
+  }
+
+  private val embPairsSql: String = s"""
+    WITH a AS (
+      SELECT vec_id AS anchor_id, CAST(embedding AS DOUBLE[]) AS avec
+      FROM embeddings WHERE vec_id BETWEEN 1 AND $PairAnchors),
+    d AS (
+      SELECT a.anchor_id, e.vec_id,
+             1.0 - list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), a.avec) AS dist
+      FROM embeddings e CROSS JOIN a
+      WHERE e.vec_id <> a.anchor_id),
+    p AS (
+      SELECT anchor_id, vec_id AS pos_id, dist AS pos_dist,
+             row_number() OVER (PARTITION BY anchor_id ORDER BY dist, vec_id) AS rn
+      FROM d WHERE dist < $PairTauP),
+    n AS (
+      SELECT anchor_id, vec_id AS neg_id, dist AS neg_dist,
+             row_number() OVER (PARTITION BY anchor_id ORDER BY dist, vec_id) AS rn
+      FROM d WHERE dist >= $PairTauN)
+    SELECT p.anchor_id, p.pos_id, p.pos_dist, n.neg_id, n.neg_dist
+    FROM p JOIN n USING (anchor_id)
+    WHERE p.rn = 1 AND n.rn = 1
+    ORDER BY p.anchor_id"""
+
   // -------------------------------------------------------- filtered knn
   /** pgvector filtered search: `WHERE label = 3 ORDER BY embedding <->
     * q LIMIT k` — the metadata predicate is pushed into the parquet
@@ -2231,6 +2307,7 @@ object VectorQueries {
     "emb_centroids"   -> QueryDef(centroids _, centroidsSql),
     "emb_outliers"    -> QueryDef(outliers _, outliersSql),
     "emb_drift"       -> QueryDef(drift _, driftSql),
+    "emb_pairs"       -> QueryDef(embPairs _, embPairsSql),
     "vs_knn_join"     -> QueryDef(knnJoinQ _, knnJoinSql(d)),
     "vs_knn_join_init" -> QueryDef(knnJoinInitQ _, knnJoinInitOracle(d)),
     "vs_knn_l2"       -> QueryDef(knnL2 _, knnOracle(l2Sql)),
