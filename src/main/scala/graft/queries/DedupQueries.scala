@@ -80,6 +80,46 @@ object DedupQueries {
     Dedup.minhashLsh(docs(s, d), "doc_id", "text",
       shingleN = 3, numHashes = 32, bands = 8, tau = 0.8, maxBucket = 50)
 
+  // ------------------------------------------------- incremental minhash
+  /** The STREAMING-ARRIVAL dedup shape on the oracle gate (r12 —
+    * previously spec-only as [[Dedup.incrementalMinhash]]): a new
+    * batch (doc_id % 10 = 0 plays the arriving shard) is checked
+    * against the EXISTING corpus's LSH bands without re-banding the
+    * corpus — the production "index once, probe per batch" path
+    * (IncrementalSpec covers the persisted-bands variant; here the
+    * corpus bands are derived in-query so the oracle sees one
+    * self-contained statement). Output: (new doc_a, corpus doc_b,
+    * exact jaccard ≥ τ). Same recall argument as dedup_minhash_lsh
+    * (planted dups at jaccard ≥ 0.97, 8×4 bands → miss ≈ 3e-8). */
+  private def incremental(s: SparkSession, d: String): DataFrame = {
+    val all = docs(s, d)
+    val newDocs = all.filter(col("doc_id") % 10 === 0)
+    val corpus = all.filter(col("doc_id") % 10 =!= 0)
+    val corpusSh = Dedup.shingleRows(corpus, "doc_id", "text", 3)
+    val corpusBands = Dedup.lshBands(
+      Dedup.minhashSignatures(corpusSh, 32), 32, 8)
+    Dedup.incrementalMinhash(newDocs, "doc_id", "text",
+      corpusBands, corpusSh, shingleN = 3, numHashes = 32, bands = 8,
+      tau = 0.8)
+  }
+
+  private val incrementalSql: String = s"""
+    WITH t AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
+    shing AS (SELECT doc_id, unnest(${shinglesSql("toks", 3)}) AS s FROM t),
+    sh AS (SELECT DISTINCT doc_id, s FROM shing),
+    sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id),
+    shared AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+               FROM sh a JOIN sh b ON a.s = b.s
+               WHERE a.doc_id % 10 = 0 AND b.doc_id % 10 <> 0
+               GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           CAST(shared AS DOUBLE) / (na.n + nb.n - shared) AS jaccard
+    FROM shared
+    JOIN sizes na ON doc_a = na.doc_id
+    JOIN sizes nb ON doc_b = nb.doc_id
+    WHERE CAST(shared AS DOUBLE) / (na.n + nb.n - shared) >= 0.8
+    ORDER BY doc_a, doc_b"""
+
   // ------------------------------------------------------ ngram jaccard
   // 4-gram shingles: on a small-vocabulary corpus short shingles
   // collide massively (2-grams → ~1600 distinct keys → a quadratic
@@ -318,6 +358,7 @@ object DedupQueries {
     "dedup_clusters"      -> QueryDef(clusters _, clustersSql),
     "dedup_exact"         -> QueryDef(exact _, exactSql),
     "dedup_minhash_lsh"   -> QueryDef(minhashLsh _, jaccardSql(3, 0.8)),
+    "dedup_incremental"   -> QueryDef(incremental _, incrementalSql),
     "dedup_ngram_jaccard" -> QueryDef(ngramJaccard _, collapsedJaccardSql(4, 0.65)),
     "dedup_survivors"     -> QueryDef(survivors _, survivorsSql),
     "dedup_simhash"       -> QueryDef(simhash _, simhashSql),

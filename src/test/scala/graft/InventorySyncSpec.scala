@@ -30,10 +30,11 @@ class InventorySyncSpec extends AnyFunSuite {
     // r10: +5 more streaming twins — stream_ewma, stream_dedup,
     // stream_click2buy, stream_abandoned, stream_trending
     // (StreamingTwinQueries), all on the hash gate
-    // r12: +1 — emb_pairs (contrastive training-pair mining:
-    // broadcast anchors, one corpus pass, bounded top-1 argmins),
-    // hash-exact from birth
-    assert(SparkEntry.queries.size == 167)
+    // r12: +2 — emb_pairs (contrastive training-pair mining:
+    // broadcast anchors, one corpus pass, bounded top-1 argmins) and
+    // dedup_incremental (new-batch-vs-corpus LSH probe, the
+    // streaming-arrival dedup shape), both hash-exact from birth
+    assert(SparkEntry.queries.size == 168)
     // r10: +4 — events_approx_distinct (engine HLL, integer-exact
     // estimator replay) and decontam_bloom (deterministic bitmap,
     // relational rebuild) moved onto the hash gate; the two new
@@ -43,7 +44,7 @@ class InventorySyncSpec extends AnyFunSuite {
     // to a quantized sidecar like _nb; integer-dot sweep replayed.
     // events_quantiles_sketch flipped — persisted per-type sketch
     // state, weighted-quantile select replayed relationally
-    assert(SparkEntry.oracleSql.size == 162)
+    assert(SparkEntry.oracleSql.size == 163)
   }
 
   test("every rows-only (non-oracled) query carries a gate in RecallGateSpec") {
