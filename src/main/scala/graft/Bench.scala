@@ -68,6 +68,7 @@ object Bench {
       "text_bpe_apply" -> queries.TextQueries.bpeApplyBench _,
       "curate_classifier" -> queries.CurationQueries.classifierBench _,
       "events_quantiles_sketch" -> queries.AnalyticsQueries.quantilesSketchBench _,
+      "dedup_incremental" -> queries.DedupQueries.incrementalBench _,
     )
 
   private def runNoop(df: DataFrame): Unit =

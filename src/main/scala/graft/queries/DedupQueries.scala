@@ -103,6 +103,51 @@ object DedupQueries {
       tau = 0.8)
   }
 
+  /** Split bench for the incremental path: `_build` = band + persist
+    * the corpus side (the index-once half), `_probe` = the arriving
+    * batch probed against the PERSISTED bands/shingles — the
+    * per-batch cost that matters at scale, which the self-contained
+    * query above conflates with corpus banding. */
+  private def incBandsPath(d: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_incbands_v1_${Integer.toHexString(d.hashCode)}").toString
+
+  private def ensureIncStore(s: SparkSession, d: String): String = {
+    val p = incBandsPath(d)
+    DedupQueries.synchronized {
+      if (!new java.io.File(s"$p/bands", "_SUCCESS").exists()) {
+        val corpus = docs(s, d).filter(col("doc_id") % 10 =!= 0)
+        val corpusSh = Dedup.shingleRows(corpus, "doc_id", "text", 3)
+          .persist()
+        try {
+          corpusSh.write.mode("overwrite").parquet(s"$p/sh")
+          Dedup.lshBands(Dedup.minhashSignatures(corpusSh, 32), 32, 8)
+            .write.mode("overwrite").parquet(s"$p/bands")
+        } finally { corpusSh.unpersist(blocking = false); () }
+      }
+    }
+    p
+  }
+
+  def incrementalBench(s: SparkSession, d: String): (() => Unit, () => DataFrame) = {
+    val build = () => {
+      val base = new java.io.File(incBandsPath(d))
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      DedupQueries.synchronized { rm(base) }
+      ensureIncStore(s, d); ()
+    }
+    val probe = () => {
+      val p = ensureIncStore(s, d)
+      Dedup.incrementalMinhash(
+        docs(s, d).filter(col("doc_id") % 10 === 0), "doc_id", "text",
+        s.read.parquet(s"$p/bands"), s.read.parquet(s"$p/sh"),
+        shingleN = 3, numHashes = 32, bands = 8, tau = 0.8)
+    }
+    (build, probe)
+  }
+
   private val incrementalSql: String = s"""
     WITH t AS (SELECT doc_id, ${tokensSql("text")} AS toks FROM documents),
     shing AS (SELECT doc_id, unnest(${shinglesSql("toks", 3)}) AS s FROM t),
