@@ -54,8 +54,13 @@ object DedupQueries {
     ORDER BY doc_a, doc_b"""
 
   // -------------------------------------------------------------- exact
+  // plain scan, NOT docs() (r12): exact dedup's map stage is ONE md5
+  // per row and its keyed projection is consumed twice (groups +
+  // join-back), so the repartition-up shuffled the full text TWICE to
+  // parallelize near-zero work — measured +0.85 s at sf0.1 for an 8%
+  // sf1.0 win; the groupBy(content_key) shuffle is narrow either way
   private def exact(s: SparkSession, d: String): DataFrame =
-    Dedup.exact(docs(s, d), "doc_id", "text")
+    Dedup.exact(Tables.documents(s, d), "doc_id", "text")
       .orderBy(col("doc_id"))
 
   private val exactSql = """
