@@ -33,15 +33,35 @@ import scala.collection.mutable
   */
 object Hnsw {
 
+  /** Distance kernels a graph can be built WITH — persisted in the
+    * blob (v2), so build and every later walk run the same arithmetic.
+    * pgvector's hnsw AM builds and searches with the opclass distance
+    * (vector_l2_ops / _cosine_ops / _ip_ops / _l1_ops); a graph built
+    * under one metric descends wrong under another (inner product
+    * favors large-norm vectors an L2 descent never reaches), so the
+    * metric is index STATE, not a search-time argument. */
+  object Metric {
+    val L2 = 0; val Cosine = 1; val Ip = 2; val L1 = 3
+    def of(s: String): Int = s match {
+      case "l2" => L2
+      case "cosine" => Cosine
+      case "ip" => Ip
+      case "l1" => L1
+      case other => throw new IllegalArgumentException(
+        s"no hnsw distance kernel for metric '$other' (have l2/cosine/ip/l1)")
+    }
+  }
+
   // ---------------------------------------------------------- local index
-  /** One in-memory HNSW graph (double vectors, L2). `m` = neighbors
-    * per node per layer (2m at layer 0), `efC` = construction beam.
+  /** One in-memory HNSW graph (double vectors; metric from
+    * [[Metric]], default L2). `m` = neighbors per node per layer (2m
+    * at layer 0), `efC` = construction beam.
     * Deliberately NOT java-Serializable: blobs go through the explicit
     * binary layout in [[Hnsw.ser]]/[[Hnsw.deser]], which is stable
     * across Scala/JVM/library versions and deserializes data only
     * (ObjectInputStream over a blob column would instantiate arbitrary
     * classes — a stored-data deserialization gadget risk). */
-  final class Index(val m: Int, val efC: Int) {
+  final class Index(val m: Int, val efC: Int, val metric: Int = Metric.L2) {
     val ids = mutable.ArrayBuffer.empty[Long]
     val vecs = mutable.ArrayBuffer.empty[Array[Double]]
     val nodeLevel = mutable.ArrayBuffer.empty[Int]
@@ -50,11 +70,32 @@ object Hnsw {
     var entry: Int = -1
     var maxLevel: Int = -1
 
+    /** The graph's own distance — ip is pgvector's `<#>` ordering
+      * score (negative inner product: ascending = most similar),
+      * cosine guards the zero-vector with max distance instead of
+      * propagating NaN into the heaps. */
     private def dist(a: Array[Double], b: Array[Double]): Double = {
-      var s = 0.0; var i = 0
       val n = math.min(a.length, b.length)
-      while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
-      math.sqrt(s)
+      var i = 0
+      metric match {
+        case Metric.Cosine =>
+          var dot = 0.0; var aa = 0.0; var bb = 0.0
+          while (i < n) { dot += a(i) * b(i); aa += a(i) * a(i); bb += b(i) * b(i); i += 1 }
+          val den = math.sqrt(aa) * math.sqrt(bb)
+          if (den == 0.0) 1.0 else 1.0 - dot / den
+        case Metric.Ip =>
+          var dot = 0.0
+          while (i < n) { dot += a(i) * b(i); i += 1 }
+          -dot
+        case Metric.L1 =>
+          var s = 0.0
+          while (i < n) { s += math.abs(a(i) - b(i)); i += 1 }
+          s
+        case _ =>
+          var s = 0.0
+          while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }
+          math.sqrt(s)
+      }
     }
 
     /** Deterministic geometric level draw from the id hash (p = 1/e,
@@ -179,11 +220,13 @@ object Hnsw {
   }
 
   // ------------------------------------------------------- blob format
-  /** Graph blob layout v1 (deflate-compressed, big-endian — the
+  /** Graph blob layout (deflate-compressed, big-endian — the
     * hnswlib discipline: explicit fields, no object serialization):
-    * magic, version, m, efC, n, entry, maxLevel, ids[n], levels[n],
-    * vectors (len + doubles each), links (per node: level count, then
-    * per level: count + neighbor indices). */
+    * magic, version, m, efC, [v2: metric], n, entry, maxLevel,
+    * ids[n], levels[n], vectors (len + doubles each), links (per
+    * node: level count, then per level: count + neighbor indices).
+    * v1 blobs (pre-metric) read back as L2 — exactly what they were
+    * built with. */
   private val BlobMagic = 0x47464e48 // "GFNH"
 
   /** Hard ceiling on one serialized graph blob: parquet binary cells
@@ -203,8 +246,8 @@ object Hnsw {
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(
       new java.util.zip.DeflaterOutputStream(bos))
-    out.writeInt(BlobMagic); out.writeInt(1)
-    out.writeInt(ix.m); out.writeInt(ix.efC)
+    out.writeInt(BlobMagic); out.writeInt(2)
+    out.writeInt(ix.m); out.writeInt(ix.efC); out.writeInt(ix.metric)
     out.writeInt(ix.ids.length); out.writeInt(ix.entry); out.writeInt(ix.maxLevel)
     var i = 0
     while (i < ix.ids.length) { out.writeLong(ix.ids(i)); i += 1 }
@@ -244,8 +287,10 @@ object Hnsw {
       new java.util.zip.InflaterInputStream(new java.io.ByteArrayInputStream(bytes)))
     require(in.readInt() == BlobMagic, "not a graft HNSW graph blob")
     val ver = in.readInt()
-    require(ver == 1, s"unsupported graph blob version $ver")
-    val ix = new Index(in.readInt(), in.readInt())
+    require(ver == 1 || ver == 2, s"unsupported graph blob version $ver")
+    val m = in.readInt(); val efC = in.readInt()
+    val metric = if (ver >= 2) in.readInt() else Metric.L2
+    val ix = new Index(m, efC, metric)
     val n = in.readInt()
     ix.entry = in.readInt(); ix.maxLevel = in.readInt()
     var i = 0
@@ -291,9 +336,10 @@ object Hnsw {
     * it with a sizing-aware error either way). */
   def buildPartitioned(corpus: DataFrame, idCol: String, vecCol: String,
       m: Int = 16, efC: Int = 64, parts: Int = 8,
-      targetVectorsPerGraph: Long = 0L): DataFrame = {
+      targetVectorsPerGraph: Long = 0L, metric: String = "l2"): DataFrame = {
     val spark = corpus.sparkSession
     import org.apache.spark.sql.types._
+    val met = Metric.of(metric) // validate driver-side, ship the id
     val nParts =
       if (targetVectorsPerGraph <= 0) parts
       else math.max(1L, (corpus.count() + targetVectorsPerGraph - 1)
@@ -302,7 +348,7 @@ object Hnsw {
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .repartition(nParts)
       .rdd.mapPartitionsWithIndex { (pid, iter) =>
-        val ix = new Index(m, efC)
+        val ix = new Index(m, efC, met)
         iter.foreach(r => ix.insert(r.getLong(0), r.getSeq[Double](1).toArray))
         if (ix.ids.isEmpty) Iterator.empty
         else Iterator(Row(pid, ser(ix)))
@@ -394,9 +440,10 @@ object Hnsw {
     * scale knob exactly as for the IVF store. */
   def buildCellRouted(corpus: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, spill: Int = 2,
-      m: Int = 16, efC: Int = 64): DataFrame = {
+      m: Int = 16, efC: Int = 64, metric: String = "l2"): DataFrame = {
     val spark = corpus.sparkSession
     import org.apache.spark.sql.types._
+    val met = Metric.of(metric)
     val nlist = centroids.count().toInt
     val assigned = IvfIndex.assignCells(
         corpus.select(col(idCol), col(vecCol)), vecCol, centroids, spill)
@@ -409,7 +456,7 @@ object Hnsw {
         // one graph per CELL regardless (the routing contract)
         val byCell = mutable.Map.empty[Int, Index]
         iter.foreach { r =>
-          byCell.getOrElseUpdate(r.getInt(0), new Index(m, efC))
+          byCell.getOrElseUpdate(r.getInt(0), new Index(m, efC, met))
             .insert(r.getLong(1), r.getSeq[Double](2).toArray)
         }
         byCell.iterator.map { case (cell, ix) => Row(cell, ser(ix)) }

@@ -82,11 +82,11 @@ final class HnswProbeRule(session: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  /** pgvector's `SET hnsw.ef_search` (default 64, as pgvector). */
+  /** pgvector's `SET hnsw.ef_search` (default 40, pgvector's own). */
   private def efSearch: Int =
     session.conf.getOption("hnsw.ef_search")
       .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
-      .filter(_ > 0).getOrElse(64)
+      .filter(_ > 0).getOrElse(40)
 
   private def rewrite(srt: Sort, k: Int): Option[Sort] =
     for {
@@ -103,12 +103,17 @@ final class HnswProbeRule(session: SparkSession) extends Rule[LogicalPlan] {
   /** Sort-key metric → the opclass metric string the index registered
     * under. pgvector parity: an index serves ONLY its opclass's
     * operator (`<->` ↔ vector_l2_ops, `<=>` ↔ vector_cosine_ops,
-    * `<#>` ↔ vector_ip_ops). */
+    * `<#>` ↔ vector_ip_ops, `<+>` ↔ vector_l1_ops). The graph itself
+    * was BUILT with this metric ([[graft.operators.Hnsw.Metric]] in
+    * the blob), so the beam walk ranks candidates with the same
+    * arithmetic the sort re-ranks with — ADVICE r12's low-recall
+    * cosine/ip hazard (L2 graph serving a cosine sort) cannot recur. */
   private def sortMetric(mode: Int, negated: Boolean): Option[String] =
     (mode, negated) match {
       case (VectorDistance.L2.id, false) => Some("l2")
       case (VectorDistance.CosineDist.id, false) => Some("cosine")
       case (VectorDistance.Dot.id, true) => Some("ip")
+      case (VectorDistance.L1.id, false) => Some("l1")
       case _ => None
     }
 

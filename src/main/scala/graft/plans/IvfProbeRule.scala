@@ -544,16 +544,17 @@ final class IvfProbeRule(session: SparkSession) extends Rule[LogicalPlan] {
     * (ascending = closer), so the probe uses the caller's metric. */
   private def cellScore(mode: Int, negated: Boolean, a: Array[Double], b: Array[Double]): Double = {
     val n = math.min(a.length, b.length)
-    var dot = 0.0; var aa = 0.0; var bb = 0.0; var l2 = 0.0
+    var dot = 0.0; var aa = 0.0; var bb = 0.0; var l2 = 0.0; var l1 = 0.0
     var i = 0
     while (i < n) {
       dot += a(i) * b(i); aa += a(i) * a(i); bb += b(i) * b(i)
-      val d = a(i) - b(i); l2 += d * d
+      val d = a(i) - b(i); l2 += d * d; l1 += math.abs(d)
       i += 1
     }
     val raw = mode match {
       case 0 => dot // Dot: negated=true means ORDER BY -dot ASC
       case 1 => math.sqrt(l2)
+      case VectorDistance.L1.id => l1 // a metric: L1-to-centroid ranking is sound
       case m =>
         val sim = math.max(-1.0, math.min(1.0, dot / (math.sqrt(aa) * math.sqrt(bb))))
         if (m == VectorDistance.CosineDist.id) 1.0 - sim else sim

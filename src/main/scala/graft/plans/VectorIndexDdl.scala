@@ -186,26 +186,48 @@ final case class CreateVectorIndexCommand(stmt: VectorIndexDdl.Stmt)
 
   override def output: Seq[Attribute] = Nil
 
-  /** pgvector opclass → metric. The element-type prefix (pgvector
-    * ≥0.7 added `halfvec_*` and `sparsevec_*` opclass families; bit
-    * columns use `bit_hamming_ops`/`bit_jaccard_ops`) selects storage
-    * width in pgvector; here every build path already widens to
-    * array<double> for graph/centroid arithmetic, so the prefix only
-    * needs to be ACCEPTED — the metric suffix is what the probe rules
-    * match on. `vector_l1_ops` maps to the engine's L1 kernel
-    * (vec_l1 / `<+>`). */
+  /** pgvector opclass → metric, gated by what THIS method's build and
+    * probe kernels actually implement (ADVICE r12: accepting an
+    * opclass without a kernel builds an index claiming semantics it
+    * cannot serve). The matrix:
+    *  - `ivfflat` serves l2/ip/cosine — the cell-ranking kernel
+    *    ([[IvfProbeRule]] cellScore) plus the probe rule's sort-metric
+    *    arms. pgvector's ivfflat likewise has no `vector_l1_ops`.
+    *  - `hnsw` serves l2/ip/cosine/l1 — [[graft.operators.Hnsw.Metric]]
+    *    parameterizes the graph build AND beam walk, pgvector's AM
+    *    discipline.
+    *  - `bit_hamming_ops`/`bit_jaccard_ops` are REJECTED with a named
+    *    error: both builds run real-vector arithmetic over
+    *    array<double>, so a bit-metric index would be an L2 graph
+    *    wearing hamming semantics (documented deviation — pgvector
+    *    indexes bit columns; the engine's bit kernels are the explicit
+    *    expression surface, vs_bit_hamming / vs_bit_jaccard).
+    * The element-type prefix (pgvector ≥0.7 `halfvec_*`/`sparsevec_*`)
+    * selects storage width; sparsevec is hnsw-only exactly as in
+    * pgvector. */
   private val OpclassRe =
     "(vector|halfvec|sparsevec)_(l2|cosine|ip|l1)_ops".r
 
   private def metric: String =
     stmt.opclass.map(_.toLowerCase(java.util.Locale.ROOT)) match {
       case None => "l2"
-      case Some(OpclassRe(_, m)) => m
-      case Some("bit_hamming_ops") => "hamming"
-      case Some("bit_jaccard_ops") => "jaccard"
+      case Some(oc @ OpclassRe(prefix, m)) =>
+        if (stmt.method == "ivfflat" && m == "l1") throw new IllegalArgumentException(
+          s"access method ivfflat does not support opclass $oc " +
+            "(pgvector parity: ivfflat has no L1 opclass; use hnsw with vector_l1_ops)")
+        if (stmt.method == "ivfflat" && prefix == "sparsevec")
+          throw new IllegalArgumentException(
+            s"access method ivfflat does not support opclass $oc " +
+              "(pgvector parity: sparsevec indexes are hnsw-only)")
+        m
+      case Some(oc @ ("bit_hamming_ops" | "bit_jaccard_ops")) =>
+        throw new IllegalArgumentException(
+          s"no ${stmt.method} build kernel for opclass $oc: index builds run " +
+            "real-vector arithmetic, so a bit-metric index would rank by the wrong " +
+            "distance — use the explicit bit-distance kernels (vec_hamming/vec_bit_jaccard)")
       case Some(other) => throw new IllegalArgumentException(
         s"unsupported opclass $other (expected {vector|halfvec|sparsevec}_" +
-          "{l2|cosine|ip|l1}_ops, bit_hamming_ops, or bit_jaccard_ops)")
+          "{l2|cosine|ip|l1}_ops; bit opclasses have no index build kernel)")
     }
 
   private def intOpt(key: String, default: Int): Int =
@@ -237,6 +259,17 @@ final case class CreateVectorIndexCommand(stmt: VectorIndexDdl.Stmt)
 
   override def run(session: SparkSession): Seq[Row] = {
     metric // validate the opclass up front
+    // duplicate name (ADVICE r12 medium): a second CREATE under a live
+    // name would overwrite the registry entry with a restore closure
+    // capturing the CURRENT (store-backed) binding — DROP INDEX would
+    // then "restore" the table as a view over the deleted store.
+    // pgvector errors here too: `relation "name" already exists`.
+    if (VectorIndexRegistry.get(indexName).isDefined) {
+      if (stmt.ifNotExists) return Nil
+      throw new IllegalArgumentException(
+        s"""relation "$indexName" already exists (CREATE INDEX under a live index """ +
+          "name; use CREATE INDEX IF NOT EXISTS to no-op, or DROP INDEX first)")
+    }
     val exists = new java.io.File(storePath, "_SUCCESS").exists()
     if (stmt.ifNotExists && exists && registered) return Nil
     val df = session.table(stmt.table)
@@ -297,7 +330,7 @@ final case class CreateVectorIndexCommand(stmt: VectorIndexDdl.Stmt)
     val parts = intOpt("parts", 8)
     val id = idCol(df)
     val graphs = Hnsw.buildPartitioned(df, id, stmt.column,
-      m = m, efC = efC, parts = parts)
+      m = m, efC = efC, parts = parts, metric = metric)
     Hnsw.writeGraphs(graphs, storePath)
     // the indexed table's file-source roots: how HnswProbeRule
     // recognizes a scan of THIS table (the binding stays untouched)

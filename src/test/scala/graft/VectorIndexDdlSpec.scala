@@ -37,7 +37,7 @@ class VectorIndexDdlSpec extends SparkSpec {
     assert(VectorIndexDdl.parse("CREATE INDEX ON t (a)").isEmpty) // btree: not ours
   }
 
-  test("pgvector 0.7+ opclass families: halfvec/sparsevec/bit accepted, metric from suffix") {
+  test("pgvector 0.7+ opclass families: halfvec/sparsevec metric from suffix; kernel-less opclasses refused") {
     withExtSession { s =>
       Tables.embeddings(s, Sf).createOrReplaceTempView("ddl_half")
       s.sql("""CREATE INDEX idx_half ON ddl_half
@@ -55,6 +55,120 @@ class VectorIndexDdlSpec extends SparkSpec {
         s.sql("CREATE INDEX ON ddl_half USING hnsw (embedding quadvec_l2_ops)")
       }
       assert(e.getMessage.contains("quadvec_l2_ops"))
+      // ADVICE r12: an opclass is accepted ONLY when the method has a
+      // matching build/probe kernel. Bit metrics have no index build
+      // kernel (builds run real-vector arithmetic) — named refusal:
+      val eBit = intercept[Exception] {
+        s.sql("CREATE INDEX ON ddl_half USING hnsw (embedding bit_hamming_ops)")
+      }
+      assert(eBit.getMessage.contains("bit_hamming_ops"))
+      // pgvector parity: ivfflat has no l1 and no sparsevec opclass
+      val eL1 = intercept[Exception] {
+        s.sql("CREATE INDEX ON ddl_half USING ivfflat (embedding vector_l1_ops)")
+      }
+      assert(eL1.getMessage.contains("vector_l1_ops"))
+      val eSp = intercept[Exception] {
+        s.sql("CREATE INDEX ON ddl_half USING ivfflat (embedding sparsevec_l2_ops)")
+      }
+      assert(eSp.getMessage.contains("sparsevec_l2_ops"))
+      // hnsw DOES have the l1 kernel (vector_l1_ops is hnsw-only,
+      // exactly as in pgvector)
+      s.sql("""CREATE INDEX idx_l1 ON ddl_half
+               USING hnsw (embedding vector_l1_ops)
+               WITH (m = 8, ef_construction = 32, parts = 2, id = 'vec_id')""")
+      assert(HnswSqlCatalog.get("idx_l1").exists(_.metric == "l1"))
+      s.sql("DROP INDEX idx_l1")
+    }
+  }
+
+  test("duplicate CREATE INDEX name fails loudly; original restore closure survives") {
+    withExtSession { s =>
+      Tables.embeddings(s, Sf).createOrReplaceTempView("ddl_dup")
+      s.sql("""CREATE INDEX idx_dup ON ddl_dup
+               USING ivfflat (embedding) WITH (lists = 4, id = 'vec_id')""")
+      // ADVICE r12 medium: a second CREATE under the live name would
+      // capture the store-backed binding in the restore closure — then
+      // DROP would "restore" a view over the deleted store. pgvector
+      // errors with `relation "name" already exists`; so do we.
+      val e = intercept[Exception] {
+        s.sql("""CREATE INDEX idx_dup ON ddl_dup
+                 USING ivfflat (embedding) WITH (lists = 4, id = 'vec_id')""")
+      }
+      assert(e.getMessage.contains("already exists"))
+      // IF NOT EXISTS no-ops on the live name
+      s.sql("""CREATE INDEX IF NOT EXISTS idx_dup ON ddl_dup
+               USING ivfflat (embedding) WITH (lists = 4, id = 'vec_id')""")
+      // DROP restores the ORIGINAL pre-index binding and the table
+      // still reads the fixture (not the deleted store)
+      s.sql("DROP INDEX idx_dup")
+      assert(!s.table("ddl_dup").columns.contains("centroid_id"),
+        "original binding not restored")
+      assert(s.table("ddl_dup").count() > 0, "restored table reads nothing")
+    }
+  }
+
+  test("hnsw cosine/ip DDL: graph built AND walked with the opclass metric, gated recall") {
+    withExtSession { s =>
+      graft.plans.HnswSqlCatalog.clear()
+      Tables.embeddings(s, Sf).createOrReplaceTempView("ddl_hnsw_met")
+      val vec = Tables.embeddings(s, Sf).filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head.getSeq[Double](0)
+      val vecText = vec.mkString("[", ",", "]")
+      import org.apache.spark.sql.catalyst.expressions.{AttributeReference, In}
+      def probed(df: org.apache.spark.sql.DataFrame): Boolean =
+        df.queryExecution.optimizedPlan.collect {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            f.condition.collect {
+              case In(a: AttributeReference, _) if a.name == "vec_id" => true
+            }
+        }.flatten.nonEmpty
+      def recallVs(got: Seq[Long],
+          distFn: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column): Double = {
+        val exact = graft.operators.Knn.topK(
+          Tables.embeddings(s, Sf), "vec_id", "embedding",
+          Tables.embeddings(s, Sf).filter(col("vec_id") === 0)
+            .select(col("embedding").as("qvec")),
+          "qvec", distFn, 10)
+          .collect().map(_.getLong(0)).toSet
+        got.count(exact.contains).toDouble / 10
+      }
+
+      // --- cosine: ADVICE r12 high — the graph must be BUILT with the
+      // opclass distance, not descend an L2 graph under a cosine sort
+      s.sql("""CREATE INDEX idx_hnsw_cos ON ddl_hnsw_met
+               USING hnsw (embedding vector_cosine_ops)
+               WITH (m = 8, ef_construction = 48, parts = 4, id = 'vec_id')""")
+      val entCos = HnswSqlCatalog.get("idx_hnsw_cos").get
+      val blob = graft.operators.Hnsw.readGraphs(s, entCos.path)
+        .select(col("graph")).head.getAs[Array[Byte]](0)
+      assert(graft.operators.Hnsw.deser(blob).metric == graft.operators.Hnsw.Metric.Cosine,
+        "graph blob does not carry the cosine kernel")
+      val dfCos = s.sql(
+        s"""SELECT vec_id FROM ddl_hnsw_met
+            ORDER BY embedding <=> '$vecText'::vector LIMIT 10""")
+      val gotCos = dfCos.collect().map(_.getLong(0)).toSeq
+      assert(probed(dfCos), "cosine index did not serve the <=> sort")
+      val rCos = recallVs(gotCos, graft.functions.VectorFunctions.cosineDistance)
+      info(f"hnsw cosine DDL recall@10 = $rCos%.2f")
+      assert(rCos >= 0.8, s"cosine recall $rCos below gate")
+      s.sql("DROP INDEX idx_hnsw_cos")
+
+      // --- inner product: the metric pgvector warns L2 descent never
+      // serves (favors large-norm vectors)
+      s.sql("""CREATE INDEX idx_hnsw_ip ON ddl_hnsw_met
+               USING hnsw (embedding vector_ip_ops)
+               WITH (m = 8, ef_construction = 48, parts = 4, id = 'vec_id')""")
+      val dfIp = s.sql(
+        s"""SELECT vec_id FROM ddl_hnsw_met
+            ORDER BY embedding <#> '$vecText'::vector LIMIT 10""")
+      val gotIp = dfIp.collect().map(_.getLong(0)).toSeq
+      assert(probed(dfIp), "ip index did not serve the <#> sort")
+      val rIp = recallVs(gotIp,
+        (a, b) => org.apache.spark.sql.functions.negate(graft.functions.VectorFunctions.dot(a, b)))
+      info(f"hnsw ip DDL recall@10 = $rIp%.2f")
+      assert(rIp >= 0.8, s"ip recall $rIp below gate")
+      s.sql("DROP INDEX idx_hnsw_ip")
     }
   }
 
