@@ -362,7 +362,7 @@ object AnalyticsQueries {
     * RecallGateSpec. */
   private def kllPath(d: String): String =
     new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_kll_v1_${Integer.toHexString(d.hashCode)}").toString
+      s"graft_kll_v1_${graft.Sidecar.key(d)}").toString
 
   private def ensureKllStore(s: SparkSession, d: String): String = {
     val p = kllPath(d)

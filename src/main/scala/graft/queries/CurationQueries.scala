@@ -546,7 +546,7 @@ object CurationQueries {
 
   private def clsGdPath(d: String): String =
     new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_clsgd_v1_${Integer.toHexString(d.hashCode)}").toString
+      s"graft_clsgd_v1_${graft.Sidecar.key(d)}").toString
 
   /** Train NB warm start + [[ClsEpochs]] GD calibration epochs once
     * per sfDir and persist the 2^30-quantized weights — the
@@ -631,7 +631,7 @@ object CurationQueries {
     * curate_classifier. */
   private def clsNbPath(d: String): String =
     new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_clsnb_v1_${Integer.toHexString(d.hashCode)}").toString
+      s"graft_clsnb_v1_${graft.Sidecar.key(d)}").toString
 
   private val ClsNbScale = 1L << 30
 

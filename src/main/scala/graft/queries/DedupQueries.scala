@@ -115,7 +115,7 @@ object DedupQueries {
     * query above conflates with corpus banding. */
   private def incBandsPath(d: String): String =
     new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_incbands_v1_${Integer.toHexString(d.hashCode)}").toString
+      s"graft_incbands_v1_${graft.Sidecar.key(d)}").toString
 
   private def ensureIncStore(s: SparkSession, d: String): String = {
     val p = incBandsPath(d)
@@ -306,7 +306,7 @@ object DedupQueries {
     * approximation vs the exact all-pairs ground truth. */
   private[graft] def dedupIvfStorePath(d: String): String =
     new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_dedupivf_v1_${Integer.toHexString(d.hashCode)}").toString
+      s"graft_dedupivf_v1_${graft.Sidecar.key(d)}").toString
 
   private def ensureDedupIvfStore(s: SparkSession, d: String): String = {
     val p = dedupIvfStorePath(d)

@@ -160,7 +160,7 @@ object PipelineQueries {
     * reproduces it. */
   private def registryDir(d: String): java.io.File =
     new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_registry_v1_${Integer.toHexString(d.hashCode)}")
+      s"graft_registry_v1_${graft.Sidecar.key(d)}")
 
   private[graft] def ensureRegistry(s: SparkSession, d: String): String = {
     val base = registryDir(d)
@@ -258,7 +258,7 @@ object PipelineQueries {
   // text (breaking the round-trip property the docstring promises).
   private def blobDir(d: String, tag: String): java.io.File =
     new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_pdfblobs_${tag}_${PdfPageChars}_${Integer.toHexString(d.hashCode)}")
+      s"graft_pdfblobs_${tag}_${PdfPageChars}_${graft.Sidecar.key(d)}")
 
   // Validity = Spark's _SUCCESS marker, not bare dir existence — a
   // killed run leaves a partial dir that must be rebuilt, not read.

@@ -171,7 +171,7 @@ object RelationalQueries {
     * memory sink holds windows × types rows, never the corpus. */
   private def streamWindowAgg(s: SparkSession, d: String): DataFrame = {
     val src = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_stream_events_v1_${Integer.toHexString(d.hashCode)}").toString
+      s"graft_stream_events_v1_${graft.Sidecar.key(d)}").toString
     RelationalQueries.synchronized {
       if (!new java.io.File(src, "_SUCCESS").exists())
         Tables.events(s, d).repartition(4, col("user_id"))
@@ -217,7 +217,7 @@ object RelationalQueries {
   private def streamSessionize(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val base = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_stream_sess_v1_${Integer.toHexString(d.hashCode)}")
+      s"graft_stream_sess_v1_${graft.Sidecar.key(d)}")
     val srcDir = new java.io.File(base, "src")
     RelationalQueries.synchronized {
       if (!new java.io.File(base, "_GRAFT_DONE").exists()) {

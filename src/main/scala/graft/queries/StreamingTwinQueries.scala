@@ -37,7 +37,7 @@ object StreamingTwinQueries {
   private def sliceDir(s: SparkSession, d: String, sentinel: Boolean): String = {
     val tag = if (sentinel) "sent" else "plain"
     val base = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_stream_feed_v1_${tag}_${Integer.toHexString(d.hashCode)}")
+      s"graft_stream_feed_v1_${tag}_${graft.Sidecar.key(d)}")
     val srcDir = new java.io.File(base, "src")
     StreamingTwinQueries.synchronized {
       if (!new java.io.File(base, "_GRAFT_DONE").exists()) {

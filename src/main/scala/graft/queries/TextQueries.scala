@@ -506,7 +506,7 @@ object TextQueries {
     * which a localCheckpoint handoff would not. */
   private[graft] def ensureBpe(s: SparkSession, d: String): (String, String) = {
     val base = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_bpe_v1_${Integer.toHexString(d.hashCode)}")
+      s"graft_bpe_v1_${graft.Sidecar.key(d)}")
     val mergesP = new java.io.File(base, "merges").toString
     val symsP = new java.io.File(base, "syms").toString
     TextQueries.synchronized {
@@ -584,7 +584,7 @@ object TextQueries {
   def bpeTrainBench(s: SparkSession, d: String): (() => Unit, () => DataFrame) = {
     val build = () => {
       val base = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_bpe_v1_${Integer.toHexString(d.hashCode)}")
+        s"graft_bpe_v1_${graft.Sidecar.key(d)}")
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
       }
@@ -613,7 +613,7 @@ object TextQueries {
     * recursive reference, which SQL recursion cannot express. */
   private def bpeApplySql(d: String): String = {
     val mergesP = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_bpe_v1_${Integer.toHexString(d.hashCode)}/merges").toString
+      s"graft_bpe_v1_${graft.Sidecar.key(d)}/merges").toString
     s"""
     WITH RECURSIVE m AS (
       SELECT rank, lhs, rhs, merged FROM read_parquet('$mergesP/*.parquet')),

@@ -28,7 +28,7 @@ object TxnQueries {
 
   private def freshDir(tag: String, d: String): java.io.File =
     new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_txn_${tag}_v1_${Integer.toHexString(d.hashCode)}")
+      s"graft_txn_${tag}_v1_${graft.Sidecar.key(d)}")
 
   private def wipe(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(wipe)

@@ -141,7 +141,7 @@ object VectorQueries {
     * probed cells), plus centroids + codebooks sidecars. */
   private[graft] def ivfPqBasePath(d: String): java.io.File =
     new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_ivfpq_v1_${Integer.toHexString(d.hashCode)}")
+      s"graft_ivfpq_v1_${graft.Sidecar.key(d)}")
 
   private def ensureIvfPqStore(s: SparkSession, d: String): (String, String, String) = {
     val base = ivfPqBasePath(d)
@@ -244,7 +244,7 @@ object VectorQueries {
     * tmpdir with the ensureAutoStore _SUCCESS discipline. */
   private[graft] def ensureRoutedGraphs(s: SparkSession, d: String): (String, String) = {
     val base = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_hnswcell_v1_${Integer.toHexString(d.hashCode)}")
+      s"graft_hnswcell_v1_${graft.Sidecar.key(d)}")
     val graphsP = new java.io.File(base, "graphs").toString
     val centP = new java.io.File(base, "centroids").toString
     VectorQueries.synchronized {
@@ -320,7 +320,7 @@ object VectorQueries {
     * REPLAYABLE: the oracle recomputes only the QUERY's signatures. */
   private[graft] def lshStorePath(d: String): String =
     new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_lsh_v1_${Integer.toHexString(d.hashCode)}").toString
+      s"graft_lsh_v1_${graft.Sidecar.key(d)}").toString
 
   private[graft] val LshTables = 8
   private[graft] val LshBits = 4
@@ -562,7 +562,7 @@ object VectorQueries {
     * 10×; the blocking geometry exercised is identical. */
   private def kjInitStorePath(d: String): String =
     new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_kjinit_v1_${Integer.toHexString(d.hashCode)}").toString
+      s"graft_kjinit_v1_${graft.Sidecar.key(d)}").toString
 
   private def ensureKjInitStore(s: SparkSession, d: String): String = {
     val p = kjInitStorePath(d)
@@ -1103,7 +1103,7 @@ object VectorQueries {
   /** Build-once (vec_id, head) sidecar: the first [[MrlHead]] dims. */
   private def ensureMrlStore(s: SparkSession, d: String): String = {
     val p = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_mrl_v1_${Integer.toHexString(d.hashCode)}").toString
+      s"graft_mrl_v1_${graft.Sidecar.key(d)}").toString
     VectorQueries.synchronized {
       if (!new java.io.File(p, "_SUCCESS").exists())
         corpus(s, d)
@@ -1397,7 +1397,7 @@ object VectorQueries {
     * column (same build-once _SUCCESS discipline as ensureAutoStore). */
   private def ensureBqStore(s: SparkSession, d: String): String = {
     val p = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_bq_v1_${Integer.toHexString(d.hashCode)}").toString
+      s"graft_bq_v1_${graft.Sidecar.key(d)}").toString
     VectorQueries.synchronized {
       if (!new java.io.File(p, "_SUCCESS").exists())
         graft.operators.BinaryQuant.writeStore(
@@ -1428,7 +1428,7 @@ object VectorQueries {
     * scan IO than float32. */
   private[graft] def sqStorePath(d: String): String =
     new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_sq_v1_${Integer.toHexString(d.hashCode)}").toString
+      s"graft_sq_v1_${graft.Sidecar.key(d)}").toString
 
   private def ensureSqStore(s: SparkSession, d: String): String = {
     val p = sqStorePath(d)
@@ -1468,7 +1468,7 @@ object VectorQueries {
           Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
         }
         rm(new java.io.File(sys.props("java.io.tmpdir"),
-          s"graft_sq_v1_${Integer.toHexString(d.hashCode)}"))
+          s"graft_sq_v1_${graft.Sidecar.key(d)}"))
       }
       path = ensureSqStore(s, d)
     }
@@ -1483,7 +1483,7 @@ object VectorQueries {
     * (pack is deterministic: the stored row 0 IS `Half.pack(q)`). */
   private[graft] def halfStorePath(d: String): String =
     new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_half_v2_${Integer.toHexString(d.hashCode)}").toString
+      s"graft_half_v2_${graft.Sidecar.key(d)}").toString
 
   private def ensureHalfStore(s: SparkSession, d: String): String = {
     import org.apache.spark.sql.GraftSqlBridge.{toColumn, toExpression}
@@ -1594,7 +1594,7 @@ object VectorQueries {
     var query: Array[Double] = null
     val build = () => {
       val p = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_bq_bench_${Integer.toHexString(d.hashCode)}").toString
+        s"graft_bq_bench_${graft.Sidecar.key(d)}").toString
       graft.operators.BinaryQuant.writeStore(
         emb.filter(col("vec_id") =!= 0), "vec_id", "embedding", p)
       bqStore = s.read.parquet(p)
@@ -1613,7 +1613,7 @@ object VectorQueries {
     * deterministic arithmetic the oracle re-runs in DuckDB. */
   private[graft] def pqBasePath(d: String): java.io.File =
     new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_pq_v1_${Integer.toHexString(d.hashCode)}")
+      s"graft_pq_v1_${graft.Sidecar.key(d)}")
 
   private def ensurePqStore(s: SparkSession, d: String): (String, String) = {
     val base = pqBasePath(d)
@@ -1656,7 +1656,7 @@ object VectorQueries {
     * v2 added the radius column.) */
   private[graft] def autoBasePath(d: String): java.io.File =
     new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_ivf_auto_v4_${Integer.toHexString(d.hashCode)}")
+      s"graft_ivf_auto_v4_${graft.Sidecar.key(d)}")
 
   private def ensureAutoStore(s: SparkSession, d: String): (String, String) = {
     // v4: spilled layout carries the ranked cells array + cell_rank
@@ -1698,7 +1698,7 @@ object VectorQueries {
     * probe dedup predicate. */
   private[graft] def txnBasePath(d: String): java.io.File =
     new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_ivf_txn_v1_${Integer.toHexString(d.hashCode)}")
+      s"graft_ivf_txn_v1_${graft.Sidecar.key(d)}")
 
   private[graft] def ensureTxnStore(s: SparkSession, d: String): (String, String) = {
     val base = txnBasePath(d)
@@ -1759,7 +1759,7 @@ object VectorQueries {
           Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
         }
         rm(new java.io.File(sys.props("java.io.tmpdir"),
-          s"graft_ivf_txn_v1_${Integer.toHexString(d.hashCode)}"))
+          s"graft_ivf_txn_v1_${graft.Sidecar.key(d)}"))
       }
       ensureTxnStore(s, d); ()
     }
@@ -1873,7 +1873,7 @@ object VectorQueries {
       // every machine — a cache hit would time a no-op (r2 reported
       // 0.19 s for what is really a ~3 s build)
       val base = new java.io.File(sys.props("java.io.tmpdir"),
-        s"graft_ivf_auto_v4_${Integer.toHexString(d.hashCode)}")
+        s"graft_ivf_auto_v4_${graft.Sidecar.key(d)}")
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
       }
