@@ -125,11 +125,19 @@ object Hnsw {
     }
 
     /** Beam search at one level: returns up to `ef` (nodeIdx, dist)
-      * sorted ascending. */
+      * sorted ascending by (dist, node).
+      *
+      * Heaps order by (dist, NODE) — r13, the oracle-replay contract:
+      * a dist-only ordering left equal-distance pops, evictions and
+      * the take(k) cut to heap internals, so the walk result was not
+      * a pure function of (graph, query). With the lexicographic
+      * tie-break every step is deterministic, which is what lets the
+      * DuckDB oracle replay the walk bit-for-bit. */
     private def beam(q: Array[Double], start: Int, level: Int, ef: Int): mutable.ArrayBuffer[(Int, Double)] = {
       val visited = mutable.HashSet(start)
-      // candidates: min-heap by dist; results: max-heap by dist
-      implicit val byDist: Ordering[(Int, Double)] = Ordering.by(_._2)
+      // candidates: min-heap by (dist, node); results: max-heap
+      implicit val byDist: Ordering[(Int, Double)] =
+        Ordering.by[(Int, Double), (Double, Int)](t => (t._2, t._1))
       val cand = mutable.PriorityQueue((start, dist(q, vecs(start))))(byDist.reverse)
       val res = mutable.PriorityQueue((start, dist(q, vecs(start))))(byDist)
       while (cand.nonEmpty) {
@@ -516,6 +524,34 @@ object Hnsw {
 
   def readGraphs(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
     spark.read.parquet(path)
+
+  /** Relational dump of partition graphs — one row per node with the
+    * level-indexed adjacency as a nested list — so an EXTERNAL engine
+    * can replay the deterministic beam walk over exactly the data the
+    * blobs carry (the DuckDB oracle for the vs_hnsw_* entries; r13).
+    * Works for both the flat (part_id) and cell-routed (cell_id)
+    * layouts: the first column is passed through as `part_id`. */
+  def dumpParsed(graphs: DataFrame): DataFrame = {
+    val spark = graphs.sparkSession
+    import org.apache.spark.sql.types._
+    val rdd = graphs.rdd.flatMap { row =>
+      val pid = row.getInt(0)
+      val ix = deser(row.getAs[Array[Byte]](1))
+      (0 until ix.ids.length).iterator.map { n =>
+        Row(pid, n, ix.ids(n), ix.vecs(n).toSeq,
+          ix.links(n).map(_.toSeq).toSeq, ix.entry, ix.maxLevel)
+      }
+    }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("part_id", IntegerType, nullable = false),
+      StructField("node", IntegerType, nullable = false),
+      StructField("vec_id", LongType, nullable = false),
+      StructField("vec", ArrayType(DoubleType, containsNull = false), nullable = false),
+      StructField("nbrs", ArrayType(ArrayType(IntegerType, containsNull = false),
+        containsNull = false), nullable = false),
+      StructField("entry", IntegerType, nullable = false),
+      StructField("max_level", IntegerType, nullable = false))))
+  }
 
   /** Incremental maintenance (the graph twin of
     * [[IvfIndex.streamAssign]]): route each new vector to a partition

@@ -211,27 +211,55 @@ object VectorQueries {
   private[graft] val HnswM = 16
   private[graft] val HnswEfC = 64
   private[graft] val HnswEf = 96
+  private[graft] val HnswParts = 8
+  private[graft] val HnswFilterWiden = 8
+
+  /** Build-once flat partitioned graph store + its RELATIONAL dump
+    * ([[graft.operators.Hnsw.dumpParsed]]): with deterministic
+    * (dist, node) heap tie-breaks the ef-beam walk is a pure function
+    * of (graph, query), so persisting the parsed adjacency lets the
+    * DuckDB oracle replay the walk bit-for-bit (r13 — the flip that
+    * moved the hnsw trio off the rows-only tier). */
+  private[graft] def ensureHnswStore(s: SparkSession, d: String): (String, String) = {
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_hnswflat_v1_${graft.Sidecar.key(d)}")
+    val graphsP = new java.io.File(base, "graphs").toString
+    val dumpP = new java.io.File(base, "dump").toString
+    VectorQueries.synchronized {
+      if (!new java.io.File(dumpP, "_SUCCESS").exists()) {
+        val graphs = graft.operators.Hnsw.buildPartitioned(
+          corpus(s, d), "vec_id", "embedding",
+          m = HnswM, efC = HnswEfC, parts = HnswParts)
+        graft.operators.Hnsw.writeGraphs(graphs, graphsP)
+        graft.operators.Hnsw.dumpParsed(
+          graft.operators.Hnsw.readGraphs(s, graphsP))
+          .write.mode("overwrite").parquet(dumpP)
+      }
+    }
+    (graphsP, dumpP)
+  }
 
   private def hnswKnn(s: SparkSession, d: String): DataFrame = {
-    val graphs = graft.operators.Hnsw.buildPartitioned(
-      corpus(s, d), "vec_id", "embedding", m = HnswM, efC = HnswEfC, parts = 8)
+    val (graphsP, _) = ensureHnswStore(s, d)
     val q = queryVec(s, d).select(col("qvec").cast("array<double>"))
       .head.getSeq[Double](0).toArray
-    graft.operators.Hnsw.search(graphs, q, K, ef = HnswEf)
+    graft.operators.Hnsw.search(
+      graft.operators.Hnsw.readGraphs(s, graphsP), q, K, ef = HnswEf)
   }
 
   /** Filtered graph search (`WHERE label = 3 ORDER BY <-> LIMIT k`
     * through the HNSW index): widened beam over-fetch + metadata
     * semi-join + exact top-k of survivors
-    * ([[graft.operators.Hnsw.searchFiltered]]). Rows-only:
-    * approximate, recall-gated vs the exact filtered search. */
+    * ([[graft.operators.Hnsw.searchFiltered]]). Deterministic given
+    * the persisted graphs — oracle-replayed like the unfiltered walk,
+    * with the survivor semi-join done relationally. */
   private def hnswFiltered(s: SparkSession, d: String): DataFrame = {
-    val graphs = graft.operators.Hnsw.buildPartitioned(
-      corpus(s, d), "vec_id", "embedding", m = HnswM, efC = HnswEfC, parts = 8)
+    val (graphsP, _) = ensureHnswStore(s, d)
     val q = queryVec(s, d).select(col("qvec").cast("array<double>"))
       .head.getSeq[Double](0).toArray
-    graft.operators.Hnsw.searchFiltered(graphs, Tables.embeddings(s, d), "vec_id",
-      col("label") === 3, q, K, ef = HnswEf)
+    graft.operators.Hnsw.searchFiltered(
+      graft.operators.Hnsw.readGraphs(s, graphsP), Tables.embeddings(s, d), "vec_id",
+      col("label") === 3, q, K, ef = HnswEf, widen = HnswFilterWiden)
   }
 
   // -------------------------------------------- cell-routed HNSW (r7)
@@ -244,7 +272,7 @@ object VectorQueries {
     * tmpdir with the ensureAutoStore _SUCCESS discipline. */
   private[graft] def ensureRoutedGraphs(s: SparkSession, d: String): (String, String) = {
     val base = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_hnswcell_v1_${graft.Sidecar.key(d)}")
+      s"graft_hnswcell_v2_${graft.Sidecar.key(d)}")
     val graphsP = new java.io.File(base, "graphs").toString
     val centP = new java.io.File(base, "centroids").toString
     VectorQueries.synchronized {
@@ -257,11 +285,192 @@ object VectorQueries {
           corpus(s, d), "vec_id", "embedding", centroids,
           spill = RoutedSpill, m = HnswM, efC = HnswEfC)
         graft.operators.Hnsw.writeGraphs(graphs, graphsP)
+        // relational dump beside the blobs: the DuckDB oracle replays
+        // the probed cells' walks over exactly this adjacency (r13)
+        graft.operators.Hnsw.dumpParsed(
+          graft.operators.Hnsw.readGraphs(s, graphsP))
+          .write.mode("overwrite").parquet(new java.io.File(base, "dump").toString)
         centroids.write.mode("overwrite").parquet(centP)
         mat.releaseAll()
       }
     }
     (graphsP, centP)
+  }
+
+  private def routedDumpPath(d: String): String =
+    new java.io.File(new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_hnswcell_v2_${graft.Sidecar.key(d)}"), "dump").toString
+
+  // ---------------------------------------- hnsw beam-walk oracles (r13)
+  /** DuckDB replay of [[graft.operators.Hnsw.Index.searchKnn]] over
+    * the persisted parsed dump: greedy descent (levels maxl..1) as a
+    * recursive CTE, then the ef-beam at level 0 as ONE recursive CTE
+    * PER PARTITION GRAPH (unrolled — DuckDB 1.0's vectorized executor
+    * misaligns rows when a multi-row recursive working table carries
+    * heavy nested-list state; a single-row recursion cannot). All
+    * state transitions are scalar list/struct ops mirroring the
+    * engine's (dist, node)-deterministic heaps step for step:
+    * identical pops, identical admissions, identical evictions —
+    * hence identical doubles (the L2 fold is the same sequential
+    * sum DuckDB's list_sum runs). Node ids are globalized (per-part
+    * offsets) so every lambda reads one shared graph row. */
+  private def hnswDistSql(n: String): String =
+    s"sqrt(list_sum(list_transform(list_zip(gg.qv, gg.vv[$n + 1]), " +
+      "x -> (x[1] - x[2]) * (x[1] - x[2]))))"
+
+  private def hnswWalkPrelude(dumpGlob: String): String = s"""
+    qcte AS MATERIALIZED (
+      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      FROM embeddings WHERE vec_id = 0),
+    dmp AS MATERIALIZED (SELECT * FROM read_parquet('$dumpGlob')),
+    pmeta AS MATERIALIZED (
+      SELECT part_id, any_value(entry) AS entry, any_value(max_level) AS maxl,
+             count(*) AS n
+      FROM dmp GROUP BY part_id),
+    offs AS MATERIALIZED (
+      SELECT part_id, entry, maxl,
+        coalesce(CAST(sum(n) OVER (ORDER BY part_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS INTEGER), 0) AS o
+      FROM pmeta),
+    nodesg AS MATERIALIZED (
+      SELECT d.part_id, o.o + d.node AS gnode, d.vec_id, d.vec,
+             list_transform(d.nbrs, ll -> list_transform(ll, nb -> nb + o.o)) AS gnbrs
+      FROM dmp d JOIN offs o USING (part_id)),
+    gg AS MATERIALIZED (
+      SELECT (SELECT list(vec ORDER BY gnode) FROM nodesg) AS vv,
+             (SELECT list(vec_id ORDER BY gnode) FROM nodesg) AS ids,
+             (SELECT list(gnbrs ORDER BY gnode) FROM nodesg) AS adj,
+             (SELECT qv FROM qcte) AS qv),
+    down(part_id, lvl, cur) AS (
+      SELECT part_id, maxl, entry + o FROM offs
+      UNION ALL
+      SELECT part_id, CASE WHEN nxt = cur THEN lvl - 1 ELSE lvl END, nxt
+      FROM (
+        SELECT w.part_id, w.lvl, w.cur,
+          cl[list_position(ds, list_aggregate(ds, 'min'))] AS nxt
+        FROM (
+          SELECT w0.part_id, w0.lvl, w0.cur,
+            list_prepend(w0.cur, gg.adj[w0.cur + 1][w0.lvl + 1]) AS cl,
+            list_transform(list_prepend(w0.cur, gg.adj[w0.cur + 1][w0.lvl + 1]),
+              n -> ${hnswDistSql("n")}) AS ds
+          FROM down w0, gg WHERE w0.lvl > 0
+        ) w
+      )
+    )"""
+
+  /** One graph's beam walk as a single-row recursion; `gate` further
+    * restricts the anchor (the routed oracle's probed-cell filter). */
+  private def hnswWalkCte(p: Int, ef: Int, fetch: Int, gate: String): String = s"""
+    walk_$p(step, cand, vis, res, done) AS (
+      SELECT 0,
+        [struct_pack(d := ${hnswDistSql("s.cur")}, n := s.cur)],
+        [s.cur],
+        [struct_pack(d := ${hnswDistSql("s.cur")}, n := s.cur)],
+        false
+      FROM (SELECT cur FROM down WHERE lvl = 0 AND part_id = $p $gate) s, gg
+      UNION ALL
+      SELECT step + 1,
+        CASE WHEN brk THEN [] ELSE folded.cand END,
+        CASE WHEN brk THEN vis ELSE vis || nbrs END,
+        CASE WHEN brk THEN res ELSE folded.res END,
+        brk
+      FROM (
+        SELECT w.step, w.vis, w.res, w.brk, w.nbrs,
+          list_reduce(
+            list_prepend(struct_pack(cand := w.rest, res := w.res), w.entries),
+            (acc, x) -> CASE
+              WHEN len(acc.res) < $ef OR x.cand[1].d < acc.res[len(acc.res)].d
+              THEN struct_pack(
+                cand := list_sort(list_append(acc.cand, x.cand[1])),
+                res := list_slice(list_sort(list_append(acc.res, x.cand[1])), 1, $ef))
+              ELSE acc END) AS folded
+        FROM (
+          SELECT w0.step, w0.vis, w0.res,
+            (len(w0.res) >= $ef AND (list_sort(w0.cand))[1].d > w0.res[len(w0.res)].d) AS brk,
+            list_slice(list_sort(w0.cand), 2, len(w0.cand)) AS rest,
+            list_filter(gg.adj[(list_sort(w0.cand))[1].n + 1][1],
+              nb -> NOT list_contains(w0.vis, nb)) AS nbrs,
+            list_transform(
+              list_filter(gg.adj[(list_sort(w0.cand))[1].n + 1][1],
+                nb -> NOT list_contains(w0.vis, nb)),
+              nb -> struct_pack(
+                cand := [struct_pack(d := ${hnswDistSql("nb")}, n := nb)],
+                res := CAST([] AS STRUCT(d DOUBLE, n INTEGER)[]))) AS entries
+          FROM walk_$p w0, gg
+          WHERE NOT w0.done AND len(w0.cand) > 0
+        ) w
+      )
+    ),
+    final_$p AS (
+      SELECT max_by(res, step) AS res FROM walk_$p WHERE done OR len(cand) = 0
+    )"""
+
+  private def hnswAllRes(parts: Seq[Int], fetch: Int): String =
+    parts.map(p =>
+      s"SELECT r.n AS n, r.d AS d FROM final_$p, unnest(list_slice(res, 1, $fetch)) AS u(r)")
+      .mkString(" UNION ALL ")
+
+  /** vs_hnsw_knn: per-graph top-K walks, exact (dist, vec_id) merge —
+    * [[graft.operators.Hnsw.search]] replayed. */
+  private def hnswKnnOracle(d: String): String = {
+    val dump = new java.io.File(new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_hnswflat_v1_${graft.Sidecar.key(d)}"), "dump").toString
+    val parts = 0 until HnswParts
+    s"""WITH RECURSIVE
+    ${hnswWalkPrelude(s"$dump/*.parquet")},
+    ${parts.map(p => hnswWalkCte(p, HnswEf, K, "")).mkString(",")},
+    allres AS (${hnswAllRes(parts, K)})
+    SELECT gg.ids[a.n + 1] AS vec_id, a.d AS dist
+    FROM allres a, gg
+    ORDER BY dist, vec_id LIMIT $K"""
+  }
+
+  /** vs_hnsw_filtered: widened per-graph fetch (k·widen), survivor
+    * semi-join on the metadata predicate, exact top-k —
+    * [[graft.operators.Hnsw.searchFiltered]] replayed. */
+  private def hnswFilteredOracle(d: String): String = {
+    val dump = new java.io.File(new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_hnswflat_v1_${graft.Sidecar.key(d)}"), "dump").toString
+    val parts = 0 until HnswParts
+    val fetch = K * HnswFilterWiden
+    val ef = math.max(HnswEf, fetch)
+    s"""WITH RECURSIVE
+    ${hnswWalkPrelude(s"$dump/*.parquet")},
+    ${parts.map(p => hnswWalkCte(p, ef, fetch, "")).mkString(",")},
+    allres AS (${hnswAllRes(parts, fetch)})
+    SELECT gg.ids[a.n + 1] AS vec_id, a.d AS dist
+    FROM allres a, gg
+    WHERE gg.ids[a.n + 1] IN (SELECT vec_id FROM embeddings WHERE label = 3)
+    ORDER BY dist, vec_id LIMIT $K"""
+  }
+
+  /** vs_hnsw_routed: centroid ranking picks the nprobe cells (the
+    * rankCells (dist, cell) sort), only those cells' graphs walk, and
+    * spill copies collapse to one row per vec_id —
+    * [[graft.operators.Hnsw.searchRouted]] replayed. */
+  private def hnswRoutedOracle(d: String): String = {
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_hnswcell_v2_${graft.Sidecar.key(d)}")
+    val dump = new java.io.File(base, "dump").toString
+    val cent = new java.io.File(base, "centroids").toString
+    val cells = 0 until RoutedNlist
+    val gate = "AND part_id IN (SELECT part_id FROM probed)"
+    s"""WITH RECURSIVE
+    ${hnswWalkPrelude(s"$dump/*.parquet")},
+    probed AS (
+      SELECT part_id FROM (
+        SELECT c.centroid_id AS part_id,
+          sqrt(list_sum(list_transform(
+            list_zip(q.qv, list_transform(c.centroid, x -> CAST(x AS DOUBLE))),
+            x -> (x[1] - x[2]) * (x[1] - x[2])))) AS cd
+        FROM read_parquet('$cent/*.parquet') c, qcte q)
+      ORDER BY cd, part_id LIMIT $RoutedNprobe),
+    ${cells.map(p => hnswWalkCte(p, HnswEf, K, gate)).mkString(",")},
+    allres AS (${hnswAllRes(cells, K)})
+    SELECT gg.ids[a.n + 1] AS vec_id, min(a.d) AS dist
+    FROM allres a, gg
+    GROUP BY 1
+    ORDER BY dist, vec_id LIMIT $K"""
   }
 
   /** Cell-ROUTED graph ANN (VERDICT r6 #5): the query walks only its
@@ -2283,9 +2492,9 @@ object VectorQueries {
     "vs_ivf_txn"      -> QueryDef(ivfTxn _, ivfTxnOracle(d)),
     "vs_knn_filtered_auto" -> QueryDef(knnFilteredAuto _, knnFilteredAutoOracle(d)),
     "vs_knn_filtered_iter" -> QueryDef(knnFilteredIter _, knnFilteredIterOracle(d)),
-    "vs_hnsw_knn"     -> QueryDef(hnswKnn _, None),
-    "vs_hnsw_routed"  -> QueryDef(hnswRouted _, None),
-    "vs_hnsw_filtered" -> QueryDef(hnswFiltered _, None),
+    "vs_hnsw_knn"     -> QueryDef(hnswKnn _, hnswKnnOracle(d)),
+    "vs_hnsw_routed"  -> QueryDef(hnswRouted _, hnswRoutedOracle(d)),
+    "vs_hnsw_filtered" -> QueryDef(hnswFiltered _, hnswFilteredOracle(d)),
     "vs_ivfpq_knn"    -> QueryDef(ivfPqKnn _, ivfPqKnnOracle(d)),
     "vs_ivf_batch"    -> QueryDef(ivfBatch _, ivfBatchOracle(d)),
     "vs_ivf_knn"      -> QueryDef(ivfKnn _, ivfProbeOracle(d)),

@@ -44,7 +44,12 @@ class InventorySyncSpec extends AnyFunSuite {
     // to a quantized sidecar like _nb; integer-dot sweep replayed.
     // events_quantiles_sketch flipped — persisted per-type sketch
     // state, weighted-quantile select replayed relationally
-    assert(SparkEntry.oracleSql.size == 163)
+    // r13: the hnsw trio flipped — deterministic (dist, node) heap
+    // tie-breaks make the beam walk a pure function of
+    // (graph, query); the persisted parsed-adjacency dump is replayed
+    // in DuckDB as per-graph single-row recursive CTEs (greedy
+    // descent + ef-beam), bit-exact at sf0.01 and sf1.0
+    assert(SparkEntry.oracleSql.size == 166)
   }
 
   test("every rows-only (non-oracled) query carries a gate in RecallGateSpec") {
