@@ -497,6 +497,44 @@ case class HalfPackExpr(child: Expression)
     copy(child = newChild)
 }
 
+/** Inverse of [[HalfPackExpr]]: a packed binary16 column back to
+  * array<float> — what lets a half-packed STORE expose the original
+  * vector column name through a view (the halfvec-opclass DDL route,
+  * r13): the scan reads the 2-byte codes (ReadSchema shows only the
+  * packed column), the projection widens, and every downstream
+  * distance sees pgvector's halfvec values (float16-rounded). */
+case class HalfUnpackExpr(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  override def dataType: DataType =
+    ArrayType(org.apache.spark.sql.types.FloatType, containsNull = false)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.BinaryType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"half_unpack needs a binary halfvec column, got $t")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val b = input.asInstanceOf[Array[Byte]]
+    val n = b.length / 2
+    val out = new Array[Float](n)
+    var i = 0
+    while (i < n) {
+      val h = ((b(2 * i) & 0xff) | ((b(2 * i + 1) & 0xff) << 8)).toShort
+      out(i) = Half.fromHalfBits(h)
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Distance between a packed halfvec column ([[HalfPackExpr]] output)
   * and one dequantized query (driver metadata, already half-rounded):
   * elements dequantize binary16→double and accumulate with the SAME

@@ -61,7 +61,13 @@ object Hnsw {
     * across Scala/JVM/library versions and deserializes data only
     * (ObjectInputStream over a blob column would instantiate arbitrary
     * classes — a stored-data deserialization gadget risk). */
-  final class Index(val m: Int, val efC: Int, val metric: Int = Metric.L2) {
+  /** `half = true` stores vectors as IEEE binary16 in the blob —
+    * HALF the index bytes, the pgvector `halfvec_*` opclass storage
+    * trade. Vectors must be half-ROUNDED before insert (the build
+    * helpers do it), so build-time and serve-time arithmetic see the
+    * same values and ser/deser is lossless. */
+  final class Index(val m: Int, val efC: Int, val metric: Int = Metric.L2,
+      val half: Boolean = false) {
     val ids = mutable.ArrayBuffer.empty[Long]
     val vecs = mutable.ArrayBuffer.empty[Array[Double]]
     val nodeLevel = mutable.ArrayBuffer.empty[Int]
@@ -254,8 +260,9 @@ object Hnsw {
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(
       new java.util.zip.DeflaterOutputStream(bos))
-    out.writeInt(BlobMagic); out.writeInt(2)
+    out.writeInt(BlobMagic); out.writeInt(3)
     out.writeInt(ix.m); out.writeInt(ix.efC); out.writeInt(ix.metric)
+    out.writeBoolean(ix.half)
     out.writeInt(ix.ids.length); out.writeInt(ix.entry); out.writeInt(ix.maxLevel)
     var i = 0
     while (i < ix.ids.length) { out.writeLong(ix.ids(i)); i += 1 }
@@ -266,7 +273,12 @@ object Hnsw {
       val v = ix.vecs(i)
       out.writeInt(v.length)
       var j = 0
-      while (j < v.length) { out.writeDouble(v(j)); j += 1 }
+      if (ix.half)
+        while (j < v.length) {
+          out.writeShort(graft.functions.Half.toHalfBits(v(j).toFloat)); j += 1
+        }
+      else
+        while (j < v.length) { out.writeDouble(v(j)); j += 1 }
       i += 1
     }
     i = 0
@@ -295,10 +307,11 @@ object Hnsw {
       new java.util.zip.InflaterInputStream(new java.io.ByteArrayInputStream(bytes)))
     require(in.readInt() == BlobMagic, "not a graft HNSW graph blob")
     val ver = in.readInt()
-    require(ver == 1 || ver == 2, s"unsupported graph blob version $ver")
+    require(ver >= 1 && ver <= 3, s"unsupported graph blob version $ver")
     val m = in.readInt(); val efC = in.readInt()
     val metric = if (ver >= 2) in.readInt() else Metric.L2
-    val ix = new Index(m, efC, metric)
+    val half = if (ver >= 3) in.readBoolean() else false
+    val ix = new Index(m, efC, metric, half)
     val n = in.readInt()
     ix.entry = in.readInt(); ix.maxLevel = in.readInt()
     var i = 0
@@ -310,7 +323,12 @@ object Hnsw {
       val len = in.readInt()
       val v = new Array[Double](len)
       var j = 0
-      while (j < len) { v(j) = in.readDouble(); j += 1 }
+      if (half)
+        while (j < len) {
+          v(j) = graft.functions.Half.fromHalfBits(in.readShort()).toDouble; j += 1
+        }
+      else
+        while (j < len) { v(j) = in.readDouble(); j += 1 }
       ix.vecs += v
       i += 1
     }
@@ -344,7 +362,8 @@ object Hnsw {
     * it with a sizing-aware error either way). */
   def buildPartitioned(corpus: DataFrame, idCol: String, vecCol: String,
       m: Int = 16, efC: Int = 64, parts: Int = 8,
-      targetVectorsPerGraph: Long = 0L, metric: String = "l2"): DataFrame = {
+      targetVectorsPerGraph: Long = 0L, metric: String = "l2",
+      half: Boolean = false): DataFrame = {
     val spark = corpus.sparkSession
     import org.apache.spark.sql.types._
     val met = Metric.of(metric) // validate driver-side, ship the id
@@ -356,8 +375,15 @@ object Hnsw {
       .select(col(idCol).cast("long"), col(vecCol).cast("array<double>"))
       .repartition(nParts)
       .rdd.mapPartitionsWithIndex { (pid, iter) =>
-        val ix = new Index(m, efC, met)
-        iter.foreach(r => ix.insert(r.getLong(0), r.getSeq[Double](1).toArray))
+        val ix = new Index(m, efC, met, half)
+        // half storage: round BEFORE insert so the graph is built with
+        // the same float16 values the blob stores (ser is lossless)
+        def vec(r: Row): Array[Double] = {
+          val v = r.getSeq[Double](1).toArray
+          if (half) graft.functions.Half.unpackToDouble(graft.functions.Half.pack(v))
+          else v
+        }
+        iter.foreach(r => ix.insert(r.getLong(0), vec(r)))
         if (ix.ids.isEmpty) Iterator.empty
         else Iterator(Row(pid, ser(ix)))
       }

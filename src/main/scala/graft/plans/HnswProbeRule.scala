@@ -182,7 +182,11 @@ final class HnswProbeRule(session: SparkSession) extends Rule[LogicalPlan] {
       val spark = session
       import spark.implicits._
       val cnt = HnswProbeRule.deserCounter
-      val q = query
+      // halfvec index: the graph stores float16-rounded vectors —
+      // walk with the rounded query too (pgvector casts both sides)
+      val q = if (e.storage == "halfvec")
+        graft.functions.Half.unpackToDouble(graft.functions.Half.pack(query))
+      else query
       val ids = session.read.parquet(e.path)
         .select(org.apache.spark.sql.functions.col("graph")).as[Array[Byte]]
         .flatMap { blob =>

@@ -54,10 +54,16 @@ object IvfCatalog {
     * the commit log's per-file `centroid_id` [min,max] stats, so
     * file-level skipping stacks with the injected cell filter (the
     * lakehouse replacement for hive-partition pruning). */
+  /** `packedCol`: a halfvec-opclass store carries the float16-packed
+    * sidecar column instead of the wide vector; the rebind view
+    * exposes the original name as its unpack, so the sort's column
+    * side resolves to the PACKED attribute — the rule matches either
+    * name (VectorIndexDdl r13). */
   final case class Entry(cells: Array[Int], centroids: Array[Array[Double]],
       nprobe: Int, vecCol: String, radii: Array[Double],
       filteredWiden: Int = 2,
-      table: Option[graft.sources.GraftTable] = None)
+      table: Option[graft.sources.GraftTable] = None,
+      packedCol: Option[String] = None)
 
   private val entries = TrieMap.empty[String, Entry]
 
@@ -74,7 +80,8 @@ object IvfCatalog {
     * store — a sort on some other vector column (or a joined table's
     * column) must keep its exact plan. */
   def register(storePath: String, centroids: DataFrame, nprobe: Int,
-      vecCol: String = "embedding", filteredWiden: Int = 2): Unit = {
+      vecCol: String = "embedding", filteredWiden: Int = 2,
+      packedCol: Option[String] = None): Unit = {
     val hasRadius = centroids.columns.contains("radius")
     val cols = if (hasRadius) Seq("centroid_id", "centroid", "radius")
                else Seq("centroid_id", "centroid")
@@ -85,7 +92,8 @@ object IvfCatalog {
       nprobe,
       vecCol,
       if (hasRadius) rows.map(_.getDouble(2)) else Array.empty,
-      filteredWiden)
+      filteredWiden,
+      packedCol = packedCol)
   }
 
   /** A GraftTable-backed store registers with its clustered-index
@@ -214,12 +222,15 @@ final class IvfProbeRule(session: SparkSession) extends Rule[LogicalPlan] {
             IvfCatalog.lookup(fs.location.rootPaths) match {
               case Some(entry) if entry.radii.length == entry.cells.length &&
                   entry.cells.nonEmpty &&
-                  vecAttr.name == entry.vecCol &&
+                  (vecAttr.name == entry.vecCol || entry.packedCol.contains(vecAttr.name)) &&
                   lr.output.exists(_.exprId == vecAttr.exprId) =>
                 done = true
+                val q = if (entry.packedCol.isDefined)
+                  graft.functions.Half.unpackToDouble(graft.functions.Half.pack(query))
+                else query
                 val keep = entry.cells.indices.filter { i =>
                   val dq = cellScore(VectorDistance.L2.id, negated = false,
-                    query, entry.centroids(i))
+                    q, entry.centroids(i))
                   dq - entry.radii(i) <= tau + 1e-9
                 }.map(entry.cells)
                 if (keep.isEmpty)
@@ -360,11 +371,15 @@ final class IvfProbeRule(session: SparkSession) extends Rule[LogicalPlan] {
     Seq(v.left, v.right).find(e => !e.isInstanceOf[Literal])
 
   /** Resolve an expression through Project aliases to a bare column
-    * attribute; non-column distance operands abort the rewrite. */
+    * attribute; non-column distance operands abort the rewrite. A
+    * halfvec store's rebind view exposes the vector column as
+    * `half_unpack(packed)` — the packed attribute IS the indexed
+    * column then (Entry.packedCol matches it). */
   private def resolveToAttribute(
       e: Expression, plan: LogicalPlan): Option[AttributeReference] =
     resolveThroughProjects(e, plan) match {
       case a: AttributeReference => Some(a)
+      case graft.functions.HalfUnpackExpr(a: AttributeReference) => Some(a)
       case _ => None
     }
 
@@ -385,7 +400,7 @@ final class IvfProbeRule(session: SparkSession) extends Rule[LogicalPlan] {
         (lr.relation, lr.output.find(_.name == "centroid_id")) match {
           case (fs: HadoopFsRelation, Some(cellAttr)) =>
             IvfCatalog.lookup(fs.location.rootPaths) match {
-              case Some(entry) if vecAttr.name == entry.vecCol &&
+              case Some(entry) if (vecAttr.name == entry.vecCol || entry.packedCol.contains(vecAttr.name)) &&
                   lr.output.exists(_.exprId == vecAttr.exprId) =>
                 done = true
                 // probe width: `SET ivfflat.probes = N` (the pgvector
@@ -402,8 +417,14 @@ final class IvfProbeRule(session: SparkSession) extends Rule[LogicalPlan] {
                   if (hasSelectiveFilter(plan, lr, entry.vecCol))
                     math.min(entry.cells.length, baseProbe * entry.filteredWiden)
                   else baseProbe
+                // halfvec store: centroids were trained on float16-
+                // rounded values — rank with the rounded query too
+                // (pgvector casts both sides to halfvec)
+                val q = if (entry.packedCol.isDefined)
+                  graft.functions.Half.unpackToDouble(graft.functions.Half.pack(query))
+                else query
                 val ranked = entry.cells.zip(entry.centroids)
-                  .map { case (id, c) => (id, cellScore(vde.mode, negated, query, c)) }
+                  .map { case (id, c) => (id, cellScore(vde.mode, negated, q, c)) }
                   .sortBy { case (id, s) => (s, id) }
                   .take(nprobe)
                   .map(_._1)

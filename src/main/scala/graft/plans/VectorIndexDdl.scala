@@ -172,7 +172,8 @@ object HnswSqlCatalog {
     * only — the probe rule never fires. */
   final case class Entry(path: String, table: String, vecCol: String,
       metric: String, m: Int, efConstruction: Int,
-      idCol: String = "", rootPaths: Seq[String] = Nil)
+      idCol: String = "", rootPaths: Seq[String] = Nil,
+      storage: String = "vector")
   private val entries = TrieMap.empty[String, Entry]
   def put(name: String, e: Entry): Unit = entries(name) = e
   def get(name: String): Option[Entry] = entries.get(name)
@@ -208,27 +209,36 @@ final case class CreateVectorIndexCommand(stmt: VectorIndexDdl.Stmt)
   private val OpclassRe =
     "(vector|halfvec|sparsevec)_(l2|cosine|ip|l1)_ops".r
 
-  private def metric: String =
+  private def parsedOpclass: (String, String) =
     stmt.opclass.map(_.toLowerCase(java.util.Locale.ROOT)) match {
-      case None => "l2"
+      case None => ("vector", "l2")
       case Some(oc @ OpclassRe(prefix, m)) =>
         if (stmt.method == "ivfflat" && m == "l1") throw new IllegalArgumentException(
           s"access method ivfflat does not support opclass $oc " +
             "(pgvector parity: ivfflat has no L1 opclass; use hnsw with vector_l1_ops)")
-        if (stmt.method == "ivfflat" && prefix == "sparsevec")
-          throw new IllegalArgumentException(
-            s"access method ivfflat does not support opclass $oc " +
-              "(pgvector parity: sparsevec indexes are hnsw-only)")
-        m
+        if (prefix == "sparsevec") throw new IllegalArgumentException(
+          s"no ${stmt.method} build kernel for opclass $oc: index builds run dense " +
+            "array arithmetic, and the engine's sparse kernels are the explicit " +
+            "(indices, values) API (vs_sparse_knn) — a sparsevec index here would " +
+            "silently densify (documented deviation; pgvector indexes sparsevec on hnsw)")
+        (prefix, m)
       case Some(oc @ ("bit_hamming_ops" | "bit_jaccard_ops")) =>
         throw new IllegalArgumentException(
           s"no ${stmt.method} build kernel for opclass $oc: index builds run " +
             "real-vector arithmetic, so a bit-metric index would rank by the wrong " +
             "distance — use the explicit bit-distance kernels (vec_hamming/vec_bit_jaccard)")
       case Some(other) => throw new IllegalArgumentException(
-        s"unsupported opclass $other (expected {vector|halfvec|sparsevec}_" +
-          "{l2|cosine|ip|l1}_ops; bit opclasses have no index build kernel)")
+        s"unsupported opclass $other (expected {vector|halfvec}_" +
+          "{l2|cosine|ip|l1}_ops; bit/sparsevec opclasses have no index build kernel)")
     }
+
+  /** Element storage the prefix selects: `halfvec` builds float16
+    * stores (half the index bytes — hnsw packs binary16 blob vectors,
+    * ivfflat writes the packed sidecar column and rebinds the vector
+    * column as its unpack), `vector` the full-width ones. */
+  private def storage: String = parsedOpclass._1
+
+  private def metric: String = parsedOpclass._2
 
   private def intOpt(key: String, default: Int): Int =
     stmt.options.get(key).map { v =>
@@ -304,22 +314,49 @@ final case class CreateVectorIndexCommand(stmt: VectorIndexDdl.Stmt)
   private def buildIvf(session: SparkSession,
       df: org.apache.spark.sql.DataFrame): Unit = {
     import graft.operators.IvfIndex
+    import org.apache.spark.sql.GraftSqlBridge.{toColumn, toExpression}
     val lists = intOpt("lists", 100)
     val probes = intOpt("probes", 1)
+    val half = storage == "halfvec"
+    // halfvec: train/assign over the float16-rounded values — the
+    // index must rank with the same numbers it stores (pgvector's
+    // halfvec column semantics)
+    val src =
+      if (!half) df
+      else df.withColumn(stmt.column, toColumn(graft.functions.HalfUnpackExpr(
+        graft.functions.HalfPackExpr(toExpression(col(stmt.column))))))
     val (indexed, centroids) =
-      IvfIndex.buildIndex(df, idCol(df), stmt.column, nlist = lists)
-    IvfIndex.writePartitioned(indexed, storePath)
+      IvfIndex.buildIndex(src, idCol(df), stmt.column, nlist = lists)
+    // halfvec storage: the store carries the PACKED binary16 column —
+    // half the vector scan bytes, the reason the opclass prefix
+    // exists; the rebind below re-exposes the original column name as
+    // its unpack, so the verbatim SELECT still parses and ReadSchema
+    // shows only the 2-byte codes
+    val packedCol = if (half) Some(s"__hv_${stmt.column}") else None
+    val toStore = packedCol match {
+      case Some(pc) => indexed
+        .withColumn(pc, toColumn(graft.functions.HalfPackExpr(
+          toExpression(col(stmt.column)))))
+        .drop(stmt.column)
+      case None => indexed
+    }
+    IvfIndex.writePartitioned(toStore, storePath)
     val withRadii = centroids.join(
       IvfIndex.cellRadii(indexed, stmt.column, centroids), Seq("centroid_id"), "left")
       .na.fill(0.0, Seq("radius"))
     IvfCatalog.register(storePath, withRadii, nprobe = probes,
-      vecCol = stmt.column)
+      vecCol = stmt.column, packedCol = packedCol)
     IvfProbeRule.install(session)
     // rebind the table name over the clustered store: original
     // columns first, the clustering column last
-    val cols = df.columns.map(col) :+ col("centroid_id")
-    session.read.parquet(storePath).select(cols.toIndexedSeq: _*)
-      .createOrReplaceTempView(stmt.table)
+    val store = session.read.parquet(storePath)
+    val cols = df.columns.map { c =>
+      if (packedCol.isDefined && c == stmt.column)
+        toColumn(graft.functions.HalfUnpackExpr(
+          toExpression(col(packedCol.get)))).as(stmt.column)
+      else col(c)
+    } :+ col("centroid_id")
+    store.select(cols.toIndexedSeq: _*).createOrReplaceTempView(stmt.table)
   }
 
   private def buildHnsw(session: SparkSession,
@@ -330,7 +367,8 @@ final case class CreateVectorIndexCommand(stmt: VectorIndexDdl.Stmt)
     val parts = intOpt("parts", 8)
     val id = idCol(df)
     val graphs = Hnsw.buildPartitioned(df, id, stmt.column,
-      m = m, efC = efC, parts = parts, metric = metric)
+      m = m, efC = efC, parts = parts, metric = metric,
+      half = storage == "halfvec")
     Hnsw.writeGraphs(graphs, storePath)
     // the indexed table's file-source roots: how HnswProbeRule
     // recognizes a scan of THIS table (the binding stays untouched)
@@ -343,7 +381,7 @@ final case class CreateVectorIndexCommand(stmt: VectorIndexDdl.Stmt)
     }.flatten
     HnswSqlCatalog.put(indexName, HnswSqlCatalog.Entry(
       storePath, stmt.table, stmt.column, metric, m, efC,
-      idCol = id, rootPaths = roots))
+      idCol = id, rootPaths = roots, storage = storage))
     HnswProbeRule.install(session)
   }
 }

@@ -43,13 +43,19 @@ class VectorIndexDdlSpec extends SparkSpec {
       s.sql("""CREATE INDEX idx_half ON ddl_half
                USING hnsw (embedding halfvec_cosine_ops)
                WITH (m = 8, ef_construction = 32, parts = 2, id = 'vec_id')""")
-      assert(HnswSqlCatalog.get("idx_half").exists(_.metric == "cosine"))
+      assert(HnswSqlCatalog.get("idx_half").exists(e =>
+        e.metric == "cosine" && e.storage == "halfvec"))
       s.sql("DROP INDEX idx_half")
-      s.sql("""CREATE INDEX idx_sparse ON ddl_half
-               USING hnsw (embedding sparsevec_ip_ops)
-               WITH (m = 8, ef_construction = 32, parts = 2, id = 'vec_id')""")
-      assert(HnswSqlCatalog.get("idx_sparse").exists(_.metric == "ip"))
-      s.sql("DROP INDEX idx_sparse")
+      // sparsevec: the engine's sparse kernels are the explicit
+      // (indices, values) API — a dense-array sparsevec index would
+      // silently densify, so the DDL refuses with the opclass named
+      // (documented deviation from pgvector's hnsw-sparsevec)
+      val eSparse = intercept[Exception] {
+        s.sql("""CREATE INDEX idx_sparse ON ddl_half
+                 USING hnsw (embedding sparsevec_ip_ops)
+                 WITH (m = 8, ef_construction = 32, parts = 2, id = 'vec_id')""")
+      }
+      assert(eSparse.getMessage.contains("sparsevec_ip_ops"))
       // unknown families still fail loudly
       val e = intercept[Exception] {
         s.sql("CREATE INDEX ON ddl_half USING hnsw (embedding quadvec_l2_ops)")
@@ -78,6 +84,112 @@ class VectorIndexDdlSpec extends SparkSpec {
                WITH (m = 8, ef_construction = 32, parts = 2, id = 'vec_id')""")
       assert(HnswSqlCatalog.get("idx_l1").exists(_.metric == "l1"))
       s.sql("DROP INDEX idx_l1")
+    }
+  }
+
+  test("halfvec hnsw DDL: graph blobs store binary16 (half the bytes), SELECT served, gated recall") {
+    withExtSession { s =>
+      graft.plans.HnswSqlCatalog.clear()
+      Tables.embeddings(s, Sf).createOrReplaceTempView("ddl_halfroute")
+      s.sql("""CREATE INDEX idx_hw ON ddl_halfroute
+               USING hnsw (embedding vector_l2_ops)
+               WITH (m = 8, ef_construction = 32, parts = 2, id = 'vec_id')""")
+      s.sql("""CREATE INDEX idx_hh ON ddl_halfroute
+               USING hnsw (embedding halfvec_l2_ops)
+               WITH (m = 8, ef_construction = 32, parts = 2, id = 'vec_id')""")
+      def blobBytes(name: String): Long = {
+        val e = HnswSqlCatalog.get(name).get
+        graft.operators.Hnsw.readGraphs(s, e.path)
+          .select(org.apache.spark.sql.functions.sum(length(col("graph"))))
+          .head.getLong(0)
+      }
+      val wide = blobBytes("idx_hw"); val half = blobBytes("idx_hh")
+      info(s"graph store bytes: vector=$wide halfvec=$half (${half.toDouble / wide}%)")
+      assert(half < (wide * 0.8).toLong,
+        s"halfvec graph store $half not meaningfully smaller than $wide — " +
+          "the opclass prefix must select storage width")
+      // the deserialized index carries the half flag and rounded vecs
+      val blob = graft.operators.Hnsw.readGraphs(
+        s, HnswSqlCatalog.get("idx_hh").get.path)
+        .select(col("graph")).head.getAs[Array[Byte]](0)
+      assert(graft.operators.Hnsw.deser(blob).half)
+      // verbatim SELECT served from the half graph, recall gated
+      val vec = Tables.embeddings(s, Sf).filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head.getSeq[Double](0)
+      s.sql("DROP INDEX idx_hw") // leave only the half index to serve
+      val df = s.sql(
+        s"""SELECT vec_id FROM ddl_halfroute
+            ORDER BY embedding <-> '${vec.mkString("[", ",", "]")}'::vector
+            LIMIT 10""")
+      val got = df.collect().map(_.getLong(0)).toSeq
+      assert(got.length == 10)
+      import org.apache.spark.sql.catalyst.expressions.{AttributeReference, In}
+      val probed = df.queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition.collect {
+            case In(a: AttributeReference, _) if a.name == "vec_id" => true }
+      }.flatten.nonEmpty
+      assert(probed, "halfvec hnsw index did not serve the <-> sort")
+      val exact = graft.operators.Knn.topK(
+        Tables.embeddings(s, Sf), "vec_id", "embedding",
+        Tables.embeddings(s, Sf).filter(col("vec_id") === 0)
+          .select(col("embedding").as("qvec")),
+        "qvec", graft.functions.VectorFunctions.l2Distance, 10)
+        .collect().map(_.getLong(0)).toSet
+      val recall = got.count(exact.contains).toDouble / 10
+      info(f"halfvec hnsw DDL recall@10 = $recall%.2f")
+      assert(recall >= 0.8, s"halfvec recall $recall below gate")
+      s.sql("DROP INDEX idx_hh")
+    }
+  }
+
+  test("halfvec ivfflat DDL: store scan reads the packed sidecar (ReadSchema), probe fires") {
+    withExtSession { s =>
+      Tables.embeddings(s, Sf).createOrReplaceTempView("ddl_halfivf")
+      s.sql("""CREATE INDEX idx_hivf ON ddl_halfivf
+               USING ivfflat (embedding halfvec_l2_ops)
+               WITH (lists = 8, probes = 8, id = 'vec_id')""")
+      val vec = Tables.embeddings(s, Sf).filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head.getSeq[Double](0)
+      val df = s.sql(
+        s"""SELECT vec_id FROM ddl_halfivf
+            WHERE vec_id <> 0
+            ORDER BY embedding <-> '${vec.mkString("[", ",", "]")}'::vector
+            LIMIT 5""")
+      val got = df.collect().map(_.getLong(0)).toSeq
+      assert(got.length == 5)
+      val scans = df.queryExecution.executedPlan.collect {
+        case sc: FileSourceScanExec if sc.relation.location.rootPaths
+          .exists(_.toString.contains("graft_sqlindex_ivfflat")) => sc }
+      assert(scans.nonEmpty, "store scan missing")
+      // ReadSchema reads the 2-byte packed column, never a wide vector
+      val rs = scans.map(_.metadata.getOrElse("ReadSchema", ""))
+      assert(rs.exists(_.contains("__hv_embedding")),
+        s"packed sidecar not in ReadSchema: $rs")
+      assert(!rs.exists(_.contains("embedding:array")),
+        s"wide vector column still read: $rs")
+      // the cell probe fired as a partition filter
+      assert(scans.exists(_.partitionFilters.exists(_.toString.contains("centroid_id"))),
+        "no centroid_id partition filter")
+      // full probe (probes = lists): exact top-k under HALFVEC
+      // distances — compare against brute force over half-rounded
+      // values (pgvector's halfvec column semantics)
+      import org.apache.spark.sql.GraftSqlBridge.{toColumn, toExpression}
+      def halfRounded(dfe: org.apache.spark.sql.DataFrame) =
+        dfe.withColumn("embedding", toColumn(graft.functions.HalfUnpackExpr(
+          graft.functions.HalfPackExpr(toExpression(col("embedding"))))))
+      val want = graft.operators.Knn.topK(
+        halfRounded(Tables.embeddings(s, Sf)).filter(col("vec_id") =!= 0),
+        "vec_id", "embedding",
+        halfRounded(Tables.embeddings(s, Sf).filter(col("vec_id") === 0))
+          .select(col("embedding").as("qvec")),
+        "qvec", graft.functions.VectorFunctions.l2Distance, 5)
+        .collect().map(_.getLong(0)).toSeq
+      assert(got == want, s"got $got, want $want (half-distance exact)")
+      s.sql("DROP INDEX idx_hivf")
+      assert(!s.table("ddl_halfivf").columns.contains("centroid_id"))
     }
   }
 
