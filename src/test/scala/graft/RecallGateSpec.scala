@@ -224,6 +224,39 @@ class RecallGateSpec extends SparkSpec {
     assert(r >= 0.7, f"vs_hnsw_filtered recall@10 $r%.2f below floor 0.7")
   }
 
+  test("emb_pairs_blocked: positive-pair recall floor vs the exact per-anchor argmin") {
+    // the blocked variant finds each sampled anchor's nearest positive
+    // THROUGH shared spill cells; the gate measures how often that
+    // equals the exact (full-pass) nearest positive
+    import org.apache.spark.sql.functions._
+    val blocked = SparkEntry.queries("emb_pairs_blocked")(spark, Sf)
+      .select(col("anchor_id"), col("pos_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // exact positives for the same md5-sampled anchor set (one corpus
+    // pass per anchor — test-only, the shape the operator avoids)
+    val anchors = Tables.embeddings(spark, Sf)
+      .filter(conv(substring(md5(col("vec_id").cast("string")), 1, 15), 16, 10)
+        .cast("long") % graft.queries.VectorQueries.PairSampleMod === 0)
+      .select(col("vec_id").as("anchor_id"), col("embedding").as("avec"))
+    val exact = Tables.embeddings(spark, Sf)
+      .join(broadcast(anchors), col("vec_id") =!= col("anchor_id"))
+      .select(col("anchor_id"), col("vec_id"),
+        VectorFunctions.cosineDistance(col("embedding"), col("avec")).as("dist"))
+      .filter(col("dist") < 0.7)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("anchor_id"))
+          .orderBy(col("dist"), col("vec_id"))))
+      .filter(col("rn") === 1)
+      .select(col("anchor_id"), col("vec_id")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(exact.nonEmpty, "no exact positives — fixture drifted")
+    val hits = exact.count { case (a, p) => blocked.get(a).contains(p) }
+    val r = hits.toDouble / exact.size
+    info(f"emb_pairs_blocked exact-positive recall = $r%.2f over ${exact.size} anchors " +
+      s"(nlist ${graft.queries.VectorQueries.PairCellNlist}, spill ${graft.queries.VectorQueries.PairCellSpill})")
+    assert(r >= 0.7, f"blocked positive recall $r%.2f below floor 0.7")
+  }
+
   test("vs_lsh_knn: recall@10 ≥ 0.9 (Hamming-1 multiprobe)") {
     val approx = ids(SparkEntry.queries("vs_lsh_knn")(spark, Sf))
     val r = recall(approx, exactTopK(VectorFunctions.cosineDistance, 10))
