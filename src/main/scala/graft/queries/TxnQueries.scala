@@ -271,6 +271,48 @@ object TxnQueries {
     FROM part WHERE p_partkey % 11 <> 0
     ORDER BY p_partkey"""
 
+  // --------------------------------------------------- txn_recluster
+  /** The ingest-maintenance loop on the oracle gate (VERDICT r12 #8):
+    * a range-clustered table takes four streaming-debris appends
+    * whose file envelopes each span the whole (shifted) key domain,
+    * [[graft.sources.GraftTable.autoRecluster]]'s METADATA-ONLY
+    * trigger detects the widened overlap (mean envelope-overlap
+    * degree over the commit log's stats — no data read) and rewrites
+    * via cluster(), and the reclustered content must hash-match the
+    * relational reconstruction (base ∪ shifted appends). Selectivity
+    * restoration + the below-threshold no-op are spec'd in
+    * GraftTableSpec. */
+  private def reclusterPath(s: SparkSession, d: String): String = {
+    val part = Tables.part(s, d)
+    built(freshDir("recluster", d)) { p =>
+      val t = GraftTable.create(s, p,
+        part.repartitionByRange(8, col("p_partkey")),
+        statsCols = Seq("p_partkey"))
+      // streaming debris: every batch's % 5 slice spans the whole
+      // shifted domain, so all 8 appended files mutually overlap
+      for (k <- 1 to 4)
+        t.append(part.filter(col("p_partkey") % 5 === k)
+          .withColumn("p_partkey", col("p_partkey") + lit(10000000))
+          .repartition(2))
+      val fired = t.autoRecluster(Seq("p_partkey"),
+        overlapFactor = 3.0, targetBytes = 64L << 10)
+      require(fired.isDefined, "auto-recluster trigger did not fire on churn")
+    }
+  }
+
+  private def txnRecluster(s: SparkSession, d: String): DataFrame =
+    GraftTable.open(s, reclusterPath(s, d)).read()
+      .select(partCols.map(col): _*)
+      .orderBy("p_partkey")
+
+  private val txnReclusterSql = s"""
+    SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+    FROM part
+    UNION ALL
+    SELECT p_partkey + 10000000, p_name, p_brand, p_type, p_size, p_retailprice
+    FROM part WHERE p_partkey % 5 IN (1, 2, 3, 4)
+    ORDER BY p_partkey"""
+
   // --------------------------------------------------- txn_index_sync
   /** CDF-driven index maintenance on the oracle gate
     * ([[graft.operators.IvfIndex.syncFromChanges]]): a base table of
@@ -545,6 +587,7 @@ object TxnQueries {
     "txn_stats_agg"  -> QueryDef(txnStatsAgg _, txnStatsAggSql),
     "txn_stats_auto" -> QueryDef(txnStatsAuto _, txnStatsAggSql),
     "txn_cluster"    -> QueryDef(txnCluster _, txnClusterSql),
+    "txn_recluster"  -> QueryDef(txnRecluster _, txnReclusterSql),
     "txn_index_sync" -> QueryDef(txnIndexSync _, txnIndexSyncSql),
     "txn_clone"      -> QueryDef(txnClone _, txnCloneSql),
     "txn_incr_view"  -> QueryDef(txnIncrView _, txnIncrViewSql),

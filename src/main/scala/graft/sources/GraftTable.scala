@@ -554,6 +554,66 @@ final class GraftTable private (
     commitOnce(adds, metas.map(_.path), baseV)
   }
 
+  /** Mean stats-envelope overlap degree for column `c` at a snapshot:
+    * the average, over data files, of how many files' [min, max]
+    * ranges on `c` intersect that file's own (itself included). A
+    * perfectly range-clustered layout reads 1.0 — every point
+    * predicate prunes to one file; sustained streaming appends push
+    * it toward the file count, because each arriving micro-batch
+    * spans the whole key domain and its file envelope overlaps
+    * everything. Driver-side metadata only: O(F log F) over the
+    * commit log's stats, no data read. Files without parseable stats
+    * on `c` count as overlapping everything (conservative — they
+    * also defeat pruning). */
+  def overlapDegree(c: String, atVersion: Long = -1L): Double = {
+    val metas = snapshotMetas(atVersion)
+    if (metas.size <= 1) return metas.size.toDouble
+    val f = schema.fields.find(_.name == c).getOrElse(
+      sys.error(s"overlapDegree: no column '$c' in ${schema.fieldNames.mkString(",")}"))
+    def parsed(v: String): Option[Any] = GraftTable.parseStat(v, f.dataType)
+    def cmp(a: Any, b: Any): Int = f.dataType match {
+      case _: StringType => a.toString.compareTo(b.toString)
+      case _ => a.asInstanceOf[BigDecimal].compare(b.asInstanceOf[BigDecimal])
+    }
+    val parsedIvs = metas.map(m => for {
+      (lo, hi) <- m.stats.get(c); l <- parsed(lo); h <- parsed(hi)
+    } yield (l, h))
+    val ivs = parsedIvs.flatten
+    val n = metas.size
+    // disjoint pairs among parseable intervals: (a,b) disjoint iff
+    // hi_a < lo_b or hi_b < lo_a — count via sorted-his binary search
+    val his = ivs.map(_._2).sortWith(cmp(_, _) < 0).toIndexedSeq
+    def hisBelow(lo: Any): Int = {
+      var l = 0; var r = his.length
+      while (l < r) { val m = (l + r) >>> 1
+        if (cmp(his(m), lo) < 0) l = m + 1 else r = m }
+      l
+    }
+    val disjoint = ivs.map(iv => hisBelow(iv._1).toLong).sum
+    val pairs = n.toLong * (n - 1) / 2
+    // `disjoint` only ever counts parseable-parseable pairs, so every
+    // pair involving an opaque file is treated as intersecting
+    val intersecting = pairs - disjoint
+    1.0 + 2.0 * intersecting / n
+  }
+
+  /** The lakehouse maintenance loop's trigger (VERDICT r12 #8): when
+    * streaming-append churn has widened the per-file stats envelopes
+    * past `overlapFactor` on any of `zCols`, rewrite with
+    * [[cluster]] so data skipping stays selective; below the
+    * threshold it is a metadata-only no-op (None). Run it from the
+    * ingest maintenance cadence the way Delta's OPTIMIZE is
+    * scheduled — the decision itself never reads data. */
+  def autoRecluster(zCols: Seq[String], overlapFactor: Double = 4.0,
+      targetBytes: Long = 128L << 20, bits: Int = 12): Option[Long] = {
+    require(zCols.nonEmpty, "autoRecluster needs at least one column")
+    val metas = snapshotMetas()
+    if (metas.size < 2) return None
+    val worst = zCols.map(overlapDegree(_)).max
+    if (worst <= overlapFactor) None
+    else Some(cluster(zCols, targetBytes, bits))
+  }
+
   /** Bin-pack small files (streaming-append debris) to ~`targetBytes`
     * without changing content. Serializable like [[delete]]. */
   def compact(targetBytes: Long = 128L << 20): Long = {

@@ -344,6 +344,41 @@ class GraftTableSpec extends SparkSpec {
     assert(t.readWhere(yPred).count() == t.read().filter(yPred).count())
   }
 
+  test("autoRecluster: streaming churn widens envelopes, the metadata trigger " +
+      "fires, prune selectivity is restored, then it no-ops") {
+    import spark.implicits._
+    val df = (0L until 4096L).map(i => (i, i % 97)).toDF("id", "v")
+    val t = GraftTable.create(spark, fresh(),
+      df.repartitionByRange(8, col("id")), statsCols = Seq("id"))
+    assert(t.overlapDegree("id") <= 1.01, "range layout must start disjoint")
+    assert(t.autoRecluster(Seq("id")).isEmpty,
+      "clustered layout must not trigger a rewrite")
+    // streaming debris: each micro-batch samples the WHOLE id domain,
+    // so every appended file's [min, max] spans everything
+    for (k <- 1L to 4L)
+      t.append(df.filter(col("id") % 7 === k)
+        .withColumn("id", col("id") + lit(100000L)).repartition(2))
+    val churned = t.overlapDegree("id")
+    assert(churned > 4.0, s"churned overlap degree $churned not > 4")
+    // mid-domain point: inside every debris file's envelope
+    val pred = col("id") === 102003L
+    val candsBefore = t.candidateFiles(pred).size
+    assert(candsBefore >= 8, s"churned layout should scan the debris ($candsBefore)")
+    val before = t.read()
+    val fired = t.autoRecluster(Seq("id"), overlapFactor = 3.0,
+      targetBytes = t.snapshotMetas().map(_.bytes).sum / 12)
+    assert(fired.isDefined, "trigger must fire past the overlap factor")
+    // content preserved, selectivity restored, trigger quiescent
+    assert(t.read().exceptAll(before).isEmpty && before.exceptAll(t.read()).isEmpty)
+    assert(t.overlapDegree("id") <= 1.5,
+      s"reclustered degree ${t.overlapDegree("id")} not ~1")
+    val candsAfter = t.candidateFiles(pred).size
+    assert(candsAfter <= 2,
+      s"point predicate should prune to ~1 file after recluster (got $candsAfter)")
+    assert(t.autoRecluster(Seq("id"), overlapFactor = 3.0).isEmpty,
+      "freshly reclustered table must no-op")
+  }
+
   test("statsAgg answers count/min/max from the log alone and refuses " +
       "unsound metadata min/max") {
     val t = GraftTable.create(spark, fresh(),

@@ -34,9 +34,10 @@ class InventorySyncSpec extends AnyFunSuite {
     // broadcast anchors, one corpus pass, bounded top-1 argmins) and
     // dedup_incremental (new-batch-vs-corpus LSH probe, the
     // streaming-arrival dedup shape), both hash-exact from birth
-    // r13: +1 — emb_pairs_blocked (anchor-scale contrastive mining
-    // through the IVF spill-cell store), hash-exact from birth
-    assert(SparkEntry.queries.size == 169)
+    // r13: +2 — emb_pairs_blocked (anchor-scale contrastive mining
+    // through the IVF spill-cell store) and txn_recluster (the
+    // metadata-only OPTIMIZE trigger), both hash-exact from birth
+    assert(SparkEntry.queries.size == 170)
     // r10: +4 — events_approx_distinct (engine HLL, integer-exact
     // estimator replay) and decontam_bloom (deterministic bitmap,
     // relational rebuild) moved onto the hash gate; the two new
@@ -51,7 +52,7 @@ class InventorySyncSpec extends AnyFunSuite {
     // (graph, query); the persisted parsed-adjacency dump is replayed
     // in DuckDB as per-graph single-row recursive CTEs (greedy
     // descent + ef-beam), bit-exact at sf0.01 and sf1.0
-    assert(SparkEntry.oracleSql.size == 167)
+    assert(SparkEntry.oracleSql.size == 168)
   }
 
   test("every rows-only (non-oracled) query carries a gate in RecallGateSpec") {
