@@ -120,6 +120,44 @@ object Multimodal {
       javax.imageio.ImageIO.write(img, "jpg", out)
       out.toByteArray
     }
+
+    /** See [[Multimodal.synthesizeJpegTiles]] for why this exact
+      * (achromatic 8×8-block-constant, quality 1.0) combination
+      * roundtrips losslessly through a real DCT codec. The tiles are
+      * written as RGB with r = g = b (TYPE_BYTE_GRAY would decode
+      * through the gray→sRGB colorspace gamma in getRGB): for
+      * achromatic pixels Y = v exactly (the BT.601 weights sum to 1)
+      * and Cb = Cr = 128 constant, so chroma subsampling averages a
+      * constant and every DCT block in all three planes is DC-only. */
+    def encodeGrayTiles(width: Int, height: Int, base: Int): Array[Byte] = {
+      require(width >= 1 && height >= 1 && base >= 0 &&
+        base + (width - 1) / 8 + (height - 1) / 8 <= 255, "tile ramp must not wrap")
+      val img = new java.awt.image.BufferedImage(
+        width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      val px = new Array[Int](width * height)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          val v = base + x / 8 + y / 8
+          px(y * width + x) = (v << 16) | (v << 8) | v
+          x += 1
+        }
+        y += 1
+      }
+      img.setRGB(0, 0, width, height, px, 0, width)
+      val writer = javax.imageio.ImageIO.getImageWritersByFormatName("jpg").next()
+      val param = writer.getDefaultWriteParam
+      param.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+      param.setCompressionQuality(1.0f)
+      val bos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.write(null, new javax.imageio.IIOImage(img, null, null), param)
+      } finally { writer.dispose(); ios.close() }
+      bos.toByteArray
+    }
   }
 
   /** Render each spec to real JPEG bytes in-executor; decode via the
@@ -131,6 +169,28 @@ object Multimodal {
     import spark.implicits._
     specs.mapPartitions(it => it.map(s =>
       MediaRecord(s.doc_id, "image/jpeg", Jpeg.encode(s.width, s.height, s.base))))
+  }
+
+  /** Lossless-BY-CONSTRUCTION JPEGs (r13, the mm_jpeg_decode flip):
+    * grayscale, pixel value CONSTANT within every 8×8 DCT block
+    * (tile(x, y) = base + ⌊x/8⌋ + ⌊y/8⌋), written at explicit
+    * compression quality 1.0. Why the roundtrip is exact: a constant
+    * block's forward DCT is DC-only and the DC value 8·(c−128) is an
+    * exact integer; at quality 1.0 the luminance DC quantization step
+    * is 1; grayscale has no RGB↔YCbCr conversion and no chroma
+    * subsampling; and edge padding replicates the constant, so
+    * partial border blocks are constant too. Decode therefore
+    * recovers every pixel bit-exactly and the channel sums carry a
+    * CLOSED-FORM integer oracle — this is the one pixel pattern for
+    * which DCT compression is the identity, which is what moves the
+    * entry from the bounded-error gate to the hash gate. The default
+    * ~0.75 quality would scale the DC step past 1 (lossy even here),
+    * hence the explicit writer param. */
+  def synthesizeJpegTiles(specs: Dataset[ImageSpec])(
+      implicit spark: SparkSession): Dataset[MediaRecord] = {
+    import spark.implicits._
+    specs.mapPartitions(it => it.map(s =>
+      MediaRecord(s.doc_id, "image/jpeg", Jpeg.encodeGrayTiles(s.width, s.height, s.base))))
   }
 
   /** (doc_id, image geometry) — the synthesis parameters each

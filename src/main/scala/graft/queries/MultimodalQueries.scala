@@ -257,13 +257,48 @@ object MultimodalQueries {
     * a hard bounded-error gate in RecallGateSpec against the PNG
     * twin's exact sums (dims exact, per-channel mean deviation per
     * pixel under a fixed bound). */
+  /** REAL JPEG decode on the hash gate (r13 flip — VERDICT r12 #7):
+    * the synthesized jpegs are the one pixel pattern for which DCT
+    * compression is the identity (grayscale 8×8-block-constant tiles
+    * at quality 1.0 — [[graft.pipeline.Multimodal.synthesizeJpegTiles]]
+    * documents the argument), so the REAL ImageIO encode→decode
+    * roundtrip recovers every pixel and the channel sums carry a
+    * closed-form integer oracle. Any deviation in the JDK's DCT path
+    * now breaks the hash match instead of hiding inside a ≤ 3.0
+    * error bound; the lossy RGB-ramp jpeg path keeps its bounded-
+    * error gate in RecallGateSpec as decode-path coverage. */
   private def jpegDecode(s: SparkSession, d: String): DataFrame = {
     implicit val sp: SparkSession = s
     import s.implicits._
     val specs = imageSpecs(s, d).as[graft.pipeline.Multimodal.ImageSpec]
     graft.pipeline.Multimodal.decodeImages(
-        graft.pipeline.Multimodal.synthesizeJpegs(specs))
+        graft.pipeline.Multimodal.synthesizeJpegTiles(specs))
       .toDF().sortWithinPartitions(col("doc_id"))
+  }
+
+  /** Closed-form tile sums: Σ_{x<w} ⌊x/8⌋ = 8·q(q−1)/2 + r·q with
+    * q = w÷8, r = w mod 8; total = w·h·base + h·Sx(w) + w·Sy(h);
+    * grayscale decodes r = g = b. */
+  private val jpegDecodeSql: String = {
+    val h = hash64Sql("text")
+    s"""
+    WITH g AS (
+      SELECT doc_id,
+             CAST(16 + length(text) % 48 AS BIGINT) AS w,
+             CAST(8 + length(text) % 24 AS BIGINT) AS h,
+             CAST((($h % 128) + 128) % 128 AS BIGINT) AS base
+      FROM documents),
+    t AS (
+      SELECT doc_id, w, h, base,
+             8 * ((w // 8) * (w // 8 - 1) // 2) + (w % 8) * (w // 8) AS sx,
+             8 * ((h // 8) * (h // 8 - 1) // 2) + (h % 8) * (h // 8) AS sy
+      FROM g)
+    SELECT doc_id, w AS width, h AS height, w * h AS n_px,
+           w * h * base + h * sx + w * sy AS sum_r,
+           w * h * base + h * sx + w * sy AS sum_g,
+           w * h * base + h * sx + w * sy AS sum_b
+    FROM t
+    ORDER BY doc_id"""
   }
 
   // -------------------------------------------------------- frame sample
@@ -463,6 +498,6 @@ object MultimodalQueries {
     "mm_pdf_decode"   -> QueryDef(pdfDecode _, pdfDecodeSql),
     "mm_image_decode" -> QueryDef(imageDecode _, imageDecodeSql),
     "mm_image_resize" -> QueryDef(imageResize _, imageResizeSql),
-    "mm_jpeg_decode"  -> QueryDef(jpegDecode _, None),
+    "mm_jpeg_decode"  -> QueryDef(jpegDecode _, jpegDecodeSql),
   )
 }

@@ -52,7 +52,11 @@ class InventorySyncSpec extends AnyFunSuite {
     // (graph, query); the persisted parsed-adjacency dump is replayed
     // in DuckDB as per-graph single-row recursive CTEs (greedy
     // descent + ef-beam), bit-exact at sf0.01 and sf1.0
-    assert(SparkEntry.oracleSql.size == 168)
+    // r13: mm_jpeg_decode flipped — grayscale 8×8-block-constant
+    // tiles at quality 1.0 make the real DCT roundtrip the identity,
+    // closed-form sums oracle; only text_bpe_train remains rows-only
+    // (the standing impossibility memo)
+    assert(SparkEntry.oracleSql.size == 169)
   }
 
   test("every rows-only (non-oracled) query carries a gate in RecallGateSpec") {

@@ -295,10 +295,25 @@ class RecallGateSpec extends SparkSpec {
     assert(r >= 0.9, f"vs_knn_half recall@10 $r%.2f below floor 0.9")
   }
 
-  test("mm_jpeg_decode: dims exact (hard), per-channel mean pixel error ≤ 3.0 vs lossless truth") {
-    val jpeg = SparkEntry.queries("mm_jpeg_decode")(spark, Sf)
-      .collect().map(r => r.getLong(0) ->
-        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+  test("lossy RGB jpeg path: dims exact (hard), per-channel mean pixel error ≤ 3.0 vs lossless truth") {
+    // mm_jpeg_decode itself moved to the hash gate in r13 (grayscale
+    // block-constant tiles at quality 1.0 roundtrip exactly); this
+    // gate keeps the LOSSY color-jpeg decode path covered — the
+    // RGB-ramp jpegs exercise YCbCr conversion + chroma subsampling +
+    // AC quantization, bounded-error by nature
+    implicit val sp: org.apache.spark.sql.SparkSession = spark
+    import spark.implicits._
+    val specs = Tables.documents(spark, Sf)
+      .select(col("doc_id"),
+        (lit(16) + length(col("text")) % 48).cast("int").as("width"),
+        (lit(8) + length(col("text")) % 24).cast("int").as("height"),
+        ((graft.functions.TextFunctions.hash64(col("text")) % 128 + 128) % 128)
+          .cast("int").as("base"))
+      .as[graft.pipeline.Multimodal.ImageSpec]
+    val jpeg = graft.pipeline.Multimodal.decodeImages(
+        graft.pipeline.Multimodal.synthesizeJpegs(specs))
+      .collect().map(f => f.doc_id ->
+        (f.width, f.height, f.n_px, f.sum_r, f.sum_g, f.sum_b)).toMap
     val png = SparkEntry.queries("mm_image_decode")(spark, Sf)
       .collect().map(r => r.getLong(0) ->
         (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
@@ -314,7 +329,7 @@ class RecallGateSpec extends SparkSpec {
       assert(errs.forall(_ <= 3.0),
         s"doc $id channel mean error ${errs.map(e => f"$e%.2f")} exceeds 3.0")
     }
-    info(f"mm_jpeg_decode worst per-channel mean pixel error = $worst%.3f (bound 3.0, ${jpeg.size} docs)")
+    info(f"lossy jpeg worst per-channel mean pixel error = $worst%.3f (bound 3.0, ${jpeg.size} docs)")
   }
 
   test("events_quantiles_sketch: rank error of every estimate ≤ 0.025 (KLL k=200)") {
