@@ -99,6 +99,7 @@ object Bench {
         .foreach(_.unpersist(blocking = false))
 
     val coldTimes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val warmTimes = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     def timed(thunk: () => Unit): Double = {
       val t0 = System.nanoTime()
       thunk()
@@ -123,8 +124,21 @@ object Bench {
       * other, not a query from its own warm pass). */
     def coldThenWarm(name: String, thunk: () => Unit): Double = {
       val cold = timed(thunk)
-      if (cold >= WarmThreshold) cold
-      else {
+      if (cold >= WarmThreshold) {
+        // r13 (the six-entry A/B): an entry whose cold run sits NEAR
+        // the threshold is bistable across rounds — under contention
+        // its cold crosses 3.0 s and the REPORTED number flips from
+        // warm to cold (events_ewma read 1.31 warm in r10 and 3.29
+        // cold in r12 with an unchanged plan). For the near band,
+        // measure the warm run too and record it in the file JSON
+        // (`warm` map), so round-over-round comparisons can always be
+        // made like-with-like.
+        if (cold < 2 * WarmThreshold) {
+          try { warmTimes(name) = timed(thunk) }
+          catch { case scala.util.control.NonFatal(_) => () }
+        }
+        cold
+      } else {
         coldTimes(name) = cold
         // a warm-run failure reports -1 upstream; drop the cold entry
         // so the file JSON doesn't show the query both failed and timed
@@ -204,7 +218,7 @@ object Bench {
     val cMax = if (cSorted.isEmpty) 0.0 else cSorted.last
     val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jsonMap(allResults, round = true)},"canary_med":${f3(cMed)},"canary_max":${f3(cMax)},"sf":"$sfDir"}"""
     println(line)
-    val fileLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(allResults, round = false)},"cold":${jsonMap(coldTimes.toSeq, round = false)},"canary":${jsonMap(canaryTimes.toSeq, round = false)},"sf":"$sfDir"}"""
+    val fileLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(allResults, round = false)},"cold":${jsonMap(coldTimes.toSeq, round = false)},"warm":${jsonMap(warmTimes.toSeq, round = false)},"canary":${jsonMap(canaryTimes.toSeq, round = false)},"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (fileLine + "\n").getBytes("UTF-8"))

@@ -14,7 +14,13 @@ object TimeOne {
       val t0 = System.nanoTime()
       graft.SparkEntry.queries(n)(spark, dir)
         .write.mode("overwrite").format("noop").save()
-      println(f"[time] $n ${(System.nanoTime()-t0)/1e9}%.2f s")
+      val t1 = System.nanoTime()
+      // Bench's contention canary, printed per entry so TimeOne
+      // numbers can be placed in the same canary band as the
+      // committed artifacts
+      spark.range(4000000L).selectExpr("sum(id) s").collect()
+      val c = (System.nanoTime() - t1) / 1e9
+      println(f"[time] $n ${(t1 - t0)/1e9}%.2f s (canary $c%.3f)")
     }
     spark.stop()
   }
