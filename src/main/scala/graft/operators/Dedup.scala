@@ -292,20 +292,45 @@ object Dedup {
     * batch is signed, and the band join prunes the corpus side to
     * matching buckets. Returns (new_id, corpus_id, jaccard) pairs
     * with jaccard >= tau. */
+  /** `maxPushKeys` bounds the two driver-side collects that make the
+    * per-batch cost corpus-independent (r13, the serve_summarized
+    * discipline — found by the sf10 probe sweep: the band join and
+    * the verify join each streamed the FULL corpus store per batch,
+    * 3.9× growth for 10× corpus): the batch's distinct band keys are
+    * pushed into the corpus-bands scan and the surviving candidate
+    * ids into the corpus-shingles scan as literal In filters — with
+    * stores clustered on those keys, both scans prune to the matching
+    * row groups. Past the bound the filters are skipped (the plain
+    * joins stay correct — pruning is an optimization, never a
+    * semantics change). */
   def incrementalMinhash(
       newDocs: DataFrame, idCol: String, textCol: String,
       corpusBands: DataFrame, corpusShingles: DataFrame,
       shingleN: Int, numHashes: Int, bands: Int, tau: Double,
-      mat: Materializer = Materializer.local()): DataFrame = {
+      mat: Materializer = Materializer.local(),
+      maxPushKeys: Int = 1 << 20): DataFrame = {
     val newSh = mat.mat(shingleRows(newDocs, idCol, textCol, shingleN), "new-shingles")
-    val newBands = lshBands(minhashSignatures(newSh, numHashes), numHashes, bands)
-    val cand = newBands.as("a")
-      .join(corpusBands.as("b"),
+    val newBands = mat.mat(
+      lshBands(minhashSignatures(newSh, numHashes), numHashes, bands), "new-bands")
+    // |batch|·bands keys — bounded by the batch, never the corpus
+    val keys = newBands.select(col("band_key")).distinct()
+      .limit(maxPushKeys + 1).collect().map(_.getLong(0))
+    val prunedBands =
+      if (keys.length > maxPushKeys) corpusBands
+      else corpusBands.filter(col("band_key").isin(keys.map(Long.box).toSeq: _*))
+    val cand = mat.mat(newBands.as("a")
+      .join(prunedBands.as("b"),
         col("a.band_id") === col("b.band_id") &&
         col("a.band_key") === col("b.band_key"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .distinct()
-    verifiedJaccard(cand, newSh, corpusShingles)
+      .distinct(), "inc-cand")
+    // candidate corpus docs — bounded by actual band collisions
+    val docBs = cand.select(col("doc_b")).distinct()
+      .limit(maxPushKeys + 1).collect().map(_.get(0))
+    val prunedSh =
+      if (docBs.length > maxPushKeys) corpusShingles
+      else corpusShingles.filter(col("doc_id").isin(docBs.toSeq: _*))
+    verifiedJaccard(cand, newSh, prunedSh)
       .filter(col("jaccard") >= tau)
       .orderBy(col("doc_a"), col("doc_b"))
   }

@@ -125,8 +125,16 @@ object DedupQueries {
         val corpusSh = Dedup.shingleRows(corpus, "doc_id", "text", 3)
           .persist()
         try {
-          corpusSh.write.mode("overwrite").parquet(s"$p/sh")
+          // stores CLUSTERED on their probe keys (r13): the per-batch
+          // probe pushes literal In filters on doc_id / band_key, and
+          // range-clustered files turn those into row-group prunes —
+          // the per-batch cost becomes ∝ batch, not corpus
+          corpusSh.repartitionByRange(32, col("doc_id"))
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite").parquet(s"$p/sh")
           Dedup.lshBands(Dedup.minhashSignatures(corpusSh, 32), 32, 8)
+            .repartitionByRange(32, col("band_key"))
+            .sortWithinPartitions("band_key")
             .write.mode("overwrite").parquet(s"$p/bands")
         } finally { corpusSh.unpersist(blocking = false); () }
       }
