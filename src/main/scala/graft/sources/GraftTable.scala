@@ -958,6 +958,13 @@ object GraftTable {
         if (litVal(r).isDefined) leaf(l, r, eq, flip = false)
         else if (litVal(l).isDefined) leaf(r, l, eq, flip = eq != "=")
         else true
+      // `col.isin(v1, v2, …)` — the engine's OWN hot access pattern
+      // (every probe rule and the serving doc fetch push literal In
+      // lists): the file may match iff ANY listed value lands in its
+      // [min, max] envelope. Per-element conservativeness is leaf's
+      // (no stats / non-literal element → that element reads true).
+      case PFn("in", colN +: vals) if vals.nonEmpty =>
+        vals.exists(v => leaf(colN, v, "=", flip = false))
       case _ => true // unknown shape: never prune on it
     }
   }

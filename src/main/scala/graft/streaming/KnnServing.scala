@@ -120,7 +120,6 @@ object KnnServing {
       k: Int, m: Int, windowTokens: Int,
       maxFetch: Int = 1 << 20): DataFrame = {
     import org.apache.spark.sql.functions._
-    val spark = batch.sparkSession
     val hits = Knn.topKBatch(store, idCol, vecCol,
       batch, qIdCol, qVecCol,
       VectorFunctions.cosineDistance, k, excludeSelfMatches = false)
@@ -128,10 +127,71 @@ object KnnServing {
     require(hitRows.length <= maxFetch,
       s"summarized serving micro-batch yielded > $maxFetch hit rows " +
         "(k × |batch|); raise maxFetch or trigger smaller batches")
+    summarizeHits(batch.sparkSession, hitRows, hits.schema,
+      ids => docs.filter(col(docIdCol).isin(ids: _*)),
+      qIdCol, idCol, docIdCol, textCol, terms, m, windowTokens)
+  }
+
+  /** The INDEXED micro-batch of the reference's full serving flow —
+    * what the reference actually executes in production: its top-k
+    * SELECT hits the pgvector index, not a sequential scan
+    * (SSEOpenAIController.java:316 `ORDER BY embedding <-> ?` over an
+    * hnsw/ivfflat-indexed table). Per batch: one [[graft.operators
+    * .Hnsw.searchBatch]] over the persisted partition graphs (P graph
+    * loads + |batch|·P beam walks — corpus-row-count INDEPENDENT),
+    * then the same bounded doc fetch + summarize as
+    * [[summarizeBatch]]. With `fetchDocs` backed by a range-clustered
+    * [[graft.sources.GraftTable]] (`ids => table.readWhere(col(id)
+    * .isin(ids: _*))`) the doc fetch stat-prunes to the files holding
+    * the hits — true point reads; end-to-end per-batch cost is then
+    * fully corpus-sublinear, closing the exact-scan term that
+    * dominated serve_summarized at sf10 (BENCH_NOTES r13 sweep #2:
+    * 8.92 of 9.12 s was the store scan). Same recall contract as
+    * every hnsw surface (beam approximation, gated). */
+  private[graft] def summarizeIndexedBatch(
+      batch: DataFrame, graphs: DataFrame,
+      fetchDocs: Seq[Any] => DataFrame,
+      qIdCol: String, qVecCol: String,
+      docIdCol: String, textCol: String, terms: Seq[String],
+      k: Int, ef: Int, m: Int, windowTokens: Int,
+      maxBatch: Int = 65536): DataFrame = {
+    import org.apache.spark.sql.functions._
+    val spark = batch.sparkSession
+    // the serveHnsw collect discipline: bounded, fails fast on mis-wire
+    val qRows = batch
+      .select(col(qIdCol).cast("long"), col(qVecCol).cast("array<double>"))
+      .limit(maxBatch + 1)
+      .collect()
+    require(qRows.length <= maxBatch,
+      s"summarizeIndexedBatch micro-batch exceeds maxBatch=$maxBatch query " +
+        "vectors; raise maxBatch or trigger smaller batches")
+    val qs = qRows.map(r => (r.getLong(0), r.getSeq[Double](1).toArray)).toSeq
+    val hits = graft.operators.Hnsw.searchBatch(graphs, qs, k, ef)
+      .withColumnRenamed("qid", qIdCol)
+    // k·|batch| rows by construction of searchBatch — driver-bounded
+    val hitRows = hits.collect()
+    summarizeHits(spark, hitRows, hits.schema, fetchDocs,
+      qIdCol, "vec_id", docIdCol, textCol, terms, m, windowTokens)
+  }
+
+  /** Doc fetch + extractive summarize over an already-answered top-k
+    * (shared tail of [[summarizeBatch]] / [[summarizeIndexedBatch]]).
+    * `fetchDocs(hitIds)` returns the documents frame for EXACTLY the
+    * hit ids — callers choose the pruning mechanism (literal In over
+    * a parquet scan, or a GraftTable stat-pruned point read); either
+    * way the fetch is ∝ hits, never the corpus. */
+  private[graft] def summarizeHits(
+      spark: org.apache.spark.sql.SparkSession,
+      hitRows: Array[org.apache.spark.sql.Row],
+      hitsSchema: org.apache.spark.sql.types.StructType,
+      fetchDocs: Seq[Any] => DataFrame,
+      qIdCol: String, idCol: String, docIdCol: String, textCol: String,
+      terms: Seq[String], m: Int, windowTokens: Int): DataFrame = {
+    import org.apache.spark.sql.functions._
     // LocalRelation: exact stats, always the broadcast side, and the
     // top-k job runs exactly once (no recompute through the join)
     val hitsLocal = spark.createDataFrame(
-      java.util.Arrays.asList(hitRows: _*), hits.schema)
+      java.util.Arrays.asList(hitRows: _*), hitsSchema)
     val hitIds = hitRows.map(_.getAs[Any](idCol)).distinct.toSeq
     // hit_rank = the reference's SSE emission order per query
     val w = org.apache.spark.sql.expressions.Window
@@ -141,8 +201,7 @@ object KnnServing {
       // by two queries of a batch must summarize independently
       .withColumn("__hit_key",
         concat(col(qIdCol).cast("string"), lit("#"), col(idCol).cast("string")))
-    val prunedDocs = docs
-      .filter(col(docIdCol).isin(hitIds: _*))
+    val prunedDocs = fetchDocs(hitIds)
       .select(col(docIdCol).as("__did"), col(textCol).as("__text"))
     val hitDocs = broadcast(ranked)
       .join(prunedDocs, col(idCol) === col("__did"))
@@ -156,6 +215,29 @@ object KnnServing {
       .drop("__hit_key")
       .orderBy(col(qIdCol), col("hit_rank"), col("pos"))
   }
+
+  /** Streaming wrapper over [[summarizeIndexedBatch]] — the
+    * reference's production serving flow end-to-end: hnsw-indexed
+    * top-k, point-read doc fetch, per-hit extractive summaries in SSE
+    * emission order. */
+  def serveSummarizedIndexed(
+      queries: DataFrame, graphs: DataFrame,
+      fetchDocs: Seq[Any] => DataFrame,
+      qIdCol: String, qVecCol: String,
+      docIdCol: String, textCol: String, terms: Seq[String],
+      k: Int, ef: Int = 64, m: Int = 2, windowTokens: Int = 12,
+      maxBatch: Int = 65536)(
+      writeBatch: (DataFrame, Long) => Unit): StreamingQuery =
+    queries.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          writeBatch(summarizeIndexedBatch(batch, graphs, fetchDocs,
+            qIdCol, qVecCol, docIdCol, textCol, terms,
+            k, ef, m, windowTokens, maxBatch), batchId)
+        }
+      }
+      .start()
 
   /** HNSW-served streaming KNN — the modern high-recall serving
     * default: per micro-batch, the (small) query set is collected and

@@ -161,13 +161,73 @@ object ServingBench {
       stop = () => if (q != null) q.stop())
   }
 
+  /** The reference's PRODUCTION serving flow end-to-end
+    * ([[KnnServing.serveSummarizedIndexed]]): hnsw-indexed top-k
+    * (P graph loads per batch, corpus-row-count independent — the
+    * reference's SELECT hits the pgvector index, never a sequential
+    * scan) + a stat-pruned GraftTable point read for the hit docs
+    * (the docs store is range-clustered on doc_id at build, so the
+    * literal In prunes to the files holding the hits) + extractive
+    * summarize. The scale contrast row for serve_summarized_probe,
+    * whose exact store scan is its documented dominant term at 10×+
+    * (BENCH_NOTES r13 sweep #2). */
+  def serveSummarizedIdxProbe(s: SparkSession, d: String): Probe = {
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    var input: MemoryStream[(Long, Seq[Float])] = null
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    var feeds = 0L
+    def feed(lo: Long): Unit = {
+      feeds += 1
+      input.addData(qRows(s, d, lo, feeds * 1000000L).toIndexedSeq)
+      q.processAllAvailable()
+    }
+    Probe(
+      build = () => {
+        val graphs = graft.operators.Hnsw.buildPartitioned(
+          Tables.embeddings(s, d).filter(col("vec_id") =!= 0),
+          "vec_id", "embedding", m = 16, efC = 64, parts = 8).localCheckpoint()
+        val table = ensureDocStore(s, d)
+        input = MemoryStream[(Long, Seq[Float])]
+        q = KnnServing.serveSummarizedIndexed(
+          input.toDF().toDF("qid", "qvec"), graphs,
+          ids => table.readWhere(col("doc_id").isin(ids: _*)),
+          "qid", "qvec", "doc_id", "text",
+          terms = Seq("join", "vector", "scan"),
+          k = K) { (b, _) => b.count(); () }
+        feed(lo = BatchSize + 1)
+      },
+      probe = () => feed(lo = 1),
+      stop = () => if (q != null) q.stop())
+  }
+
+  /** Range-clustered docs GraftTable for point-read doc fetches:
+    * built once per fixture generation (Sidecar content key), files
+    * sorted/partitioned by doc_id so every id's stats envelope is
+    * tight and the In prune touches only hit-bearing files. */
+  private[graft] def ensureDocStore(s: SparkSession, d: String): graft.sources.GraftTable = {
+    val path = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_docstore_v1_${graft.Sidecar.key(d)}").toString
+    ServingBench.synchronized {
+      if (new java.io.File(new java.io.File(path), "_txlog").exists())
+        graft.sources.GraftTable.open(s, path, statsCols = Seq("doc_id"))
+      else
+        graft.sources.GraftTable.create(s, path,
+          Tables.documents(s, d)
+            .repartitionByRange(8, col("doc_id"))
+            .sortWithinPartitions("doc_id"),
+          statsCols = Seq("doc_id"))
+    }
+  }
+
   /** name → probe factory, in bench execution order. */
   def all: Seq[(String, (SparkSession, String) => Probe)] = Seq(
     "serve_exact_probe" -> (serveExactProbe _),
     "serve_ivf_probe" -> (serveIvfProbe _),
     "serve_hnsw_probe" -> (serveHnswProbe _),
     "serve_cached_probe" -> (serveCachedProbe _),
-    "serve_summarized_probe" -> (serveSummarizedProbe _))
+    "serve_summarized_probe" -> (serveSummarizedProbe _),
+    "serve_summarized_idx_probe" -> (serveSummarizedIdxProbe _))
 
   /** Micro-batches per `_tput` row. */
   val TputBatches = 16

@@ -208,6 +208,15 @@ class GraftTableSpec extends SparkSpec {
     // and the pruned read is exact
     assert(t.readWhere(col("id") === 150L).count() == 1)
     assert(t.readWhere(col("id") > 250L).count() == 49)
+    // In lists prune too (r13) — the engine's hot access pattern: every
+    // probe rule and the serving doc fetch push literal id In lists
+    assert(t.candidateFiles(col("id").isin(150L)).size == 1)
+    assert(t.candidateFiles(col("id").isin(50L, 150L)).size == 2)
+    assert(t.candidateFiles(col("id").isin(50L, 150L, 250L)).size == 3)
+    assert(t.candidateFiles(col("id").isin(1000L, 2000L)).isEmpty)
+    assert(t.readWhere(col("id").isin(50L, 150L)).count() == 2)
+    // non-literal element → conservative full scan, result still exact
+    assert(t.candidateFiles(col("id").isin(col("id"))).size == 3)
   }
 
   test("appendBatch is idempotent per (appId, batchId) — replayed batches are no-ops") {

@@ -152,6 +152,65 @@ class IncrementalSpec extends SparkSpec {
     assert(e.getMessage.contains("maxFetch"))
   }
 
+  test("indexed summarized serving: hnsw top-k + stat-pruned GraftTable point reads") {
+    // the reference's PRODUCTION flow: its SELECT hits the pgvector
+    // index (never a seq scan), and the hit docs are point reads — so
+    // the indexed path must (a) answer from the graphs, (b) fetch doc
+    // text through a file-pruned read, (c) emit the same
+    // (query, hit_rank, pos) SSE ordering as the exact path
+    import org.apache.spark.sql.functions.{col, length => _, _}
+    val emb = Tables.embeddings(spark, Sf).filter(col("vec_id") =!= 0)
+    val graphs = graft.operators.Hnsw.buildPartitioned(
+      emb, "vec_id", "embedding", m = 8, efC = 32, parts = 2)
+      .localCheckpoint()
+    val docsDir = java.nio.file.Files
+      .createTempDirectory("graft_idx_docs").toString + "/t"
+    val table = sources.GraftTable.create(spark, docsDir,
+      Tables.documents(spark, Sf)
+        .repartitionByRange(4, col("doc_id")).sortWithinPartitions("doc_id"),
+      statsCols = Seq("doc_id"))
+    val terms = Seq("join", "vector", "scan")
+    val batch = Tables.embeddings(spark, Sf).filter(col("vec_id") < 2)
+      .select(col("vec_id").as("qid"), col("embedding").as("qvec"))
+    var fetchedIds: Seq[Any] = null
+    val out = streaming.KnnServing.summarizeIndexedBatch(
+      batch, graphs,
+      ids => { fetchedIds = ids; table.readWhere(col("doc_id").isin(ids: _*)) },
+      "qid", "qvec", "doc_id", "text", terms,
+      k = 3, ef = 64, m = 2, windowTokens = 12)
+    val rows = out.collect().map(r => (r.getAs[Long]("qid"),
+      r.getAs[Int]("hit_rank"), r.getAs[Long]("vec_id"),
+      r.getAs[Long]("pos"), r.getAs[String]("sentence")))
+    assert(rows.nonEmpty)
+    // (a) the hits are EXACTLY the hnsw batch answer
+    val direct = graft.operators.Hnsw.searchBatch(graphs,
+      batch.collect().map(r =>
+        (r.getLong(0), r.getSeq[Float](1).map(_.toDouble).toArray)).toSeq,
+      k = 3, ef = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.map(r => (r._1, r._3)).toSet == direct)
+    // (b) the doc fetch got only the bounded hit-id list, and the
+    // range-clustered store pruned its file list to the hit files
+    assert(fetchedIds != null && fetchedIds.size <= 6)
+    // range-clustered files have disjoint doc_id envelopes, so the In
+    // prune touches at most one file per hit id — and a single-id point
+    // read touches exactly one of the 4 files (deterministic)
+    val cand = table.candidateFiles(col("doc_id").isin(fetchedIds: _*))
+    assert(cand.size <= fetchedIds.size,
+      s"In prune over ${fetchedIds.size} ids kept ${cand.size} files")
+    assert(table.candidateFiles(col("doc_id").isin(fetchedIds.head)).size == 1,
+      "single-id point read must prune to exactly one range-clustered file")
+    // (c) summaries really come from the hit documents, SSE-ordered
+    val order = rows.map(r => (r._1, r._2, r._4))
+    assert(order.toSeq == order.toSeq.sorted)
+    val docs = Tables.documents(spark, Sf)
+    for ((_, _, vid, pos, sentence) <- rows.take(3)) {
+      val text = docs.filter(col("doc_id") === vid).head.getAs[String]("text")
+      val window = text.trim.split("\\s+").drop((pos.toInt - 1) * 12).take(12)
+      assert(sentence == window.mkString(" "))
+    }
+  }
+
   test("IVF-probed streaming serving matches the batch IVF search per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
