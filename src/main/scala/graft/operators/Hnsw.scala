@@ -42,14 +42,47 @@ object Hnsw {
     * metric is index STATE, not a search-time argument. */
   object Metric {
     val L2 = 0; val Cosine = 1; val Ip = 2; val L1 = 3
+    /** Bit metrics (pgvector `bit_hamming_ops` / `bit_jaccard_ops`,
+      * r13): node vectors are 0/1 doubles — one element per BIT of the
+      * packed array<bigint> column the index is declared on
+      * ([[expandWords]]; LSB-first, the
+      * [[graft.operators.BinaryQuant.pack]] order). 0 and 1 are exact
+      * in binary16, so bit graphs always use half storage (2 bytes/
+      * bit — 16× pgvector's 1 bit/bit, the documented storage
+      * deviation; distances are bit-exact either way). Hamming counts
+      * disagreements (≡ the integer [[graft.functions
+      * .HammingDistExpr]] the SELECT re-ranks with); jaccard is
+      * 1 − |A∩B|/|A∪B| with both-empty defined as 0, matching
+      * [[graft.functions.JaccardDistExpr]]. */
+    val Hamming = 4; val Jaccard = 5
     def of(s: String): Int = s match {
       case "l2" => L2
       case "cosine" => Cosine
       case "ip" => Ip
       case "l1" => L1
+      case "hamming" => Hamming
+      case "jaccard" => Jaccard
       case other => throw new IllegalArgumentException(
-        s"no hnsw distance kernel for metric '$other' (have l2/cosine/ip/l1)")
+        s"no hnsw distance kernel for metric '$other' " +
+          "(have l2/cosine/ip/l1/hamming/jaccard)")
     }
+  }
+
+  /** Packed sign-bit words → 0/1 doubles, LSB-first within each word
+    * (bit j of word i is element 64·i + j — the exact
+    * [[BinaryQuant.pack]] inverse, and Spark SQL's `bit_get` order, so
+    * the DDL build's column-side expansion and this query-side
+    * expansion see identical layouts). */
+  def expandWords(words: Array[Long]): Array[Double] = {
+    val out = new Array[Double](words.length * 64)
+    var i = 0
+    while (i < words.length) {
+      val w = words(i)
+      var j = 0
+      while (j < 64) { out(i * 64 + j) = (w >>> j) & 1L; j += 1 }
+      i += 1
+    }
+    out
   }
 
   // ---------------------------------------------------------- local index
@@ -97,6 +130,22 @@ object Hnsw {
           var s = 0.0
           while (i < n) { s += math.abs(a(i) - b(i)); i += 1 }
           s
+        case Metric.Hamming =>
+          // vectors are 0/1 doubles; disagreements = the integer
+          // hamming distance of the packed words (bit-exact)
+          var s = 0.0
+          while (i < n) { if (a(i) != b(i)) s += 1.0; i += 1 }
+          s
+        case Metric.Jaccard =>
+          var inter = 0.0
+          var uni = 0.0
+          while (i < n) {
+            val x = a(i) != 0.0; val y = b(i) != 0.0
+            if (x && y) inter += 1.0
+            if (x || y) uni += 1.0
+            i += 1
+          }
+          if (uni == 0.0) 0.0 else 1.0 - inter / uni
         case _ =>
           var s = 0.0
           while (i < n) { val d = a(i) - b(i); s += d * d; i += 1 }

@@ -92,39 +92,64 @@ final class HnswProbeRule(session: SparkSession) extends Rule[LogicalPlan] {
     for {
       head <- srt.order.headOption
       if head.direction == org.apache.spark.sql.catalyst.expressions.Ascending
-      (vde, negated) <- asDistance(resolveThroughProjects(head.child, srt.child))
-      query <- literalVector(vde)
-      colSide <- Seq(vde.left, vde.right).find(e => !e.isInstanceOf[Literal])
-      vecAttr <- resolveToAttribute(colSide, srt.child)
+      key <- asSortKey(resolveThroughProjects(head.child, srt.child))
+      vecAttr <- resolveToAttribute(key.colSide, srt.child)
       if session.conf.get(HnswProbeRule.EvalKey, "true").toBoolean
-      rewritten <- injectCandidates(srt.child, vde, vecAttr, query, negated, k)
+      rewritten <- injectCandidates(srt.child, vecAttr, key.query, key.metric, k)
     } yield srt.copy(child = rewritten)
 
-  /** Sort-key metric → the opclass metric string the index registered
-    * under. pgvector parity: an index serves ONLY its opclass's
-    * operator (`<->` ↔ vector_l2_ops, `<=>` ↔ vector_cosine_ops,
-    * `<#>` ↔ vector_ip_ops, `<+>` ↔ vector_l1_ops). The graph itself
-    * was BUILT with this metric ([[graft.operators.Hnsw.Metric]] in
-    * the blob), so the beam walk ranks candidates with the same
-    * arithmetic the sort re-ranks with — ADVICE r12's low-recall
-    * cosine/ip hazard (L2 graph serving a cosine sort) cannot recur. */
-  private def sortMetric(mode: Int, negated: Boolean): Option[String] =
-    (mode, negated) match {
-      case (VectorDistance.L2.id, false) => Some("l2")
-      case (VectorDistance.CosineDist.id, false) => Some("cosine")
-      case (VectorDistance.Dot.id, true) => Some("ip")
-      case (VectorDistance.L1.id, false) => Some("l1")
+  /** One recognized index-servable sort key: the column side, the
+    * literal query (bit metrics: the packed words EXPANDED to the 0/1
+    * doubles the graph stores — [[graft.operators.Hnsw.expandWords]]),
+    * and the opclass metric string it may serve. pgvector parity: an
+    * index serves ONLY its opclass's operator (`<->` ↔ vector_l2_ops,
+    * `<=>` ↔ _cosine_ops, `<#>` ↔ _ip_ops, `<+>` ↔ _l1_ops,
+    * `<~>` ↔ bit_hamming_ops, `<%>` ↔ bit_jaccard_ops). The graph
+    * itself was BUILT with this metric ([[graft.operators.Hnsw
+    * .Metric]] in the blob), so the beam walk ranks candidates with
+    * the same arithmetic the sort re-ranks with — ADVICE r12's
+    * low-recall cosine/ip hazard (L2 graph serving a cosine sort)
+    * cannot recur. */
+  private final case class SortKey(
+      colSide: Expression, query: Array[Double], metric: String)
+
+  private def asSortKey(e: Expression): Option[SortKey] = e match {
+    case v: VectorDistanceExpr =>
+      for {
+        query <- literalVector(v)
+        colSide <- Seq(v.left, v.right).find(x => !x.isInstanceOf[Literal])
+        metric <- v.mode match {
+          case VectorDistance.L2.id => Some("l2")
+          case VectorDistance.CosineDist.id => Some("cosine")
+          case VectorDistance.L1.id => Some("l1")
+          case _ => None // bare dot ASC is not an index order
+        }
+      } yield SortKey(colSide, query, metric)
+    case u: UnaryMinus => u.child match {
+      // `<#>` plans as -dot ascending (pgvector's negative inner
+      // product ordering score)
+      case v: VectorDistanceExpr if v.mode == VectorDistance.Dot.id =>
+        for {
+          query <- literalVector(v)
+          colSide <- Seq(v.left, v.right).find(x => !x.isInstanceOf[Literal])
+        } yield SortKey(colSide, query, "ip")
       case _ => None
     }
+    case h: graft.functions.HammingDistExpr =>
+      Some(SortKey(h.child, graft.operators.Hnsw.expandWords(h.query), "hamming"))
+    case j: graft.functions.JaccardDistExpr =>
+      Some(SortKey(j.child, graft.operators.Hnsw.expandWords(j.query), "jaccard"))
+    case _ => None
+  }
 
-  private def injectCandidates(plan: LogicalPlan, vde: VectorDistanceExpr,
-      vecAttr: AttributeReference, query: Array[Double], negated: Boolean,
+  private def injectCandidates(plan: LogicalPlan,
+      vecAttr: AttributeReference, query: Array[Double], metric: String,
       k: Int): Option[LogicalPlan] = {
     var done = false
     val out = plan transform {
       case lr: LogicalRelation if !done && !hasProbeAbove(plan, lr) =>
         (for {
-          entry <- matchEntry(lr, vecAttr, vde.mode, negated)
+          entry <- matchEntry(lr, vecAttr, metric)
           idAttr <- lr.output.find(_.name == entry.idCol)
           if idAttr.dataType == LongType || idAttr.dataType == IntegerType
           // a user predicate between sort and scan filters the
@@ -155,19 +180,17 @@ final class HnswProbeRule(session: SparkSession) extends Rule[LogicalPlan] {
     * scan, whose indexed column is the sort's distance column on THIS
     * relation, and whose opclass metric is the sort's metric. */
   private def matchEntry(lr: LogicalRelation, vecAttr: AttributeReference,
-      mode: Int, negated: Boolean): Option[HnswSqlCatalog.Entry] =
+      metric: String): Option[HnswSqlCatalog.Entry] =
     lr.relation match {
       case fs: HadoopFsRelation =>
         val scanPaths = fs.location.rootPaths.map(_.toUri.getPath).toSet
-        sortMetric(mode, negated).flatMap { metric =>
-          HnswSqlCatalog.all.collectFirst {
-            case (_, e) if e.rootPaths.nonEmpty &&
-              e.rootPaths.exists(scanPaths.contains) &&
-              e.vecCol == vecAttr.name &&
-              e.idCol.nonEmpty &&
-              e.metric == metric &&
-              lr.output.exists(_.exprId == vecAttr.exprId) => e
-          }
+        HnswSqlCatalog.all.collectFirst {
+          case (_, e) if e.rootPaths.nonEmpty &&
+            e.rootPaths.exists(scanPaths.contains) &&
+            e.vecCol == vecAttr.name &&
+            e.idCol.nonEmpty &&
+            e.metric == metric &&
+            lr.output.exists(_.exprId == vecAttr.exprId) => e
         }
       case _ => None
     }
@@ -237,15 +260,6 @@ final class HnswProbeRule(session: SparkSession) extends Rule[LogicalPlan] {
         case _ => attr
       }
     case other => other
-  }
-
-  private def asDistance(e: Expression): Option[(VectorDistanceExpr, Boolean)] = e match {
-    case v: VectorDistanceExpr => Some((v, false))
-    case u: UnaryMinus => u.child match {
-      case v: VectorDistanceExpr => Some((v, true))
-      case _ => None
-    }
-    case _ => None
   }
 
   private def literalVector(v: VectorDistanceExpr): Option[Array[Double]] =

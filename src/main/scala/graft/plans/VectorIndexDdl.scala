@@ -196,13 +196,18 @@ final case class CreateVectorIndexCommand(stmt: VectorIndexDdl.Stmt)
     *    arms. pgvector's ivfflat likewise has no `vector_l1_ops`.
     *  - `hnsw` serves l2/ip/cosine/l1 — [[graft.operators.Hnsw.Metric]]
     *    parameterizes the graph build AND beam walk, pgvector's AM
-    *    discipline.
-    *  - `bit_hamming_ops`/`bit_jaccard_ops` are REJECTED with a named
-    *    error: both builds run real-vector arithmetic over
-    *    array<double>, so a bit-metric index would be an L2 graph
-    *    wearing hamming semantics (documented deviation — pgvector
-    *    indexes bit columns; the engine's bit kernels are the explicit
-    *    expression surface, vs_bit_hamming / vs_bit_jaccard).
+    *    discipline — and (r13) the bit opclasses:
+    *    `bit_hamming_ops`/`bit_jaccard_ops` on an array<bigint>
+    *    PACKED-WORDS column (the engine's `bit(n)`, the
+    *    [[graft.operators.BinaryQuant.pack]] layout) build graphs over
+    *    the 0/1 bit expansion with the matching integer-exact kernels
+    *    and serve the verbatim `<~>`/`<%>` ORDER BY. A bit opclass on
+    *    a float vector column is refused with the type named —
+    *    pgvector likewise rejects `bit_*_ops` on a `vector` column.
+    *  - `ivfflat` + bit_hamming_ops stays REJECTED (pgvector has it;
+    *    the cell kernel here is real-vector k-means, and hamming
+    *    centroids are k-majority bits — documented deviation: use
+    *    hnsw).
     * The element-type prefix (pgvector ≥0.7 `halfvec_*`/`sparsevec_*`)
     * selects storage width; sparsevec is hnsw-only exactly as in
     * pgvector. */
@@ -223,13 +228,16 @@ final case class CreateVectorIndexCommand(stmt: VectorIndexDdl.Stmt)
             "silently densify (documented deviation; pgvector indexes sparsevec on hnsw)")
         (prefix, m)
       case Some(oc @ ("bit_hamming_ops" | "bit_jaccard_ops")) =>
-        throw new IllegalArgumentException(
-          s"no ${stmt.method} build kernel for opclass $oc: index builds run " +
-            "real-vector arithmetic, so a bit-metric index would rank by the wrong " +
-            "distance — use the explicit bit-distance kernels (vec_hamming/vec_bit_jaccard)")
+        if (stmt.method != "hnsw") throw new IllegalArgumentException(
+          s"no ivfflat build kernel for opclass $oc: the cell kernel is " +
+            "real-vector k-means and hamming centroids are k-majority bits " +
+            "(documented deviation — pgvector's ivfflat supports bit_hamming_ops; " +
+            "use hnsw, whose bit kernels are implemented)")
+        ("bit", if (oc == "bit_hamming_ops") "hamming" else "jaccard")
       case Some(other) => throw new IllegalArgumentException(
         s"unsupported opclass $other (expected {vector|halfvec}_" +
-          "{l2|cosine|ip|l1}_ops; bit/sparsevec opclasses have no index build kernel)")
+          "{l2|cosine|ip|l1}_ops, or hnsw bit_{hamming|jaccard}_ops " +
+          "on a packed array<bigint> column)")
     }
 
   /** Element storage the prefix selects: `halfvec` builds float16
@@ -366,9 +374,31 @@ final case class CreateVectorIndexCommand(stmt: VectorIndexDdl.Stmt)
     val efC = intOpt("ef_construction", 64)
     val parts = intOpt("parts", 8)
     val id = idCol(df)
-    val graphs = Hnsw.buildPartitioned(df, id, stmt.column,
+    // bit opclasses index a PACKED-WORDS column: expand each word to
+    // its 64 bits as 0/1 doubles (bit_get order = BinaryQuant.pack /
+    // Hnsw.expandWords order) and build over the expansion. 0/1 are
+    // exact in binary16, so bit graphs always take half storage.
+    val (src, vecCol, half) =
+      if (storage != "bit") (df, stmt.column, storage == "halfvec")
+      else {
+        import org.apache.spark.sql.types._
+        df.schema.fields.find(_.name == stmt.column).map(_.dataType) match {
+          case Some(ArrayType(LongType, _)) => ()
+          case other => throw new IllegalArgumentException(
+            s"opclass ${stmt.opclass.get} needs a packed array<bigint> bit column " +
+              s"(the engine's bit(n), BinaryQuant.pack layout); ${stmt.column} is " +
+              s"${other.map(_.simpleString).getOrElse("missing")} — pgvector likewise " +
+              "rejects bit opclasses on a vector column")
+        }
+        val bits = s"__bits_${stmt.column}"
+        (df.withColumn(bits, expr(
+          s"flatten(transform(${stmt.column}, w -> " +
+            "transform(sequence(0, 63), j -> cast(getbit(w, j) as double))))")),
+          bits, true)
+      }
+    val graphs = Hnsw.buildPartitioned(src, id, vecCol,
       m = m, efC = efC, parts = parts, metric = metric,
-      half = storage == "halfvec")
+      half = half)
     Hnsw.writeGraphs(graphs, storePath)
     // the indexed table's file-source roots: how HnswProbeRule
     // recognizes a scan of THIS table (the binding stays untouched)

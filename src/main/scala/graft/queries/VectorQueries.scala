@@ -247,6 +247,70 @@ object VectorQueries {
       graft.operators.Hnsw.readGraphs(s, graphsP), q, K, ef = HnswEf)
   }
 
+  /** Build-once BIT graph stores (pgvector `bit_hamming_ops` /
+    * `bit_jaccard_ops` — r13): graphs over the packed sidecar's 0/1
+    * bit expansion, built AND walked with the integer-exact bit
+    * kernel ([[graft.operators.Hnsw.Metric]] Hamming/Jaccard; metric
+    * is index state, so each opclass gets its own store). 0/1 are
+    * exact in binary16 → half storage. Same parsed-dump replay
+    * contract as the real-vector graphs. */
+  private[graft] def ensureHnswBitStore(
+      s: SparkSession, d: String, metric: String): (String, String) = {
+    val tag = if (metric == "hamming") "ham" else "jac"
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_hnswbit_${tag}_v1_${graft.Sidecar.key(d)}")
+    val graphsP = new java.io.File(base, "graphs").toString
+    val dumpP = new java.io.File(base, "dump").toString
+    VectorQueries.synchronized {
+      if (!new java.io.File(dumpP, "_SUCCESS").exists()) {
+        val src = s.read.parquet(ensureBqStore(s, d))
+          .withColumn("bits", expr("flatten(transform(bq, w -> " +
+            "transform(sequence(0, 63), j -> cast(getbit(w, j) as double))))"))
+        val graphs = graft.operators.Hnsw.buildPartitioned(
+          src, "vec_id", "bits", m = HnswM, efC = HnswEfC,
+          parts = HnswParts, metric = metric, half = true)
+        graft.operators.Hnsw.writeGraphs(graphs, graphsP)
+        graft.operators.Hnsw.dumpParsed(
+          graft.operators.Hnsw.readGraphs(s, graphsP))
+          .write.mode("overwrite").parquet(dumpP)
+      }
+    }
+    (graphsP, dumpP)
+  }
+
+  /** vs_hnsw_bit / vs_hnsw_bit_jacc: graph ANN over `bit(n)` sign
+    * vectors — the beam walks by hamming (resp. jaccard) distance, so
+    * the index family pgvector serves with `<~>`/`<%>` is covered
+    * end-to-end (DDL surface in VectorIndexDdl; this is the
+    * explicit-API twin on the oracle gate). Deterministic: integer
+    * distances, (dist, node) heap tie-breaks — hash-exact from birth
+    * via the parameterized walk replay. */
+  private def hnswBitKnn(s: SparkSession, d: String, metric: String): DataFrame = {
+    val (graphsP, _) = ensureHnswBitStore(s, d, metric)
+    val q = graft.operators.Hnsw.expandWords(graft.operators.BinaryQuant.pack(
+      Tables.embeddings(s, d).filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head.getSeq[Double](0).toArray))
+    graft.operators.Hnsw.search(
+      graft.operators.Hnsw.readGraphs(s, graphsP), q, K, ef = HnswEf)
+  }
+
+  private def hnswBitOracle(d: String, metric: String): String = {
+    val tag = if (metric == "hamming") "ham" else "jac"
+    val dump = new java.io.File(new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_hnswbit_${tag}_v1_${graft.Sidecar.key(d)}"), "dump").toString
+    val dist: String => String =
+      if (metric == "hamming") hnswHamDistSql _ else hnswJacDistSql _
+    val parts = 0 until HnswParts
+    s"""WITH RECURSIVE
+    ${hnswWalkPrelude(s"$dump/*.parquet", dist, QvBitSql)},
+    ${parts.map(p => hnswWalkCte(p, HnswEf, K, "", dist)).mkString(",")},
+    allres AS (${hnswAllRes(parts, K)})
+    SELECT gg.ids[a.n + 1] AS vec_id, a.d AS dist
+    FROM allres a, gg
+    ORDER BY dist, vec_id LIMIT $K"""
+  }
+
   /** Filtered graph search (`WHERE label = 3 ORDER BY <-> LIMIT k`
     * through the HNSW index): widened beam over-fetch + metadata
     * semi-join + exact top-k of survivors
@@ -318,9 +382,38 @@ object VectorQueries {
     s"sqrt(list_sum(list_transform(list_zip(gg.qv, gg.vv[$n + 1]), " +
       "x -> (x[1] - x[2]) * (x[1] - x[2]))))"
 
-  private def hnswWalkPrelude(dumpGlob: String): String = s"""
+  /** Bit-graph hamming: node vectors are 0/1 doubles (the packed
+    * words' LSB-first expansion — [[graft.operators.Hnsw
+    * .expandWords]]), so the walk distance is the integer
+    * disagreement count, CAST to the DOUBLE the engine's kernel
+    * accumulates (integers ≪ 2^53: bit-exact). */
+  private def hnswHamDistSql(n: String): String =
+    s"CAST(list_sum(list_transform(list_zip(gg.qv, gg.vv[$n + 1]), " +
+      "x -> CASE WHEN x[1] <> x[2] THEN 1 ELSE 0 END)) AS DOUBLE)"
+
+  /** Bit-graph jaccard: 1 − |A∩B|/|A∪B| over set bits, both-empty
+    * = 0 — integer counts, one final double division, the exact
+    * [[graft.operators.Hnsw.Metric]] Jaccard arithmetic. */
+  private def hnswJacDistSql(n: String): String = {
+    def cnt(op: String) =
+      s"list_sum(list_transform(list_zip(gg.qv, gg.vv[$n + 1]), " +
+        s"x -> CASE WHEN x[1] = 1 $op x[2] = 1 THEN 1 ELSE 0 END))"
+    s"(CASE WHEN ${cnt("OR")} = 0 THEN 0.0 " +
+      s"ELSE 1.0 - CAST(${cnt("AND")} AS DOUBLE) / CAST(${cnt("OR")} AS DOUBLE) END)"
+  }
+
+  /** The query vector the L2/bit walks rank against: full doubles for
+    * real-vector graphs; the sign-bit 0/1 expansion (the
+    * [[graft.operators.BinaryQuant.pack]] order) for bit graphs. */
+  private val QvRealSql = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+  private val QvBitSql = "list_transform(embedding, " +
+    "x -> CASE WHEN x > 0 THEN CAST(1 AS DOUBLE) ELSE CAST(0 AS DOUBLE) END)"
+
+  private def hnswWalkPrelude(dumpGlob: String,
+      dist: String => String = hnswDistSql _,
+      qvSql: String = QvRealSql): String = s"""
     qcte AS MATERIALIZED (
-      SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS qv
+      SELECT $qvSql AS qv
       FROM embeddings WHERE vec_id = 0),
     dmp AS MATERIALIZED (SELECT * FROM read_parquet('$dumpGlob')),
     pmeta AS MATERIALIZED (
@@ -352,7 +445,7 @@ object VectorQueries {
           SELECT w0.part_id, w0.lvl, w0.cur,
             list_prepend(w0.cur, gg.adj[w0.cur + 1][w0.lvl + 1]) AS cl,
             list_transform(list_prepend(w0.cur, gg.adj[w0.cur + 1][w0.lvl + 1]),
-              n -> ${hnswDistSql("n")}) AS ds
+              n -> ${dist("n")}) AS ds
           FROM down w0, gg WHERE w0.lvl > 0
         ) w
       )
@@ -360,12 +453,13 @@ object VectorQueries {
 
   /** One graph's beam walk as a single-row recursion; `gate` further
     * restricts the anchor (the routed oracle's probed-cell filter). */
-  private def hnswWalkCte(p: Int, ef: Int, fetch: Int, gate: String): String = s"""
+  private def hnswWalkCte(p: Int, ef: Int, fetch: Int, gate: String,
+      dist: String => String = hnswDistSql _): String = s"""
     walk_$p(step, cand, vis, res, done) AS (
       SELECT 0,
-        [struct_pack(d := ${hnswDistSql("s.cur")}, n := s.cur)],
+        [struct_pack(d := ${dist("s.cur")}, n := s.cur)],
         [s.cur],
-        [struct_pack(d := ${hnswDistSql("s.cur")}, n := s.cur)],
+        [struct_pack(d := ${dist("s.cur")}, n := s.cur)],
         false
       FROM (SELECT cur FROM down WHERE lvl = 0 AND part_id = $p $gate) s, gg
       UNION ALL
@@ -394,7 +488,7 @@ object VectorQueries {
               list_filter(gg.adj[(list_sort(w0.cand))[1].n + 1][1],
                 nb -> NOT list_contains(w0.vis, nb)),
               nb -> struct_pack(
-                cand := [struct_pack(d := ${hnswDistSql("nb")}, n := nb)],
+                cand := [struct_pack(d := ${dist("nb")}, n := nb)],
                 res := CAST([] AS STRUCT(d DOUBLE, n INTEGER)[]))) AS entries
           FROM walk_$p w0, gg
           WHERE NOT w0.done AND len(w0.cand) > 0
@@ -2595,6 +2689,12 @@ object VectorQueries {
     "vs_hnsw_knn"     -> QueryDef(hnswKnn _, hnswKnnOracle(d)),
     "vs_hnsw_routed"  -> QueryDef(hnswRouted _, hnswRoutedOracle(d)),
     "vs_hnsw_filtered" -> QueryDef(hnswFiltered _, hnswFilteredOracle(d)),
+    "vs_hnsw_bit"     -> QueryDef(
+      (s: SparkSession, dd: String) => hnswBitKnn(s, dd, "hamming"),
+      hnswBitOracle(d, "hamming")),
+    "vs_hnsw_bit_jacc" -> QueryDef(
+      (s: SparkSession, dd: String) => hnswBitKnn(s, dd, "jaccard"),
+      hnswBitOracle(d, "jaccard")),
     "vs_ivfpq_knn"    -> QueryDef(ivfPqKnn _, ivfPqKnnOracle(d)),
     "vs_ivf_batch"    -> QueryDef(ivfBatch _, ivfBatchOracle(d)),
     "vs_ivf_knn"      -> QueryDef(ivfKnn _, ivfProbeOracle(d)),

@@ -11,6 +11,12 @@ import org.apache.spark.sql.SparkSession
 object VerifySubset {
   def main(args: Array[String]): Unit = {
     val Array(sfDir, outDir, names) = args
+    // the Verify contract (r13 fix): the replay oracles embed
+    // OracleEnv.sfDir-derived store paths — without this assignment a
+    // subset run at any non-default sfDir writes oracle SQL pointing
+    // at ANOTHER fixture's stores, and every store-backed entry
+    // "fails" with scrambled (id, dist) pairs
+    graft.OracleEnv.sfDir = sfDir
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")

@@ -284,6 +284,105 @@ class VectorIndexDdlSpec extends SparkSpec {
     }
   }
 
+  test("bit hnsw DDL: hamming/jaccard graphs over a packed column serve verbatim <~> / <%>") {
+    withExtSession { s =>
+      graft.plans.HnswSqlCatalog.clear()
+      // the indexed table: a STORED packed-words column (the engine's
+      // bit(n)) — pgvector likewise indexes bit columns, not casts
+      val bqDir = java.nio.file.Files
+        .createTempDirectory("graft_ddl_bits").toString + "/t"
+      graft.operators.BinaryQuant.writeStore(
+        Tables.embeddings(s, Sf).filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", bqDir)
+      s.read.parquet(bqDir).createOrReplaceTempView("ddl_bits")
+      val vecText = Tables.embeddings(s, Sf).filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head.getSeq[Double](0).mkString("[", ",", "]")
+      val qWords = graft.operators.BinaryQuant.pack(
+        Tables.embeddings(s, Sf).filter(col("vec_id") === 0)
+          .select(col("embedding").cast("array<double>"))
+          .head.getSeq[Double](0).toArray)
+      import org.apache.spark.sql.catalyst.expressions.{AttributeReference, In}
+      def probed(df: org.apache.spark.sql.DataFrame): Boolean =
+        df.queryExecution.optimizedPlan.collect {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            f.condition.collect {
+              case In(a: AttributeReference, _) if a.name == "vec_id" => true
+            }
+        }.flatten.nonEmpty
+      import org.apache.spark.sql.GraftSqlBridge.{toColumn, toExpression}
+
+      // --- hamming (<~> ↔ bit_hamming_ops)
+      s.sql("""CREATE INDEX idx_bits_ham ON ddl_bits
+               USING hnsw (bq bit_hamming_ops)
+               WITH (m = 8, ef_construction = 48, parts = 2, id = 'vec_id')""")
+      val ent = HnswSqlCatalog.get("idx_bits_ham").get
+      assert(ent.metric == "hamming" && ent.storage == "bit")
+      // the graph carries the hamming kernel and 0/1 half-stored bits
+      val ix = graft.operators.Hnsw.deser(
+        graft.operators.Hnsw.readGraphs(s, ent.path)
+          .select(col("graph")).head.getAs[Array[Byte]](0))
+      assert(ix.metric == graft.operators.Hnsw.Metric.Hamming && ix.half)
+      assert(ix.vecs.head.forall(v => v == 0.0 || v == 1.0))
+      val dfHam = s.sql(
+        s"""SELECT vec_id FROM ddl_bits
+            ORDER BY bq <~> vec_binary_quantize('$vecText'::vector)
+            LIMIT 10""")
+      val gotHam = dfHam.collect().map(_.getLong(0)).toSeq
+      assert(probed(dfHam), "hamming index did not serve the <~> sort")
+      // distance-level gate (hamming ties make id recall ambiguous;
+      // the distance multiset is deterministic): the served top-10
+      // distances must match the exact top-10 in ≥ 8 positions
+      def dists(ids: Seq[Long], expr: org.apache.spark.sql.Column): Seq[Double] =
+        s.read.parquet(bqDir).filter(col("vec_id").isin(ids: _*))
+          .select(expr.cast("double")).collect().map(_.getDouble(0)).sorted.toSeq
+      val hamCol = toColumn(graft.functions.HammingDistExpr(
+        toExpression(col("bq")), qWords))
+      val exactHam = s.read.parquet(bqDir)
+        .select(col("vec_id"), hamCol.cast("double").as("d"))
+        .orderBy(col("d"), col("vec_id")).limit(10)
+        .collect().map(_.getDouble(1)).sorted.toSeq
+      val gotHamD = dists(gotHam, hamCol)
+      val agree = gotHamD.zip(exactHam).count { case (a, b) => a == b }
+      info(s"bit hamming DDL: served dists $gotHamD vs exact $exactHam")
+      assert(agree >= 8, s"hamming distance agreement $agree/10 below gate")
+      s.sql("DROP INDEX idx_bits_ham")
+
+      // --- jaccard (<%> ↔ bit_jaccard_ops)
+      s.sql("""CREATE INDEX idx_bits_jac ON ddl_bits
+               USING hnsw (bq bit_jaccard_ops)
+               WITH (m = 8, ef_construction = 48, parts = 2, id = 'vec_id')""")
+      val dfJac = s.sql(
+        s"""SELECT vec_id FROM ddl_bits
+            ORDER BY bq <%> vec_binary_quantize('$vecText'::vector)
+            LIMIT 10""")
+      val gotJac = dfJac.collect().map(_.getLong(0)).toSeq
+      assert(probed(dfJac), "jaccard index did not serve the <%> sort")
+      val jacCol = toColumn(graft.functions.JaccardDistExpr(
+        toExpression(col("bq")), qWords))
+      val exactJac = s.read.parquet(bqDir)
+        .select(col("vec_id"), jacCol.cast("double").as("d"))
+        .orderBy(col("d"), col("vec_id")).limit(10)
+        .collect().map(_.getDouble(1)).sorted.toSeq
+      val gotJacD = dists(gotJac, jacCol)
+      val agreeJ = gotJacD.zip(exactJac).count { case (a, b) => a == b }
+      info(s"bit jaccard DDL: served dists $gotJacD vs exact $exactJac")
+      assert(agreeJ >= 8, s"jaccard distance agreement $agreeJ/10 below gate")
+      s.sql("DROP INDEX idx_bits_jac")
+
+      // a bit opclass on a float vector column is refused with the
+      // type named (pgvector rejects bit opclasses on vector columns)
+      Tables.embeddings(s, Sf).createOrReplaceTempView("ddl_bits_float")
+      val eT = intercept[Exception] {
+        s.sql("""CREATE INDEX idx_bits_bad ON ddl_bits_float
+                 USING hnsw (embedding bit_hamming_ops)
+                 WITH (parts = 2, id = 'vec_id')""")
+      }
+      assert(eT.getMessage.contains("array<bigint>") &&
+        eT.getMessage.contains("bit_hamming_ops"))
+    }
+  }
+
   // ------------------------------------------------- end-to-end ivfflat
   private def withExtSession[T](f: SparkSession => T): T = {
     val base = SparkSpec.session
