@@ -45,6 +45,8 @@ object Bench {
       "vs_sq_knn" -> queries.VectorQueries.sqBench _,
       "vs_hnsw_knn" -> queries.VectorQueries.hnswBench _,
       "vs_hnsw_routed" -> queries.VectorQueries.hnswRoutedBench _,
+      "vs_hnsw_bit" -> queries.VectorQueries.hnswBitBench("hamming") _,
+      "vs_hnsw_bit_jacc" -> queries.VectorQueries.hnswBitBench("jaccard") _,
       "vs_ivfpq_knn" -> queries.VectorQueries.ivfPqBench _,
       "ingest_pdf_pages" -> queries.PipelineQueries.pdfBench _,
       "ingest_pdf_encrypted" -> queries.PipelineQueries.pdfEncBench _,

@@ -295,6 +295,23 @@ object VectorQueries {
       graft.operators.Hnsw.readGraphs(s, graphsP), q, K, ef = HnswEf)
   }
 
+  /** Bench split for the bit graphs: build = expand + graph build +
+    * persist + dump; probe = the per-query beam walk + k·P merge. */
+  def hnswBitBench(metric: String)(
+      s: SparkSession, d: String): (() => Unit, () => DataFrame) = {
+    var graphsP: String = null
+    var q: Array[Double] = null
+    val build = () => {
+      graphsP = ensureHnswBitStore(s, d, metric)._1
+      q = graft.operators.Hnsw.expandWords(graft.operators.BinaryQuant.pack(
+        Tables.embeddings(s, d).filter(col("vec_id") === 0)
+          .select(col("embedding").cast("array<double>"))
+          .head.getSeq[Double](0).toArray))
+    }
+    (build, () => graft.operators.Hnsw.search(
+      graft.operators.Hnsw.readGraphs(s, graphsP), q, K, ef = HnswEf))
+  }
+
   private def hnswBitOracle(d: String, metric: String): String = {
     val tag = if (metric == "hamming") "ham" else "jac"
     val dump = new java.io.File(new java.io.File(sys.props("java.io.tmpdir"),
