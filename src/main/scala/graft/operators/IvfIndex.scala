@@ -153,7 +153,8 @@ object IvfIndex {
   def trainCentroids(
       corpus: DataFrame, idCol: String, vecCol: String,
       nlist: Int, iters: Int,
-      mat: Materializer = Materializer.local()): DataFrame = {
+      mat: Materializer = Materializer.local(),
+      quantizeCentroid: Option[Column => Column] = None): DataFrame = {
     // Lloyd input hygiene (r10): a single-file input scans as ONE
     // partition, serializing the per-row assignment stage on a
     // many-core box (measured 24 s/iteration at the 10× fixture while
@@ -195,7 +196,13 @@ object IvfIndex {
           .groupBy(col("centroid_id"))
           .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
           .select(col("centroid_id"),
-            transform(col("pm"), x => x.getField("m")).as("centroid")),
+            // quantized-centroid hook (r13, the bit-IVF k-majority
+            // round): rounding INSIDE each Lloyd round keeps the next
+            // assignment's centroids in the element domain (bit
+            // vectors stay bit vectors), pgvector's bit-kmeans shape
+            quantizeCentroid.foldLeft(
+              transform(col("pm"), x => x.getField("m")))(
+              (c, q) => q(c)).as("centroid")),
         s"lloyd-$i")
       if (owned != null) mat.release(owned) // next is materialized; prev blocks free
       owned = next
@@ -223,6 +230,38 @@ object IvfIndex {
       else corpus.sample(withReplacement = false, trainFraction, seed = 42)
     val centroids = trainCentroids(train, idCol, vecCol, nlist, iters, mat)
     (assignCells(corpus, vecCol, centroids, spill), centroids)
+  }
+
+  /** Bit-IVF (pgvector `ivfflat … bit_hamming_ops`, r13 — lifts the
+    * former documented refusal): k-MAJORITY Lloyd over `bit(n)`
+    * vectors. The identity that makes the existing kernels exact:
+    * squared L2 over the 0/1 bit expansion ≡ hamming over the packed
+    * words, so assignment and cell ranking reuse the L2 machinery on
+    * the expansion, while [[trainCentroids]]'s quantize hook rounds
+    * each round's mean to the majority bit (≥ 0.5 → 1; the tie rounds
+    * up, deterministically) — centroids STAY bit vectors, so "nearest
+    * cell" is genuinely nearest-by-hamming and the probe is
+    * integer-deterministic end to end (fully oracle-replayable, no
+    * recall gate needed on the ranking itself).
+    *
+    * Input is the PACKED array<bigint> column ([[BinaryQuant.pack]]
+    * layout); the store keeps packed words + centroid_id only (the
+    * scan-bytes reason the opclass exists). At 100 TB: same layout
+    * contract as [[buildIndex]] — write with [[writePartitioned]],
+    * probes prune to nprobe cell partitions. */
+  def buildBitIndex(corpus: DataFrame, idCol: String, packedCol: String,
+      nlist: Int, iters: Int = 2,
+      mat: Materializer = Materializer.local()): (DataFrame, DataFrame) = {
+    val expandSql = s"flatten(transform($packedCol, w -> " +
+      "transform(sequence(0, 63), j -> cast(getbit(w, j) as double))))"
+    val expanded = corpus.withColumn("__bits", expr(expandSql))
+    val majority: Column => Column =
+      c => transform(c, v => when(v >= 0.5, lit(1.0)).otherwise(lit(0.0)))
+    val centroids = trainCentroids(expanded, idCol, "__bits", nlist, iters,
+      mat, quantizeCentroid = Some(majority))
+    val assigned = assignCells(expanded, "__bits", centroids, spill = 1)
+      .drop("__bits")
+    (assigned, centroids)
   }
 
   /** Persist the index partitioned by cell so probes prune partitions. */

@@ -229,10 +229,11 @@ final case class CreateVectorIndexCommand(stmt: VectorIndexDdl.Stmt)
         (prefix, m)
       case Some(oc @ ("bit_hamming_ops" | "bit_jaccard_ops")) =>
         if (stmt.method != "hnsw") throw new IllegalArgumentException(
-          s"no ivfflat build kernel for opclass $oc: the cell kernel is " +
-            "real-vector k-means and hamming centroids are k-majority bits " +
-            "(documented deviation — pgvector's ivfflat supports bit_hamming_ops; " +
-            "use hnsw, whose bit kernels are implemented)")
+          s"the ivfflat DDL surface does not serve opclass $oc: the k-majority " +
+            "bit-IVF kernel exists as the explicit API " +
+            "(IvfIndex.buildBitIndex / vs_ivf_bit) but the SQL probe rule ranks " +
+            "cells with real-vector arithmetic only — use hnsw DDL for served " +
+            "bit indexes (documented deviation from pgvector's ivfflat bit_hamming_ops)")
         ("bit", if (oc == "bit_hamming_ops") "hamming" else "jaccard")
       case Some(other) => throw new IllegalArgumentException(
         s"unsupported opclass $other (expected {vector|halfvec}_" +

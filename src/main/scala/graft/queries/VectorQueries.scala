@@ -295,6 +295,103 @@ object VectorQueries {
       graft.operators.Hnsw.readGraphs(s, graphsP), q, K, ef = HnswEf)
   }
 
+  /** Build-once bit-IVF store (pgvector `ivfflat (bq bit_hamming_ops)`
+    * — r13, the former documented ivfflat-bit refusal now implemented):
+    * k-majority Lloyd over the packed sidecar
+    * ([[graft.operators.IvfIndex.buildBitIndex]]), store partitioned
+    * by cell, centroids persisted as 0/1 arrays for the replay. */
+  private[graft] val IvfBitNlist = 16
+  private[graft] val IvfBitNprobe = 4
+  private def ivfBitBasePath(d: String): String =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_ivfbit_v1_${graft.Sidecar.key(d)}").toString
+
+  private def ensureIvfBitStore(s: SparkSession, d: String): String = {
+    val base = ivfBitBasePath(d)
+    VectorQueries.synchronized {
+      if (!new java.io.File(new java.io.File(base, "store"), "_SUCCESS").exists()) {
+        val (indexed, cents) = graft.operators.IvfIndex.buildBitIndex(
+          s.read.parquet(ensureBqStore(s, d)), "vec_id", "bq",
+          nlist = IvfBitNlist, iters = 2)
+        graft.operators.IvfIndex.writePartitioned(
+          indexed, new java.io.File(base, "store").toString)
+        cents.write.mode("overwrite")
+          .parquet(new java.io.File(base, "centroids").toString)
+      }
+    }
+    base
+  }
+
+  /** vs_ivf_bit: cell-probed hamming search — rank the nlist bit
+    * centroids by hamming driver-side (KB-scale, the rankCells
+    * budget), scan ONLY the nprobe cell partitions (partition-pruned
+    * In), exact integer hamming top-k within. Deterministic end to
+    * end: integer cell ranking (centroid_id tie-break) + integer
+    * distances — hash-exact from birth. */
+  private def ivfBitKnn(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge.{toColumn, toExpression}
+    val base = ensureIvfBitStore(s, d)
+    val qWords = graft.operators.BinaryQuant.pack(
+      Tables.embeddings(s, d).filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head.getSeq[Double](0).toArray)
+    val qBits = graft.operators.Hnsw.expandWords(qWords)
+    // nlist rows — driver metadata, same budget as Hnsw.rankCells
+    val cells = s.read.parquet(new java.io.File(base, "centroids").toString)
+      .select(col("centroid_id"), col("centroid").cast("array<double>"))
+      .collect()
+      .map { r =>
+        val c = r.getSeq[Double](1)
+        var h = 0; var i = 0
+        val n = math.min(qBits.length, c.length)
+        while (i < n) { if (qBits(i) != c(i)) h += 1; i += 1 }
+        (h, r.getInt(0))
+      }
+      .sorted.take(IvfBitNprobe).map(_._2).toSeq
+    s.read.parquet(new java.io.File(base, "store").toString)
+      .filter(col("centroid_id").isin(cells.map(Int.box): _*))
+      .select(col("vec_id"),
+        toColumn(graft.functions.HammingDistExpr(
+          toExpression(col("bq")), qWords)).cast("long").as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(K)
+  }
+
+  /** Replay: centroid ranking from the persisted 0/1 centroid arrays
+    * (integer hamming, centroid_id tie-break), partition-pruned
+    * probe, sign-bit hamming vs the raw embeddings (≡ the packed
+    * store's HammingDistExpr — pack is the sign bits). */
+  private def ivfBitOracle(d: String): String = {
+    val base = ivfBitBasePath(d)
+    s"""
+    WITH q AS (SELECT embedding AS qv FROM embeddings WHERE vec_id = 0),
+    probed AS (
+      SELECT centroid_id
+      FROM read_parquet('$base/centroids/*.parquet'), q
+      ORDER BY list_sum(list_transform(list_zip(centroid, q.qv),
+        x -> CASE WHEN (x[1] = 1) <> (x[2] > 0) THEN 1 ELSE 0 END)),
+        centroid_id
+      LIMIT $IvfBitNprobe),
+    store AS (
+      SELECT vec_id, CAST(centroid_id AS INT) AS centroid_id
+      FROM read_parquet('$base/store/centroid_id=*/*.parquet', hive_partitioning=1))
+    SELECT s.vec_id AS vec_id,
+      CAST(list_sum(list_transform(list_zip(e.embedding, q.qv),
+        x -> CASE WHEN (x[1] > 0) <> (x[2] > 0) THEN 1 ELSE 0 END)) AS BIGINT) AS dist
+    FROM store s
+    JOIN embeddings e ON e.vec_id = s.vec_id, q
+    WHERE s.centroid_id IN (SELECT centroid_id FROM probed)
+    ORDER BY dist, vec_id
+    LIMIT $K"""
+  }
+
+  /** Bench split for the bit IVF: build = k-majority Lloyd + assign +
+    * partitioned write; probe = cell ranking + pruned hamming scan. */
+  def ivfBitBench(s: SparkSession, d: String): (() => Unit, () => DataFrame) = {
+    val build = () => { ensureIvfBitStore(s, d); () }
+    (build, () => ivfBitKnn(s, d))
+  }
+
   /** Bench split for the bit graphs: build = expand + graph build +
     * persist + dump; probe = the per-query beam walk + k·P merge. */
   def hnswBitBench(metric: String)(
@@ -2712,6 +2809,7 @@ object VectorQueries {
     "vs_hnsw_bit_jacc" -> QueryDef(
       (s: SparkSession, dd: String) => hnswBitKnn(s, dd, "jaccard"),
       hnswBitOracle(d, "jaccard")),
+    "vs_ivf_bit"      -> QueryDef(ivfBitKnn _, ivfBitOracle(d)),
     "vs_ivfpq_knn"    -> QueryDef(ivfPqKnn _, ivfPqKnnOracle(d)),
     "vs_ivf_batch"    -> QueryDef(ivfBatch _, ivfBatchOracle(d)),
     "vs_ivf_knn"      -> QueryDef(ivfKnn _, ivfProbeOracle(d)),

@@ -37,11 +37,12 @@ class InventorySyncSpec extends AnyFunSuite {
     // r13: +2 — emb_pairs_blocked (anchor-scale contrastive mining
     // through the IVF spill-cell store) and txn_recluster (the
     // metadata-only OPTIMIZE trigger), both hash-exact from birth
-    // r13: +2 — vs_hnsw_bit / vs_hnsw_bit_jacc (pgvector's bit-metric
+    // r13: +3 — vs_hnsw_bit / vs_hnsw_bit_jacc (pgvector's bit-metric
     // hnsw index family: integer-exact hamming/jaccard graph kernels
-    // over the packed sidecar's bit expansion), hash-exact from birth
-    // via the parameterized walk replay
-    assert(SparkEntry.queries.size == 172)
+    // over the packed sidecar's bit expansion) and vs_ivf_bit (the
+    // k-majority bit-IVF: hamming cell ranking + partition-pruned
+    // integer probe), all hash-exact from birth
+    assert(SparkEntry.queries.size == 173)
     // r10: +4 — events_approx_distinct (engine HLL, integer-exact
     // estimator replay) and decontam_bloom (deterministic bitmap,
     // relational rebuild) moved onto the hash gate; the two new
@@ -60,7 +61,7 @@ class InventorySyncSpec extends AnyFunSuite {
     // tiles at quality 1.0 make the real DCT roundtrip the identity,
     // closed-form sums oracle; only text_bpe_train remains rows-only
     // (the standing impossibility memo)
-    assert(SparkEntry.oracleSql.size == 171)
+    assert(SparkEntry.oracleSql.size == 172)
   }
 
   test("every rows-only (non-oracled) query carries a gate in RecallGateSpec") {
