@@ -186,8 +186,14 @@ object Bench {
         try {
           val p = mk(spark, sfDir)
           try {
-            p.build()
-            Seq(name -> coldThenWarm(name, p.probe))
+            // honest build cost (VERDICT r13 #8): the serving families
+            // amortize index/store builds outside the timed probe; the
+            // `_build` row records them (index build + stream startup +
+            // one warm-up micro-batch — the cost a deploy actually pays
+            // before first steady-state serve). One-shot by design: cold.
+            val tb = timed(p.build)
+            Seq(s"${name}_build" -> tb,
+              name -> coldThenWarm(name, p.probe))
           } finally p.stop()
         } catch {
           case e: Throwable =>
@@ -219,9 +225,29 @@ object Bench {
     val cSorted = canaryTimes.values.toSeq.sorted
     val cMed = if (cSorted.isEmpty) 0.0 else cSorted(cSorted.size / 2)
     val cMax = if (cSorted.isEmpty) 0.0 else cSorted.last
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jsonMap(allResults, round = true)},"canary_med":${f3(cMed)},"canary_max":${f3(cMax)},"sf":"$sfDir"}"""
+    // Contention GUARD (VERDICT r13 "what's wrong" #1): the committed
+    // r13 artifact was 2.8× inflated by neighbor contention and still
+    // shipped as the round's number — nothing structural stopped it.
+    // A run whose canary max exceeds 3× its median is now stamped
+    // `"contended": true` in BOTH the stdout line and the file JSON
+    // (with the per-entry dirty list), so a dirty artifact can never
+    // again pass as a clean round-over-round comparison point: the
+    // consumer must either re-run on a quiet box or read per-entry
+    // canaries. The guard annotates rather than aborts — a partial
+    // artifact with a warning beats a round with no numbers at all.
+    val contended = cMed > 0 && cMax / cMed > 3.0
+    val dirty = canaryTimes.collect {
+      case (n, c) if cMed > 0 && c / cMed > 2.0 => n
+    }.toSeq.sorted
+    if (contended)
+      System.err.println(s"[bench] CONTENDED RUN: canary max ${f3(cMax)} > " +
+        s"3x median ${f3(cMed)} (${dirty.size} dirty entries) — do not use " +
+        "this artifact for round-over-round comparisons; re-run on a quiet box")
+    val contJson = s""","contended":$contended"""
+    val dirtyJson = dirty.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jsonMap(allResults, round = true)},"canary_med":${f3(cMed)},"canary_max":${f3(cMax)}$contJson,"sf":"$sfDir"}"""
     println(line)
-    val fileLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(allResults, round = false)},"cold":${jsonMap(coldTimes.toSeq, round = false)},"warm":${jsonMap(warmTimes.toSeq, round = false)},"canary":${jsonMap(canaryTimes.toSeq, round = false)},"sf":"$sfDir"}"""
+    val fileLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(allResults, round = false)},"cold":${jsonMap(coldTimes.toSeq, round = false)},"warm":${jsonMap(warmTimes.toSeq, round = false)},"canary":${jsonMap(canaryTimes.toSeq, round = false)}$contJson,"canary_dirty":$dirtyJson,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (fileLine + "\n").getBytes("UTF-8"))

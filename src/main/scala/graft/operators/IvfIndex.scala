@@ -259,6 +259,21 @@ object IvfIndex {
       c => transform(c, v => when(v >= 0.5, lit(1.0)).otherwise(lit(0.0)))
     val centroids = trainCentroids(expanded, idCol, "__bits", nlist, iters,
       mat, quantizeCentroid = Some(majority))
+    // k-majority rounding can collapse two cells onto one bit vector
+    // (and groupBy drops emptied cells) — the probe stays correct
+    // (engine and oracle rank the same persisted centroids) but the
+    // effective nlist silently shrinks and cell balance degrades
+    // unobserved (ADVICE r13). Surface it: count distinct centroids
+    // (nlist rows — driver-metadata scale) and warn on collapse.
+    val counts = centroids
+      .groupBy().agg(count(lit(1)).as("n"), countDistinct(col("centroid")).as("nd"))
+      .head()
+    val (nCells, nDistinct) = (counts.getLong(0), counts.getLong(1))
+    if (nCells < nlist || nDistinct < nCells)
+      org.slf4j.LoggerFactory.getLogger(getClass).warn(
+        s"bit-IVF k-majority training kept $nCells/$nlist cells " +
+          s"($nDistinct distinct bit centroids) — duplicate/empty cells " +
+          "shrink the effective nlist; consider fewer lists or more data")
     val assigned = assignCells(expanded, "__bits", centroids, spill = 1)
       .drop("__bits")
     (assigned, centroids)

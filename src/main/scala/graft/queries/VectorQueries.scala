@@ -309,7 +309,12 @@ object VectorQueries {
   private def ensureIvfBitStore(s: SparkSession, d: String): String = {
     val base = ivfBitBasePath(d)
     VectorQueries.synchronized {
-      if (!new java.io.File(new java.io.File(base, "store"), "_SUCCESS").exists()) {
+      // gate on the LAST-written artifact (ADVICE r13): gating on
+      // store/_SUCCESS with centroids written after left a crash
+      // window that permanently poisoned the cache (store present,
+      // centroids missing — every later probe/oracle run fails until
+      // the directory is deleted by hand)
+      if (!new java.io.File(new java.io.File(base, "centroids"), "_SUCCESS").exists()) {
         val (indexed, cents) = graft.operators.IvfIndex.buildBitIndex(
           s.read.parquet(ensureBqStore(s, d)), "vec_id", "bq",
           nlist = IvfBitNlist, iters = 2)

@@ -132,11 +132,14 @@ object KnnServing {
       qIdCol, idCol, docIdCol, textCol, terms, m, windowTokens)
   }
 
-  /** The INDEXED micro-batch of the reference's full serving flow —
-    * what the reference actually executes in production: its top-k
-    * SELECT hits the pgvector index, not a sequential scan
-    * (SSEOpenAIController.java:316 `ORDER BY embedding <-> ?` over an
-    * hnsw/ivfflat-indexed table). Per batch: one [[graft.operators
+  /** The INDEXED variant of the reference's full serving flow — its
+    * top-k SELECT (SSEOpenAIController.java:316 `ORDER BY embedding
+    * <-> ?`) as pgvector would serve it WITH an hnsw index created.
+    * (The reference itself never creates a vector index —
+    * create-env-en.sh only runs CREATE EXTENSION vector, so its own
+    * table seq-scans; this is the production-indexed shape of that
+    * flow, not a claim about the reference's executed plan.) Per
+    * batch: one [[graft.operators
     * .Hnsw.searchBatch]] over the persisted partition graphs (P graph
     * loads + |batch|·P beam walks — corpus-row-count INDEPENDENT),
     * then the same bounded doc fetch + summarize as
@@ -217,9 +220,9 @@ object KnnServing {
   }
 
   /** Streaming wrapper over [[summarizeIndexedBatch]] — the
-    * reference's production serving flow end-to-end: hnsw-indexed
-    * top-k, point-read doc fetch, per-hit extractive summaries in SSE
-    * emission order. */
+    * reference's serving flow end-to-end in its indexed form:
+    * hnsw-indexed top-k, point-read doc fetch, per-hit extractive
+    * summaries in SSE emission order. */
   def serveSummarizedIndexed(
       queries: DataFrame, graphs: DataFrame,
       fetchDocs: Seq[Any] => DataFrame,

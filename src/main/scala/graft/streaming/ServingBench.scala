@@ -161,11 +161,12 @@ object ServingBench {
       stop = () => if (q != null) q.stop())
   }
 
-  /** The reference's PRODUCTION serving flow end-to-end
-    * ([[KnnServing.serveSummarizedIndexed]]): hnsw-indexed top-k
-    * (P graph loads per batch, corpus-row-count independent — the
-    * reference's SELECT hits the pgvector index, never a sequential
-    * scan) + a stat-pruned GraftTable point read for the hit docs
+  /** The reference's serving flow end-to-end in its INDEXED form
+    * ([[KnnServing.serveSummarizedIndexed]] — as pgvector would serve
+    * the reference's SELECT with an hnsw index created; the reference
+    * itself creates only the extension): hnsw-indexed top-k
+    * (P graph loads per batch, corpus-row-count independent)
+    * + a stat-pruned GraftTable point read for the hit docs
     * (the docs store is range-clustered on doc_id at build, so the
     * literal In prunes to the files holding the hits) + extractive
     * summarize. The scale contrast row for serve_summarized_probe,

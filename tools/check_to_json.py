@@ -12,9 +12,13 @@ def main():
     txt = open(sys.argv[1]).read()
     note = sys.argv[2] if len(sys.argv) > 2 else ""
     queries = {}
-    for m in re.finditer(r"^ok   (\S+) \((\d+) rows\)$", txt, re.M):
+    # tolerant spacing/suffix (ADVICE r13): '^ok   ' hard-coded exactly
+    # three spaces and the FAIL regex required trailing text, so a bare
+    # 'FAIL <name>' line silently vanished from the JSON — overstating
+    # oracled_pass/oracled_total fidelity
+    for m in re.finditer(r"^ok\s+(\S+) \((\d+) rows\)$", txt, re.M):
         queries[m.group(1)] = {"match": True, "rows": int(m.group(2))}
-    for m in re.finditer(r"^FAIL (\S+?):? .*$", txt, re.M):
+    for m in re.finditer(r"^FAIL (\S+?):?(?:\s.*)?$", txt, re.M):
         name = m.group(1).rstrip(":")
         name = re.sub(r"\(.*", "", name)
         queries.setdefault(name, {"match": False, "rows": -1})
