@@ -59,11 +59,21 @@ object IvfCatalog {
     * exposes the original name as its unpack, so the sort's column
     * side resolves to the PACKED attribute — the rule matches either
     * name (VectorIndexDdl r13). */
+  /** `kind` (r14, the ivfflat bit_hamming_ops wiring): "float" stores
+    * hold real-vector centroids and serve any float-metric sort
+    * (l2/ip/cosine — the probe ranks with the sort's own metric);
+    * "bit-hamming" stores hold k-majority 0/1 bit centroids
+    * ([[graft.operators.IvfIndex.buildBitIndex]]) and serve ONLY the
+    * `<~>` hamming sort — pgvector parity: an index serves its
+    * opclass's operator, and a float sort over bit centroids (or a
+    * hamming sort over float centroids) would rank cells with the
+    * wrong arithmetic. */
   final case class Entry(cells: Array[Int], centroids: Array[Array[Double]],
       nprobe: Int, vecCol: String, radii: Array[Double],
       filteredWiden: Int = 2,
       table: Option[graft.sources.GraftTable] = None,
-      packedCol: Option[String] = None)
+      packedCol: Option[String] = None,
+      kind: String = "float")
 
   private val entries = TrieMap.empty[String, Entry]
 
@@ -81,7 +91,7 @@ object IvfCatalog {
     * column) must keep its exact plan. */
   def register(storePath: String, centroids: DataFrame, nprobe: Int,
       vecCol: String = "embedding", filteredWiden: Int = 2,
-      packedCol: Option[String] = None): Unit = {
+      packedCol: Option[String] = None, kind: String = "float"): Unit = {
     val hasRadius = centroids.columns.contains("radius")
     val cols = if (hasRadius) Seq("centroid_id", "centroid", "radius")
                else Seq("centroid_id", "centroid")
@@ -93,7 +103,8 @@ object IvfCatalog {
       vecCol,
       if (hasRadius) rows.map(_.getDouble(2)) else Array.empty,
       filteredWiden,
-      packedCol = packedCol)
+      packedCol = packedCol,
+      kind = kind)
   }
 
   /** A GraftTable-backed store registers with its clustered-index
@@ -127,6 +138,13 @@ object IvfCatalog {
 }
 
 object IvfProbeRule {
+
+  /** Pseudo distance-mode id for the `<~>` hamming sort key
+    * ([[graft.functions.HammingDistExpr]] — not a
+    * [[graft.functions.VectorDistanceExpr]] mode; chosen outside that
+    * id space). Query bits arrive as the packed words' 0/1 expansion,
+    * matching the k-majority centroid representation. */
+  val HammingMode = 1000
 
   /** Session conf key gating the join-shape rewrite's query-side
     * evaluation (a bounded limit-2 job launched at OPTIMIZATION time —
@@ -258,15 +276,40 @@ final class IvfProbeRule(session: SparkSession) extends Rule[LogicalPlan] {
   private def rewrite(srt: Sort): Option[Sort] =
     literalRewrite(srt).orElse(joinRewrite(srt))
 
+  /** One recognized sort key: distance mode (a [[VectorDistance]] id,
+    * or [[IvfProbeRule.HammingMode]] for `<~>` over a bit store), its
+    * column side, and the literal query (bit: the packed words' 0/1
+    * expansion — the centroid representation). */
+  private final case class DistKey(mode: Int, negated: Boolean,
+      colSide: Expression, query: Array[Double])
+
+  private def asDistKey(e: Expression): Option[DistKey] = e match {
+    case v: VectorDistanceExpr =>
+      for {
+        q <- literalVector(v)
+        c <- vectorColumn(v) // a real column on the other side, not two literals
+      } yield DistKey(v.mode, negated = false, c, q)
+    case u: UnaryMinus => u.child match {
+      case v: VectorDistanceExpr => // -dot: max-inner-product search
+        for { q <- literalVector(v); c <- vectorColumn(v) }
+          yield DistKey(v.mode, negated = true, c, q)
+      case _ => None
+    }
+    // the pgvector `<~>` shape over a bit_hamming_ops ivfflat store
+    // (r14): the query's packed words ride inside the expression
+    case h: graft.functions.HammingDistExpr =>
+      Some(DistKey(IvfProbeRule.HammingMode, negated = false, h.child,
+        graft.operators.Hnsw.expandWords(h.query)))
+    case _ => None
+  }
+
   /** The pgvector shape: the query vector is a LITERAL in the sort key. */
   private def literalRewrite(srt: Sort): Option[Sort] = {
     for {
       head <- srt.order.headOption
-      (vde, negated) <- asDistance(resolveThroughProjects(head.child, srt.child))
-      query <- literalVector(vde)
-      colSide <- vectorColumn(vde) // a real column on the other side, not two literals
-      vecAttr <- resolveToAttribute(colSide, srt.child)
-      rewritten <- injectProbe(srt.child, vde, vecAttr, query, negated)
+      key <- asDistKey(resolveThroughProjects(head.child, srt.child))
+      vecAttr <- resolveToAttribute(key.colSide, srt.child)
+      rewritten <- injectProbe(srt.child, key.mode, vecAttr, key.query, key.negated)
     } yield srt.copy(child = rewritten)
   }
 
@@ -314,7 +357,7 @@ final class IvfProbeRule(session: SparkSession) extends Rule[LogicalPlan] {
       corpusAttr <- attrs.find(a => corpus.outputSet.contains(a))
       if session.conf.get(IvfProbeRule.JoinEvalKey, "true").toBoolean
       query <- evalSingleRowVector(querySide, qAttr)
-      rewritten <- injectProbe(srt.child, vde, corpusAttr, query, negated)
+      rewritten <- injectProbe(srt.child, vde.mode, corpusAttr, query, negated)
     } yield srt.copy(child = rewritten)
   }
 
@@ -391,8 +434,17 @@ final class IvfProbeRule(session: SparkSession) extends Rule[LogicalPlan] {
     * column, or over a joined table that merely sits near a registered
     * scan, must keep its exact plan (pruning it would silently drop
     * valid top-k rows). */
+  /** An entry serves a sort mode iff their arithmetic families agree:
+    * bit-hamming centroids rank only the `<~>` sort; float centroids
+    * rank any float metric (the probe uses the sort's own metric).
+    * pgvector parity either way — an index serves its opclass's
+    * operator, everything else keeps the exact plan. */
+  private def entryServes(kind: String, mode: Int): Boolean =
+    if (kind == "bit-hamming") mode == IvfProbeRule.HammingMode
+    else mode != IvfProbeRule.HammingMode
+
   private def injectProbe(
-      plan: LogicalPlan, vde: VectorDistanceExpr, vecAttr: AttributeReference,
+      plan: LogicalPlan, mode: Int, vecAttr: AttributeReference,
       query: Array[Double], negated: Boolean): Option[LogicalPlan] = {
     var done = false
     val out = plan transform {
@@ -400,7 +452,8 @@ final class IvfProbeRule(session: SparkSession) extends Rule[LogicalPlan] {
         (lr.relation, lr.output.find(_.name == "centroid_id")) match {
           case (fs: HadoopFsRelation, Some(cellAttr)) =>
             IvfCatalog.lookup(fs.location.rootPaths) match {
-              case Some(entry) if (vecAttr.name == entry.vecCol || entry.packedCol.contains(vecAttr.name)) &&
+              case Some(entry) if entryServes(entry.kind, mode) &&
+                  (vecAttr.name == entry.vecCol || entry.packedCol.contains(vecAttr.name)) &&
                   lr.output.exists(_.exprId == vecAttr.exprId) =>
                 done = true
                 // probe width: `SET ivfflat.probes = N` (the pgvector
@@ -424,7 +477,7 @@ final class IvfProbeRule(session: SparkSession) extends Rule[LogicalPlan] {
                   graft.functions.Half.unpackToDouble(graft.functions.Half.pack(query))
                 else query
                 val ranked = entry.cells.zip(entry.centroids)
-                  .map { case (id, c) => (id, cellScore(vde.mode, negated, q, c)) }
+                  .map { case (id, c) => (id, cellScore(mode, negated, q, c)) }
                   .sortBy { case (id, s) => (s, id) }
                   .take(nprobe)
                   .map(_._1)
@@ -566,16 +619,21 @@ final class IvfProbeRule(session: SparkSession) extends Rule[LogicalPlan] {
   private def cellScore(mode: Int, negated: Boolean, a: Array[Double], b: Array[Double]): Double = {
     val n = math.min(a.length, b.length)
     var dot = 0.0; var aa = 0.0; var bb = 0.0; var l2 = 0.0; var l1 = 0.0
+    var ham = 0.0
     var i = 0
     while (i < n) {
       dot += a(i) * b(i); aa += a(i) * a(i); bb += b(i) * b(i)
       val d = a(i) - b(i); l2 += d * d; l1 += math.abs(d)
+      if (a(i) != b(i)) ham += 1.0
       i += 1
     }
     val raw = mode match {
       case 0 => dot // Dot: negated=true means ORDER BY -dot ASC
       case 1 => math.sqrt(l2)
       case VectorDistance.L1.id => l1 // a metric: L1-to-centroid ranking is sound
+      // bit store: 0/1 arrays both sides — integer hamming (exact,
+      // fully oracle-replayable: no float rounding in the ranking)
+      case IvfProbeRule.HammingMode => ham
       case m =>
         val sim = math.max(-1.0, math.min(1.0, dot / (math.sqrt(aa) * math.sqrt(bb))))
         if (m == VectorDistance.CosineDist.id) 1.0 - sim else sim

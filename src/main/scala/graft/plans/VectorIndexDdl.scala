@@ -204,10 +204,14 @@ final case class CreateVectorIndexCommand(stmt: VectorIndexDdl.Stmt)
     *    and serve the verbatim `<~>`/`<%>` ORDER BY. A bit opclass on
     *    a float vector column is refused with the type named —
     *    pgvector likewise rejects `bit_*_ops` on a `vector` column.
-    *  - `ivfflat` + bit_hamming_ops stays REJECTED (pgvector has it;
-    *    the cell kernel here is real-vector k-means, and hamming
-    *    centroids are k-majority bits — documented deviation: use
-    *    hnsw).
+    *  - `ivfflat` + bit_hamming_ops (r14 — closes the last ivfflat
+    *    parity gap): routes to the k-majority bit-IVF build
+    *    ([[graft.operators.IvfIndex.buildBitIndex]]) — centroids stay
+    *    bit vectors, [[IvfProbeRule]] ranks cells with integer
+    *    hamming, and the verbatim `ORDER BY bq <~> …` plans the
+    *    partition-pruned probe exactly as pgvector's ivfflat does.
+    *    `ivfflat` + bit_jaccard_ops stays rejected — pgvector itself
+    *    has no ivfflat jaccard opclass (hnsw-only).
     * The element-type prefix (pgvector ≥0.7 `halfvec_*`/`sparsevec_*`)
     * selects storage width; sparsevec is hnsw-only exactly as in
     * pgvector. */
@@ -228,17 +232,16 @@ final case class CreateVectorIndexCommand(stmt: VectorIndexDdl.Stmt)
             "silently densify (documented deviation; pgvector indexes sparsevec on hnsw)")
         (prefix, m)
       case Some(oc @ ("bit_hamming_ops" | "bit_jaccard_ops")) =>
-        if (stmt.method != "hnsw") throw new IllegalArgumentException(
-          s"the ivfflat DDL surface does not serve opclass $oc: the k-majority " +
-            "bit-IVF kernel exists as the explicit API " +
-            "(IvfIndex.buildBitIndex / vs_ivf_bit) but the SQL probe rule ranks " +
-            "cells with real-vector arithmetic only — use hnsw DDL for served " +
-            "bit indexes (documented deviation from pgvector's ivfflat bit_hamming_ops)")
+        if (stmt.method == "ivfflat" && oc == "bit_jaccard_ops")
+          throw new IllegalArgumentException(
+            s"access method ivfflat does not support opclass $oc " +
+              "(pgvector parity: ivfflat has no jaccard opclass; use hnsw " +
+              "with bit_jaccard_ops)")
         ("bit", if (oc == "bit_hamming_ops") "hamming" else "jaccard")
       case Some(other) => throw new IllegalArgumentException(
         s"unsupported opclass $other (expected {vector|halfvec}_" +
-          "{l2|cosine|ip|l1}_ops, or hnsw bit_{hamming|jaccard}_ops " +
-          "on a packed array<bigint> column)")
+          "{l2|cosine|ip|l1}_ops, bit_hamming_ops, or hnsw " +
+          "bit_jaccard_ops on a packed array<bigint> column)")
     }
 
   /** Element storage the prefix selects: `halfvec` builds float16
@@ -320,8 +323,47 @@ final case class CreateVectorIndexCommand(stmt: VectorIndexDdl.Stmt)
     case _ => HnswSqlCatalog.get(indexName).isDefined
   }
 
+  /** The packed-words column contract shared by every bit opclass:
+    * array<bigint> in the [[graft.operators.BinaryQuant.pack]] layout. */
+  private def requirePackedColumn(df: org.apache.spark.sql.DataFrame): Unit = {
+    import org.apache.spark.sql.types._
+    df.schema.fields.find(_.name == stmt.column).map(_.dataType) match {
+      case Some(ArrayType(LongType, _)) => ()
+      case other => throw new IllegalArgumentException(
+        s"opclass ${stmt.opclass.get} needs a packed array<bigint> bit column " +
+          s"(the engine's bit(n), BinaryQuant.pack layout); ${stmt.column} is " +
+          s"${other.map(_.simpleString).getOrElse("missing")} — pgvector likewise " +
+          "rejects bit opclasses on a vector column")
+    }
+  }
+
+  /** `ivfflat (col bit_hamming_ops)` (r14): k-majority Lloyd over the
+    * packed words, cell-partitioned store, bit centroids registered so
+    * [[IvfProbeRule]] ranks cells by integer hamming for the verbatim
+    * `ORDER BY col <~> …` — the exact pgvector ivfflat-bit flow. No
+    * radii are registered: the range rewrite is an L2 triangle-
+    * inequality argument and never fires on a bit store. */
+  private def buildIvfBit(session: SparkSession,
+      df: org.apache.spark.sql.DataFrame): Unit = {
+    import graft.operators.IvfIndex
+    requirePackedColumn(df)
+    val lists = intOpt("lists", 100)
+    val probes = intOpt("probes", 1)
+    val (indexed, centroids) =
+      IvfIndex.buildBitIndex(df, idCol(df), stmt.column, nlist = lists)
+    IvfIndex.writePartitioned(indexed, storePath)
+    IvfCatalog.register(storePath, centroids, nprobe = probes,
+      vecCol = stmt.column, kind = "bit-hamming")
+    IvfProbeRule.install(session)
+    // rebind over the clustered store, original columns + the cell id
+    val store = session.read.parquet(storePath)
+    store.select((df.columns.map(col) :+ col("centroid_id")).toIndexedSeq: _*)
+      .createOrReplaceTempView(stmt.table)
+  }
+
   private def buildIvf(session: SparkSession,
       df: org.apache.spark.sql.DataFrame): Unit = {
+    if (storage == "bit") return buildIvfBit(session, df)
     import graft.operators.IvfIndex
     import org.apache.spark.sql.GraftSqlBridge.{toColumn, toExpression}
     val lists = intOpt("lists", 100)
@@ -382,15 +424,7 @@ final case class CreateVectorIndexCommand(stmt: VectorIndexDdl.Stmt)
     val (src, vecCol, half) =
       if (storage != "bit") (df, stmt.column, storage == "halfvec")
       else {
-        import org.apache.spark.sql.types._
-        df.schema.fields.find(_.name == stmt.column).map(_.dataType) match {
-          case Some(ArrayType(LongType, _)) => ()
-          case other => throw new IllegalArgumentException(
-            s"opclass ${stmt.opclass.get} needs a packed array<bigint> bit column " +
-              s"(the engine's bit(n), BinaryQuant.pack layout); ${stmt.column} is " +
-              s"${other.map(_.simpleString).getOrElse("missing")} — pgvector likewise " +
-              "rejects bit opclasses on a vector column")
-        }
+        requirePackedColumn(df)
         val bits = s"__bits_${stmt.column}"
         (df.withColumn(bits, expr(
           s"flatten(transform(${stmt.column}, w -> " +

@@ -383,6 +383,72 @@ class VectorIndexDdlSpec extends SparkSpec {
     }
   }
 
+  test("ivfflat bit_hamming_ops DDL: k-majority store serves verbatim <~> (r14)") {
+    withExtSession { s =>
+      graft.plans.IvfCatalog.clear()
+      val bqDir = java.nio.file.Files
+        .createTempDirectory("graft_ddl_ivfbit").toString + "/t"
+      graft.operators.BinaryQuant.writeStore(
+        Tables.embeddings(s, Sf).filter(col("vec_id") =!= 0),
+        "vec_id", "embedding", bqDir)
+      s.read.parquet(bqDir).createOrReplaceTempView("ddl_ivfbit")
+      val vec = Tables.embeddings(s, Sf).filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head.getSeq[Double](0).toArray
+      val vecText = vec.mkString("[", ",", "]")
+      // pgvector parity refusal: ivfflat has no jaccard opclass
+      val eJ = intercept[Exception] {
+        s.sql("""CREATE INDEX ON ddl_ivfbit
+                 USING ivfflat (bq bit_jaccard_ops) WITH (id = 'vec_id')""")
+      }
+      assert(eJ.getMessage.contains("bit_jaccard_ops") &&
+        eJ.getMessage.contains("hnsw"))
+      // full-width probe (probes = lists): the DDL+SELECT result is
+      // EXACT integer hamming top-k — zero recall flake margin
+      s.sql("""CREATE INDEX idx_ivfbit ON ddl_ivfbit
+               USING ivfflat (bq bit_hamming_ops)
+               WITH (lists = 8, probes = 8, id = 'vec_id')""")
+      val q = s"""SELECT vec_id FROM ddl_ivfbit
+            ORDER BY bq <~> vec_binary_quantize('$vecText'::vector), vec_id
+            LIMIT 10"""
+      val df = s.sql(q)
+      val scans = df.queryExecution.executedPlan.collect {
+        case sc: FileSourceScanExec => sc }
+      assert(scans.exists(_.partitionFilters.exists(_.toString.contains("centroid_id"))),
+        s"no centroid_id partition filter:\n${df.queryExecution.executedPlan}")
+      assert(scans.exists(_.relation.location.rootPaths.exists(
+        _.toString.contains("graft_sqlindex_ivfflat"))))
+      val got = df.collect().map(_.getLong(0)).toSeq
+      import org.apache.spark.sql.GraftSqlBridge.{toColumn, toExpression}
+      val qWords = graft.operators.BinaryQuant.pack(vec)
+      val want = s.read.parquet(bqDir)
+        .select(col("vec_id"), toColumn(graft.functions.HammingDistExpr(
+          toExpression(col("bq")), qWords)).cast("long").as("d"))
+        .orderBy(col("d"), col("vec_id")).limit(10)
+        .collect().map(_.getLong(0)).toSeq
+      assert(got == want, s"full-width bit probe not exact: $got vs $want")
+      // SET ivfflat.probes narrows the injected cell list (the
+      // pgvector session knob works on the bit store too)
+      import org.apache.spark.sql.catalyst.expressions.{AttributeReference, In}
+      def probedCells(d: org.apache.spark.sql.DataFrame): Int =
+        d.queryExecution.optimizedPlan.collect {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            f.condition.collect {
+              case In(a: AttributeReference, list) if a.name == "centroid_id" =>
+                list.size
+            }
+        }.flatten.headOption.getOrElse(0)
+      s.conf.set("ivfflat.probes", "2")
+      try assert(probedCells(s.sql(q)) == 2,
+        "SET ivfflat.probes=2 not honored on the bit store")
+      finally s.conf.unset("ivfflat.probes")
+      // DROP restores the plain scan (no cell filter, original binding)
+      s.sql("DROP INDEX idx_ivfbit")
+      assert(probedCells(s.sql(q)) == 0, "probe still firing after DROP INDEX")
+      assert(!s.table("ddl_ivfbit").columns.contains("centroid_id"))
+    }
+  }
+
   // ------------------------------------------------- end-to-end ivfflat
   private def withExtSession[T](f: SparkSession => T): T = {
     val base = SparkSpec.session
