@@ -554,13 +554,90 @@ object TextQueries {
     FROM pairs GROUP BY lhs, rhs
     ORDER BY pair_count DESC, lhs, rhs LIMIT 20"""
 
-  /** The learned merge sequence (rank order). Rows-only: the greedy
-    * argmax loop is not relationally expressible — gated in
-    * RecallGateSpec against an independent in-memory trainer run on
-    * the same corpus (exact sequence equality). */
+  /** The learned merge sequence (rank order). HASH-ORACLED since r14
+    * (the last `no_oracle` entry flipped): see [[bpeTrainSql]]. The
+    * exact-sequence gate against the independent in-memory trainer
+    * (RecallGateSpec) stays as a second, engine-internal check. */
   private def bpeTrain(s: SparkSession, d: String): DataFrame = {
     val (mergesP, _) = ensureBpe(s, d)
     s.read.parquet(mergesP).orderBy("rank")
+  }
+
+  /** text_bpe_train ORACLE (r14): the greedy training loop, fully
+    * re-derived from the documents table in DuckDB — no engine
+    * artifact is consulted, making this a genuinely independent
+    * oracle (stronger than the ANN replay tier, which trusts a
+    * persisted structure).
+    *
+    * The standing impossibility memo said SQL recursion cannot
+    * aggregate over the recursive reference — true for ONE recursion
+    * carrying the whole loop. The sidestep: the merge count is a
+    * FIXED constant ([[BpeMerges]]), so the loop UNROLLS into
+    * BpeMerges flat blocks (the hnsw walk-replay discipline — one
+    * recursive CTE per partition graph). Per round r:
+    *
+    *  - `pc_r`: adjacent-pair counts over round r−1's segmentation —
+    *    a plain GROUP BY over a COMPLETED CTE (aggregating a finished
+    *    recursion is legal; only intra-recursion aggregation is not);
+    *  - `am_r`: the argmax row with the engine's exact tie-break
+    *    (count DESC, lhs, rhs);
+    *  - `seg_r`: the merge applied to every word as leftmost-
+    *    occurrence string surgery on the space-delimited symbol
+    *    string, one recursive CTE per round (the proven bpeApplySql
+    *    machinery restricted to a single rank; repeated leftmost
+    *    replacement ≡ the engine's greedy left-to-right fold);
+    *  - `seg_rf`: each word's fixpoint row (zero remaining
+    *    occurrences — unique per word since every step strictly
+    *    shrinks the symbol count).
+    *
+    * MATERIALIZED is load-bearing on every per-round CTE: inlining
+    * would re-expand the full prior-round tree per reference —
+    * exponential blowup (observed as fd exhaustion at depth ~10).
+    * Early stop matches the engine: an empty pc_r yields no am_r row
+    * and empties every later round. Runs at vocab scale (Heaps' law)
+    * — ~0.4 s at sf0.01. */
+  private def bpeTrainSql: String = {
+    val blocks = (1 to BpeMerges).map { r =>
+      val prev = if (r == 1) "seg0" else s"seg${r - 1}f"
+      s"""
+    pc$r AS MATERIALIZED (
+      SELECT lhs, rhs, CAST(sum(wc) AS BIGINT) AS pair_count
+      FROM (
+        SELECT syms[i] AS lhs, syms[i + 1] AS rhs, wc
+        FROM (SELECT string_split(trim(s), ' ') AS syms, wc FROM $prev) t,
+             LATERAL (SELECT unnest(generate_series(1, len(syms) - 1)) AS i) u)
+      GROUP BY lhs, rhs),
+    am$r AS MATERIALIZED (
+      SELECT CAST($r AS INTEGER) AS rank, lhs, rhs, lhs || rhs AS merged, pair_count
+      FROM pc$r ORDER BY pair_count DESC, lhs, rhs LIMIT 1),
+    seg$r AS (
+      SELECT word, wc, s FROM $prev
+      UNION ALL
+      SELECT word, wc,
+             substr(s, 1, hit - 1) || ' ' || merged || ' ' || substr(s, hit + length(pat))
+      FROM (
+        SELECT g.word, g.wc, g.s, a.merged,
+               ' ' || a.lhs || ' ' || a.rhs || ' ' AS pat,
+               strpos(g.s, ' ' || a.lhs || ' ' || a.rhs || ' ') AS hit
+        FROM seg$r g, am$r a)
+      WHERE hit > 0),
+    seg${r}f AS MATERIALIZED (
+      SELECT g.word, g.wc, g.s
+      FROM seg$r g, am$r a
+      WHERE strpos(g.s, ' ' || a.lhs || ' ' || a.rhs || ' ') = 0)"""
+    }.mkString(",")
+    s"""
+    WITH RECURSIVE words AS MATERIALIZED (
+      SELECT word, count(*) AS wc FROM (
+        SELECT unnest(${tokensSql("text")}) AS word FROM documents)
+      WHERE regexp_matches(word, '^[a-z]+$$')
+      GROUP BY word),
+    seg0 AS MATERIALIZED (
+      SELECT word, wc, ' ' || regexp_replace(word, '(.)', '\\1 ', 'g') AS s
+      FROM words),$blocks
+    SELECT rank, lhs, rhs, merged, pair_count FROM (
+      ${(1 to BpeMerges).map(r => s"SELECT * FROM am$r").mkString(" UNION ALL ")})
+    ORDER BY rank"""
   }
 
   /** Corpus tokenized under the trained vocabulary: per-doc word and
@@ -672,7 +749,7 @@ object TextQueries {
       "text_tfidf"       -> QueryDef(tfidf _, tfidfSql),
       "text_fingerprint" -> QueryDef(fingerprint _, fingerprintSql),
       "text_bpe_pairs"   -> QueryDef(bpePairs _, bpePairsSql),
-      "text_bpe_train"   -> QueryDef(bpeTrain _, None),
+      "text_bpe_train"   -> QueryDef(bpeTrain _, bpeTrainSql),
       "text_bpe_apply"   -> QueryDef(bpeApply _, bpeApplySql(d)),
     )
   }

@@ -59,9 +59,16 @@ class InventorySyncSpec extends AnyFunSuite {
     // descent + ef-beam), bit-exact at sf0.01 and sf1.0
     // r13: mm_jpeg_decode flipped — grayscale 8×8-block-constant
     // tiles at quality 1.0 make the real DCT roundtrip the identity,
-    // closed-form sums oracle; only text_bpe_train remains rows-only
-    // (the standing impossibility memo)
-    assert(SparkEntry.oracleSql.size == 172)
+    // closed-form sums oracle
+    // r14: text_bpe_train flipped — the LAST rows-only entry. The
+    // impossibility memo (SQL recursion cannot aggregate over the
+    // recursive reference) holds for one recursion carrying the loop;
+    // the fixed merge budget lets the loop UNROLL into BpeMerges flat
+    // blocks (pair-count GROUP BY over the previous round's COMPLETED
+    // segmentation CTE + argmax + one per-round leftmost-surgery
+    // recursion), re-deriving training from the corpus with no engine
+    // artifact consulted. 173/173 oracled.
+    assert(SparkEntry.oracleSql.size == 173)
   }
 
   test("every rows-only (non-oracled) query carries a gate in RecallGateSpec") {
