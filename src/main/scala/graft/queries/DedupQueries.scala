@@ -115,31 +115,65 @@ object DedupQueries {
     * query above conflates with corpus banding. */
   private def incBandsPath(d: String): String =
     new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_incbands_v1_${graft.Sidecar.key(d)}").toString
+      s"graft_incbands_v2_${graft.Sidecar.key(d)}").toString
 
-  private def ensureIncStore(s: SparkSession, d: String): String = {
+  /** FINE row groups for the probe stores (r14): a probed key's read
+    * granule is one row group, so the per-batch read is
+    * |survivor keys| × rowGroupBytes — corpus-INDEPENDENT only if row
+    * groups stay small. The default 128 MB block puts a whole store
+    * file in one row group and any pushed key reads everything. Rows
+    * here are narrow (3 longs / id+shingle), so 256 KB ≈ 10-30k rows
+    * per group; footer metadata stays KB-scale. */
+  private val IncStoreBlockBytes = 256 * 1024
+
+  private[graft] def ensureIncStore(s: SparkSession, d: String): String = {
     val p = incBandsPath(d)
     DedupQueries.synchronized {
-      if (!new java.io.File(s"$p/bands", "_SUCCESS").exists()) {
+      // gate on the LAST-written artifact (the ADVICE r13 ordering
+      // discipline): bloom is written after bands
+      if (!new java.io.File(s"$p/bloom.bin").exists()) {
         val corpus = docs(s, d).filter(col("doc_id") % 10 =!= 0)
         val corpusSh = Dedup.shingleRows(corpus, "doc_id", "text", 3)
           .persist()
         try {
           // stores CLUSTERED on their probe keys (r13): the per-batch
-          // probe pushes literal In filters on doc_id / band_key, and
-          // range-clustered files turn those into row-group prunes —
-          // the per-batch cost becomes ∝ batch, not corpus
+          // probe pushes literal key predicates on doc_id / band_key,
+          // and range-clustered files + fine row groups turn those
+          // into row-group point reads — per-batch cost ∝ batch
           corpusSh.repartitionByRange(32, col("doc_id"))
             .sortWithinPartitions("doc_id")
-            .write.mode("overwrite").parquet(s"$p/sh")
-          Dedup.lshBands(Dedup.minhashSignatures(corpusSh, 32), 32, 8)
-            .repartitionByRange(32, col("band_key"))
+            .write.mode("overwrite")
+            .option("parquet.block.size", IncStoreBlockBytes)
+            .option("parquet.page.size", 64 * 1024)
+            .parquet(s"$p/sh")
+          val bands = Dedup.lshBands(Dedup.minhashSignatures(corpusSh, 32), 32, 8)
+            .persist()
+          bands.repartitionByRange(32, col("band_key"))
             .sortWithinPartitions("band_key")
-            .write.mode("overwrite").parquet(s"$p/bands")
+            .write.mode("overwrite")
+            .option("parquet.block.size", IncStoreBlockBytes)
+            .option("parquet.page.size", 64 * 1024)
+            .parquet(s"$p/bands")
+          // corpus band-key Bloom (r14): built once here, loaded once
+          // per serving process — the driver-side prefilter that
+          // collapses a batch's |batch|·bands uniform keys to ~true
+          // collisions before the push (Dedup.incrementalMinhash docs)
+          val nKeys = math.max(1L, bands.count())
+          val bf = bands.stat.bloomFilter(col("band_key"), nKeys, 0.001)
+          bands.unpersist(blocking = false)
+          val os = new java.io.FileOutputStream(s"$p/bloom.bin.tmp")
+          try bf.writeTo(os) finally os.close()
+          require(new java.io.File(s"$p/bloom.bin.tmp")
+            .renameTo(new java.io.File(s"$p/bloom.bin")), s"bloom rename failed at $p")
         } finally { corpusSh.unpersist(blocking = false); () }
       }
     }
     p
+  }
+
+  private[graft] def loadIncBloom(p: String): org.apache.spark.util.sketch.BloomFilter = {
+    val is = new java.io.FileInputStream(s"$p/bloom.bin")
+    try org.apache.spark.util.sketch.BloomFilter.readFrom(is) finally is.close()
   }
 
   def incrementalBench(s: SparkSession, d: String): (() => Unit, () => DataFrame) = {
@@ -156,7 +190,8 @@ object DedupQueries {
       Dedup.incrementalMinhash(
         docs(s, d).filter(col("doc_id") % 10 === 0), "doc_id", "text",
         s.read.parquet(s"$p/bands"), s.read.parquet(s"$p/sh"),
-        shingleN = 3, numHashes = 32, bands = 8, tau = 0.8)
+        shingleN = 3, numHashes = 32, bands = 8, tau = 0.8,
+        bandBloom = Some(loadIncBloom(p)))
     }
     (build, probe)
   }

@@ -5,6 +5,7 @@ object TimeOne {
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions","32")
       .config("spark.sql.session.timeZone","UTC")
+      .config("spark.sql.parquet.pushdown.inFilterThreshold", 1024)
       .config("spark.ui.enabled","false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val (dir, names) =

@@ -24,6 +24,68 @@ class IncrementalSpec extends SparkSpec {
     assert(got.toSeq == Seq((1L, 100L)))
   }
 
+  test("store-backed incremental probe: bloom prefilter + or-of-eq row-group pushdown (r14)") {
+    // the bench/serving path: index once (clustered stores + corpus
+    // band-key bloom), probe per batch. The bloom must (a) never
+    // change results — no false negatives, absent keys match nothing —
+    // and (b) collapse the pushed key list so it reaches the band
+    // scan as an Or-of-EqualTo chain (PushedFilters), the shape whose
+    // per-disjunct min/max test row-group-prunes a sorted store. A
+    // bare isin past the parquet In threshold degrades to one
+    // [min,max] range spanning the whole hash key space — the r13
+    // fixed-batch residual this closes.
+    val p = queries.DedupQueries.ensureIncStore(spark, Sf)
+    val bloom = queries.DedupQueries.loadIncBloom(p)
+    val batch = Tables.documents(spark, Sf).filter(col("doc_id") % 10 === 0)
+    def run(bf: Option[org.apache.spark.util.sketch.BloomFilter]) =
+      Dedup.incrementalMinhash(batch, "doc_id", "text",
+        spark.read.parquet(s"$p/bands"), spark.read.parquet(s"$p/sh"),
+        shingleN = 3, numHashes = 32, bands = 8, tau = 0.8, bandBloom = bf)
+    val withBloom = run(Some(bloom))
+    val a = withBloom.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val b = run(None).collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(a.nonEmpty && a == b, "bloom prefilter changed the probe result")
+    // the pushed predicate on the clustered band store is or-of-eq
+    // (the operator's band join runs inside a materialized stage, so
+    // assert on the scan fragment it builds: the batch's distinct
+    // bloom-surviving keys filtered over the persisted store — the
+    // exact corpus-side plan incrementalMinhash constructs)
+    val batchSh = Dedup.shingleRows(batch, "doc_id", "text", 3)
+    val keysAll = Dedup.lshBands(Dedup.minhashSignatures(batchSh, 32), 32, 8)
+      .select(col("band_key")).distinct().collect().map(_.getLong(0))
+    val survivors = keysAll.filter(bloom.mightContainLong)
+    assert(survivors.length < keysAll.length,
+      s"bloom dropped nothing (${keysAll.length} keys) — prefilter inert")
+    val frag = spark.read.parquet(s"$p/bands")
+      .filter(Dedup.eqAnyPred(col("band_key"), survivors.map(Long.box).toSeq))
+    val bandScans = frag.queryExecution.executedPlan.collect {
+      case sc: org.apache.spark.sql.execution.FileSourceScanExec => sc
+    }
+    assert(bandScans.nonEmpty, "no band-store scan in the probe fragment")
+    assert(bandScans.forall(_.metadata.get("PushedFilters")
+        .exists(f => f.contains("EqualTo(band_key"))),
+      s"band scan keys not pushed as or-of-eq: ${bandScans.map(_.metadata.get("PushedFilters"))}")
+    // fine row groups: the clustered store must hold MANY row groups
+    // per file (the read granule of a pushed key) — one giant group
+    // would make every probe read the whole file
+    val hf = new org.apache.hadoop.fs.Path(s"$p/bands")
+    val fs = hf.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val one = fs.listStatus(hf).map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).head
+    val footer = org.apache.parquet.hadoop.ParquetFileReader.readFooter(
+      spark.sparkContext.hadoopConfiguration, one)
+    val nRows = footer.getBlocks.size()
+    info(s"band store file ${one.getName}: $nRows row groups")
+    // sf0.001's store is small; the contract is block-size driven —
+    // assert the configured 256 KB block yields sub-file granules as
+    // soon as a file exceeds one block (trivially 1 group below it)
+    val fileLen = fs.getFileStatus(one).getLen
+    if (fileLen > 512 * 1024) assert(nRows > 1, s"single row group in $fileLen-byte file")
+    // bloom semantics: a key absent from the corpus is definitely-not
+    val absent = (1 to 1000).map(i => -1000000L - i)
+    assert(absent.count(bloom.mightContainLong) < 50, "bloom fp rate implausibly high")
+  }
+
   test("streaming knn serving answers each micro-batch against the store") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
