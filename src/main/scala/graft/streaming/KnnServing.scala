@@ -79,18 +79,27 @@ object KnnServing {
     * the reference streams over SSE. Per-batch cost: one store scan +
     * a k·|queries|-row pruned doc fetch; summarize work never touches
     * the corpus. */
+  /** `fetchDocs` (r14): callers with a range-clustered doc store can
+    * route the per-batch doc fetch through its point-read seam (e.g.
+    * `ids => table.readWhere(col(id).isin(ids: _*))` on a
+    * [[graft.sources.GraftTable]]) — file-level stats pruning instead
+    * of a pushed filter over an unclustered parquet table, the same
+    * discipline [[serveSummarizedIndexed]] uses. Default: the literal
+    * In over `docs`. */
   def serveSummarized(
       queries: DataFrame, store: DataFrame, docs: DataFrame,
       qIdCol: String, qVecCol: String, idCol: String, vecCol: String,
       docIdCol: String, textCol: String, terms: Seq[String],
-      k: Int, m: Int = 2, windowTokens: Int = 12)(
+      k: Int, m: Int = 2, windowTokens: Int = 12,
+      fetchDocs: Option[Seq[Any] => DataFrame] = None)(
       writeBatch: (DataFrame, Long) => Unit): StreamingQuery =
     queries.writeStream
       .outputMode("append")
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           writeBatch(summarizeBatch(batch, store, docs, qIdCol, qVecCol,
-            idCol, vecCol, docIdCol, textCol, terms, k, m, windowTokens), batchId)
+            idCol, vecCol, docIdCol, textCol, terms, k, m, windowTokens,
+            fetchDocs = fetchDocs), batchId)
         }
       }
       .start()
@@ -118,7 +127,8 @@ object KnnServing {
       qIdCol: String, qVecCol: String, idCol: String, vecCol: String,
       docIdCol: String, textCol: String, terms: Seq[String],
       k: Int, m: Int, windowTokens: Int,
-      maxFetch: Int = 1 << 20): DataFrame = {
+      maxFetch: Int = 1 << 20,
+      fetchDocs: Option[Seq[Any] => DataFrame] = None): DataFrame = {
     import org.apache.spark.sql.functions._
     val hits = Knn.topKBatch(store, idCol, vecCol,
       batch, qIdCol, qVecCol,
@@ -128,7 +138,7 @@ object KnnServing {
       s"summarized serving micro-batch yielded > $maxFetch hit rows " +
         "(k × |batch|); raise maxFetch or trigger smaller batches")
     summarizeHits(batch.sparkSession, hitRows, hits.schema,
-      ids => docs.filter(col(docIdCol).isin(ids: _*)),
+      fetchDocs.getOrElse(ids => docs.filter(col(docIdCol).isin(ids: _*))),
       qIdCol, idCol, docIdCol, textCol, terms, m, windowTokens)
   }
 
