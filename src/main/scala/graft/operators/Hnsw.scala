@@ -99,10 +99,24 @@ object Hnsw {
     * trade. Vectors must be half-ROUNDED before insert (the build
     * helpers do it), so build-time and serve-time arithmetic see the
     * same values and ser/deser is lossless. */
+  /** `sparse = true` (r14 — pgvector `sparsevec_*_ops` on hnsw):
+    * every node carries an (indices, values) pair — `idxs(n)` holds
+    * the sorted-ascending int64 dimension ids, `vecs(n)` the aligned
+    * values — and distances run the two-pointer merge kernel
+    * ([[graft.functions.SparseDistExpr]]'s contract) under the SAME
+    * metric ids. Ragged rows need no format tricks: blob v4 writes
+    * the idx arrays alongside the (already variable-length) value
+    * arrays. half is refused for sparse (pgvector's sparsevec is
+    * fp32; a binary16 sparse store has no parity target). */
   final class Index(val m: Int, val efC: Int, val metric: Int = Metric.L2,
-      val half: Boolean = false) {
+      val half: Boolean = false, val sparse: Boolean = false) {
+    require(!(half && sparse), "sparse graphs store full-width values (no halfvec sparse)")
+    require(!sparse || metric <= Metric.L1,
+      "sparse graphs support l2/cosine/ip/l1 (bit metrics are dense 0/1 walks)")
     val ids = mutable.ArrayBuffer.empty[Long]
     val vecs = mutable.ArrayBuffer.empty[Array[Double]]
+    /** sparse only: idxs(n) = node n's sorted dimension ids. */
+    val idxs = mutable.ArrayBuffer.empty[Array[Long]]
     val nodeLevel = mutable.ArrayBuffer.empty[Int]
     /** links(node)(level) = neighbor node indices. */
     val links = mutable.ArrayBuffer.empty[Array[mutable.ArrayBuffer[Int]]]
@@ -153,6 +167,56 @@ object Hnsw {
       }
     }
 
+    /** Two-pointer sparse distance (both index arrays sorted
+      * ascending — the [[graft.functions.SparseDistExpr]] layout).
+      * Matched products accumulate in ascending index order and the
+      * cosine norms fold in array order, the same determinism
+      * contract as the scan kernel; with integer-valued weights every
+      * accumulator is exact in any engine (the oracle replay lever). */
+    private def sparseDist(ai: Array[Long], av: Array[Double],
+        bi: Array[Long], bv: Array[Double]): Double = {
+      var i = 0; var j = 0
+      var dot = 0.0; var l2 = 0.0; var l1 = 0.0
+      while (i < ai.length && j < bi.length) {
+        val a = ai(i); val b = bi(j)
+        if (a == b) {
+          dot += av(i) * bv(j)
+          val d = av(i) - bv(j); l2 += d * d; l1 += math.abs(d)
+          i += 1; j += 1
+        } else if (a < b) {
+          l2 += av(i) * av(i); l1 += math.abs(av(i)); i += 1
+        } else {
+          l2 += bv(j) * bv(j); l1 += math.abs(bv(j)); j += 1
+        }
+      }
+      while (i < ai.length) { l2 += av(i) * av(i); l1 += math.abs(av(i)); i += 1 }
+      while (j < bi.length) { l2 += bv(j) * bv(j); l1 += math.abs(bv(j)); j += 1 }
+      metric match {
+        case Metric.Cosine =>
+          var aa = 0.0; var k = 0
+          while (k < av.length) { aa += av(k) * av(k); k += 1 }
+          var bb = 0.0; k = 0
+          while (k < bv.length) { bb += bv(k) * bv(k); k += 1 }
+          val den = math.sqrt(aa) * math.sqrt(bb)
+          if (den == 0.0) 1.0 else 1.0 - dot / den
+        case Metric.Ip => -dot
+        case Metric.L1 => l1
+        case _ => math.sqrt(l2)
+      }
+    }
+
+    /** Distance-to-node closure for one query — the walk kernels are
+      * representation-agnostic through it (dense array vs sparse
+      * (idx, vals) pair; `qi` null means dense). */
+    private def qdist(qi: Array[Long], qv: Array[Double]): Int => Double =
+      if (!sparse) n => dist(qv, vecs(n))
+      else n => sparseDist(qi, qv, idxs(n), vecs(n))
+
+    /** Node-to-node distance (edge pruning). */
+    private def ndist(a: Int, b: Int): Double =
+      if (!sparse) dist(vecs(a), vecs(b))
+      else sparseDist(idxs(a), vecs(a), idxs(b), vecs(b))
+
     /** Deterministic geometric level draw from the id hash (p = 1/e,
       * the standard mL = 1/ln(M') choice collapsed to base e). */
     private def levelOf(id: Long): Int = {
@@ -162,16 +226,16 @@ object Hnsw {
     }
 
     /** Greedy 1-best descent at one level. */
-    private def greedy(q: Array[Double], start: Int, level: Int): Int = {
+    private def greedy(qd: Int => Double, start: Int, level: Int): Int = {
       var cur = start
-      var curD = dist(q, vecs(cur))
+      var curD = qd(cur)
       var improved = true
       while (improved) {
         improved = false
         val ns = links(cur)(level)
         var i = 0
         while (i < ns.length) {
-          val d = dist(q, vecs(ns(i)))
+          val d = qd(ns(i))
           if (d < curD) { curD = d; cur = ns(i); improved = true }
           i += 1
         }
@@ -188,13 +252,13 @@ object Hnsw {
       * a pure function of (graph, query). With the lexicographic
       * tie-break every step is deterministic, which is what lets the
       * DuckDB oracle replay the walk bit-for-bit. */
-    private def beam(q: Array[Double], start: Int, level: Int, ef: Int): mutable.ArrayBuffer[(Int, Double)] = {
+    private def beam(qd: Int => Double, start: Int, level: Int, ef: Int): mutable.ArrayBuffer[(Int, Double)] = {
       val visited = mutable.HashSet(start)
       // candidates: min-heap by (dist, node); results: max-heap
       implicit val byDist: Ordering[(Int, Double)] =
         Ordering.by[(Int, Double), (Double, Int)](t => (t._2, t._1))
-      val cand = mutable.PriorityQueue((start, dist(q, vecs(start))))(byDist.reverse)
-      val res = mutable.PriorityQueue((start, dist(q, vecs(start))))(byDist)
+      val cand = mutable.PriorityQueue((start, qd(start)))(byDist.reverse)
+      val res = mutable.PriorityQueue((start, qd(start)))(byDist)
       while (cand.nonEmpty) {
         val (c, cd) = cand.dequeue()
         if (cd > res.head._2 && res.size >= ef) { cand.clear() }
@@ -205,7 +269,7 @@ object Hnsw {
             val nb = ns(i)
             if (!visited(nb)) {
               visited += nb
-              val d = dist(q, vecs(nb))
+              val d = qd(nb)
               if (res.size < ef || d < res.head._2) {
                 cand.enqueue((nb, d))
                 res.enqueue((nb, d))
@@ -232,7 +296,7 @@ object Hnsw {
       val kept = mutable.ArrayBuffer.empty[(Int, Double)]
       val discarded = mutable.ArrayBuffer.empty[(Int, Double)]
       for ((c, dc) <- cands if kept.length < cap) {
-        if (kept.forall { case (o, _) => dist(vecs(c), vecs(o)) > dc }) kept += ((c, dc))
+        if (kept.forall { case (o, _) => ndist(c, o) > dc }) kept += ((c, dc))
         else discarded += ((c, dc))
       }
       kept ++= discarded.take(cap - kept.length)
@@ -240,19 +304,34 @@ object Hnsw {
     }
 
     def insert(id: Long, v: Array[Double]): Unit = {
+      require(!sparse, "sparse graph: use insertSparse(id, idx, vals)")
+      insertImpl(id, null, v)
+    }
+
+    /** Sparse insert: `idx` sorted-ascending dimension ids aligned
+      * with `v` (the SparseDistExpr layout). */
+    def insertSparse(id: Long, idx: Array[Long], v: Array[Double]): Unit = {
+      require(sparse, "dense graph: use insert(id, vals)")
+      require(idx.length == v.length, "sparse (indices, values) length mismatch")
+      insertImpl(id, idx, v)
+    }
+
+    private def insertImpl(id: Long, qi: Array[Long], v: Array[Double]): Unit = {
       val node = ids.length
       val lvl = levelOf(id)
       ids += id; vecs += v; nodeLevel += lvl
+      if (sparse) idxs += qi
       links += Array.fill(lvl + 1)(mutable.ArrayBuffer.empty[Int])
       if (entry < 0) { entry = node; maxLevel = lvl; return }
+      val qd = qdist(qi, v)
       var cur = entry
       // descend levels above lvl greedily
       var l = maxLevel
-      while (l > lvl) { cur = greedy(v, cur, math.min(l, nodeLevel(cur))); l -= 1 }
+      while (l > lvl) { cur = greedy(qd, cur, math.min(l, nodeLevel(cur))); l -= 1 }
       // connect at each level ≤ lvl
       l = math.min(lvl, maxLevel)
       while (l >= 0) {
-        val cands = beam(v, cur, l, efC)
+        val cands = beam(qd, cur, l, efC)
         val cap = if (l == 0) 2 * m else m
         val chosen = selectDiverse(cands.toSeq, cap)
         links(node)(l) ++= chosen.map(_._1)
@@ -262,7 +341,7 @@ object Hnsw {
           nls += node
           if (nls.length > cap) {
             val pruned = selectDiverse(
-              nls.map(x => (x, dist(vecs(nb), vecs(x)))).sortBy(_._2).toSeq, cap)
+              nls.map(x => (x, ndist(nb, x))).sortBy(_._2).toSeq, cap)
             nls.clear(); nls ++= pruned.map(_._1)
           }
         }
@@ -273,11 +352,23 @@ object Hnsw {
     }
 
     def searchKnn(q: Array[Double], k: Int, ef: Int): Seq[(Long, Double)] = {
+      require(!sparse, "sparse graph: use searchKnnSparse")
+      searchImpl(qdist(null, q), k, ef)
+    }
+
+    /** Sparse query walk — same beam, two-pointer distances. */
+    def searchKnnSparse(qIdx: Array[Long], qVal: Array[Double],
+        k: Int, ef: Int): Seq[(Long, Double)] = {
+      require(sparse, "dense graph: use searchKnn")
+      searchImpl(qdist(qIdx, qVal), k, ef)
+    }
+
+    private def searchImpl(qd: Int => Double, k: Int, ef: Int): Seq[(Long, Double)] = {
       if (entry < 0) return Seq.empty
       var cur = entry
       var l = maxLevel
-      while (l > 0) { cur = greedy(q, cur, l); l -= 1 }
-      beam(q, cur, 0, math.max(ef, k)).take(k)
+      while (l > 0) { cur = greedy(qd, cur, l); l -= 1 }
+      beam(qd, cur, 0, math.max(ef, k)).take(k)
         .map { case (n, d) => (ids(n), d) }.toSeq
     }
   }
@@ -289,7 +380,10 @@ object Hnsw {
     * ids[n], levels[n], vectors (len + doubles each), links (per
     * node: level count, then per level: count + neighbor indices).
     * v1 blobs (pre-metric) read back as L2 — exactly what they were
-    * built with. */
+    * built with. v4 (sparse graphs only — dense stays v3, so every
+    * pre-r14 reader keeps working): a sparse flag after `half`, and
+    * per-node sorted idx arrays (len + longs each) between the levels
+    * and the value vectors. */
   private val BlobMagic = 0x47464e48 // "GFNH"
 
   /** Hard ceiling on one serialized graph blob: parquet binary cells
@@ -301,7 +395,9 @@ object Hnsw {
     // pre-serialization size estimate: fail fast with the sizing knob
     // named, instead of OOMing inside the deflater on a huge partition
     val dims = if (ix.vecs.isEmpty) 0L else ix.vecs(0).length.toLong
-    val est = ix.ids.length.toLong * (8L + 4L + dims * 8 + 4 * 4L * ix.m)
+    // sparse rows carry an idx long per value: double the vector term
+    val est = ix.ids.length.toLong *
+      (8L + 4L + dims * 8 * (if (ix.sparse) 2 else 1) + 4 * 4L * ix.m)
     require(est < MaxBlobBytes,
       s"partition graph of ${ix.ids.length} vectors (~$est raw bytes) would exceed " +
         s"the $MaxBlobBytes-byte blob ceiling — raise `parts` or set " +
@@ -309,14 +405,23 @@ object Hnsw {
     val bos = new java.io.ByteArrayOutputStream()
     val out = new java.io.DataOutputStream(
       new java.util.zip.DeflaterOutputStream(bos))
-    out.writeInt(BlobMagic); out.writeInt(3)
+    out.writeInt(BlobMagic); out.writeInt(if (ix.sparse) 4 else 3)
     out.writeInt(ix.m); out.writeInt(ix.efC); out.writeInt(ix.metric)
     out.writeBoolean(ix.half)
+    if (ix.sparse) out.writeBoolean(true)
     out.writeInt(ix.ids.length); out.writeInt(ix.entry); out.writeInt(ix.maxLevel)
     var i = 0
     while (i < ix.ids.length) { out.writeLong(ix.ids(i)); i += 1 }
     i = 0
     while (i < ix.nodeLevel.length) { out.writeInt(ix.nodeLevel(i)); i += 1 }
+    i = 0
+    while (ix.sparse && i < ix.idxs.length) {
+      val ia = ix.idxs(i)
+      out.writeInt(ia.length)
+      var j = 0
+      while (j < ia.length) { out.writeLong(ia(j)); j += 1 }
+      i += 1
+    }
     i = 0
     while (i < ix.vecs.length) {
       val v = ix.vecs(i)
@@ -356,17 +461,27 @@ object Hnsw {
       new java.util.zip.InflaterInputStream(new java.io.ByteArrayInputStream(bytes)))
     require(in.readInt() == BlobMagic, "not a graft HNSW graph blob")
     val ver = in.readInt()
-    require(ver >= 1 && ver <= 3, s"unsupported graph blob version $ver")
+    require(ver >= 1 && ver <= 4, s"unsupported graph blob version $ver")
     val m = in.readInt(); val efC = in.readInt()
     val metric = if (ver >= 2) in.readInt() else Metric.L2
     val half = if (ver >= 3) in.readBoolean() else false
-    val ix = new Index(m, efC, metric, half)
+    val sparse = if (ver >= 4) in.readBoolean() else false
+    val ix = new Index(m, efC, metric, half, sparse)
     val n = in.readInt()
     ix.entry = in.readInt(); ix.maxLevel = in.readInt()
     var i = 0
     while (i < n) { ix.ids += in.readLong(); i += 1 }
     i = 0
     while (i < n) { ix.nodeLevel += in.readInt(); i += 1 }
+    i = 0
+    while (sparse && i < n) {
+      val len = in.readInt()
+      val ia = new Array[Long](len)
+      var j = 0
+      while (j < len) { ia(j) = in.readLong(); j += 1 }
+      ix.idxs += ia
+      i += 1
+    }
     i = 0
     while (i < n) {
       val len = in.readInt()
@@ -439,6 +554,51 @@ object Hnsw {
     spark.createDataFrame(rdd, StructType(Seq(
       StructField("part_id", IntegerType, nullable = false),
       StructField("graph", BinaryType, nullable = false))))
+  }
+
+  /** SPARSE partition-local graphs (pgvector `sparsevec_*_ops` on
+    * hnsw, r14): same one-mapPartitions-pass shape as
+    * [[buildPartitioned]], but every node is an (indices, values)
+    * pair — `idxCol` array<bigint> sorted ascending, `valCol`
+    * array<double> aligned (the [[graft.functions.SparseDistExpr]] /
+    * sparseTf store layout) — and the graph is built AND walked with
+    * the two-pointer sparse kernel under `metric`
+    * (l2/cosine/ip/l1, pgvector's sparsevec opclass set). At 100 TB
+    * the sizing knob is Σnnz per partition, not rows × dims. */
+  def buildPartitionedSparse(corpus: DataFrame, idCol: String,
+      idxCol: String, valCol: String,
+      m: Int = 16, efC: Int = 64, parts: Int = 8,
+      metric: String = "l2"): DataFrame = {
+    val spark = corpus.sparkSession
+    import org.apache.spark.sql.types._
+    val met = Metric.of(metric)
+    val rdd = corpus
+      .select(col(idCol).cast("long"), col(idxCol).cast("array<bigint>"),
+        col(valCol).cast("array<double>"))
+      .repartition(parts)
+      .rdd.mapPartitionsWithIndex { (pid, iter) =>
+        val ix = new Index(m, efC, met, half = false, sparse = true)
+        iter.foreach(r => ix.insertSparse(r.getLong(0),
+          r.getSeq[Long](1).toArray, r.getSeq[Double](2).toArray))
+        if (ix.ids.isEmpty) Iterator.empty
+        else Iterator(Row(pid, ser(ix)))
+      }
+    spark.createDataFrame(rdd, StructType(Seq(
+      StructField("part_id", IntegerType, nullable = false),
+      StructField("graph", BinaryType, nullable = false))))
+  }
+
+  /** Sparse-query walk over every partition graph + exact k·P merge —
+    * [[search]]'s twin for sparse stores. */
+  def searchSparse(graphs: DataFrame, qIdx: Array[Long], qVal: Array[Double],
+      k: Int, ef: Int = 64): DataFrame = {
+    val spark = graphs.sparkSession
+    import spark.implicits._
+    graphs.select(col("graph")).as[Array[Byte]]
+      .flatMap(blob => deser(blob).searchKnnSparse(qIdx, qVal, k, ef))
+      .toDF("vec_id", "dist")
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(k)
   }
 
   /** Search every partition graph with the ef-beam walk and merge the
@@ -613,7 +773,11 @@ object Hnsw {
       val pid = row.getInt(0)
       val ix = deser(row.getAs[Array[Byte]](1))
       (0 until ix.ids.length).iterator.map { n =>
+        // vecidx: the sparse node's dimension ids (empty for dense) —
+        // the replay needs (idx, vals) pairs to run the same
+        // two-pointer arithmetic
         Row(pid, n, ix.ids(n), ix.vecs(n).toSeq,
+          if (ix.sparse) ix.idxs(n).toSeq else Seq.empty[Long],
           ix.links(n).map(_.toSeq).toSeq, ix.entry, ix.maxLevel)
       }
     }
@@ -622,6 +786,7 @@ object Hnsw {
       StructField("node", IntegerType, nullable = false),
       StructField("vec_id", LongType, nullable = false),
       StructField("vec", ArrayType(DoubleType, containsNull = false), nullable = false),
+      StructField("vecidx", ArrayType(LongType, containsNull = false), nullable = false),
       StructField("nbrs", ArrayType(ArrayType(IntegerType, containsNull = false),
         containsNull = false), nullable = false),
       StructField("entry", IntegerType, nullable = false),

@@ -225,11 +225,10 @@ final case class CreateVectorIndexCommand(stmt: VectorIndexDdl.Stmt)
         if (stmt.method == "ivfflat" && m == "l1") throw new IllegalArgumentException(
           s"access method ivfflat does not support opclass $oc " +
             "(pgvector parity: ivfflat has no L1 opclass; use hnsw with vector_l1_ops)")
-        if (prefix == "sparsevec") throw new IllegalArgumentException(
-          s"no ${stmt.method} build kernel for opclass $oc: index builds run dense " +
-            "array arithmetic, and the engine's sparse kernels are the explicit " +
-            "(indices, values) API (vs_sparse_knn) — a sparsevec index here would " +
-            "silently densify (documented deviation; pgvector indexes sparsevec on hnsw)")
+        if (prefix == "sparsevec" && stmt.method != "hnsw")
+          throw new IllegalArgumentException(
+            s"access method ivfflat does not support opclass $oc " +
+              "(pgvector parity: sparsevec indexes on hnsw only)")
         (prefix, m)
       case Some(oc @ ("bit_hamming_ops" | "bit_jaccard_ops")) =>
         if (stmt.method == "ivfflat" && oc == "bit_jaccard_ops")
@@ -410,8 +409,53 @@ final case class CreateVectorIndexCommand(stmt: VectorIndexDdl.Stmt)
     store.select(cols.toIndexedSeq: _*).createOrReplaceTempView(stmt.table)
   }
 
+  /** `hnsw (idxcol sparsevec_*_ops) WITH (values = 'valcol')` (r14 —
+    * closes the last pgvector index-family gap): the engine's
+    * sparsevec is an (indices, values) column PAIR (the
+    * SparseDistExpr / sparseTf layout — pgvector's one-column
+    * sparsevec has no Spark columnar analogue, the named deviation),
+    * so the DDL indexes the sorted array<bigint> indices column and
+    * names the aligned array<double> values column via WITH. The
+    * graph builds and walks with the two-pointer sparse kernel under
+    * the opclass metric. */
+  private def buildHnswSparse(session: SparkSession,
+      df: org.apache.spark.sql.DataFrame): Unit = {
+    import graft.operators.Hnsw
+    import org.apache.spark.sql.types._
+    val m = intOpt("m", 16)
+    val efC = intOpt("ef_construction", 64)
+    val parts = intOpt("parts", 8)
+    val id = idCol(df)
+    def colType(c: String) = df.schema.fields.find(_.name == c).map(_.dataType)
+    colType(stmt.column) match {
+      case Some(ArrayType(LongType, _)) => ()
+      case other => throw new IllegalArgumentException(
+        s"opclass ${stmt.opclass.get} indexes a sparse (indices, values) column " +
+          s"pair: ${stmt.column} must be the sorted array<bigint> indices column, " +
+          s"got ${other.map(_.simpleString).getOrElse("missing")}")
+    }
+    val valCol = stmt.options.getOrElse("values", throw new IllegalArgumentException(
+      s"opclass ${stmt.opclass.get} needs WITH (values = 'col') naming the aligned " +
+        "array<double>/array<float> values column (the engine's sparsevec is an " +
+        "(indices, values) pair — pgvector's one-column sparsevec has no columnar " +
+        "analogue, documented deviation)"))
+    colType(valCol) match {
+      case Some(ArrayType(DoubleType, _)) | Some(ArrayType(FloatType, _)) => ()
+      case other => throw new IllegalArgumentException(
+        s"sparsevec values column $valCol must be array<double>/array<float>, " +
+          s"got ${other.map(_.simpleString).getOrElse("missing")}")
+    }
+    val graphs = Hnsw.buildPartitionedSparse(df, id, stmt.column, valCol,
+      m = m, efC = efC, parts = parts, metric = metric)
+    Hnsw.writeGraphs(graphs, storePath)
+    HnswSqlCatalog.put(indexName, HnswSqlCatalog.Entry(
+      storePath, stmt.table, stmt.column, metric, m, efC,
+      idCol = id, rootPaths = Nil, storage = "sparsevec"))
+  }
+
   private def buildHnsw(session: SparkSession,
       df: org.apache.spark.sql.DataFrame): Unit = {
+    if (storage == "sparsevec") return buildHnswSparse(session, df)
     import graft.operators.Hnsw
     val m = intOpt("m", 16)
     val efC = intOpt("ef_construction", 64)

@@ -397,6 +397,136 @@ object VectorQueries {
     (build, () => ivfBitKnn(s, d))
   }
 
+  // ------------------------------------ sparse HNSW (pgvector sparsevec, r14)
+  /** Build-once SPARSE graph store (pgvector `hnsw (v
+    * sparsevec_cosine_ops)` — the last pgvector index family): graphs
+    * over the sparse tf corpus (the [[sparseTf]] (sidx, sval) layout),
+    * built AND walked with the two-pointer sparse cosine kernel
+    * ([[graft.operators.Hnsw]] sparse Index). Integer tf weights make
+    * every dot/norm an exact integer, so the walk replay needs no
+    * accumulation-order argument at all — hash-exact from birth. */
+  private[graft] def ensureHnswSparseStore(s: SparkSession, d: String): (String, String) = {
+    val base = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_hnswsparse_v1_${graft.Sidecar.key(d)}")
+    val graphsP = new java.io.File(base, "graphs").toString
+    val dumpP = new java.io.File(base, "dump").toString
+    VectorQueries.synchronized {
+      if (!new java.io.File(dumpP, "_SUCCESS").exists()) {
+        val graphs = graft.operators.Hnsw.buildPartitionedSparse(
+          sparseTf(s, d), "doc_id", "sidx", "sval",
+          m = HnswM, efC = HnswEfC, parts = HnswParts, metric = "cosine")
+        graft.operators.Hnsw.writeGraphs(graphs, graphsP)
+        graft.operators.Hnsw.dumpParsed(
+          graft.operators.Hnsw.readGraphs(s, graphsP))
+          .write.mode("overwrite").parquet(dumpP)
+      }
+    }
+    (graphsP, dumpP)
+  }
+
+  /** vs_hnsw_sparse: graph ANN over the sparse term-frequency corpus —
+    * the pgvector `sparsevec` hnsw serve path (DDL twin:
+    * `CREATE INDEX … USING hnsw (sidx sparsevec_cosine_ops) WITH
+    * (values = 'sval')`). Same fixed term query as vs_sparse_knn;
+    * note the graph walks COSINE DISTANCE (1 − sim ascending) while
+    * vs_sparse_knn returns similarity descending — same ranking. */
+  private def hnswSparseKnn(s: SparkSession, d: String): DataFrame = {
+    val (graphsP, _) = ensureHnswSparseStore(s, d)
+    val (qi, qv) = graft.functions.SparseVec.queryOf(SparseQueryTerms)
+    graft.operators.Hnsw.searchSparse(
+      graft.operators.Hnsw.readGraphs(s, graphsP), qi, qv, K, ef = HnswEf)
+      .select(col("vec_id").as("doc_id"), col("dist"))
+  }
+
+  /** Sparse-cosine walk distance for the DuckDB replay: dot over the
+    * query's indices via list_position into the node's (vecidx, vec)
+    * pair (missing → 0 — list_position returns 0 there), node norm²
+    * as a value fold, then the engine's exact
+    * `1 − dot/(√qss·√ssq)` with the both-zero → 1.0 guard. All
+    * accumulators are integer-valued on this fixture, so every term
+    * is bit-exact in any evaluation order. */
+  private def hnswSparseDistSql(n: String): String = {
+    val pos = s"list_position(gg.vi[$n + 1], x)"
+    val dot = s"list_sum(list_transform(gg.qi, (x, i) -> CASE WHEN $pos > 0 " +
+      s"THEN gg.qv[i] * gg.vv[$n + 1][$pos] ELSE 0.0 END))"
+    val ssq = s"list_sum(list_transform(gg.vv[$n + 1], x -> x * x))"
+    s"(CASE WHEN gg.qss * ($ssq) = 0 THEN 1.0 " +
+      s"ELSE 1.0 - ($dot) / (sqrt(gg.qss) * sqrt($ssq)) END)"
+  }
+
+  /** [[hnswWalkPrelude]]'s sparse flavor: the query is the fixed term
+    * set (hash64 ids sorted ascending — [[graft.functions.SparseVec
+    * .queryOf]]'s layout), and gg carries the per-node index lists
+    * (`vi`) plus the query's (qi, qv, qss). */
+  private def hnswSparsePrelude(dumpGlob: String): String = {
+    val dist = hnswSparseDistSql _
+    s"""
+    qcte AS MATERIALIZED (
+      SELECT list(h ORDER BY h) AS qi, list(wt ORDER BY h) AS qv,
+             CAST(sum(wt * wt) AS DOUBLE) AS qss
+      FROM (SELECT ${graft.functions.TextFunctions.hash64Sql("w")} AS h,
+                   CAST(wt AS DOUBLE) AS wt
+            FROM (VALUES ${SparseQueryTerms.map { case (w, x) =>
+              s"('$w', ${x.toInt})" }.mkString(", ")}) t(w, wt))),
+    dmp AS MATERIALIZED (SELECT * FROM read_parquet('$dumpGlob')),
+    pmeta AS MATERIALIZED (
+      SELECT part_id, any_value(entry) AS entry, any_value(max_level) AS maxl,
+             count(*) AS n
+      FROM dmp GROUP BY part_id),
+    offs AS MATERIALIZED (
+      SELECT part_id, entry, maxl,
+        coalesce(CAST(sum(n) OVER (ORDER BY part_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS INTEGER), 0) AS o
+      FROM pmeta),
+    nodesg AS MATERIALIZED (
+      SELECT d.part_id, o.o + d.node AS gnode, d.vec_id, d.vec, d.vecidx,
+             list_transform(d.nbrs, ll -> list_transform(ll, nb -> nb + o.o)) AS gnbrs
+      FROM dmp d JOIN offs o USING (part_id)),
+    gg AS MATERIALIZED (
+      SELECT (SELECT list(vec ORDER BY gnode) FROM nodesg) AS vv,
+             (SELECT list(vecidx ORDER BY gnode) FROM nodesg) AS vi,
+             (SELECT list(vec_id ORDER BY gnode) FROM nodesg) AS ids,
+             (SELECT list(gnbrs ORDER BY gnode) FROM nodesg) AS adj,
+             (SELECT qi FROM qcte) AS qi,
+             (SELECT qv FROM qcte) AS qv,
+             (SELECT qss FROM qcte) AS qss),
+    down(part_id, lvl, cur) AS (
+      SELECT part_id, maxl, entry + o FROM offs
+      UNION ALL
+      SELECT part_id, CASE WHEN nxt = cur THEN lvl - 1 ELSE lvl END, nxt
+      FROM (
+        SELECT w.part_id, w.lvl, w.cur,
+          cl[list_position(ds, list_aggregate(ds, 'min'))] AS nxt
+        FROM (
+          SELECT w0.part_id, w0.lvl, w0.cur,
+            list_prepend(w0.cur, gg.adj[w0.cur + 1][w0.lvl + 1]) AS cl,
+            list_transform(list_prepend(w0.cur, gg.adj[w0.cur + 1][w0.lvl + 1]),
+              n -> ${dist("n")}) AS ds
+          FROM down w0, gg WHERE w0.lvl > 0
+        ) w
+      )
+    )"""
+  }
+
+  private def hnswSparseOracle(d: String): String = {
+    val dump = new java.io.File(new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_hnswsparse_v1_${graft.Sidecar.key(d)}"), "dump").toString
+    val parts = 0 until HnswParts
+    s"""WITH RECURSIVE
+    ${hnswSparsePrelude(s"$dump/*.parquet")},
+    ${parts.map(p => hnswWalkCte(p, HnswEf, K, "", hnswSparseDistSql _)).mkString(",")},
+    allres AS (${hnswAllRes(parts, K)})
+    SELECT gg.ids[a.n + 1] AS doc_id, a.d AS dist
+    FROM allres a, gg
+    ORDER BY dist, doc_id LIMIT $K"""
+  }
+
+  /** Bench split for the sparse graphs. */
+  def hnswSparseBench(s: SparkSession, d: String): (() => Unit, () => DataFrame) = {
+    val build = () => { ensureHnswSparseStore(s, d); () }
+    (build, () => hnswSparseKnn(s, d))
+  }
+
   /** Bench split for the bit graphs: build = expand + graph build +
     * persist + dump; probe = the per-query beam walk + k·P merge. */
   def hnswBitBench(metric: String)(
@@ -1681,7 +1811,7 @@ object VectorQueries {
     * (hash64(term), tf) arrays. Two bounded shuffles (term counts,
     * per-doc assembly), columnar output, built once and served to any
     * query. */
-  private def sparseTf(s: SparkSession, d: String): DataFrame = {
+  private[graft] def sparseTf(s: SparkSession, d: String): DataFrame = {
     import graft.functions.TextFunctions._
     Tables.documents(s, d)
       .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
@@ -1702,9 +1832,14 @@ object VectorQueries {
     * weights make every accumulator exact, so the relational DuckDB
     * oracle (integer dot/ssq, then one double division) is
     * bit-identical. */
+  /** The fixed sparse term query shared by vs_sparse_knn and the
+    * sparse graph walk (vs_hnsw_sparse): integer weights → exact
+    * accumulators in every engine. */
+  private[graft] val SparseQueryTerms: Seq[(String, Double)] =
+    Seq("join" -> 3.0, "vector" -> 2.0, "scan" -> 2.0, "fast" -> 1.0)
+
   private def sparseKnn(s: SparkSession, d: String): DataFrame = {
-    val (qi, qv) = graft.functions.SparseVec.queryOf(
-      Seq("join" -> 3.0, "vector" -> 2.0, "scan" -> 2.0, "fast" -> 1.0))
+    val (qi, qv) = graft.functions.SparseVec.queryOf(SparseQueryTerms)
     sparseTf(s, d)
       .select(col("doc_id"),
         graft.functions.SparseVec.cosineSimilarity(col("sidx"), col("sval"), qi, qv)
@@ -2814,6 +2949,7 @@ object VectorQueries {
     "vs_hnsw_bit_jacc" -> QueryDef(
       (s: SparkSession, dd: String) => hnswBitKnn(s, dd, "jaccard"),
       hnswBitOracle(d, "jaccard")),
+    "vs_hnsw_sparse"  -> QueryDef(hnswSparseKnn _, hnswSparseOracle(d)),
     "vs_ivf_bit"      -> QueryDef(ivfBitKnn _, ivfBitOracle(d)),
     "vs_ivfpq_knn"    -> QueryDef(ivfPqKnn _, ivfPqKnnOracle(d)),
     "vs_ivf_batch"    -> QueryDef(ivfBatch _, ivfBatchOracle(d)),

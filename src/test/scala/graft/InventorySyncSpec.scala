@@ -42,7 +42,10 @@ class InventorySyncSpec extends AnyFunSuite {
     // over the packed sidecar's bit expansion) and vs_ivf_bit (the
     // k-majority bit-IVF: hamming cell ranking + partition-pruned
     // integer probe), all hash-exact from birth
-    assert(SparkEntry.queries.size == 173)
+    // r14: +1 — vs_hnsw_sparse (sparse-cosine graph walk over the tf
+    // corpus, the pgvector sparsevec hnsw family; hash-exact from
+    // birth via the sparse walk replay)
+    assert(SparkEntry.queries.size == 174)
     // r10: +4 — events_approx_distinct (engine HLL, integer-exact
     // estimator replay) and decontam_bloom (deterministic bitmap,
     // relational rebuild) moved onto the hash gate; the two new
@@ -67,8 +70,9 @@ class InventorySyncSpec extends AnyFunSuite {
     // blocks (pair-count GROUP BY over the previous round's COMPLETED
     // segmentation CTE + argmax + one per-round leftmost-surgery
     // recursion), re-deriving training from the corpus with no engine
-    // artifact consulted. 173/173 oracled.
-    assert(SparkEntry.oracleSql.size == 173)
+    // artifact consulted. 173/173 oracled; r14's vs_hnsw_sparse lands
+    // hash-exact from birth → 174/174.
+    assert(SparkEntry.oracleSql.size == 174)
   }
 
   test("every rows-only (non-oracled) query carries a gate in RecallGateSpec") {

@@ -213,6 +213,27 @@ class RecallGateSpec extends SparkSpec {
     assert(r >= 0.9, f"vs_hnsw_knn recall@10 $r%.2f below floor 0.9")
   }
 
+  test("vs_hnsw_sparse: distance-recall@10 ≥ 0.8 vs the exact two-pointer scan") {
+    // sparse tf vectors tie heavily on cosine (integer weights), so
+    // the gate compares DISTANCE multisets, not ids — the ranking
+    // contract an ANN serves under ties (the bit-graph discipline)
+    val got = SparkEntry.queries("vs_hnsw_sparse")(spark, Sf)
+      .collect().map(_.getDouble(1)).sorted.toSeq
+    val (qi, qv) = graft.functions.SparseVec.queryOf(
+      graft.queries.VectorQueries.SparseQueryTerms)
+    val exact = graft.queries.VectorQueries.sparseTf(spark, Sf)
+      .select((org.apache.spark.sql.functions.lit(1.0) -
+        graft.functions.SparseVec.cosineSimilarity(
+          org.apache.spark.sql.functions.col("sidx"),
+          org.apache.spark.sql.functions.col("sval"), qi, qv)).as("dist"),
+        org.apache.spark.sql.functions.col("doc_id"))
+      .orderBy("dist", "doc_id").limit(10)
+      .collect().map(_.getDouble(0)).sorted.toSeq
+    val agree = got.zip(exact).count { case (a, b) => a == b }
+    info(s"vs_hnsw_sparse distance agreement $agree/10: $got vs $exact")
+    assert(agree >= 8, s"sparse graph distance-recall $agree/10 below 0.8")
+  }
+
   test("vs_hnsw_filtered: widened-beam filtered graph search, recall floor vs exact filtered") {
     val got = ids(SparkEntry.queries("vs_hnsw_filtered")(spark, Sf))
     assert(got.distinct == got)

@@ -449,6 +449,63 @@ class VectorIndexDdlSpec extends SparkSpec {
     }
   }
 
+  test("sparsevec hnsw DDL: sparse graphs build from an (indices, values) pair (r14)") {
+    withExtSession { s =>
+      graft.plans.HnswSqlCatalog.clear()
+      val tfDir = java.nio.file.Files
+        .createTempDirectory("graft_ddl_sparse").toString + "/t"
+      graft.queries.VectorQueries.sparseTf(s, Sf)
+        .write.mode("overwrite").parquet(tfDir)
+      s.read.parquet(tfDir).createOrReplaceTempView("ddl_sparse")
+      // pgvector parity refusal: sparsevec is hnsw-only
+      val eI = intercept[Exception] {
+        s.sql("""CREATE INDEX ON ddl_sparse
+                 USING ivfflat (sidx sparsevec_l2_ops) WITH (id = 'doc_id')""")
+      }
+      assert(eI.getMessage.contains("hnsw only"))
+      // the values column must be named (the engine's sparsevec is an
+      // (indices, values) pair — the documented deviation)
+      val eV = intercept[Exception] {
+        s.sql("""CREATE INDEX ON ddl_sparse
+                 USING hnsw (sidx sparsevec_cosine_ops) WITH (id = 'doc_id')""")
+      }
+      assert(eV.getMessage.contains("values"))
+      s.sql("""CREATE INDEX idx_sparse ON ddl_sparse
+               USING hnsw (sidx sparsevec_cosine_ops)
+               WITH (m = 8, ef_construction = 48, parts = 2,
+                     id = 'doc_id', values = 'sval')""")
+      val ent = HnswSqlCatalog.get("idx_sparse").get
+      assert(ent.storage == "sparsevec" && ent.metric == "cosine")
+      // the persisted graphs are sparse, cosine-kerneled, full-width
+      val ix = graft.operators.Hnsw.deser(
+        graft.operators.Hnsw.readGraphs(s, ent.path)
+          .select(col("graph")).head.getAs[Array[Byte]](0))
+      assert(ix.sparse && !ix.half &&
+        ix.metric == graft.operators.Hnsw.Metric.Cosine)
+      assert(ix.idxs.head.length == ix.vecs.head.length)
+      // the index answers the standard sparse query with the same
+      // ranking as the exact two-pointer scan (top-1 must agree —
+      // integer weights make distances exact, no flake margin)
+      val (qi, qv) = graft.functions.SparseVec.queryOf(
+        graft.queries.VectorQueries.SparseQueryTerms)
+      val served = graft.operators.Hnsw.searchSparse(
+        graft.operators.Hnsw.readGraphs(s, ent.path), qi, qv, 10, ef = 96)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val exact = s.read.parquet(tfDir)
+        .select(col("doc_id"),
+          (lit(1.0) - graft.functions.SparseVec.cosineSimilarity(
+            col("sidx"), col("sval"), qi, qv)).as("dist"))
+        .orderBy(col("dist"), col("doc_id")).limit(10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(served.nonEmpty && served.head._1 == exact.head._1,
+        s"sparse graph top-1 ${served.head} != exact ${exact.head}")
+      val agree = served.map(_._2).toSet.intersect(exact.map(_._2).toSet).size
+      assert(agree >= 6, s"sparse graph top-10 distance agreement $agree/10")
+      s.sql("DROP INDEX idx_sparse")
+      assert(HnswSqlCatalog.get("idx_sparse").isEmpty)
+    }
+  }
+
   // ------------------------------------------------- end-to-end ivfflat
   private def withExtSession[T](f: SparkSession => T): T = {
     val base = SparkSpec.session
