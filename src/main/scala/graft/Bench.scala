@@ -237,9 +237,13 @@ object Bench {
     // consumer must either re-run on a quiet box or read per-entry
     // canaries. The guard annotates rather than aborts — a partial
     // artifact with a warning beats a round with no numbers at all.
-    val contended = cMed > 0 && cMax / cMed > 3.0
+    // An ABSOLUTE slack term rides along (max − med > 0.25 s): with a
+    // fast-box median of ~50 ms, a single 100 ms scheduler hiccup is
+    // a 3× ratio but contaminates nothing — the r13 contamination this
+    // guard exists for read max 3.3 s over a 0.097 median.
+    val contended = cMed > 0 && cMax / cMed > 3.0 && cMax - cMed > 0.25
     val dirty = canaryTimes.collect {
-      case (n, c) if cMed > 0 && c / cMed > 2.0 => n
+      case (n, c) if cMed > 0 && c / cMed > 2.0 && c - cMed > 0.25 => n
     }.toSeq.sorted
     if (contended)
       System.err.println(s"[bench] CONTENDED RUN: canary max ${f3(cMax)} > " +
