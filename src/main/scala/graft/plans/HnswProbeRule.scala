@@ -95,7 +95,8 @@ final class HnswProbeRule(session: SparkSession) extends Rule[LogicalPlan] {
       key <- asSortKey(resolveThroughProjects(head.child, srt.child))
       vecAttr <- resolveToAttribute(key.colSide, srt.child)
       if session.conf.get(HnswProbeRule.EvalKey, "true").toBoolean
-      rewritten <- injectCandidates(srt.child, vecAttr, key.query, key.metric, k)
+      rewritten <- injectCandidates(srt.child, vecAttr, key.query, key.metric,
+        k, key.sparseIdx)
     } yield srt.copy(child = rewritten)
 
   /** One recognized index-servable sort key: the column side, the
@@ -110,8 +111,17 @@ final class HnswProbeRule(session: SparkSession) extends Rule[LogicalPlan] {
     * the same arithmetic the sort re-ranks with — ADVICE r12's
     * low-recall cosine/ip hazard (L2 graph serving a cosine sort)
     * cannot recur. */
+  /** `sparseIdx` (r14, the sparsevec opclasses): non-null for a
+    * SPARSE sort key — the query's sorted dimension ids riding inside
+    * [[graft.functions.SparseDistExpr]]; the walk then runs
+    * searchKnnSparse over a sparsevec-storage entry. The recognized
+    * shapes are the engine's sparse operators in ascending-distance
+    * form: `1 - sparse_cos_sim(idx, val, qi, qv)` (↔
+    * sparsevec_cosine_ops) and `-sparse_dot(...)` (↔
+    * sparsevec_ip_ops). */
   private final case class SortKey(
-      colSide: Expression, query: Array[Double], metric: String)
+      colSide: Expression, query: Array[Double], metric: String,
+      sparseIdx: Array[Long] = null)
 
   private def asSortKey(e: Expression): Option[SortKey] = e match {
     case v: VectorDistanceExpr =>
@@ -133,8 +143,19 @@ final class HnswProbeRule(session: SparkSession) extends Rule[LogicalPlan] {
           query <- literalVector(v)
           colSide <- Seq(v.left, v.right).find(x => !x.isInstanceOf[Literal])
         } yield SortKey(colSide, query, "ip")
+      // sparse max-inner-product: -sparse_dot(idx, val, qi, qv) ASC
+      case s: graft.functions.SparseDistExpr if s.mode == VectorDistance.Dot.id =>
+        Some(SortKey(s.left, s.qVal, "ip", s.qIdx))
       case _ => None
     }
+    // sparse cosine DISTANCE ascending: 1 - sparse_cos_sim(...)
+    case sub: org.apache.spark.sql.catalyst.expressions.Subtract =>
+      (sub.left, sub.right) match {
+        case (Literal(one: Double, DoubleType), s: graft.functions.SparseDistExpr)
+            if one == 1.0 && s.mode == VectorDistance.CosineSim.id =>
+          Some(SortKey(s.left, s.qVal, "cosine", s.qIdx))
+        case _ => None
+      }
     case h: graft.functions.HammingDistExpr =>
       Some(SortKey(h.child, graft.operators.Hnsw.expandWords(h.query), "hamming"))
     case j: graft.functions.JaccardDistExpr =>
@@ -144,12 +165,12 @@ final class HnswProbeRule(session: SparkSession) extends Rule[LogicalPlan] {
 
   private def injectCandidates(plan: LogicalPlan,
       vecAttr: AttributeReference, query: Array[Double], metric: String,
-      k: Int): Option[LogicalPlan] = {
+      k: Int, sparseIdx: Array[Long] = null): Option[LogicalPlan] = {
     var done = false
     val out = plan transform {
       case lr: LogicalRelation if !done && !hasProbeAbove(plan, lr) =>
         (for {
-          entry <- matchEntry(lr, vecAttr, metric)
+          entry <- matchEntry(lr, vecAttr, metric, sparse = sparseIdx != null)
           idAttr <- lr.output.find(_.name == entry.idCol)
           if idAttr.dataType == LongType || idAttr.dataType == IntegerType
           // a user predicate between sort and scan filters the
@@ -162,7 +183,7 @@ final class HnswProbeRule(session: SparkSession) extends Rule[LogicalPlan] {
           widen = if (hasUserFilter(plan, lr)) 8 else 1
           ef = efSearch
           fetch = math.min(k * widen, math.max(1, ef))
-          ids <- walkGraphs(entry, query, fetch, math.max(ef, fetch))
+          ids <- walkGraphs(entry, query, fetch, math.max(ef, fetch), sparseIdx)
           if ids.nonEmpty
         } yield {
           done = true
@@ -180,7 +201,7 @@ final class HnswProbeRule(session: SparkSession) extends Rule[LogicalPlan] {
     * scan, whose indexed column is the sort's distance column on THIS
     * relation, and whose opclass metric is the sort's metric. */
   private def matchEntry(lr: LogicalRelation, vecAttr: AttributeReference,
-      metric: String): Option[HnswSqlCatalog.Entry] =
+      metric: String, sparse: Boolean = false): Option[HnswSqlCatalog.Entry] =
     lr.relation match {
       case fs: HadoopFsRelation =>
         val scanPaths = fs.location.rootPaths.map(_.toUri.getPath).toSet
@@ -190,6 +211,10 @@ final class HnswProbeRule(session: SparkSession) extends Rule[LogicalPlan] {
             e.vecCol == vecAttr.name &&
             e.idCol.nonEmpty &&
             e.metric == metric &&
+            // kind consistency: a sparse sort key only walks a
+            // sparsevec store and vice versa (the arithmetic families
+            // must agree, the IvfProbeRule bit discipline)
+            (e.storage == "sparsevec") == sparse &&
             lr.output.exists(_.exprId == vecAttr.exprId) => e
         }
       case _ => None
@@ -200,7 +225,7 @@ final class HnswProbeRule(session: SparkSession) extends Rule[LogicalPlan] {
     * once), return the union of per-graph top-`fetch` candidate ids.
     * Any failure falls back to the exact plan. */
   private def walkGraphs(e: HnswSqlCatalog.Entry, query: Array[Double],
-      fetch: Int, ef: Int): Option[Array[Long]] = {
+      fetch: Int, ef: Int, sparseIdx: Array[Long] = null): Option[Array[Long]] = {
     try {
       val spark = session
       import spark.implicits._
@@ -214,7 +239,9 @@ final class HnswProbeRule(session: SparkSession) extends Rule[LogicalPlan] {
         .select(org.apache.spark.sql.functions.col("graph")).as[Array[Byte]]
         .flatMap { blob =>
           cnt.foreach(_.add(1))
-          graft.operators.Hnsw.deser(blob).searchKnn(q, fetch, ef).map(_._1)
+          val ix = graft.operators.Hnsw.deser(blob)
+          (if (sparseIdx != null) ix.searchKnnSparse(sparseIdx, q, fetch, ef)
+           else ix.searchKnn(q, fetch, ef)).map(_._1)
         }
         .collect().distinct
       Some(ids)

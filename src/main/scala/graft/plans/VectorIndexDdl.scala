@@ -448,9 +448,20 @@ final case class CreateVectorIndexCommand(stmt: VectorIndexDdl.Stmt)
     val graphs = Hnsw.buildPartitionedSparse(df, id, stmt.column, valCol,
       m = m, efC = efC, parts = parts, metric = metric)
     Hnsw.writeGraphs(graphs, storePath)
+    // root paths: how HnswProbeRule recognizes a scan of THIS table
+    // (the sparse sort keys `1 - sparse_cos_sim(...)` / `-sparse_dot`
+    // then serve from the graph walk, r14)
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation, LogicalRelation}
+    val roots = df.queryExecution.analyzed.collect {
+      case lr: LogicalRelation => lr.relation match {
+        case fs: HadoopFsRelation => fs.location.rootPaths.map(_.toUri.getPath)
+        case _ => Seq.empty[String]
+      }
+    }.flatten
     HnswSqlCatalog.put(indexName, HnswSqlCatalog.Entry(
       storePath, stmt.table, stmt.column, metric, m, efC,
-      idCol = id, rootPaths = Nil, storage = "sparsevec"))
+      idCol = id, rootPaths = roots, storage = "sparsevec"))
+    HnswProbeRule.install(session)
   }
 
   private def buildHnsw(session: SparkSession,

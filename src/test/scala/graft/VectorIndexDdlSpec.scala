@@ -501,8 +501,47 @@ class VectorIndexDdlSpec extends SparkSpec {
         s"sparse graph top-1 ${served.head} != exact ${exact.head}")
       val agree = served.map(_._2).toSet.intersect(exact.map(_._2).toSet).size
       assert(agree >= 6, s"sparse graph top-10 distance agreement $agree/10")
+      // the PROBE RULE serves the engine-side sparse sort key against
+      // the indexed TABLE: `1 - sparse_cos_sim(...)` ascending plans
+      // an id-IN candidate filter from the graph walk (r14)
+      val probedDf = s.table("ddl_sparse")
+        .select(col("doc_id"),
+          (org.apache.spark.sql.functions.lit(1.0) -
+            graft.functions.SparseVec.cosineSimilarity(
+              col("sidx"), col("sval"), qi, qv)).as("dist"))
+        .orderBy(col("dist"), col("doc_id"))
+        .limit(10)
+      import org.apache.spark.sql.catalyst.expressions.{AttributeReference, In}
+      val hasIdIn = probedDf.queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition.collect {
+            case In(a: AttributeReference, _) if a.name == "doc_id" => true
+          }
+      }.flatten.nonEmpty
+      assert(hasIdIn, "sparse sort key not served by the hnsw probe rule:\n" +
+        probedDf.queryExecution.optimizedPlan)
+      // served-through-the-rule results match the direct graph walk's
+      // candidate re-rank (exact distances; integer weights)
+      val ruleServed = probedDf.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(ruleServed.map(_._2).toSeq == served.map(_._2).sorted.take(10).toSeq ||
+        ruleServed.head._1 == exact.head._1,
+        s"rule-served ranking diverged: ${ruleServed.toSeq} vs ${served.toSeq}")
       s.sql("DROP INDEX idx_sparse")
       assert(HnswSqlCatalog.get("idx_sparse").isEmpty)
+      // after DROP the exact plan returns
+      val after = s.table("ddl_sparse")
+        .select(col("doc_id"),
+          (org.apache.spark.sql.functions.lit(1.0) -
+            graft.functions.SparseVec.cosineSimilarity(
+              col("sidx"), col("sval"), qi, qv)).as("dist"))
+        .orderBy(col("dist"), col("doc_id")).limit(10)
+      val stillProbed = after.queryExecution.optimizedPlan.collect {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition.collect {
+            case In(a: AttributeReference, _) if a.name == "doc_id" => true
+          }
+      }.flatten.nonEmpty
+      assert(!stillProbed, "sparse probe still firing after DROP INDEX")
     }
   }
 
