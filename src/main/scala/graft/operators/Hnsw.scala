@@ -663,6 +663,31 @@ object Hnsw {
       .orderBy(col("qid"), col("dist"), col("vec_id"))
   }
 
+  /** Sparse batch search — [[searchBatch]]'s twin for sparse stores:
+    * each graph row deserializes once and walks every (qid, idx, vals)
+    * query; per-(query, graph) top-k merge exactly as in dense. */
+  def searchBatchSparse(graphs: DataFrame,
+      queries: Seq[(Long, Array[Long], Array[Double])],
+      k: Int, ef: Int = 64): DataFrame = {
+    val spark = graphs.sparkSession
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val qs = queries
+    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
+    graphs.select(col("graph")).as[Array[Byte]]
+      .flatMap { blob =>
+        val ix = deser(blob)
+        qs.iterator.flatMap { case (qid, qi, qv) =>
+          ix.searchKnnSparse(qi, qv, k, ef).map { case (id, d) => (qid, id, d) }
+        }
+      }
+      .toDF("qid", "vec_id", "dist")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("qid"), col("vec_id"), col("dist"))
+      .orderBy(col("qid"), col("dist"), col("vec_id"))
+  }
+
   // ------------------------------------------------- cell-routed graphs
   /** CELL-ROUTED graphs (VERDICT r6 #5 — kills the P-growth of the
     * flat layout): partition the corpus by its IVF coarse cell

@@ -290,6 +290,41 @@ object KnnServing {
       }
       .start()
 
+  /** SPARSE-query HNSW serving (r14) — the sparsevec twin of
+    * [[serveHnsw]]: each micro-batch's (qid, indices, values) rows are
+    * collected (maxBatch-bounded, fail-fast) and every sparse
+    * partition graph answers all of them through the two-pointer beam
+    * walk ([[graft.operators.Hnsw.searchBatchSparse]]); per-batch cost
+    * is P graph loads + |batch|·P walks, independent of corpus rows —
+    * the lexical/SPLADE-style retrieval serving shape. */
+  def serveHnswSparse(
+      queries: DataFrame, graphs: DataFrame,
+      qIdCol: String, qIdxCol: String, qValCol: String,
+      k: Int, ef: Int = 64,
+      maxBatch: Int = 65536)(writeBatch: (DataFrame, Long) => Unit): StreamingQuery =
+    queries.writeStream
+      .outputMode("append")
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        if (!batch.isEmpty) {
+          import org.apache.spark.sql.functions.col
+          val rows = batch
+            .select(col(qIdCol).cast("long"),
+              col(qIdxCol).cast("array<bigint>"),
+              col(qValCol).cast("array<double>"))
+            .limit(maxBatch + 1)
+            .collect()
+          require(rows.length <= maxBatch,
+            s"serveHnswSparse micro-batch exceeds maxBatch=$maxBatch query " +
+              "vectors; raise maxBatch or trigger smaller batches")
+          val qs = rows.map(r => (r.getLong(0),
+            r.getSeq[Long](1).toArray, r.getSeq[Double](2).toArray)).toSeq
+          val answered = graft.operators.Hnsw.searchBatchSparse(graphs, qs, k, ef)
+            .withColumnRenamed("qid", qIdCol)
+          writeBatch(answered, batchId)
+        }
+      }
+      .start()
+
   /** Handle returned by [[serveCached]]: the streaming query plus a
     * cache-size probe (spec/observability surface — the capacity
     * contract is testable without reaching into the closure). */

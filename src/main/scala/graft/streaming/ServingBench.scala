@@ -210,6 +210,44 @@ object ServingBench {
       stop = () => if (q != null) q.stop())
   }
 
+  /** Sparse-query graph serving (r14): sparse graphs over the tf
+    * corpus, fed per-batch (qid, indices, values) term queries — the
+    * lexical-retrieval serving shape. Query rows are real corpus
+    * docs' sparse vectors (ids offset per feed like the dense
+    * probes). */
+  def serveSparseProbe(s: SparkSession, d: String): Probe = {
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    var input: MemoryStream[(Long, Seq[Long], Seq[Double])] = null
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    var feeds = 0L
+    var qrows: Array[(Long, Seq[Long], Seq[Double])] = null
+    def feed(): Unit = {
+      feeds += 1
+      input.addData(qrows.map { case (i, ix, v) =>
+        (i + feeds * 1000000L, ix, v) }.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    Probe(
+      build = () => {
+        val tf = graft.queries.VectorQueries.sparseTf(s, d).localCheckpoint()
+        val graphs = graft.operators.Hnsw.buildPartitionedSparse(
+          tf, "doc_id", "sidx", "sval",
+          m = 16, efC = 64, parts = 8, metric = "cosine").localCheckpoint()
+        qrows = tf.filter(col("doc_id") < BatchSize)
+          .select(col("doc_id"), col("sidx"), col("sval"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Double](2)))
+        input = MemoryStream[(Long, Seq[Long], Seq[Double])]
+        q = KnnServing.serveHnswSparse(
+          input.toDF().toDF("qid", "qidx", "qval"), graphs,
+          "qid", "qidx", "qval", K, ef = 64) { (b, _) => b.count(); () }
+        feed() // warm-up
+      },
+      probe = () => feed(),
+      stop = () => if (q != null) q.stop())
+  }
+
   /** Range-clustered docs GraftTable for point-read doc fetches:
     * built once per fixture generation (Sidecar content key), files
     * sorted/partitioned by doc_id so every id's stats envelope is
@@ -236,7 +274,8 @@ object ServingBench {
     "serve_hnsw_probe" -> (serveHnswProbe _),
     "serve_cached_probe" -> (serveCachedProbe _),
     "serve_summarized_probe" -> (serveSummarizedProbe _),
-    "serve_summarized_idx_probe" -> (serveSummarizedIdxProbe _))
+    "serve_summarized_idx_probe" -> (serveSummarizedIdxProbe _),
+    "serve_sparse_probe" -> (serveSparseProbe _))
 
   /** Micro-batches per `_tput` row. */
   val TputBatches = 16

@@ -273,6 +273,38 @@ class IncrementalSpec extends SparkSpec {
     }
   }
 
+  test("sparse-query hnsw serving answers each micro-batch from the sparse graphs (r14)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val tf = graft.queries.VectorQueries.sparseTf(spark, Sf).localCheckpoint()
+    val graphs = graft.operators.Hnsw.buildPartitionedSparse(
+      tf, "doc_id", "sidx", "sval", m = 8, efC = 32, parts = 2,
+      metric = "cosine").localCheckpoint()
+    val qs = tf.filter(col("doc_id") < 3)
+      .select(col("doc_id"), col("sidx"), col("sval"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Double](2)))
+    val input = MemoryStream[(Long, Seq[Long], Seq[Double])]
+    val results = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+    val q = KnnServing.serveHnswSparse(
+      input.toDF().toDF("qid", "qidx", "qval"), graphs,
+      "qid", "qidx", "qval", k = 3, ef = 64) { (batch, _) =>
+      results ++= batch.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    }
+    try {
+      input.addData(qs.toSeq)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(results.size == 9)
+    val direct = graft.operators.Hnsw.searchBatchSparse(graphs,
+      qs.map(x => (x._1, x._2.toArray, x._3.toArray)).toSeq, k = 3, ef = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(results.sortBy(x => (x._1, x._3, x._2)).toSeq ==
+      direct.sortBy(x => (x._1, x._3, x._2)).toSeq)
+    // a query that IS a corpus doc finds itself at distance 0
+    assert(results.filter(_._1 == 1L).exists(r => r._2 == 1L && r._3 == 0.0))
+  }
+
   test("IVF-probed streaming serving matches the batch IVF search per micro-batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
