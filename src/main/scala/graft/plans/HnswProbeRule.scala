@@ -88,6 +88,29 @@ final class HnswProbeRule(session: SparkSession) extends Rule[LogicalPlan] {
       .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
       .filter(_ > 0).getOrElse(40)
 
+  /** pgvector ≥0.8's `SET hnsw.iterative_scan` (r14): `off` disables
+    * the filtered-query over-fetch — a selective predicate may then
+    * return fewer than k rows, pgvector's own documented off-mode
+    * behavior. `strict_order` / `relaxed_order` enable it (here both
+    * mean the statically bounded ×8 over-fetch: candidates are always
+    * re-ranked exactly by the Sort on top, so strict-vs-relaxed
+    * ordering cannot differ — the engine's candidate list is bounded,
+    * not streamed). DEFAULT `relaxed_order`, a named deviation from
+    * pgvector's `off` default: off-by-default would silently
+    * under-fill filtered queries that have worked since r11. */
+  private def iterativeScan: String =
+    session.conf.getOption("hnsw.iterative_scan")
+      .map(_.trim.toLowerCase(java.util.Locale.ROOT))
+      .getOrElse("relaxed_order")
+
+  /** pgvector ≥0.8's `SET hnsw.max_scan_tuples` (default 20000):
+    * caps the per-graph candidate fetch — the bounded analogue of
+    * pgvector's total-tuples scan budget. */
+  private def maxScanTuples: Int =
+    session.conf.getOption("hnsw.max_scan_tuples")
+      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
+      .filter(_ > 0).getOrElse(20000)
+
   private def rewrite(srt: Sort, k: Int): Option[Sort] =
     for {
       head <- srt.order.headOption
@@ -180,9 +203,9 @@ final class HnswProbeRule(session: SparkSession) extends Rule[LogicalPlan] {
           // IVF rule's widening). pgvector caps the candidate list at
           // ef_search, so `SET hnsw.ef_search` below k visibly shrinks
           // the injected IN list.
-          widen = if (hasUserFilter(plan, lr)) 8 else 1
+          widen = if (hasUserFilter(plan, lr) && iterativeScan != "off") 8 else 1
           ef = efSearch
-          fetch = math.min(k * widen, math.max(1, ef))
+          fetch = math.min(math.min(k * widen, math.max(1, ef)), maxScanTuples)
           ids <- walkGraphs(entry, query, fetch, math.max(ef, fetch), sparseIdx)
           if ids.nonEmpty
         } yield {

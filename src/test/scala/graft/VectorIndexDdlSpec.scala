@@ -771,6 +771,47 @@ class VectorIndexDdlSpec extends SparkSpec {
     }
   }
 
+  test("SET hnsw.iterative_scan / max_scan_tuples (pgvector 0.8 knobs, r14)") {
+    withExtSession { s =>
+      graft.plans.HnswSqlCatalog.clear()
+      Tables.embeddings(s, Sf).createOrReplaceTempView("ddl_hnsw_it")
+      s.sql("""CREATE INDEX idx_hnsw_it ON ddl_hnsw_it
+               USING hnsw (embedding vector_l2_ops)
+               WITH (m = 8, ef_construction = 32, parts = 4, id = 'vec_id')""")
+      val vec = Tables.embeddings(s, Sf).filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head.getSeq[Double](0)
+      // a FILTERED query: default (relaxed_order) over-fetches ×8
+      val q = s"""SELECT vec_id FROM ddl_hnsw_it
+                  WHERE label = 3
+                  ORDER BY embedding <-> '${vec.mkString("[", ",", "]")}'::vector
+                  LIMIT 5"""
+      import org.apache.spark.sql.catalyst.expressions.{AttributeReference, In}
+      def inListSize(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.optimizedPlan.collect {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            f.condition.collect {
+              case In(a: AttributeReference, list) if a.name == "vec_id" => list.size
+            }
+        }.flatten.foldLeft(0)(math.max)
+      val wideList = inListSize(s.sql(q))
+      assert(wideList > 5, s"filtered over-fetch inactive by default ($wideList)")
+      // off: no widening — the pgvector off-mode may under-fill k
+      s.conf.set("hnsw.iterative_scan", "off")
+      try {
+        val offList = inListSize(s.sql(q))
+        assert(offList < wideList && offList <= 5 * 4,
+          s"iterative_scan=off did not shrink the fetch: $offList vs $wideList")
+      } finally s.conf.unset("hnsw.iterative_scan")
+      // max_scan_tuples caps the per-graph fetch below the widened size
+      s.conf.set("hnsw.max_scan_tuples", "2")
+      try {
+        val capped = inListSize(s.sql(q))
+        assert(capped <= 2 * 4, s"max_scan_tuples=2 not honored: $capped")
+      } finally s.conf.unset("hnsw.max_scan_tuples")
+    }
+  }
+
   test("SET ivfflat.probes changes the partition-filter width at rewrite time") {
     withExtSession { s =>
       Tables.embeddings(s, Sf).createOrReplaceTempView("ddl_probes")
