@@ -855,7 +855,50 @@ object Hnsw {
         if (adds == null) Row(pid, blob)
         else {
           val ix = deser(blob)
+          // a dense add into a sparse graph would walk wrong
+          // arithmetic — fail with the fix named, not a wrong merge
+          require(!ix.sparse,
+            "appendBatch(dense rows) into a SPARSE graph store — use " +
+              "appendBatchSparse(idCol, idxCol, valCol)")
           adds.foreach(r => ix.insert(r.getLong(0), r.getSeq[Double](1).toArray))
+          Row(pid, ser(ix))
+        }
+      }
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(mergedRdd, StructType(Seq(
+      StructField("part_id", IntegerType, nullable = false),
+      StructField("graph", BinaryType, nullable = false))))
+  }
+
+  /** [[appendBatch]]'s sparse twin (r14): new (id, indices, values)
+    * rows hash-route to an existing partition graph and run the SAME
+    * sparse diverse-prune insert the build used. */
+  def appendBatchSparse(graphs: DataFrame, batch: DataFrame,
+      idCol: String, idxCol: String, valCol: String): DataFrame = {
+    val spark = graphs.sparkSession
+    val pids = graphs.select(col("part_id")).collect().map(_.getInt(0)).sorted
+    require(pids.nonEmpty, "appendBatchSparse needs at least one existing partition graph")
+    val assigned = batch
+      .select(col(idCol).cast("long").as("__aid"),
+        col(idxCol).cast("array<bigint>").as("__aidx"),
+        col(valCol).cast("array<double>").as("__avec"))
+      .withColumn("part_id",
+        element_at(typedLit(pids.toSeq), (pmod(hash(col("__aid")), lit(pids.length)) + 1).cast("int")))
+      .groupBy(col("part_id"))
+      .agg(collect_list(struct(col("__aid"), col("__aidx"), col("__avec"))).as("adds"))
+    val mergedRdd = graphs.join(assigned, Seq("part_id"), "left_outer")
+      .rdd.map { row =>
+        val pid = row.getInt(0)
+        val blob = row.getAs[Array[Byte]]("graph")
+        val adds: scala.collection.Seq[Row] =
+          if (row.isNullAt(2)) null else row.getSeq[Row](2)
+        if (adds == null) Row(pid, blob)
+        else {
+          val ix = deser(blob)
+          require(ix.sparse,
+            "appendBatchSparse into a DENSE graph store — use appendBatch")
+          adds.foreach(r => ix.insertSparse(r.getLong(0),
+            r.getSeq[Long](1).toArray, r.getSeq[Double](2).toArray))
           Row(pid, ser(ix))
         }
       }

@@ -22,6 +22,86 @@ class HnswSpec extends SparkSpec {
     }
   }
 
+  test("sparse index over a densified cloud is STRUCTURALLY identical to the dense index (r14)") {
+    // the strongest sparse-kernel invariant: with indices [0, dims)
+    // (a fully dense sparse vector), every two-pointer distance equals
+    // the dense kernel's, level draws depend only on ids, and
+    // insertion order is identical — so the two graphs must be the
+    // SAME graph and every walk must return identical (id, dist) rows
+    val rnd = new scala.util.Random(11)
+    val dims = 16
+    val vs = Array.tabulate(400)(i => (i.toLong, Array.fill(dims)(rnd.nextGaussian())))
+    val fullIdx = Array.tabulate(dims)(_.toLong)
+    for (metric <- Seq("l2", "cosine", "ip", "l1")) {
+      val m = Hnsw.Metric.of(metric)
+      val dense = new Hnsw.Index(8, 32, m)
+      val sparse = new Hnsw.Index(8, 32, m, half = false, sparse = true)
+      vs.foreach { case (id, v) => dense.insert(id, v) }
+      vs.foreach { case (id, v) => sparse.insertSparse(id, fullIdx, v) }
+      assert(dense.entry == sparse.entry && dense.maxLevel == sparse.maxLevel)
+      assert(dense.links.map(_.map(_.toSeq).toSeq) ==
+        sparse.links.map(_.map(_.toSeq).toSeq),
+        s"$metric: sparse/dense adjacency diverged")
+      for ((_, v) <- vs.take(10)) {
+        val q = Array.fill(dims)(rnd.nextGaussian())
+        assert(dense.searchKnn(q, 5, 32) == sparse.searchKnnSparse(fullIdx, q, 5, 32),
+          s"$metric: walk results diverged")
+        // ragged truly-sparse query against the densified graph: the
+        // two-pointer merge treats absent indices as zeros
+        val sq = Array(1L, 7L, 13L)
+        val sv = Array(q(1), q(7), q(13))
+        val padded = Array.tabulate(dims)(i =>
+          if (i == 1) q(1) else if (i == 7) q(7) else if (i == 13) q(13) else 0.0)
+        if (metric != "cosine") // cosine norms fold in ARRAY order: a
+          // padded dense array sums zeros in different positions —
+          // equal mathematically, not necessarily bit-equal
+          assert(dense.searchKnn(padded, 5, 32) ==
+            sparse.searchKnnSparse(sq, sv, 5, 32),
+            s"$metric: sparse query != zero-padded dense query")
+        ()
+      }
+      // v4 blob round-trip carries the idx arrays exactly
+      val back = Hnsw.deser(Hnsw.ser(sparse))
+      assert(back.sparse && back.idxs.map(_.toSeq) == sparse.idxs.map(_.toSeq))
+      assert(back.searchKnnSparse(fullIdx, vs.head._2, 3, 32) ==
+        sparse.searchKnnSparse(fullIdx, vs.head._2, 3, 32))
+    }
+  }
+
+  test("appendBatchSparse inserts sparse rows with full linking; cross-kind appends refused (r14)") {
+    import org.apache.spark.sql.functions.col
+    val tf = graft.queries.VectorQueries.sparseTf(spark, Sf).localCheckpoint()
+    val base = tf.filter(col("doc_id") >= 10)
+    val adds = tf.filter(col("doc_id") < 10)
+    val graphs = Hnsw.buildPartitionedSparse(base, "doc_id", "sidx", "sval",
+      m = 8, efC = 32, parts = 2, metric = "cosine").localCheckpoint()
+    val merged = Hnsw.appendBatchSparse(graphs, adds, "doc_id", "sidx", "sval")
+      .localCheckpoint()
+    // every appended doc finds itself at distance 0
+    for (r <- adds.collect()) {
+      val (id, qi, qv) = (r.getLong(0), r.getSeq[Long](1).toArray, r.getSeq[Double](2).toArray)
+      val hits = Hnsw.searchSparse(merged, qi, qv, 1, ef = 64).collect()
+      // cosine self-distance carries one ulp of sqrt rounding
+      // (1 − aa/(√aa·√aa)); exact zero is an L2-only property
+      assert(hits.head.getLong(0) == id && hits.head.getDouble(1) < 1e-12,
+        s"appended sparse doc $id not findable: ${hits.toSeq}")
+    }
+    // dense rows into a sparse store / sparse rows into a dense store
+    // both fail with the fix named
+    val eD = intercept[org.apache.spark.SparkException] {
+      Hnsw.appendBatch(graphs, Tables.embeddings(spark, Sf).limit(2),
+        "vec_id", "embedding").collect()
+    }
+    assert(eD.getMessage.contains("appendBatchSparse"))
+    val denseGraphs = Hnsw.buildPartitioned(
+      Tables.embeddings(spark, Sf).limit(50), "vec_id", "embedding",
+      m = 8, efC = 32, parts = 2).localCheckpoint()
+    val eS = intercept[org.apache.spark.SparkException] {
+      Hnsw.appendBatchSparse(denseGraphs, adds, "doc_id", "sidx", "sval").collect()
+    }
+    assert(eS.getMessage.contains("use appendBatch"))
+  }
+
   test("local index recall vs brute force on a gaussian cloud") {
     val ix = new Hnsw.Index(16, 64)
     val rnd = new scala.util.Random(5)
