@@ -44,6 +44,20 @@ object SparseVec {
     toColumn(SparseDistExpr(toExpression(idx), toExpression(vals),
       qIdx, qVal, VectorDistance.CosineSim.id))
 
+  /** √Σ(aᵢ−qᵢ)² over the UNION of indices (unmatched terms count
+    * against zero) — pgvector sparsevec `<->` (r15, ADVICE r14: the
+    * sparsevec_l2_ops DDL was accepted but had no servable sort-key
+    * shape). Same merged-ascending accumulation as the graph kernel
+    * ([[graft.operators.Hnsw]] sparseDist). */
+  def l2Distance(idx: Column, vals: Column, qIdx: Array[Long], qVal: Array[Double]): Column =
+    toColumn(SparseDistExpr(toExpression(idx), toExpression(vals),
+      qIdx, qVal, VectorDistance.L2.id))
+
+  /** Σ|aᵢ−qᵢ| over the union of indices — pgvector sparsevec `<+>`. */
+  def l1Distance(idx: Column, vals: Column, qIdx: Array[Long], qVal: Array[Double]): Column =
+    toColumn(SparseDistExpr(toExpression(idx), toExpression(vals),
+      qIdx, qVal, VectorDistance.L1.id))
+
   /** Driver-side helper: sorted (indices, values) for a term→weight
     * query, indices = [[TextFunctions.hash64Scala]] of each term. */
   def queryOf(terms: Seq[(String, Double)]): (Array[Long], Array[Double]) = {
@@ -56,15 +70,19 @@ object SparseVec {
 
 /** Two-pointer sparse distance against a driver-metadata query.
   * `left` = sorted int64 indices (array<bigint>), `right` = values
-  * (array<double>), same length. Modes: Dot, CosineSim (the two
-  * sparse retrieval needs; L2 over sparse lexical weights has no
-  * consumer here). */
+  * (array<double>), same length. Modes: Dot, CosineSim (the sparse
+  * retrieval pair) and — r15, so every accepted sparsevec opclass has
+  * a servable sort key — L2 and L1, which merge over the UNION of
+  * indices (an index present on one side only differences against
+  * zero, pgvector's sparsevec `<->`/`<+>` semantics and the
+  * [[graft.operators.Hnsw]] sparse walk kernel's arithmetic). */
 case class SparseDistExpr(left: Expression, right: Expression,
     qIdx: Array[Long], qVal: Array[Double], mode: Int)
     extends BinaryExpression with CodegenFallback {
 
   require(qIdx.length == qVal.length, "query indices/values length mismatch")
-  require(mode == VectorDistance.Dot.id || mode == VectorDistance.CosineSim.id,
+  require(mode == VectorDistance.Dot.id || mode == VectorDistance.CosineSim.id ||
+    mode == VectorDistance.L2.id || mode == VectorDistance.L1.id,
     s"unsupported sparse mode $mode")
 
   // query norm² folded once, driver-side, in array order — the same
@@ -93,23 +111,49 @@ case class SparseDistExpr(left: Expression, right: Expression,
     if (n != vals.numElements())
       throw new IllegalArgumentException(
         s"sparse vector malformed: ${n} indices vs ${vals.numElements()} values")
-    var dot = 0.0
-    var aa = 0.0
-    var i = 0
-    var j = 0
-    while (i < n) {
-      val ix = idx.getLong(i)
-      val v = vals.getDouble(i)
-      if (mode == VectorDistance.CosineSim.id) aa += v * v
-      while (j < qIdx.length && qIdx(j) < ix) j += 1
-      if (j < qIdx.length && qIdx(j) == ix) dot += v * qVal(j)
-      i += 1
-    }
-    if (mode == VectorDistance.Dot.id) dot
-    else {
-      val denom = math.sqrt(aa) * math.sqrt(qNorm2)
-      if (denom == 0.0) 0.0
-      else math.max(-1.0, math.min(1.0, dot / denom))
+    if (mode == VectorDistance.L2.id || mode == VectorDistance.L1.id) {
+      // union merge: unmatched terms on either side difference against
+      // zero, accumulated in merged-ascending index order (the graph
+      // kernel's determinism contract)
+      var l2 = 0.0; var l1 = 0.0
+      var i = 0; var j = 0
+      while (i < n && j < qIdx.length) {
+        val a = idx.getLong(i); val b = qIdx(j)
+        if (a == b) {
+          val d = vals.getDouble(i) - qVal(j); l2 += d * d; l1 += math.abs(d)
+          i += 1; j += 1
+        } else if (a < b) {
+          val v = vals.getDouble(i); l2 += v * v; l1 += math.abs(v); i += 1
+        } else {
+          val q = qVal(j); l2 += q * q; l1 += math.abs(q); j += 1
+        }
+      }
+      while (i < n) {
+        val v = vals.getDouble(i); l2 += v * v; l1 += math.abs(v); i += 1
+      }
+      while (j < qIdx.length) {
+        val q = qVal(j); l2 += q * q; l1 += math.abs(q); j += 1
+      }
+      if (mode == VectorDistance.L2.id) math.sqrt(l2) else l1
+    } else {
+      var dot = 0.0
+      var aa = 0.0
+      var i = 0
+      var j = 0
+      while (i < n) {
+        val ix = idx.getLong(i)
+        val v = vals.getDouble(i)
+        if (mode == VectorDistance.CosineSim.id) aa += v * v
+        while (j < qIdx.length && qIdx(j) < ix) j += 1
+        if (j < qIdx.length && qIdx(j) == ix) dot += v * qVal(j)
+        i += 1
+      }
+      if (mode == VectorDistance.Dot.id) dot
+      else {
+        val denom = math.sqrt(aa) * math.sqrt(qNorm2)
+        if (denom == 0.0) 0.0
+        else math.max(-1.0, math.min(1.0, dot / denom))
+      }
     }
   }
 

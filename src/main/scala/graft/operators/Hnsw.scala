@@ -393,11 +393,17 @@ object Hnsw {
 
   private[graft] def ser(ix: Index): Array[Byte] = {
     // pre-serialization size estimate: fail fast with the sizing knob
-    // named, instead of OOMing inside the deflater on a huge partition
-    val dims = if (ix.vecs.isEmpty) 0L else ix.vecs(0).length.toLong
-    // sparse rows carry an idx long per value: double the vector term
-    val est = ix.ids.length.toLong *
-      (8L + 4L + dims * 8 * (if (ix.sparse) 2 else 1) + 4 * 4L * ix.m)
+    // named, instead of OOMing inside the deflater on a huge partition.
+    // Sparse rows are RAGGED — extrapolating from vecs(0) grossly
+    // underestimates total nnz when the first row is short (ADVICE
+    // r14), so sum the actual lengths (one O(n) pass over resident
+    // arrays); each sparse element carries an idx long + a value
+    // double. Dense rows are rectangular: rows × dims.
+    val vecBytes =
+      if (ix.sparse) ix.vecs.iterator.map(_.length.toLong).sum * 16L
+      else ix.ids.length.toLong *
+        (if (ix.vecs.isEmpty) 0L else ix.vecs(0).length.toLong) * 8L
+    val est = vecBytes + ix.ids.length.toLong * (8L + 4L + 4 * 4L * ix.m)
     require(est < MaxBlobBytes,
       s"partition graph of ${ix.ids.length} vectors (~$est raw bytes) would exceed " +
         s"the $MaxBlobBytes-byte blob ceiling — raise `parts` or set " +

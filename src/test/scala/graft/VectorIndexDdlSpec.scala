@@ -545,6 +545,167 @@ class VectorIndexDdlSpec extends SparkSpec {
     }
   }
 
+  test("SET ivfflat.iterative_scan / max_probes (pgvector 0.8 knobs, r15)") {
+    withExtSession { s =>
+      IvfCatalog.clear()
+      Tables.embeddings(s, Sf).createOrReplaceTempView("ddl_ivf_it")
+      s.sql("""CREATE INDEX idx_ivf_it ON ddl_ivf_it
+               USING ivfflat (embedding vector_l2_ops)
+               WITH (lists = 8, probes = 1, id = 'vec_id')""")
+      val vec = Tables.embeddings(s, Sf).filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head.getSeq[Double](0)
+      // a FILTERED query: default (relaxed_order) widens probes ×
+      // filteredWiden (2), pgvector 0.8's iterative widening
+      val q = s"""SELECT vec_id FROM ddl_ivf_it
+                  WHERE label = 3
+                  ORDER BY embedding <-> '${vec.mkString("[", ",", "]")}'::vector
+                  LIMIT 5"""
+      import org.apache.spark.sql.catalyst.expressions.{AttributeReference, In}
+      def probedCells(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.optimizedPlan.collect {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            f.condition.collect {
+              case In(a: AttributeReference, list) if a.name == "centroid_id" => list.size
+            }
+        }.flatten.foldLeft(0)(math.max)
+      assert(probedCells(s.sql(q)) == 2,
+        "filtered query did not widen probes (default relaxed_order)")
+      // off: pgvector's off-mode — fixed probes, may under-fill k
+      s.conf.set("ivfflat.iterative_scan", "off")
+      try assert(probedCells(s.sql(q)) == 1,
+        "iterative_scan=off did not pin the probe width to probes=1")
+      finally s.conf.unset("ivfflat.iterative_scan")
+      // max_probes caps the widening, never below the base probes
+      s.conf.set("ivfflat.max_probes", "1")
+      try assert(probedCells(s.sql(q)) == 1,
+        "ivfflat.max_probes=1 did not cap the iterative widening")
+      finally s.conf.unset("ivfflat.max_probes")
+      // pgvector parity: ivfflat has no strict_order mode, and invalid
+      // enum values are rejected, not silently defaulted
+      s.conf.set("ivfflat.iterative_scan", "strict_order")
+      try {
+        val eStrict = intercept[Exception] { s.sql(q).collect() }
+        assert(eStrict.getMessage.contains("strict_order"))
+      } finally s.conf.unset("ivfflat.iterative_scan")
+      s.conf.set("ivfflat.iterative_scan", "strict")
+      try {
+        val eBad = intercept[Exception] { s.sql(q).collect() }
+        assert(eBad.getMessage.contains("invalid value"))
+      } finally s.conf.unset("ivfflat.iterative_scan")
+      s.sql("DROP INDEX idx_ivf_it")
+    }
+  }
+
+  test("hnsw knob scoping (r15): invalid iterative_scan rejected; max_scan_tuples bounds only iterative scans") {
+    withExtSession { s =>
+      graft.plans.HnswSqlCatalog.clear()
+      Tables.embeddings(s, Sf).createOrReplaceTempView("ddl_hnsw_sc")
+      s.sql("""CREATE INDEX idx_hnsw_sc ON ddl_hnsw_sc
+               USING hnsw (embedding vector_l2_ops)
+               WITH (m = 8, ef_construction = 32, parts = 4, id = 'vec_id')""")
+      val vec = Tables.embeddings(s, Sf).filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head.getSeq[Double](0)
+      val plain = s"""SELECT vec_id FROM ddl_hnsw_sc
+                  ORDER BY embedding <-> '${vec.mkString("[", ",", "]")}'::vector
+                  LIMIT 5"""
+      import org.apache.spark.sql.catalyst.expressions.{AttributeReference, In}
+      def inListSize(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.optimizedPlan.collect {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            f.condition.collect {
+              case In(a: AttributeReference, list) if a.name == "vec_id" => list.size
+            }
+        }.flatten.foldLeft(0)(math.max)
+      val defaultList = inListSize(s.sql(plain))
+      assert(defaultList > 0, "probe inactive on the plain top-k")
+      // ADVICE r14: the cap bounds ONLY iterative (filtered) scans —
+      // an unfiltered top-k with max_scan_tuples below k must still
+      // fetch its full candidate list, as pgvector's GUC scoping does
+      s.conf.set("hnsw.max_scan_tuples", "2")
+      try assert(inListSize(s.sql(plain)) == defaultList,
+        "max_scan_tuples capped a NON-iterative plain top-k")
+      finally s.conf.unset("hnsw.max_scan_tuples")
+      // ADVICE r14: a typo must not silently behave as relaxed_order
+      s.conf.set("hnsw.iterative_scan", "strict")
+      try {
+        val eBad = intercept[Exception] { s.sql(plain).collect() }
+        assert(eBad.getMessage.contains("invalid value"))
+      } finally s.conf.unset("hnsw.iterative_scan")
+      s.sql("DROP INDEX idx_hnsw_sc")
+    }
+  }
+
+  test("sparsevec_l2_ops / l1_ops serve their sort keys (r15, ADVICE r14 dead-weight fix)") {
+    withExtSession { s =>
+      graft.plans.HnswSqlCatalog.clear()
+      val tfDir = java.nio.file.Files
+        .createTempDirectory("graft_ddl_sparse_l2").toString + "/t"
+      graft.queries.VectorQueries.sparseTf(s, Sf)
+        .write.mode("overwrite").parquet(tfDir)
+      s.read.parquet(tfDir).createOrReplaceTempView("ddl_sparse_l2")
+      s.sql("""CREATE INDEX idx_sparse_l2 ON ddl_sparse_l2
+               USING hnsw (sidx sparsevec_l2_ops)
+               WITH (m = 8, ef_construction = 48, parts = 2,
+                     id = 'doc_id', values = 'sval')""")
+      val ent = HnswSqlCatalog.get("idx_sparse_l2").get
+      assert(ent.storage == "sparsevec" && ent.metric == "l2")
+      val ix = graft.operators.Hnsw.deser(
+        graft.operators.Hnsw.readGraphs(s, ent.path)
+          .select(col("graph")).head.getAs[Array[Byte]](0))
+      assert(ix.sparse && ix.metric == graft.operators.Hnsw.Metric.L2)
+      val (qi, qv) = graft.functions.SparseVec.queryOf(
+        graft.queries.VectorQueries.SparseQueryTerms)
+      // the sparse L2 sort key is now recognized and served by the
+      // probe rule (the index is no longer silent dead weight)
+      val probedDf = s.table("ddl_sparse_l2")
+        .select(col("doc_id"),
+          graft.functions.SparseVec.l2Distance(col("sidx"), col("sval"), qi, qv)
+            .as("dist"))
+        .orderBy(col("dist"), col("doc_id"))
+        .limit(10)
+      import org.apache.spark.sql.catalyst.expressions.{AttributeReference, In}
+      def hasIdIn(df: org.apache.spark.sql.DataFrame): Boolean =
+        df.queryExecution.optimizedPlan.collect {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            f.condition.collect {
+              case In(a: AttributeReference, _) if a.name == "doc_id" => true
+            }
+        }.flatten.nonEmpty
+      assert(hasIdIn(probedDf), "sparse L2 sort key not served:\n" +
+        probedDf.queryExecution.optimizedPlan)
+      // top-1 agreement with the exact union-merge scan (integer
+      // weights: distances are exact)
+      val exact = s.read.parquet(tfDir)
+        .select(col("doc_id"),
+          graft.functions.SparseVec.l2Distance(col("sidx"), col("sval"), qi, qv)
+            .as("dist"))
+        .orderBy(col("dist"), col("doc_id")).limit(10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val served = probedDf.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(served.head._1 == exact.head._1,
+        s"sparse L2 top-1 ${served.head} != exact ${exact.head}")
+      s.sql("DROP INDEX idx_sparse_l2")
+      // L1 twin: DDL accepted AND its sort key recognized
+      s.sql("""CREATE INDEX idx_sparse_l1 ON ddl_sparse_l2
+               USING hnsw (sidx sparsevec_l1_ops)
+               WITH (m = 8, ef_construction = 48, parts = 2,
+                     id = 'doc_id', values = 'sval')""")
+      val ent1 = HnswSqlCatalog.get("idx_sparse_l1").get
+      assert(ent1.metric == "l1")
+      val probedL1 = s.table("ddl_sparse_l2")
+        .select(col("doc_id"),
+          graft.functions.SparseVec.l1Distance(col("sidx"), col("sval"), qi, qv)
+            .as("dist"))
+        .orderBy(col("dist"), col("doc_id"))
+        .limit(10)
+      assert(hasIdIn(probedL1), "sparse L1 sort key not served")
+      assert(probedL1.collect().nonEmpty)
+      s.sql("DROP INDEX idx_sparse_l1")
+    }
+  }
+
   // ------------------------------------------------- end-to-end ivfflat
   private def withExtSession[T](f: SparkSession => T): T = {
     val base = SparkSpec.session
