@@ -48,6 +48,7 @@ object Bench {
       "vs_hnsw_bit" -> queries.VectorQueries.hnswBitBench("hamming") _,
       "vs_hnsw_bit_jacc" -> queries.VectorQueries.hnswBitBench("jaccard") _,
       "vs_hnsw_sparse" -> queries.VectorQueries.hnswSparseBench _,
+      "vs_hnsw_sparse_routed" -> queries.VectorQueries.hnswSparseRoutedBench _,
       "vs_ivf_bit" -> queries.VectorQueries.ivfBitBench _,
       "vs_ivfpq_knn" -> queries.VectorQueries.ivfPqBench _,
       "ingest_pdf_pages" -> queries.PipelineQueries.pdfBench _,

@@ -527,6 +527,145 @@ object VectorQueries {
     (build, () => hnswSparseKnn(s, d))
   }
 
+  // ------------------- cell-routed sparse HNSW (r15 — VERDICT r14 #1)
+  private[graft] val SparseRoutedNlist = 16
+  private[graft] val SparseRoutedSpill = 2
+  private[graft] val SparseRoutedNprobe = 4
+
+  private def sparseRoutedBase(d: String): java.io.File =
+    new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_hnswsproute_v1_${graft.Sidecar.key(d)}")
+
+  /** Build-once cell-ROUTED sparse graph store — the vs_hnsw_routed
+    * treatment for the sparsevec family (VERDICT r14's one perf-weak:
+    * flat sparse serving loads all P graphs per query, and P grows
+    * with the corpus): top-mass-cell routing
+    * ([[graft.operators.Hnsw.rankCellsSparse]] — pmod term cells,
+    * integer mass sums, the impact-partitioned inverted-index layout),
+    * one sparse COSINE graph per cell with spill-2 boundary copies,
+    * parsed dump for the walk replay written LAST (the ensure-gate
+    * discipline). No centroid artifact: routing is a pure integer
+    * function of the vector. */
+  private[graft] def ensureSparseRoutedGraphs(s: SparkSession, d: String): String = {
+    val base = sparseRoutedBase(d)
+    val graphsP = new java.io.File(base, "graphs").toString
+    val dumpP = new java.io.File(base, "dump").toString
+    VectorQueries.synchronized {
+      if (!new java.io.File(dumpP, "_SUCCESS").exists()) {
+        val graphs = graft.operators.Hnsw.buildCellRoutedSparse(
+          sparseTf(s, d), "doc_id", "sidx", "sval",
+          nlist = SparseRoutedNlist, spill = SparseRoutedSpill,
+          m = HnswM, efC = HnswEfC, metric = "cosine")
+        graft.operators.Hnsw.writeGraphs(graphs, graphsP)
+        graft.operators.Hnsw.dumpParsed(
+          graft.operators.Hnsw.readGraphs(s, graphsP))
+          .write.mode("overwrite").parquet(dumpP)
+      }
+    }
+    graphsP
+  }
+
+  /** vs_hnsw_sparse_routed: the sparse beam walk probes only the
+    * query's [[SparseRoutedNprobe]] top-mass term cells instead of all
+    * partition graphs — per-query cost nprobe graph loads,
+    * corpus-size-independent (the flat twin vs_hnsw_sparse pays P).
+    * Deterministic end to end: integer cell ranking (mass DESC, cell
+    * ASC), integer-exact sparse cosine walks — hence on the hash gate
+    * from birth like the dense routed entry. */
+  private def hnswSparseRouted(s: SparkSession, d: String): DataFrame = {
+    val graphsP = ensureSparseRoutedGraphs(s, d)
+    val (qi, qv) = graft.functions.SparseVec.queryOf(SparseQueryTerms)
+    graft.operators.Hnsw.searchRoutedSparse(
+      graft.operators.Hnsw.readGraphs(s, graphsP), SparseRoutedNlist,
+      qi, qv, K, nprobe = SparseRoutedNprobe, ef = HnswEf)
+      .select(col("vec_id").as("doc_id"), col("dist"))
+  }
+
+  /** Replay: re-derive the query's probed cells with the same integer
+    * arithmetic (pmod term cells, mass DESC / cell ASC ranking — all
+    * exact on the integer term weights), then walk ONLY the probed
+    * cells' graphs and collapse spill copies (identical (id, dist)
+    * rows) exactly as [[graft.operators.Hnsw.searchRoutedSparse]]
+    * does. */
+  private def hnswSparseRoutedOracle(d: String): String = {
+    val base = sparseRoutedBase(d)
+    val dump = new java.io.File(base, "dump").toString
+    val cells = 0 until SparseRoutedNlist
+    val gate = "AND part_id IN (SELECT part_id FROM probed)"
+    s"""WITH RECURSIVE
+    ${hnswSparsePrelude(s"$dump/*.parquet")},
+    probed AS (
+      SELECT part_id FROM (
+        SELECT CAST(((t.x % $SparseRoutedNlist) + $SparseRoutedNlist)
+                 % $SparseRoutedNlist AS INTEGER) AS part_id,
+               sum(t.wt) AS mass
+        FROM (SELECT unnest(qi) AS x, unnest(qv) AS wt FROM qcte) t
+        GROUP BY 1)
+      ORDER BY mass DESC, part_id LIMIT $SparseRoutedNprobe),
+    ${cells.map(p => hnswWalkCte(p, HnswEf, K, gate, hnswSparseDistSql _)).mkString(",")},
+    allres AS (${hnswAllRes(cells, K)})
+    SELECT gg.ids[a.n + 1] AS doc_id, min(a.d) AS dist
+    FROM allres a, gg
+    GROUP BY 1
+    ORDER BY dist, doc_id LIMIT $K"""
+  }
+
+  /** vs_hnsw_sparse_filtered (r15 — VERDICT r14 #6): lexical sparse
+    * retrieval under a metadata predicate (`WHERE source = 'src1'
+    * ORDER BY sparse cosine LIMIT k` through the sparse hnsw index) —
+    * widened beam over-fetch + documents semi-join + exact top-k of
+    * the survivors ([[graft.operators.Hnsw.searchFilteredSparse]]),
+    * the production SPLADE-with-filters shape. Deterministic given the
+    * persisted flat sparse graphs: the walk replay is metric-generic
+    * and the survivor join is relational — hash gate from birth. */
+  private def hnswSparseFiltered(s: SparkSession, d: String): DataFrame = {
+    val (graphsP, _) = ensureHnswSparseStore(s, d)
+    val (qi, qv) = graft.functions.SparseVec.queryOf(SparseQueryTerms)
+    graft.operators.Hnsw.searchFilteredSparse(
+      graft.operators.Hnsw.readGraphs(s, graphsP),
+      Tables.documents(s, d), "doc_id", col("source") === "src1",
+      qi, qv, K, ef = HnswEf, widen = HnswFilterWiden)
+      .select(col("vec_id").as("doc_id"), col("dist"))
+  }
+
+  /** Replay: widened per-graph fetch (k·widen), survivor semi-join on
+    * the documents predicate, exact top-k —
+    * [[graft.operators.Hnsw.searchFilteredSparse]] replayed over the
+    * same flat sparse dump as vs_hnsw_sparse. */
+  private def hnswSparseFilteredOracle(d: String): String = {
+    val dump = new java.io.File(new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_hnswsparse_v1_${graft.Sidecar.key(d)}"), "dump").toString
+    val parts = 0 until HnswParts
+    val fetch = K * HnswFilterWiden
+    val ef = math.max(HnswEf, fetch)
+    s"""WITH RECURSIVE
+    ${hnswSparsePrelude(s"$dump/*.parquet")},
+    ${parts.map(p => hnswWalkCte(p, ef, fetch, "", hnswSparseDistSql _)).mkString(",")},
+    allres AS (${hnswAllRes(parts, fetch)})
+    SELECT gg.ids[a.n + 1] AS doc_id, a.d AS dist
+    FROM allres a, gg
+    WHERE gg.ids[a.n + 1] IN (SELECT doc_id FROM documents WHERE source = 'src1')
+    ORDER BY dist, doc_id LIMIT $K"""
+  }
+
+  /** Bench split for the routed sparse variant: build = cell
+    * assignment + per-cell sparse graphs + persist + dump; probe =
+    * nprobe-pruned sparse beam walk. */
+  def hnswSparseRoutedBench(s: SparkSession, d: String): (() => Unit, () => DataFrame) = {
+    var graphsP: String = null
+    var qi: Array[Long] = null
+    var qv: Array[Double] = null
+    val build = () => {
+      graphsP = ensureSparseRoutedGraphs(s, d)
+      val q = graft.functions.SparseVec.queryOf(SparseQueryTerms)
+      qi = q._1; qv = q._2
+    }
+    val probe = () => graft.operators.Hnsw.searchRoutedSparse(
+      graft.operators.Hnsw.readGraphs(s, graphsP), SparseRoutedNlist,
+      qi, qv, K, nprobe = SparseRoutedNprobe, ef = HnswEf)
+    (build, probe)
+  }
+
   /** Bench split for the bit graphs: build = expand + graph build +
     * persist + dump; probe = the per-query beam walk + k·P merge. */
   def hnswBitBench(metric: String)(
@@ -2950,6 +3089,8 @@ object VectorQueries {
       (s: SparkSession, dd: String) => hnswBitKnn(s, dd, "jaccard"),
       hnswBitOracle(d, "jaccard")),
     "vs_hnsw_sparse"  -> QueryDef(hnswSparseKnn _, hnswSparseOracle(d)),
+    "vs_hnsw_sparse_routed" -> QueryDef(hnswSparseRouted _, hnswSparseRoutedOracle(d)),
+    "vs_hnsw_sparse_filtered" -> QueryDef(hnswSparseFiltered _, hnswSparseFilteredOracle(d)),
     "vs_ivf_bit"      -> QueryDef(ivfBitKnn _, ivfBitOracle(d)),
     "vs_ivfpq_knn"    -> QueryDef(ivfPqKnn _, ivfPqKnnOracle(d)),
     "vs_ivf_batch"    -> QueryDef(ivfBatch _, ivfBatchOracle(d)),

@@ -248,6 +248,51 @@ object ServingBench {
       stop = () => if (q != null) q.stop())
   }
 
+  /** ROUTED sparse-query graph serving (r15): the cell-routed twin of
+    * [[serveSparseProbe]] — same store corpus, same per-batch query
+    * rows, but each query walks only its nprobe top-mass cells'
+    * graphs. The contrast row for serve_sparse_probe's P-growth band
+    * (the VERDICT r14 perf-weak): per-batch graph loads are capped by
+    * min(nlist, |batch|·nprobe) instead of growing with the corpus's
+    * partition count. */
+  def serveSparseRoutedProbe(s: SparkSession, d: String): Probe = {
+    implicit val sqlCtx = s.sqlContext
+    import s.implicits._
+    val Nlist = 16
+    val Nprobe = 4
+    var input: MemoryStream[(Long, Seq[Long], Seq[Double])] = null
+    var q: org.apache.spark.sql.streaming.StreamingQuery = null
+    var feeds = 0L
+    var qrows: Array[(Long, Seq[Long], Seq[Double])] = null
+    def feed(): Unit = {
+      feeds += 1
+      input.addData(qrows.map { case (i, ix, v) =>
+        (i + feeds * 1000000L, ix, v) }.toIndexedSeq)
+      q.processAllAvailable()
+    }
+    Probe(
+      build = () => {
+        val tf = graft.queries.VectorQueries.sparseTf(s, d).localCheckpoint()
+        val graphs = graft.operators.Hnsw.buildCellRoutedSparse(
+          tf, "doc_id", "sidx", "sval",
+          nlist = Nlist, spill = 2, m = 16, efC = 64,
+          metric = "cosine").localCheckpoint()
+        qrows = tf.filter(col("doc_id") < BatchSize)
+          .select(col("doc_id"), col("sidx"), col("sval"))
+          .collect()
+          .map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Double](2)))
+        input = MemoryStream[(Long, Seq[Long], Seq[Double])]
+        q = KnnServing.serveHnswSparseRouted(
+          input.toDF().toDF("qid", "qidx", "qval"), graphs, Nlist,
+          "qid", "qidx", "qval", K, nprobe = Nprobe, ef = 64) {
+          (b, _) => b.count(); ()
+        }
+        feed() // warm-up
+      },
+      probe = () => feed(),
+      stop = () => if (q != null) q.stop())
+  }
+
   /** Range-clustered docs GraftTable for point-read doc fetches:
     * built once per fixture generation (Sidecar content key), files
     * sorted/partitioned by doc_id so every id's stats envelope is
@@ -275,7 +320,8 @@ object ServingBench {
     "serve_cached_probe" -> (serveCachedProbe _),
     "serve_summarized_probe" -> (serveSummarizedProbe _),
     "serve_summarized_idx_probe" -> (serveSummarizedIdxProbe _),
-    "serve_sparse_probe" -> (serveSparseProbe _))
+    "serve_sparse_probe" -> (serveSparseProbe _),
+    "serve_sparse_routed_probe" -> (serveSparseRoutedProbe _))
 
   /** Micro-batches per `_tput` row. */
   val TputBatches = 16

@@ -1,0 +1,160 @@
+package graft
+
+import graft.operators.Hnsw
+import org.apache.spark.sql.functions._
+
+/** The cell-routed SPARSE graph layout's contracts (r15 — VERDICT r14
+  * #1, the flat-sparse scale residual): (1) a query deserializes AT
+  * MOST nprobe graphs, with the cell filter pushed into the blob scan;
+  * (2) routing changes cost, not answers — a full probe with a
+  * saturating beam equals the flat sparse layout exactly; (3) recall
+  * at the operating point survives the top-mass-cell routing; (4) the
+  * batch serving kernel agrees with the per-query path; (5) every
+  * vector is self-findable (structural: doc assignment and query
+  * probing use ONE ranking function). */
+class HnswSparseRoutedSpec extends SparkSpec {
+
+  private val Nlist = 8
+  private val Spill = 2
+
+  private lazy val tf =
+    graft.queries.VectorQueries.sparseTf(spark, Sf).localCheckpoint()
+
+  private lazy val query: (Array[Long], Array[Double]) =
+    graft.functions.SparseVec.queryOf(
+      graft.queries.VectorQueries.SparseQueryTerms)
+
+  private lazy val store: String = {
+    val dir = java.nio.file.Files.createTempDirectory("hnswsproute").toString
+    val graphs = Hnsw.buildCellRoutedSparse(
+      tf, "doc_id", "sidx", "sval",
+      nlist = Nlist, spill = Spill, metric = "cosine")
+    Hnsw.writeGraphs(graphs, s"$dir/graphs")
+    s"$dir/graphs"
+  }
+
+  private def flatTop(k: Int, ef: Int): Seq[(Long, Double)] = {
+    val (qi, qv) = query
+    Hnsw.searchSparse(
+      Hnsw.buildPartitionedSparse(tf, "doc_id", "sidx", "sval",
+        parts = 4, metric = "cosine"),
+      qi, qv, k, ef)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+  }
+
+  test("routed sparse search deserializes ≤ nprobe graphs; cell filter pushes into the scan") {
+    val graphs = spark.read.parquet(store)
+    val (qi, qv) = query
+    val counter = spark.sparkContext.longAccumulator("sparse-graph-deser")
+    val result = Hnsw.searchRoutedSparse(graphs, Nlist, qi, qv, k = 10,
+      nprobe = 3, ef = 96, deserCounter = Some(counter))
+    val plan = result.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("In(part_id"),
+      s"cell routing must prune the blob scan itself:\n$plan")
+    val rows = result.collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    assert(counter.value <= 3,
+      s"walked ${counter.value} graphs for nprobe=3 — routing is not pruning")
+    // spill-2 copies must not surface as duplicate ids
+    val ids = rows.map(_.getLong(0)).toSeq
+    assert(ids.distinct == ids)
+  }
+
+  test("full probe (nprobe = nlist) over spilled sparse cell graphs equals the flat layout") {
+    val (qi, qv) = query
+    val routedAll = Hnsw.searchRoutedSparse(
+      spark.read.parquet(store), Nlist,
+      qi, qv, k = 10, nprobe = Nlist, ef = 512)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(routedAll == flatTop(10, 512),
+      "with every cell probed and a saturating beam, routing must not change the answer")
+  }
+
+  test("recall at the operating point (nprobe < nlist)") {
+    val (qi, qv) = query
+    val routed = Hnsw.searchRoutedSparse(
+      spark.read.parquet(store), Nlist,
+      qi, qv, k = 10, nprobe = 3, ef = 96)
+      .collect().map(_.getLong(0)).toSet
+    val exact = flatTop(10, 512).map(_._1).toSet
+    val recall = routed.intersect(exact).size.toDouble / exact.size
+    info(f"sparse routed recall@10 (nprobe=3/$Nlist) = $recall%.2f")
+    assert(recall >= 0.7, f"sparse routed recall@10 $recall%.2f < 0.7")
+  }
+
+  test("batch serving kernel agrees with the per-query routed path") {
+    val graphs = spark.read.parquet(store)
+    // three real corpus docs as queries — the serving shape
+    val qs = tf.orderBy(col("doc_id")).limit(3)
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getSeq[Double](2).toArray))
+      .toSeq
+    val counter = spark.sparkContext.longAccumulator("batch-deser")
+    val batch = Hnsw.searchBatchRoutedSparse(graphs, Nlist, qs,
+      k = 5, nprobe = 3, ef = 96, deserCounter = Some(counter))
+      .collect()
+      .groupBy(_.getLong(0))
+      .map { case (qid, rs) =>
+        qid -> rs.map(r => (r.getLong(1), r.getDouble(2))).toSeq }
+    // ≤ min(nlist, |batch|·nprobe) graph loads, each loaded ONCE
+    assert(counter.value <= math.min(Nlist, qs.size * 3),
+      s"batch walked ${counter.value} graphs for 3 queries × nprobe=3")
+    for ((qid, qi, qv) <- qs) {
+      val single = Hnsw.searchRoutedSparse(graphs, Nlist, qi, qv,
+        k = 5, nprobe = 3, ef = 96)
+        .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+      assert(batch(qid) == single,
+        s"batch result for query $qid diverged from the per-query path:\n" +
+          s"${batch(qid)}\n$single")
+    }
+  }
+
+  test("searchFilteredSparse: widened over-fetch + semi-join returns the exact top-k of survivors") {
+    val (qi, qv) = query
+    val flat = Hnsw.buildPartitionedSparse(tf, "doc_id", "sidx", "sval",
+      parts = 4, metric = "cosine").localCheckpoint()
+    val docs = Tables.documents(spark, Sf)
+    val pred = col("source") === "src1"
+    val filtered = Hnsw.searchFilteredSparse(flat, docs, "doc_id", pred,
+      qi, qv, k = 5, ef = 96, widen = 8)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // every survivor satisfies the predicate
+    val allowed = docs.filter(pred).select(col("doc_id"))
+      .collect().map(_.getLong(0)).toSet
+    assert(filtered.nonEmpty && filtered.forall(r => allowed(r._1)),
+      s"predicate violated in $filtered")
+    // with a saturating widen the result IS the exact filtered top-k:
+    // exhaustive per-graph fetch → the semi-join sees every allowed id
+    val n = tf.count().toInt
+    val exhaustive = Hnsw.searchFilteredSparse(flat, docs, "doc_id", pred,
+      qi, qv, k = 5, ef = n, widen = n)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    val brute = tf
+      .select(col("doc_id"),
+        (lit(1.0) - graft.functions.SparseVec.cosineSimilarity(
+          col("sidx"), col("sval"), qi, qv)).as("dist"))
+      .join(docs.filter(pred).select("doc_id"), Seq("doc_id"), "left_semi")
+      .orderBy(col("dist"), col("doc_id")).limit(5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(exhaustive == brute,
+      s"saturating filtered walk != brute filtered top-k:\n$exhaustive\n$brute")
+  }
+
+  test("every vector is findable through its own cell (self-probe, spill dedup)") {
+    val graphs = spark.read.parquet(store)
+    val probes = tf.limit(5)
+      .select(col("doc_id"), col("sidx"), col("sval")).collect()
+    for (r <- probes) {
+      val hit = Hnsw.searchRoutedSparse(graphs, Nlist,
+        r.getSeq[Long](1).toArray, r.getSeq[Double](2).toArray,
+        k = 1, nprobe = 1, ef = 64).collect()
+      // structural: the vector was INSERTED under its top-1 mass cell
+      // (spill ≥ 1) and the query ranks cells with the same function,
+      // so nprobe=1 probes exactly that cell. Cosine self-distance is
+      // float-rounding away from exact 0, unlike the dense spec's L2.
+      assert(hit.length == 1 && hit.head.getLong(0) == r.getLong(0) &&
+        math.abs(hit.head.getDouble(1)) < 1e-12,
+        s"doc ${r.getLong(0)} not self-findable via nprobe=1: ${hit.toSeq}")
+    }
+  }
+}

@@ -545,6 +545,53 @@ class VectorIndexDdlSpec extends SparkSpec {
     }
   }
 
+  test("sparse sort keys get the filtered over-fetch widening too (r15, VERDICT r14 #6)") {
+    withExtSession { s =>
+      graft.plans.HnswSqlCatalog.clear()
+      val tfDir = java.nio.file.Files
+        .createTempDirectory("graft_ddl_sparse_w").toString + "/t"
+      graft.queries.VectorQueries.sparseTf(s, Sf)
+        .write.mode("overwrite").parquet(tfDir)
+      s.read.parquet(tfDir).createOrReplaceTempView("ddl_sparse_w")
+      s.sql("""CREATE INDEX idx_sparse_w ON ddl_sparse_w
+               USING hnsw (sidx sparsevec_cosine_ops)
+               WITH (m = 8, ef_construction = 48, parts = 2,
+                     id = 'doc_id', values = 'sval')""")
+      val (qi, qv) = graft.functions.SparseVec.queryOf(
+        graft.queries.VectorQueries.SparseQueryTerms)
+      def sorted(df: org.apache.spark.sql.DataFrame) = df
+        .select(col("doc_id"),
+          (lit(1.0) - graft.functions.SparseVec.cosineSimilarity(
+            col("sidx"), col("sval"), qi, qv)).as("dist"))
+        .orderBy(col("dist"), col("doc_id")).limit(5)
+      import org.apache.spark.sql.catalyst.expressions.{AttributeReference, In}
+      def inListSize(df: org.apache.spark.sql.DataFrame): Int =
+        df.queryExecution.optimizedPlan.collect {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            f.condition.collect {
+              case In(a: AttributeReference, list) if a.name == "doc_id" => list.size
+            }
+        }.flatten.foldLeft(0)(math.max)
+      val plainList = inListSize(sorted(s.table("ddl_sparse_w")))
+      assert(plainList > 0, "sparse probe inactive on the plain top-k")
+      // a metadata predicate between sort and scan widens the sparse
+      // fetch ×8 exactly as the dense path does (iterative-scan aware)
+      val filteredList = inListSize(
+        sorted(s.table("ddl_sparse_w").filter(col("doc_id") < 200)))
+      assert(filteredList > plainList,
+        s"sparse filtered query did not over-fetch: $filteredList vs $plainList")
+      // and iterative_scan=off disables it, same as dense
+      s.conf.set("hnsw.iterative_scan", "off")
+      try {
+        val offList = inListSize(
+          sorted(s.table("ddl_sparse_w").filter(col("doc_id") < 200)))
+        assert(offList <= plainList,
+          s"iterative_scan=off did not shrink the sparse fetch: $offList")
+      } finally s.conf.unset("hnsw.iterative_scan")
+      s.sql("DROP INDEX idx_sparse_w")
+    }
+  }
+
   test("SET ivfflat.iterative_scan / max_probes (pgvector 0.8 knobs, r15)") {
     withExtSession { s =>
       IvfCatalog.clear()
