@@ -83,6 +83,15 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    // Subset runs (r15 — the committed BENCH_sf10 artifact, VERDICT r14
+    // #4): SPARK_GRAFT_BENCH_ONLY = comma-separated entry names limits
+    // BOTH the inventory and the serving passes; unset = full bench.
+    // All guard fields (canary, calib, contended, cached) still stamp,
+    // so a subset artifact carries the same self-diagnosis.
+    val only: Option[Set[String]] =
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+        .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def wanted(name: String): Boolean = only.forall(_.contains(name))
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -95,6 +104,58 @@ object Bench {
 
     // session warmup: JVM, codegen, shuffle machinery — not any query's work
     spark.range(1000000).selectExpr("sum(id) s").collect()
+
+    // Box-speed calibration (VERDICT r14 #5): a fixed CPU-bound kernel
+    // — no Spark, no IO, single thread — timed into every artifact, so
+    // cross-round comparisons carry a box normalizer and pure box
+    // drift self-identifies the way contention now does (the r14 sf1.0
+    // adjudication needed a manual code-identical worktree A/B to
+    // prove the 1.16× was the box; this row makes that an artifact
+    // diff). Reading rule in BENCH_NOTES: compare rounds as
+    // (total / calib) ratios; a calib shift explains a same-code total
+    // shift of the same magnitude.
+    def calibrate(): Double = {
+      def once(): Double = {
+        var x = 0x9E3779B97F4A7C15L
+        var i = 0
+        val t0 = System.nanoTime()
+        while (i < 400000000) {
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+          i += 1
+        }
+        val dt = (System.nanoTime() - t0) / 1e9
+        if (x == 0) System.err.println("[bench] calib sink") // keep the loop live
+        dt
+      }
+      once() // JIT warm
+      math.min(once(), once())
+    }
+    val calib = calibrate()
+
+    // Ensure-cached `_build` stamping (VERDICT r14 "what's wrong" #2):
+    // fingerprint-keyed stores make a repeat build a ~0 s ensure — the
+    // committed row then silently reads as "builds are free". A build
+    // row is stamped into the artifact's `cached` list when it BOTH
+    // finished under the ensure floor AND wrote no store artifact
+    // (_SUCCESS/_txlog) under tmp's graft_* roots — consumers must not
+    // read stamped rows as cold build cost. Honest in-memory builds
+    // (localCheckpoint graphs, per-run txn tables) cost real time and
+    // stay unstamped; the conjunction errs conservative both ways.
+    val CachedBuildMax = 0.3
+    def wroteStores(sinceMs: Long): Boolean = {
+      val tmp = new java.io.File(sys.props("java.io.tmpdir"))
+      def fresh(f: java.io.File, depth: Int): Boolean = {
+        if (f.getName == "_SUCCESS" || f.getName == "_txlog")
+          f.lastModified >= sinceMs
+        else if (!f.isDirectory || depth <= 0) false
+        else Option(f.listFiles).getOrElse(Array.empty[java.io.File])
+          .exists(fresh(_, depth - 1))
+      }
+      Option(tmp.listFiles).getOrElse(Array.empty[java.io.File])
+        .filter(f => f.isDirectory && f.getName.startsWith("graft_"))
+        .exists(fresh(_, 4))
+    }
+    val cachedBuilds = scala.collection.mutable.ArrayBuffer.empty[String]
 
     // between queries: free any blocks the previous query materialized
     // (checkpointed intermediates). Queries are self-contained; leaked
@@ -153,13 +214,17 @@ object Bench {
       }
     }
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter(q => wanted(q._1)).flatMap { case (name, fn) =>
       sweepBlocks()
       val out = splitBench.get(name) match {
         case Some(mk) =>
           try {
             val (build, probe) = mk(spark, sfDir)
+            val tWall = System.currentTimeMillis() - 1000 // FS mtime slack
             val tb = timed(build) // builds are one-shot by design: cold
+            if (tb < CachedBuildMax && !wroteStores(tWall))
+              cachedBuilds += s"${name}_build"
             val tp = coldThenWarm(s"${name}_probe", () => runNoop(probe()))
             Seq(s"${name}_build" -> tb, s"${name}_probe" -> tp)
           } catch {
@@ -183,7 +248,8 @@ object Bench {
     // are not SparkEntry queries (no oracle surface), so they run as
     // their own canary-annotated pass after the main loop.
     val servingResults = (graft.streaming.ServingBench.all ++
-        graft.streaming.ServingBench.tput).flatMap { case (name, mk) =>
+        graft.streaming.ServingBench.tput)
+        .filter(p => wanted(p._1)).flatMap { case (name, mk) =>
       sweepBlocks()
       val out =
         try {
@@ -194,7 +260,10 @@ object Bench {
             // `_build` row records them (index build + stream startup +
             // one warm-up micro-batch — the cost a deploy actually pays
             // before first steady-state serve). One-shot by design: cold.
+            val tWall = System.currentTimeMillis() - 1000
             val tb = timed(p.build)
+            if (tb < CachedBuildMax && !wroteStores(tWall))
+              cachedBuilds += s"${name}_build"
             Seq(s"${name}_build" -> tb,
               name -> coldThenWarm(name, p.probe))
           } finally p.stop()
@@ -252,9 +321,10 @@ object Bench {
         "this artifact for round-over-round comparisons; re-run on a quiet box")
     val contJson = s""","contended":$contended"""
     val dirtyJson = dirty.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jsonMap(allResults, round = true)},"canary_med":${f3(cMed)},"canary_max":${f3(cMax)}$contJson,"sf":"$sfDir"}"""
+    val cachedJson = cachedBuilds.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jsonMap(allResults, round = true)},"canary_med":${f3(cMed)},"canary_max":${f3(cMax)}$contJson,"calib":${f3(calib)},"cached_builds":${cachedBuilds.size},"sf":"$sfDir"}"""
     println(line)
-    val fileLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(allResults, round = false)},"cold":${jsonMap(coldTimes.toSeq, round = false)},"warm":${jsonMap(warmTimes.toSeq, round = false)},"canary":${jsonMap(canaryTimes.toSeq, round = false)}$contJson,"canary_dirty":$dirtyJson,"sf":"$sfDir"}"""
+    val fileLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(allResults, round = false)},"cold":${jsonMap(coldTimes.toSeq, round = false)},"warm":${jsonMap(warmTimes.toSeq, round = false)},"canary":${jsonMap(canaryTimes.toSeq, round = false)}$contJson,"canary_dirty":$dirtyJson,"calib":$calib,"cached":$cachedJson,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (fileLine + "\n").getBytes("UTF-8"))
