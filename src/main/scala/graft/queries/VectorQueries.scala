@@ -534,7 +534,7 @@ object VectorQueries {
 
   private def sparseRoutedBase(d: String): java.io.File =
     new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_hnswsproute_v1_${graft.Sidecar.key(d)}")
+      s"graft_hnswsproute_v2_${graft.Sidecar.key(d)}")
 
   /** Build-once cell-ROUTED sparse graph store — the vs_hnsw_routed
     * treatment for the sparsevec family (VERDICT r14's one perf-weak:
@@ -556,7 +556,10 @@ object VectorQueries {
           sparseTf(s, d), "doc_id", "sidx", "sval",
           nlist = SparseRoutedNlist, spill = SparseRoutedSpill,
           m = HnswM, efC = HnswEfC, metric = "cosine")
-        graft.operators.Hnsw.writeGraphs(graphs, graphsP)
+        // cell-clustered layout: probes prune at row-group granularity
+        // under a constant footer count (the scale-measured layout —
+        // see writeGraphsClustered's scaladoc)
+        graft.operators.Hnsw.writeGraphsClustered(graphs, graphsP)
         graft.operators.Hnsw.dumpParsed(
           graft.operators.Hnsw.readGraphs(s, graphsP))
           .write.mode("overwrite").parquet(dumpP)
