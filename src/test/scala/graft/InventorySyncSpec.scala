@@ -45,7 +45,13 @@ class InventorySyncSpec extends AnyFunSuite {
     // r14: +1 — vs_hnsw_sparse (sparse-cosine graph walk over the tf
     // corpus, the pgvector sparsevec hnsw family; hash-exact from
     // birth via the sparse walk replay)
-    assert(SparkEntry.queries.size == 174)
+    // r15: +2 — vs_hnsw_sparse_routed (top-mass-cell routing: a
+    // sparse query walks <= nprobe term cells' graphs instead of all
+    // P partitions; integer routing replayed in SQL) and
+    // vs_hnsw_sparse_filtered (widened sparse beam + documents
+    // semi-join, the SPLADE-with-filters shape), both hash-exact
+    // from birth
+    assert(SparkEntry.queries.size == 176)
     // r10: +4 — events_approx_distinct (engine HLL, integer-exact
     // estimator replay) and decontam_bloom (deterministic bitmap,
     // relational rebuild) moved onto the hash gate; the two new
@@ -71,8 +77,9 @@ class InventorySyncSpec extends AnyFunSuite {
     // segmentation CTE + argmax + one per-round leftmost-surgery
     // recursion), re-deriving training from the corpus with no engine
     // artifact consulted. 173/173 oracled; r14's vs_hnsw_sparse lands
-    // hash-exact from birth → 174/174.
-    assert(SparkEntry.oracleSql.size == 174)
+    // hash-exact from birth → 174/174; r15's two sparse entries land
+    // hash-exact from birth → 176/176.
+    assert(SparkEntry.oracleSql.size == 176)
   }
 
   test("every rows-only (non-oracled) query carries a gate in RecallGateSpec") {
