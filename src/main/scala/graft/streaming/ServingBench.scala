@@ -258,8 +258,14 @@ object ServingBench {
   def serveSparseRoutedProbe(s: SparkSession, d: String): Probe = {
     implicit val sqlCtx = s.sqlContext
     import s.implicits._
-    val Nlist = 16
     val Nprobe = 4
+    // nlist is the corpus-scale knob (the fixed-cell-size law, see
+    // the writeGraphsClustered/ProfileSparseRouted scaladoc): ~500
+    // docs per cell pre-spill. A FIXED nlist at a 100× fixture lets
+    // cells grow with the corpus and the batch's probed union
+    // saturate — the row would then (mis)read slower than flat while
+    // measuring only the toy parameterization.
+    var Nlist = 16
     var input: MemoryStream[(Long, Seq[Long], Seq[Double])] = null
     var q: org.apache.spark.sql.streaming.StreamingQuery = null
     var feeds = 0L
@@ -273,6 +279,7 @@ object ServingBench {
     Probe(
       build = () => {
         val tf = graft.queries.VectorQueries.sparseTf(s, d).localCheckpoint()
+        Nlist = math.max(16, (tf.count() / 500).toInt)
         val graphs = graft.operators.Hnsw.buildCellRoutedSparse(
           tf, "doc_id", "sidx", "sval",
           nlist = Nlist, spill = 2, m = 16, efC = 64,
