@@ -82,11 +82,24 @@ final class HnswProbeRule(session: SparkSession) extends Rule[LogicalPlan] {
     }
   }
 
-  /** pgvector's `SET hnsw.ef_search` (default 40, pgvector's own). */
-  private def efSearch: Int =
-    session.conf.getOption("hnsw.ef_search")
-      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
-      .filter(_ > 0).getOrElse(40)
+  /** Numeric GUC parse with pgvector's rejection semantics (r15 —
+    * the iterative_scan enum-validation discipline extended to the
+    * numeric knobs): a malformed or out-of-range value throws at the
+    * first probe instead of silently behaving as the default. */
+  private def intKnob(key: String, default: Int, lo: Int, hi: Int): Int =
+    session.conf.getOption(key).map { v =>
+      val n = scala.util.Try(v.trim.toInt).getOrElse(
+        throw new IllegalArgumentException(
+          s"""invalid value for parameter "$key": "$v" (expected an integer)"""))
+      if (n < lo || n > hi) throw new IllegalArgumentException(
+        s"$n is outside the valid range for parameter " +
+          s""""$key" ($lo .. $hi)""")
+      n
+    }.getOrElse(default)
+
+  /** pgvector's `SET hnsw.ef_search` (default 40 and range 1..1000,
+    * pgvector's own). */
+  private def efSearch: Int = intKnob("hnsw.ef_search", 40, 1, 1000)
 
   /** pgvector ≥0.8's `SET hnsw.iterative_scan` (r14): `off` disables
     * the filtered-query over-fetch — a selective predicate may then
@@ -124,9 +137,7 @@ final class HnswProbeRule(session: SparkSession) extends Rule[LogicalPlan] {
     * is enabled (ADVICE r14: an unconditional cap below k silently
     * under-filled plain top-k queries pgvector would fill). */
   private def maxScanTuples: Int =
-    session.conf.getOption("hnsw.max_scan_tuples")
-      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
-      .filter(_ > 0).getOrElse(20000)
+    intKnob("hnsw.max_scan_tuples", 20000, 1, Int.MaxValue)
 
   private def rewrite(srt: Sort, k: Int): Option[Sort] =
     for {

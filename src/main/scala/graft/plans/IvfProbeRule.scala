@@ -170,14 +170,24 @@ object IvfProbeRule {
 
 final class IvfProbeRule(session: SparkSession) extends Rule[LogicalPlan] {
 
+  /** Numeric GUC parse with pgvector's rejection semantics (r15 — the
+    * HnswProbeRule.intKnob discipline): malformed / out-of-range
+    * values throw at the first probe instead of silently defaulting. */
+  private def intKnob(key: String, lo: Int, hi: Int): Option[Int] =
+    session.conf.getOption(key).map { v =>
+      val n = scala.util.Try(v.trim.toInt).getOrElse(
+        throw new IllegalArgumentException(
+          s"""invalid value for parameter "$key": "$v" (expected an integer)"""))
+      if (n < lo || n > hi) throw new IllegalArgumentException(
+        s"$n is outside the valid range for parameter " +
+          s""""$key" ($lo .. $hi)""")
+      n
+    }
+
   /** `SET ivfflat.probes = N` — pgvector's exact session knob name
     * works verbatim (Spark's SET command accepts arbitrary dotted conf
-    * keys). Non-positive / non-integer values are ignored rather than
-    * failing plan rewrite. */
-  private def sessionProbes: Option[Int] =
-    session.conf.getOption("ivfflat.probes")
-      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
-      .filter(_ > 0)
+    * keys); range 1..32768, pgvector's own. */
+  private def sessionProbes: Option[Int] = intKnob("ivfflat.probes", 1, 32768)
 
   /** pgvector ≥0.8's `SET ivfflat.iterative_scan` (r15 — VERDICT r14
     * "what's missing" #2, the hnsw-knob asymmetry): `off` disables the
@@ -213,9 +223,7 @@ final class IvfProbeRule(session: SparkSession) extends Rule[LogicalPlan] {
     * never pushes the probe count below `ivfflat.probes` — a plain
     * (unfiltered, or iterative_scan=off) query is unaffected. */
   private def maxProbes: Int =
-    session.conf.getOption("ivfflat.max_probes")
-      .flatMap(v => scala.util.Try(v.trim.toInt).toOption)
-      .filter(_ > 0).getOrElse(32768)
+    intKnob("ivfflat.max_probes", 1, 32768).getOrElse(32768)
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan transform {
     case gl: GlobalLimit => gl.child match {

@@ -680,6 +680,18 @@ class VectorIndexDdlSpec extends SparkSpec {
         val eBad = intercept[Exception] { s.sql(plain).collect() }
         assert(eBad.getMessage.contains("invalid value"))
       } finally s.conf.unset("hnsw.iterative_scan")
+      // r15: numeric GUCs reject like pgvector too — malformed and
+      // out-of-range values throw instead of silently defaulting
+      s.conf.set("hnsw.ef_search", "abc")
+      try {
+        val eNum = intercept[Exception] { s.sql(plain).collect() }
+        assert(eNum.getMessage.contains("invalid value"))
+      } finally s.conf.unset("hnsw.ef_search")
+      s.conf.set("hnsw.ef_search", "5000") // pgvector range is 1..1000
+      try {
+        val eRange = intercept[Exception] { s.sql(plain).collect() }
+        assert(eRange.getMessage.contains("outside the valid range"))
+      } finally s.conf.unset("hnsw.ef_search")
       s.sql("DROP INDEX idx_hnsw_sc")
     }
   }
