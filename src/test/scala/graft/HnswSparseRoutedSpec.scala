@@ -140,6 +140,46 @@ class HnswSparseRoutedSpec extends SparkSpec {
       s"saturating filtered walk != brute filtered top-k:\n$exhaustive\n$brute")
   }
 
+  test("large-vocabulary corpus: a batch's probed union stays far below the cell count") {
+    // The committed sf10 serving row saturates its probed union
+    // because the documents FIXTURE has a ~40-word vocabulary
+    // (BENCH_NOTES r15) — this pins that the saturation is the
+    // fixture's property, not the layout's: on a realistic vocabulary
+    // (5000 hashed terms, Zipf-ish via mod-skew, deterministic from
+    // ids) a 16-query batch at nprobe=4 probes ≤ 64 of the non-empty
+    // cells and the per-batch bound min(nlist, |batch|·nprobe) binds
+    // strictly below the store size.
+    import spark.implicits._
+    val nlist = 256
+    val docs = (0L until 2000L).map { id =>
+      val rnd = new scala.util.Random(id)
+      // 20 distinct terms per doc from a 5000-term space, skewed so
+      // low term-ids are common (Zipf-ish); weights 1..5
+      val terms = Seq.fill(30)((rnd.nextInt(5000) * rnd.nextInt(5000)) % 5000)
+        .distinct.take(20).sorted
+      val idx = terms.map(t => graft.functions.TextFunctions.hash64Scala(s"t$t"))
+        .sorted.toArray
+      (id, idx.toSeq, idx.map(_ => (rnd.nextInt(5) + 1).toDouble).toSeq)
+    }.toDF("doc_id", "sidx", "sval")
+    val graphs = Hnsw.buildCellRoutedSparse(
+      docs, "doc_id", "sidx", "sval", nlist = nlist, spill = 2,
+      metric = "cosine").localCheckpoint()
+    val nonEmptyCells = graphs.count()
+    assert(nonEmptyCells > 100,
+      s"vocabulary too small to exercise the bound ($nonEmptyCells cells)")
+    val qs = docs.limit(16).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getSeq[Double](2).toArray))
+      .toSeq
+    val counter = spark.sparkContext.longAccumulator("vocab-deser")
+    Hnsw.searchBatchRoutedSparse(graphs, nlist, qs, k = 5, nprobe = 4,
+      ef = 64, deserCounter = Some(counter)).collect()
+    assert(counter.value <= 16 * 4,
+      s"batch walked ${counter.value} graphs > |batch|·nprobe")
+    assert(counter.value < nonEmptyCells / 2,
+      s"probed union ${counter.value} saturated the $nonEmptyCells-cell store " +
+        "— the per-batch bound is not binding on a large vocabulary")
+  }
+
   test("every vector is findable through its own cell (self-probe, spill dedup)") {
     val graphs = spark.read.parquet(store)
     val probes = tf.limit(5)
