@@ -413,7 +413,7 @@ object VectorQueries {
     VectorQueries.synchronized {
       if (!new java.io.File(dumpP, "_SUCCESS").exists()) {
         val graphs = graft.operators.Hnsw.buildPartitionedSparse(
-          sparseTf(s, d), "doc_id", "sidx", "sval",
+          s.read.parquet(ensureSparseTfStore(s, d)), "doc_id", "sidx", "sval",
           m = HnswM, efC = HnswEfC, parts = HnswParts, metric = "cosine")
         graft.operators.Hnsw.writeGraphs(graphs, graphsP)
         graft.operators.Hnsw.dumpParsed(
@@ -553,7 +553,7 @@ object VectorQueries {
     VectorQueries.synchronized {
       if (!new java.io.File(dumpP, "_SUCCESS").exists()) {
         val graphs = graft.operators.Hnsw.buildCellRoutedSparse(
-          sparseTf(s, d), "doc_id", "sidx", "sval",
+          s.read.parquet(ensureSparseTfStore(s, d)), "doc_id", "sidx", "sval",
           nlist = SparseRoutedNlist, spill = SparseRoutedSpill,
           m = HnswM, efC = HnswEfC, metric = "cosine")
         // cell-clustered layout: probes prune at row-group granularity
@@ -1948,6 +1948,22 @@ object VectorQueries {
     LIMIT $K"""
 
   // ----------------------------------------------------- sparse vectors
+  /** Build-once parquet sidecar of [[sparseTf]] (r15): the flat and
+    * routed sparse graph ensures each recomputed the tf assembly's two
+    * shuffles before their builds — at scale the tf store is the
+    * artifact a pipeline materializes once and every index build
+    * reads. Safe for oracle purposes: the walk replays read the graph
+    * DUMPS, never this store. */
+  private[graft] def ensureSparseTfStore(s: SparkSession, d: String): String = {
+    val p = new java.io.File(sys.props("java.io.tmpdir"),
+      s"graft_sparsetf_v1_${graft.Sidecar.key(d)}").toString
+    VectorQueries.synchronized {
+      if (!new java.io.File(p, "_SUCCESS").exists())
+        sparseTf(s, d).write.mode("overwrite").parquet(p)
+    }
+    p
+  }
+
   /** Corpus as sparse term-frequency vectors — the pgvector
     * `sparsevec` layout: per doc, (sidx, sval) sorted-ascending
     * (hash64(term), tf) arrays. Two bounded shuffles (term counts,
