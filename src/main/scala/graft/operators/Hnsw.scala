@@ -998,10 +998,11 @@ object Hnsw {
     * filter then prunes at ROW-GROUP granularity under a constant
     * footer count. Same discipline as the dedup stores' 256 KB row
     * groups and GraftTable's stats skipping. */
-  def writeGraphsClustered(graphs: DataFrame, path: String, buckets: Int = 8): Unit =
+  def writeGraphsClustered(graphs: DataFrame, path: String, buckets: Int = 8,
+      cellCol: String = "part_id"): Unit =
     graphs
-      .repartitionByRange(buckets, col("part_id"))
-      .sortWithinPartitions("part_id")
+      .repartitionByRange(buckets, col(cellCol))
+      .sortWithinPartitions(cellCol)
       .write.mode("overwrite")
       // small row groups (vs the 128 MB default): cell blobs are
       // MB-scale, and pruning happens at row-group granularity — a

@@ -727,7 +727,7 @@ object VectorQueries {
     * tmpdir with the ensureAutoStore _SUCCESS discipline. */
   private[graft] def ensureRoutedGraphs(s: SparkSession, d: String): (String, String) = {
     val base = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_hnswcell_v2_${graft.Sidecar.key(d)}")
+      s"graft_hnswcell_v3_${graft.Sidecar.key(d)}")
     val graphsP = new java.io.File(base, "graphs").toString
     val centP = new java.io.File(base, "centroids").toString
     VectorQueries.synchronized {
@@ -739,7 +739,11 @@ object VectorQueries {
         val graphs = graft.operators.Hnsw.buildCellRouted(
           corpus(s, d), "vec_id", "embedding", centroids,
           spill = RoutedSpill, m = HnswM, efC = HnswEfC)
-        graft.operators.Hnsw.writeGraphs(graphs, graphsP)
+        // cell-clustered persist (r15): probes prune at row-group
+        // granularity under a constant footer count, the same layout
+        // the sparse routed store measured its way to
+        graft.operators.Hnsw.writeGraphsClustered(graphs, graphsP,
+          cellCol = "cell_id")
         // relational dump beside the blobs: the DuckDB oracle replays
         // the probed cells' walks over exactly this adjacency (r13)
         graft.operators.Hnsw.dumpParsed(
@@ -754,7 +758,7 @@ object VectorQueries {
 
   private def routedDumpPath(d: String): String =
     new java.io.File(new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_hnswcell_v2_${graft.Sidecar.key(d)}"), "dump").toString
+      s"graft_hnswcell_v3_${graft.Sidecar.key(d)}"), "dump").toString
 
   // ---------------------------------------- hnsw beam-walk oracles (r13)
   /** DuckDB replay of [[graft.operators.Hnsw.Index.searchKnn]] over
@@ -935,7 +939,7 @@ object VectorQueries {
     * [[graft.operators.Hnsw.searchRouted]] replayed. */
   private def hnswRoutedOracle(d: String): String = {
     val base = new java.io.File(sys.props("java.io.tmpdir"),
-      s"graft_hnswcell_v2_${graft.Sidecar.key(d)}")
+      s"graft_hnswcell_v3_${graft.Sidecar.key(d)}")
     val dump = new java.io.File(base, "dump").toString
     val cent = new java.io.File(base, "centroids").toString
     val cells = 0 until RoutedNlist
