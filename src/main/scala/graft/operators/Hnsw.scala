@@ -863,7 +863,11 @@ object Hnsw {
     * band VERDICT r14 carried as the round's one scale residual).
     * Build shape: one explode + windowed rank for the cell assignment
     * (two bounded shuffles over (id, cell, mass) rows), then the same
-    * per-cell mapPartitions graph pass as every other layout. */
+    * per-cell mapPartitions graph pass as every other layout. An
+    * all-empty sparse vector has no cells and is not indexed —
+    * consistent with pgvector, whose sparsevec requires at least one
+    * element (the flat layout would store it at cosine distance 1.0
+    * from everything). */
   def buildCellRoutedSparse(corpus: DataFrame, idCol: String,
       idxCol: String, valCol: String,
       nlist: Int, spill: Int = 2,
