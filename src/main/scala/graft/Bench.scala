@@ -91,7 +91,16 @@ object Bench {
     val only: Option[Set[String]] =
       sys.env.get("SPARK_GRAFT_BENCH_ONLY")
         .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
-    def wanted(name: String): Boolean = only.forall(_.contains(name))
+    // names that actually matched an entry — a typo'd ONLY name would
+    // otherwise be silently ignored and the near-empty artifact could
+    // pass as a full run (ADVICE r15); the artifact self-describes as
+    // a subset and lists unmatched names, and the run warns loudly.
+    val onlyMatched = scala.collection.mutable.Set.empty[String]
+    def wanted(name: String): Boolean = only.forall { o =>
+      val w = o.contains(name)
+      if (w) onlyMatched += name
+      w
+    }
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -322,9 +331,21 @@ object Bench {
     val contJson = s""","contended":$contended"""
     val dirtyJson = dirty.map("\"" + _ + "\"").mkString("[", ",", "]")
     val cachedJson = cachedBuilds.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jsonMap(allResults, round = true)},"canary_med":${f3(cMed)},"canary_max":${f3(cMax)}$contJson,"calib":${f3(calib)},"cached_builds":${cachedBuilds.size},"sf":"$sfDir"}"""
+    // subset stamp (ADVICE r15): a BENCH_ONLY run self-describes so a
+    // cross-round total comparison can never misread a subset total as
+    // a full run, and unmatched (typo'd) names are surfaced
+    val subsetJson = only match {
+      case None => ""
+      case Some(o) =>
+        val unmatched = (o -- onlyMatched).toSeq.sorted
+        if (unmatched.nonEmpty)
+          System.err.println(s"[bench] SPARK_GRAFT_BENCH_ONLY names matched " +
+            s"no entry: ${unmatched.mkString(", ")} — check for typos")
+        s""","subset":true,"only":${o.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"only_unmatched":${unmatched.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
+    }
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jsonMap(allResults, round = true)},"canary_med":${f3(cMed)},"canary_max":${f3(cMax)}$contJson$subsetJson,"calib":${f3(calib)},"cached_builds":${cachedBuilds.size},"sf":"$sfDir"}"""
     println(line)
-    val fileLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(allResults, round = false)},"cold":${jsonMap(coldTimes.toSeq, round = false)},"warm":${jsonMap(warmTimes.toSeq, round = false)},"canary":${jsonMap(canaryTimes.toSeq, round = false)}$contJson,"canary_dirty":$dirtyJson,"calib":$calib,"cached":$cachedJson,"sf":"$sfDir"}"""
+    val fileLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(allResults, round = false)},"cold":${jsonMap(coldTimes.toSeq, round = false)},"warm":${jsonMap(warmTimes.toSeq, round = false)},"canary":${jsonMap(canaryTimes.toSeq, round = false)}$contJson$subsetJson,"canary_dirty":$dirtyJson,"calib":$calib,"cached":$cachedJson,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (fileLine + "\n").getBytes("UTF-8"))

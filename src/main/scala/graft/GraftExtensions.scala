@@ -145,9 +145,26 @@ object GraftExtensions {
     ("array_max_count", "array_max_count(xs) - max multiplicity of any element, one pass",
       args => { arity("array_max_count", args, 1)
         graft.functions.ArrayMaxCountExpr(args.head) }),
-    ("vec_literal", "vec_literal('[x, y, ...]') - pgvector text-format vector literal (the ::vector cast target)",
-      args => { arity("vec_literal", args, 1)
-        graft.functions.VecLiteralExpr(args.head) }),
+    ("vec_literal", "vec_literal('[x, y, ...]'[, n]) - pgvector text-format vector literal (the ::vector / ::vector(n) cast target)",
+      args => {
+        require(args.length == 1 || args.length == 2,
+          s"vec_literal expects 1 or 2 arguments, got ${args.length}")
+        if (args.length == 1) graft.functions.VecLiteralExpr(args.head)
+        else {
+          // the typmod from `::vector(n)` — pgvector validates the
+          // declared dimension range at type-resolution time
+          require(args(1).foldable, "vec_literal: typmod must be a literal")
+          val n = args(1).eval(null) match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case other => throw new IllegalArgumentException(
+              s"vec_literal: typmod must be an integer, got $other")
+          }
+          require(n >= 1, "dimensions for type vector must be at least 1")
+          require(n <= 16000, "dimensions for type vector cannot be greater than 16000")
+          graft.functions.VecLiteralExpr(args.head, n)
+        }
+      }),
   )
 
   /** Runtime registration into an existing session (the

@@ -804,11 +804,14 @@ case class L2NormalizeExpr(child: Expression)
 
 /** The pgvector text-format vector literal — `'[0.1, -2, 3e-1]'` —
   * as an array<double> expression ([[graft.plans.PgVectorParser]]
-  * rewrites `'[...]'::vector` to `vec_literal('[...]')`). Foldable
+  * rewrites `'[...]'::vector` to `vec_literal('[...]')` and
+  * `'[...]'::vector(n)` to `vec_literal('[...]', n)`). Foldable
   * when the child is (a string literal always is), so constant
   * folding collapses it to a Literal array and the IvfProbeRule's
-  * literal-query rewrite fires on the reference's verbatim SQL. */
-case class VecLiteralExpr(child: Expression)
+  * literal-query rewrite fires on the reference's verbatim SQL.
+  * `expectedDims > 0` is the typmod: pgvector rejects a literal whose
+  * dimension count differs ("expected N dimensions, not M"). */
+case class VecLiteralExpr(child: Expression, expectedDims: Int = -1)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
 
@@ -836,6 +839,9 @@ case class VecLiteralExpr(child: Expression)
             s"malformed vector literal element '${tok.trim}' in: $s")
         }
       }
+    if (expectedDims > 0 && out.length != expectedDims)
+      throw new IllegalArgumentException(
+        s"expected $expectedDims dimensions, not ${out.length}")
     ArrayData.toArrayData(out)
   }
 

@@ -861,41 +861,41 @@ object Hnsw {
     * loads, corpus-size-INDEPENDENT, where the flat sparse layout pays
     * P loads that grow with the corpus (the serve_sparse 3.5×-per-10×
     * band VERDICT r14 carried as the round's one scale residual).
-    * Build shape: one explode + windowed rank for the cell assignment
-    * (two bounded shuffles over (id, cell, mass) rows), then the same
-    * per-cell mapPartitions graph pass as every other layout. An
-    * all-empty sparse vector has no cells and is not indexed —
-    * consistent with pgvector, whose sparsevec requires at least one
-    * element (the flat layout would store it at cosine distance 1.0
-    * from everything). */
+    * Build shape (r16 — VERDICT r15 #2, the sf10 build hot-spot):
+    * cell assignment is a PURE per-row function ([[rankCellsSparse]],
+    * the same function queries route with), so it runs in a NARROW
+    * flatMap — the r15 explode→groupBy→window→join pipeline paid four
+    * wide exchanges, two of them carrying the full vector payloads;
+    * now the only exchange is the final repartition-by-cell. Mass
+    * sums are integer-valued doubles on the tf fixture, and
+    * rankCellsSparse's (mass DESC, cell ASC) tie-break matches the
+    * old windowed rank bit-for-bit. Rows are sorted (cell, id) within
+    * each build partition so insertion order — and therefore the
+    * graph structure the dump records — is deterministic across
+    * runs. An all-empty sparse vector has no cells and is not
+    * indexed — consistent with pgvector, whose sparsevec requires at
+    * least one element (the flat layout would store it at cosine
+    * distance 1.0 from everything). */
   def buildCellRoutedSparse(corpus: DataFrame, idCol: String,
       idxCol: String, valCol: String,
       nlist: Int, spill: Int = 2,
       m: Int = 16, efC: Int = 64, metric: String = "l2"): DataFrame = {
     val spark = corpus.sparkSession
+    import spark.implicits._
     import org.apache.spark.sql.types._
-    import org.apache.spark.sql.expressions.Window
     val met = Metric.of(metric)
     val src = corpus.select(col(idCol).cast("long").as(idCol),
       col(idxCol).cast("array<bigint>").as(idxCol),
       col(valCol).cast("array<double>").as(valCol))
-    // per-vector cell mass → top-spill cells (mass DESC, cell ASC) —
-    // rankCellsSparse as a relational plan
-    val w = Window.partitionBy(col(idCol))
-      .orderBy(col("__mass").desc, col("__cell"))
-    val cells = src
-      .select(col(idCol), explode(arrays_zip(col(idxCol), col(valCol))).as("p"))
-      .select(col(idCol), pmod(col(s"p.$idxCol"), lit(nlist.toLong)).cast("int").as("__cell"),
-        col(s"p.$valCol").as("__v"))
-      .groupBy(col(idCol), col("__cell"))
-      .agg(sum(col("__v")).as("__mass"))
-      .withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= spill)
-      .select(col(idCol), col("__cell"))
-    val assigned = src.join(cells, Seq(idCol))
-      .select(col("__cell"), col(idCol), col(idxCol), col(valCol))
+    val assigned = src.as[(Long, Seq[Long], Seq[Double])]
+      .flatMap { case (id, qi, qv) =>
+        rankCellsSparse(qi.toArray, qv.toArray, nlist, spill)
+          .map(c => (c, id, qi, qv))
+      }
+      .toDF("__cell", idCol, idxCol, valCol)
     val rdd = assigned
       .repartition(nlist, col("__cell"))
+      .sortWithinPartitions(col("__cell"), col(idCol))
       .rdd.mapPartitions { iter =>
         // hash collisions can co-locate several cells in one task;
         // one graph per CELL regardless (the routing contract)
@@ -954,6 +954,13 @@ object Hnsw {
     val spark = graphs.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
+    // qids key the per-query routing maps below — a duplicate would be
+    // silently collapsed to one answer while the flat twin emits one
+    // result set per input row; fail fast instead (ADVICE r15, the
+    // maxBatch-guard discipline in serveHnswSparseRouted)
+    require(queries.map(_._1).distinct.length == queries.length,
+      s"searchBatchRoutedSparse: duplicate query ids in batch — " +
+        s"${queries.map(_._1).diff(queries.map(_._1).distinct).distinct.mkString(", ")}")
     val cellsOf: Map[Long, Seq[Int]] = queries.map { case (qid, qi, qv) =>
       qid -> rankCellsSparse(qi, qv, nlist, nprobe)
     }.toMap

@@ -101,16 +101,32 @@ final class HnswProbeRule(session: SparkSession) extends Rule[LogicalPlan] {
     * pgvector's own). */
   private def efSearch: Int = intKnob("hnsw.ef_search", 40, 1, 1000)
 
-  /** pgvector ≥0.8's `SET hnsw.iterative_scan` (r14): `off` disables
-    * the filtered-query over-fetch — a selective predicate may then
-    * return fewer than k rows, pgvector's own documented off-mode
-    * behavior. `strict_order` / `relaxed_order` enable it (here both
-    * mean the statically bounded ×8 over-fetch: candidates are always
-    * re-ranked exactly by the Sort on top, so strict-vs-relaxed
-    * ordering cannot differ — the engine's candidate list is bounded,
-    * not streamed). DEFAULT `relaxed_order`, a named deviation from
-    * pgvector's `off` default: off-by-default would silently
-    * under-fill filtered queries that have worked since r11. */
+  /** pgvector ≥0.8's `SET hnsw.iterative_scan` (r14, modes split in
+    * r16): `off` disables the filtered-query over-fetch — a selective
+    * predicate may then return fewer than k rows, pgvector's own
+    * documented off-mode behavior. Both other modes enable the
+    * statically bounded ×8 over-fetch; they differ in HOW the
+    * candidate stream is truncated (VERDICT r15 #3):
+    *
+    *  - `strict_order`: pgvector's strict semantics — the candidate
+    *    stream is consumed in strict distance order, so truncation
+    *    keeps the GLOBAL closest prefix across all partition graphs,
+    *    and the scan budget (`max_scan_tuples`) is GLOBAL exactly as
+    *    in pgvector's single index. Implemented as an ordered merge
+    *    of the per-graph walks.
+    *  - `relaxed_order`: pgvector's relaxed semantics allow tuples
+    *    slightly out of distance order in exchange for throughput;
+    *    the batch analogue is per-graph truncation — each graph
+    *    keeps its own top-`fetch` (budget P× pgvector's, documented
+    *    at [[maxScanTuples]]), so under a tight budget the candidate
+    *    set is NOT a global distance prefix. Output ORDER is still
+    *    exact in both modes (Spark's Sort re-ranks survivors —
+    *    a batch engine cannot emit out of order).
+    *
+    * DEFAULT `relaxed_order`, a named deviation from pgvector's `off`
+    * default (also surfaced in SURVEY §2 / README parity notes):
+    * off-by-default would silently under-fill filtered queries that
+    * have worked since r11. */
   private def iterativeScan: String =
     session.conf.getOption("hnsw.iterative_scan")
       .map(_.trim.toLowerCase(java.util.Locale.ROOT))
@@ -127,11 +143,13 @@ final class HnswProbeRule(session: SparkSession) extends Rule[LogicalPlan] {
       .getOrElse("relaxed_order")
 
   /** pgvector ≥0.8's `SET hnsw.max_scan_tuples` (default 20000):
-    * caps the per-graph candidate fetch. Two documented deviations
-    * from pgvector's GUC, kept next to the code so a multi-graph
-    * change can't silently multiply the budget again (VERDICT r14):
-    * (1) the cap is PER PARTITION GRAPH, so with P graphs the
-    * effective scan budget is P× pgvector's single-index budget;
+    * caps the iterative candidate fetch. Scoping, kept next to the
+    * code so a multi-graph change can't silently multiply the budget
+    * again (VERDICT r14): (1) under `relaxed_order` the cap is PER
+    * PARTITION GRAPH, so with P graphs the effective scan budget is
+    * P× pgvector's single-index budget (a documented deviation);
+    * under `strict_order` (r16) the ordered merge re-imposes the cap
+    * GLOBALLY, matching pgvector's single-index budget exactly;
     * (2) like pgvector, it bounds only ITERATIVE scans — the cap is
     * applied solely on the widened/filtered path when iterative_scan
     * is enabled (ADVICE r14: an unconditional cap below k silently
@@ -255,7 +273,14 @@ final class HnswProbeRule(session: SparkSession) extends Rule[LogicalPlan] {
             val base = math.min(k * widen, math.max(1, ef))
             if (iterating) math.min(base, maxScanTuples) else base
           }
-          ids <- walkGraphs(entry, query, fetch, math.max(ef, fetch), sparseIdx)
+          cands <- walkGraphs(entry, query, fetch, math.max(ef, fetch), sparseIdx)
+          // strict_order (r16): the candidate stream is consumed in
+          // strict distance order, so the scan budget truncates the
+          // GLOBAL merged stream (pgvector's single-index budget) —
+          // not each graph independently as relaxed_order does
+          ids = if (iterating && iterMode == "strict_order")
+            cands.sortBy { case (id, d) => (d, id) }.take(fetch).map(_._1)
+          else cands.map(_._1)
           if ids.nonEmpty
         } yield {
           done = true
@@ -294,10 +319,14 @@ final class HnswProbeRule(session: SparkSession) extends Rule[LogicalPlan] {
 
   /** The bounded rewrite-time job: beam-walk every partition graph
     * (blob scan pushed to the store parquet; each blob deserialized
-    * once), return the union of per-graph top-`fetch` candidate ids.
-    * Any failure falls back to the exact plan. */
+    * once), return the union of per-graph top-`fetch` candidates
+    * WITH their walk distances (strict_order's global ordered merge
+    * needs them; partition graphs hold disjoint id sets so no
+    * cross-graph dedup is required). Any failure falls back to the
+    * exact plan. */
   private def walkGraphs(e: HnswSqlCatalog.Entry, query: Array[Double],
-      fetch: Int, ef: Int, sparseIdx: Array[Long] = null): Option[Array[Long]] = {
+      fetch: Int, ef: Int,
+      sparseIdx: Array[Long] = null): Option[Array[(Long, Double)]] = {
     try {
       val spark = session
       import spark.implicits._
@@ -307,16 +336,16 @@ final class HnswProbeRule(session: SparkSession) extends Rule[LogicalPlan] {
       val q = if (e.storage == "halfvec")
         graft.functions.Half.unpackToDouble(graft.functions.Half.pack(query))
       else query
-      val ids = session.read.parquet(e.path)
+      val cands = session.read.parquet(e.path)
         .select(org.apache.spark.sql.functions.col("graph")).as[Array[Byte]]
         .flatMap { blob =>
           cnt.foreach(_.add(1))
           val ix = graft.operators.Hnsw.deser(blob)
-          (if (sparseIdx != null) ix.searchKnnSparse(sparseIdx, q, fetch, ef)
-           else ix.searchKnn(q, fetch, ef)).map(_._1)
+          if (sparseIdx != null) ix.searchKnnSparse(sparseIdx, q, fetch, ef)
+          else ix.searchKnn(q, fetch, ef)
         }
         .collect().distinct
-      Some(ids)
+      Some(cands)
     } catch { case scala.util.control.NonFatal(_) => None }
   }
 

@@ -250,7 +250,21 @@ object PgVectorSql {
           case Some(Op(_, _, "::")) =>
             val id = nextNonWs(ts, d)
             ts.lift(id) match {
-              case Some(_: Ident) => j = id
+              case Some(_: Ident) =>
+                j = id
+                // a typmod group — `::vector(1536)` — belongs to the
+                // cast, not to whatever follows the primary
+                val pOpen = nextNonWs(ts, j)
+                ts.lift(pOpen) match {
+                  case Some(P(_, _, '(')) =>
+                    val nIdx = nextNonWs(ts, pOpen)
+                    val close = nextNonWs(ts, nIdx)
+                    (ts.lift(nIdx), ts.lift(close)) match {
+                      case (Some(_: Num), Some(P(_, _, ')'))) => j = close
+                      case _ =>
+                    }
+                  case _ =>
+                }
               case _ => more = false
             }
           case _ => more = false
@@ -315,6 +329,27 @@ object PgVectorSql {
       ts(i) match {
         case Op(_, _, "::") =>
           val idIdx = nextNonWs(ts, i)
+          // optional typmod — `::vector(1536)`, the form pgvector's
+          // docs and most ORMs emit (the reference's own column is
+          // `vector(1536)`, Function.java DDL). Consume `(n)` and
+          // thread the declared dims through so vec_literal applies
+          // pgvector's dimension check. Anything that is not exactly
+          // `( <integer> )` is left alone (not valid SQL after a cast
+          // anyway — the stock parser reports it).
+          val typmod: Option[(Int, Int)] = { // (declared dims, ')' token idx)
+            val pOpen = nextNonWs(ts, idIdx)
+            ts.lift(pOpen) match {
+              case Some(P(_, _, '(')) =>
+                val nIdx = nextNonWs(ts, pOpen)
+                val close = nextNonWs(ts, nIdx)
+                (ts.lift(nIdx), ts.lift(close)) match {
+                  case (Some(num: Num), Some(P(_, _, ')'))) =>
+                    sql.substring(num.s, num.e).toIntOption.map(n => (n, close))
+                  case _ => None
+                }
+              case _ => None
+            }
+          }
           val li = prevNonWs(ts, i)
           (ts.lift(li).flatMap {
             // the parameter marker must survive for parameterized sql
@@ -322,9 +357,12 @@ object PgVectorSql {
             case _ => leftPrimary(sql, ts, li)
           }).map { from =>
             val operand = sql.substring(ts(from).s, ts(li).e)
-            sql.substring(0, ts(from).s) +
-              s"vec_literal($operand)" +
-              sql.substring(ts(idIdx).e)
+            val call = typmod match {
+              case Some((n, _)) => s"vec_literal($operand, $n)"
+              case None => s"vec_literal($operand)"
+            }
+            val end = typmod.fold(ts(idIdx).e) { case (_, close) => ts(close).e }
+            sql.substring(0, ts(from).s) + call + sql.substring(end)
           }
         case Op(_, _, op) =>
           val (fn, negate) = VecOps(op)

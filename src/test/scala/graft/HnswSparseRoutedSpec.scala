@@ -82,6 +82,17 @@ class HnswSparseRoutedSpec extends SparkSpec {
     assert(recall >= 0.7, f"sparse routed recall@10 $recall%.2f < 0.7")
   }
 
+  test("batch kernel rejects duplicate query ids instead of collapsing them (ADVICE r15)") {
+    val graphs = spark.read.parquet(store)
+    val (qi, qv) = query
+    val dup = Seq((7L, qi, qv), (7L, qi, qv))
+    val e = intercept[IllegalArgumentException] {
+      Hnsw.searchBatchRoutedSparse(graphs, Nlist, dup, k = 5, nprobe = 3)
+    }
+    assert(e.getMessage.contains("duplicate query ids"))
+    assert(e.getMessage.contains("7"))
+  }
+
   test("batch serving kernel agrees with the per-query routed path") {
     val graphs = spark.read.parquet(store)
     // three real corpus docs as queries — the serving shape

@@ -34,6 +34,25 @@ class PgVectorSyntaxSpec extends AnyFunSuite {
       "SELECT vec_jaccard(a, b) FROM t")
   }
 
+  test("::vector(n) typmod casts translate with the declared dims (VERDICT r15 #4)") {
+    // the form pgvector docs / ORMs emit; the reference's own column
+    // is vector(1536) (Function.java DDL)
+    assert(PgVectorSql.translate("SELECT '[1,2,3]'::vector(3)") ==
+      "SELECT vec_literal('[1,2,3]', 3)")
+    assert(PgVectorSql.translate(
+      "ORDER BY embedding <-> '[1,2]'::vector(1536) LIMIT 5") ==
+      "ORDER BY vec_l2(embedding, vec_literal('[1,2]', 1536)) LIMIT 5")
+    // parameterized form keeps the marker AND the typmod
+    assert(PgVectorSql.translate("ORDER BY embedding <-> ?::vector(4) LIMIT 5") ==
+      "ORDER BY vec_l2(embedding, vec_literal(?, 4)) LIMIT 5")
+    // whitespace inside the typmod group is legal in postgres
+    assert(PgVectorSql.translate("SELECT '[1]'::vector ( 1 )") ==
+      "SELECT vec_literal('[1]', 1)")
+    // a non-typmod '(' after the cast is NOT consumed
+    assert(PgVectorSql.translate("SELECT '[1]'::vector (a)") ==
+      "SELECT vec_literal('[1]') (a)")
+  }
+
   test("translation preserves parameter markers, strings, and non-vector SQL") {
     assert(PgVectorSql.translate(
       "ORDER BY embedding <-> ?::vector LIMIT 5") ==
@@ -124,6 +143,54 @@ class PgVectorSyntaxSpec extends AnyFunSuite {
             ORDER BY embedding <-> '$vec'::vector LIMIT 3""")
         .collect().map(_.getLong(0)).toSeq
       assert(got == lit)
+    }
+  }
+
+  test("::vector(n) executes: matching dims pass, mismatched dims get pgvector's error") {
+    withExtSession { s =>
+      // matching typmod is a no-op on the value
+      val ok = s.sql("SELECT '[1,2,3]'::vector(3) AS v").head.getSeq[Double](0)
+      assert(ok == Seq(1.0, 2.0, 3.0))
+      // mismatch carries pgvector's error text
+      val e = intercept[Exception] {
+        s.sql("SELECT '[1,2,3]'::vector(4) AS v").collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(_.contains("expected 4 dimensions, not 3")),
+        s"wanted pgvector's dim error, got: ${msgs(e).mkString(" | ")}")
+      // typmod range checks (pgvector's DDL-time errors)
+      val lo = intercept[Exception] { s.sql("SELECT '[1]'::vector(0)").collect() }
+      assert(msgs(lo).exists(_.contains("must be at least 1")))
+      val hi = intercept[Exception] { s.sql("SELECT '[1]'::vector(16001)").collect() }
+      assert(msgs(hi).exists(_.contains("cannot be greater than 16000")))
+    }
+  }
+
+  test("parameterized ?::vector(n) binds and validates dims") {
+    withExtSession { s =>
+      Tables.embeddings(s, Sf).createOrReplaceTempView("embeddings")
+      val vec = queryVecText(s)
+      val dims = vec.count(_ == ',') + 1
+      val got = s.sql(
+        s"""SELECT vec_id FROM embeddings WHERE vec_id <> 0
+            ORDER BY embedding <-> ?::vector($dims) LIMIT 3""",
+        Array(vec)).collect().map(_.getLong(0)).toSeq
+      val want = s.sql(
+        s"""SELECT vec_id FROM embeddings WHERE vec_id <> 0
+            ORDER BY embedding <-> '$vec'::vector LIMIT 3""")
+        .collect().map(_.getLong(0)).toSeq
+      assert(got == want)
+      // and a wrong declared dim fails even through the parameter path
+      val e = intercept[Exception] {
+        s.sql(
+          """SELECT vec_id FROM embeddings WHERE vec_id <> 0
+             ORDER BY embedding <-> ?::vector(2) LIMIT 3""",
+          Array(vec)).collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(_.contains(s"expected 2 dimensions, not $dims")))
     }
   }
 

@@ -696,6 +696,71 @@ class VectorIndexDdlSpec extends SparkSpec {
     }
   }
 
+  test("hnsw iterative_scan strict_order vs relaxed_order differ observably (VERDICT r15 #3)") {
+    withExtSession { s =>
+      graft.plans.HnswSqlCatalog.clear()
+      Tables.embeddings(s, Sf).createOrReplaceTempView("ddl_hnsw_so")
+      s.sql("""CREATE INDEX idx_hnsw_so ON ddl_hnsw_so
+               USING hnsw (embedding vector_l2_ops)
+               WITH (m = 8, ef_construction = 32, parts = 4, id = 'vec_id')""")
+      val vec = Tables.embeddings(s, Sf).filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>"))
+        .head.getSeq[Double](0)
+      // a FILTERED query — iterative_scan applies to iterative scans
+      // only (both modes behave identically on a plain top-k)
+      val q = s"""SELECT vec_id FROM ddl_hnsw_so
+                  WHERE label = 3
+                  ORDER BY embedding <-> '${vec.mkString("[", ",", "]")}'::vector
+                  LIMIT 5"""
+      import org.apache.spark.sql.catalyst.expressions.{AttributeReference, In}
+      def inList(df: org.apache.spark.sql.DataFrame): Seq[Long] =
+        df.queryExecution.optimizedPlan.collect {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            f.condition.collect {
+              case In(a: AttributeReference, list) if a.name == "vec_id" =>
+                list.map(_.asInstanceOf[org.apache.spark.sql.catalyst
+                  .expressions.Literal].value.asInstanceOf[Long])
+            }
+        }.flatten.maxByOption(_.size).getOrElse(Nil)
+      // tight budget so truncation semantics become visible: per-graph
+      // fetch = min(k*8, ef, max_scan_tuples) = 7
+      s.conf.set("hnsw.max_scan_tuples", "7")
+      try {
+        s.conf.set("hnsw.iterative_scan", "relaxed_order")
+        val relaxed = inList(s.sql(q))
+        s.conf.set("hnsw.iterative_scan", "strict_order")
+        val strict = inList(s.sql(q))
+        // relaxed: each of the 4 graphs keeps its own top-7 (budget P×,
+        // the documented deviation); strict: ONE global budget, as
+        // pgvector's single index
+        assert(strict.size == 7, s"strict budget not global: ${strict.size}")
+        assert(relaxed.size > strict.size,
+          s"per-graph truncation did not exceed the global budget: " +
+            s"relaxed=${relaxed.size} strict=${strict.size}")
+        // strict's candidate set is the GLOBAL distance-ordered prefix
+        // of the same per-graph walks (walk distance = exact L2 here)
+        val exact = Tables.embeddings(s, Sf)
+          .select(col("vec_id"), col("embedding").cast("array<double>"))
+          .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
+        def d2(id: Long): Double =
+          exact(id).zip(vec).map { case (a, b) => (a - b) * (a - b) }.sum
+        val wantStrict = relaxed.sortBy(id => (d2(id), id)).take(7).toSet
+        assert(strict.toSet == wantStrict,
+          s"strict_order is not the global distance prefix: got " +
+            s"${strict.sorted}, want ${wantStrict.toSeq.sorted}")
+        // both modes emit in exact ascending distance order (Spark's
+        // Sort re-ranks survivors — ordered emission in BOTH modes)
+        val rows = s.sql(q).collect().map(_.getLong(0)).toSeq
+        assert(rows == rows.sortBy(id => (d2(id), id)),
+          "strict_order emission not distance-ordered")
+      } finally {
+        s.conf.unset("hnsw.iterative_scan")
+        s.conf.unset("hnsw.max_scan_tuples")
+      }
+      s.sql("DROP INDEX idx_hnsw_so")
+    }
+  }
+
   test("sparsevec_l2_ops / l1_ops serve their sort keys (r15, ADVICE r14 dead-weight fix)") {
     withExtSession { s =>
       graft.plans.HnswSqlCatalog.clear()
