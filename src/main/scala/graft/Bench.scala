@@ -101,6 +101,59 @@ object Bench {
       if (w) onlyMatched += name
       w
     }
+    // ---- IO-pressure guard (VERDICT r15 #6): the CPU canary cannot
+    // see page-cache writeback — a discarded r15 sf1.0 run had 3-5×
+    // row inflation under a CLEAN canary right after a Verify pass
+    // wrote GBs to the same box. Two defenses:
+    //  (1) refuse to start within a cool-down of a Verify pass on the
+    //      SAME fixture (Verify stamps a marker file at exit);
+    //  (2) measure IO pressure directly — /proc/meminfo Dirty+Writeback
+    //      plus a timed fsync'd write+readback probe — wait for drain,
+    //      and stamp the final readings into the artifact next to
+    //      `calib` so a pressured run self-identifies.
+    def dirtyKb(): Long = try {
+      val src = scala.io.Source.fromFile("/proc/meminfo")
+      try src.getLines()
+        .filter(l => l.startsWith("Dirty:") || l.startsWith("Writeback:"))
+        .map(_.split("\\s+")(1).toLong).sum
+      finally src.close()
+    } catch { case _: Throwable => -1L }
+    def ioProbe(): Double = try {
+      val f = java.io.File.createTempFile("graft_ioprobe", ".bin")
+      val buf = new Array[Byte](4 * 1024 * 1024)
+      val t0 = System.nanoTime()
+      val ch = new java.io.FileOutputStream(f)
+      ch.write(buf); ch.getFD.sync(); ch.close()
+      val in = new java.io.FileInputStream(f)
+      while (in.read(buf) > 0) {}
+      in.close(); f.delete()
+      (System.nanoTime() - t0) / 1e9
+    } catch { case _: Throwable => -1.0 }
+    val marker = new java.io.File(sys.props("java.io.tmpdir"), "graft_verify_marker.json")
+    if (marker.exists() && sys.env.get("SPARK_GRAFT_BENCH_FORCE").isEmpty) {
+      val txt = try new String(java.nio.file.Files.readAllBytes(marker.toPath), "UTF-8")
+        catch { case _: Throwable => "" }
+      val ageS = (System.currentTimeMillis() - marker.lastModified()) / 1000
+      if (txt.contains("\"" + sfDir + "\"") && ageS < 180) {
+        System.err.println(s"[bench] REFUSED: a Verify pass on $sfDir finished " +
+          s"${ageS}s ago — its writeback inflates IO-heavy rows while the CPU " +
+          "canary stays clean (BENCH_NOTES r15). Wait out the cool-down or " +
+          "set SPARK_GRAFT_BENCH_FORCE=1.")
+        sys.exit(3)
+      }
+    }
+    var dirty0 = dirtyKb()
+    val DirtyThresholdKb = 256L * 1024
+    var drained = 0
+    while (dirty0 > DirtyThresholdKb && drained < 12) {
+      System.err.println(s"[bench] waiting for writeback drain: Dirty+Writeback=${dirty0}kB")
+      Thread.sleep(5000); drained += 1; dirty0 = dirtyKb()
+    }
+    val ioProbeS = ioProbe()
+    val ioPressured = dirty0 > DirtyThresholdKb || ioProbeS > 0.5
+    if (ioPressured)
+      System.err.println(s"[bench] IO PRESSURE at start: dirty=${dirty0}kB " +
+        f"probe=$ioProbeS%.3fs — artifact stamped io_pressured")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -343,9 +396,10 @@ object Bench {
             s"no entry: ${unmatched.mkString(", ")} — check for typos")
         s""","subset":true,"only":${o.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"only_unmatched":${unmatched.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     }
-    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jsonMap(allResults, round = true)},"canary_med":${f3(cMed)},"canary_max":${f3(cMax)}$contJson$subsetJson,"calib":${f3(calib)},"cached_builds":${cachedBuilds.size},"sf":"$sfDir"}"""
+    val ioJson = s""","dirty_kb":$dirty0,"io_probe":${f3(ioProbeS)},"io_pressured":$ioPressured"""
+    val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jsonMap(allResults, round = true)},"canary_med":${f3(cMed)},"canary_max":${f3(cMax)}$contJson$subsetJson$ioJson,"calib":${f3(calib)},"cached_builds":${cachedBuilds.size},"sf":"$sfDir"}"""
     println(line)
-    val fileLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(allResults, round = false)},"cold":${jsonMap(coldTimes.toSeq, round = false)},"warm":${jsonMap(warmTimes.toSeq, round = false)},"canary":${jsonMap(canaryTimes.toSeq, round = false)}$contJson$subsetJson,"canary_dirty":$dirtyJson,"calib":$calib,"cached":$cachedJson,"sf":"$sfDir"}"""
+    val fileLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(allResults, round = false)},"cold":${jsonMap(coldTimes.toSeq, round = false)},"warm":${jsonMap(warmTimes.toSeq, round = false)},"canary":${jsonMap(canaryTimes.toSeq, round = false)}$contJson$subsetJson$ioJson,"canary_dirty":$dirtyJson,"calib":$calib,"cached":$cachedJson,"sf":"$sfDir"}"""
     try {
       java.nio.file.Files.write(java.nio.file.Paths.get(outPath),
         (fileLine + "\n").getBytes("UTF-8"))

@@ -51,6 +51,15 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // cool-down marker (VERDICT r15 #6): a Verify pass leaves GBs of
+    // page-cache writeback that inflates an immediately-following
+    // bench on the same fixture 3-5× while the CPU canary stays
+    // clean — Bench reads this stamp and refuses to start within the
+    // cool-down window.
+    try Files.writeString(
+      Paths.get(sys.props("java.io.tmpdir"), "graft_verify_marker.json"),
+      s"""{"sf":"$sfDir"}""")
+    catch { case _: Throwable => }
     spark.stop()
   }
 }

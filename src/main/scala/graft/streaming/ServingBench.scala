@@ -283,7 +283,10 @@ object ServingBench {
         val graphs = graft.operators.Hnsw.buildCellRoutedSparse(
           tf, "doc_id", "sidx", "sval",
           nlist = Nlist, spill = 2, m = 16, efC = 64,
-          metric = "cosine").localCheckpoint()
+          metric = "cosine",
+          // split skewed cells at ~2× the mean row count so the build
+          // is never one giant cell's serial insert loop (r16)
+          maxCell = 2048).localCheckpoint()
         qrows = tf.filter(col("doc_id") < BatchSize)
           .select(col("doc_id"), col("sidx"), col("sval"))
           .collect()

@@ -28,13 +28,16 @@ object ServeRePin {
       .getOrElse(sys.error(s"unknown serving entry '$entry'"))
     val p = mk(spark, sfDir)
     try {
-      p.build()
       def timed(f: => Unit): Double = {
         val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
       }
+      // build timed too (r16 — the _build bench rows need isolated
+      // re-pins as much as the probes; note RePin-family numbers are
+      // COLD, compare cold-to-cold)
+      val build = timed(p.build())
       val cold = timed(p.probe())
       val warm = timed(p.probe())
-      println(f"[serverepin] $entry cold=$cold%.3f warm=$warm%.3f s")
+      println(f"[serverepin] $entry build=$build%.3f cold=$cold%.3f warm=$warm%.3f s")
     } finally p.stop()
     spark.stop()
   }
