@@ -2,13 +2,13 @@ package graft
 
 import graft.functions.{HalfDistExpr, HammingDistExpr, JaccardDistExpr,
   L2NormalizeExpr, SignPackExpr, HalfPackExpr, SparseDistExpr,
-  VectorDistance, VectorDistanceExpr, Half}
+  SparseLiteralExpr, VectorDistance, VectorDistanceExpr, Half}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo,
-  Size, Slice, Sqrt}
+  Literal, Size, Slice, Sqrt, Subtract}
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType, LongType, StructType}
 
 /** SQL surface of the engine: registers the pgvector operator and
   * function family as SQL functions, so
@@ -24,13 +24,20 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType, IntegerType
   *  - `<~>` hamming_distance → `vec_hamming`; `<%>`
   *    jaccard_distance → `vec_jaccard` (over `vec_binary_quantize`
   *    sign-packed words — pgvector's `bit(n)` storage)
-  *  - `binary_quantize` → `vec_binary_quantize`; `::halfvec` →
-  *    `vec_half` (+ `vec_half_l2` / `vec_half_dot` over the packed
-  *    column); `l2_normalize` → `vec_l2_normalize`; `vector_norm` →
-  *    `vec_norm`; `subvector` → `vec_subvector` (1-based, like
-  *    pgvector); `vector_dims` → `vec_dims`
-  *  - `sparsevec` inner product / cosine → `sparse_dot` /
-  *    `sparse_cos_sim` over sorted (indices, values) pairs
+  *  - `binary_quantize` → `vec_binary_quantize`; `::halfvec[(n)]` →
+  *    `vec_half` when standalone, and as a distance-operator operand
+  *    the operator routes to the packed-column kernels `vec_half_l2`
+  *    / `vec_half_dot` / `vec_half_cos_dist` / `vec_half_l1` (all
+  *    four pgvector halfvec operators, r16); `l2_normalize` →
+  *    `vec_l2_normalize`; `vector_norm` → `vec_norm`; `subvector` →
+  *    `vec_subvector` (1-based, like pgvector); `vector_dims` →
+  *    `vec_dims`
+  *  - `sparsevec` operators → `sparse_dot` (`<#>` is `-sparse_dot`) /
+  *    `sparse_cos_sim` / `sparse_cos_dist` (`<=>`) / `sparse_l2`
+  *    (`<->`) / `sparse_l1` (`<+>`) over sorted (indices, values)
+  *    pairs; the pgvector text literal `'{i:v,...}/dims'::sparsevec[(n)]`
+  *    → `vec_sparse_literal` (struct<indices, values, dims>), accepted
+  *    as the 3rd argument of every sparse kernel (r16)
   *
   * Query-side arguments of the quantized kernels (`vec_hamming`,
   * `vec_jaccard`, `vec_half_*`, `sparse_*`) must be FOLDABLE — they
@@ -81,6 +88,35 @@ object GraftExtensions {
   private def halfRound(q: Array[Double]): Array[Double] =
     q.map(x => Half.fromHalfBits(Half.toHalfBits(x.toFloat)).toDouble)
 
+  /** Extract the (indices, values) query pair from a foldable
+    * sparsevec-literal struct ([[SparseLiteralExpr]] output) — the
+    * 3-arg sparse kernel forms `sparse_dot(i, v, '{..}/n'::sparsevec)`. */
+  private def litSparseQuery(e: Expression, fn: String): (Array[Long], Array[Double]) = {
+    e.dataType match {
+      case st: StructType if st.length == 3 &&
+          st.head.name == "indices" && st(1).name == "values" =>
+      case t => throw new IllegalArgumentException(
+        s"$fn: the 3-argument form's query must be a sparsevec literal " +
+          s"(vec_sparse_literal / ::sparsevec), got $t")
+    }
+    require(e.foldable, s"$fn: the query argument must be a literal")
+    val row = e.eval(null)
+    require(row != null, s"$fn: the query argument must not be NULL")
+    val r = row.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    (r.getArray(0).toLongArray(), r.getArray(1).toDoubleArray())
+  }
+
+  /** Shared builder for the sparse kernels' two SQL arities:
+    * `fn(indices, values, q_indices, q_values)` (arrays) or
+    * `fn(indices, values, q)` with q a sparsevec literal. */
+  private def sparseArgs(fn: String, args: Seq[Expression]): (Array[Long], Array[Double]) =
+    args.length match {
+      case 4 => (litLongs(args(2), fn), litDoubles(args(3), fn))
+      case 3 => litSparseQuery(args(2), fn)
+      case n => throw new IllegalArgumentException(
+        s"$fn expects 3 or 4 arguments, got $n")
+    }
+
   private def arity(fn: String, args: Seq[Expression], n: Int): Unit =
     require(args.length == n, s"$fn expects $n arguments, got ${args.length}")
 
@@ -128,20 +164,36 @@ object GraftExtensions {
       args => { arity("vec_half_dot", args, 2)
         HalfDistExpr(args.head, halfRound(litDoubles(args(1), "vec_half_dot")),
           VectorDistance.Dot.id) }),
+    ("vec_half_cos_dist", "vec_half_cos_dist(halfvec, query) - cosine distance over a vec_half column (pgvector halfvec <=>); query must be a literal",
+      args => { arity("vec_half_cos_dist", args, 2)
+        HalfDistExpr(args.head, halfRound(litDoubles(args(1), "vec_half_cos_dist")),
+          VectorDistance.CosineDist.id) }),
+    ("vec_half_l1", "vec_half_l1(halfvec, query) - taxicab distance over a vec_half column (pgvector halfvec <+>); query must be a literal",
+      args => { arity("vec_half_l1", args, 2)
+        HalfDistExpr(args.head, halfRound(litDoubles(args(1), "vec_half_l1")),
+          VectorDistance.L1.id) }),
     ("vec_subvector", "vec_subvector(v, start, count) - 1-based slice (pgvector subvector)",
       args => { arity("vec_subvector", args, 3)
         Slice(args.head, args(1), args(2)) }),
     ("vec_dims", "vec_dims(v) - dimension count (pgvector vector_dims)",
       args => { arity("vec_dims", args, 1)
         Size(args.head, legacySizeOfNull = false) }),
-    ("sparse_dot", "sparse_dot(indices, values, q_indices, q_values) - sparsevec inner product; query must be literal",
-      args => { arity("sparse_dot", args, 4)
-        SparseDistExpr(args.head, args(1), litLongs(args(2), "sparse_dot"),
-          litDoubles(args(3), "sparse_dot"), VectorDistance.Dot.id) }),
-    ("sparse_cos_sim", "sparse_cos_sim(indices, values, q_indices, q_values) - sparsevec cosine similarity; query must be literal",
-      args => { arity("sparse_cos_sim", args, 4)
-        SparseDistExpr(args.head, args(1), litLongs(args(2), "sparse_cos_sim"),
-          litDoubles(args(3), "sparse_cos_sim"), VectorDistance.CosineSim.id) }),
+    ("sparse_dot", "sparse_dot(indices, values, q_indices, q_values | q_sparsevec) - sparsevec inner product (pgvector <#> is -sparse_dot); query must be literal",
+      args => { val (qi, qv) = sparseArgs("sparse_dot", args)
+        SparseDistExpr(args.head, args(1), qi, qv, VectorDistance.Dot.id) }),
+    ("sparse_cos_sim", "sparse_cos_sim(indices, values, q_indices, q_values | q_sparsevec) - sparsevec cosine similarity; query must be literal",
+      args => { val (qi, qv) = sparseArgs("sparse_cos_sim", args)
+        SparseDistExpr(args.head, args(1), qi, qv, VectorDistance.CosineSim.id) }),
+    ("sparse_cos_dist", "sparse_cos_dist(indices, values, q_indices, q_values | q_sparsevec) - sparsevec cosine distance (pgvector <=>); query must be literal",
+      args => { val (qi, qv) = sparseArgs("sparse_cos_dist", args)
+        Subtract(Literal(1.0),
+          SparseDistExpr(args.head, args(1), qi, qv, VectorDistance.CosineSim.id)) }),
+    ("sparse_l2", "sparse_l2(indices, values, q_indices, q_values | q_sparsevec) - sparsevec Euclidean distance over the index union (pgvector <->); query must be literal",
+      args => { val (qi, qv) = sparseArgs("sparse_l2", args)
+        SparseDistExpr(args.head, args(1), qi, qv, VectorDistance.L2.id) }),
+    ("sparse_l1", "sparse_l1(indices, values, q_indices, q_values | q_sparsevec) - sparsevec taxicab distance over the index union (pgvector <+>); query must be literal",
+      args => { val (qi, qv) = sparseArgs("sparse_l1", args)
+        SparseDistExpr(args.head, args(1), qi, qv, VectorDistance.L1.id) }),
     ("array_max_count", "array_max_count(xs) - max multiplicity of any element, one pass",
       args => { arity("array_max_count", args, 1)
         graft.functions.ArrayMaxCountExpr(args.head) }),
@@ -163,6 +215,25 @@ object GraftExtensions {
           require(n >= 1, "dimensions for type vector must be at least 1")
           require(n <= 16000, "dimensions for type vector cannot be greater than 16000")
           graft.functions.VecLiteralExpr(args.head, n)
+        }
+      }),
+    ("vec_sparse_literal", "vec_sparse_literal('{i:v, ...}/dims'[, n]) - pgvector sparsevec text-format literal (the ::sparsevec / ::sparsevec(n) cast target); struct<indices, values, dims>",
+      args => {
+        require(args.length == 1 || args.length == 2,
+          s"vec_sparse_literal expects 1 or 2 arguments, got ${args.length}")
+        if (args.length == 1) SparseLiteralExpr(args.head)
+        else {
+          require(args(1).foldable, "vec_sparse_literal: typmod must be a literal")
+          val n = args(1).eval(null) match {
+            case i: Int => i
+            case l: Long => l.toInt
+            case other => throw new IllegalArgumentException(
+              s"vec_sparse_literal: typmod must be an integer, got $other")
+          }
+          require(n >= 1, "dimensions for type sparsevec must be at least 1")
+          require(n <= graft.functions.SparseVec.MaxDims,
+            s"dimensions for type sparsevec cannot be greater than ${graft.functions.SparseVec.MaxDims}")
+          SparseLiteralExpr(args.head, n)
         }
       }),
   )

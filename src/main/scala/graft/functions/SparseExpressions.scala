@@ -66,6 +66,60 @@ object SparseVec {
       .sortBy(_._1)
     (sorted.map(_._1).toArray, sorted.map(_._2).toArray)
   }
+
+  /** pgvector's documented sparsevec bounds: at most 1e9 declared
+    * dimensions, at most 16000 stored (non-zero) elements. */
+  val MaxDims = 1000000000
+  val MaxNnz = 16000
+
+  /** Parse pgvector's sparsevec text format — `'{i:v, i:v, ...}/dims'`
+    * with 1-based indices — into sorted (indices, values, dims).
+    * Validation follows pgvector's sparsevec_in: strictly ascending
+    * indices (which also rejects duplicates), every index in
+    * [1, dims], dims in [1, 1e9], nnz ≤ 16000, and ZERO VALUES ARE
+    * DROPPED (sparsevec stores only non-zero elements, so
+    * `'{1:0,2:3}/4'` equals `'{2:3}/4'`). `typmod > 0` is the declared
+    * dimension from `::sparsevec(n)`; a mismatch raises pgvector's
+    * "expected N dimensions, not M". Error strings are pgvector-shaped
+    * but not byte-identical (we don't replicate its message catalog). */
+  def parseLiteral(text: String, typmod: Int = -1): (Array[Long], Array[Double], Int) = {
+    val s = text.trim
+    def bad(): Nothing = throw new IllegalArgumentException(
+      s"""invalid input syntax for type sparsevec: "$text"""")
+    val slash = s.lastIndexOf('/')
+    if (!s.startsWith("{") || slash < 0 || !s.substring(0, slash).trim.endsWith("}")) bad()
+    val dims =
+      try s.substring(slash + 1).trim.toInt
+      catch { case _: NumberFormatException => bad() }
+    require(dims >= 1, "sparsevec must have at least 1 dimension")
+    require(dims <= MaxDims,
+      s"sparsevec cannot have more than $MaxDims dimensions")
+    val bodyEnd = s.substring(0, slash).trim
+    val body = bodyEnd.substring(1, bodyEnd.length - 1).trim
+    val idxB = Array.newBuilder[Long]
+    val valB = Array.newBuilder[Double]
+    var prev = 0L // indices are 1-based, so 0 is below every legal index
+    var nnz = 0
+    if (body.nonEmpty) body.split(",").foreach { tok =>
+      val colon = tok.indexOf(':')
+      if (colon < 0) bad()
+      val (i, v) =
+        try (tok.substring(0, colon).trim.toLong, tok.substring(colon + 1).trim.toDouble)
+        catch { case _: NumberFormatException => bad() }
+      require(i >= 1 && i <= dims, s"sparsevec index out of range: $i (dimensions: $dims)")
+      require(i > prev, "sparsevec indexes must be in ascending order")
+      prev = i
+      if (v != 0.0) { // pgvector stores only non-zero elements
+        idxB += i; valB += v; nnz += 1
+        require(nnz <= MaxNnz,
+          s"sparsevec cannot have more than $MaxNnz non-zero elements")
+      }
+    }
+    if (typmod > 0 && dims != typmod)
+      throw new IllegalArgumentException(
+        s"expected $typmod dimensions, not $dims")
+    (idxB.result(), valB.result(), dims)
+  }
 }
 
 /** Two-pointer sparse distance against a driver-metadata query.
@@ -160,4 +214,46 @@ case class SparseDistExpr(left: Expression, right: Expression,
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =
     copy(left = newLeft, right = newRight)
+}
+
+/** The pgvector sparsevec text-format literal — `'{1:1.5,3:2}/5'` —
+  * as a struct<indices: array<bigint>, values: array<double>,
+  * dims: int> expression ([[graft.plans.PgVectorParser]] rewrites
+  * `x::sparsevec` to `vec_sparse_literal(x)` and `x::sparsevec(n)` to
+  * `vec_sparse_literal(x, n)`). Foldable when the child is, so the
+  * struct collapses to a Literal and the sparse kernels' 3-arg SQL
+  * forms (`sparse_dot(i, v, q)` etc.) can extract the query arrays at
+  * analysis time. Parsing and validation: [[SparseVec.parseLiteral]].
+  *
+  * NOTE the engine's columnar sparsevec deviation (SURVEY §2): stored
+  * sparse vectors are (indices, values) column PAIRS, so the literal
+  * is a QUERY-side convenience — pgvector's one-column
+  * `sparse_col <#> '...'::sparsevec` form has no verbatim analogue
+  * here; the ported shape is `-sparse_dot(sidx, sval, '...'::sparsevec)`. */
+case class SparseLiteralExpr(child: Expression, expectedDims: Int = -1)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with CodegenFallback {
+
+  import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("indices", ArrayType(LongType, containsNull = false), nullable = false),
+    StructField("values", ArrayType(DoubleType, containsNull = false), nullable = false),
+    StructField("dims", IntegerType, nullable = false)))
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+      case t => TypeCheckResult.TypeCheckFailure(
+        s"vec_sparse_literal needs a '{i:v, ...}/dims' string, got $t")
+    }
+
+  override def nullSafeEval(input: Any): Any = {
+    val (idx, vals, dims) = SparseVec.parseLiteral(input.toString, expectedDims)
+    org.apache.spark.sql.catalyst.InternalRow(
+      ArrayData.toArrayData(idx), ArrayData.toArrayData(vals), dims)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
 }

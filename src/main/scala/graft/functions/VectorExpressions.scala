@@ -539,8 +539,10 @@ case class HalfUnpackExpr(child: Expression)
   * and one dequantized query (driver metadata, already half-rounded):
   * elements dequantize binary16→double and accumulate with the SAME
   * sequential-order contract as [[VectorDistanceExpr]]. Supports the
-  * L2 / L1 / dot modes (cosine adds accumulators nobody needs on
-  * normalized stores). */
+  * L2 / L1 / dot modes and (r16, so every pgvector halfvec operator
+  * `<->`/`<#>`/`<=>`/`<+>` has a servable kernel) cosine distance —
+  * one pass, three accumulators, the [[VectorDistance.CosineDist]]
+  * formula 1 − dot/(√Σx²·√Σq²). */
 case class HalfDistExpr(child: Expression, query: Array[Double], mode: Int)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
@@ -562,16 +564,23 @@ case class HalfDistExpr(child: Expression, query: Array[Double], mode: Int)
       throw new IllegalArgumentException(
         s"vector dimension mismatch: $n vs ${query.length}")
     var acc = 0.0
+    var na = 0.0 // Σx² / Σq² accumulators, cosine mode only
+    var nb = 0.0
     var i = 0
     while (i < n) {
       val h = ((b(2 * i) & 0xff) | ((b(2 * i + 1) & 0xff) << 8)).toShort
       val x = Half.fromHalfBits(h).toDouble
       if (mode == VectorDistance.L2.id) { val d = x - query(i); acc += d * d }
       else if (mode == VectorDistance.L1.id) acc += math.abs(x - query(i))
-      else acc += x * query(i)
+      else if (mode == VectorDistance.CosineDist.id) {
+        acc += x * query(i); na += x * x; nb += query(i) * query(i)
+      } else acc += x * query(i)
       i += 1
     }
-    if (mode == VectorDistance.L2.id) math.sqrt(acc) else acc
+    if (mode == VectorDistance.L2.id) math.sqrt(acc)
+    else if (mode == VectorDistance.CosineDist.id)
+      1.0 - acc / (math.sqrt(na) * math.sqrt(nb))
+    else acc
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -805,7 +814,9 @@ case class L2NormalizeExpr(child: Expression)
 /** The pgvector text-format vector literal — `'[0.1, -2, 3e-1]'` —
   * as an array<double> expression ([[graft.plans.PgVectorParser]]
   * rewrites `'[...]'::vector` to `vec_literal('[...]')` and
-  * `'[...]'::vector(n)` to `vec_literal('[...]', n)`). Foldable
+  * `'[...]'::vector(n)` to `vec_literal('[...]', n)`). Numeric ARRAY
+  * children pass through with the same typmod check (pgvector's
+  * `real[]::vector` / `ARRAY[...]::halfvec` casts, r16). Foldable
   * when the child is (a string literal always is), so constant
   * folding collapses it to a Literal array and the IvfProbeRule's
   * literal-query rewrite fires on the reference's verbatim SQL.
@@ -821,11 +832,33 @@ case class VecLiteralExpr(child: Expression, expectedDims: Int = -1)
     child.dataType match {
       case org.apache.spark.sql.types.StringType =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      // pgvector also casts float arrays (`real[]::vector`,
+      // `ARRAY[...]::halfvec`) — pass numeric arrays through with the
+      // same typmod check (r16)
+      case ArrayType(DoubleType | org.apache.spark.sql.types.FloatType |
+        org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"vec_literal needs a '[x, y, ...]' string, got $t")
+        s"vec_literal needs a '[x, y, ...]' string or a numeric array, got $t")
     }
 
-  override def nullSafeEval(input: Any): Any = {
+  override def nullSafeEval(input: Any): Any = child.dataType match {
+    case ArrayType(et, _) =>
+      val a = input.asInstanceOf[ArrayData]
+      val out = et match {
+        case DoubleType => a.toDoubleArray()
+        case org.apache.spark.sql.types.FloatType => a.toFloatArray().map(_.toDouble)
+        case org.apache.spark.sql.types.LongType => a.toLongArray().map(_.toDouble)
+        case _ => a.toIntArray().map(_.toDouble)
+      }
+      if (expectedDims > 0 && out.length != expectedDims)
+        throw new IllegalArgumentException(
+          s"expected $expectedDims dimensions, not ${out.length}")
+      ArrayData.toArrayData(out)
+    case _ => evalText(input)
+  }
+
+  private def evalText(input: Any): Any = {
     val s = input.toString.trim
     require(s.startsWith("[") && s.endsWith("]"),
       s"malformed vector literal (expected '[x, y, ...]'): $s")

@@ -65,11 +65,26 @@ object PgVectorSql {
 
   private val MultiOps = Seq("<->", "<=>", "<#>", "<+>", "<~>", "<%>", "::")
 
+  /** Cast target types the rewriter claims (pgvector's column types;
+    * `bit(n)` stays with the stock parser — Spark has no bit type and
+    * the engine's bit storage is `vec_binary_quantize` words). */
+  private val VecTypes = Set("vector", "halfvec", "sparsevec")
+
+  /** pgvector halfvec distance operators → the packed-column half
+    * kernels ([[graft.functions.HalfDistExpr]] modes). `<~>`/`<%>`
+    * have no halfvec reading in pgvector either. */
+  private val HalfOps = Map(
+    "<->" -> (("vec_half_l2", false)),
+    "<#>" -> (("vec_half_dot", true)),
+    "<=>" -> (("vec_half_cos_dist", false)),
+    "<+>" -> (("vec_half_l1", false)))
+
   /** Cheap guard: only SQL that can contain pgvector syntax pays the
     * lexer. */
   def mayContain(sql: String): Boolean = {
     val lower = sql.toLowerCase(java.util.Locale.ROOT)
-    VecOps.keysIterator.exists(sql.contains) || lower.contains("::vector")
+    VecOps.keysIterator.exists(sql.contains) || lower.contains("::vector") ||
+      lower.contains("::halfvec") || lower.contains("::sparsevec")
   }
 
   /** `<=>` is ALSO Spark SQL's native null-safe-equality operator, so
@@ -81,9 +96,12 @@ object PgVectorSql {
     * to the stock parser as EqualNullSafe. Decided ONCE on the
     * original statement (rewrites consume the markers, so per-step
     * re-detection would flip mid-fixpoint). */
-  private def cosineDialect(sql: String): Boolean =
+  private def cosineDialect(sql: String): Boolean = {
+    val lower = sql.toLowerCase(java.util.Locale.ROOT)
     VecOps.keysIterator.exists(op => op != "<=>" && sql.contains(op)) ||
-      sql.toLowerCase(java.util.Locale.ROOT).contains("::vector")
+      lower.contains("::vector") || lower.contains("::halfvec") ||
+      lower.contains("::sparsevec")
+  }
 
   private def lex(sql: String): Vector[Tok] = {
     val out = Vector.newBuilder[Tok]
@@ -309,6 +327,38 @@ object PgVectorSql {
     core.map(postfixCasts)
   }
 
+  /** If the token at `last` ENDS a `:: halfvec [( n )]` cast suffix,
+    * return (last token index of the cast's operand, typmod) — the
+    * operator branch uses this to route a halfvec-cast operand to the
+    * half kernels with the operand kept as a FLOAT query. */
+  private def halfCastEnd(sql: String, ts: Vector[Tok], last: Int): Option[(Int, Option[Int])] = {
+    def identIsHalf(j: Int): Boolean = ts.lift(j).exists {
+      case id: Ident => sql.substring(id.s, id.e).equalsIgnoreCase("halfvec")
+      case _ => false
+    }
+    ts.lift(last) match {
+      case Some(P(_, _, ')')) =>
+        val nIdx = prevNonWs(ts, last)
+        val pOpen = prevNonWs(ts, nIdx)
+        val idIdx = prevNonWs(ts, pOpen)
+        val castOp = prevNonWs(ts, idIdx)
+        (ts.lift(nIdx), ts.lift(pOpen), identIsHalf(idIdx), ts.lift(castOp)) match {
+          case (Some(num: Num), Some(P(_, _, '(')), true, Some(Op(_, _, "::"))) =>
+            sql.substring(num.s, num.e).toIntOption.map { n =>
+              (prevNonWs(ts, castOp), Some(n))
+            }
+          case _ => None
+        }
+      case Some(_: Ident) if identIsHalf(last) =>
+        val castOp = prevNonWs(ts, last)
+        ts.lift(castOp) match {
+          case Some(Op(_, _, "::")) => Some((prevNonWs(ts, castOp), None))
+          case _ => None
+        }
+      case _ => None
+    }
+  }
+
   /** One rewrite step: leftmost `::vector` cast or vector operator
     * whose operands extract cleanly. Returns the rewritten SQL, or
     * None when nothing (more) rewrites. */
@@ -318,7 +368,8 @@ object PgVectorSql {
     val candidates = ts.indices.filter(i => ts(i) match {
       case Op(_, _, "::") =>
         ts.lift(nextNonWs(ts, i)).exists {
-          case id: Ident => sql.substring(id.s, id.e).equalsIgnoreCase("vector")
+          case id: Ident => VecTypes.contains(
+            sql.substring(id.s, id.e).toLowerCase(java.util.Locale.ROOT))
           case _ => false
         }
       case Op(_, _, "<=>") => claimCosEq
@@ -350,31 +401,81 @@ object PgVectorSql {
               case _ => None
             }
           }
-          val li = prevNonWs(ts, i)
-          (ts.lift(li).flatMap {
-            // the parameter marker must survive for parameterized sql
-            case P(_, _, '?') => Some(li)
-            case _ => leftPrimary(sql, ts, li)
-          }).map { from =>
-            val operand = sql.substring(ts(from).s, ts(li).e)
-            val call = typmod match {
-              case Some((n, _)) => s"vec_literal($operand, $n)"
-              case None => s"vec_literal($operand)"
+          val castType = sql.substring(ts(idIdx).s, ts(idIdx).e)
+            .toLowerCase(java.util.Locale.ROOT)
+          val end = typmod.fold(ts(idIdx).e) { case (_, close) => ts(close).e }
+          // a halfvec cast that is an operand of a distance operator is
+          // claimed by the OPERATOR branch (the query side of a half
+          // kernel must stay float — packing it would mistype the
+          // call); only a standalone `x::halfvec` packs to binary here
+          val nextIsVecOp = ts.indices
+            .find(j => ts(j).s >= end && !ts(j).isInstanceOf[Ws])
+            .exists(j => ts(j) match {
+              case Op(_, _, o) => HalfOps.contains(o); case _ => false })
+          if (castType == "halfvec" && nextIsVecOp) None
+          else {
+            val li = prevNonWs(ts, i)
+            (ts.lift(li).flatMap {
+              // the parameter marker must survive for parameterized sql
+              case P(_, _, '?') => Some(li)
+              case _ => leftPrimary(sql, ts, li)
+            }).map { from =>
+              val operand = sql.substring(ts(from).s, ts(li).e)
+              val inner = typmod match {
+                case Some((n, _)) => s"$operand, $n"
+                case None => operand
+              }
+              val call = castType match {
+                case "sparsevec" => s"vec_sparse_literal($inner)"
+                case "halfvec" => s"vec_half(vec_literal($inner))"
+                case _ => s"vec_literal($inner)"
+              }
+              sql.substring(0, ts(from).s) + call + sql.substring(end)
             }
-            val end = typmod.fold(ts(idIdx).e) { case (_, close) => ts(close).e }
-            sql.substring(0, ts(from).s) + call + sql.substring(end)
           }
         case Op(_, _, op) =>
           val (fn, negate) = VecOps(op)
           val li = prevNonWs(ts, i)
           val riStart = nextNonWs(ts, i)
+          // pgvector's halfvec form — one operand carries a
+          // `::halfvec[(n)]` cast (`halfcol <-> '[...]'::halfvec(3)`)
+          // — routes to the half kernels with the cast operand kept
+          // as a FLOAT query (packing it, the standalone-cast
+          // rewrite, would mistype the kernel call). The kernels are
+          // symmetric, so the query may sit on either side.
+          val lCast = if (HalfOps.contains(op)) halfCastEnd(sql, ts, li) else None
+          def lOperandEnd = lCast.fold(li)(_._1)
+          def primEnd(k: Int): Option[Int] = ts.lift(k) match {
+            case Some(P(_, _, '?')) => Some(k) // parameter marker survives
+            case _ => leftPrimary(sql, ts, k)
+          }
           for {
-            lFrom <- leftPrimary(sql, ts, li)
+            lFrom <- primEnd(lOperandEnd)
             rTo <- rightPrimary(ts, riStart)
           } yield {
-            val l = sql.substring(ts(lFrom).s, ts(li).e)
-            val r = sql.substring(ts(riStart).s, ts(rTo).e)
-            val call = if (negate) s"(-$fn($l, $r))" else s"$fn($l, $r)"
+            val rCast = if (HalfOps.contains(op)) halfCastEnd(sql, ts, rTo) else None
+            val call = (lCast, rCast) match {
+              case (None, None) =>
+                val l = sql.substring(ts(lFrom).s, ts(li).e)
+                val r = sql.substring(ts(riStart).s, ts(rTo).e)
+                if (negate) s"(-$fn($l, $r))" else s"$fn($l, $r)"
+              case _ =>
+                val (hfn, hneg) = HalfOps(op)
+                // right cast wins when both sides carry one: the left
+                // keeps its cast text and the NEXT step's standalone
+                // rewrite packs it to a halfvec column
+                val (colText, qText, qTypmod) = rCast match {
+                  case Some((rEnd, tm)) =>
+                    (sql.substring(ts(lFrom).s, ts(li).e),
+                      sql.substring(ts(riStart).s, ts(rEnd).e), tm)
+                  case None =>
+                    (sql.substring(ts(riStart).s, ts(rTo).e),
+                      sql.substring(ts(lFrom).s, ts(lOperandEnd).e), lCast.get._2)
+                }
+                val qCall = qTypmod.fold(s"vec_literal($qText)")(n =>
+                  s"vec_literal($qText, $n)")
+                if (hneg) s"(-$hfn($colText, $qCall))" else s"$hfn($colText, $qCall)"
+            }
             sql.substring(0, ts(lFrom).s) + call + sql.substring(ts(rTo).e)
           }
         case _ => None

@@ -2011,6 +2011,37 @@ object VectorQueries {
       .limit(K)
   }
 
+  /** Sparse L2 KNN (pgvector sparsevec `<->`, r16): nearest-k by
+    * Euclidean distance over the index UNION between the sparse tf
+    * store and the integer-weighted term query — puts the r15
+    * [[graft.functions.SparseDistExpr]] L2 kernel (until now serving
+    * sparsevec_l2_ops with spec-only coverage) on the hash gate.
+    * Integer tf·weights make every accumulator exact, and the union
+    * merge satisfies dist² = ssq_doc − 2·dot + ssq_q, which the
+    * relational oracle replays in integers with one final sqrt. */
+  private def sparseL2Knn(s: SparkSession, d: String): DataFrame = {
+    val (qi, qv) = graft.functions.SparseVec.queryOf(SparseQueryTerms)
+    sparseTf(s, d)
+      .select(col("doc_id"),
+        graft.functions.SparseVec.l2Distance(col("sidx"), col("sval"), qi, qv)
+          .as("dist"))
+      .orderBy(col("dist"), col("doc_id"))
+      .limit(K)
+  }
+
+  private val sparseL2KnnSql = s"""
+    WITH tok AS (SELECT doc_id, unnest(${graft.functions.TextFunctions.tokensSql("text")}) AS w FROM documents),
+    tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
+    q(w, wt) AS (VALUES ('join', 3), ('vector', 2), ('scan', 2), ('fast', 1)),
+    dotn AS (SELECT t.doc_id, CAST(sum(t.tf * q.wt) AS BIGINT) AS dot
+             FROM tf t JOIN q ON t.w = q.w GROUP BY t.doc_id),
+    ssq AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS ssq FROM tf GROUP BY doc_id)
+    SELECT s.doc_id,
+           sqrt(CAST(s.ssq - 2 * coalesce(d.dot, 0) + 18 AS DOUBLE)) AS dist
+    FROM ssq s LEFT JOIN dotn d USING (doc_id)
+    ORDER BY dist, doc_id
+    LIMIT $K"""
+
   private val sparseKnnSql = s"""
     WITH tok AS (SELECT doc_id, unnest(${graft.functions.TextFunctions.tokensSql("text")}) AS w FROM documents),
     tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
@@ -2337,6 +2368,30 @@ object VectorQueries {
         toColumn(graft.functions.HalfDistExpr(
           toExpression(col("hv")), qHalf,
           graft.functions.VectorDistance.L2.id)).as("dist"))
+      .orderBy(col("dist"), col("vec_id"))
+      .limit(K)
+  }
+
+  /** Halfvec cosine KNN (pgvector halfvec `<=>`, r16): the
+    * [[graft.functions.HalfDistExpr]] cosine mode — added so all four
+    * pgvector halfvec operators have servable kernels — on the hash
+    * gate over the same packed binary16 sidecar as vs_knn_half. The
+    * oracle decodes the stored codes with integer bit arithmetic and
+    * replays the kernel's three per-dim accumulators (dot, ‖x‖², ‖q‖²)
+    * as dim-ordered list_sums — each is an independent sequential
+    * fold, so 1 − dot/(√·√) reproduces bit-exactly. */
+  private def knnHalfCos(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.GraftSqlBridge.{toColumn, toExpression}
+    val store = s.read.parquet(ensureHalfStore(s, d))
+    val q = queryVec(s, d).select(col("qvec").cast("array<double>"))
+      .head.getSeq[Double](0).toArray
+    val qHalf = graft.functions.Half.unpackToDouble(graft.functions.Half.pack(q))
+    store
+      .filter(col("vec_id") =!= 0)
+      .select(col("vec_id"),
+        toColumn(graft.functions.HalfDistExpr(
+          toExpression(col("hv")), qHalf,
+          graft.functions.VectorDistance.CosineDist.id)).as("dist"))
       .orderBy(col("dist"), col("vec_id"))
       .limit(K)
   }
@@ -3091,6 +3146,38 @@ object VectorQueries {
     LIMIT $K"""
   }
 
+  /** Cosine twin of [[knnHalfOracle]] (vs_half_cos, r16): the same
+    * integer binary16 decode, then the kernel's three dim-ordered
+    * accumulators as independent list_sums and the single
+    * 1 − dot/(√‖x‖²·√‖q‖²) combination. */
+  private def knnHalfCosOracle(d: String): String = {
+    val p = halfStorePath(d)
+    val u = hexByte("hx", "4*dim+1") + " + 256 * " + hexByte("hx", "4*dim+3")
+    s"""
+    WITH st AS (SELECT vec_id, hex(hv) AS hx, octet_length(hv) // 2 AS nd
+                FROM read_parquet('$p/*.parquet')),
+    bits AS (
+      SELECT vec_id, dim, $u AS u
+      FROM (SELECT vec_id, hx, unnest(range(0, nd)) AS dim FROM st)),
+    dec AS (
+      SELECT vec_id, dim,
+             (CASE WHEN u >= 32768 THEN -1.0 ELSE 1.0 END) *
+             (CASE WHEN ((u % 32768) // 1024) = 0
+                   THEN (u % 1024) * power(2.0, -24)
+                   ELSE (1024 + (u % 1024)) * power(2.0, ((u % 32768) // 1024) - 25) END) AS x
+      FROM bits),
+    qd AS (SELECT dim, x AS qx FROM dec WHERE vec_id = 0)
+    SELECT d.vec_id AS vec_id,
+           1.0 - list_sum(list(d.x * qd.qx ORDER BY d.dim)) /
+                 (sqrt(list_sum(list(d.x * d.x ORDER BY d.dim))) *
+                  sqrt(list_sum(list(qd.qx * qd.qx ORDER BY d.dim)))) AS dist
+    FROM dec d JOIN qd USING (dim)
+    WHERE d.vec_id <> 0
+    GROUP BY d.vec_id
+    ORDER BY dist, vec_id
+    LIMIT $K"""
+  }
+
   /** def, not val: the replay oracles above embed
     * [[graft.OracleEnv.sfDir]]-derived store paths, resolved at dump
     * time (Verify sets sfDir, runs the queries — which build the
@@ -3143,6 +3230,8 @@ object VectorQueries {
     "vs_knn_l2"       -> QueryDef(knnL2 _, knnOracle(l2Sql)),
     "vs_knn_l1"       -> QueryDef(knnL1 _, knnOracle(l1Sql)),
     "vs_knn_half"     -> QueryDef(knnHalf _, knnHalfOracle(d)),
+    "vs_half_cos"     -> QueryDef(knnHalfCos _, knnHalfCosOracle(d)),
+    "vs_sparse_l2_knn" -> QueryDef(sparseL2Knn _, sparseL2KnnSql),
     "vs_bit_hamming"  -> QueryDef(knnBitHamming _, bitHammingSql),
     "vs_bit_jaccard"  -> QueryDef(knnBitJaccard _, bitJaccardSql),
     "vs_knn_cosine"   -> QueryDef(knnCos _, knnOracle(cosSql)),

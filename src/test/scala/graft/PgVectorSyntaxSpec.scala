@@ -85,6 +85,71 @@ class PgVectorSyntaxSpec extends AnyFunSuite {
       "SELECT vec_cos_dist((vec_l2(a, b)), c)")
   }
 
+  test("::sparsevec casts translate to the sparse literal (r16)") {
+    assert(PgVectorSql.translate("SELECT '{1:1.5,3:2}/5'::sparsevec") ==
+      "SELECT vec_sparse_literal('{1:1.5,3:2}/5')")
+    assert(PgVectorSql.translate("SELECT '{1:1}/5'::sparsevec(5)") ==
+      "SELECT vec_sparse_literal('{1:1}/5', 5)")
+    assert(PgVectorSql.translate(
+      "SELECT sparse_dot(si, sv, ?::sparsevec(9)) FROM t") ==
+      "SELECT sparse_dot(si, sv, vec_sparse_literal(?, 9)) FROM t")
+  }
+
+  test("::halfvec casts route distance operators to the half kernels (r16)") {
+    // query on the right — the pgvector porting shape
+    assert(PgVectorSql.translate("SELECT hv <-> '[1,2]'::halfvec(2) FROM t") ==
+      "SELECT vec_half_l2(hv, vec_literal('[1,2]', 2)) FROM t")
+    assert(PgVectorSql.translate("SELECT hv <#> '[1,2]'::halfvec FROM t") ==
+      "SELECT (-vec_half_dot(hv, vec_literal('[1,2]'))) FROM t")
+    assert(PgVectorSql.translate("SELECT hv <=> ?::halfvec(4) FROM t") ==
+      "SELECT vec_half_cos_dist(hv, vec_literal(?, 4)) FROM t")
+    assert(PgVectorSql.translate("SELECT hv <+> '[0.5]'::halfvec FROM t") ==
+      "SELECT vec_half_l1(hv, vec_literal('[0.5]')) FROM t")
+    // query on the left — the kernels are symmetric
+    assert(PgVectorSql.translate("SELECT '[1,2]'::halfvec(2) <-> hv FROM t") ==
+      "SELECT vec_half_l2(hv, vec_literal('[1,2]', 2)) FROM t")
+    // standalone cast packs to the binary halfvec column type
+    assert(PgVectorSql.translate("SELECT '[1,2]'::halfvec(2) AS h") ==
+      "SELECT vec_half(vec_literal('[1,2]', 2)) AS h")
+    assert(PgVectorSql.translate("SELECT v::halfvec FROM t") ==
+      "SELECT vec_half(vec_literal(v)) FROM t")
+    // both sides cast: right is the query, left packs on the next step
+    assert(PgVectorSql.translate("SELECT '[1]'::halfvec <-> '[2]'::halfvec") ==
+      "SELECT vec_half_l2(vec_half(vec_literal('[1]')), vec_literal('[2]'))")
+  }
+
+  test("sparsevec literal parsing follows pgvector's rules") {
+    import graft.functions.SparseVec.parseLiteral
+    val (i1, v1, d1) = parseLiteral("{1:1.5, 3:2}/5")
+    assert(i1.toSeq == Seq(1L, 3L) && v1.toSeq == Seq(1.5, 2.0) && d1 == 5)
+    // zero values are dropped (sparsevec stores only non-zero)
+    val (i2, v2, _) = parseLiteral("{1:0,2:3}/4")
+    assert(i2.toSeq == Seq(2L) && v2.toSeq == Seq(3.0))
+    // empty literal is legal
+    val (i3, _, d3) = parseLiteral("{}/7")
+    assert(i3.isEmpty && d3 == 7)
+    // typmod mismatch gets pgvector's dim error
+    val tm = intercept[IllegalArgumentException] { parseLiteral("{1:1}/5", 4) }
+    assert(tm.getMessage.contains("expected 4 dimensions, not 5"))
+    // 1-based bounds
+    val oor = intercept[IllegalArgumentException] { parseLiteral("{0:1}/5") }
+    assert(oor.getMessage.contains("index out of range"))
+    val oor2 = intercept[IllegalArgumentException] { parseLiteral("{6:1}/5") }
+    assert(oor2.getMessage.contains("index out of range"))
+    // ascending order (also rejects duplicates)
+    val ord = intercept[IllegalArgumentException] { parseLiteral("{3:1,2:1}/5") }
+    assert(ord.getMessage.contains("ascending order"))
+    val dup = intercept[IllegalArgumentException] { parseLiteral("{2:1,2:1}/5") }
+    assert(dup.getMessage.contains("ascending order"))
+    // malformed shapes
+    intercept[IllegalArgumentException] { parseLiteral("[1,2]") }
+    intercept[IllegalArgumentException] { parseLiteral("{1:1}") }
+    intercept[IllegalArgumentException] { parseLiteral("{1}/5") }
+    // dims bounds
+    intercept[IllegalArgumentException] { parseLiteral("{1:1}/0") }
+    intercept[IllegalArgumentException] { parseLiteral("{1:1}/2000000000") }
+  }
+
   // --------------------------------------- parser-injected execution
   // extensions only apply at session construction; build a sibling
   // session over the same SparkContext, restore the shared one after
@@ -212,6 +277,65 @@ class PgVectorSyntaxSpec extends AnyFunSuite {
       val r = s.sql(
         "SELECT array(1.0D, 2.0D) <#> '[3,4]'::vector AS d").head.getDouble(0)
       assert(r == -(1.0 * 3 + 2.0 * 4))
+    }
+  }
+
+  test("sparsevec literals execute: 3-arg sparse kernels match the 4-arg forms") {
+    withExtSession { s =>
+      import s.implicits._
+      // two docs as (indices, values) pairs in a 1-based 5-dim space
+      Seq((1L, Seq(1L, 3L), Seq(1.0, 2.0)), (2L, Seq(2L, 3L), Seq(4.0, 1.0)))
+        .toDF("id", "si", "sv").createOrReplaceTempView("sp")
+      val q = "'{1:2, 3:1}/5'::sparsevec(5)"
+      def col1(sqlText: String): Seq[Double] =
+        s.sql(sqlText).orderBy(org.apache.spark.sql.functions.col("id"))
+          .collect().map(_.getDouble(1)).toSeq
+      val dot3 = col1(s"SELECT id, sparse_dot(si, sv, $q) AS d FROM sp")
+      val dot4 = col1(
+        "SELECT id, sparse_dot(si, sv, array(1L, 3L), array(2.0D, 1.0D)) AS d FROM sp")
+      assert(dot3 == dot4 && dot3 == Seq(1.0 * 2 + 2.0 * 1, 1.0 * 1))
+      // the r16 SQL names for every pgvector sparsevec operator
+      val l2 = col1(s"SELECT id, sparse_l2(si, sv, $q) AS d FROM sp")
+      assert(l2.head == math.sqrt(1.0 + 1.0)) // (1-2)² + (2-1)², indices 1/3 matched
+      val l1 = col1(s"SELECT id, sparse_l1(si, sv, $q) AS d FROM sp")
+      assert(l1(1) == 2.0 + 4.0 + 0.0) // q idx1 unmatched (2), doc idx2 unmatched (4), idx3 |1-1|
+      val cd = col1(s"SELECT id, sparse_cos_dist(si, sv, $q) AS d FROM sp")
+      val cs = col1(s"SELECT id, sparse_cos_sim(si, sv, $q) AS d FROM sp")
+      assert(cd.zip(cs).forall { case (d, sim) => d == 1.0 - sim })
+      // struct fields are addressable too
+      val dims = s.sql(s"SELECT $q.dims AS n").head.getInt(0)
+      assert(dims == 5)
+    }
+  }
+
+  test("halfvec casts execute: distance ops over a packed column (r16)") {
+    withExtSession { s =>
+      import s.implicits._
+      Seq((1L, Seq(1.0f, 0.0f)), (2L, Seq(0.6f, 0.8f)))
+        .toDF("id", "v")
+        .selectExpr("id", "v::halfvec AS hv")
+        .createOrReplaceTempView("hv")
+      def d(sqlText: String): Seq[Double] =
+        s.sql(sqlText).orderBy(org.apache.spark.sql.functions.col("id"))
+          .collect().map(_.getDouble(1)).toSeq
+      val l2 = d("SELECT id, hv <-> '[1,0]'::halfvec(2) AS d FROM hv")
+      assert(math.abs(l2.head) < 1e-9)
+      assert(math.abs(l2(1) - math.sqrt(0.4 * 0.4 + 0.8 * 0.8)) < 1e-3)
+      val ip = d("SELECT id, hv <#> '[1,0]'::halfvec AS d FROM hv")
+      assert(ip == Seq(-1.0, -0.6) || (math.abs(ip.head + 1.0) < 1e-3 &&
+        math.abs(ip(1) + 0.6) < 1e-3))
+      // cosine distance: doc2 is unit at 53.13°, query unit at 0°
+      val cos = d("SELECT id, hv <=> '[2,0]'::halfvec AS d FROM hv")
+      assert(math.abs(cos.head) < 1e-6 && math.abs(cos(1) - 0.4) < 1e-3)
+      val l1 = d("SELECT id, hv <+> '[1,0]'::halfvec AS d FROM hv")
+      assert(math.abs(l1(1) - (0.4 + 0.8)) < 1e-3)
+      // typmod mismatch raises pgvector's dim error through the cast
+      val e = intercept[Exception] {
+        s.sql("SELECT hv <-> '[1,0,0]'::halfvec(2) AS d FROM hv").collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+      assert(msgs(e).exists(_.contains("expected 2 dimensions, not 3")))
     }
   }
 
