@@ -238,11 +238,42 @@ object GraftExtensions {
       }),
   )
 
+  /** pgvector's NAMED function surface (r16): the docs' function
+    * names resolve to the same builders as the vec_* kernels, so
+    * `SELECT l2_distance(embedding, '[...]'::vector)` ports verbatim.
+    * `inner_product` is pgvector's POSITIVE dot (the `<#>` operator is
+    * the negated one). `binary_quantize` returns the engine's packed
+    * int64 words rather than a pg `bit(n)` value (the documented
+    * storage deviation); `hamming_distance`/`jaccard_distance` consume
+    * those words. halfvec/sparsevec overload dispatch has no Spark
+    * analogue — those columns use the vec_half_* / sparse_* names. */
+  private val pgAliases: Seq[(String, String)] = Seq(
+    "l2_distance" -> "vec_l2",
+    "inner_product" -> "vec_dot",
+    "cosine_distance" -> "vec_cos_dist",
+    "l1_distance" -> "vec_l1",
+    "vector_dims" -> "vec_dims",
+    "vector_norm" -> "vec_norm",
+    "l2_normalize" -> "vec_l2_normalize",
+    "binary_quantize" -> "vec_binary_quantize",
+    "subvector" -> "vec_subvector",
+    "hamming_distance" -> "vec_hamming",
+    "jaccard_distance" -> "vec_jaccard")
+
+  /** builders ++ the pgvector-named aliases, sharing usage/builder. */
+  private[graft] val allBuilders: Seq[(String, String, Seq[Expression] => Expression)] = {
+    val byName = builders.map(t => t._1 -> t).toMap
+    builders ++ pgAliases.map { case (alias, target) =>
+      val (_, usage, b) = byName(target)
+      (alias, s"$alias - pgvector name for $target. $usage", b)
+    }
+  }
+
   /** Runtime registration into an existing session (the
     * `withExtensions` path only applies at session construction). */
   def register(spark: org.apache.spark.sql.SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    builders.foreach { case (name, _, b) =>
+    allBuilders.foreach { case (name, _, b) =>
       reg.createOrReplaceTempFunction(name, b, "scala_udf")
     }
   }
@@ -255,7 +286,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       "", "", "", "", "", "", "scala_udf")
 
   override def apply(e: SparkSessionExtensions): Unit = {
-    GraftExtensions.builders.foreach { case (name, usage, b) =>
+    GraftExtensions.allBuilders.foreach { case (name, usage, b) =>
       e.injectFunction((FunctionIdentifier(name), info(name, usage), b))
     }
     // pgvector operator syntax (`<->`, `<=>`, `<#>`, `<+>`, `<~>`,

@@ -339,6 +339,31 @@ class PgVectorSyntaxSpec extends AnyFunSuite {
     }
   }
 
+  test("pgvector's named functions resolve as aliases of the vec_* kernels (r16)") {
+    withExtSession { s =>
+      assert(s.sql("SELECT l2_distance(array(0.0D, 0.0D), '[3,4]'::vector) AS d")
+        .head.getDouble(0) == 5.0)
+      // inner_product is pgvector's POSITIVE dot; <#> stays negated
+      assert(s.sql("SELECT inner_product(array(1.0D, 2.0D), '[3,4]'::vector) AS d")
+        .head.getDouble(0) == 11.0)
+      assert(math.abs(s.sql(
+        "SELECT cosine_distance(array(1.0D, 0.0D), '[0,2]'::vector) AS d")
+        .head.getDouble(0) - 1.0) < 1e-12)
+      assert(s.sql("SELECT l1_distance(array(1.0D, 1.0D), '[3,4]'::vector) AS d")
+        .head.getDouble(0) == 5.0)
+      assert(s.sql("SELECT vector_dims('[1,2,3]'::vector) AS n").head.getInt(0) == 3)
+      assert(s.sql("SELECT vector_norm('[3,4]'::vector) AS n").head.getDouble(0) == 5.0)
+      assert(s.sql("SELECT subvector('[1,2,3,4]'::vector, 2, 2) AS v")
+        .head.getSeq[Double](0) == Seq(2.0, 3.0))
+      assert(s.sql("SELECT l2_normalize('[3,4]'::vector) AS v")
+        .head.getSeq[Double](0) == Seq(0.6, 0.8))
+      assert(s.sql(
+        """SELECT hamming_distance(binary_quantize('[1,-1,1]'::vector),
+                                   binary_quantize('[1,1,-1]'::vector)) AS d""")
+        .head.getInt(0) == 2)
+    }
+  }
+
   test("IvfProbeRule fires on the verbatim pgvector query over a registered store") {
     withExtSession { s =>
       // build + register the auto store and install the rule on THIS
