@@ -1469,7 +1469,17 @@ object VectorQueries {
     * floor-gated in RecallGateSpec; the entry is hash-oracled against
     * the persisted cell store. */
   private[graft] val PairSampleMod = 20
-  private[graft] val PairCellNlist = 16
+  /** Pair-mining cell count: corpus-scaled (r16 — pgvector's
+    * lists-per-rows guidance, the routed-sparse nlist treatment).
+    * With nlist fixed, rows/cell grow with the corpus and the
+    * anchors×rows pair volume grows QUADRATICALLY in SF (measured: the
+    * sf10 fixture's 37.5k-row cells put ~1.1B cosine evaluations in
+    * one task). Scaling nlist ∝ vecs/2000 bounds rows/cell, keeping
+    * pair volume LINEAR. Floor 16 keeps sf ≤ 1.0 fixtures bit-exactly
+    * on the historical layout (2k/20k vecs → floor); the oracle is
+    * layout-agnostic either way (it reads `cells` from the store). */
+  private[graft] def pairCellNlist(nVecs: Long): Int =
+    math.max(16, (nVecs / 2000L).toInt)
   private[graft] val PairCellSpill = 3
 
   private[graft] def pairCellStorePath(d: String): String =
@@ -1483,7 +1493,8 @@ object VectorQueries {
         val emb = Tables.embeddings(s, d)
         val mat = graft.operators.Materializer.local()
         val centroids = IvfIndex.trainCentroids(
-          emb, "vec_id", "embedding", nlist = PairCellNlist, iters = 2, mat)
+          emb, "vec_id", "embedding", nlist = pairCellNlist(emb.count()),
+          iters = 2, mat)
         IvfIndex.rankedCells(emb, "embedding", centroids, spill = PairCellSpill)
           .select(col("vec_id"), col("embedding"), col("cells"))
           .write.mode("overwrite").parquet(p)

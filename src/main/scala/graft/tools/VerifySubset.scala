@@ -27,9 +27,17 @@ object VerifySubset {
     new java.io.File(outDir).mkdirs()
     val picked = names.split(",").toSeq
     picked.foreach { name =>
-      SparkEntry.queries(name)(spark, sfDir).coalesce(1)
-        .write.mode("overwrite").parquet(s"$outDir/$name")
-      println(s"[verify-subset] wrote $name")
+      // resume semantics (r16): a name whose output already landed
+      // (prior partial run) is skipped, so a killed long sf10 pass
+      // re-runs only its tail — oracle_sql.json is still dumped for
+      // EVERY picked name below, completing the check.py contract
+      if (new java.io.File(s"$outDir/$name/_SUCCESS").exists()) {
+        println(s"[verify-subset] kept $name (resume)")
+      } else {
+        SparkEntry.queries(name)(spark, sfDir).coalesce(1)
+          .write.mode("overwrite").parquet(s"$outDir/$name")
+        println(s"[verify-subset] wrote $name")
+      }
     }
     def q(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""

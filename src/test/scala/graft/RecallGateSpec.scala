@@ -274,7 +274,7 @@ class RecallGateSpec extends SparkSpec {
     val hits = exact.count { case (a, p) => blocked.get(a).contains(p) }
     val r = hits.toDouble / exact.size
     info(f"emb_pairs_blocked exact-positive recall = $r%.2f over ${exact.size} anchors " +
-      s"(nlist ${graft.queries.VectorQueries.PairCellNlist}, spill ${graft.queries.VectorQueries.PairCellSpill})")
+      s"(spill ${graft.queries.VectorQueries.PairCellSpill})")
     assert(r >= 0.7, f"blocked positive recall $r%.2f below floor 0.7")
   }
 
