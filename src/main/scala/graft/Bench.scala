@@ -149,11 +149,18 @@ object Bench {
       System.err.println(s"[bench] waiting for writeback drain: Dirty+Writeback=${dirty0}kB")
       Thread.sleep(5000); drained += 1; dirty0 = dirtyKb()
     }
-    val ioProbeS = ioProbe()
-    val ioPressured = dirty0 > DirtyThresholdKb || ioProbeS > 0.5
+    // min-of-3 (r16): a single probe conflates the box's fsync
+    // BASELINE with pressure — the r16 box floors at ~0.5s where the
+    // r15 threshold sat, stamping clean runs pressured. The failure
+    // mode this guard exists for (page-cache writeback after a Verify
+    // pass) inflates the probe ~10×, far past 1s; a stable sub-1s min
+    // across three probes is the disk's idle latency, not load.
+    val ioProbes = Seq.fill(3)(ioProbe())
+    val ioProbeS = ioProbes.min
+    val ioPressured = dirty0 > DirtyThresholdKb || ioProbeS > 1.0
     if (ioPressured)
       System.err.println(s"[bench] IO PRESSURE at start: dirty=${dirty0}kB " +
-        f"probe=$ioProbeS%.3fs — artifact stamped io_pressured")
+        f"probes=${ioProbes.map(p => f"$p%.3f").mkString("/")}s — artifact stamped io_pressured")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -396,7 +403,8 @@ object Bench {
             s"no entry: ${unmatched.mkString(", ")} — check for typos")
         s""","subset":true,"only":${o.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"only_unmatched":${unmatched.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     }
-    val ioJson = s""","dirty_kb":$dirty0,"io_probe":${f3(ioProbeS)},"io_pressured":$ioPressured"""
+    val ioJson = s""","dirty_kb":$dirty0,"io_probe":${f3(ioProbeS)},""" +
+      s""""io_probes":[${ioProbes.map(f3).mkString(",")}],"io_pressured":$ioPressured"""
     val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jsonMap(allResults, round = true)},"canary_med":${f3(cMed)},"canary_max":${f3(cMax)}$contJson$subsetJson$ioJson,"calib":${f3(calib)},"cached_builds":${cachedBuilds.size},"sf":"$sfDir"}"""
     println(line)
     val fileLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(allResults, round = false)},"cold":${jsonMap(coldTimes.toSeq, round = false)},"warm":${jsonMap(warmTimes.toSeq, round = false)},"canary":${jsonMap(canaryTimes.toSeq, round = false)}$contJson$subsetJson$ioJson,"canary_dirty":$dirtyJson,"calib":$calib,"cached":$cachedJson,"sf":"$sfDir"}"""
