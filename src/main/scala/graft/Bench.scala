@@ -157,10 +157,29 @@ object Bench {
     // across three probes is the disk's idle latency, not load.
     val ioProbes = Seq.fill(3)(ioProbe())
     val ioProbeS = ioProbes.min
-    val ioPressured = dirty0 > DirtyThresholdKb || ioProbeS > 1.0
+    // measured-baseline bar (r17, ADVICE r16): the fixed 1.0s constant
+    // combined with min-of-3 stamped a box with a sustained 0.6-0.9s
+    // probe floor (real background IO) clean. The bar is now 2× the
+    // box's own idle floor — the monotone minimum probe ever observed
+    // here, persisted across runs (a true idle floor only shrinks; a
+    // contaminated first write converges down on the next quiet run).
+    // The floor cap (1.0s) stops a pathological first run from baking
+    // in a huge bar; the bar floor (0.25s) keeps fast-NVMe boxes from
+    // flagging ordinary jitter. Per-probe values stay in io_probes.
+    val floorFile = new java.io.File(sys.props("java.io.tmpdir"), "graft_bench_io_floor.txt")
+    val prevFloor: Option[Double] = try {
+      val v = new String(java.nio.file.Files.readAllBytes(floorFile.toPath), "UTF-8").trim.toDouble
+      if (v > 0 && !v.isNaN && !v.isInfinite) Some(v) else None
+    } catch { case _: Throwable => None }
+    val ioFloor = math.min(prevFloor.fold(ioProbeS)(math.min(_, ioProbeS)), 1.0)
+    try java.nio.file.Files.write(floorFile.toPath, f"$ioFloor%.4f%n".getBytes("UTF-8"))
+    catch { case _: Throwable => () }
+    val ioBar = math.max(2.0 * ioFloor, 0.25)
+    val ioPressured = dirty0 > DirtyThresholdKb || ioProbeS > ioBar
     if (ioPressured)
       System.err.println(s"[bench] IO PRESSURE at start: dirty=${dirty0}kB " +
-        f"probes=${ioProbes.map(p => f"$p%.3f").mkString("/")}s — artifact stamped io_pressured")
+        f"probes=${ioProbes.map(p => f"$p%.3f").mkString("/")}s floor=$ioFloor%.3f " +
+        f"bar=$ioBar%.3f — artifact stamped io_pressured")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -404,7 +423,8 @@ object Bench {
         s""","subset":true,"only":${o.toSeq.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")},"only_unmatched":${unmatched.map("\"" + _ + "\"").mkString("[", ",", "]")}"""
     }
     val ioJson = s""","dirty_kb":$dirty0,"io_probe":${f3(ioProbeS)},""" +
-      s""""io_probes":[${ioProbes.map(f3).mkString(",")}],"io_pressured":$ioPressured"""
+      s""""io_probes":[${ioProbes.map(f3).mkString(",")}],"io_floor":${f3(ioFloor)},""" +
+      s""""io_bar":${f3(ioBar)},"io_pressured":$ioPressured"""
     val line = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":${jsonMap(allResults, round = true)},"canary_med":${f3(cMed)},"canary_max":${f3(cMax)}$contJson$subsetJson$ioJson,"calib":${f3(calib)},"cached_builds":${cachedBuilds.size},"sf":"$sfDir"}"""
     println(line)
     val fileLine = s"""{"metric":"total","value":$total,"unit":"sec","queries":${jsonMap(allResults, round = false)},"cold":${jsonMap(coldTimes.toSeq, round = false)},"warm":${jsonMap(warmTimes.toSeq, round = false)},"canary":${jsonMap(canaryTimes.toSeq, round = false)}$contJson$subsetJson$ioJson,"canary_dirty":$dirtyJson,"calib":$calib,"cached":$cachedJson,"sf":"$sfDir"}"""

@@ -106,6 +106,13 @@ object SparseVec {
       val (i, v) =
         try (tok.substring(0, colon).trim.toLong, tok.substring(colon + 1).trim.toDouble)
         catch { case _: NumberFormatException => bad() }
+      // pgvector's sparsevec_in rejects non-finite values outright
+      // (Scala toDouble happily parses 'NaN'/'Infinity', and NaN != 0.0
+      // would otherwise store it and poison every downstream distance)
+      if (v.isNaN)
+        throw new IllegalArgumentException("NaN not allowed in sparsevec")
+      if (v.isInfinite)
+        throw new IllegalArgumentException("infinite value not allowed in sparsevec")
       require(i >= 1 && i <= dims, s"sparsevec index out of range: $i (dimensions: $dims)")
       require(i > prev, "sparsevec indexes must be in ascending order")
       prev = i

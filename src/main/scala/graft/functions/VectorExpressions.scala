@@ -578,9 +578,13 @@ case class HalfDistExpr(child: Expression, query: Array[Double], mode: Int)
       i += 1
     }
     if (mode == VectorDistance.L2.id) math.sqrt(acc)
-    else if (mode == VectorDistance.CosineDist.id)
-      1.0 - acc / (math.sqrt(na) * math.sqrt(nb))
-    else acc
+    else if (mode == VectorDistance.CosineDist.id) {
+      // clamp to [-1, 1] before the 1-x combination: rounding can push
+      // dot/(|x||q|) past ±1; DuckDB and pgvector both clamp, matching
+      // VectorDistanceExpr's dense kernel and SparseDistExpr
+      val sim = math.max(-1.0, math.min(1.0, acc / (math.sqrt(na) * math.sqrt(nb))))
+      1.0 - sim
+    } else acc
   }
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
@@ -845,6 +849,14 @@ case class VecLiteralExpr(child: Expression, expectedDims: Int = -1)
   override def nullSafeEval(input: Any): Any = child.dataType match {
     case ArrayType(et, _) =>
       val a = input.asInstanceOf[ArrayData]
+      // toDoubleArray/toLongArray NPE on null elements; pgvector's
+      // real[]::vector cast raises a clear error instead — match that
+      var ni = 0
+      while (ni < a.numElements()) {
+        if (a.isNullAt(ni))
+          throw new IllegalArgumentException("array must not contain nulls")
+        ni += 1
+      }
       val out = et match {
         case DoubleType => a.toDoubleArray()
         case org.apache.spark.sql.types.FloatType => a.toFloatArray().map(_.toDouble)

@@ -950,6 +950,18 @@ object Hnsw {
       StructField("graph", BinaryType, nullable = false))))
   }
 
+  /** nprobe default that SCALES with nlist (r17 — VERDICT r16 #5, the
+    * Zipf artifact's operating-point lesson: recall@10 was 0.77 at
+    * nprobe=4/nlist=100 but fell to 0.63 at 4/1000, needing 8/1000
+    * for 0.81 — a fixed nprobe silently loses recall as the cell
+    * count grows). `nprobe <= 0` resolves to ⌈√nlist⌉, pgvector's own
+    * probes-vs-lists starting point ("a good place to start is
+    * sqrt(lists)"); an explicit positive nprobe is the override knob
+    * and passes through untouched. */
+  def resolveNprobe(nprobe: Int, nlist: Int): Int =
+    if (nprobe > 0) nprobe
+    else math.max(1, math.ceil(math.sqrt(math.max(1, nlist).toDouble)).toInt)
+
   /** Routed sparse search: rank the query's top-mass cells
     * ([[rankCellsSparse]] — driver-side, O(nnz) integer work), walk
     * ONLY those nprobe cells' graphs with the two-pointer kernel,
@@ -957,12 +969,12 @@ object Hnsw {
     * `deserCounter` pins the ≤ nprobe deserialization contract as a
     * measured number (the HnswRoutedSpec discipline). */
   def searchRoutedSparse(graphs: DataFrame, nlist: Int,
-      qIdx: Array[Long], qVal: Array[Double], k: Int, nprobe: Int,
+      qIdx: Array[Long], qVal: Array[Double], k: Int, nprobe: Int = 0,
       ef: Int = 64,
       deserCounter: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     val spark = graphs.sparkSession
     import spark.implicits._
-    val cells = rankCellsSparse(qIdx, qVal, nlist, nprobe)
+    val cells = rankCellsSparse(qIdx, qVal, nlist, resolveNprobe(nprobe, nlist))
     graphs
       .filter(col("part_id").isin(cells.map(Int.box): _*))
       .select(col("graph")).as[Array[Byte]]
@@ -986,11 +998,12 @@ object Hnsw {
     * per-query top-k. */
   def searchBatchRoutedSparse(graphs: DataFrame, nlist: Int,
       queries: Seq[(Long, Array[Long], Array[Double])],
-      k: Int, nprobe: Int, ef: Int = 64,
+      k: Int, nprobe: Int = 0, ef: Int = 64,
       deserCounter: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
     val spark = graphs.sparkSession
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
+    val np = resolveNprobe(nprobe, nlist)
     // qids key the per-query routing maps below — a duplicate would be
     // silently collapsed to one answer while the flat twin emits one
     // result set per input row; fail fast instead (ADVICE r15, the
@@ -999,7 +1012,7 @@ object Hnsw {
       s"searchBatchRoutedSparse: duplicate query ids in batch — " +
         s"${queries.map(_._1).diff(queries.map(_._1).distinct).distinct.mkString(", ")}")
     val cellsOf: Map[Long, Seq[Int]] = queries.map { case (qid, qi, qv) =>
-      qid -> rankCellsSparse(qi, qv, nlist, nprobe)
+      qid -> rankCellsSparse(qi, qv, nlist, np)
     }.toMap
     val byCell: Map[Int, Seq[Long]] = cellsOf.toSeq
       .flatMap { case (qid, cs) => cs.map(_ -> qid) }

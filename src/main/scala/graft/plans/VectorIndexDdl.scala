@@ -476,8 +476,20 @@ final case class CreateVectorIndexCommand(stmt: VectorIndexDdl.Stmt)
     // its 64 bits as 0/1 doubles (bit_get order = BinaryQuant.pack /
     // Hnsw.expandWords order) and build over the expansion. 0/1 are
     // exact in binary16, so bit graphs always take half storage.
+    import org.apache.spark.sql.GraftSqlBridge.{toColumn, toExpression}
     val (src, vecCol, half) =
-      if (storage != "bit") (df, stmt.column, storage == "halfvec")
+      if (storage == "halfvec" &&
+          df.schema(stmt.column).dataType == org.apache.spark.sql.types.BinaryType) {
+        // halfvec opclass over an already-PACKED binary16 column (the
+        // vs_knn_half/vs_half_cos sidecar shape, r17 — VERDICT r16
+        // #7): unpack for the build; the graph then holds exactly the
+        // rounded doubles HalfDistExpr dequantizes at scan time, so
+        // the packed column's own operators become index-servable
+        val unp = s"__half_${stmt.column}"
+        (df.withColumn(unp, toColumn(graft.functions.HalfUnpackExpr(
+          toExpression(col(stmt.column))))), unp, true)
+      }
+      else if (storage != "bit") (df, stmt.column, storage == "halfvec")
       else {
         requirePackedColumn(df)
         val bits = s"__bits_${stmt.column}"

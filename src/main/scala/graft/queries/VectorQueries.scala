@@ -3160,7 +3160,8 @@ object VectorQueries {
   /** Cosine twin of [[knnHalfOracle]] (vs_half_cos, r16): the same
     * integer binary16 decode, then the kernel's three dim-ordered
     * accumulators as independent list_sums and the single
-    * 1 − dot/(√‖x‖²·√‖q‖²) combination. */
+    * 1 − clamp(dot/(√‖x‖²·√‖q‖²)) combination (similarity clamped to
+    * [-1,1] like pgvector/DuckDB and the engine's own kernels). */
   private def knnHalfCosOracle(d: String): String = {
     val p = halfStorePath(d)
     val u = hexByte("hx", "4*dim+1") + " + 256 * " + hexByte("hx", "4*dim+3")
@@ -3179,9 +3180,10 @@ object VectorQueries {
       FROM bits),
     qd AS (SELECT dim, x AS qx FROM dec WHERE vec_id = 0)
     SELECT d.vec_id AS vec_id,
-           1.0 - list_sum(list(d.x * qd.qx ORDER BY d.dim)) /
+           1.0 - greatest(-1.0, least(1.0,
+                 list_sum(list(d.x * qd.qx ORDER BY d.dim)) /
                  (sqrt(list_sum(list(d.x * d.x ORDER BY d.dim))) *
-                  sqrt(list_sum(list(qd.qx * qd.qx ORDER BY d.dim)))) AS dist
+                  sqrt(list_sum(list(qd.qx * qd.qx ORDER BY d.dim)))))) AS dist
     FROM dec d JOIN qd USING (dim)
     WHERE d.vec_id <> 0
     GROUP BY d.vec_id

@@ -333,11 +333,14 @@ object KnnServing {
     * walks only its nprobe top-mass cells' graphs, each graph in the
     * batch's probed UNION is loaded once, so per-batch cost is
     * ≤ min(nlist, |batch|·nprobe) graph loads instead of all P
-    * partition graphs; P grows with the corpus, nprobe does not. */
+    * partition graphs; P grows with the corpus, nprobe does not.
+    * `nprobe <= 0` (the default) resolves to ⌈√nlist⌉ via
+    * [[graft.operators.Hnsw.resolveNprobe]] so recall tracks the cell
+    * count (r17 — pgvector's probes-vs-lists guidance). */
   def serveHnswSparseRouted(
       queries: DataFrame, graphs: DataFrame, nlist: Int,
       qIdCol: String, qIdxCol: String, qValCol: String,
-      k: Int, nprobe: Int, ef: Int = 64,
+      k: Int, nprobe: Int = 0, ef: Int = 64,
       maxBatch: Int = 65536)(writeBatch: (DataFrame, Long) => Unit): StreamingQuery =
     queries.writeStream
       .outputMode("append")

@@ -121,7 +121,8 @@ object ZipfSparse {
 object ZipfSparseBench {
   def main(args: Array[String]): Unit = {
     require(args.nonEmpty,
-      "usage: ZipfSparseBench <nDocs> [outJson] [nlist] [spill] [maxCell]")
+      "usage: ZipfSparseBench <nDocs> [outJson] [nlist] [spill] [maxCell] " +
+        "[reuse(1)] [nprobe (0 = auto ⌈√nlist⌉)]")
     val nDocs = args(0).toLong
     val outJson = args.lift(1).filter(_ != "-")
     val nlistOverride = args.lift(2).map(_.toInt)
@@ -133,7 +134,10 @@ object ZipfSparseBench {
     // sweeps — e.g. the nprobe operating-point scan — without re-paying
     // 20-minute builds); build fields then stamp -1
     val reuse = args.lift(5).contains("1")
-    val nprobe = args.lift(6).map(_.toInt).getOrElse(4)
+    // 0 = auto: resolve via Hnsw.resolveNprobe (⌈√nlist⌉, the r17
+    // scaled default) once nlist is known below; the artifact stamps
+    // the RESOLVED value
+    val nprobeArg = args.lift(6).map(_.toInt).getOrElse(4)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
@@ -152,6 +156,7 @@ object ZipfSparseBench {
     val tf = ZipfSparse.corpus(spark, nDocs).localCheckpoint()
     tf.count()
     val nlist = nlistOverride.getOrElse(math.max(16, (nDocs / 500).toInt))
+    val nprobe = graft.operators.Hnsw.resolveNprobe(nprobeArg, nlist)
     val v = ZipfSparse.vocabSize(nDocs)
     val base = new java.io.File(sys.props("java.io.tmpdir"),
       s"graft_zipfsp_${nDocs}_${nlist}_$spill")

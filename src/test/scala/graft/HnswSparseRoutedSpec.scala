@@ -252,6 +252,123 @@ class HnswSparseRoutedSpec extends SparkSpec {
     assert(recall >= 0.7, f"zipf routed recall@10 $recall%.2f < 0.7")
   }
 
+  test("default nprobe scales with nlist (resolveNprobe, VERDICT r16 #5)") {
+    // pgvector's probes-vs-lists guidance ("start at sqrt(lists)"):
+    // the Zipf artifact's own operating-point lesson was recall@10
+    // 0.77 at nprobe=4/nlist=100 but 0.63 at 4/1000 — a fixed nprobe
+    // silently loses recall as the cell count grows
+    assert(Hnsw.resolveNprobe(0, 100) == 10)
+    assert(Hnsw.resolveNprobe(0, 1000) == 32) // ceil(sqrt(1000))
+    assert(Hnsw.resolveNprobe(0, 1) == 1)
+    assert(Hnsw.resolveNprobe(-1, 64) == 8)
+    // an explicit positive nprobe is the override knob — untouched
+    assert(Hnsw.resolveNprobe(4, 1000) == 4)
+    assert(Hnsw.resolveNprobe(7, 8) == 7)
+  }
+
+  test("Zipf recall gate at the DEFAULT operating point: recall@10 >= 0.8 (VERDICT r16 #5)") {
+    // scaled cell count (nlist=100 — where the fixed nprobe=4 measured
+    // 0.77): the sqrt-scaled default (nprobe=10) must clear 0.8
+    val docs = graft.tools.ZipfSparse.corpus(spark, 4000L).localCheckpoint()
+    val nlist = 100
+    val graphs = Hnsw.buildCellRoutedSparse(
+      docs, "doc_id", "sidx", "sval", nlist = nlist, spill = 2,
+      metric = "cosine", maxCell = 2048).localCheckpoint()
+    val qs = docs.filter(col("doc_id") < 8).collect()
+      .map(r => (r.getSeq[Long](1).toArray, r.getSeq[Double](2).toArray))
+    val recalls = qs.map { case (qi, qv) =>
+      val exact = docs.select(col("doc_id"),
+          (lit(1.0) - graft.functions.SparseVec.cosineSimilarity(
+            col("sidx"), col("sval"), qi, qv)).as("dist"))
+        .orderBy(col("dist"), col("doc_id")).limit(10)
+        .collect().map(_.getLong(0)).toSet
+      // nprobe omitted — the r17 sqrt(nlist) default is the gate
+      val routed = Hnsw.searchRoutedSparse(graphs, nlist, qi, qv,
+        k = 10, ef = 96)
+        .collect().map(_.getLong(0)).toSet
+      routed.intersect(exact).size.toDouble / exact.size
+    }
+    val recall = recalls.sum / recalls.length
+    info(f"zipf routed recall@10 (default nprobe=${Hnsw.resolveNprobe(0, nlist)}/$nlist) = $recall%.2f")
+    assert(recall >= 0.8, f"zipf recall@10 at the default operating point $recall%.2f < 0.8")
+  }
+
+  test("Zipf standing gate: routed warm probe <= flat and <= nprobe deser on a non-saturated store (VERDICT r16 #6)") {
+    // the routed-beats-flat claim previously lived only in the one-off
+    // BENCH_zipf_sproute_r16 artifact — this pins it in `sbt test` so
+    // a layout change can't silently regress the scale path. Fixture:
+    // the same ZipfSparse generator (Heaps vocabulary, Zipf
+    // frequencies, topical structure) at 20k docs; production sizing
+    // nlist = docs/500.
+    val docs = graft.tools.ZipfSparse.corpus(spark, 20000L).localCheckpoint()
+    val nlist = 128 // > |batch|·nprobe so the union bound is non-trivial
+    val nprobe = 4
+    val routedStore = Hnsw.buildCellRoutedSparse(
+      docs, "doc_id", "sidx", "sval", nlist = nlist, spill = 2,
+      metric = "cosine", maxCell = 2048).localCheckpoint()
+    // flat at production granularity (~500 docs/graph): per-graph
+    // size is executor-memory-bounded at 100 TB, so flat's P grows
+    // with the corpus — that P-growth is exactly what routing escapes
+    val flatStore = Hnsw.buildPartitionedSparse(
+      docs, "doc_id", "sidx", "sval", parts = 40, metric = "cosine")
+      .localCheckpoint()
+    val (qi, qv) = (docs.filter(col("doc_id") === 7L).collect().head match {
+      case r => (r.getSeq[Long](1).toArray, r.getSeq[Double](2).toArray)
+    })
+    // deterministic scale contract first: single-query deser == nprobe
+    // on a NON-saturated store (the realistic-vocabulary regime)
+    val nonEmpty = routedStore.count()
+    assert(nonEmpty > nprobe * 2,
+      s"store saturated ($nonEmpty blobs) — fixture no longer exercises routing")
+    val counter = spark.sparkContext.longAccumulator("zipf-gate-deser")
+    Hnsw.searchRoutedSparse(routedStore, nlist, qi, qv, k = 10,
+      nprobe = nprobe, ef = 96, deserCounter = Some(counter)).collect()
+    assert(counter.value <= nprobe,
+      s"routed probe deserialized ${counter.value} graphs > nprobe=$nprobe")
+    // the SERVING shape (a 16-query batch — the committed artifact's
+    // 2.5x is a batch-probe number). Deterministic contracts first:
+    // the batch's probed union stays ≤ min(nlist, |batch|·nprobe) and
+    // does not saturate the store (the realistic-vocabulary regime the
+    // BENCH_zipf artifact measures; the saturated 40-word documents
+    // fixture is the documented flat-is-better worst case).
+    val qs = docs.filter(col("doc_id") < 16).collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1).toArray, r.getSeq[Double](2).toArray))
+      .toSeq
+    val bCounter = spark.sparkContext.longAccumulator("zipf-gate-batch-deser")
+    Hnsw.searchBatchRoutedSparse(routedStore, nlist, qs, k = 10,
+      nprobe = nprobe, ef = 96, deserCounter = Some(bCounter)).collect()
+    assert(bCounter.value <= math.min(nlist, qs.size * nprobe),
+      s"batch probed union ${bCounter.value} > min(nlist, batch*nprobe)")
+    assert(bCounter.value < nonEmpty,
+      s"batch probed union saturated the $nonEmpty-blob store")
+    // warm wall-clock smoke: min-of-3 each, interleaved after one warm
+    // pass per layout. At 20k docs BOTH kernels are stage-overhead-
+    // bound (the walk/deser gap is real but sits under Spark's local
+    // per-stage floor), so this is a regression tripwire with a 25%
+    // noise allowance, not the 2.5x scale demonstration — that number
+    // lives in the committed BENCH_zipf artifact at 500k docs, and the
+    // deser contracts above are what produce it.
+    def routedOnce(): Double = {
+      val t0 = System.nanoTime()
+      Hnsw.searchBatchRoutedSparse(routedStore, nlist, qs,
+        k = 10, nprobe = nprobe, ef = 96).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def flatOnce(): Double = {
+      val t0 = System.nanoTime()
+      Hnsw.searchBatchSparse(flatStore, qs, 10, 96).collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    routedOnce(); flatOnce() // warm
+    val times = (1 to 3).map(_ => (routedOnce(), flatOnce()))
+    val routedMin = times.map(_._1).min
+    val flatMin = times.map(_._2).min
+    info(f"zipf 20k warm batch-16 probe: routed=$routedMin%.3fs flat=$flatMin%.3fs")
+    assert(routedMin <= flatMin * 1.25,
+      f"routed warm batch probe $routedMin%.3fs > flat $flatMin%.3fs x1.25 — " +
+        "the scale path regressed")
+  }
+
   test("every vector is findable through its own cell (self-probe, spill dedup)") {
     val graphs = spark.read.parquet(store)
     val probes = tf.limit(5)

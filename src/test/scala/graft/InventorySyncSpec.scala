@@ -51,7 +51,11 @@ class InventorySyncSpec extends AnyFunSuite {
     // vs_hnsw_sparse_filtered (widened sparse beam + documents
     // semi-join, the SPLADE-with-filters shape), both hash-exact
     // from birth
-    assert(SparkEntry.queries.size == 176)
+    // r16: +2 — vs_half_cos (halfvec cosine over the packed binary16
+    // sidecar, the pgvector halfvec <=> operator) and
+    // vs_sparse_l2_knn (sparsevec <-> L2 over the tf corpus), both
+    // hash-exact from birth
+    assert(SparkEntry.queries.size == 178)
     // r10: +4 — events_approx_distinct (engine HLL, integer-exact
     // estimator replay) and decontam_bloom (deterministic bitmap,
     // relational rebuild) moved onto the hash gate; the two new
@@ -78,8 +82,9 @@ class InventorySyncSpec extends AnyFunSuite {
     // recursion), re-deriving training from the corpus with no engine
     // artifact consulted. 173/173 oracled; r14's vs_hnsw_sparse lands
     // hash-exact from birth → 174/174; r15's two sparse entries land
-    // hash-exact from birth → 176/176.
-    assert(SparkEntry.oracleSql.size == 176)
+    // hash-exact from birth → 176/176; r16's vs_half_cos +
+    // vs_sparse_l2_knn land hash-exact from birth → 178/178.
+    assert(SparkEntry.oracleSql.size == 178)
   }
 
   test("every rows-only (non-oracled) query carries a gate in RecallGateSpec") {

@@ -148,6 +148,16 @@ class PgVectorSyntaxSpec extends AnyFunSuite {
     // dims bounds
     intercept[IllegalArgumentException] { parseLiteral("{1:1}/0") }
     intercept[IllegalArgumentException] { parseLiteral("{1:1}/2000000000") }
+    // non-finite values rejected outright (r17, ADVICE r16: Scala
+    // toDouble happily parses these, and NaN != 0.0 would store it
+    // and poison every downstream distance; pgvector's sparsevec_in
+    // rejects both)
+    val nan = intercept[IllegalArgumentException] { parseLiteral("{1:NaN}/5") }
+    assert(nan.getMessage.contains("NaN not allowed in sparsevec"))
+    val inf = intercept[IllegalArgumentException] { parseLiteral("{1:Infinity}/5") }
+    assert(inf.getMessage.contains("infinite value not allowed in sparsevec"))
+    val ninf = intercept[IllegalArgumentException] { parseLiteral("{2:-Infinity}/5") }
+    assert(ninf.getMessage.contains("infinite value not allowed in sparsevec"))
   }
 
   // --------------------------------------- parser-injected execution

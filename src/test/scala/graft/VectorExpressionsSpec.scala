@@ -124,6 +124,57 @@ class VectorExpressionsSpec extends SparkSpec {
     got.zip(expected).foreach { case (g, e) => assert(g == e) }
   }
 
+  test("HalfDistExpr cosine clamps similarity to [-1,1]: self-distance is never negative (r17, ADVICE r16)") {
+    import org.apache.spark.sql.GraftSqlBridge.{toColumn, toExpression}
+    import spark.implicits._
+    import graft.functions.{Half, HalfDistExpr, HalfPackExpr, VectorDistance}
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val rnd = new scala.util.Random(43)
+    // query = each vector itself: dot/(|x||q|) lands exactly at 1 up
+    // to rounding, the regime where the unclamped formula can emit a
+    // (tiny) negative distance that pgvector/DuckDB would clamp away.
+    // Direct expression eval — the kernel under test, no job per case.
+    (1 to 500).foreach { _ =>
+      val v = Array.fill(48)((rnd.nextDouble() - 0.5) * 8)
+      val packed = Half.pack(v)
+      val qHalf = Half.unpackToDouble(packed)
+      val d = HalfDistExpr(
+        Literal(packed, org.apache.spark.sql.types.BinaryType),
+        qHalf, VectorDistance.CosineDist.id).eval(null).asInstanceOf[Double]
+      assert(d >= 0.0 && d <= 2.0, s"cosine distance out of [0,2]: $d")
+    }
+    // and one Spark-side end-to-end case through HalfPackExpr
+    // (16 × 2.0: ‖x‖² = 64, √64 = 8 exact, so sim is exactly 1 and
+    // the clamped distance exactly 0 — no rounding escape hatch)
+    val v0 = Seq(Seq.fill(16)(2.0f))
+    val qh = Half.unpackToDouble(Half.pack(v0.head.map(_.toDouble).toArray))
+    val d0 = v0.toDF("v")
+      .select(toColumn(HalfPackExpr(toExpression(col("v")))).as("hv"))
+      .select(toColumn(HalfDistExpr(toExpression(col("hv")), qh,
+        VectorDistance.CosineDist.id)).as("d"))
+      .head.getDouble(0)
+    assert(d0 == 0.0, s"identical-vector cosine distance must clamp to exactly 0, got $d0")
+  }
+
+  test("VecLiteralExpr array input: null elements raise the pgvector error, not an NPE (r17, ADVICE r16)") {
+    import org.apache.spark.sql.GraftSqlBridge.{toColumn, toExpression}
+    val df = spark.sql("SELECT array(1.0D, cast(null as double), 3.0D) AS a")
+    val e = intercept[Exception] {
+      df.select(toColumn(graft.functions.VecLiteralExpr(
+        toExpression(col("a"))))).collect()
+    }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null)
+        .map(x => Option(x.getMessage).getOrElse("")).mkString(" | "))
+    assert(rootMsg(e).contains("array must not contain nulls"),
+      s"expected the pgvector nulls error, got: ${rootMsg(e)}")
+    // null-free arrays still cast (the r16 real[]::vector path)
+    val ok = spark.sql("SELECT array(1.0D, 2.0D) AS a")
+      .select(toColumn(graft.functions.VecLiteralExpr(toExpression(col("a")))))
+      .head.getSeq[Double](0)
+    assert(ok == Seq(1.0, 2.0))
+  }
+
   test("SparseDistExpr: two-pointer merge == brute-force map lookup on random sparse vectors") {
     import org.apache.spark.sql.GraftSqlBridge.{toColumn, toExpression}
     import spark.implicits._

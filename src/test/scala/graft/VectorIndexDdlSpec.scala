@@ -722,29 +722,42 @@ class VectorIndexDdlSpec extends SparkSpec {
                   .expressions.Literal].value.asInstanceOf[Long])
             }
         }.flatten.maxByOption(_.size).getOrElse(Nil)
-      // tight budget so truncation semantics become visible: per-graph
-      // fetch = min(k*8, ef, max_scan_tuples) = 7
-      s.conf.set("hnsw.max_scan_tuples", "7")
       try {
+        // first capture the UNTRUNCATED per-graph union (a budget far
+        // above the 4 graphs' combined fetch) — the reference set the
+        // two truncation modes are prefixes/quotas of
         s.conf.set("hnsw.iterative_scan", "relaxed_order")
+        s.conf.set("hnsw.max_scan_tuples", "100000")
+        val union = inList(s.sql(q))
+        // tight budget so truncation semantics become visible:
+        // per-graph fetch = min(k*8, ef, max_scan_tuples) = 7
+        s.conf.set("hnsw.max_scan_tuples", "7")
         val relaxed = inList(s.sql(q))
         s.conf.set("hnsw.iterative_scan", "strict_order")
         val strict = inList(s.sql(q))
-        // relaxed: each of the 4 graphs keeps its own top-7 (budget P×,
-        // the documented deviation); strict: ONE global budget, as
-        // pgvector's single index
+        // r17 (VERDICT r16 #3): the budget is GLOBAL in BOTH modes —
+        // pgvector's single-index max_scan_tuples. strict truncates
+        // the distance-ordered merge; relaxed divides the budget
+        // across the probed graphs (waterfall quotas summing to the
+        // budget), each graph truncated in its own ascending order.
         assert(strict.size == 7, s"strict budget not global: ${strict.size}")
-        assert(relaxed.size > strict.size,
-          s"per-graph truncation did not exceed the global budget: " +
-            s"relaxed=${relaxed.size} strict=${strict.size}")
+        assert(relaxed.size <= 7,
+          s"relaxed fetched past the global budget: ${relaxed.size}")
+        // supply suffices (4 graphs × top-7 ≥ budget), so relaxed
+        // fills the budget exactly
+        assert(relaxed.size == 7,
+          s"relaxed under-filled an available budget: ${relaxed.size}")
+        assert(relaxed.toSet.subsetOf(union.toSet) &&
+          strict.toSet.subsetOf(union.toSet),
+          "truncated candidate sets must come from the per-graph union")
         // strict's candidate set is the GLOBAL distance-ordered prefix
-        // of the same per-graph walks (walk distance = exact L2 here)
+        // of the union (walk distance = exact L2 here)
         val exact = Tables.embeddings(s, Sf)
           .select(col("vec_id"), col("embedding").cast("array<double>"))
           .collect().map(r => r.getLong(0) -> r.getSeq[Double](1)).toMap
         def d2(id: Long): Double =
           exact(id).zip(vec).map { case (a, b) => (a - b) * (a - b) }.sum
-        val wantStrict = relaxed.sortBy(id => (d2(id), id)).take(7).toSet
+        val wantStrict = union.sortBy(id => (d2(id), id)).take(7).toSet
         assert(strict.toSet == wantStrict,
           s"strict_order is not the global distance prefix: got " +
             s"${strict.sorted}, want ${wantStrict.toSeq.sorted}")
@@ -827,6 +840,70 @@ class VectorIndexDdlSpec extends SparkSpec {
       assert(hasIdIn(probedL1), "sparse L1 sort key not served")
       assert(probedL1.collect().nonEmpty)
       s.sql("DROP INDEX idx_sparse_l1")
+    }
+  }
+
+  test("halfvec hnsw DDL serves the packed-sidecar HalfDistExpr sort key (r17, VERDICT r16 #7)") {
+    withExtSession { s =>
+      import org.apache.spark.sql.GraftSqlBridge.{toColumn, toExpression}
+      graft.plans.HnswSqlCatalog.clear()
+      val dir = java.nio.file.Files.createTempDirectory("ddl_hv_sidecar").toString
+      // the vs_knn_half/vs_half_cos sidecar shape: (vec_id, hv) with
+      // hv an already-PACKED binary16 column — before r17 this column
+      // had no index-servable sort key (only the float-column operator
+      // with storage-side rounding was recognized)
+      Tables.embeddings(s, Sf)
+        .select(col("vec_id"), toColumn(graft.functions.HalfPackExpr(
+          toExpression(col("embedding").cast("array<double>")))).as("hv"))
+        .write.mode("overwrite").parquet(s"$dir/hv")
+      s.read.parquet(s"$dir/hv").createOrReplaceTempView("ddl_hv_sidecar")
+      s.sql("""CREATE INDEX idx_hv_sidecar ON ddl_hv_sidecar
+               USING hnsw (hv halfvec_l2_ops)
+               WITH (m = 8, ef_construction = 32, parts = 4, id = 'vec_id')""")
+      val ent = HnswSqlCatalog.get("idx_hv_sidecar").get
+      assert(ent.storage == "halfvec" && ent.vecCol == "hv")
+      val q = Tables.embeddings(s, Sf).filter(col("vec_id") === 0)
+        .select(col("embedding").cast("array<double>")).head.getSeq[Double](0).toArray
+      val qHalf = graft.functions.Half.unpackToDouble(graft.functions.Half.pack(q))
+      import org.apache.spark.sql.catalyst.expressions.{AttributeReference, In}
+      def hasIdIn(df: org.apache.spark.sql.DataFrame): Boolean =
+        df.queryExecution.optimizedPlan.collect {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            f.condition.collect {
+              case In(a: AttributeReference, _) if a.name == "vec_id" => true
+            }
+        }.flatten.nonEmpty
+      def knnDf(mode: Int) = s.table("ddl_hv_sidecar")
+        .select(col("vec_id"), toColumn(graft.functions.HalfDistExpr(
+          toExpression(col("hv")), qHalf, mode)).as("dist"))
+        .orderBy(col("dist"), col("vec_id")).limit(5)
+      val l2 = knnDf(graft.functions.VectorDistance.L2.id)
+      assert(hasIdIn(l2), "packed-sidecar HalfDistExpr L2 sort not served:\n" +
+        l2.queryExecution.optimizedPlan)
+      // the graph holds exactly the rounded doubles HalfDistExpr
+      // dequantizes, so the beam walk ranks with the scan's own
+      // arithmetic — top-1 agreement with the exact sidecar scan
+      val exact = knnDf(graft.functions.VectorDistance.L2.id)
+      s.conf.set(graft.plans.HnswProbeRule.EvalKey, "false")
+      val exactRows = try exact.collect().map(r => (r.getLong(0), r.getDouble(1)))
+        finally s.conf.unset(graft.plans.HnswProbeRule.EvalKey)
+      val servedRows = l2.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(servedRows.head == exactRows.head,
+        s"halfvec sidecar top-1 ${servedRows.head} != exact ${exactRows.head}")
+      // opclass parity: the cosine operator (vs_half_cos's shape) must
+      // NOT be served by an l2 index — an index serves only its
+      // opclass's operator
+      assert(!hasIdIn(knnDf(graft.functions.VectorDistance.CosineDist.id)),
+        "an l2 halfvec index must not serve the cosine operator (opclass parity)")
+      // kind-consistency the other way: a forged same-path entry with
+      // DENSE storage must not serve the HalfDistExpr key — its graph
+      // would hold unrounded doubles, not what the scan dequantizes
+      HnswSqlCatalog.put("idx_hv_sidecar",
+        ent.copy(storage = "vector"))
+      assert(!hasIdIn(knnDf(graft.functions.VectorDistance.L2.id)),
+        "a HalfDistExpr sort key must only walk a halfvec-storage graph")
+      HnswSqlCatalog.put("idx_hv_sidecar", ent)
+      s.sql("DROP INDEX idx_hv_sidecar")
     }
   }
 
