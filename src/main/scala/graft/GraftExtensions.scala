@@ -120,27 +120,40 @@ object GraftExtensions {
   private def arity(fn: String, args: Seq[Expression], n: Int): Unit =
     require(args.length == n, s"$fn expects $n arguments, got ${args.length}")
 
+  /** Type-directed dense/sparse dispatch for the distance builders
+    * (r17): an operand that already RESOLVES to the one-column
+    * sparsevec struct routes to [[SparseStructDistExpr]] here; an
+    * operand whose type is unknown at build time gets the dense
+    * kernel and [[graft.plans.SparseColumnRule]] (injected below)
+    * swaps it post-resolution. Both paths land on the same kernel. */
+  private def dist(a: Expression, b: Expression, mode: Int): Expression = {
+    def sparse(e: Expression) = scala.util.Try(e.dataType).toOption
+      .exists(graft.functions.SparseVec.isSparseStructType)
+    if (sparse(a) || sparse(b)) graft.functions.SparseStructDistExpr(a, b, mode)
+    else VectorDistanceExpr(a, b, mode)
+  }
+
   /** name → (usage, builder); single source for both registration
     * paths. */
   private val builders: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("vec_dot", "vec_dot(a, b) - inner product (pgvector <#> is -vec_dot)",
       args => { arity("vec_dot", args, 2)
-        VectorDistanceExpr(args.head, args(1), VectorDistance.Dot.id) }),
+        dist(args.head, args(1), VectorDistance.Dot.id) }),
     ("vec_l2", "vec_l2(a, b) - Euclidean distance (pgvector <->)",
       args => { arity("vec_l2", args, 2)
-        VectorDistanceExpr(args.head, args(1), VectorDistance.L2.id) }),
+        dist(args.head, args(1), VectorDistance.L2.id) }),
     ("vec_cos_dist", "vec_cos_dist(a, b) - cosine distance (pgvector <=>)",
       args => { arity("vec_cos_dist", args, 2)
-        VectorDistanceExpr(args.head, args(1), VectorDistance.CosineDist.id) }),
+        dist(args.head, args(1), VectorDistance.CosineDist.id) }),
     ("vec_cos_sim", "vec_cos_sim(a, b) - cosine similarity",
       args => { arity("vec_cos_sim", args, 2)
-        VectorDistanceExpr(args.head, args(1), VectorDistance.CosineSim.id) }),
+        dist(args.head, args(1), VectorDistance.CosineSim.id) }),
     ("vec_l1", "vec_l1(a, b) - taxicab distance (pgvector <+>)",
       args => { arity("vec_l1", args, 2)
-        VectorDistanceExpr(args.head, args(1), VectorDistance.L1.id) }),
+        dist(args.head, args(1), VectorDistance.L1.id) }),
     ("vec_norm", "vec_norm(v) - Euclidean norm (pgvector vector_norm)",
       args => { arity("vec_norm", args, 1)
-        Sqrt(VectorDistanceExpr(args.head, args.head, VectorDistance.Dot.id)) }),
+        Sqrt(dist(args.head, args.head, VectorDistance.Dot.id)) }),
     ("vec_l2_normalize", "vec_l2_normalize(v) - unit vector (pgvector l2_normalize); zero vectors pass through",
       args => { arity("vec_l2_normalize", args, 1)
         L2NormalizeExpr(args.head) }),
@@ -175,9 +188,15 @@ object GraftExtensions {
     ("vec_subvector", "vec_subvector(v, start, count) - 1-based slice (pgvector subvector)",
       args => { arity("vec_subvector", args, 3)
         Slice(args.head, args(1), args(2)) }),
-    ("vec_dims", "vec_dims(v) - dimension count (pgvector vector_dims)",
+    ("vec_dims", "vec_dims(v) - dimension count (pgvector vector_dims); a sparsevec struct reads its DECLARED dims",
       args => { arity("vec_dims", args, 1)
-        Size(args.head, legacySizeOfNull = false) }),
+        // one-column sparsevec: the declared dims field, not size()
+        // ([[graft.plans.SparseColumnRule]] covers the unresolved case)
+        if (scala.util.Try(args.head.dataType).toOption
+            .exists(graft.functions.SparseVec.isSparseStructType))
+          org.apache.spark.sql.catalyst.expressions.GetStructField(
+            args.head, 2, Some("dims"))
+        else Size(args.head, legacySizeOfNull = false) }),
     ("sparse_dot", "sparse_dot(indices, values, q_indices, q_values | q_sparsevec) - sparsevec inner product (pgvector <#> is -sparse_dot); query must be literal",
       args => { val (qi, qv) = sparseArgs("sparse_dot", args)
         SparseDistExpr(args.head, args(1), qi, qv, VectorDistance.Dot.id) }),
@@ -293,5 +312,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // `<%>`, `'[...]'::vector`) — the reference's literal SQL parses
     // unmodified ([[graft.plans.PgVectorParser]])
     e.injectParser((_, delegate) => new graft.plans.PgVectorParser(delegate))
+    // one-column sparsevec dispatch (r17): operands typed as the
+    // sparse struct swap the dense kernel for SparseStructDistExpr
+    // post-resolution ([[graft.plans.SparseColumnRule]])
+    e.injectResolutionRule(_ => new graft.plans.SparseColumnRule)
   }
 }

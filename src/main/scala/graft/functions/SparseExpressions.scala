@@ -5,7 +5,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, LongType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, LongType, StructType}
 
 /** Sparse vector kernels — the pgvector `sparsevec` analogue (≥0.7).
   *
@@ -57,6 +57,40 @@ object SparseVec {
   def l1Distance(idx: Column, vals: Column, qIdx: Array[Long], qVal: Array[Double]): Column =
     toColumn(SparseDistExpr(toExpression(idx), toExpression(vals),
       qIdx, qVal, VectorDistance.L1.id))
+
+  /** Structural recognizer for the engine's ONE-COLUMN sparsevec —
+    * `struct<indices: array<bigint>, values: array<double>, dims: int>`
+    * (the [[SparseLiteralExpr]] output shape). Nullability is ignored
+    * on purpose: `struct()` assembled from table columns carries
+    * nullable fields, and a parquet round-trip flips containsNull. */
+  def isSparseStructType(t: DataType): Boolean = t match {
+    case StructType(fs) if fs.length == 3 =>
+      fs(0).name == "indices" && fs(1).name == "values" && fs(2).name == "dims" &&
+        (fs(0).dataType match { case ArrayType(LongType, _) => true; case _ => false }) &&
+        (fs(1).dataType match { case ArrayType(DoubleType, _) => true; case _ => false }) &&
+        fs(2).dataType == IntegerType
+    case _ => false
+  }
+
+  import org.apache.spark.sql.functions.{lit, struct}
+
+  /** Assemble the one-column sparsevec from an (indices, values)
+    * column pair + declared dims — the bridge from the columnar pair
+    * layout the stores use to pgvector's one-column type surface. */
+  def toStructColumn(idx: Column, vals: Column, dims: Int): Column =
+    struct(idx.as("indices"), vals.as("values"), lit(dims).as("dims"))
+
+  /** One-column sparsevec distance (pgvector's verbatim
+    * `sparse_col <-> '...'::sparsevec` operand shape). Modes:
+    * [[VectorDistance]] ids — Dot, L2, L1, CosineDist, CosineSim. */
+  def structDist(a: Column, b: Column, mode: VectorDistance.Mode): Column =
+    toColumn(SparseStructDistExpr(toExpression(a), toExpression(b), mode.id))
+
+  /** pgvector's `'{i:v,...}/dims'::sparsevec` literal as a Column —
+    * the DataFrame-API twin of the SQL cast ([[SparseLiteralExpr]]). */
+  def structLiteral(text: String): Column =
+    toColumn(SparseLiteralExpr(
+      org.apache.spark.sql.catalyst.expressions.Literal(text)))
 
   /** Driver-side helper: sorted (indices, values) for a term→weight
     * query, indices = [[TextFunctions.hash64Scala]] of each term. */
@@ -223,6 +257,108 @@ case class SparseDistExpr(left: Expression, right: Expression,
     copy(left = newLeft, right = newRight)
 }
 
+/** Distance between TWO one-column sparsevecs (r17 — closes the
+  * "sparsevec is a column pair" deviation's operator surface): both
+  * operands are `struct<indices, values, dims>` values, so pgvector's
+  * verbatim `sparse_col <-> '{1:2}/5'::sparsevec` (and col-vs-col
+  * distances) type-check with no field plumbing. The vec_* SQL
+  * builders and [[graft.plans.SparseColumnRule]] route here whenever
+  * an operand is the sparse struct shape.
+  *
+  * Semantics match pgvector's sparsevec operators: mismatched dims
+  * raise ("different sparsevec dimensions a and b", the shape of
+  * pgvector's error), `<->`/`<+>` merge over the index UNION
+  * (unmatched entries difference against zero), `<#>`/`<=>`
+  * accumulate over matches with norms folded in array order — the
+  * same determinism contract as [[SparseDistExpr]], so a literal-query
+  * plan rewritten to the driver-metadata kernel is bit-identical.
+  *
+  * Scale note: this is the exact brute-force path (scan +
+  * TakeOrderedAndProject, CodegenFallback like every sparse kernel).
+  * Index-served sort keys stay on the (indices, values) pair layout
+  * the hnsw sparse DDL binds; a struct column serves exact scans. */
+case class SparseStructDistExpr(left: Expression, right: Expression, mode: Int)
+    extends BinaryExpression with CodegenFallback {
+
+  require(mode == VectorDistance.Dot.id || mode == VectorDistance.CosineSim.id ||
+    mode == VectorDistance.CosineDist.id ||
+    mode == VectorDistance.L2.id || mode == VectorDistance.L1.id,
+    s"unsupported sparse mode $mode")
+
+  override def dataType: DataType = DoubleType
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (SparseVec.isSparseStructType(left.dataType) &&
+        SparseVec.isSparseStructType(right.dataType))
+      TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      "sparsevec distance needs two struct<indices: array<bigint>, " +
+        s"values: array<double>, dims: int> operands, got " +
+        s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    val b = r.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+    val da = a.getInt(2); val db = b.getInt(2)
+    if (da != db)
+      throw new IllegalArgumentException(
+        s"different sparsevec dimensions $da and $db")
+    val ai = a.getArray(0); val av = a.getArray(1)
+    val bi = b.getArray(0); val bv = b.getArray(1)
+    val na = ai.numElements(); val nb = bi.numElements()
+    if (na != av.numElements() || nb != bv.numElements())
+      throw new IllegalArgumentException("sparse vector malformed: " +
+        "indices/values length mismatch")
+    if (mode == VectorDistance.L2.id || mode == VectorDistance.L1.id) {
+      // union merge in ascending index order ([[SparseDistExpr]]'s
+      // determinism contract)
+      var l2 = 0.0; var l1 = 0.0
+      var i = 0; var j = 0
+      while (i < na && j < nb) {
+        val x = ai.getLong(i); val y = bi.getLong(j)
+        if (x == y) {
+          val d = av.getDouble(i) - bv.getDouble(j); l2 += d * d; l1 += math.abs(d)
+          i += 1; j += 1
+        } else if (x < y) {
+          val v = av.getDouble(i); l2 += v * v; l1 += math.abs(v); i += 1
+        } else {
+          val v = bv.getDouble(j); l2 += v * v; l1 += math.abs(v); j += 1
+        }
+      }
+      while (i < na) { val v = av.getDouble(i); l2 += v * v; l1 += math.abs(v); i += 1 }
+      while (j < nb) { val v = bv.getDouble(j); l2 += v * v; l1 += math.abs(v); j += 1 }
+      if (mode == VectorDistance.L2.id) math.sqrt(l2) else l1
+    } else {
+      var dot = 0.0; var aa = 0.0; var bb = 0.0
+      var i = 0; var j = 0
+      while (i < na && j < nb) {
+        val x = ai.getLong(i); val y = bi.getLong(j)
+        if (x == y) { dot += av.getDouble(i) * bv.getDouble(j); i += 1; j += 1 }
+        else if (x < y) i += 1
+        else j += 1
+      }
+      if (mode == VectorDistance.Dot.id) dot
+      else {
+        // norms folded in array order (= ascending index order), the
+        // sequential contract every graft cosine kernel shares
+        i = 0
+        while (i < na) { val v = av.getDouble(i); aa += v * v; i += 1 }
+        j = 0
+        while (j < nb) { val v = bv.getDouble(j); bb += v * v; j += 1 }
+        val denom = math.sqrt(aa) * math.sqrt(bb)
+        val sim =
+          if (denom == 0.0) 0.0
+          else math.max(-1.0, math.min(1.0, dot / denom))
+        if (mode == VectorDistance.CosineSim.id) sim else 1.0 - sim
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
+}
+
 /** The pgvector sparsevec text-format literal — `'{1:1.5,3:2}/5'` —
   * as a struct<indices: array<bigint>, values: array<double>,
   * dims: int> expression ([[graft.plans.PgVectorParser]] rewrites
@@ -232,11 +368,14 @@ case class SparseDistExpr(left: Expression, right: Expression,
   * forms (`sparse_dot(i, v, q)` etc.) can extract the query arrays at
   * analysis time. Parsing and validation: [[SparseVec.parseLiteral]].
   *
-  * NOTE the engine's columnar sparsevec deviation (SURVEY §2): stored
-  * sparse vectors are (indices, values) column PAIRS, so the literal
-  * is a QUERY-side convenience — pgvector's one-column
-  * `sparse_col <#> '...'::sparsevec` form has no verbatim analogue
-  * here; the ported shape is `-sparse_dot(sidx, sval, '...'::sparsevec)`. */
+  * The struct IS the engine's one-column sparsevec type (r17): a
+  * STORED column of this shape makes pgvector's verbatim
+  * `sparse_col <#> '...'::sparsevec` type-check end-to-end
+  * ([[SparseStructDistExpr]] + the vec_* builder dispatch /
+  * [[graft.plans.SparseColumnRule]]). The (indices, values) column
+  * PAIR remains the index-served storage layout — [[SparseVec
+  * .toStructColumn]] bridges pair-layout stores to the one-column
+  * surface. */
 case class SparseLiteralExpr(child: Expression, expectedDims: Int = -1)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with CodegenFallback {
@@ -251,12 +390,50 @@ case class SparseLiteralExpr(child: Expression, expectedDims: Int = -1)
   override def checkInputDataTypes(): TypeCheckResult =
     child.dataType match {
       case org.apache.spark.sql.types.StringType => TypeCheckResult.TypeCheckSuccess
+      // pgvector's `vector::sparsevec` cast (r17): a dense numeric
+      // array converts with zeros dropped, dims = the array length
+      case ArrayType(DoubleType | FloatType, _) => TypeCheckResult.TypeCheckSuccess
       case t => TypeCheckResult.TypeCheckFailure(
-        s"vec_sparse_literal needs a '{i:v, ...}/dims' string, got $t")
+        s"vec_sparse_literal needs a '{i:v, ...}/dims' string or a " +
+          s"float array, got $t")
     }
 
   override def nullSafeEval(input: Any): Any = {
-    val (idx, vals, dims) = SparseVec.parseLiteral(input.toString, expectedDims)
+    val (idx, vals, dims) = child.dataType match {
+      case ArrayType(et, _) =>
+        val a = input.asInstanceOf[ArrayData]
+        val n = a.numElements()
+        if (n < 1)
+          throw new IllegalArgumentException(
+            "sparsevec must have at least 1 dimension")
+        if (expectedDims > 0 && n != expectedDims)
+          throw new IllegalArgumentException(
+            s"expected $expectedDims dimensions, not $n")
+        val idxB = Array.newBuilder[Long]
+        val valB = Array.newBuilder[Double]
+        var nnz = 0
+        var i = 0
+        while (i < n) {
+          if (a.isNullAt(i))
+            throw new IllegalArgumentException("array must not contain nulls")
+          val v = if (et == FloatType) a.getFloat(i).toDouble else a.getDouble(i)
+          // pgvector's sparsevec rejects non-finite values in every
+          // input path (a vector column can't hold them either)
+          if (v.isNaN)
+            throw new IllegalArgumentException("NaN not allowed in sparsevec")
+          if (v.isInfinite)
+            throw new IllegalArgumentException("infinite value not allowed in sparsevec")
+          if (v != 0.0) {
+            idxB += (i + 1).toLong; valB += v; nnz += 1
+            if (nnz > SparseVec.MaxNnz)
+              throw new IllegalArgumentException(
+                s"sparsevec cannot have more than ${SparseVec.MaxNnz} non-zero elements")
+          }
+          i += 1
+        }
+        (idxB.result(), valB.result(), n)
+      case _ => SparseVec.parseLiteral(input.toString, expectedDims)
+    }
     org.apache.spark.sql.catalyst.InternalRow(
       ArrayData.toArrayData(idx), ArrayData.toArrayData(vals), dims)
   }

@@ -842,11 +842,36 @@ case class VecLiteralExpr(child: Expression, expectedDims: Int = -1)
       case ArrayType(DoubleType | org.apache.spark.sql.types.FloatType |
         org.apache.spark.sql.types.LongType | org.apache.spark.sql.types.IntegerType, _) =>
         org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      // pgvector's `sparsevec::vector` cast (r17): the one-column
+      // sparse struct expands to a dense vector
+      case t if graft.functions.SparseVec.isSparseStructType(t) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
       case t => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
-        s"vec_literal needs a '[x, y, ...]' string or a numeric array, got $t")
+        s"vec_literal needs a '[x, y, ...]' string, a numeric array, " +
+          s"or a sparsevec struct, got $t")
     }
 
   override def nullSafeEval(input: Any): Any = child.dataType match {
+    case t if graft.functions.SparseVec.isSparseStructType(t) =>
+      // dense expansion: pgvector's vector caps at 16000 dimensions,
+      // so a wide sparsevec refuses the cast exactly as pg does
+      val row = input.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]
+      val dims = row.getInt(2)
+      if (dims > 16000)
+        throw new IllegalArgumentException(
+          "vector cannot have more than 16000 dimensions")
+      if (expectedDims > 0 && dims != expectedDims)
+        throw new IllegalArgumentException(
+          s"expected $expectedDims dimensions, not $dims")
+      val idx = row.getArray(0)
+      val vals = row.getArray(1)
+      val out = new Array[Double](dims)
+      var i = 0
+      while (i < idx.numElements()) {
+        out(idx.getLong(i).toInt - 1) = vals.getDouble(i)
+        i += 1
+      }
+      ArrayData.toArrayData(out)
     case ArrayType(et, _) =>
       val a = input.asInstanceOf[ArrayData]
       // toDoubleArray/toLongArray NPE on null elements; pgvector's

@@ -2053,6 +2053,77 @@ object VectorQueries {
     ORDER BY dist, doc_id
     LIMIT $K"""
 
+  /** One-column sparsevec KNN (r17 — the pgvector `sparsevec` type as
+    * a SINGLE stored column, closing the operator surface of the
+    * columnar-pair deviation): docs as bounded-dims sparse tf vectors
+    * — index = hash64(term) mod D + 1, 1-based in [1, D], collisions
+    * merged by the tf grouping — assembled into the canonical
+    * `struct<indices, values, dims>` by [[graft.functions.SparseVec
+    * .toStructColumn]], nearest-k by L2 against a pgvector
+    * `'{i:v,...}/D'` text literal via [[graft.functions
+    * .SparseStructDistExpr]] — the exact kernel the verbatim
+    * `sv <-> '...'::sparsevec` SQL form resolves to through
+    * [[graft.plans.SparseColumnRule]] (spec-asserted equivalence,
+    * SparseStructSpec). Integer tf·weights → exact accumulators;
+    * the oracle replays dist² = ssq − 2·dot + qssq relationally over
+    * the SAME mod-D index space. One scan + TakeOrderedAndProject. */
+  private val SparseColDims = 16384
+
+  /** The fixed term query in mod-D index space: (hash64(t) mod D)+1,
+    * same-index collisions merged, ascending — legal pgvector
+    * sparsevec text-literal indices. */
+  private def sparseColQuery: Seq[(Long, Double)] =
+    SparseQueryTerms
+      .groupBy { case (t, _) =>
+        graft.functions.TextFunctions.hash64Scala(t) % SparseColDims + 1 }
+      .map { case (ix, ts) => (ix, ts.map(_._2).sum) }
+      .toSeq.sortBy(_._1)
+
+  private def sparsevecColKnn(s: SparkSession, d: String): DataFrame = {
+    import graft.functions.TextFunctions._
+    val tf = Tables.documents(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+      .groupBy(col("doc_id"), (hash64(col("w")) % SparseColDims + 1).as("ix"))
+      .agg(count(lit(1)).as("tf"))
+      .select(col("doc_id"),
+        struct(col("ix").as("h"), col("tf").cast("double").as("v")).as("p"))
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(col("p"))).as("ps"))
+      .select(col("doc_id"),
+        transform(col("ps"), p => p("h")).as("si"),
+        transform(col("ps"), p => p("v")).as("sv"))
+    val qText = sparseColQuery
+      .map { case (i, v) => s"$i:${if (v == v.floor) v.toLong.toString else v.toString}" }
+      .mkString("{", ",", "}") + s"/$SparseColDims"
+    tf.select(col("doc_id"),
+        graft.functions.SparseVec.structDist(
+          graft.functions.SparseVec.toStructColumn(col("si"), col("sv"), SparseColDims),
+          graft.functions.SparseVec.structLiteral(qText),
+          graft.functions.VectorDistance.L2).as("dist"))
+      .orderBy(col("dist"), col("doc_id"))
+      .limit(K)
+  }
+
+  private def sparsevecColSql: String = {
+    val q = sparseColQuery
+    val qValues = q.map { case (i, v) => s"($i, ${v.toLong})" }.mkString(", ")
+    val qssq = q.map { case (_, v) => (v * v).toLong }.sum
+    s"""
+    WITH tok AS (SELECT doc_id, unnest(${graft.functions.TextFunctions.tokensSql("text")}) AS w FROM documents),
+    tf AS (SELECT doc_id, ${graft.functions.TextFunctions.hash64Sql("w")} % $SparseColDims + 1 AS ix,
+                  count(*) AS tf
+           FROM tok GROUP BY doc_id, ix),
+    q(ix, wt) AS (VALUES $qValues),
+    dotn AS (SELECT t.doc_id, CAST(sum(t.tf * q.wt) AS BIGINT) AS dot
+             FROM tf t JOIN q USING (ix) GROUP BY t.doc_id),
+    ssq AS (SELECT doc_id, CAST(sum(tf * tf) AS BIGINT) AS ssq FROM tf GROUP BY doc_id)
+    SELECT s.doc_id,
+           sqrt(CAST(s.ssq - 2 * coalesce(d.dot, 0) + $qssq AS DOUBLE)) AS dist
+    FROM ssq s LEFT JOIN dotn d USING (doc_id)
+    ORDER BY dist, doc_id
+    LIMIT $K"""
+  }
+
   private val sparseKnnSql = s"""
     WITH tok AS (SELECT doc_id, unnest(${graft.functions.TextFunctions.tokensSql("text")}) AS w FROM documents),
     tf AS (SELECT doc_id, w, count(*) AS tf FROM tok GROUP BY doc_id, w),
@@ -3245,6 +3316,7 @@ object VectorQueries {
     "vs_knn_half"     -> QueryDef(knnHalf _, knnHalfOracle(d)),
     "vs_half_cos"     -> QueryDef(knnHalfCos _, knnHalfCosOracle(d)),
     "vs_sparse_l2_knn" -> QueryDef(sparseL2Knn _, sparseL2KnnSql),
+    "vs_sparsevec_col" -> QueryDef(sparsevecColKnn _, sparsevecColSql),
     "vs_bit_hamming"  -> QueryDef(knnBitHamming _, bitHammingSql),
     "vs_bit_jaccard"  -> QueryDef(knnBitJaccard _, bitJaccardSql),
     "vs_knn_cosine"   -> QueryDef(knnCos _, knnOracle(cosSql)),

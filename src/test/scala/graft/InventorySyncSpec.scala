@@ -55,7 +55,11 @@ class InventorySyncSpec extends AnyFunSuite {
     // sidecar, the pgvector halfvec <=> operator) and
     // vs_sparse_l2_knn (sparsevec <-> L2 over the tf corpus), both
     // hash-exact from birth
-    assert(SparkEntry.queries.size == 178)
+    // r17: +1 — vs_sparsevec_col (the ONE-COLUMN sparsevec type:
+    // struct<indices, values, dims> column, L2 vs a pgvector
+    // '{i:v,...}/D' text literal through SparseStructDistExpr — the
+    // kernel the verbatim `sv <-> '...'::sparsevec` SQL resolves to)
+    assert(SparkEntry.queries.size == 179)
     // r10: +4 — events_approx_distinct (engine HLL, integer-exact
     // estimator replay) and decontam_bloom (deterministic bitmap,
     // relational rebuild) moved onto the hash gate; the two new
@@ -83,8 +87,10 @@ class InventorySyncSpec extends AnyFunSuite {
     // artifact consulted. 173/173 oracled; r14's vs_hnsw_sparse lands
     // hash-exact from birth → 174/174; r15's two sparse entries land
     // hash-exact from birth → 176/176; r16's vs_half_cos +
-    // vs_sparse_l2_knn land hash-exact from birth → 178/178.
-    assert(SparkEntry.oracleSql.size == 178)
+    // vs_sparse_l2_knn land hash-exact from birth → 178/178; r17's
+    // vs_sparsevec_col (integer mod-D tf space, ssq−2·dot+qssq
+    // replay) → 179/179.
+    assert(SparkEntry.oracleSql.size == 179)
   }
 
   test("every rows-only (non-oracled) query carries a gate in RecallGateSpec") {
