@@ -273,10 +273,13 @@ case class SparseDistExpr(left: Expression, right: Expression,
   * same determinism contract as [[SparseDistExpr]], so a literal-query
   * plan rewritten to the driver-metadata kernel is bit-identical.
   *
-  * Scale note: this is the exact brute-force path (scan +
-  * TakeOrderedAndProject, CodegenFallback like every sparse kernel).
-  * Index-served sort keys stay on the (indices, values) pair layout
-  * the hnsw sparse DDL binds; a struct column serves exact scans. */
+  * Scale note: the exact path is a brute-force scan +
+  * TakeOrderedAndProject (CodegenFallback like every sparse kernel).
+  * With a literal query this expression is ALSO an index-servable
+  * sort key: hnsw sparsevec DDL accepts the struct column directly
+  * (no WITH (values=…)) and [[graft.plans.HnswProbeRule]] recognizes
+  * the L2/L1/CosineDist modes (and the negated Dot) anchored on the
+  * struct attribute. Col-vs-col distances stay on the exact scan. */
 case class SparseStructDistExpr(left: Expression, right: Expression, mode: Int)
     extends BinaryExpression with CodegenFallback {
 

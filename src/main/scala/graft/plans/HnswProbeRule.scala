@@ -202,6 +202,24 @@ final class HnswProbeRule(session: SparkSession) extends Rule[LogicalPlan] {
       colSide: Expression, query: Array[Double], metric: String,
       sparseIdx: Array[Long] = null, half: Boolean = false)
 
+  /** Split a one-column sparsevec distance into (column side, query
+    * indices, query values): exactly one operand must be a FOLDABLE
+    * sparse struct (the `'{i:v,...}/D'::sparsevec` literal after
+    * constant folding) — col-vs-col distances have no literal query
+    * and stay on the exact scan. */
+  private def structSparseKey(s: graft.functions.SparseStructDistExpr)
+      : Option[(Expression, Array[Long], Array[Double])] = {
+    val (colSide, litSide) =
+      if (s.right.foldable && !s.left.foldable) (s.left, s.right)
+      else if (s.left.foldable && !s.right.foldable) (s.right, s.left)
+      else return None
+    litSide.eval(null) match {
+      case row: org.apache.spark.sql.catalyst.InternalRow =>
+        Some((colSide, row.getArray(0).toLongArray(), row.getArray(1).toDoubleArray()))
+      case _ => None
+    }
+  }
+
   private def asSortKey(e: Expression): Option[SortKey] = e match {
     // halfvec operators over the packed binary16 column itself (r17):
     // `<->`/`<=>`/`<+>` plan as HalfDistExpr ascending, `<#>` as its
@@ -225,6 +243,22 @@ final class HnswProbeRule(session: SparkSession) extends Rule[LogicalPlan] {
     case s: graft.functions.SparseDistExpr
         if s.mode == VectorDistance.L1.id =>
       Some(SortKey(s.left, s.qVal, "l1", s.qIdx))
+    // ONE-COLUMN sparsevec operators (r17): the verbatim
+    // `sv <-> '...'::sparsevec` over a stored struct column plans as
+    // SparseStructDistExpr in the ascending-distance modes directly
+    // (`<=>` is the CosineDist mode — no 1−sim wrapper; `<#>` is the
+    // negated Dot under UnaryMinus below). The struct column attr is
+    // the anchor: a struct-DDL index registers THAT column name, so
+    // kind-consistency falls out of matchEntry's vecCol equality.
+    case s: graft.functions.SparseStructDistExpr =>
+      structSparseKey(s).flatMap { case (c, qi, qv) =>
+        s.mode match {
+          case VectorDistance.L2.id => Some(SortKey(c, qv, "l2", qi))
+          case VectorDistance.L1.id => Some(SortKey(c, qv, "l1", qi))
+          case VectorDistance.CosineDist.id => Some(SortKey(c, qv, "cosine", qi))
+          case _ => None // bare dot/sim ASC is not an index order
+        }
+      }
     case v: VectorDistanceExpr =>
       for {
         query <- literalVector(v)
@@ -247,6 +281,10 @@ final class HnswProbeRule(session: SparkSession) extends Rule[LogicalPlan] {
       // sparse max-inner-product: -sparse_dot(idx, val, qi, qv) ASC
       case s: graft.functions.SparseDistExpr if s.mode == VectorDistance.Dot.id =>
         Some(SortKey(s.left, s.qVal, "ip", s.qIdx))
+      // one-column sparsevec `<#>`: -struct_dist(sv, q, dot) ASC (r17)
+      case s: graft.functions.SparseStructDistExpr
+          if s.mode == VectorDistance.Dot.id =>
+        structSparseKey(s).map { case (c, qi, qv) => SortKey(c, qv, "ip", qi) }
       // halfvec `<#>`: -half_dist(hv, q, dot) ASC (r17)
       case h: graft.functions.HalfDistExpr if h.mode == VectorDistance.Dot.id =>
         Some(SortKey(h.child, h.query, "ip", half = true))

@@ -427,25 +427,43 @@ final case class CreateVectorIndexCommand(stmt: VectorIndexDdl.Stmt)
     val parts = intOpt("parts", 8)
     val id = idCol(df)
     def colType(c: String) = df.schema.fields.find(_.name == c).map(_.dataType)
-    colType(stmt.column) match {
-      case Some(ArrayType(LongType, _)) => ()
-      case other => throw new IllegalArgumentException(
-        s"opclass ${stmt.opclass.get} indexes a sparse (indices, values) column " +
-          s"pair: ${stmt.column} must be the sorted array<bigint> indices column, " +
-          s"got ${other.map(_.simpleString).getOrElse("missing")}")
-    }
-    val valCol = stmt.options.getOrElse("values", throw new IllegalArgumentException(
-      s"opclass ${stmt.opclass.get} needs WITH (values = 'col') naming the aligned " +
-        "array<double>/array<float> values column (the engine's sparsevec is an " +
-        "(indices, values) pair — pgvector's one-column sparsevec has no columnar " +
-        "analogue, documented deviation)"))
-    colType(valCol) match {
-      case Some(ArrayType(DoubleType, _)) | Some(ArrayType(FloatType, _)) => ()
-      case other => throw new IllegalArgumentException(
-        s"sparsevec values column $valCol must be array<double>/array<float>, " +
-          s"got ${other.map(_.simpleString).getOrElse("missing")}")
-    }
-    val graphs = Hnsw.buildPartitionedSparse(df, id, stmt.column, valCol,
+    // ONE-COLUMN sparsevec (r17): `USING hnsw (sv sparsevec_*_ops)`
+    // on a struct<indices, values, dims> column needs no WITH
+    // (values = …) — the build unpacks the fields, and the catalog
+    // entry anchors on the STRUCT column name so the verbatim
+    // `sv <-> '...'::sparsevec` sort key ([[HnswProbeRule]]'s
+    // SparseStructDistExpr shape) serves from this graph.
+    val isStruct = colType(stmt.column)
+      .exists(graft.functions.SparseVec.isSparseStructType)
+    val (buildDf, idxCol, valCol) =
+      if (isStruct) {
+        import org.apache.spark.sql.functions.col
+        (df.withColumn("__graft_si", col(s"${stmt.column}.indices"))
+           .withColumn("__graft_sv", col(s"${stmt.column}.values")),
+          "__graft_si", "__graft_sv")
+      } else {
+        colType(stmt.column) match {
+          case Some(ArrayType(LongType, _)) => ()
+          case other => throw new IllegalArgumentException(
+            s"opclass ${stmt.opclass.get} indexes a sparse (indices, values) column " +
+              s"pair or a struct<indices, values, dims> sparsevec column: " +
+              s"${stmt.column} must be the sorted array<bigint> indices column " +
+              s"or the struct, got ${other.map(_.simpleString).getOrElse("missing")}")
+        }
+        val vc = stmt.options.getOrElse("values", throw new IllegalArgumentException(
+          s"opclass ${stmt.opclass.get} over an indices column needs WITH " +
+            "(values = 'col') naming the aligned array<double>/array<float> " +
+            "values column (pair layout; a struct<indices, values, dims> " +
+            "column needs no option)"))
+        colType(vc) match {
+          case Some(ArrayType(DoubleType, _)) | Some(ArrayType(FloatType, _)) => ()
+          case other => throw new IllegalArgumentException(
+            s"sparsevec values column $vc must be array<double>/array<float>, " +
+              s"got ${other.map(_.simpleString).getOrElse("missing")}")
+        }
+        (df, stmt.column, vc)
+      }
+    val graphs = Hnsw.buildPartitionedSparse(buildDf, id, idxCol, valCol,
       m = m, efC = efC, parts = parts, metric = metric)
     Hnsw.writeGraphs(graphs, storePath)
     // root paths: how HnswProbeRule recognizes a scan of THIS table

@@ -843,6 +843,79 @@ class VectorIndexDdlSpec extends SparkSpec {
     }
   }
 
+  test("one-column sparsevec DDL: struct column indexed, verbatim SQL served (r17)") {
+    withExtSession { s =>
+      graft.plans.HnswSqlCatalog.clear()
+      val D = 64
+      // bounded mod-D index space so the pgvector text literal can
+      // express the query (hash64 term ids exceed the 1e9 dims cap)
+      import graft.functions.TextFunctions.{hash64, tokens}
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_ddl_sparse_struct").toString + "/t"
+      Tables.documents(s, Sf)
+        .select(col("doc_id"), explode(tokens(col("text"))).as("w"))
+        .groupBy(col("doc_id"), (hash64(col("w")) % D + 1).as("ix"))
+        .agg(count(lit(1)).as("tf"))
+        .select(col("doc_id"),
+          struct(col("ix").as("h"), col("tf").cast("double").as("v")).as("p"))
+        .groupBy(col("doc_id"))
+        .agg(array_sort(collect_list(col("p"))).as("ps"))
+        .select(col("doc_id"),
+          graft.functions.SparseVec.toStructColumn(
+            transform(col("ps"), p => p("h")),
+            transform(col("ps"), p => p("v")), D).as("sv"))
+        .write.mode("overwrite").parquet(dir)
+      s.read.parquet(dir).createOrReplaceTempView("ddl_sparse_struct")
+      // no WITH (values = …): the struct column IS the sparsevec
+      s.sql("""CREATE INDEX idx_sp_struct ON ddl_sparse_struct
+               USING hnsw (sv sparsevec_l2_ops)
+               WITH (m = 8, ef_construction = 48, parts = 2, id = 'doc_id')""")
+      val ent = HnswSqlCatalog.get("idx_sp_struct").get
+      assert(ent.storage == "sparsevec" && ent.vecCol == "sv" && ent.metric == "l2")
+      import org.apache.spark.sql.catalyst.expressions.{AttributeReference, In}
+      def hasIdIn(df: org.apache.spark.sql.DataFrame): Boolean =
+        df.queryExecution.optimizedPlan.collect {
+          case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+            f.condition.collect {
+              case In(a: AttributeReference, _) if a.name == "doc_id" => true
+            }
+        }.flatten.nonEmpty
+      val qText = "{3:2,17:1,40:3}/" + D
+      // pgvector's verbatim one-column form, served from the graph
+      val served = s.sql(
+        s"""SELECT doc_id, sv <-> '$qText'::sparsevec AS dist
+            FROM ddl_sparse_struct
+            ORDER BY dist, doc_id
+            LIMIT 10""")
+      assert(hasIdIn(served), "struct sparsevec sort key not served:\n" +
+        served.queryExecution.optimizedPlan)
+      val exact = s.read.parquet(dir)
+        .select(col("doc_id"),
+          graft.functions.SparseVec.structDist(col("sv"),
+            graft.functions.SparseVec.structLiteral(qText),
+            graft.functions.VectorDistance.L2).as("dist"))
+        .orderBy(col("dist"), col("doc_id")).limit(10)
+        .collect().map(r => (r.getLong(0), r.getDouble(1)))
+      val got = served.collect().map(r => (r.getLong(0), r.getDouble(1)))
+      assert(got.head == exact.head,
+        s"struct sparsevec top-1 ${got.head} != exact ${exact.head}")
+      // kind consistency: a cosine struct key must NOT serve the l2
+      // index (opclass-metric match, pgvector parity)
+      val cosKey = s.sql(
+        s"""SELECT doc_id, sv <=> '$qText'::sparsevec AS dist
+            FROM ddl_sparse_struct
+            ORDER BY dist, doc_id LIMIT 10""")
+      assert(!hasIdIn(cosKey), "cosine sort key served an l2 opclass index")
+      // col-vs-col distances carry no literal query — exact scan stays
+      val colCol = s.table("ddl_sparse_struct").as("a")
+        .crossJoin(s.table("ddl_sparse_struct").as("b").limit(1))
+        .select(graft.functions.SparseVec.structDist(
+          col("a.sv"), col("b.sv"), graft.functions.VectorDistance.L2).as("d"))
+      assert(colCol.limit(3).collect().forall(!_.isNullAt(0)))
+      s.sql("DROP INDEX idx_sp_struct")
+    }
+  }
+
   test("halfvec hnsw DDL serves the packed-sidecar HalfDistExpr sort key (r17, VERDICT r16 #7)") {
     withExtSession { s =>
       import org.apache.spark.sql.GraftSqlBridge.{toColumn, toExpression}
