@@ -123,6 +123,31 @@ object Hnsw {
     var entry: Int = -1
     var maxLevel: Int = -1
 
+    /** Per-node squared norms for the COSINE kernels (r17, guide
+      * §1.2 per-task work): the old kernels re-folded both operands'
+      * norms inside every distance call — O(len) redundant work per
+      * call in the build/walk hot loop. Each norm is the exact fold
+      * the per-call loops used (ascending index order over the full
+      * value array), computed once per node; query-side norms fold
+      * once per query in [[qdist]]. Distances are therefore
+      * BIT-IDENTICAL — same add sequence per accumulator, same
+      * sqrt/divide — so graphs, walks, dumps and every oracle replay
+      * are unchanged (HnswSpec/RecallGateSpec regate this). Not
+      * serialized: [[Hnsw.deser]] rebuilds via [[rebuildNorms]];
+      * inserts append. Only maintained for the cosine metric. */
+    private val norms2 = mutable.ArrayBuffer.empty[Double]
+    private def norm2Of(v: Array[Double]): Double = {
+      var s = 0.0; var k = 0
+      while (k < v.length) { s += v(k) * v(k); k += 1 }
+      s
+    }
+    private[operators] def rebuildNorms(): Unit =
+      if (metric == Metric.Cosine) {
+        norms2.clear()
+        var i = 0
+        while (i < vecs.length) { norms2 += norm2Of(vecs(i)); i += 1 }
+      }
+
     /** The graph's own distance — ip is pgvector's `<#>` ordering
       * score (negative inner product: ascending = most similar),
       * cosine guards the zero-vector with max distance instead of
@@ -205,17 +230,115 @@ object Hnsw {
       }
     }
 
+    // ---- metric-specialized kernels (r17, guide §1.2): the generic
+    // kernels above fold every metric's accumulator on every call
+    // (cosine also re-folding both norms); the walk loops below
+    // dispatch ONCE per query/edge to a kernel that folds only what
+    // its metric needs. Each specialized accumulator keeps the
+    // original's add sequence exactly (same branch structure, same
+    // ascending order), so every distance is bit-identical to the
+    // generic kernel's — the generic forms stay as the ragged-length
+    // fallback and the reference for that claim.
+
+    /** Sorted-merge dot product only (the cosine/ip hot loop). */
+    private def sparseDotOnly(ai: Array[Long], av: Array[Double],
+        bi: Array[Long], bv: Array[Double]): Double = {
+      var i = 0; var j = 0; var dot = 0.0
+      while (i < ai.length && j < bi.length) {
+        val a = ai(i); val b = bi(j)
+        if (a == b) { dot += av(i) * bv(j); i += 1; j += 1 }
+        else if (a < b) i += 1
+        else j += 1
+      }
+      dot
+    }
+
+    /** Sorted-merge squared-L2 only. */
+    private def sparseL2Only(ai: Array[Long], av: Array[Double],
+        bi: Array[Long], bv: Array[Double]): Double = {
+      var i = 0; var j = 0; var l2 = 0.0
+      while (i < ai.length && j < bi.length) {
+        val a = ai(i); val b = bi(j)
+        if (a == b) {
+          val d = av(i) - bv(j); l2 += d * d; i += 1; j += 1
+        } else if (a < b) { l2 += av(i) * av(i); i += 1 }
+        else { l2 += bv(j) * bv(j); j += 1 }
+      }
+      while (i < ai.length) { l2 += av(i) * av(i); i += 1 }
+      while (j < bi.length) { l2 += bv(j) * bv(j); j += 1 }
+      l2
+    }
+
+    /** Sorted-merge L1 only. */
+    private def sparseL1Only(ai: Array[Long], av: Array[Double],
+        bi: Array[Long], bv: Array[Double]): Double = {
+      var i = 0; var j = 0; var l1 = 0.0
+      while (i < ai.length && j < bi.length) {
+        val a = ai(i); val b = bi(j)
+        if (a == b) { l1 += math.abs(av(i) - bv(j)); i += 1; j += 1 }
+        else if (a < b) { l1 += math.abs(av(i)); i += 1 }
+        else { l1 += math.abs(bv(j)); j += 1 }
+      }
+      while (i < ai.length) { l1 += math.abs(av(i)); i += 1 }
+      while (j < bi.length) { l1 += math.abs(bv(j)); j += 1 }
+      l1
+    }
+
+    /** Dense dot with both norms cached (lengths must match — the
+      * ragged case falls back to [[dist]], whose min-length norm
+      * truncation the cache cannot reproduce). */
+    private def denseCosCached(q: Array[Double], qn2: Double, node: Int): Double = {
+      val v = vecs(node)
+      if (v.length != q.length) return dist(q, v)
+      var dot = 0.0; var i = 0
+      while (i < q.length) { dot += q(i) * v(i); i += 1 }
+      val den = math.sqrt(qn2) * math.sqrt(norms2(node))
+      if (den == 0.0) 1.0 else 1.0 - dot / den
+    }
+
     /** Distance-to-node closure for one query — the walk kernels are
       * representation-agnostic through it (dense array vs sparse
-      * (idx, vals) pair; `qi` null means dense). */
+      * (idx, vals) pair; `qi` null means dense). Cosine closures fold
+      * the query norm ONCE here instead of per distance call. */
     private def qdist(qi: Array[Long], qv: Array[Double]): Int => Double =
-      if (!sparse) n => dist(qv, vecs(n))
-      else n => sparseDist(qi, qv, idxs(n), vecs(n))
+      if (!sparse) {
+        if (metric == Metric.Cosine) {
+          val qn2 = norm2Of(qv)
+          n => denseCosCached(qv, qn2, n)
+        } else n => dist(qv, vecs(n))
+      } else metric match {
+        case Metric.Cosine =>
+          val qn2 = norm2Of(qv)
+          val qn = math.sqrt(qn2)
+          n => {
+            val den = qn * math.sqrt(norms2(n))
+            if (den == 0.0) 1.0
+            else 1.0 - sparseDotOnly(qi, qv, idxs(n), vecs(n)) / den
+          }
+        case Metric.Ip => n => -sparseDotOnly(qi, qv, idxs(n), vecs(n))
+        case Metric.L1 => n => sparseL1Only(qi, qv, idxs(n), vecs(n))
+        case _ => n => math.sqrt(sparseL2Only(qi, qv, idxs(n), vecs(n)))
+      }
 
     /** Node-to-node distance (edge pruning). */
     private def ndist(a: Int, b: Int): Double =
-      if (!sparse) dist(vecs(a), vecs(b))
-      else sparseDist(idxs(a), vecs(a), idxs(b), vecs(b))
+      if (!sparse) {
+        if (metric == Metric.Cosine && vecs(a).length == vecs(b).length) {
+          val va = vecs(a); val vb = vecs(b)
+          var dot = 0.0; var i = 0
+          while (i < va.length) { dot += va(i) * vb(i); i += 1 }
+          val den = math.sqrt(norms2(a)) * math.sqrt(norms2(b))
+          if (den == 0.0) 1.0 else 1.0 - dot / den
+        } else dist(vecs(a), vecs(b))
+      } else metric match {
+        case Metric.Cosine =>
+          val den = math.sqrt(norms2(a)) * math.sqrt(norms2(b))
+          if (den == 0.0) 1.0
+          else 1.0 - sparseDotOnly(idxs(a), vecs(a), idxs(b), vecs(b)) / den
+        case Metric.Ip => -sparseDotOnly(idxs(a), vecs(a), idxs(b), vecs(b))
+        case Metric.L1 => sparseL1Only(idxs(a), vecs(a), idxs(b), vecs(b))
+        case _ => math.sqrt(sparseL2Only(idxs(a), vecs(a), idxs(b), vecs(b)))
+      }
 
     /** Deterministic geometric level draw from the id hash (p = 1/e,
       * the standard mL = 1/ln(M') choice collapsed to base e). */
@@ -252,12 +375,39 @@ object Hnsw {
       * a pure function of (graph, query). With the lexicographic
       * tie-break every step is deterministic, which is what lets the
       * DuckDB oracle replay the walk bit-for-bit. */
+    /** Generation-stamped visited marks (r17, guide §1.2): the beam
+      * used to allocate a boxed HashSet per call — membership test +
+      * box per visited edge in the single hottest loop of build and
+      * walk. One int array per Index, generation counter per beam
+      * call: identical set semantics, zero allocation, O(1) unboxed
+      * probes. */
+    private var visitStamp = new Array[Int](64)
+    private var visitGen = 0
+
+    /** Explicit (dist, node) comparator — same total order as the old
+      * `Ordering.by` tuple form (java.lang.Double.compare semantics on
+      * the dist, node ascending as tie-break) without allocating a
+      * tuple per heap comparison. */
+    private val byDist: Ordering[(Int, Double)] = new Ordering[(Int, Double)] {
+      def compare(x: (Int, Double), y: (Int, Double)): Int = {
+        val c = java.lang.Double.compare(x._2, y._2)
+        if (c != 0) c else Integer.compare(x._1, y._1)
+      }
+    }
+    private val byDistRev = byDist.reverse
+
     private def beam(qd: Int => Double, start: Int, level: Int, ef: Int): mutable.ArrayBuffer[(Int, Double)] = {
-      val visited = mutable.HashSet(start)
+      if (visitStamp.length < ids.length)
+        visitStamp = new Array[Int](math.max(ids.length, visitStamp.length * 2))
+      if (visitGen == Int.MaxValue) {
+        java.util.Arrays.fill(visitStamp, 0); visitGen = 0
+      }
+      visitGen += 1
+      val gen = visitGen
+      val stamp = visitStamp
+      stamp(start) = gen
       // candidates: min-heap by (dist, node); results: max-heap
-      implicit val byDist: Ordering[(Int, Double)] =
-        Ordering.by[(Int, Double), (Double, Int)](t => (t._2, t._1))
-      val cand = mutable.PriorityQueue((start, qd(start)))(byDist.reverse)
+      val cand = mutable.PriorityQueue((start, qd(start)))(byDistRev)
       val res = mutable.PriorityQueue((start, qd(start)))(byDist)
       while (cand.nonEmpty) {
         val (c, cd) = cand.dequeue()
@@ -267,8 +417,8 @@ object Hnsw {
           var i = 0
           while (i < ns.length) {
             val nb = ns(i)
-            if (!visited(nb)) {
-              visited += nb
+            if (stamp(nb) != gen) {
+              stamp(nb) = gen
               val d = qd(nb)
               if (res.size < ef || d < res.head._2) {
                 cand.enqueue((nb, d))
@@ -321,6 +471,7 @@ object Hnsw {
       val lvl = levelOf(id)
       ids += id; vecs += v; nodeLevel += lvl
       if (sparse) idxs += qi
+      if (metric == Metric.Cosine) norms2 += norm2Of(v)
       links += Array.fill(lvl + 1)(mutable.ArrayBuffer.empty[Int])
       if (entry < 0) { entry = node; maxLevel = lvl; return }
       val qd = qdist(qi, v)
@@ -528,6 +679,10 @@ object Hnsw {
       ix.links += ls
       i += 1
     }
+    // the norm cache is not part of the blob format (see Index.norms2):
+    // one O(total nnz) rebuild per load — the cost of a single distance
+    // call per node, amortized over every walk against this graph
+    ix.rebuildNorms()
     ix
   }
 

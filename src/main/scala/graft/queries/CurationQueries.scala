@@ -556,11 +556,13 @@ object CurationQueries {
     val p = clsGdPath(d)
     CurationQueries.synchronized {
       if (!new java.io.File(p, "_SUCCESS").exists()) {
-        val (feat0, labels) = clsFeat(s, d)
-        val feat = feat0.persist()
+        val (featU, freeFeat0, labels) = clsFeat(s, d)
+        val feat = featU.persist()
         try {
           val cls = graft.operators.Classifier
           val w0 = cls.nbLogOdds(s, feat, labels, ClsBuckets + 1, ClsBuckets)
+          freeFeat0() // feat is materialized by the NB pass; the
+          // pre-union aggregate's blocks are dead from here on
           val w = cls.trainLogReg(
             s, feat, labels, ClsBuckets + 1, ClsEpochs, ClsLr, init = w0)
           import s.implicits._
@@ -592,8 +594,18 @@ object CurationQueries {
 
   /** Hashed-trigram count features (+ per-doc bias row) and labels —
     * shared by [[classifier]] and [[classifierNb]]. Tokens projected
-    * before the shingle HOF (see dsir's trap note). */
-  private def clsFeat(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    * before the shingle HOF (see dsir's trap note).
+    *
+    * r17 (guide §1.2 "don't compute things you throw away"): the bias
+    * union references the trigram aggregate TWICE (once per union
+    * branch), and Spark does not share common subtrees — the train
+    * builds used to tokenize + explode + aggregate the corpus twice
+    * to materialize one feature frame. The aggregate is now persisted
+    * and materialized once (count()) before the union reads it from
+    * cache; rows are identical, so the trained weights (and the
+    * hash-gated scoring sweeps) are bit-unchanged. Callers unpersist
+    * via the returned thunk once their own materialization is done. */
+  private[graft] def clsFeat(s: SparkSession, d: String): (DataFrame, () => Unit, DataFrame) = {
     // repartition-up (r10, the Lloyd-fix discipline): the trigram
     // explode is the classifier's corpus-scale map stage, and a
     // single-file fixture would run it on one core. Counts are
@@ -605,6 +617,8 @@ object CurationQueries {
         explode(shingles(col("tk"), ClsNgram)).as("w"))
       .groupBy(col("doc_id"), (hash64(col("w")) % ClsBuckets).cast("int").as("b"))
       .agg(count(lit(1)).cast("double").as("x"))
+      .persist()
+    feat0.count() // materialize: one tokenize pass, not one per union branch
     val feat = feat0
       .unionAll(feat0.select(col("doc_id")).distinct()
         .select(col("doc_id"), lit(ClsBuckets).as("b"), lit(1.0).as("x"))) // bias
@@ -612,7 +626,7 @@ object CurationQueries {
     val labels = Tables.documents(s, d)
       .select(col("doc_id"),
         when(col("lang") === "en", 1.0).otherwise(0.0).as("y"))
-    (feat, labels)
+    (feat, () => { feat0.unpersist(); () }, labels)
   }
 
   // -------------------------------------------- curate_classifier_nb
@@ -639,8 +653,8 @@ object CurationQueries {
     val p = clsNbPath(d)
     CurationQueries.synchronized {
       if (!new java.io.File(p, "_SUCCESS").exists()) {
-        val (feat0, labels) = clsFeat(s, d)
-        val feat = feat0.persist()
+        val (featU, freeFeat0, labels) = clsFeat(s, d)
+        val feat = featU.persist()
         try {
           val w0 = graft.operators.Classifier
             .nbLogOdds(s, feat, labels, ClsBuckets + 1, ClsBuckets)
@@ -649,7 +663,7 @@ object CurationQueries {
             .map { case (v, b) => (b, Math.round(v * ClsNbScale)) }
             .toDF("b", "wq").coalesce(1)
             .write.mode("overwrite").parquet(p)
-        } finally { feat.unpersist(); () }
+        } finally { feat.unpersist(); freeFeat0() }
       }
     }
     p
