@@ -40,6 +40,45 @@ object Hnsw {
     * under one metric descends wrong under another (inner product
     * favors large-norm vectors an L2 descent never reaches), so the
     * metric is index STATE, not a search-time argument. */
+  /** Growable UNBOXED int list for adjacency (r18 — VERDICT r17 #4,
+    * guide §5 allocation in the build hot loop): `ArrayBuffer[Int]`
+    * stores boxed `java.lang.Integer`s (~20 B + a pointer chase per
+    * neighbor read), and the insert loop reads/rewrites neighbor lists
+    * in `beam`, `greedy` and the bidirectional prune constantly. Same
+    * append order, same values: graph structure, blob bytes and every
+    * walk are bit-identical to the boxed form (HnswIntBufSpec pins the
+    * op-sequence equivalence; HnswSpec re-gates roundtrip + walks).
+    * Value equality compares contents, so spec-level `==` on adjacency
+    * keeps meaning what it meant for ArrayBuffer. */
+  private[graft] final class IntBuf(initialCapacity: Int = 4) {
+    private var a = new Array[Int](math.max(1, initialCapacity))
+    private var n = 0
+    def length: Int = n
+    def isEmpty: Boolean = n == 0
+    def apply(i: Int): Int = {
+      if (i >= n) throw new IndexOutOfBoundsException(s"$i of $n")
+      a(i)
+    }
+    def +=(x: Int): this.type = {
+      if (n == a.length) a = java.util.Arrays.copyOf(a, a.length * 2)
+      a(n) = x; n += 1; this
+    }
+    def clear(): Unit = n = 0
+    def toSeq: Seq[Int] = toArray.toSeq
+    def toArray: Array[Int] = java.util.Arrays.copyOfRange(a, 0, n)
+    override def equals(o: Any): Boolean = o match {
+      case b: IntBuf =>
+        b.n == n && java.util.Arrays.equals(a, 0, n, b.a, 0, n)
+      case _ => false
+    }
+    override def hashCode(): Int = {
+      var h = 1; var i = 0
+      while (i < n) { h = 31 * h + a(i); i += 1 }
+      h
+    }
+    override def toString: String = toSeq.mkString("IntBuf(", ", ", ")")
+  }
+
   object Metric {
     val L2 = 0; val Cosine = 1; val Ip = 2; val L1 = 3
     /** Bit metrics (pgvector `bit_hamming_ops` / `bit_jaccard_ops`,
@@ -118,8 +157,8 @@ object Hnsw {
     /** sparse only: idxs(n) = node n's sorted dimension ids. */
     val idxs = mutable.ArrayBuffer.empty[Array[Long]]
     val nodeLevel = mutable.ArrayBuffer.empty[Int]
-    /** links(node)(level) = neighbor node indices. */
-    val links = mutable.ArrayBuffer.empty[Array[mutable.ArrayBuffer[Int]]]
+    /** links(node)(level) = neighbor node indices (unboxed, r18). */
+    val links = mutable.ArrayBuffer.empty[Array[IntBuf]]
     var entry: Int = -1
     var maxLevel: Int = -1
 
@@ -472,7 +511,7 @@ object Hnsw {
       ids += id; vecs += v; nodeLevel += lvl
       if (sparse) idxs += qi
       if (metric == Metric.Cosine) norms2 += norm2Of(v)
-      links += Array.fill(lvl + 1)(mutable.ArrayBuffer.empty[Int])
+      links += Array.fill(lvl + 1)(new IntBuf)
       if (entry < 0) { entry = node; maxLevel = lvl; return }
       val qd = qdist(qi, v)
       var cur = entry
@@ -485,15 +524,19 @@ object Hnsw {
         val cands = beam(qd, cur, l, efC)
         val cap = if (l == 0) 2 * m else m
         val chosen = selectDiverse(cands.toSeq, cap)
-        links(node)(l) ++= chosen.map(_._1)
+        chosen.foreach { case (c, _) => links(node)(l) += c }
         // bidirectional, pruned with the same diversity rule
         for ((nb, _) <- chosen) {
           val nls = links(nb)(l)
           nls += node
           if (nls.length > cap) {
-            val pruned = selectDiverse(
-              nls.map(x => (x, ndist(nb, x))).sortBy(_._2).toSeq, cap)
-            nls.clear(); nls ++= pruned.map(_._1)
+            // same (value, order) sequence the boxed form sorted: an
+            // ArrayBuffer built in adjacency order through the same
+            // stable sortBy — prune output is bit-identical
+            val withD = mutable.ArrayBuffer.tabulate(nls.length)(
+              i => (nls(i), ndist(nb, nls(i))))
+            val pruned = selectDiverse(withD.sortBy(_._2).toSeq, cap)
+            nls.clear(); pruned.foreach { case (x, _) => nls += x }
           }
         }
         cur = cands.head._1
@@ -514,13 +557,46 @@ object Hnsw {
       searchImpl(qdist(qIdx, qVal), k, ef)
     }
 
-    private def searchImpl(qd: Int => Double, k: Int, ef: Int): Seq[(Long, Double)] = {
-      if (entry < 0) return Seq.empty
-      var cur = entry
-      var l = maxLevel
-      while (l > 0) { cur = greedy(qd, cur, l); l -= 1 }
-      beam(qd, cur, 0, math.max(ef, k)).take(k)
-        .map { case (n, d) => (ids(n), d) }.toSeq
+    /** Walks are serialized per index (r18): the generation-stamped
+      * visited array makes beam non-reentrant, and [[WalkCache]] shares
+      * one parsed Index across tasks — the monitor makes concurrent use
+      * safe instead of silently corrupting walks (ADVICE r17). Within
+      * one Spark job each graph row is walked by one task, so the lock
+      * is uncontended on every existing path; distinct graphs never
+      * share a monitor. Inserts stay single-threaded by construction
+      * (each build task owns a private index). */
+    private def searchImpl(qd: Int => Double, k: Int, ef: Int): Seq[(Long, Double)] =
+      this.synchronized {
+        if (entry < 0) return Seq.empty
+        var cur = entry
+        var l = maxLevel
+        while (l > 0) { cur = greedy(qd, cur, l); l -= 1 }
+        beam(qd, cur, 0, math.max(ef, k)).take(k)
+          .map { case (n, d) => (ids(n), d) }.toSeq
+      }
+
+    /** Estimated resident heap bytes of this parsed index (array
+      * payloads + per-object headers) — the [[WalkCache]] budget
+      * currency. An estimate, not an exact footprint: consistent
+      * across layouts is what the LRU bound needs. */
+    private[operators] def residentBytes: Long = {
+      var b = 64L + ids.length * 40L // ids + nodeLevel + buffer headers
+      if (metric == Metric.Cosine) b += norms2.length * 8L
+      var i = 0
+      while (i < vecs.length) { b += 24L + vecs(i).length * 8L; i += 1 }
+      if (sparse) {
+        i = 0
+        while (i < idxs.length) { b += 24L + idxs(i).length * 8L; i += 1 }
+      }
+      i = 0
+      while (i < links.length) {
+        val ls = links(i)
+        b += 24L + ls.length * 48L
+        var l = 0
+        while (l < ls.length) { b += ls(l).length * 4L; l += 1 }
+        i += 1
+      }
+      b + visitStamp.length * 4L
     }
   }
 
@@ -619,6 +695,90 @@ object Hnsw {
     bytes
   }
 
+  // ------------------------------------------------- parsed-graph cache
+  /** Executor-resident parsed-graph LRU (r18 — VERDICT r17 #1, the
+    * round's top item; attempted and reverted in r17, re-landed with
+    * the Zipf 500k re-validation): every READ-ONLY walk path used to
+    * re-inflate and re-parse each graph blob per micro-batch/query —
+    * the serving floor was P deflate-parses per batch, not P walks.
+    * pgvector pays this once into shared_buffers; the Spark-native
+    * analogue is a JVM-wide (= per-executor) cache of parsed
+    * [[Index]]es.
+    *
+    * Correctness envelope:
+    *  - CONTENT-keyed (blob length + 128-bit MD5 of the bytes): a
+    *    rebuilt/appended store produces new bytes and therefore new
+    *    keys — stale entries are unreachable and age out by LRU. No
+    *    key ever derives from a path or fixture name, and nothing
+    *    persists across JVMs: every run still computes from the
+    *    parquet bytes (re-parsing a bit-identical blob is the only
+    *    work ever skipped).
+    *  - READ-ONLY sharing: only the walk paths (the search, batch,
+    *    routed and filtered families) consume cached indexes, and
+    *    walks mutate nothing but the per-index visited stamps, which
+    *    [[Index.searchImpl]] serializes with a monitor (walks against
+    *    ONE graph are brief; distinct graphs walk fully parallel).
+    *    Mutating consumers ([[appendBatch]]/[[appendBatchSparse]]) and
+    *    the oracle dump keep calling [[deser]] for a private copy.
+    *  - BOUNDED: `GRAFT_HNSW_CACHE_MB` caps resident bytes (estimated
+    *    per index; default heap/8 capped at 4 GiB — executor-sized on
+    *    a real cluster via the env, not a local[32] constant); `0`
+    *    disables the cache entirely (every call parses fresh).
+    * Eviction is LRU on access order under a single monitor — lookups
+    * are a hash probe + an MD5 over bytes already in memory, orders
+    * cheaper than inflate + parse + norm rebuild. */
+  private[graft] object WalkCache {
+    private final case class Key(len: Int, h1: Long, h2: Long)
+    val maxBytes: Long = sys.env.get("GRAFT_HNSW_CACHE_MB") match {
+      case Some(mb) => mb.trim.toLong * 1024L * 1024L
+      case None =>
+        math.min(4096L * 1024 * 1024, Runtime.getRuntime.maxMemory() / 8)
+    }
+    private val map = new java.util.LinkedHashMap[Key, (Index, Long)](64, 0.75f, true)
+    private var bytes = 0L
+    // observability (specs + profiling): monotone counters
+    @volatile private[graft] var hits = 0L
+    @volatile private[graft] var misses = 0L
+    private def keyOf(blob: Array[Byte]): Key = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val d = md.digest(blob)
+      val bb = java.nio.ByteBuffer.wrap(d)
+      Key(blob.length, bb.getLong, bb.getLong)
+    }
+    def get(blob: Array[Byte]): Index = {
+      if (maxBytes <= 0) return deser(blob)
+      val k = keyOf(blob)
+      this.synchronized {
+        val hit = map.get(k)
+        if (hit != null) { hits += 1; return hit._1 }
+      }
+      // parse OUTSIDE the monitor: concurrent misses on distinct blobs
+      // must not serialize the expensive inflate+parse
+      val ix = deser(blob)
+      val sz = ix.residentBytes
+      this.synchronized {
+        misses += 1
+        if (sz <= maxBytes && !map.containsKey(k)) {
+          map.put(k, (ix, sz))
+          bytes += sz
+          val it = map.entrySet().iterator()
+          while (bytes > maxBytes && it.hasNext) {
+            val e = it.next()
+            if (e.getKey != k) { bytes -= e.getValue._2; it.remove() }
+          }
+        }
+      }
+      ix
+    }
+    private[graft] def clear(): Unit = this.synchronized {
+      map.clear(); bytes = 0L
+    }
+    private[graft] def residentBytes: Long = this.synchronized(bytes)
+  }
+
+  /** Cache-backed deser for the read-only walk paths. */
+  private[graft] def deserCached(bytes: Array[Byte]): Index = WalkCache.get(bytes)
+
   private[graft] def deser(bytes: Array[Byte]): Index = {
     // buffered for the same reason ser is: readLong/readInt over a
     // bare InflaterInputStream crosses the inflater per field — the
@@ -668,12 +828,14 @@ object Hnsw {
     i = 0
     while (i < n) {
       val nl = in.readInt()
-      val ls = Array.fill(nl)(mutable.ArrayBuffer.empty[Int])
+      val ls = new Array[IntBuf](nl)
       var l = 0
       while (l < nl) {
         val cnt = in.readInt()
+        val b = new IntBuf(math.max(4, cnt)) // exact-size: no regrow on load
         var j = 0
-        while (j < cnt) { ls(l) += in.readInt(); j += 1 }
+        while (j < cnt) { b += in.readInt(); j += 1 }
+        ls(l) = b
         l += 1
       }
       ix.links += ls
@@ -768,7 +930,7 @@ object Hnsw {
     val spark = graphs.sparkSession
     import spark.implicits._
     graphs.select(col("graph")).as[Array[Byte]]
-      .flatMap(blob => deser(blob).searchKnnSparse(qIdx, qVal, k, ef))
+      .flatMap(blob => deserCached(blob).searchKnnSparse(qIdx, qVal, k, ef))
       .toDF("vec_id", "dist")
       .orderBy(col("dist"), col("vec_id"))
       .limit(k)
@@ -780,7 +942,7 @@ object Hnsw {
     val spark = graphs.sparkSession
     import spark.implicits._
     graphs.select(col("graph")).as[Array[Byte]]
-      .flatMap(blob => deser(blob).searchKnn(query, k, ef))
+      .flatMap(blob => deserCached(blob).searchKnn(query, k, ef))
       .toDF("vec_id", "dist")
       .orderBy(col("dist"), col("vec_id"))
       .limit(k)
@@ -800,7 +962,7 @@ object Hnsw {
     val spark = graphs.sparkSession
     import spark.implicits._
     val cands = graphs.select(col("graph")).as[Array[Byte]]
-      .flatMap(blob => deser(blob).searchKnn(query, k * widen, math.max(ef, k * widen)))
+      .flatMap(blob => deserCached(blob).searchKnn(query, k * widen, math.max(ef, k * widen)))
       .toDF("vec_id", "dist")
     cands
       .join(meta.filter(pred).select(col(metaIdCol)).withColumnRenamed(metaIdCol, "__mid"),
@@ -823,7 +985,7 @@ object Hnsw {
     val spark = graphs.sparkSession
     import spark.implicits._
     val cands = graphs.select(col("graph")).as[Array[Byte]]
-      .flatMap(blob => deser(blob)
+      .flatMap(blob => deserCached(blob)
         .searchKnnSparse(qIdx, qVal, k * widen, math.max(ef, k * widen)))
       .toDF("vec_id", "dist")
     cands
@@ -848,7 +1010,7 @@ object Hnsw {
     val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
     graphs.select(col("graph")).as[Array[Byte]]
       .flatMap { blob =>
-        val ix = deser(blob)
+        val ix = deserCached(blob)
         qs.iterator.flatMap { case (qid, qv) =>
           ix.searchKnn(qv, k, ef).map { case (id, d) => (qid, id, d) }
         }
@@ -873,7 +1035,7 @@ object Hnsw {
     val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
     graphs.select(col("graph")).as[Array[Byte]]
       .flatMap { blob =>
-        val ix = deser(blob)
+        val ix = deserCached(blob)
         qs.iterator.flatMap { case (qid, qi, qv) =>
           ix.searchKnnSparse(qi, qv, k, ef).map { case (id, d) => (qid, id, d) }
         }
@@ -950,8 +1112,10 @@ object Hnsw {
     * cells' graphs. The cell filter is an `In` over the store's
     * cell_id column — pushed to the parquet scan, so un-probed blobs
     * are never read, let alone deserialized. `deserCounter` (specs)
-    * counts actual graph deserializations to pin the ≤ nprobe
-    * contract as a measured number, not a doc-comment. */
+    * counts graph-blob LOADS — one per blob a probe touches, whether
+    * the parse ran or [[WalkCache]] answered it (r18) — so the
+    * ≤ nprobe routing contract stays a measured number under the
+    * cache, with counts identical to the pre-cache instrument. */
   def searchRouted(graphs: DataFrame, centroids: DataFrame,
       query: Array[Double], k: Int, nprobe: Int, ef: Int = 64,
       deserCounter: Option[org.apache.spark.util.LongAccumulator] = None): DataFrame = {
@@ -963,7 +1127,7 @@ object Hnsw {
       .select(col("graph")).as[Array[Byte]]
       .flatMap { blob =>
         deserCounter.foreach(_.add(1))
-        deser(blob).searchKnn(query, k, ef)
+        deserCached(blob).searchKnn(query, k, ef)
       }
       .toDF("vec_id", "dist")
       // spill copies return identical (id, dist) rows from sibling
@@ -1135,7 +1299,7 @@ object Hnsw {
       .select(col("graph")).as[Array[Byte]]
       .flatMap { blob =>
         deserCounter.foreach(_.add(1))
-        deser(blob).searchKnnSparse(qIdx, qVal, k, ef)
+        deserCached(blob).searchKnnSparse(qIdx, qVal, k, ef)
       }
       .toDF("vec_id", "dist")
       .dropDuplicates("vec_id")
@@ -1175,24 +1339,37 @@ object Hnsw {
     val probedUnion = byCell.keys.toSeq.sorted
     val qByIdTask = queries.map(q => (q._1, (q._2, q._3))).toMap
     val byCellTask = byCell // task-serialized: |batch|·nprobe entries
-    val w = Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
+    // ONE exchange for dedup + rank (r18, guide §2.4 — the old
+    // dropDuplicates(qid, vec_id) hashed by (qid, vec_id) and the rank
+    // window re-hashed by qid: two exchanges over k·|batch|·nprobe
+    // rows, i.e. two stage floors per serving micro-batch). Spill
+    // copies are IDENTICAL full rows — the same node in sibling graphs
+    // carries the same vector, so (qid, vec_id) determines dist — and
+    // in the (dist, vec_id) sort order duplicates are ADJACENT. Within
+    // one qid-partitioned, (dist, vec_id)-sorted window pass: a row is
+    // the first of its vec_id iff lag(vec_id) differs, and the rank
+    // among FIRSTS is the running sum of the first-flags. Same rows as
+    // dropDuplicates + row_number ≤ k, one exchange, one sort.
+    val wOrd = Window.partitionBy(col("qid")).orderBy(col("dist"), col("vec_id"))
+    val wRun = wOrd.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     graphs
       .filter(col("part_id").isin(probedUnion.map(Int.box): _*))
       .select(col("part_id"), col("graph"))
       .as[(Int, Array[Byte])]
       .flatMap { case (cell, blob) =>
         deserCounter.foreach(_.add(1))
-        val ix = deser(blob)
+        val ix = deserCached(blob)
         byCellTask.getOrElse(cell, Seq.empty).iterator.flatMap { qid =>
           val (qi, qv) = qByIdTask(qid)
           ix.searchKnnSparse(qi, qv, k, ef).map { case (id, d) => (qid, id, d) }
         }
       }
       .toDF("qid", "vec_id", "dist")
-      // spill copies: identical rows from sibling graphs, per query
-      .dropDuplicates("qid", "vec_id")
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= k)
+      .withColumn("__first",
+        when(lag(col("vec_id"), 1).over(wOrd).isNull ||
+          lag(col("vec_id"), 1).over(wOrd) =!= col("vec_id"), 1).otherwise(0))
+      .withColumn("__rk", sum(col("__first")).over(wRun))
+      .filter(col("__first") === 1 && col("__rk") <= k)
       .select(col("qid"), col("vec_id"), col("dist"))
       .orderBy(col("qid"), col("dist"), col("vec_id"))
   }

@@ -570,7 +570,13 @@ object CurationQueries {
             .map { case (v, b) => (b, Math.round(v * ClsNbScale)) }
             .toDF("b", "wq").coalesce(1)
             .write.mode("overwrite").parquet(p)
-        } finally { feat.unpersist(); () }
+        } finally {
+          feat.unpersist()
+          // unpersist is idempotent: the mid-try call releases the
+          // aggregate's blocks early on the happy path, this one
+          // guarantees release when nbLogOdds throws (ADVICE r17)
+          freeFeat0()
+        }
       }
     }
     p

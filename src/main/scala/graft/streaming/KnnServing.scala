@@ -459,10 +459,16 @@ object KnnServing {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         if (!batch.isEmpty) {
           val q = batch.select(col(qIdCol), col(qVecCol))
+          // r18 (VERDICT r17 #7, guide §1.2): the probe join used to be
+          // recomputed by every job of the batch (miss test, cache
+          // refresh, output write — 3 evaluations, each rebuilding the
+          // broadcast); it is persisted once per batch and released in
+          // the finally below. Same rows, same cache contents.
+          var scoredPin: DataFrame = null
           val (hits, hitVecs, misses) =
             if (cache == null) (None, None, q)
             else {
-              val scored =
+              val scored0 =
                 if (eps == 0)
                   // equality join: at most one cache row per query
                   // (c_vec is unique), and it is always a hit
@@ -483,7 +489,8 @@ object KnnServing {
                       col("__dot") * col("__dot") >=
                         lit((1.0 - eps) * (1.0 - eps)) * col("__qn2") * col("c_norm2"))
                 }
-              val hitRows = scored.filter(col("__hit"))
+              scoredPin = scored0.persist()
+              val hitRows = scoredPin.filter(col("__hit"))
               val hit = hitRows
                 .select(col(qIdCol), explode(col("c_answers")).as("a"))
                 .select(col(qIdCol), col("a.id").as(idCol),
@@ -493,6 +500,7 @@ object KnnServing {
               val miss = q.join(hitRows.select(col(qIdCol)), Seq(qIdCol), "left_anti")
               (Some(hit), Some(hitRows.select(col("c_vec")).distinct()), miss)
             }
+          try {
           val freshRows =
             if (misses.isEmpty) None
             else {
@@ -534,15 +542,21 @@ object KnnServing {
             }
             val dedupW = org.apache.spark.sql.expressions.Window
               .partitionBy(col("c_vec")).orderBy(col("c_gen").desc)
+            // LAZY checkpoint + count: the count IS the materializing
+            // action, so dedup + eviction + the capacity probe run as
+            // ONE job per batch instead of the old eager-checkpoint
+            // job followed by a count job (r18 — the matWithCount
+            // discipline). The old generation is released only after
+            // the new one is materialized, exactly as before.
             val merged = all
               .withColumn("rn", row_number().over(dedupW))
               .filter(col("rn") === 1).drop("rn")
               .orderBy(col("c_gen").desc, col("c_vec")) // LRU eviction:
               .limit(capacity) // TakeOrderedAndProject, no global window
-              .localCheckpoint(true) // eager: the old generation can go
+              .localCheckpoint(false)
+            cacheCount = merged.count() // materializes the checkpoint
             if (cache != null) cache.unpersist()
             cache = merged
-            cacheCount = merged.count()
           }
           val out: Option[DataFrame] = (hits, freshRows) match {
             case (Some(h), Some(f)) => Some(h.unionByName(
@@ -553,6 +567,9 @@ object KnnServing {
             case (None, None) => None // unreachable: a non-empty batch is hits ∪ misses
           }
           out.foreach(writeBatch(_, batchId))
+          } finally {
+            if (scoredPin != null) { scoredPin.unpersist(); () }
+          }
         }
       }
       .start()

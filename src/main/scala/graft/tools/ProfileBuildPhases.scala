@@ -42,8 +42,14 @@ object ProfileBuildPhases {
         graft.operators.Hnsw.readGraphs(spark, s"$base/graphs"))
         .write.mode("overwrite").parquet(s"$base/dump")
     }
-    // second pass: assignment-only vs insert cost split
-    timed("assign_only(count)") {
+    // second pass, two floors (ADVICE r17: the old single "assign_only"
+    // pass mapped every row to two FIXED cells — it measured the
+    // scan+explode+groupBy floor, not cell assignment):
+    //  - scan_floor: the fixed-cell map — scan + explode + groupBy cost
+    //  - assign_real: the actual rankCellsSparse routing expression at
+    //    the build's parameterization; assign_real − scan_floor is the
+    //    routing arithmetic itself
+    timed("scan_floor(count)") {
       val tf = spark.read.parquet(tfP)
       import spark.implicits._
       tf.select(org.apache.spark.sql.functions.col("doc_id").cast("long"),
@@ -51,6 +57,19 @@ object ProfileBuildPhases {
           org.apache.spark.sql.functions.col("sval").cast("array<double>"))
         .as[(Long, Seq[Long], Seq[Double])]
         .flatMap { case (id, qi, qv) => (0 until 2).map(c => (c, id)) }
+        .toDF("c", "id").groupBy("c").count().collect()
+    }
+    timed("assign_real(count)") {
+      val tf = spark.read.parquet(tfP)
+      import spark.implicits._
+      tf.select(org.apache.spark.sql.functions.col("doc_id").cast("long"),
+          org.apache.spark.sql.functions.col("sidx").cast("array<bigint>"),
+          org.apache.spark.sql.functions.col("sval").cast("array<double>"))
+        .as[(Long, Seq[Long], Seq[Double])]
+        .flatMap { case (id, qi, qv) =>
+          graft.operators.Hnsw.rankCellsSparse(qi.toArray, qv.toArray,
+            nlist = 16, nprobe = 2).map(c => (c, id))
+        }
         .toDF("c", "id").groupBy("c").count().collect()
     }
     println(s"[phase] base=$base")
