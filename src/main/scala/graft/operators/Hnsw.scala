@@ -1404,6 +1404,16 @@ object Hnsw {
       // from exactly this). ~4 MB groups ≈ a few blobs per group →
       // probed bytes ∝ nprobe, not corpus.
       .option("parquet.block.size", 4L * 1024 * 1024)
+      // r18: the block-size knob alone NEVER ENGAGED on blob rows —
+      // Parquet checks accumulated row-group size only every
+      // `parquet.page.size.row.check.min` records (default 100, and
+      // the block-size check shares the page-check cadence), so
+      // ~0.8 MB blob rows produced ~78 MB/100-row groups and a pushed
+      // 4-cell probe DECODED THE WHOLE STORE (measured on the Zipf
+      // 500k store: 2 row groups per 95 MB file, scan 0.445 s for
+      // 3.5 MB of probed blobs). Checking from the first record makes
+      // the 4 MB target real: ~5 rows/group, probed bytes ∝ nprobe.
+      .option("parquet.page.size.row.check.min", "1")
       .parquet(path)
 
   def readGraphs(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
